@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table-store entry points for the graft engine.
+  *
+  * The engine re-expresses the reference pipeline
+  * (Meisam984/Web-API_Postgres_ETL — see SURVEY.md) as idiomatic Spark:
+  * declarative DataFrame plans, Catalyst-optimized, designed so every
+  * operator scales from `local[*]` to a 1000-executor cluster purely via
+  * partitioning (no driver-side loops over data).
+  */
+object Engine {
+
+  /** Configs every graft session needs, applied to a builder.
+    *
+    *  - `nanosAsLong`: the driver's `events.parquet` carries
+    *    TIMESTAMP(NANOS) which Spark's TimestampType (micros) rejects;
+    *    reading them as raw Long nanos is lossless and keeps event-time
+    *    arithmetic exact (DuckDB-side equivalent: `epoch_ns(ts)`).
+    *  - AQE on: runtime re-planning (skew joins, coalesced shuffle
+    *    partitions) is the 100 TB story for free.
+    */
+  def withGraftConfs(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+  /** Local session for tests/dev. Shuffle partitions sized to cores, not
+    * the 200 default (SURVEY.md §4 — local[n] has n executor threads). */
+  def localSession(cores: Int = 8): SparkSession = {
+    val s = withGraftConfs(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Loaders for the driver test tables (TESTDATA.md). One parquet per
+  * table; at cluster scale these would be partitioned directories — the
+  * API stays the same, which is the point of going through one loader.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+
+  /** `events.ts` arrives as Long nanoseconds (see Engine.withGraftConfs). */
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
