@@ -23,6 +23,11 @@ object Engine {
     */
   def withGraftConfs(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Reference parity: pandas never raises on bad arithmetic — division
+    // by zero flows as ±Inf (X2), out-of-range element_at as null (X3),
+    // casts overflow silently. At 100 TB one malformed row must not kill
+    // a 1000-executor job; non-ANSI is the pandas-equivalent posture.
+    .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Generated Jalali↔Gregorian dim-date table (SURVEY.md §2.1 S7).
+  *
+  * The reference ships a 40,151-row xlsx (full-dimdate-pb.xlsx, sheet
+  * DATES: Miladi, Jalali strings, year/month/quarter/weekday/week-number
+  * columns in both calendars) for Power BI time-intelligence. Here the
+  * same shape is generated natively: `sequence + explode` over the date
+  * range, Jalali parts from the native expression — no artifact to ship,
+  * any range on demand.
+  *
+  * Week-number conventions (the xlsx's exact rules are not recoverable
+  * from the clone): JWeekDay is 1=Saturday..7=Friday (Persian week),
+  * JWeekNum is the 1-based week of the Jalali year with week 1 starting
+  * Farvardin 1; MWeekNum/MWeekDay use ISO rules via Spark built-ins.
+  */
+object DimDate {
+
+  private val jMonthNames = Seq("Farvardin", "Ordibehesht", "Khordad",
+    "Tir", "Mordad", "Shahrivar", "Mehr", "Aban", "Azar", "Dey",
+    "Bahman", "Esfand")
+
+  def generate(spark: SparkSession, start: String, end: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val jMonthName = jMonthNames.zipWithIndex
+      .foldLeft(lit("")) { case (acc, (n, i)) =>
+        when(col("jmonth") === (i + 1), lit(n)).otherwise(acc)
+      }
+    spark.range(1)
+      .select(explode(sequence(
+        to_date(lit(start)), to_date(lit(end)))).as("d"))
+      .withColumn("jp", GraftFunctions.jalaliParts(col("d")))
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("miladi"),
+        col("jp.jy").as("jyear"),
+        col("jp.jm").as("jmonth"),
+        col("jp.jd").as("jday"),
+        col("d"))
+      .withColumn("jalali", format_string("%04d/%02d/%02d",
+        col("jyear"), col("jmonth"), col("jday")))
+      .withColumn("jmonth_name", jMonthName)
+      .withColumn("jquarter", ((col("jmonth") - 1) / 3 + 1).cast("int"))
+      .withColumn("jnime", when(col("jmonth") <= 6, 1).otherwise(2))
+      .withColumn("jday_of_year",
+        when(col("jmonth") <= 7, (col("jmonth") - 1) * 31 + col("jday"))
+          .otherwise(lit(186) + (col("jmonth") - 7) * 30 + col("jday"))
+          .cast("int"))
+      .withColumn("jweek_day", // 1=Saturday .. 7=Friday
+        (pmod(dayofweek(col("d")), lit(7)) + 1).cast("int"))
+      .withColumn("jweek_num", ((col("jday_of_year") - 1) / 7 + 1).cast("int"))
+      .withColumn("myear", year(col("d")))
+      .withColumn("mmonth", month(col("d")))
+      .withColumn("mday", dayofmonth(col("d")))
+      .withColumn("mmonth_name", date_format(col("d"), "MMMM"))
+      .withColumn("mquarter", quarter(col("d")))
+      .withColumn("mnime", when(col("mmonth") <= 6, 1).otherwise(2))
+      .withColumn("mweek_day", date_format(col("d"), "EEEE"))
+      .withColumn("mweek_num", weekofyear(col("d")))
+      .drop("d")
+  }
+}

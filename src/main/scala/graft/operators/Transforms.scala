@@ -53,10 +53,15 @@ object Transforms {
     date_format(ts, "yyyyMMddHHmmss")
 
   /** X2 — pct-change ratio `change / (base - change)`: change over the
-    * previous value. Double division: null propagates, zero denominator
-    * yields ±Infinity exactly like pandas. */
-  def pctChange(change: Column, base: Column): Column =
-    change / (base - change)
+    * previous value. Pandas float semantics: null propagates, zero
+    * denominator yields ±Infinity (0/0 → NaN). Spark's `/` returns null
+    * on a zero divisor (non-ANSI), so the zero case is made explicit:
+    * `change * Inf` carries the sign and maps 0 → NaN like IEEE. */
+  def pctChange(change: Column, base: Column): Column = {
+    val denom = base - change
+    when(denom === 0, change * lit(Double.PositiveInfinity))
+      .otherwise(change / denom)
+  }
 
   /** F2 — lexicographic BETWEEN over zero-padded 'yyyy/MM/dd' strings. */
   def dateStrBetween(dateStr: Column, lo: String, hi: String): Column =
