@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Incremental, Joins, Transforms}
+import graft.functions.DimDate
+import graft.operators.{Dedup, Incremental, Joins, Multimodal, Similarity, TextOps, Transforms}
+import graft.sources.JsonFlatten
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +21,11 @@ import graft.operators.{Dedup, Incremental, Joins, Transforms}
   *  - double aggregations route through DECIMAL sums cast back to
   *    double, so results are order-independent and bit-identical across
   *    engines (plain double sums differ in the last ulps by partial-agg
-  *    order).
+  *    order);
+  *  - integer-valued outputs are cast to long on the Spark side (DuckDB
+  *    counts/lengths are BIGINT);
+  *  - all content hashing is md5-based (the one hash both engines
+  *    share); similarity scores are rounded to 6 dp before ranking.
   */
 object SparkEntry {
 
@@ -65,8 +71,7 @@ object SparkEntry {
       .orderBy("event_id")
 
   /** W1 keep-last-per-key dedup over events, key (user_id, event_type),
-    * version order (ts µs, event_id) — µs so the ordering semantics match
-    * the oracle's timestamp resolution exactly. */
+    * version order (ts µs, event_id). */
   private def q06(s: SparkSession, dir: String): DataFrame =
     Dedup.keepLast(Tables.events(s, dir).withColumn("ts_us", tsUs).drop("ts"),
         Seq("user_id", "event_type"), Seq(col("ts_us"), col("event_id")))
@@ -75,8 +80,7 @@ object SparkEntry {
       .orderBy("user_id", "event_type")
 
   /** Map-side-combinable grouped aggregation (pricing summary — the
-    * engine-completeness agg the reference lacks, SURVEY.md §2.11).
-    * DECIMAL-routed sums for cross-engine exactness. */
+    * engine-completeness agg the reference lacks, SURVEY.md §2.11). */
   private def q07(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -101,6 +105,129 @@ object SparkEntry {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
 
+  // ------------------------------------------- training-data pipeline ops
+
+  /** Exact dedup by normalized content hash. */
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    TextOps.exactDedup(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("content_hash")
+
+  /** Exact word-3-gram Jaccard near-dup pairs (inverted shingle index). */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    TextOps.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** MinHash-LSH candidate generation + exact verification at 0.8. */
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    TextOps.minhashDedupPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8, k = 64, bands = 16)
+      .orderBy("id_a", "id_b")
+
+  /** Brute-force cosine top-10 for 1-in-50 query vectors (native
+    * codegen'd cosine kernel). */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** 32-bit SimHash fingerprint per document. */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    TextOps.simhash(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** SimHash near-dup pairs within hamming distance 3 (pigeonhole
+    * chunk candidates, no cross join). */
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    TextOps.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxDist = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Language-ID heuristic (marker-token argmax). */
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    TextOps.languageId(Tables.documents(s, dir), "doc_id", "text")
+      .select("doc_id", "lang_pred", "lang_score")
+      .orderBy("doc_id")
+
+  /** Quality-scoring features + composite score. */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace + BPE-ish sub-tokens. */
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Whole-document rolling polynomial fingerprint. */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    TextOps.docFingerprint(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Winnowed fingerprint set (MOSS-style window minima). */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowedFingerprints(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, w = 4)
+      .orderBy("doc_id", "fingerprint")
+
+  private val DimStart = "1941-03-21"
+  private val DimEnd = "2051-03-20"
+
+  /** Generated dim-date, Gregorian columns (oracle-checkable half). */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    DimDate.generate(s, DimStart, DimEnd)
+      .select(col("miladi"),
+        col("myear").cast("long").as("myear"),
+        col("mmonth").cast("long").as("mmonth"),
+        col("mday").cast("long").as("mday"),
+        col("mmonth_name"),
+        col("mquarter").cast("long").as("mquarter"),
+        col("mnime").cast("long").as("mnime"),
+        col("mweek_day"),
+        col("mweek_num").cast("long").as("mweek_num"))
+      .orderBy("miladi")
+
+  /** Generated dim-date, full Jalali shape (no SQL oracle — DuckDB has
+    * no Persian calendar; correctness is pinned by JalaliSpec's ICU4J
+    * cross-validation + golden dates). */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    DimDate.generate(s, DimStart, DimEnd)
+      .select("miladi", "jalali", "jyear", "jmonth", "jday", "jmonth_name",
+        "jquarter", "jnime", "jday_of_year", "jweek_day", "jweek_num")
+      .orderBy("miladi")
+
+  /** S3 JSON envelope → flatten, round-tripped through nation. */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val env = Tables.nation(s, dir).select(to_json(struct(
+      array(struct(
+        col("n_nationkey").as("id"),
+        col("n_name").as("name"),
+        struct(col("n_regionkey").as("region_id")).as("meta"))).as("data")))
+      .as("j")).as[String]
+    JsonFlatten.parseEnvelope(s, env)
+      .select("id", "name", "meta_region_id")
+      .orderBy("id")
+  }
+
+  /** Multimodal: binary media column + metadata features. */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    Multimodal.byteFeatures(
+        Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text", "text"))
+      .orderBy("media_id")
+
+  /** Multimodal: frame sampling over binary payloads (stride 2 over
+    * 100-byte blocks). */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text", "text"),
+        blockSize = 100, stride = 2)
+      .withColumn("frame_idx", col("frame_idx").cast("long"))
+      .withColumn("frame_bytes", col("frame_bytes").cast("long"))
+      .orderBy("media_id", "frame_idx")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_stg_trades" -> q01,
     "q02_prd_trades_star" -> q02,
@@ -110,7 +237,84 @@ object SparkEntry {
     "q06_keeplast_dedup" -> q06,
     "q07_agg_pricing_summary" -> q07,
     "q08_topk_orders" -> q08,
+    "q09_exact_dedup" -> q09,
+    "q10_jaccard_pairs" -> q10,
+    "q11_minhash_pairs" -> q11,
+    "q12_ann_topk" -> q12,
+    "q13_simhash" -> q13,
+    "q14_simhash_pairs" -> q14,
+    "q15_langid" -> q15,
+    "q16_quality" -> q16,
+    "q17_token_counts" -> q17,
+    "q18_doc_fingerprint" -> q18,
+    "q19_winnow_fingerprints" -> q19,
+    "q20_dimdate_gregorian" -> q20,
+    "q21_dimdate_jalali" -> q21,
+    "q22_json_flatten" -> q22,
+    "q23_media_features" -> q23,
+    "q24_frame_sample" -> q24,
   )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** DuckDB 60-bit md5 hash — must mirror TextOps.hash60 exactly. */
+  private def sqlHash60(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  private val P = TextOps.MinhashP
+
+  /** Shared CTE: distinct word-3-gram shingles per doc. */
+  private val shingleCte =
+    """d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |       FROM d, range(1, 4000) r(i) WHERE i <= len(w) - 2),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) c
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)""".stripMargin
+
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH $shingleCte
+       |SELECT da AS id_a, db AS id_b,
+       |       round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = da
+       |JOIN sizes sb ON sb.doc_id = db
+       |WHERE c * 1.0 / (sa.n + sb.n - c) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** SimHash per-doc CTE (mirrors TextOps.simhash bit for bit). */
+  private val simhashCte: String = {
+    val sums = (0 until TextOps.SimhashBits)
+      .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(",\n         ")
+    val bits = (0 until TextOps.SimhashBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)")
+      .mkString(" | ")
+    s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, ${sqlHash60("tok")} AS h FROM t),
+       |s AS (SELECT doc_id,
+       |         $sums
+       |      FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, ($bits)::BIGINT AS simhash FROM s)""".stripMargin
+  }
+
+  /** Language-ID oracle (mirrors TextOps.languageId + LangMarkers). */
+  private val langidOracle: String = {
+    val scores = TextOps.LangMarkers.map { case (lang, markers) =>
+      val lst = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($lst, t)))::BIGINT AS score_$lang"
+    }.mkString(",\n       ")
+    val langs = TextOps.LangMarkers.map(_._1).sorted
+    val m = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val pick = langs.map(l => s"WHEN score_$l = m THEN '$l'").mkString(" ")
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |       ${scores}
+       |  FROM documents),
+       |g AS (SELECT doc_id, $m AS m, * FROM s)
+       |SELECT doc_id, CASE $pick END AS lang_pred, m AS lang_score
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_stg_trades" ->
@@ -193,5 +397,109 @@ object SparkEntry {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+    "q09_exact_dedup" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+        |       min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY content_hash""".stripMargin,
+    "q10_jaccard_pairs" -> jaccardOracle(0.5),
+    "q11_minhash_pairs" -> jaccardOracle(0.8),
+    "q12_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |        round(list_dot_product(q.v, e.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6)
+        |          AS cosine
+        |      FROM q, e WHERE e.vec_id != q.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, neighbor_id, cosine
+        |FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "q13_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+    "q14_simhash_pairs" ->
+      s"""WITH $simhashCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q15_langid" -> langidOracle,
+    "q16_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         length(text)::BIGINT AS n_chars,
+        |         len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |         round(length(text) * 1.0 / len(string_split(text, ' ')), 6) AS mean_token_len,
+        |         round(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0
+        |               / length(text), 6) AS punct_ratio,
+        |         round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+        |               / length(text), 6) AS digit_ratio,
+        |         round(len(list_filter(string_split(lower(text), ' '),
+        |                 t -> list_contains(['the','a','of','and','to','in','is','that'], t)))
+        |               * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio
+        |  FROM documents)
+        |SELECT *,
+        |       (CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0 END)
+        |           + (CASE WHEN mean_token_len BETWEEN 3 AND 12 THEN 0.25 ELSE 0 END)
+        |           + (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0 END)
+        |           + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0 END) AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q17_token_counts" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' '))::BIGINT AS ws_tokens,
+        |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]'))::BIGINT AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q18_doc_fingerprint" ->
+      s"""SELECT doc_id,
+         |       list_reduce(
+         |         list_concat([0::BIGINT],
+         |           list_transform(string_split(text, ' '),
+         |             t -> ${sqlHash60("t")} % $P)),
+         |         (a, b) -> (a * ${TextOps.FpBase} + b) % $P) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q19_winnow_fingerprints" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+         |g AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |      FROM d, range(1, 4000) r(i) WHERE i <= len(w) - 2),
+         |h AS (SELECT doc_id, i, ${sqlHash60("s")} % $P AS h FROM g),
+         |m AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f FROM h)
+         |SELECT DISTINCT doc_id, f AS fingerprint
+         |FROM m ORDER BY doc_id, fingerprint""".stripMargin,
+    "q20_dimdate_gregorian" ->
+      s"""SELECT strftime(d, '%Y-%m-%d') AS miladi,
+         |       year(d)::BIGINT AS myear,
+         |       month(d)::BIGINT AS mmonth,
+         |       day(d)::BIGINT AS mday,
+         |       strftime(d, '%B') AS mmonth_name,
+         |       quarter(d)::BIGINT AS mquarter,
+         |       (CASE WHEN month(d) <= 6 THEN 1 ELSE 2 END)::BIGINT AS mnime,
+         |       dayname(d) AS mweek_day,
+         |       weekofyear(d)::BIGINT AS mweek_num
+         |FROM (SELECT unnest(generate_series(DATE '$DimStart', DATE '$DimEnd',
+         |        INTERVAL 1 DAY))::DATE AS d)
+         |ORDER BY miladi""".stripMargin,
+    "q22_json_flatten" ->
+      """SELECT n_nationkey AS id, n_name AS name, n_regionkey AS meta_region_id
+        |FROM nation ORDER BY id""".stripMargin,
+    "q23_media_features" ->
+      """SELECT doc_id AS media_id, 'text' AS format,
+        |       length(text)::BIGINT AS n_bytes, md5(text) AS content_hash
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q24_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |             (length(text) + 99) // 100 AS n_blocks FROM documents),
+        |f AS (SELECT media_id, b, substr(text, (b * 100 + 1)::INT, 100) AS frame
+        |      FROM m, range(0, 4000, 2) r(b) WHERE b <= n_blocks - 1)
+        |SELECT media_id, (b // 2)::BIGINT AS frame_idx,
+        |       length(frame)::BIGINT AS frame_bytes, md5(frame) AS frame_hash
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
   )
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ArrayMath
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, as a 100 TB pipeline needs:
+  *  - `bruteForceTopK` — the exact baseline: broadcast the (small) query
+  *    set against the full corpus; one pass, no shuffle of the corpus,
+  *    per-partition top-k via window. Cost O(|corpus|·|queries|·dim) but
+  *    embarrassingly parallel — correct reference for recall tests.
+  *  - `lshTopK` — random-hyperplane LSH: bucket by sign-pattern of d
+  *    fixed pseudo-random hyperplanes, probe only the query's bucket
+  *    (+ optional multi-probe). Candidate set shrinks ~2^d-fold; rerank
+  *    candidates exactly. The scale path: bucketing is one cheap map,
+  *    the join is an equi-join on bucket id.
+  *
+  * The cosine kernel is the native codegen'd `cosine_similarity`
+  * expression (functions/ArrayMath.scala) — Spark's zip_with/aggregate
+  * HOFs would fall back to interpreted eval in this, the hottest loop.
+  */
+object Similarity {
+
+  /** Exact top-k neighbours for each query vector.
+    * `queries` must be small (it is broadcast). Output: one row per
+    * (query_id, rank) with the neighbour id and cosine similarity. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    ArrayMath.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val joined = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(broadcast(q))
+    val scored = (if (excludeSelf) joined.filter(col("neighbor_id") =!= col("query_id"))
+                  else joined)
+      // rank on the 6-dp-rounded similarity: semantically identical for
+      // retrieval, and the ordering becomes engine-exact (raw doubles
+      // can differ in the last ulp across implementations and flip
+      // near-ties at the top-k boundary)
+      .withColumn("cosine",
+        round(ArrayMath.cosineSimilarity(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a fixed LCG stream, so buckets are stable across runs/engines. */
+  private def planeCoeff(plane: Int, dim: Int): Double = {
+    val x = (1103515245L * (plane * 997 + dim + 1) + 12345L) & 0x7fffffffL
+    (x.toDouble / 0x7fffffffL.toDouble) * 2.0 - 1.0
+  }
+
+  /** Sign-pattern bucket id from `nPlanes` fixed hyperplanes (plane ids
+    * offset by table so tables are independent). */
+  private def bucketExpr(vecCol: String, nPlanes: Int, dim: Int, table: Int) =
+    (0 until nPlanes).foldLeft(lit(0L)) { (acc, p) =>
+      val dot = (0 until dim).map { d =>
+        element_at(col(vecCol), d + 1).cast("double") *
+          lit(planeCoeff(table * nPlanes + p, d))
+      }.reduce(_ + _)
+      acc.bitwiseOR(when(dot >= 0, lit(1L << p)).otherwise(lit(0L)))
+    }
+
+  /** Single-table bucket (used by the pair-dedup variant). */
+  def lshBucket(df: DataFrame, vecCol: String, nPlanes: Int, dim: Int): DataFrame =
+    df.withColumn("bucket", bucketExpr(vecCol, nPlanes, dim, table = 0))
+
+  /** Multi-table buckets: one row per (table, bucket) — the recall knob.
+    * P(candidate) = 1 − (1 − p^nPlanes)^nTables for per-plane agreement
+    * p; more tables buy recall linearly in index size, never O(n²). */
+  def lshBuckets(df: DataFrame, vecCol: String, nPlanes: Int, nTables: Int,
+                 dim: Int): DataFrame = {
+    val perTable = (0 until nTables).map { t =>
+      struct(lit(t).as("table"), bucketExpr(vecCol, nPlanes, dim, t).as("bucket"))
+    }
+    df.withColumn("tb", explode(array(perTable: _*)))
+      .withColumn("table", col("tb.table"))
+      .withColumn("bucket", col("tb.bucket"))
+      .drop("tb")
+  }
+
+  /** Approximate top-k: candidates share the query's bucket in ANY of
+    * the `nTables` hash tables; exact rerank on the deduplicated
+    * candidate set. Candidate generation is an equi-join on
+    * (table, bucket) — linear, broadcastable query side. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nPlanes: Int, dim: Int, nTables: Int = 8): DataFrame = {
+    ArrayMath.register(corpus.sparkSession)
+    val cb = lshBuckets(corpus, vecCol, nPlanes, nTables, dim)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col("table"), col("bucket"))
+    val qb = lshBuckets(queries, vecCol, nPlanes, nTables, dim)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        col("table"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cb.join(broadcast(qb), Seq("table", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "__qv", "__cv").distinct()
+      .withColumn("cosine",
+        round(ArrayMath.cosineSimilarity(col("__qv"), col("__cv")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** All near-duplicate pairs by embedding cosine ≥ threshold — the
+    * embedding-space analogue of TextOps.minhashDedupPairs. Buckets via
+    * hyperplane LSH (pairs must agree on all planes → candidates from an
+    * equi-join), verified exactly. nPlanes small keeps recall high for
+    * near-identical vectors. */
+  def cosineDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
+    ArrayMath.register(corpus.sparkSession)
+    val b = lshBucket(corpus, vecCol, nPlanes, dim)
+    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("bucket"))
+    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("bucket"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", ArrayMath.cosineSimilarity(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .distinct()
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType}
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.asMediaTable(
+    Seq((1L, "hello world"), (2L, "x" * 250)).toDF("id", "payload"),
+    "id", "payload", "fake")
+
+  test("asMediaTable produces the binary + typed-metadata contract") {
+    val schema = media.schema
+    assert(schema("media").dataType == BinaryType)
+    assert(schema("meta").dataType.typeName == "struct")
+    val r = media.filter(col("media_id") === 1).first()
+    assert(r.getAs[org.apache.spark.sql.Row]("meta").getAs[Long]("n_bytes") == 11L)
+  }
+
+  test("decodeMeta runs the stub decoder per partition, deterministic") {
+    val out = Multimodal.decodeMeta(media).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Long]("n_bytes"))).toMap
+    assert(out(1L)._3 == 11L)
+    assert(out(1L)._1 >= 64 && out(1L)._1 < 128)
+    // determinism across runs
+    val again = Multimodal.decodeMeta(media).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Long]("n_bytes"))).toMap
+    assert(out == again)
+  }
+
+  test("sampleFrames: stride-1 frames reassemble the payload") {
+    val frames = Multimodal.sampleFrames(media, blockSize = 100, stride = 1)
+      .filter(col("media_id") === 2)
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 3) // 250 bytes → blocks of 100,100,50
+    assert(frames.map(_.getAs[Int]("frame_bytes")).toSeq == Seq(100, 100, 50))
+  }
+
+  test("byteFeatures md5 matches the payload hash") {
+    val r = Multimodal.byteFeatures(media).filter(col("media_id") === 1).first()
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello world".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r.getAs[String]("content_hash") == expected)
+  }
+}

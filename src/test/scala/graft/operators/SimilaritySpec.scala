@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.ArrayMath
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9999f, 0.001f, 0.0f)), // near-dup of 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("native cosine kernel: orthogonal → 0, identical → 1, null-safe") {
+    ArrayMath.register(spark)
+    val r = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        ArrayMath.cosineSimilarity(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(math.abs(r((0L, 0L)) - 1.0) < 1e-9)
+    assert(math.abs(r((0L, 2L))) < 1e-9)
+    assert(math.abs(r((0L, 4L)) + 1.0) < 1e-9)
+    assert(r((0L, 1L)) > 0.999)
+  }
+
+  test("bruteForceTopK ranks nearest first with deterministic ties") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2)
+    val rows = out.collect().map(r =>
+      (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(rows.head == (1L, 1L)) // nearest neighbour of 0 is 1
+  }
+
+  test("lshTopK recall vs brute force on the fixture embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(e, q, "vec_id", "embedding", 10,
+      nPlanes = 4, dim = 64, nTables = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall collapsed")
+  }
+
+  test("cosineDedupPairs finds planted duplicates") {
+    val pairs = Similarity.cosineDedupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, nPlanes = 2, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a b c d e"),
+    (2L, "a b c d e"),            // exact dup of 1
+    (3L, "a b c d x"),            // near dup of 1 (3-gram jaccard 2/4 = 0.5)
+    (4L, "z y x w v u t")         // unrelated
+  ).toDF("doc_id", "text")
+
+  test("shingles produces distinct ordered word n-grams, short docs → empty") {
+    val sh = Seq(("a b c d", 1L)).toDF("t", "id")
+      .select(TextOps.shingles(col("t"), 3).as("s")).first().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq(("a b", 1L)).toDF("t", "id")
+      .select(TextOps.shingles(col("t"), 3).as("s")).first().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("exactDedup groups identical (normalized) content") {
+    val out = TextOps.exactDedup(docs, "doc_id", "text").collect()
+    assert(out.length == 3)
+    val dupGroup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("keeper_id") == 1L)
+    // normalization: case + whitespace collapse
+    val messy = Seq((1L, "Hello  World"), (2L, "hello world")).toDF("doc_id", "text")
+    assert(TextOps.exactDedup(messy, "doc_id", "text").count() == 1)
+  }
+
+  test("jaccardPairs computes exact n-gram jaccard") {
+    val pairs = TextOps.jaccardPairs(docs, "doc_id", "text", 3, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // doc1/doc2 identical → 1.0; doc1/doc3 and doc2/doc3 share 1 of
+    // (3+3-1)=... shingles(1)={abc,bcd,cde}, shingles(3)={abc,bcd,cdx}:
+    // inter=2? no: {abc,bcd} common → 2/(3+3-2)=0.5
+    assert(pairs == Set((1L, 2L, 1.0), (1L, 3L, 0.5), (2L, 3L, 0.5)))
+  }
+
+  test("minhash signature similarity approximates jaccard") {
+    val sig = TextOps.minhashSignatures(docs, "doc_id", "text", 3, 64)
+      .collect().map(r => r.getLong(0) -> (1 to 64).map(i => r.getLong(i))).toMap
+    assert(sig(1L) == sig(2L)) // identical docs → identical signatures
+    val agree13 = sig(1L).zip(sig(3L)).count { case (a, b) => a == b } / 64.0
+    assert(agree13 > 0.2 && agree13 < 0.8, s"estimate $agree13 for true 0.5")
+    val agree14 = sig(1L).zip(sig(4L)).count { case (a, b) => a == b } / 64.0
+    assert(agree14 < 0.2, s"unrelated docs estimate $agree14")
+  }
+
+  test("minhashDedupPairs finds the same pairs as exact jaccard at 0.8 (sf0.001)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TextOps.jaccardPairs(d, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextOps.minhashDedupPairs(d, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH ${lsh.size} vs exact ${exact.size}")
+    assert(exact.nonEmpty) // the fixture plants near-dups
+  }
+
+  test("simhash: identical docs get identical fingerprints, near-dups close") {
+    val sh = TextOps.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    val d13 = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val d14 = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(d13 < d14, s"near-dup distance $d13 should beat unrelated $d14")
+  }
+
+  test("simhashPairs returns pairs within the hamming budget") {
+    val pairs = TextOps.simhashPairs(docs, "doc_id", "text", maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("languageId: marker argmax with deterministic ties") {
+    val d = Seq(
+      (1L, "the cat and the dog of the town is a pet"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "el perro es un animal de la casa")
+    ).toDF("doc_id", "text")
+    val out = TextOps.languageId(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "es")
+  }
+
+  test("tokenCounts: whitespace vs bpe-ish sub-tokens") {
+    val d = Seq((1L, "hello world42, ok.")).toDF("doc_id", "text")
+    val r = TextOps.tokenCounts(d, "doc_id", "text").first()
+    assert(r.getAs[Long]("ws_tokens") == 3)
+    // hello | world | 4 | 2 | , | ok | . = 7
+    assert(r.getAs[Long]("bpe_tokens") == 7)
+  }
+
+  test("docFingerprint is order-sensitive; winnowed fingerprints are not empty") {
+    val d = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    val fp = TextOps.docFingerprint(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) != fp(2L))
+    val wf = TextOps.winnowedFingerprints(docs, "doc_id", "text", 3, 2)
+    assert(wf.filter(col("doc_id") === 1L).count() >= 1)
+    // identical docs share the full winnowed set
+    val s1 = wf.filter(col("doc_id") === 1L).select("fingerprint").collect().toSet
+    val s2 = wf.filter(col("doc_id") === 2L).select("fingerprint").collect().toSet
+    assert(s1.map(_.getLong(0)) == s2.map(_.getLong(0)))
+  }
+
+  test("qualityScore features are in range") {
+    val out = TextOps.qualityScore(docs, "doc_id", "text").collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("punct_ratio") >= 0 && r.getAs[Double]("punct_ratio") <= 1)
+      assert(r.getAs[Double]("quality_score") >= 0 && r.getAs[Double]("quality_score") <= 1)
+    }
+  }
+}
