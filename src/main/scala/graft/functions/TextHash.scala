@@ -1,0 +1,288 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-sketch expressions.
+  *
+  * The declarative formulations (split → transform → explode → groupBy)
+  * are correct but pay twice at scale: Catalyst higher-order functions
+  * are CodegenFallback (per-element interpreted lambdas), and per-doc
+  * sketches end up as an explode + shuffle + aggregate even though they
+  * are row-local computations. Each expression here runs the whole
+  * per-document loop in compiled Scala in ONE eval call — MinHash
+  * signatures, SimHash, and fingerprints become shuffle-free `select`s;
+  * only pair-finding ever shuffles.
+  *
+  * Hash semantics are pinned to the engine-portable definition used by
+  * the DuckDB oracles: hash60(s) = first 15 hex chars of md5(s) as an
+  * integer = (first 8 md5 bytes, big-endian) >>> 4. Word n-grams joined
+  * by a single space equal the original byte slice between the first
+  * token's start and the last token's end (split/join on single space
+  * round-trips), so grams are digested zero-copy from the text bytes.
+  */
+object TextHash {
+  val P: Long = 2147483647L // Mersenne prime 2³¹−1; see TextOps.MinhashP
+
+  private val digests = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** hash60 of bytes[from, until). */
+  def hash60(bytes: Array[Byte], from: Int, until: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    md.update(bytes, from, until - from)
+    val d = md.digest()
+    val top = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    top >>> 4
+  }
+
+  /** Start offsets of single-space-separated tokens (empties included —
+    * split(' ') semantics). Returns token boundaries as (starts, ends). */
+  private def tokenBounds(b: Array[Byte]): (Array[Int], Array[Int]) = {
+    val starts = mutable.ArrayBuilder.make[Int]
+    val ends = mutable.ArrayBuilder.make[Int]
+    var s = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' ') {
+        starts += s; ends += i; s = i + 1
+      }
+      i += 1
+    }
+    (starts.result(), ends.result())
+  }
+
+  /** All word-n-gram hash60 values of a document, in order.
+    * `distinct` keeps first occurrences only; `modP` reduces into the
+    * MinHash field. */
+  def shingleHashes(text: UTF8String, n: Int, distinct: Boolean,
+                    modP: Boolean): Array[Long] = {
+    val b = text.getBytes
+    val (starts, ends) = tokenBounds(b)
+    val m = starts.length - n + 1
+    if (m <= 0) return Array.emptyLongArray
+    val out = mutable.ArrayBuilder.make[Long]
+    out.sizeHint(m)
+    val seen = if (distinct) new mutable.HashSet[Long] else null
+    var i = 0
+    while (i < m) {
+      var h = hash60(b, starts(i), ends(i + n - 1))
+      if (modP) h %= P
+      if (seen == null || seen.add(h)) out += h
+      i += 1
+    }
+    out.result()
+  }
+
+  def tokenHashes(text: UTF8String): Array[Long] = {
+    val b = text.getBytes
+    val (starts, ends) = tokenBounds(b)
+    val out = new Array[Long](starts.length)
+    var i = 0
+    while (i < starts.length) {
+      out(i) = hash60(b, starts(i), ends(i))
+      i += 1
+    }
+    out
+  }
+}
+
+/** array<long> of (optionally distinct / mod-P) word-n-gram hash60s. */
+case class ShingleHash60Expr(child: Expression, n: Int, distinct: Boolean,
+                             modP: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash60"
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.shingleHashes(
+      input.asInstanceOf[UTF8String], n, distinct, modP))
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** array<long> of per-token hash60s (ordered, non-distinct). */
+case class TokenHash60Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hash60"
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.tokenHashes(input.asInstanceOf[UTF8String]))
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Full k-slot MinHash signature in one pass — no explode, no shuffle.
+  * Slot i = min over distinct shingles of (aᵢ·h + bᵢ) mod P, identical
+  * to the declarative formulation (and the DuckDB oracle arithmetic). */
+case class MinHashSigExpr(child: Expression, n: Int, k: Int,
+                          coeffs: Seq[(Long, Long)])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  @transient private lazy val as = coeffs.map(_._1).toArray
+  @transient private lazy val bs = coeffs.map(_._2).toArray
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any = {
+    val hs = TextHash.shingleHashes(input.asInstanceOf[UTF8String], n,
+      distinct = true, modP = true)
+    if (hs.isEmpty) return null // no shingles → no signature (matches agg-on-empty)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < hs.length) {
+      val h = hs(j)
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * h + bs(i)) % TextHash.P
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** 32-bit SimHash over token hash60s in one pass (bit j set iff the
+  * signed population count of bit j over all tokens is positive). */
+case class SimHash32Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+  override def nullSafeEval(input: Any): Any = {
+    val hs = TextHash.tokenHashes(input.asInstanceOf[UTF8String])
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Rolling polynomial fingerprint fold in one pass:
+  * h ← (h·B + (hash60(tok) mod P)) mod P. */
+case class DocFingerprintExpr(child: Expression, base: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "doc_fingerprint"
+  override def nullSafeEval(input: Any): Any = {
+    val hs = TextHash.tokenHashes(input.asInstanceOf[UTF8String])
+    var acc = 0L
+    var i = 0
+    while (i < hs.length) {
+      acc = (acc * base + hs(i) % TextHash.P) % TextHash.P
+      i += 1
+    }
+    acc
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** All ordered pairs (a < b) from a posting list, emitted in one
+  * compiled pass (the declarative transform/slice/flatten pipeline pays
+  * an interpreted lambda per element). Input: array<long> of ids;
+  * output: array<struct<id_a,id_b>> over the sorted distinct ids. */
+case class SortedPairsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "sorted_pairs"
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData].toLongArray()
+    java.util.Arrays.sort(arr)
+    val m = arr.length
+    val out = new Array[Any](m * (m - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(arr(i), arr(j))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Session registration + Column API (same registry path the other
+  * graft expressions use — static parameters travel as literal args and
+  * are unwrapped once at plan-construction time). */
+object TextHashFunctions {
+  import graft.operators.TextOps
+
+  private def intArg(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+  private def boolArg(e: Expression): Boolean =
+    e.eval().asInstanceOf[Boolean]
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("shingle_hash60",
+      es => ShingleHash60Expr(es(0), intArg(es(1)), boolArg(es(2)), boolArg(es(3))),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("token_hash60",
+      es => TokenHash60Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      es => MinHashSigExpr(es(0), intArg(es(1)), intArg(es(2)),
+        TextOps.minhashCoeffs(intArg(es(2)))), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash32",
+      es => SimHash32Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("doc_fingerprint",
+      es => DocFingerprintExpr(es.head, TextOps.FpBase), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_pairs",
+      es => SortedPairsExpr(es.head), "scala_udf")
+  }
+
+  import org.apache.spark.sql.functions.lit
+
+  def shingleHash60(text: Column, n: Int, distinct: Boolean = true,
+                    modP: Boolean = false): Column =
+    call_function("shingle_hash60", text, lit(n), lit(distinct), lit(modP))
+
+  def tokenHash60(text: Column): Column = call_function("token_hash60", text)
+
+  def minhashSig(text: Column, n: Int, k: Int): Column =
+    call_function("minhash_signature", text, lit(n), lit(k))
+
+  def simhash32(text: Column): Column = call_function("simhash32", text)
+
+  def docFingerprint(text: Column): Column =
+    call_function("doc_fingerprint", text)
+
+  def sortedPairs(ids: Column): Column = call_function("sorted_pairs", ids)
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextHashFunctions
+
 /** Large-scale training-data text operators (the capabilities a 100 TB
   * document pipeline needs beyond the reference's ETL surface — see the
   * build brief; graded alongside SURVEY.md §2).
@@ -66,31 +68,36 @@ object TextOps {
 
   // ------------------------------------------------- exact n-gram Jaccard
 
-  /** All pairs with shingle-Jaccard ≥ threshold, exactly.
-    *
-    * Shape: inverted index self-join on shingle (shuffle keyed by
-    * shingle), count intersections, join per-doc set sizes, filter.
-    * At 100 TB the skew risk is stop-shingles with huge posting lists —
-    * `maxPostings` drops shingles shared by more than that many docs
-    * (they carry no discriminative signal; standard inverted-index
-    * trick). Pass None for exact semantics on small corpora. */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double,
-                   maxPostings: Option[Int] = None): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, n)
-    val pruned = maxPostings match {
-      case Some(cap) =>
-        val w = Window.partitionBy(col("shingle"))
-        idx.withColumn("__df", count(lit(1)).over(w))
-          .filter(col("__df") <= cap).drop("__df")
-      case None => idx
-    }
-    val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
-    val a = pruned.select(col(idCol).as("id_a"), col("shingle"))
-    val b = pruned.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+  /** Hashed inverted index: (id, h) with h = hash60(shingle). Long keys
+    * shuffle ~3× cheaper than ~20-char shingle strings; the 60-bit space
+    * makes a semantic-changing collision ~2⁻⁶⁰ per pair. The hashes come
+    * from the native ShingleHash60Expr (one compiled pass per doc, no
+    * interpreted HOF lambdas). */
+  private def hashedIndex(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    TextHashFunctions.register(docs.sparkSession)
+    docs.select(col(idCol),
+      explode(TextHashFunctions.shingleHash60(col(textCol), n)).as("h"))
+  }
+
+  /** Per-pair intersection counts from posting lists: ONE shuffle of the
+    * index (groupBy h), pairs emitted in place from each sorted posting
+    * list, one aggregate. The join formulation would shuffle the full
+    * index twice and stream the same pair multiset through a join. */
+  private def pairCounts(idx: DataFrame, idCol: String,
+                         maxPostings: Option[Int]): DataFrame = {
+    val postings = idx.groupBy(col("h"))
+      .agg(collect_list(col(idCol)).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val capped = maxPostings.fold(postings)(c => postings.filter(size(col("ds")) <= c))
+    capped
+      .select(explode(TextHashFunctions.sortedPairs(col("ds"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+  }
+
+  private def joinSizesAndFilter(inter: DataFrame, sizes: DataFrame,
+                                 idCol: String, threshold: Double): DataFrame =
     inter
       .join(sizes.withColumnRenamed("set_size", "size_a"),
         inter("id_a") === sizes(idCol)).drop(idCol)
@@ -100,6 +107,21 @@ object TextOps {
         col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** All pairs with shingle-Jaccard ≥ threshold, exactly.
+    *
+    * Shape: hashed inverted index → posting lists (one shuffle) → pairs
+    * emitted natively per list → pair-count aggregate → size join.
+    * At 100 TB the skew risk is stop-shingles with huge posting lists —
+    * `maxPostings` drops shingles shared by more than that many docs
+    * (they carry no discriminative signal; standard inverted-index
+    * trick). Pass None for exact semantics on small corpora. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double,
+                   maxPostings: Option[Int] = None): DataFrame = {
+    val idx = hashedIndex(docs, idCol, textCol, n)
+    val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    joinSizesAndFilter(pairCounts(idx, idCol, maxPostings), sizes, idCol, threshold)
   }
 
   // ----------------------------------------------------------- MinHash LSH
@@ -119,16 +141,21 @@ object TextOps {
 
   /** Per-doc MinHash signature: k columns mh0..mh{k-1}, each
     * min_i ((a·h + b) mod P) over the doc's distinct shingles.
-    * One explode + one hash-aggregate with k partial mins — map-side
-    * combinable, single shuffle keyed by doc id. */
+    *
+    * Sketches are row-local — the native MinHashSigExpr computes all k
+    * slots in one compiled pass per document, so this is a pure
+    * `select`: NO explode, NO shuffle (the declarative explode+groupBy
+    * formulation shuffles the whole shingle index just to put per-doc
+    * rows back together). Docs with no shingles drop out (null sig),
+    * matching the aggregate formulation. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, n)
-      .withColumn("h", hash60(col("shingle")) % MinhashP)
-    val aggs = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("h") + lit(b), lit(MinhashP))).as(s"mh$i")
-    }
-    idx.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    TextHashFunctions.register(docs.sparkSession)
+    val withSig = docs
+      .select(col(idCol), TextHashFunctions.minhashSig(col(textCol), n, k).as("__sig"))
+      .filter(col("__sig").isNotNull)
+    withSig.select(col(idCol) +:
+      (0 until k).map(i => element_at(col("__sig"), i + 1).as(s"mh$i")): _*)
   }
 
   /** LSH banding: signature → `bands` rows of (band, band_key) where
@@ -167,21 +194,18 @@ object TextOps {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    val idx = shingleIndex(docs, idCol, textCol, n)
+    // exact verification restricted to candidate docs: the full index is
+    // semi-joined down to candidate ids (broadcast — the candidate set is
+    // tiny by construction), so the expensive intersection join never
+    // touches the rest of the corpus
+    val idx = hashedIndex(docs, idCol, textCol, n)
     val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
-    val ia = idx.select(col(idCol).as("id_a"), col("shingle"))
-    val ib = idx.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = cand.join(ia, Seq("id_a")).join(ib, Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("set_size", "size_a"),
-        inter("id_a") === sizes(idCol)).drop(idCol)
-      .join(sizes.withColumnRenamed("set_size", "size_b"),
-        col("id_b") === sizes(idCol)).drop(idCol)
-      .withColumn("jaccard",
-        col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    val smallIdx = idx.join(broadcast(candIds), Seq(idCol))
+    val inter = pairCounts(smallIdx, idCol, None)
+      .join(cand, Seq("id_a", "id_b")) // only LSH-candidate pairs count
+    joinSizesAndFilter(inter, sizes, idCol, threshold)
   }
 
   // --------------------------------------------------------------- SimHash
@@ -192,18 +216,10 @@ object TextOps {
     * set iff Σ_tokens (2·bit_j(hash60(token mod P)) − 1) > 0. One
     * explode + one aggregate (32 partial sums, map-side combinable). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol),
-      explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", hash60(col("tok")))
-    val sums = (0 until SimhashBits).map { j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j")
-    }
-    val bitCols = (0 until SimhashBits).map { j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
-      .withColumn("simhash", bitCols.reduce((a: Column, b: Column) => a.bitwiseOR(b)))
-      .select(col(idCol), col("simhash"))
+    TextHashFunctions.register(docs.sparkSession)
+    // row-local sketch → pure select, no explode/shuffle (SimHash32Expr
+    // folds all 32 bit-counters in one compiled pass per doc)
+    docs.select(col(idCol), TextHashFunctions.simhash32(col(textCol)).as("simhash"))
   }
 
   /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ maxDist.
@@ -318,14 +334,11 @@ object TextOps {
     * fold h ← (h·B + hash60(tok) mod P) mod P. Order-sensitive by
     * construction — same tokens in a different order fingerprint
     * differently (unlike the set-based shingle ops above). */
-  def docFingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol),
-      aggregate(
-        tokens(col(textCol)),
-        lit(0L),
-        (acc, tok) => pmod(acc * FpBase + hash60(tok) % MinhashP, lit(MinhashP)))
-        .as("fingerprint"))
+  def docFingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    TextHashFunctions.register(docs.sparkSession)
+    docs.select(col(idCol),
+      TextHashFunctions.docFingerprint(col(textCol)).as("fingerprint"))
+  }
 
   /** Winnowing: distinct local minima of shingle hashes over a sliding
     * window of `w` positions — the standard document-fingerprint set
@@ -333,9 +346,10 @@ object TextOps {
     * positions are exploded; at scale it partitions by doc id. */
   def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, w: Int = 4): DataFrame = {
+    TextHashFunctions.register(docs.sparkSession)
     val grams = docs.select(col(idCol),
-      posexplode(shinglesOrdered(col(textCol), n)).as(Seq("pos", "shingle")))
-      .withColumn("h", hash60(col("shingle")) % MinhashP)
+      posexplode(TextHashFunctions.shingleHash60(col(textCol), n,
+        distinct = false, modP = true)).as(Seq("pos", "h")))
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(0, w - 1)
     grams
