@@ -41,6 +41,7 @@ object Engine {
         .master(s"local[$cores]")
         .appName("graft")
         .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
         .config("spark.ui.enabled", "false")
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
