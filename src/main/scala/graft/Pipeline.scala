@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.yaml.snakeyaml.Yaml
 
-import graft.operators.{Dedup, TableStore}
+import graft.operators.{Dedup, LayeredStore}
 import graft.sources.JsonFlatten
 import graft.sources.api.TransportRegistry
 
@@ -77,7 +77,7 @@ object Retry {
 }
 
 /** The three-phase engine over a layered TableStore. */
-final class Pipeline(spark: SparkSession, store: TableStore,
+final class Pipeline(spark: SparkSession, store: LayeredStore,
                      transport: String, retries: Int = 2) {
 
   /** Phase 1 — EXTRACT (full refresh): driver-side fetch per endpoint,
@@ -135,7 +135,7 @@ final class Pipeline(spark: SparkSession, store: TableStore,
   /** Phase 3 — LOAD: join/filter to production + keep-last repair (W1).
     * The dedup is the single-shuffle window, not the reference's
     * O(table) read-sort-rewrite (mabna_tables_update.py:271-280). */
-  def load(table: String, build: TableStore => DataFrame,
+  def load(table: String, build: LayeredStore => DataFrame,
            keys: Seq[String], versionCol: String): Try[Long] =
     Retry.retrying(retries) {
       val out = Dedup.keepLast(build(store), keys, Seq(col(versionCol)))

@@ -228,6 +228,45 @@ object SparkEntry {
       .withColumn("frame_bytes", col("frame_bytes").cast("long"))
       .orderBy("media_id", "frame_idx")
 
+  /** Tumbling 15-minute event-time windows over the event stream (the
+    * batch shape of the reference's micro-batch cadence, SURVEY.md §2.9;
+    * streaming form in graft.streaming). */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("bucket", expr("(ts DIV 1000) DIV 900000000"))
+      .groupBy(col("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .withColumn("window_start_us", col("bucket") * lit(900000000L))
+      .select("bucket", "window_start_us", "event_type", "n_events", "sum_value")
+      .orderBy("bucket", "event_type")
+
+  /** Analytic window functions per user (row_number/lag/lead/running
+    * sum) — SURVEY.md §2.11 engine-completeness surface. */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .withColumn("ts_us", tsUs).drop("ts")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .withColumn("running_sum",
+        sum(col("value").cast("decimal(18,6)")).over(wRun).cast("double"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** ROLLUP aggregation (grouping-sets surface). */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("cohort", (col("user_id") % 10).cast("long"))
+      .rollup(col("event_type"), col("cohort"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("cohort"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_stg_trades" -> q01,
     "q02_prd_trades_star" -> q02,
@@ -253,6 +292,9 @@ object SparkEntry {
     "q22_json_flatten" -> q22,
     "q23_media_features" -> q23,
     "q24_frame_sample" -> q24,
+    "q25_tumbling_windows" -> q25,
+    "q26_user_analytics" -> q26,
+    "q27_rollup_agg" -> q27,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -493,6 +535,34 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'text' AS format,
         |       length(text)::BIGINT AS n_bytes, md5(text) AS content_hash
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q25_tumbling_windows" ->
+      """SELECT epoch_us(ts) // 900000000 AS bucket,
+        |       (epoch_us(ts) // 900000000) * 900000000 AS window_start_us,
+        |       event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 3
+        |ORDER BY bucket, event_type""".stripMargin,
+    "q26_user_analytics" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+        |       row_number() OVER w AS rn,
+        |       lag(value, 1) OVER w AS prev_value,
+        |       lead(value, 1) OVER w AS next_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS running_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "q27_rollup_agg" ->
+      """SELECT event_type, user_id % 10 AS cohort,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY ROLLUP (event_type, cohort)
+        |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin,
     "q24_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, text,
         |             (length(text) + 99) // 100 AS n_blocks FROM documents),

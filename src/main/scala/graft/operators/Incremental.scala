@@ -32,42 +32,30 @@ object Incremental {
     wm.fold(df)(w => df.filter(col(versionCol) > lit(w)))
 }
 
-/** Layered table store (SURVEY.md §1.1): the reference's
-  * source/staging/production Postgres schemas become directory prefixes
-  * over parquet. At cluster scale the same API fronts a catalog; the
-  * pipeline code never changes.
+/** Layered table store abstraction (SURVEY.md §1.1): the reference's
+  * source/staging/production Postgres schemas, behind one API. Two
+  * implementations — parquet directories (pure-Spark engine) and JDBC
+  * (reference-semantics parity against a relational database). Pipeline
+  * code never cares which one it talks to.
   */
-final case class TableStore(spark: SparkSession, root: String) {
-  private def path(layer: String, table: String) = s"$root/$layer/$table"
-
-  def write(layer: String, table: String, df: DataFrame, mode: SaveMode): Unit =
-    df.write.mode(mode).parquet(path(layer, table))
-
+trait LayeredStore {
+  def spark: SparkSession
   /** K1 — full replace (`to_sql if_exists='replace'`). */
-  def replace(layer: String, table: String, df: DataFrame): Unit =
-    write(layer, table, df, SaveMode.Overwrite)
-
+  def replace(layer: String, table: String, df: DataFrame): Unit
   /** K2 — append (`to_sql if_exists='append'`). */
-  def append(layer: String, table: String, df: DataFrame): Unit =
-    write(layer, table, df, SaveMode.Append)
-
-  def read(layer: String, table: String): DataFrame =
-    spark.read.parquet(path(layer, table))
-
-  def exists(layer: String, table: String): Boolean =
-    new java.io.File(s"${path(layer, table)}/_SUCCESS").exists()
+  def append(layer: String, table: String, df: DataFrame): Unit
+  def read(layer: String, table: String): DataFrame
+  def exists(layer: String, table: String): Boolean
+  /** Tables present in a layer. */
+  def tables(layer: String): Seq[String]
 
   /** S5+A1 — probe every table of a layer for its max version
     * (the reference's `max_meta_versions(schema)` dict,
     * mabna_tables_update.py:73-98). */
-  def probeWatermarks(layer: String, versionCol: String): Map[String, Long] = {
-    val dir = new java.io.File(s"$root/$layer")
-    val tables = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).map(_.getName)
-    tables.flatMap { t =>
+  def probeWatermarks(layer: String, versionCol: String): Map[String, Long] =
+    tables(layer).flatMap { t =>
       Incremental.maxWatermark(read(layer, t), versionCol).map(t -> _)
     }.toMap
-  }
 
   /** One micro-batch hop: filter the incoming batch past the stored
     * watermark, append, then keep-last repair. Returns the repaired
@@ -84,5 +72,72 @@ final case class TableStore(spark: SparkSession, root: String) {
     // partition-pruned MERGE is the scale path — here the repaired view
     // is returned and only persisted when the caller asks.
     repaired
+  }
+}
+
+/** Parquet-directory store: `root/{layer}/{table}`. At cluster scale
+  * the same layout lives on object storage behind a catalog. */
+final case class TableStore(spark: SparkSession, root: String) extends LayeredStore {
+  private def path(layer: String, table: String) = s"$root/$layer/$table"
+
+  private def write(layer: String, table: String, df: DataFrame, mode: SaveMode): Unit =
+    df.write.mode(mode).parquet(path(layer, table))
+
+  override def replace(layer: String, table: String, df: DataFrame): Unit =
+    write(layer, table, df, SaveMode.Overwrite)
+
+  override def append(layer: String, table: String, df: DataFrame): Unit =
+    write(layer, table, df, SaveMode.Append)
+
+  override def read(layer: String, table: String): DataFrame =
+    spark.read.parquet(path(layer, table))
+
+  override def exists(layer: String, table: String): Boolean =
+    new java.io.File(s"${path(layer, table)}/_SUCCESS").exists()
+
+  override def tables(layer: String): Seq[String] = {
+    val dir = new java.io.File(s"$root/$layer")
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSeq.sorted
+  }
+}
+
+/** JDBC store (S4/K1/K2): the reference's actual storage model —
+  * Postgres schemas — expressed as `{layer}_{table}` JDBC tables (works
+  * against any dialect Spark ships; tested against embedded Derby).
+  * `replace` uses truncate=true so the DDL survives, matching the
+  * engine-upgrade note in SURVEY.md §7.4 (pandas `to_sql(replace)`
+  * drops and re-infers — truncating is strictly safer). */
+final case class JdbcTableStore(spark: SparkSession, url: String) extends LayeredStore {
+  private def name(layer: String, table: String) = s"${layer}_$table"
+
+  override def replace(layer: String, table: String, df: DataFrame): Unit =
+    df.write.format("jdbc").mode(SaveMode.Overwrite)
+      .option("url", url).option("dbtable", name(layer, table))
+      .option("truncate", "true").save()
+
+  override def append(layer: String, table: String, df: DataFrame): Unit =
+    df.write.format("jdbc").mode(SaveMode.Append)
+      .option("url", url).option("dbtable", name(layer, table)).save()
+
+  override def read(layer: String, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", name(layer, table)).load()
+
+  override def exists(layer: String, table: String): Boolean =
+    tables(layer).contains(table)
+
+  override def tables(layer: String): Seq[String] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val prefix = s"${layer}_"
+      while (rs.next()) {
+        val t = rs.getString("TABLE_NAME").toLowerCase
+        if (t.startsWith(prefix)) out += t.stripPrefix(prefix)
+      }
+      out.toSeq.sorted
+    } finally conn.close()
   }
 }

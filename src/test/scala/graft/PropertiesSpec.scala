@@ -1,0 +1,129 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.{Jalali, TextHash}
+import graft.operators.{Dedup, TableStore, TextOps}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based laws (SURVEY.md §5.3). Pure functions go through
+  * ScalaCheck; Spark-level laws run on seeded random data (a prop per
+  * Spark job would be minutes, not seconds). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("jalali roundtrip identity + month/day ranges (property)") {
+    val days = Gen.choose(-20000, 60000) // ±~55 years around 1970
+    check(Prop.forAll(days) { epochDay =>
+      val (jy, jm, jd) = Jalali.fromEpochDay(epochDay)
+      val (gy, gm, gd) = Jalali.toGregorian(jy, jm, jd)
+      val back = LocalDate.of(gy, gm, gd).toEpochDay.toInt
+      back == epochDay && jm >= 1 && jm <= 12 && jd >= 1 && jd <= 31
+    })
+  }
+
+  test("jalali date string ordering ≡ day ordering (property)") {
+    val days = Gen.choose(-20000, 60000)
+    check(Prop.forAll(days, days) { (a, b) =>
+      (Jalali.jDateString(a) < Jalali.jDateString(b)) == (a < b)
+    })
+  }
+
+  test("native hash60 ≡ md5-hex-parse definition (property)") {
+    check(Prop.forAll(Gen.alphaNumStr) { s =>
+      val bytes = s.getBytes("UTF-8")
+      val native = TextHash.hash60(bytes, 0, bytes.length)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString.take(15)
+      native == java.lang.Long.parseLong(hex, 16)
+    })
+  }
+
+  test("native shingle hashes ≡ declarative shingles + hash60 (seeded Spark check)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val viaStrings = TextOps.shingleIndex(docs, "doc_id", "text", 3)
+      .select(col("doc_id"), TextOps.hash60(col("shingle")).as("h"))
+      .as[(Long, Long)].collect().toSet
+    graft.functions.TextHashFunctions.register(spark)
+    val viaNative = docs.select(col("doc_id"),
+      explode(graft.functions.TextHashFunctions.shingleHash60(col("text"), 3)).as("h"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaNative == viaStrings)
+  }
+
+  test("keep-last dedup is idempotent and order-insensitive (seeded Spark check)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { _ =>
+      (rnd.nextInt(20).toLong, s"t${rnd.nextInt(4)}", rnd.nextInt(50).toLong, rnd.nextDouble())
+    }
+    val df = rows.toDF("k1", "k2", "v", "x")
+    val shuffled = rnd.shuffle(rows).toDF("k1", "k2", "v", "x")
+    val keys = Seq("k1", "k2")
+    val ord = Seq(col("v"), col("x"))
+    val once = Dedup.keepLast(df, keys, ord).collect().toSet
+    val twice = Dedup.keepLast(Dedup.keepLast(df, keys, ord), keys, ord).collect().toSet
+    val fromShuffled = Dedup.keepLast(shuffled, keys, ord).collect().toSet
+    assert(once == twice && once == fromShuffled)
+  }
+
+  test("watermark monotonicity: appends never lower the max (seeded Spark check)") {
+    import graft.operators.Incremental
+    val base = Seq((1L, "a"), (5L, "b")).toDF("v", "p")
+    val wm0 = Incremental.maxWatermark(base, "v").get
+    (1 to 5).foreach { i =>
+      val appended = base.union(Seq((i.toLong * 2, "x")).toDF("v", "p"))
+      assert(Incremental.maxWatermark(appended, "v").get >= wm0)
+    }
+  }
+
+  test("replay ≡ full refresh on random version-stamped streams (seeded Spark check)") {
+    val rnd = new scala.util.Random(23)
+    (0 until 2).foreach { trial =>
+      val root = java.nio.file.Files.createTempDirectory(s"graft-prop-$trial").toString
+      val store = TableStore(spark, root)
+      val n = 120
+      val all = (1 to n).map { v =>
+        (v.toLong, s"k${rnd.nextInt(9)}", s"t${rnd.nextInt(3)}", rnd.nextDouble())
+      }
+      val keys = Seq("k", "t")
+      val ord = Seq(col("v"))
+      val full = Dedup.keepLast(all.toDF("v", "k", "t", "x"), keys, ord)
+      // random overlapping batch boundaries
+      val cuts = (Seq(0, n) ++ (0 until 4).map(_ => rnd.nextInt(n))).sorted.distinct
+      var last = full.limit(0)
+      cuts.sliding(2).foreach { case Seq(a, b) =>
+        val overlapStart = math.max(0, a - rnd.nextInt(10)) // late duplicates
+        val batch = all.slice(overlapStart, b).toDF("v", "k", "t", "x")
+        last = store.incrementalUpsert("prod", "s", batch, "v", keys, ord)
+      }
+      assert(last.collect().toSet == full.collect().toSet, s"trial $trial")
+    }
+  }
+
+  test("minhash signature agreement tracks true jaccard (statistical)") {
+    val rnd = new scala.util.Random(31)
+    val base = (0 until 60).map(i => s"w$i")
+    def doc(drop: Int): String =
+      (base.drop(drop) ++ (0 until drop).map(i => s"z$i$drop")).mkString(" ")
+    val docs = Seq((0L, doc(0)), (1L, doc(3)), (2L, doc(25))).toDF("doc_id", "text")
+    val sig = TextOps.minhashSignatures(docs, "doc_id", "text", 3, 128)
+      .collect().map(r => r.getLong(0) -> (1 to 128).map(r.getLong)).toMap
+    def agree(a: Long, b: Long) =
+      sig(a).zip(sig(b)).count { case (x, y) => x == y } / 128.0
+    // similar pair estimates high, dissimilar pair estimates low
+    assert(agree(0L, 1L) > agree(0L, 2L) + 0.2,
+      s"similar=${agree(0L, 1L)} dissimilar=${agree(0L, 2L)}")
+  }
+}
