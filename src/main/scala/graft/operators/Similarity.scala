@@ -113,6 +113,80 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** Train a coarse quantizer: deterministic-seed Lloyd iterations over
+    * cosine assignment. Centroid recompute is elementwise mean via
+    * posexplode + (cluster, dim) average — one shuffle per iteration,
+    * centroids stay broadcast-sized. */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        nCentroids: Int, iters: Int = 2): DataFrame = {
+    ArrayMath.register(corpus.sparkSession)
+    // deterministic init: the nCentroids rows with smallest ids
+    var centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).cast("array<double>").as("cvec"))
+    var it = 0
+    while (it < iters) {
+      val assigned = assignToCentroid(corpus, centroids, idCol, vecCol)
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("centroid_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"),
+          expr("transform(pm, e -> e.m)").as("cvec"))
+      it += 1
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment (broadcast centroids, argmax by
+    * cosine with deterministic tie-break). */
+  private def assignToCentroid(df: DataFrame, centroids: DataFrame,
+                               idCol: String, vecCol: String): DataFrame = {
+    val scored = df.crossJoin(broadcast(centroids))
+      .withColumn("__sim", ArrayMath.cosineSimilarity(
+        col(vecCol).cast("array<double>"), col("cvec")))
+    scored.groupBy(col(idCol))
+      .agg(max_by(struct(col("centroid_id"), col(vecCol).as("v")),
+        struct(col("__sim"), -col("centroid_id"))).as("best"))
+      .select(col(idCol), col("best.centroid_id").as("centroid_id"),
+        col("best.v").as(vecCol))
+  }
+
+  /** IVF approximate top-k: probe the `nProbe` nearest centroid lists
+    * per query, exact rerank within them. Complements lshTopK: IVF
+    * adapts buckets to the data distribution (trained), LSH is
+    * data-independent (no training pass). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    ArrayMath.register(corpus.sparkSession)
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nCentroids)
+    val index = assignToCentroid(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        col(vecCol).as("__cv"))
+    // nProbe nearest centroids per query
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", ArrayMath.cosineSimilarity(
+        col("__qv").cast("array<double>"), col("cvec")))
+      .withColumn("__r", row_number().over(wq))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("centroid_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    index.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(ArrayMath.cosineSimilarity(col("__qv"), col("__cv")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** All near-duplicate pairs by embedding cosine ≥ threshold — the
     * embedding-space analogue of TextOps.minhashDedupPairs. Buckets via
     * hyperplane LSH (pairs must agree on all planes → candidates from an

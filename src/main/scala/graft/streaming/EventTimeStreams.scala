@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Idiomatic event-time streaming (SURVEY.md §2.9 "idiomatic level").
+  *
+  * The reference approximates streaming with a 15-minute cron + full
+  * dedup rewrite; Structured Streaming expresses the same cadence as
+  * event-time tumbling windows with a lateness bound, and the duplicate
+  * repair as state-store dedup — O(state) per batch instead of O(table).
+  *
+  * These are `DataFrame => DataFrame` so the same code runs on
+  * `readStream` inputs (tests drive them with MemoryStream) and,
+  * degenerately, on batch frames.
+  */
+object EventTimeStreams {
+
+  /** Tumbling event-time aggregation with a watermark: one row per
+    * (window, event_type) with count + sum. `lateness` bounds how long
+    * out-of-order events are accepted (the reference has no bound — its
+    * "late" data simply wins the next full dedup; the watermark is what
+    * makes bounded state possible on an unbounded stream). */
+  def tumblingCounts(events: DataFrame, tsCol: String, lateness: String,
+                     windowLen: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming dedup within the watermark horizon: exactly-once per key
+    * for any duplicate arriving within `lateness` of the original —
+    * the streaming form of the reference's per-batch duplicate repair. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           keys: Seq[String], lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys)
+}

@@ -50,6 +50,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall collapsed")
   }
 
+  test("ivfTopK recall vs brute force on the fixture embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", 10,
+      nCentroids = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall collapsed")
+  }
+
   test("cosineDedupPairs finds planted duplicates") {
     val pairs = Similarity.cosineDedupPairs(vecs, "vec_id", "embedding",
       threshold = 0.99, nPlanes = 2, dim = 3)

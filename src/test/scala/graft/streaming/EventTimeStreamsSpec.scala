@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class EventTimeStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  case class Ev(event_time: Timestamp, event_type: String, value: Double, key: Long)
+
+  test("tumbling 15-minute windows aggregate by event time across batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventTimeStreams.tumblingCounts(in.toDF(), "event_time",
+      lateness = "10 minutes", windowLen = "15 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(Ev(ts(1), "a", 1.0, 1), Ev(ts(14), "a", 2.0, 2), Ev(ts(16), "a", 4.0, 3))
+      q.processAllAvailable()
+      in.addData(Ev(ts(5), "a", 8.0, 4)) // late but within watermark → same window
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .groupBy("window_start", "event_type")
+        .max("n_events", "sum_value")
+        .collect().map(r => r.getTimestamp(0).toString.take(16) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(rows("2024-01-01 10:00") == (3L, 11.0)) // 1+2+8 in [10:00,10:15)
+      assert(rows("2024-01-01 10:15") == (1L, 4.0))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses dupes inside the horizon") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventTimeStreams.dedupWithinWatermark(in.toDF(), "event_time",
+      keys = Seq("key"), lateness = "30 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Ev(ts(1), "a", 1.0, 42), Ev(ts(2), "a", 9.0, 42))
+      q.processAllAvailable()
+      in.addData(Ev(ts(3), "a", 5.0, 42), Ev(ts(4), "b", 7.0, 7))
+      q.processAllAvailable()
+      val keys = spark.table("dedup_stream").select("key")
+        .collect().map(_.getLong(0)).toSeq
+      assert(keys.count(_ == 42L) == 1) // all 42-dupes within horizon suppressed
+      assert(keys.count(_ == 7L) == 1)
+    } finally q.stop()
+  }
+}
