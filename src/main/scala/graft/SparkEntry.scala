@@ -267,6 +267,28 @@ object SparkEntry {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("cohort"))
 
+  /** JSON scalar extraction from the event payload column. */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") >= 50)
+      .orderBy("event_id")
+
+  /** Revenue by part brand × supplier nation: the full-star aggregation
+    * over the remaining dimension tables (part, supplier). */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("p_brand"), col("n_name").as("supp_nation"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+        ).cast("double").as("revenue"))
+      .orderBy("p_brand", "supp_nation")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_stg_trades" -> q01,
     "q02_prd_trades_star" -> q02,
@@ -295,6 +317,8 @@ object SparkEntry {
     "q25_tumbling_windows" -> q25,
     "q26_user_analytics" -> q26,
     "q27_rollup_agg" -> q27,
+    "q28_json_props" -> q28,
+    "q29_part_supplier_rev" -> q29,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -563,6 +587,23 @@ object SparkEntry {
         |FROM events
         |GROUP BY ROLLUP (event_type, cohort)
         |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin,
+    "q28_json_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |ORDER BY event_id""".stripMargin,
+    "q29_part_supplier_rev" ->
+      """SELECT p_brand, n_name AS supp_nation,
+        |       count(*) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY p_brand, supp_nation
+        |ORDER BY p_brand, supp_nation""".stripMargin,
     "q24_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, text,
         |             (length(text) + 99) // 100 AS n_blocks FROM documents),
