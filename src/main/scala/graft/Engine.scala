@@ -32,6 +32,9 @@ object Engine {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // dynamic partition overwrite: incremental dedup rewrites ONLY the
+    // partitions a batch touches (TableStore.incrementalUpsertPartitioned)
+    .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
   /** Local session for tests/dev. Shuffle partitions sized to cores, not
     * the 200 default (SURVEY.md §4 — local[n] has n executor threads). */

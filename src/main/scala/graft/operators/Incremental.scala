@@ -92,13 +92,62 @@ final case class TableStore(spark: SparkSession, root: String) extends LayeredSt
   override def read(layer: String, table: String): DataFrame =
     spark.read.parquet(path(layer, table))
 
-  override def exists(layer: String, table: String): Boolean =
-    new java.io.File(s"${path(layer, table)}/_SUCCESS").exists()
+  /** Directory-with-content check, not `_SUCCESS`: dynamic-partition
+    * overwrites commit through a staging dir and do not leave a root
+    * success marker. */
+  override def exists(layer: String, table: String): Boolean = {
+    val dir = new java.io.File(path(layer, table))
+    dir.isDirectory && Option(dir.listFiles()).exists(_.nonEmpty)
+  }
 
   override def tables(layer: String): Seq[String] = {
     val dir = new java.io.File(s"$root/$layer")
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getName).toSeq.sorted
+  }
+
+  /** K1, partitioned: production tables laid out by a partition column
+    * (the reference's prod tables keyed by `j_date` — SURVEY.md §4
+    * "partition prod tables by j_date prefix"). */
+  def replacePartitioned(layer: String, table: String, df: DataFrame,
+                         partCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(path(layer, table))
+
+  /** The 100 TB form of the reference's per-batch dedup: instead of
+    * read-all → dedup → rewrite-all (O(table) every 15 minutes,
+    * mabna_tables_update.py:271-280), merge the batch with ONLY the
+    * partitions it touches and dynamically overwrite those partitions.
+    * Work per batch is O(affected partitions), independent of total
+    * table size. Partition values are metadata-scale, so collecting the
+    * batch's distinct values on the driver is the partition-pruning
+    * filter, not a data collect. */
+  def incrementalUpsertPartitioned(layer: String, table: String,
+                                   batch: DataFrame, versionCol: String,
+                                   keys: Seq[String], ordering: Seq[Column],
+                                   partCol: String): Unit = {
+    val batchCols = batch.columns
+    val aligned = batch.select(batchCols.map(col): _*)
+    if (!exists(layer, table)) {
+      replacePartitioned(layer, table,
+        Dedup.keepLast(aligned, keys, ordering), partCol)
+    } else {
+      val touched = aligned.select(partCol).distinct()
+        .collect().map(_.get(0)).toSeq
+      val affected = read(layer, table)
+        .filter(col(partCol).isin(touched: _*)) // static partition pruning
+        .select(batchCols.map(col): _*)
+      // materialize BEFORE the overwrite: the merged plan reads the same
+      // path it is about to replace, so the lineage must be cut (eager
+      // localCheckpoint) or the lazy re-read would see truncated data.
+      // (A transactional table format — Delta/Iceberg — makes this a
+      // real MERGE at cluster scale; same logical shape.)
+      val merged = Dedup.keepLast(affected.union(aligned), keys, ordering)
+        .localCheckpoint(true)
+      // dynamic mode: only partitions present in `merged` are replaced
+      merged.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+        .parquet(path(layer, table))
+    }
   }
 }
 
