@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextOps}
+
+/** Plan-shape contracts: the scale properties this engine claims
+  * (pushdown, broadcast, shuffle-freedom) asserted on the actual
+  * physical plans, so a regression shows up as a red test rather than a
+  * slow benchmark. */
+class PlanContractSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02 star join: date window pushed to the scan as range filters") {
+    val plan = SparkEntry.queries("q02_prd_trades_star")(spark, dir)
+      .queryExecution.toString
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      "shipdate lower bound not pushed")
+    assert(plan.contains("LessThan(l_shipdate"),
+      "shipdate upper bound not pushed")
+  }
+
+  test("q02 star join: every dimension joins as broadcast, no sort-merge") {
+    val plan = physical(SparkEntry.queries("q02_prd_trades_star")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "a dimension fell back to sort-merge")
+  }
+
+  test("per-doc sketches are shuffle-free selects (no Exchange)") {
+    val docs = Tables.documents(spark, dir)
+    Seq(
+      "minhash" -> TextOps.minhashSignatures(docs, "doc_id", "text", 3, 16),
+      "simhash" -> TextOps.simhash(docs, "doc_id", "text"),
+      "fingerprint" -> TextOps.docFingerprint(docs, "doc_id", "text")
+    ).foreach { case (name, df) =>
+      val plan = physical(df)
+      assert(!plan.contains("Exchange"),
+        s"$name sketch plan shuffles:\n$plan")
+    }
+  }
+
+  test("jaccard pair engine: exactly one index shuffle + one pair aggregate") {
+    val plan = physical(TextOps.jaccardPairs(
+      Tables.documents(spark, dir), "doc_id", "text", 3, 0.5))
+    // hash-partition exchanges only (never a sort-based global exchange)
+    assert(!plan.contains("rangepartitioning"), "unexpected global sort")
+  }
+
+  test("brute-force ANN: query side broadcast, native codegen'd kernel") {
+    val e = Tables.embeddings(spark, dir)
+    val plan = physical(Similarity.bruteForceTopK(
+      e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "query side not broadcast")
+    assert(plan.contains("cosine_similarity"), "native kernel missing")
+  }
+
+  test("scan pruning: a two-column projection reads only two columns") {
+    val df = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"column pruning failed:\n$scan")
+  }
+
+  test("incremental filter pushes to the parquet scan") {
+    val plan = SparkEntry.queries("q05_incremental_filter")(spark, dir)
+      .queryExecution.toString
+    assert(plan.contains("GreaterThan(event_id,5000)"),
+      "watermark filter not pushed")
+  }
+}
