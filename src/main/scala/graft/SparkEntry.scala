@@ -295,6 +295,22 @@ object SparkEntry {
         ).cast("double").as("revenue"))
       .orderBy("p_brand", "supp_nation")
 
+  /** Per-vector statistics over the embedding column (array math with
+    * engine-exact sequential folds). */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(sqrt(aggregate(col("embedding"),
+          lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))), 6)
+          .as("l2_norm"),
+        round(aggregate(col("embedding"),
+          lit(0.0), (acc, x) => acc + x.cast("double")) / size(col("embedding")), 6)
+          .as("mean"),
+        array_min(col("embedding")).cast("double").as("vmin"),
+        array_max(col("embedding")).cast("double").as("vmax"))
+      .orderBy("vec_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_stg_trades" -> q01,
     "q02_prd_trades_star" -> q02,
@@ -325,6 +341,7 @@ object SparkEntry {
     "q27_rollup_agg" -> q27,
     "q28_json_props" -> q28,
     "q29_part_supplier_rev" -> q29,
+    "q30_vector_stats" -> q30,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -610,6 +627,14 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY p_brand, supp_nation
         |ORDER BY p_brand, supp_nation""".stripMargin,
+    "q30_vector_stats" ->
+      """WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT vec_id, len(embedding)::BIGINT AS dim,
+        |       round(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+        |       round(list_sum(v) / len(v), 6) AS mean,
+        |       list_aggregate(v, 'min') AS vmin,
+        |       list_aggregate(v, 'max') AS vmax
+        |FROM e ORDER BY vec_id""".stripMargin,
     "q24_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, text,
         |             (length(text) + 99) // 100 AS n_blocks FROM documents),
