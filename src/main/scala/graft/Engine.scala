@@ -35,6 +35,9 @@ object Engine {
     // dynamic partition overwrite: incremental dedup rewrites ONLY the
     // partitions a batch touches (TableStore.incrementalUpsertPartitioned)
     .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // catalog tables (bucketing metadata) land in tmp, never the repo
+    .config("spark.sql.warehouse.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
 
   /** Local session for tests/dev. Shuffle partitions sized to cores, not
     * the 200 default (SURVEY.md §4 — local[n] has n executor threads). */

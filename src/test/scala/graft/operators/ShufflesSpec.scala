@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ShufflesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def skewed = {
+    // 90% of rows share one key — the classic hot-key shape
+    val rows = (1 to 2000).map { i =>
+      val k = if (i % 10 == 0) s"k${i % 7}" else "hot"
+      (i.toLong, k, i * 1.5)
+    }
+    rows.toDF("id", "key", "v")
+  }
+
+  private def dim = Seq(("hot", "H"), ("k0", "A"), ("k1", "B"), ("k2", "C"),
+    ("k3", "D"), ("k4", "E"), ("k5", "F"), ("k6", "G")).toDF("key", "label")
+
+  test("saltedEquiJoin equals the plain inner join") {
+    val plain = skewed.join(dim, Seq("key"))
+      .select("id", "key", "v", "label").collect().toSet
+    val salted = Shuffles.saltedEquiJoin(skewed, dim, "key", salts = 8)
+      .select("id", "key", "v", "label").collect().toSet
+    assert(salted == plain && plain.size == 2000)
+  }
+
+  test("salted join spreads the hot key: join keys include the salt") {
+    val plan = Shuffles.saltedEquiJoin(skewed, dim, "key", 8)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"), s"salt column missing from join:\n$plan")
+  }
+
+  test("saltedCount equals plain groupBy count") {
+    val plain = skewed.groupBy("key").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = Shuffles.saltedCount(skewed, "key", 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed-bucketed join runs without an exchange") {
+    val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+    Shuffles.writeBucketed(a, "graft_bkt_a", "k", 4)
+    Shuffles.writeBucketed(b, "graft_bkt_b", "k", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 500)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+}
