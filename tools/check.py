@@ -32,11 +32,11 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
-    names = sorted(d for d in os.listdir(out)
-                   if os.path.isdir(os.path.join(out, d)))
+    names = sorted(d[:-len(".parquet")] for d in os.listdir(out)
+                   if d.endswith(".parquet") and os.path.isdir(os.path.join(out, d)))
     n_pass = n_fail = 0
     for name in names:
-        files = glob.glob(f"{out}/{name}/*.parquet")
+        files = glob.glob(f"{out}/{name}.parquet/*.parquet")
         if not files:
             print(f"FAIL {name}: no parquet output")
             n_fail += 1
