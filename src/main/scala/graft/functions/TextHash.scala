@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
@@ -87,84 +87,9 @@ object TextHash {
     out.result()
   }
 
-  def tokenHashes(text: UTF8String): Array[Long] = {
-    val b = text.getBytes
-    val (starts, ends) = tokenBounds(b)
-    val out = new Array[Long](starts.length)
-    var i = 0
-    while (i < starts.length) {
-      out(i) = hash60(b, starts(i), ends(i))
-      i += 1
-    }
-    out
-  }
-}
-
-/** array<long> of (optionally distinct / mod-P) word-n-gram hash60s. */
-case class ShingleHash60Expr(child: Expression, n: Int, distinct: Boolean,
-                             modP: Boolean)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "shingle_hash60"
-  override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(TextHash.shingleHashes(
-      input.asInstanceOf[UTF8String], n, distinct, modP))
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
-}
-
-/** array<long> of per-token hash60s (ordered, non-distinct). */
-case class TokenHash60Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "token_hash60"
-  override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(TextHash.tokenHashes(input.asInstanceOf[UTF8String]))
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
-}
-
-/** Full k-slot MinHash signature in one pass — no explode, no shuffle.
-  * Slot i = min over distinct shingles of (aᵢ·h + bᵢ) mod P, identical
-  * to the declarative formulation (and the DuckDB oracle arithmetic). */
-case class MinHashSigExpr(child: Expression, n: Int, k: Int,
-                          coeffs: Seq[(Long, Long)])
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_signature"
-  @transient private lazy val as = coeffs.map(_._1).toArray
-  @transient private lazy val bs = coeffs.map(_._2).toArray
-  override def nullable: Boolean = true
-  override def nullSafeEval(input: Any): Any = {
-    val hs = TextHash.shingleHashes(input.asInstanceOf[UTF8String], n,
-      distinct = true, modP = true)
-    if (hs.isEmpty) return null // no shingles → no signature (matches agg-on-empty)
-    val sig = Array.fill(k)(Long.MaxValue)
-    var j = 0
-    while (j < hs.length) {
-      val h = hs(j)
-      var i = 0
-      while (i < k) {
-        val v = (as(i) * h + bs(i)) % TextHash.P
-        if (v < sig(i)) sig(i) = v
-        i += 1
-      }
-      j += 1
-    }
-    new GenericArrayData(sig)
-  }
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
-}
-
-/** 32-bit SimHash over token hash60s in one pass (bit j set iff the
-  * signed population count of bit j over all tokens is positive). */
-case class SimHash32Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash32"
-  override def nullSafeEval(input: Any): Any = {
-    val hs = TextHash.tokenHashes(input.asInstanceOf[UTF8String])
+  /** SimHash kernel (codegen entry point). */
+  def simhash32(text: UTF8String): Long = {
+    val hs = tokenHashes(text)
     val counts = new Array[Int](32)
     var i = 0
     while (i < hs.length) {
@@ -184,42 +109,42 @@ case class SimHash32Expr(child: Expression)
     }
     out
   }
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
-}
 
-/** Rolling polynomial fingerprint fold in one pass:
-  * h ← (h·B + (hash60(tok) mod P)) mod P. */
-case class DocFingerprintExpr(child: Expression, base: Long)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def prettyName: String = "doc_fingerprint"
-  override def nullSafeEval(input: Any): Any = {
-    val hs = TextHash.tokenHashes(input.asInstanceOf[UTF8String])
+  /** Rolling-fingerprint kernel (codegen entry point). */
+  def fingerprint(text: UTF8String, base: Long): Long = {
+    val hs = tokenHashes(text)
     var acc = 0L
     var i = 0
     while (i < hs.length) {
-      acc = (acc * base + hs(i) % TextHash.P) % TextHash.P
+      acc = (acc * base + hs(i) % P) % P
       i += 1
     }
     acc
   }
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
-}
 
-/** All ordered pairs (a < b) from a posting list, emitted in one
-  * compiled pass (the declarative transform/slice/flatten pipeline pays
-  * an interpreted lambda per element). Input: array<long> of ids;
-  * output: array<struct<id_a,id_b>> over the sorted distinct ids. */
-case class SortedPairsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("id_a", LongType, nullable = false),
-    StructField("id_b", LongType, nullable = false))), containsNull = false)
-  override def prettyName: String = "sorted_pairs"
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData].toLongArray()
+  /** MinHash kernel (codegen entry point); null when no shingles. */
+  def minhashSig(text: UTF8String, n: Int, k: Int,
+                 as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val hs = shingleHashes(text, n, distinct = true, modP = true)
+    if (hs.isEmpty) return null
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < hs.length) {
+      val h = hs(j)
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * h + bs(i)) % P
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    sig
+  }
+
+  /** Posting-list pair kernel (codegen entry point). */
+  def sortedPairs(ids: ArrayData): GenericArrayData = {
+    val arr = ids.toLongArray()
     java.util.Arrays.sort(arr)
     val m = arr.length
     val out = new Array[Any](m * (m - 1) / 2)
@@ -235,6 +160,127 @@ case class SortedPairsExpr(child: Expression)
     }
     new GenericArrayData(out)
   }
+
+  def tokenHashes(text: UTF8String): Array[Long] = {
+    val b = text.getBytes
+    val (starts, ends) = tokenBounds(b)
+    val out = new Array[Long](starts.length)
+    var i = 0
+    while (i < starts.length) {
+      out(i) = hash60(b, starts(i), ends(i))
+      i += 1
+    }
+    out
+  }
+}
+
+/** array<long> of (optionally distinct / mod-P) word-n-gram hash60s.
+  * Codegen emits a direct static call into the compiled kernel (Scala
+  * objects expose static forwarders), so the expression stays inside
+  * the WholeStageCodegen span instead of falling back to interpreted
+  * eval per row. */
+case class ShingleHash60Expr(child: Expression, n: Int, distinct: Boolean,
+                             modP: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash60"
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.shingleHashes(
+      input.asInstanceOf[UTF8String], n, distinct, modP))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextHash.shingleHashes($c, $n, $distinct, $modP))")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** array<long> of per-token hash60s (ordered, non-distinct). */
+case class TokenHash60Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hash60"
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.tokenHashes(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextHash.tokenHashes($c))")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Full k-slot MinHash signature in one pass — no explode, no shuffle.
+  * Slot i = min over distinct shingles of (aᵢ·h + bᵢ) mod P, identical
+  * to the declarative formulation (and the DuckDB oracle arithmetic). */
+case class MinHashSigExpr(child: Expression, n: Int, k: Int,
+                          coeffs: Seq[(Long, Long)])
+    extends UnaryExpression {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("mhAs", coeffs.map(_._1).toArray, "long[]")
+    val bsRef = ctx.addReferenceObj("mhBs", coeffs.map(_._2).toArray, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |long[] sig = graft.functions.TextHash.minhashSig($c, $n, $k, $asRef, $bsRef);
+       |if (sig == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(sig); }
+     """.stripMargin)
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  @transient private lazy val as = coeffs.map(_._1).toArray
+  @transient private lazy val bs = coeffs.map(_._2).toArray
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any = {
+    val sig = TextHash.minhashSig(input.asInstanceOf[UTF8String], n, k, as, bs)
+    if (sig == null) null else new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** 32-bit SimHash over token hash60s in one pass (bit j set iff the
+  * signed population count of bit j over all tokens is positive). */
+case class SimHash32Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhash32($c)")
+  override def nullSafeEval(input: Any): Any =
+    TextHash.simhash32(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Rolling polynomial fingerprint fold in one pass:
+  * h ← (h·B + (hash60(tok) mod P)) mod P. */
+case class DocFingerprintExpr(child: Expression, base: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "doc_fingerprint"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.fingerprint($c, ${base}L)")
+  override def nullSafeEval(input: Any): Any =
+    TextHash.fingerprint(input.asInstanceOf[UTF8String], base)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** All ordered pairs (a < b) from a posting list, emitted in one
+  * compiled pass (the declarative transform/slice/flatten pipeline pays
+  * an interpreted lambda per element). Input: array<long> of ids;
+  * output: array<struct<id_a,id_b>> over the sorted distinct ids. */
+case class SortedPairsExpr(child: Expression)
+    extends UnaryExpression {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.sortedPairs($c)")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "sorted_pairs"
+  override def nullSafeEval(input: Any): Any =
+    TextHash.sortedPairs(input.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
