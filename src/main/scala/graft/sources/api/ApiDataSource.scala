@@ -104,36 +104,49 @@ final class ApiScan(schema: StructType, opts: Map[String, String],
       .map(e => ApiInputPartition(e): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ApiReaderFactory(schema, opts.getOrElse("transport", "http"), watermark)
+    new ApiReaderFactory(schema, opts.getOrElse("transport", "http"), watermark,
+      opts.get("pageSize").map(_.toInt))
 }
 
 final case class ApiInputPartition(endpoint: String) extends InputPartition
 
 final class ApiReaderFactory(schema: StructType, transportName: String,
-                             watermark: Option[Long])
+                             watermark: Option[Long], pageSize: Option[Int])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val ep = partition.asInstanceOf[ApiInputPartition].endpoint
-    new ApiPartitionReader(schema, transportName, ep, watermark)
+    new ApiPartitionReader(schema, transportName, ep, watermark, pageSize)
   }
 }
 
 /** Fetches one endpoint and streams its `data` array as InternalRows.
   * The watermark travels as the reference's exact parameter pair
-  * (`meta.version` / `meta.version_op=gt`, constants.yaml:3-9). */
+  * (`meta.version` / `meta.version_op=gt`, constants.yaml:3-9).
+  * With `pageSize` set, pages are requested lazily (`page=1,2,…`) until
+  * a short page — the stream never holds more than one page. */
 final class ApiPartitionReader(schema: StructType, transportName: String,
-                               endpoint: String, watermark: Option[Long])
+                               endpoint: String, watermark: Option[Long],
+                               pageSize: Option[Int])
     extends PartitionReader[InternalRow] {
 
-  private lazy val rows: Iterator[InternalRow] = {
+  private def fetchPage(extra: Map[String, String]): Iterator[InternalRow] = {
     val params = Map(
       "meta.version" -> watermark.getOrElse(0L).toString,
-      "meta.version_op" -> "gt")
+      "meta.version_op" -> "gt") ++ extra
     val body = TransportRegistry.get(transportName).fetch(endpoint, params)
     val root = new ObjectMapper().readTree(body)
     val data = root.get("data")
     if (data == null || !data.isArray) Iterator.empty
     else data.elements().asScala.map(rec => JsonRow.toRow(flatten(rec), schema))
+  }
+
+  private lazy val rows: Iterator[InternalRow] = pageSize match {
+    case None => fetchPage(Map.empty)
+    case Some(ps) =>
+      Iterator.from(1)
+        .map(p => fetchPage(Map("page" -> p.toString, "page_size" -> ps.toString)).toSeq)
+        .takeWhile(_.nonEmpty)
+        .flatten
   }
   private var current: InternalRow = _
 

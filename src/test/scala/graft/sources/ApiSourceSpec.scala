@@ -79,6 +79,31 @@ class ApiSourceSpec extends SparkSpec {
     assert(fake.calls.asScala.head._2("meta.version") == "0")
   }
 
+  test("paged read walks page=1,2,… until a short page") {
+    val fake = new ApiTransport {
+      val calls = new ConcurrentLinkedQueue[Map[String, String]]()
+      override def fetch(e: String, p: Map[String, String]): String = {
+        calls.add(p)
+        val page = p("page").toInt
+        val ps = p("page_size").toInt
+        val all = (1 to 25).map(v =>
+          s"""{"id": $v, "date_time": "x", "close_price": 1.0,
+             |"instrument": {"id": 1, "type": "s"}, "meta": {"version": $v}}"""
+            .stripMargin.replace("\n", " "))
+        val kept = all.slice((page - 1) * ps, page * ps)
+        s"""{"data": [${kept.mkString(",")}]}"""
+      }
+    }
+    TransportRegistry.register("fake-paged", fake)
+    val df = spark.read.format("graft-api")
+      .schema(schemaDdl)
+      .option("endpoints", "exchange/trades/share")
+      .option("transport", "fake-paged")
+      .option("pageSize", "10")
+      .load()
+    assert(df.count() == 25) // pages of 10, 10, 5
+  }
+
   test("empty data array yields an empty frame") {
     TransportRegistry.register("fake-empty", new ApiTransport {
       override def fetch(e: String, p: Map[String, String]): String = """{"data": []}"""
