@@ -470,13 +470,13 @@ object SparkEntry {
     "q07_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |                (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE)
         |         AS sum_disc_price,
         |       count(*) AS count_order,
         |       sum(l_quantity) / count(*) AS avg_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -587,7 +587,7 @@ object SparkEntry {
         |       (epoch_us(ts) // 900000000) * 900000000 AS window_start_us,
         |       event_type,
         |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 3
         |ORDER BY bucket, event_type""".stripMargin,
@@ -596,9 +596,9 @@ object SparkEntry {
         |       row_number() OVER w AS rn,
         |       lag(value, 1) OVER w AS prev_value,
         |       lead(value, 1) OVER w AS next_value,
-        |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
         |         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
         |         AS running_sum
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
@@ -606,7 +606,7 @@ object SparkEntry {
     "q27_rollup_agg" ->
       """SELECT event_type, user_id % 10 AS cohort,
         |       count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY ROLLUP (event_type, cohort)
         |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin,
@@ -618,8 +618,8 @@ object SparkEntry {
     "q29_part_supplier_rev" ->
       """SELECT p_brand, n_name AS supp_nation,
         |       count(*) AS n_lines,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |                (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE)
         |         AS revenue
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
