@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -15,11 +15,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * eval is integer arithmetic (no allocation beyond the result), so
   * CodegenFallback costs one virtual call per row.
   */
-case class JalaliDateExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class JalaliDateExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "jalali_date"
   override def nullSafeEval(input: Any): Any =
     UTF8String.fromString(Jalali.jDateString(input.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.Jalali.jDateString($c))")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -42,11 +46,14 @@ case class JalaliPartsExpr(child: Expression) extends UnaryExpression with Codeg
 
 /** Jalali (jy, jm, jd) → Gregorian DateType. */
 case class JalaliToDateExpr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def dataType: DataType = DateType
   override def prettyName: String = "jalali_to_date"
   override def nullSafeEval(jy: Any, jm: Any, jd: Any): Any =
     Jalali.j2d(jy.asInstanceOf[Int], jm.asInstanceOf[Int], jd.asInstanceOf[Int]) - 2440588
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.Jalali.j2d($a, $b, $c) - 2440588")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)

@@ -68,6 +68,20 @@ class PlanContractSpec extends SparkSpec {
       s"column pruning failed:\n$scan")
   }
 
+  test("keepLastMaxBy partially aggregates map-side before the exchange") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, dir)
+      .withColumn("ord", col("event_id"))
+    val plan = physical(operators.Dedup.keepLastMaxBy(
+      ev, Seq("user_id", "event_type"), col("ord")))
+    // partial max_by runs below the exchange (map-side combine), the
+    // final agg above it
+    val exchangeIdx = plan.indexOf("Exchange")
+    val partialIdx = plan.lastIndexOf("partial_max_by")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"no map-side partial aggregation:\n$plan")
+  }
+
   test("incremental filter pushes to the parquet scan") {
     val plan = SparkEntry.queries("q05_incremental_filter")(spark, dir)
       .queryExecution.toString
