@@ -311,6 +311,13 @@ object SparkEntry {
         array_max(col("embedding")).cast("double").as("vmax"))
       .orderBy("vec_id")
 
+  /** Near-dup clusters (LSH pairs → connected components → keeper per
+    * cluster) over the document corpus. */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    TextOps.dedupClusters(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_stg_trades" -> q01,
     "q02_prd_trades_star" -> q02,
@@ -342,6 +349,7 @@ object SparkEntry {
     "q28_json_props" -> q28,
     "q29_part_supplier_rev" -> q29,
     "q30_vector_stats" -> q30,
+    "q31_dedup_clusters" -> q31,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -627,6 +635,24 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY p_brand, supp_nation
         |ORDER BY p_brand, supp_nation""".stripMargin,
+    "q31_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |pairs AS (
+         |  SELECT da AS id_a, db AS id_b
+         |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         |e2 AS (SELECT id_a AS s, id_b AS d2 FROM pairs
+         |       UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT DISTINCT s, s FROM e2
+         |  UNION
+         |  SELECT e2.s, r.label FROM e2 JOIN reach r ON e2.d2 = r.id),
+         |cc AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+         |SELECT d.doc_id,
+         |       coalesce(cc.label, d.doc_id) AS cluster_id,
+         |       d.doc_id = coalesce(cc.label, d.doc_id) AS is_keeper
+         |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+         |ORDER BY doc_id""".stripMargin,
     "q30_vector_stats" ->
       """WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT vec_id, len(embedding)::BIGINT AS dim,

@@ -208,6 +208,54 @@ object TextOps {
     joinSizesAndFilter(inter, sizes, idCol, threshold)
   }
 
+  // ------------------------------------------------------ dedup clustering
+
+  /** Connected components over an undirected pair graph (id_a, id_b) by
+    * iterative min-label propagation — each round every node adopts the
+    * smallest label in its neighbourhood; fixpoint in O(component
+    * diameter) rounds (near-dup clusters are shallow). Each iteration
+    * is one join + one aggregate; lineage is cut per round
+    * (localCheckpoint) so plans stay constant-size — the standard
+    * Pregel-style shape for iterative algorithms on DataFrames. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels // (id, label = smallest id in the component)
+  }
+
+  /** Near-duplicate clusters: MinHash-LSH pairs → connected components →
+    * one row per document with its cluster id and whether it is the
+    * cluster's keeper (smallest id — the standard "keep one per
+    * near-dup cluster" pre-training filter). Singletons keep themselves. */
+  def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashDedupPairs(docs, idCol, textCol, n, threshold)
+    val cc = connectedComponents(pairs)
+    docs.select(col(idCol))
+      .join(cc, docs(idCol) === cc("id"), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
+      .withColumn("is_keeper", col(idCol) === col("cluster_id"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   val SimhashBits = 32

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents finds transitive components with min labels") {
+    // components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("id_a", "id_b")
+    val cc = TextOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dedupClusters: singletons keep themselves; dup groups keep the smallest id") {
+    val docs = Seq(
+      (10L, "a b c d e f"),
+      (20L, "a b c d e f"),  // dup of 10
+      (30L, "z y x w v u")   // singleton
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupClusters(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(10L) == (10L, true))
+    assert(out(20L) == (10L, false))
+    assert(out(30L) == (30L, true))
+  }
+
+  test("keeper count equals cluster count on the fixture corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextOps.dedupClusters(docs, "doc_id", "text").cache()
+    val keepers = out.filter(col("is_keeper")).count()
+    val clusters = out.select("cluster_id").distinct().count()
+    assert(keepers == clusters)
+    assert(out.count() == docs.count()) // every doc classified exactly once
+  }
+}
