@@ -106,6 +106,14 @@ final case class TableStore(spark: SparkSession, root: String) extends LayeredSt
       .filter(_.isDirectory).map(_.getName).toSeq.sorted
   }
 
+  /** Schema-evolving read: unions the schemas of every file in the
+    * table (parquet mergeSchema), so an append that added columns stays
+    * readable — older rows surface null for the new columns. The
+    * reference's `if_exists='append'` silently assumes schema stability
+    * (SURVEY.md §1.2); at 100 TB upstream APIs add fields mid-stream. */
+  def readMerged(layer: String, table: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path(layer, table))
+
   /** K1, partitioned: production tables laid out by a partition column
     * (the reference's prod tables keyed by `j_date` — SURVEY.md §4
     * "partition prod tables by j_date prefix"). */
