@@ -318,6 +318,36 @@ object SparkEntry {
         n = 3, threshold = 0.8)
       .orderBy("doc_id")
 
+  /** Distinct aggregation (count distinct + multi-agg). */
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .orderBy("event_type")
+
+  /** Sessionization: a gap of more than 1 hour of event time starts a
+    * new session per user; one row per session. */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gapUs = 3600L * 1000000L
+    Tables.events(s, dir)
+      .withColumn("ts_us", tsUs).drop("ts")
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+          .otherwise(when(lag(col("ts_us"), 1).over(w).isNull, 1L).otherwise(0L)))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .orderBy("user_id", "session_idx")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_stg_trades" -> q01,
     "q02_prd_trades_star" -> q02,
@@ -350,6 +380,8 @@ object SparkEntry {
     "q29_part_supplier_rev" -> q29,
     "q30_vector_stats" -> q30,
     "q31_dedup_clusters" -> q31,
+    "q32_distinct_agg" -> q32,
+    "q33_sessionization" -> q33,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -653,6 +685,32 @@ object SparkEntry {
          |       d.doc_id = coalesce(cc.label, d.doc_id) AS is_keeper
          |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
          |ORDER BY doc_id""".stripMargin,
+    "q32_distinct_agg" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events,
+        |       min(event_id) AS first_event,
+        |       max(event_id) AS last_event
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q33_sessionization" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT *, CASE
+        |      WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |      WHEN ts_us - lag(ts_us) OVER w > 3600000000 THEN 1
+        |      ELSE 0 END AS new_session
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sessions AS (
+        |  SELECT *, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM sessions
+        |GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "q30_vector_stats" ->
       """WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT vec_id, len(embedding)::BIGINT AS dim,
