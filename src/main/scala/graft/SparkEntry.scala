@@ -348,6 +348,29 @@ object SparkEntry {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Set operations: users seen in clicks INTERSECT purchases, minus
+    * users who hit errors (EXCEPT) — distinct-set semantics both
+    * engines share. */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def users(t: String, minValue: Double) =
+      ev.filter(col("event_type") === t && col("value") > minValue)
+        .select(col("user_id"))
+    val engaged = users("click", 95).intersect(users("purchase", 95))
+    engaged.except(users("error", 99)).orderBy("user_id")
+  }
+
+  /** Pivot: event counts per user across event-type columns. */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+      .orderBy("user_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_stg_trades" -> q01,
     "q02_prd_trades_star" -> q02,
@@ -382,6 +405,8 @@ object SparkEntry {
     "q31_dedup_clusters" -> q31,
     "q32_distinct_agg" -> q32,
     "q33_sessionization" -> q33,
+    "q34_set_ops" -> q34,
+    "q35_pivot" -> q35,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -685,6 +710,22 @@ object SparkEntry {
          |       d.doc_id = coalesce(cc.label, d.doc_id) AS is_keeper
          |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
          |ORDER BY doc_id""".stripMargin,
+    "q34_set_ops" ->
+      """SELECT user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click' AND value > 95
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95)
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 99
+        |ORDER BY user_id""".stripMargin,
+    "q35_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'error') AS error,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q32_distinct_agg" ->
       """SELECT event_type,
         |       count(DISTINCT user_id) AS n_users,
