@@ -114,6 +114,9 @@ final class Pipeline(spark: SparkSession, store: LayeredStore,
           .option("versionColumn", versionCol)
           .load()
           .filter(col(versionCol) > lit(wm))
+          // materialize once: append + count would otherwise each run
+          // the scan, fetching every endpoint twice over the network
+          .localCheckpoint(true)
         store.append("source", spec.tableName, fresh)
         fresh.count()
       }

@@ -142,11 +142,17 @@ object TextHash {
     sig
   }
 
-  /** Posting-list pair kernel (codegen entry point). */
+  /** Posting-list pair kernel (codegen entry point). Refuses lists
+    * whose pair count would overflow Int / blow a single row's memory —
+    * at that size the caller must cap posting lists (`maxPostings`),
+    * not brute-force a stop-shingle's quadratic expansion. */
   def sortedPairs(ids: ArrayData): GenericArrayData = {
     val arr = ids.toLongArray()
     java.util.Arrays.sort(arr)
     val m = arr.length
+    require(m <= 20000,
+      s"posting list of $m ids would expand to ${m.toLong * (m - 1) / 2} pairs; " +
+        "cap high-frequency shingles with maxPostings")
     val out = new Array[Any](m * (m - 1) / 2)
     var k = 0
     var i = 0
@@ -272,6 +278,14 @@ case class DocFingerprintExpr(child: Expression, base: Long)
   * output: array<struct<id_a,id_b>> over the sorted distinct ids. */
 case class SortedPairsExpr(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<bigint> ids, got ${other.catalogString}")
+    }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextHash.sortedPairs($c)")

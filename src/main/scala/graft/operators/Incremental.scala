@@ -152,8 +152,11 @@ final case class TableStore(spark: SparkSession, root: String) extends LayeredSt
       // real MERGE at cluster scale; same logical shape.)
       val merged = Dedup.keepLast(affected.union(aligned), keys, ordering)
         .localCheckpoint(true)
-      // dynamic mode: only partitions present in `merged` are replaced
+      // dynamic mode set ON THE WRITE, not just the session: under the
+      // default static mode this overwrite would silently delete every
+      // untouched partition
       merged.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+        .option("partitionOverwriteMode", "dynamic")
         .parquet(path(layer, table))
     }
   }

@@ -80,11 +80,15 @@ object Multimodal {
     * `blockSize` bytes becomes one "frame" row. Pure built-ins
     * (sequence + transform + explode) — fully codegen'd, no UDF. */
   def sampleFrames(media: DataFrame, blockSize: Int, stride: Int): DataFrame = {
+    // block offsets measured in BYTES (octet_length/substring on binary);
+    // zero-length media produces zero frames, not one empty frame
     val nBlocks = floor((octet_length(col("media")) + blockSize - 1) / blockSize)
+    val offsets = when(nBlocks > 0,
+      sequence(lit(0), nBlocks - 1, lit(stride)))
+      .otherwise(array().cast("array<bigint>"))
     media.select(
       col("media_id"),
-      posexplode(transform(
-        sequence(lit(0), greatest(nBlocks - 1, lit(0)), lit(stride)),
+      posexplode(transform(offsets,
         b => substring(col("media"), (b * blockSize + 1).cast("int"), lit(blockSize))))
         .as(Seq("frame_idx", "frame")))
       .select(

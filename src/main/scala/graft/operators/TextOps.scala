@@ -217,7 +217,7 @@ object TextOps {
     * is one join + one aggregate; lineage is cut per round
     * (localCheckpoint) so plans stay constant-size — the standard
     * Pregel-style shape for iterative algorithms on DataFrames. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -238,6 +238,10 @@ object TextOps {
       labels = updated
       i += 1
     }
+    // a silent non-fixpoint would return wrong cluster labels — refuse
+    require(converged,
+      s"connectedComponents did not converge in $maxIter iterations " +
+        "(component diameter exceeds the bound; raise maxIter)")
     labels // (id, label = smallest id in the component)
   }
 
@@ -249,10 +253,12 @@ object TextOps {
                     n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val pairs = minhashDedupPairs(docs, idCol, textCol, n, threshold)
     val cc = connectedComponents(pairs)
-    docs.select(col(idCol))
-      .join(cc, docs(idCol) === cc("id"), "left")
-      .select(col(idCol),
-        coalesce(col("label"), col(idCol)).as("cluster_id"))
+    val d = docs.select(col(idCol))
+    // dataframe-qualified references: a caller idCol named "id" would
+    // otherwise be ambiguous against cc's "id" after the join
+    d.join(cc, d(idCol) === cc("id"), "left")
+      .select(d(idCol),
+        coalesce(cc("label"), d(idCol)).as("cluster_id"))
       .withColumn("is_keeper", col(idCol) === col("cluster_id"))
   }
 

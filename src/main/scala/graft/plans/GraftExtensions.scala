@@ -53,14 +53,21 @@ object SargableJalaliFilter extends Rule[LogicalPlan] {
     }
   }
 
-  /** Match a parseable 'yyyy/MM/dd' Jalali literal → DateType literal. */
+  /** Match a CANONICAL 'yyyy/MM/dd' Jalali literal → DateType literal.
+    * Non-canonical dates (e.g. Esfand 30 of a non-leap year) are left
+    * unrewritten: `j2d` would normalize them onto a real Gregorian day,
+    * silently changing which rows the comparison admits — the original
+    * string comparison must keep its (vacuous) semantics instead. */
   private object L {
     private val pat = """(\d{4})/(\d{2})/(\d{2})""".r
     def unapply(e: Expression): Option[Literal] = e match {
       case Literal(s: UTF8String, StringType) => s.toString match {
-        case pat(jy, jm, jd) =>
+        case pat(jys, jms, jds) =>
           scala.util.Try {
-            val (gy, gm, gd) = Jalali.toGregorian(jy.toInt, jm.toInt, jd.toInt)
+            val (jy, jm, jd) = (jys.toInt, jms.toInt, jds.toInt)
+            val (gy, gm, gd) = Jalali.toGregorian(jy, jm, jd)
+            require(Jalali.fromGregorian(gy, gm, gd) == ((jy, jm, jd)),
+              s"non-canonical Jalali date $s")
             val epochDay = java.time.LocalDate.of(gy, gm, gd).toEpochDay.toInt
             Literal(epochDay, DateType)
           }.toOption

@@ -20,14 +20,6 @@ object JsonFlatten {
     * through. `sep` "." reproduces the reference's dotted names (needs
     * backtick-quoting downstream); "_" is the engine-friendly default. */
   def flatten(df: DataFrame, sep: String = "_"): DataFrame = {
-    def leaves(schema: StructType, path: Column => Column, prefix: String): Seq[Column] =
-      schema.fields.toSeq.flatMap { f =>
-        val name = if (prefix.isEmpty) f.name else s"$prefix$sep${f.name}"
-        f.dataType match {
-          case st: StructType => leaves(st, c => path(c).getField(f.name), name)
-          case _ => Seq(path(col(f.name)).as(name))
-        }
-      }
     // top level: col(name) directly; nested: getField chain
     def top(schema: StructType): Seq[Column] =
       schema.fields.toSeq.flatMap { f =>

@@ -69,16 +69,18 @@ final class ApiScanBuilder(schema: StructType, opts: Map[String, String])
   private var pushed: Array[Filter] = Array.empty
 
   /** Accept `versionCol > literal` — it becomes request parameters, the
-    * reference's incremental-fetch contract. Everything else stays in
-    * Spark (returned as residual). */
+    * reference's incremental-fetch contract. The accepted filter is ALSO
+    * returned as a residual: the request param is an optimization (ship
+    * fewer rows), never a correctness dependency — a transport or API
+    * that ignores the param still yields correct results because Spark
+    * re-applies the predicate post-scan (a cheap long comparison). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, residual) = filters.partition {
+    pushed = filters.filter {
       case GreaterThan(col, _: Long) if col == versionCol => true
       case GreaterThan(col, _: Int) if col == versionCol => true
       case _ => false
     }
-    pushed = accepted
-    residual
+    filters // everything stays residual; `pushed` only shapes the request
   }
   override def pushedFilters(): Array[Filter] = pushed
 

@@ -15,6 +15,20 @@ class ClusterSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents converges on chains deeper than 10 hops") {
+    val chain = (1L to 24L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = TextOps.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L)) // one component, min label 1
+  }
+
+  test("dedupClusters works when the id column is literally named 'id'") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("id", "text")
+    val out = TextOps.dedupClusters(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> false))
+  }
+
   test("dedupClusters: singletons keep themselves; dup groups keep the smallest id") {
     val docs = Seq(
       (10L, "a b c d e f"),

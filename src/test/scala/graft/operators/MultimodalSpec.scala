@@ -41,6 +41,12 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("frame_bytes")).toSeq == Seq(100, 100, 50))
   }
 
+  test("sampleFrames: zero-length media yields zero frames") {
+    val empty = Multimodal.asMediaTable(
+      Seq((9L, "")).toDF("id", "payload"), "id", "payload", "fake")
+    assert(Multimodal.sampleFrames(empty, 100, 1).count() == 0)
+  }
+
   test("byteFeatures md5 matches the payload hash") {
     val r = Multimodal.byteFeatures(media).filter(col("media_id") === 1).first()
     val expected = java.security.MessageDigest.getInstance("MD5")

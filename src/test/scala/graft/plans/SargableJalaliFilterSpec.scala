@@ -50,6 +50,18 @@ class SargableJalaliFilterSpec extends SparkSpec {
     assert(plan.contains("jalali_date")) // not rewritten
   }
 
+  test("non-canonical Jalali dates (Esfand 30 of non-leap year) are not rewritten") {
+    // 1400 is not leap: '1400/12/30' names no real day; the original
+    // string equality is vacuously false and must stay that way
+    val bogus = dates.filter(GraftFunctions.jalaliDate(col("d")) === "1400/12/30")
+    assert(bogus.queryExecution.optimizedPlan.toString.contains("jalali_date"))
+    assert(bogus.count() == 0)
+    // and a range ending on the bogus day must not gain the next real day
+    val range = dates.filter(
+      GraftFunctions.jalaliDate(col("d")).between("1400/12/01", "1400/12/30"))
+    assert(range.count() == 29) // Esfand 1400 has 29 days
+  }
+
   test("strict comparisons map through the day bijection") {
     val gt = dates.filter(GraftFunctions.jalaliDate(col("d")) > "1400/12/29").count()
     val geNext = dates.filter(GraftFunctions.jalaliDate(col("d")) >= "1401/01/01").count()

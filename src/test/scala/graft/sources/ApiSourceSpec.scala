@@ -104,6 +104,26 @@ class ApiSourceSpec extends SparkSpec {
     assert(df.count() == 25) // pages of 10, 10, 5
   }
 
+  test("a transport that ignores the version param still yields correct results") {
+    TransportRegistry.register("fake-ignores-wm", new ApiTransport {
+      override def fetch(e: String, p: Map[String, String]): String = {
+        // deliberately ignore meta.version: return everything
+        val all = (1 to 10).map(v =>
+          s"""{"id": $v, "date_time": "x", "close_price": 1.0,
+             |"instrument": {"id": 1, "type": "s"}, "meta": {"version": $v}}"""
+            .stripMargin.replace("\n", " "))
+        s"""{"data": [${all.mkString(",")}]}"""
+      }
+    })
+    val df = spark.read.format("graft-api")
+      .schema(schemaDdl)
+      .option("endpoints", "e")
+      .option("transport", "fake-ignores-wm")
+      .load()
+      .filter(col("meta_version") > 7L)
+    assert(df.count() == 3) // residual re-check catches the stale rows
+  }
+
   test("empty data array yields an empty frame") {
     TransportRegistry.register("fake-empty", new ApiTransport {
       override def fetch(e: String, p: Map[String, String]): String = """{"data": []}"""
