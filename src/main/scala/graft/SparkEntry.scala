@@ -371,6 +371,24 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Multi-table hyperplane-LSH ANN (scale path; rows-only check —
+    * approximate results have no SQL oracle, recall is spec-gated
+    * against brute force in SimilaritySpec). */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.lshTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 10, nPlanes = 4, dim = 64, nTables = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF ANN with trained coarse quantizer (scale path; rows-only). */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_stg_trades" -> q01,
     "q02_prd_trades_star" -> q02,
@@ -407,6 +425,8 @@ object SparkEntry {
     "q33_sessionization" -> q33,
     "q34_set_ops" -> q34,
     "q35_pivot" -> q35,
+    "q36_ann_lsh" -> q36,
+    "q37_ann_ivf" -> q37,
   )
 
   // ------------------------------------------------------------ oracle SQL
