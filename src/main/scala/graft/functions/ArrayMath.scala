@@ -102,11 +102,78 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** All per-table random-hyperplane LSH buckets of a vector in one
+  * compiled pass. The declarative alternative — nTables × nPlanes × dim
+  * `element_at` terms — builds a thousands-node expression tree that
+  * falls out of codegen and dominates ANN bucket time. */
+case class HyperplaneBucketsExpr(child: Expression, nPlanes: Int, nTables: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ArrayMath.hyperplaneBuckets(input.asInstanceOf[ArrayData], nPlanes, nTables,
+        child.dataType.asInstanceOf[ArrayType].elementType == FloatType))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.ArrayMath.hyperplaneBuckets($c, $nPlanes, $nTables, $isFloat))")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object ArrayMath {
-  /** Register the kernel as a SQL function on the session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a fixed LCG stream, stable across runs and engines. */
+  def planeCoeff(plane: Int, dim: Int): Double = {
+    val x = (1103515245L * (plane * 997 + dim + 1) + 12345L) & 0x7fffffffL
+    (x.toDouble / 0x7fffffffL.toDouble) * 2.0 - 1.0
+  }
+
+  /** Kernel (codegen entry point): sign-pattern bucket per table. */
+  def hyperplaneBuckets(v: ArrayData, nPlanes: Int, nTables: Int,
+                        isFloat: Boolean): Array[Long] = {
+    val dim = v.numElements()
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val plane = t * nPlanes + p
+        var dot = 0.0
+        var d = 0
+        while (d < dim) {
+          val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+          dot += x * planeCoeff(plane, d)
+          d += 1
+        }
+        if (dot >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+
+  /** Register the kernels as SQL functions on the session (idempotent). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", es => CosineSimilarityExpr(es(0), es(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_buckets", es => HyperplaneBucketsExpr(es(0),
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+  }
+
+  /** Column API for the bucket kernel. */
+  def hyperplaneBuckets(v: Column, nPlanes: Int, nTables: Int): Column =
+    call_function("hyperplane_buckets", v,
+      org.apache.spark.sql.functions.lit(nPlanes),
+      org.apache.spark.sql.functions.lit(nTables))
 
   /** Column API for the native cosine kernel (session must be
     * registered — all graft entry points do this). */

@@ -51,40 +51,24 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a fixed LCG stream, so buckets are stable across runs/engines. */
-  private def planeCoeff(plane: Int, dim: Int): Double = {
-    val x = (1103515245L * (plane * 997 + dim + 1) + 12345L) & 0x7fffffffL
-    (x.toDouble / 0x7fffffffL.toDouble) * 2.0 - 1.0
+  /** Single-table bucket (used by the pair-dedup variant). The bucket
+    * kernel is the native `hyperplane_buckets` expression — one
+    * compiled loop per row instead of nPlanes×dim element_at terms. */
+  def lshBucket(df: DataFrame, vecCol: String, nPlanes: Int, dim: Int): DataFrame = {
+    ArrayMath.register(df.sparkSession)
+    df.withColumn("bucket",
+      element_at(ArrayMath.hyperplaneBuckets(col(vecCol), nPlanes, 1), 1))
   }
-
-  /** Sign-pattern bucket id from `nPlanes` fixed hyperplanes (plane ids
-    * offset by table so tables are independent). */
-  private def bucketExpr(vecCol: String, nPlanes: Int, dim: Int, table: Int) =
-    (0 until nPlanes).foldLeft(lit(0L)) { (acc, p) =>
-      val dot = (0 until dim).map { d =>
-        element_at(col(vecCol), d + 1).cast("double") *
-          lit(planeCoeff(table * nPlanes + p, d))
-      }.reduce(_ + _)
-      acc.bitwiseOR(when(dot >= 0, lit(1L << p)).otherwise(lit(0L)))
-    }
-
-  /** Single-table bucket (used by the pair-dedup variant). */
-  def lshBucket(df: DataFrame, vecCol: String, nPlanes: Int, dim: Int): DataFrame =
-    df.withColumn("bucket", bucketExpr(vecCol, nPlanes, dim, table = 0))
 
   /** Multi-table buckets: one row per (table, bucket) — the recall knob.
     * P(candidate) = 1 − (1 − p^nPlanes)^nTables for per-plane agreement
     * p; more tables buy recall linearly in index size, never O(n²). */
   def lshBuckets(df: DataFrame, vecCol: String, nPlanes: Int, nTables: Int,
                  dim: Int): DataFrame = {
-    val perTable = (0 until nTables).map { t =>
-      struct(lit(t).as("table"), bucketExpr(vecCol, nPlanes, dim, t).as("bucket"))
-    }
-    df.withColumn("tb", explode(array(perTable: _*)))
-      .withColumn("table", col("tb.table"))
-      .withColumn("bucket", col("tb.bucket"))
-      .drop("tb")
+    ArrayMath.register(df.sparkSession)
+    df.select(col("*"),
+      posexplode(ArrayMath.hyperplaneBuckets(col(vecCol), nPlanes, nTables))
+        .as(Seq("table", "bucket")))
   }
 
   /** Approximate top-k: candidates share the query's bucket in ANY of
