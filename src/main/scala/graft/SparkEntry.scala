@@ -389,6 +389,23 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** AS-OF join: each click matched to the user's latest signup event
+    * at-or-before its time (point-in-time lookup against a versioned
+    * dimension — DuckDB verifies with its native ASOF JOIN). */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", tsUs)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_us", "value")
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("signup_event"))
+      .select(col("user_id"), col("signup_event"), col("ts_us").as("signup_ts_us"))
+    Joins.asofJoin(clicks, signups, key = "user_id",
+        factTime = "ts_us", dimTime = "signup_ts_us",
+        dimCols = Seq("signup_event", "signup_ts_us"))
+      .orderBy("event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_stg_trades" -> q01,
     "q02_prd_trades_star" -> q02,
@@ -427,6 +444,7 @@ object SparkEntry {
     "q35_pivot" -> q35,
     "q36_ann_lsh" -> q36,
     "q37_ann_ivf" -> q37,
+    "q38_asof_join" -> q38,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -730,6 +748,20 @@ object SparkEntry {
          |       d.doc_id = coalesce(cc.label, d.doc_id) AS is_keeper
          |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
          |ORDER BY doc_id""".stripMargin,
+    "q38_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE event_type = 'click'),
+        |signups AS (
+        |  SELECT user_id, ts_us, max(event_id) AS signup_event FROM (
+        |    SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |    FROM events WHERE event_type = 'signup')
+        |  GROUP BY user_id, ts_us)
+        |SELECT c.event_id, c.user_id, c.ts_us, c.value,
+        |       s.signup_event, s.ts_us AS signup_ts_us
+        |FROM clicks c ASOF LEFT JOIN signups s
+        |  ON c.user_id = s.user_id AND c.ts_us >= s.ts_us
+        |ORDER BY c.event_id""".stripMargin,
     "q34_set_ops" ->
       """SELECT user_id FROM (
         |  SELECT user_id FROM events WHERE event_type = 'click' AND value > 95

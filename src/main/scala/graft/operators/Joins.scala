@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Star/snowflake join assembly (SURVEY.md §2.5).
@@ -55,6 +56,41 @@ object Joins {
     val windowed = lineitem.filter(
       col("l_shipdate") >= lit(loTs) && col("l_shipdate") < lit(hiTs))
     prdTrades(windowed, orders, customer, nation, region)
+  }
+
+  /** AS-OF (point-in-time) join: each fact row picks the latest dim row
+    * with the same key and dim time ≤ fact time — the temporal lookup a
+    * versioned dimension (the reference's `meta.version` world) needs.
+    *
+    * Spark has no ASOF operator; the naive theta-join (`f.t >= d.t`)
+    * explodes to a range join. This is the scalable composition: tag
+    * and union both sides, ONE shuffle on the key, then a running
+    * `last(dim, ignoreNulls)` window ordered by (time, side) carries
+    * the latest dim state onto every fact row. Cost: one shuffle + one
+    * per-partition sort, independent of match distances. Dim rows sort
+    * before fact rows at equal times, giving `≤` semantics. Facts with
+    * no prior dim row keep null dim columns (left-join shape). */
+  def asofJoin(fact: DataFrame, dim: DataFrame, key: String,
+               factTime: String, dimTime: String,
+               dimCols: Seq[String]): DataFrame = {
+    val factCols = fact.columns.toSeq
+    val f = fact.select(
+      col(key).as("__k"), col(factTime).as("__t"), lit(1).as("__side"),
+      struct(factCols.map(col): _*).as("__fact"),
+      lit(null).cast(dim.select(dimCols.map(col): _*).schema.catalogString)
+        .as("__dim"))
+    val d = dim.select(
+      col(key).as("__k"), col(dimTime).as("__t"), lit(0).as("__side"),
+      lit(null).cast(fact.select(factCols.map(col): _*).schema.catalogString)
+        .as("__fact"),
+      struct(dimCols.map(col): _*).as("__dim"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    f.union(d)
+      .withColumn("__matched", last(col("__dim"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(factCols.map(c => col(s"__fact.$c").as(c)) ++
+        dimCols.map(c => col(s"__matched.$c").as(c)): _*)
   }
 
   /** J2 — 2-way equi-join (stg_indexvalues ⋈ indexes,
