@@ -69,7 +69,12 @@ object Joins {
     * the latest dim state onto every fact row. Cost: one shuffle + one
     * per-partition sort, independent of match distances. Dim rows sort
     * before fact rows at equal times, giving `≤` semantics. Facts with
-    * no prior dim row keep null dim columns (left-join shape). */
+    * no prior dim row keep null dim columns (left-join shape).
+    *
+    * Determinism contract: `dim` must be unique per (key, time) — with
+    * duplicates the window picks an arbitrary one. Pre-aggregate (as
+    * q38 does with max(event_id) per timestamp) when the source can
+    * carry duplicates. */
   def asofJoin(fact: DataFrame, dim: DataFrame, key: String,
                factTime: String, dimTime: String,
                dimCols: Seq[String]): DataFrame = {

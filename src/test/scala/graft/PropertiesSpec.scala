@@ -112,6 +112,43 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin ≡ brute-force latest-at-or-before lookup (seeded Spark check)") {
+    import graft.operators.Joins
+    val rnd = new scala.util.Random(41)
+    val fact = (1 to 120).map(i =>
+      (i.toLong, (rnd.nextInt(8) + 1).toLong, rnd.nextInt(100).toLong)).toDF("fid", "k", "t")
+    // unique (k, dt) per the operator's determinism contract
+    val dim = rnd.shuffle((1 to 8).flatMap(k => (0 until 12).map(j =>
+      (k.toLong, (j * 9 + k).toLong, s"v$k-$j")))).toDF("k", "dt", "dval")
+    val out = Joins.asofJoin(fact, dim, "k", "t", "dt", Seq("dval"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    val dims = dim.as[(Long, Long, String)].collect()
+    val facts = fact.as[(Long, Long, Long)].collect()
+    facts.foreach { case (fid, k, t) =>
+      val expected = dims.filter(d => d._1 == k && d._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3).orNull
+      assert(out(fid) == expected, s"fact $fid (k=$k t=$t)")
+    }
+  }
+
+  test("simhashPairs pigeonhole candidates are complete: ≡ brute-force hamming (seeded)") {
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 20).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val viaPigeonhole = TextOps.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = TextOps.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+    } yield (a, b)).toSet
+    assert(viaPigeonhole == brute)
+  }
+
   test("minhash signature agreement tracks true jaccard (statistical)") {
     val rnd = new scala.util.Random(31)
     val base = (0 until 60).map(i => s"w$i")
