@@ -406,6 +406,22 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Bucketized range join: sampled lineitem price points against part
+    * price±size intervals (equi-join on buckets, never a cross product). */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val probes = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") / 50.0).as("v"))
+    val intervals = Tables.part(s, dir)
+      .select(col("p_partkey"),
+        (col("p_retailprice") - col("p_size")).as("lo"),
+        (col("p_retailprice") + col("p_size")).as("hi"))
+    Joins.rangeJoin(probes, "v", intervals, "lo", "hi", bucketWidth = 100.0)
+      .select("l_orderkey", "l_linenumber", "v", "p_partkey", "lo", "hi")
+      .orderBy("l_orderkey", "l_linenumber", "p_partkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_stg_trades" -> q01,
     "q02_prd_trades_star" -> q02,
@@ -445,6 +461,7 @@ object SparkEntry {
     "q36_ann_lsh" -> q36,
     "q37_ann_ivf" -> q37,
     "q38_asof_join" -> q38,
+    "q39_range_join" -> q39,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -748,6 +765,16 @@ object SparkEntry {
          |       d.doc_id = coalesce(cc.label, d.doc_id) AS is_keeper
          |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
          |ORDER BY doc_id""".stripMargin,
+    "q39_range_join" ->
+      """WITH probes AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice / 50.0 AS v
+        |  FROM lineitem WHERE l_orderkey % 100 = 0),
+        |intervals AS (
+        |  SELECT p_partkey, p_retailprice - p_size AS lo, p_retailprice + p_size AS hi
+        |  FROM part)
+        |SELECT l_orderkey, l_linenumber, v, p_partkey, lo, hi
+        |FROM probes p JOIN intervals i ON p.v BETWEEN i.lo AND i.hi
+        |ORDER BY l_orderkey, l_linenumber, p_partkey""".stripMargin,
     "q38_asof_join" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value

@@ -98,6 +98,30 @@ object Joins {
         dimCols.map(c => col(s"__matched.$c").as(c)): _*)
   }
 
+  /** RANGE (interval-containment) join: probe rows match interval rows
+    * with the same key-less predicate `lo ≤ v ≤ hi`.
+    *
+    * The naive theta-join is a cross product; this is the bucketized
+    * composition: every interval is exploded onto the fixed-width
+    * buckets it overlaps (⌈width/bucketWidth⌉+1 rows — intervals must
+    * be narrow relative to bucketWidth for the fan-out to stay small),
+    * probes land in exactly one bucket, and the match becomes an
+    * equi-join on bucket id plus an exact containment filter. One
+    * shuffle keyed by bucket; output equals the theta-join exactly. */
+  def rangeJoin(probes: DataFrame, probeCol: String,
+                intervals: DataFrame, loCol: String, hiCol: String,
+                bucketWidth: Double): DataFrame = {
+    val b = lit(bucketWidth)
+    val exploded = intervals.withColumn("__bucket",
+      explode(sequence(floor(col(loCol) / b).cast("long"),
+        floor(col(hiCol) / b).cast("long"))))
+    val keyed = probes.withColumn("__bucket",
+      floor(col(probeCol) / b).cast("long"))
+    keyed.join(exploded, Seq("__bucket"))
+      .filter(col(probeCol) >= col(loCol) && col(probeCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+
   /** J2 — 2-way equi-join (stg_indexvalues ⋈ indexes,
     * mabna_tables_create.py:286-288), realized as events ⋈ customer on
     * user_id = c_custkey with the dim broadcast. */

@@ -149,6 +149,22 @@ class PropertiesSpec extends SparkSpec {
     assert(viaPigeonhole == brute)
   }
 
+  test("rangeJoin ≡ theta containment join (seeded Spark check)") {
+    import graft.operators.Joins
+    val rnd = new scala.util.Random(47)
+    val probes = (1 to 150).map(i => (i.toLong, rnd.nextDouble() * 1000)).toDF("pid", "v")
+    val intervals = (1 to 40).map { i =>
+      val lo = rnd.nextDouble() * 950
+      (i.toLong, lo, lo + rnd.nextDouble() * 80) // widths ≤ bucketWidth
+    }.toDF("iid", "lo", "hi")
+    val bucketized = Joins.rangeJoin(probes, "v", intervals, "lo", "hi", 100.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val theta = probes.join(intervals,
+        col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketized == theta && theta.nonEmpty)
+  }
+
   test("minhash signature agreement tracks true jaccard (statistical)") {
     val rnd = new scala.util.Random(31)
     val base = (0 until 60).map(i => s"w$i")
