@@ -377,7 +377,7 @@ object SparkEntry {
   private def q36(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Similarity.lshTopK(e, e.filter(col("vec_id") % 50 === 0),
-        "vec_id", "embedding", k = 10, nPlanes = 4, dim = 64, nTables = 8)
+        "vec_id", "embedding", k = 10, nPlanes = 4, nTables = 8)
       .orderBy("query_id", "rank")
   }
 
@@ -472,7 +472,10 @@ object SparkEntry {
 
   private val P = TextOps.MinhashP
 
-  /** Shared CTE: distinct word-3-gram shingles per doc. */
+  /** Shared CTE: distinct word-3-gram shingles per doc. The position
+    * range is capped at 4000 (fixture docs max ~100 tokens; a corpus
+    * with longer docs must raise it or the oracle silently truncates —
+    * the Spark side has no such cap). */
   private val shingleCte =
     """d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s

@@ -109,16 +109,23 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 case class HyperplaneBucketsExpr(child: Expression, nPlanes: Int, nTables: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "hyperplane_buckets"
-  override def nullSafeEval(input: Any): Any =
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      ArrayMath.hyperplaneBuckets(input.asInstanceOf[ArrayData], nPlanes, nTables,
-        child.dataType.asInstanceOf[ArrayType].elementType == FloatType))
+  override def nullSafeEval(input: Any): Any = {
+    val buckets = ArrayMath.hyperplaneBuckets(
+      input.asInstanceOf[ArrayData], nPlanes, nTables,
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType)
+    if (buckets == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    defineCodeGen(ctx, ev, c =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.ArrayMath.hyperplaneBuckets($c, $nPlanes, $nTables, $isFloat))")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |long[] buckets = graft.functions.ArrayMath.hyperplaneBuckets(
+       |  $c, $nPlanes, $nTables, $isFloat);
+       |if (buckets == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets); }
+     """.stripMargin)
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -126,16 +133,30 @@ case class HyperplaneBucketsExpr(child: Expression, nPlanes: Int, nTables: Int)
 
 object ArrayMath {
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a fixed LCG stream, stable across runs and engines. */
+    * a splitmix64-style mix of both indices, so no (plane, dim) pair
+    * shares a seed with any other — a linear `plane·K + dim` seed would
+    * make planes correlated for vectors with ≥ K dimensions. */
   def planeCoeff(plane: Int, dim: Int): Double = {
-    val x = (1103515245L * (plane * 997 + dim + 1) + 12345L) & 0x7fffffffL
-    (x.toDouble / 0x7fffffffL.toDouble) * 2.0 - 1.0
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
   }
 
-  /** Kernel (codegen entry point): sign-pattern bucket per table. */
+  /** Kernel (codegen entry point): sign-pattern bucket per table.
+    * Returns null (→ null column) when any element is null, matching
+    * the cosine kernel's contract. nPlanes is bounded so every plane
+    * gets a distinct bit. */
   def hyperplaneBuckets(v: ArrayData, nPlanes: Int, nTables: Int,
                         isFloat: Boolean): Array[Long] = {
+    require(nPlanes >= 1 && nPlanes <= 62, s"nPlanes=$nPlanes outside [1, 62]")
     val dim = v.numElements()
+    var d0 = 0
+    while (d0 < dim) {
+      if (v.isNullAt(d0)) return null
+      d0 += 1
+    }
     val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {

@@ -147,9 +147,17 @@ object TextHash {
     * at that size the caller must cap posting lists (`maxPostings`),
     * not brute-force a stop-shingle's quadratic expansion. */
   def sortedPairs(ids: ArrayData): GenericArrayData = {
-    val arr = ids.toLongArray()
-    java.util.Arrays.sort(arr)
-    val m = arr.length
+    val raw = ids.toLongArray()
+    java.util.Arrays.sort(raw)
+    // dedup after sort: duplicate ids would emit self-pairs (a == b)
+    // and double-counted pairs, violating the a < b invariant
+    var m = 0
+    var r = 0
+    while (r < raw.length) {
+      if (m == 0 || raw(m - 1) != raw(r)) { raw(m) = raw(r); m += 1 }
+      r += 1
+    }
+    val arr = java.util.Arrays.copyOf(raw, m)
     require(m <= 20000,
       s"posting list of $m ids would expand to ${m.toLong * (m - 1) / 2} pairs; " +
         "cap high-frequency shingles with maxPostings")

@@ -67,11 +67,12 @@ trait LayeredStore {
       Incremental.maxWatermark(read(layer, table), versionCol) else None
     val fresh = Incremental.newerThan(batch, versionCol, wm)
     append(layer, table, fresh)
-    val repaired = Dedup.keepLast(read(layer, table), keys, ordering)
     // The reference rewrites the whole table each batch (O(total));
-    // partition-pruned MERGE is the scale path — here the repaired view
-    // is returned and only persisted when the caller asks.
-    repaired
+    // partition-pruned MERGE is the scale path. The repaired view is
+    // MATERIALIZED (lineage cut) before returning: callers persist it
+    // back over the same table, and a lazy plan would re-read the path/
+    // JDBC table mid-truncate and silently lose data.
+    Dedup.keepLast(read(layer, table), keys, ordering).localCheckpoint(true)
   }
 }
 
@@ -142,8 +143,17 @@ final case class TableStore(spark: SparkSession, root: String) extends LayeredSt
     } else {
       val touched = aligned.select(partCol).distinct()
         .collect().map(_.get(0)).toSeq
+      // isin(null) evaluates to NULL, not true — the null partition
+      // (__HIVE_DEFAULT_PARTITION__) must be matched explicitly or its
+      // existing rows would be excluded from the merge and then erased
+      // by the dynamic overwrite
+      val nonNull = touched.filter(_ != null)
+      val touchCond = {
+        val in = if (nonNull.nonEmpty) col(partCol).isin(nonNull: _*) else lit(false)
+        if (touched.contains(null)) in || col(partCol).isNull else in
+      }
       val affected = read(layer, table)
-        .filter(col(partCol).isin(touched: _*)) // static partition pruning
+        .filter(touchCond) // static partition pruning
         .select(batchCols.map(col): _*)
       // materialize BEFORE the overwrite: the merged plan reads the same
       // path it is about to replace, so the lineage must be cut (eager

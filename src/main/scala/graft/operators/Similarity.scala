@@ -54,7 +54,7 @@ object Similarity {
   /** Single-table bucket (used by the pair-dedup variant). The bucket
     * kernel is the native `hyperplane_buckets` expression — one
     * compiled loop per row instead of nPlanes×dim element_at terms. */
-  def lshBucket(df: DataFrame, vecCol: String, nPlanes: Int, dim: Int): DataFrame = {
+  def lshBucket(df: DataFrame, vecCol: String, nPlanes: Int): DataFrame = {
     ArrayMath.register(df.sparkSession)
     df.withColumn("bucket",
       element_at(ArrayMath.hyperplaneBuckets(col(vecCol), nPlanes, 1), 1))
@@ -63,8 +63,8 @@ object Similarity {
   /** Multi-table buckets: one row per (table, bucket) — the recall knob.
     * P(candidate) = 1 − (1 − p^nPlanes)^nTables for per-plane agreement
     * p; more tables buy recall linearly in index size, never O(n²). */
-  def lshBuckets(df: DataFrame, vecCol: String, nPlanes: Int, nTables: Int,
-                 dim: Int): DataFrame = {
+  def lshBuckets(df: DataFrame, vecCol: String, nPlanes: Int,
+                 nTables: Int): DataFrame = {
     ArrayMath.register(df.sparkSession)
     df.select(col("*"),
       posexplode(ArrayMath.hyperplaneBuckets(col(vecCol), nPlanes, nTables))
@@ -77,12 +77,12 @@ object Similarity {
     * (table, bucket) — linear, broadcastable query side. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nPlanes: Int, dim: Int, nTables: Int = 8): DataFrame = {
+              nPlanes: Int, nTables: Int = 8): DataFrame = {
     ArrayMath.register(corpus.sparkSession)
-    val cb = lshBuckets(corpus, vecCol, nPlanes, nTables, dim)
+    val cb = lshBuckets(corpus, vecCol, nPlanes, nTables)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         col("table"), col("bucket"))
-    val qb = lshBuckets(queries, vecCol, nPlanes, nTables, dim)
+    val qb = lshBuckets(queries, vecCol, nPlanes, nTables)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         col("table"), col("bucket"))
     val w = Window.partitionBy(col("query_id"))
@@ -177,9 +177,9 @@ object Similarity {
     * equi-join), verified exactly. nPlanes small keeps recall high for
     * near-identical vectors. */
   def cosineDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
+                       threshold: Double, nPlanes: Int): DataFrame = {
     ArrayMath.register(corpus.sparkSession)
-    val b = lshBucket(corpus, vecCol, nPlanes, dim)
+    val b = lshBucket(corpus, vecCol, nPlanes)
     val l = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("bucket"))
     val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("bucket"))
     l.join(r, Seq("bucket"))

@@ -199,10 +199,14 @@ object TextOps {
     // tiny by construction), so the expensive intersection join never
     // touches the rest of the corpus
     val idx = hashedIndex(docs, idCol, textCol, n)
-    val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .distinct()
     val smallIdx = idx.join(broadcast(candIds), Seq(idCol))
+    // set sizes computed from the candidate slice only — it carries
+    // every shingle row of each candidate doc, so the counts are
+    // identical to a full-corpus aggregate without the corpus-wide
+    // shuffle
+    val sizes = smallIdx.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
     val inter = pairCounts(smallIdx, idCol, None)
       .join(cand, Seq("id_a", "id_b")) // only LSH-candidate pairs count
     joinSizesAndFilter(inter, sizes, idCol, threshold)

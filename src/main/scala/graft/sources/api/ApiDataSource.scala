@@ -145,10 +145,23 @@ final class ApiPartitionReader(schema: StructType, transportName: String,
   private lazy val rows: Iterator[InternalRow] = pageSize match {
     case None => fetchPage(Map.empty)
     case Some(ps) =>
-      Iterator.from(1)
-        .map(p => fetchPage(Map("page" -> p.toString, "page_size" -> ps.toString)).toSeq)
-        .takeWhile(_.nonEmpty)
-        .flatten
+      // stop after the first page that is not exactly full: handles the
+      // documented short-page end (no extra request), the empty page,
+      // AND a transport that ignores paging entirely (its single
+      // everything-page is ≠ ps, so the loop terminates instead of
+      // refetching forever)
+      new Iterator[Seq[InternalRow]] {
+        private var page = 1
+        private var done = false
+        override def hasNext: Boolean = !done
+        override def next(): Seq[InternalRow] = {
+          val rows = fetchPage(Map(
+            "page" -> page.toString, "page_size" -> ps.toString)).toSeq
+          if (rows.size != ps) done = true
+          page += 1
+          rows
+        }
+      }.flatten
   }
   private var current: InternalRow = _
 

@@ -26,8 +26,10 @@ object KeepLastStream {
   case class KeptState(version: Long, value: Double)
 
   /** Emit the running keep-last winner per key on every batch that
-    * changes it. State is one (version, value) per key — bounded by key
-    * cardinality, not stream length. */
+    * STRICTLY advances it (an at-least-once redelivery of the current
+    * winner is a no-op, not a duplicate emission). State is one
+    * (version, value) per key — bounded by key cardinality, not stream
+    * length. */
   def keepLastUpdates(events: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
     import events.sparkSession.implicits._
     events
@@ -38,7 +40,7 @@ object KeepLastStream {
           val incoming = batch.maxByOption(_.version)
           val current = state.getOption
           incoming match {
-            case Some(e) if current.forall(_.version <= e.version) =>
+            case Some(e) if current.forall(_.version < e.version) =>
               state.update(KeptState(e.version, e.value))
               Iterator(KeyedEvent(k1, k2, e.version, e.value))
             case _ => Iterator.empty

@@ -43,7 +43,7 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.lshTopK(e, q, "vec_id", "embedding", 10,
-      nPlanes = 4, dim = 64, nTables = 8)
+      nPlanes = 4, nTables = 8)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
@@ -66,7 +66,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("cosineDedupPairs finds planted duplicates") {
     val pairs = Similarity.cosineDedupPairs(vecs, "vec_id", "embedding",
-      threshold = 0.99, nPlanes = 2, dim = 3)
+      threshold = 0.99, nPlanes = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
