@@ -28,6 +28,19 @@ class SimilaritySpec extends SparkSpec {
     assert(r((0L, 1L)) > 0.999)
   }
 
+  test("hyperplane buckets: null element yields null, nPlanes bounded") {
+    import graft.functions.ArrayMath
+    ArrayMath.register(spark)
+    val withNull = Seq(Tuple1(Array[java.lang.Float](1.0f, null, 3.0f)))
+      .toDF("v")
+      .select(ArrayMath.hyperplaneBuckets(col("v"), 4, 2).as("b"))
+    assert(withNull.first().isNullAt(0))
+    intercept[Exception] {
+      Seq(Tuple1(Array(1.0f))).toDF("v")
+        .select(ArrayMath.hyperplaneBuckets(col("v"), 64, 1)).collect()
+    }
+  }
+
   test("bruteForceTopK ranks nearest first with deterministic ties") {
     val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
       "vec_id", "embedding", k = 2)

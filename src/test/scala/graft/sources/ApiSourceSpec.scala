@@ -124,6 +124,28 @@ class ApiSourceSpec extends SparkSpec {
     assert(df.count() == 3) // residual re-check catches the stale rows
   }
 
+  test("pageSize against a transport that ignores paging terminates after one fetch") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    TransportRegistry.register("fake-no-paging", new ApiTransport {
+      override def fetch(e: String, p: Map[String, String]): String = {
+        calls.incrementAndGet()
+        val all = (1 to 25).map(v =>
+          s"""{"id": $v, "date_time": "x", "close_price": 1.0,
+             |"instrument": {"id": 1, "type": "s"}, "meta": {"version": $v}}"""
+            .stripMargin.replace("\n", " "))
+        s"""{"data": [${all.mkString(",")}]}""" // same 25 rows every call
+      }
+    })
+    val df = spark.read.format("graft-api")
+      .schema(schemaDdl)
+      .option("endpoints", "e")
+      .option("transport", "fake-no-paging")
+      .option("pageSize", "10")
+      .load()
+    assert(df.count() == 25) // the 25-row "page" != pageSize → last page
+    assert(calls.get() <= 2) // terminated, no infinite refetch
+  }
+
   test("empty data array yields an empty frame") {
     TransportRegistry.register("fake-empty", new ApiTransport {
       override def fetch(e: String, p: Map[String, String]): String = """{"data": []}"""
