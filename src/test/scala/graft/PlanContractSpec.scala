@@ -82,6 +82,19 @@ class PlanContractSpec extends SparkSpec {
       s"no map-side partial aggregation:\n$plan")
   }
 
+  test("asofJoin plans exactly one exchange (union + window, no range join)") {
+    val plan = physical(SparkEntry.queries("q38_asof_join")(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"asof fell back to a product join:\n$plan")
+    assert(plan.contains("Window"), "asof window missing")
+  }
+
+  test("rangeJoin is an equi-join on buckets, never a cross product") {
+    val plan = physical(SparkEntry.queries("q39_range_join")(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a product join:\n$plan")
+  }
+
   test("incremental filter pushes to the parquet scan") {
     val plan = SparkEntry.queries("q05_incremental_filter")(spark, dir)
       .queryExecution.toString
