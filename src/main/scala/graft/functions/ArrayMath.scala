@@ -182,6 +182,11 @@ object ArrayMath {
 
   /** Register the kernels as SQL functions on the session (idempotent). */
   def register(spark: SparkSession): Unit = {
+    // register-once: avoids the per-call SimpleFunctionRegistry WARN
+    // that polluted the round-1 bench output
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_buckets")))
+      return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", es => CosineSimilarityExpr(es(0), es(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

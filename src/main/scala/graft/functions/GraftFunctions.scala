@@ -63,6 +63,10 @@ object GraftFunctions {
   /** Register all graft SQL functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // register-once: silences the per-call SimpleFunctionRegistry WARN
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("jalali_to_date")))
+      return
     reg.createOrReplaceTempFunction("jalali_date",
       es => JalaliDateExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("jalali_parts",

@@ -320,6 +320,11 @@ object TextHashFunctions {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // register-once: re-registering is harmless but each call logs a
+    // SimpleFunctionRegistry WARN; at 39 queries the storm buried the
+    // bench JSON line (VERDICT r1 §wrong 2)
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_pairs"))) return
     reg.createOrReplaceTempFunction("shingle_hash60",
       es => ShingleHash60Expr(es(0), intArg(es(1)), boolArg(es(2)), boolArg(es(3))),
       "scala_udf")

@@ -126,6 +126,13 @@ final class ApiReaderFactory(schema: StructType, transportName: String,
   * (`meta.version` / `meta.version_op=gt`, constants.yaml:3-9).
   * With `pageSize` set, pages are requested lazily (`page=1,2,…`) until
   * a short page — the stream never holds more than one page. */
+object ApiPartitionReader {
+  /** Absolute paging backstop: with the repeated-page detector this only
+    * trips on a transport returning an endless stream of DISTINCT full
+    * pages — at that point failing loudly beats fetching forever. */
+  val MaxPages: Int = 1000000
+}
+
 final class ApiPartitionReader(schema: StructType, transportName: String,
                                endpoint: String, watermark: Option[Long],
                                pageSize: Option[Int])
@@ -146,20 +153,29 @@ final class ApiPartitionReader(schema: StructType, transportName: String,
     case None => fetchPage(Map.empty)
     case Some(ps) =>
       // stop after the first page that is not exactly full: handles the
-      // documented short-page end (no extra request), the empty page,
-      // AND a transport that ignores paging entirely (its single
-      // everything-page is ≠ ps, so the loop terminates instead of
-      // refetching forever)
+      // documented short-page end (no extra request) and the empty page.
+      // A transport that ignores page/page_size and whose everything-page
+      // is exactly ps rows would otherwise refetch forever with
+      // duplicated rows — detect the repeat by page hash and stop, and
+      // keep a generous absolute cap as the final backstop.
       new Iterator[Seq[InternalRow]] {
         private var page = 1
         private var done = false
+        private var prev: Seq[InternalRow] = null
         override def hasNext: Boolean = !done
         override def next(): Seq[InternalRow] = {
           val rows = fetchPage(Map(
             "page" -> page.toString, "page_size" -> ps.toString)).toSeq
-          if (rows.size != ps) done = true
+          val repeated = prev != null && rows == prev
+          if (rows.size != ps || repeated) done = true
+          else if (page >= ApiPartitionReader.MaxPages)
+            throw new IllegalStateException(
+              s"graft-api: endpoint '$endpoint' exceeded " +
+                s"${ApiPartitionReader.MaxPages} pages of size $ps — " +
+                "transport is likely ignoring paging parameters")
+          prev = rows
           page += 1
-          rows
+          if (repeated) Seq.empty else rows
         }
       }.flatten
   }

@@ -26,16 +26,30 @@ final class HttpTransport(baseUrl: String, tokenEnv: String = "GRAFT_API_TOKEN")
     extends ApiTransport {
   @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
   override def fetch(endpoint: String, params: Map[String, String]): String = {
+    val builder = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(HttpTransport.buildUrl(baseUrl, endpoint, params)))
+    sys.env.get(tokenEnv).foreach(t => builder.header("Authorization", t))
+    client.send(builder.GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+  }
+}
+
+object HttpTransport {
+  /** Fan-out endpoints may already carry a query string
+    * (`exchange/trades?instrument.type=share` — the reference appends
+    * further params with '&', mabna_tables_create.py:49,86), so the
+    * separator before the param string depends on the endpoint. */
+  def buildUrl(baseUrl: String, endpoint: String,
+               params: Map[String, String]): String = {
     val qs = params.map { case (k, v) =>
       java.net.URLEncoder.encode(k, "UTF-8") + "=" +
         java.net.URLEncoder.encode(v, "UTF-8")
     }.mkString("&")
-    val sep = if (qs.isEmpty) "" else "?"
-    val builder = java.net.http.HttpRequest.newBuilder()
-      .uri(java.net.URI.create(s"$baseUrl/$endpoint$sep$qs"))
-    sys.env.get(tokenEnv).foreach(t => builder.header("Authorization", t))
-    client.send(builder.GET().build(),
-      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    val sep =
+      if (qs.isEmpty) ""
+      else if (endpoint.contains("?")) "&"
+      else "?"
+    s"$baseUrl/$endpoint$sep$qs"
   }
 }
 

@@ -146,6 +146,45 @@ class ApiSourceSpec extends SparkSpec {
     assert(calls.get() <= 2) // terminated, no infinite refetch
   }
 
+  test("paging-ignoring transport whose response is exactly pageSize rows terminates") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    TransportRegistry.register("fake-no-paging-full", new ApiTransport {
+      override def fetch(e: String, p: Map[String, String]): String = {
+        calls.incrementAndGet()
+        val all = (1 to 10).map(v =>
+          s"""{"id": $v, "date_time": "x", "close_price": 1.0,
+             |"instrument": {"id": 1, "type": "s"}, "meta": {"version": $v}}"""
+            .stripMargin.replace("\n", " "))
+        s"""{"data": [${all.mkString(",")}]}""" // exactly pageSize rows, every call
+      }
+    })
+    val df = spark.read.format("graft-api")
+      .schema(schemaDdl)
+      .option("endpoints", "e")
+      .option("transport", "fake-no-paging-full")
+      .option("pageSize", "10")
+      .load()
+    // round-1 advice: this shape used to refetch forever with duplicated
+    // rows; the repeated-page detector must stop after the second fetch
+    // and emit the 10 rows exactly once
+    assert(df.count() == 10)
+    assert(calls.get() <= 3)
+  }
+
+  test("HttpTransport.buildUrl uses '&' when the endpoint already has a query string") {
+    import graft.sources.api.HttpTransport
+    assert(HttpTransport.buildUrl("http://h", "exchange/trades?instrument.type=share",
+      Map("meta.version" -> "7")) ==
+      "http://h/exchange/trades?instrument.type=share&meta.version=7")
+    assert(HttpTransport.buildUrl("http://h", "exchange/news",
+      Map("meta.version" -> "7")) == "http://h/exchange/news?meta.version=7")
+    assert(HttpTransport.buildUrl("http://h", "exchange/news", Map.empty) ==
+      "http://h/exchange/news")
+    // params are URL-encoded
+    assert(HttpTransport.buildUrl("http://h", "e", Map("a b" -> "c&d")) ==
+      "http://h/e?a+b=c%26d")
+  }
+
   test("empty data array yields an empty frame") {
     TransportRegistry.register("fake-empty", new ApiTransport {
       override def fetch(e: String, p: Map[String, String]): String = """{"data": []}"""
