@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DimDate
-import graft.operators.{Dedup, Incremental, Joins, Multimodal, Similarity, TextOps, Transforms}
+import graft.operators.{Dedup, ExactAgg, Incremental, Joins, Multimodal, Similarity, TextOps, Transforms}
 import graft.sources.JsonFlatten
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -86,19 +86,31 @@ object SparkEntry {
       .orderBy("user_id", "event_type")
 
   /** Map-side-combinable grouped aggregation (pricing summary — the
-    * engine-completeness agg the reference lacks, SURVEY.md §2.11). */
+    * engine-completeness agg the reference lacks, SURVEY.md §2.11).
+    *
+    * Money sums run as exact integer cents in LONGs (per-partition
+    * two-level reduce, see [[graft.operators.ExactAgg]]) instead of a
+    * wide-decimal sum chain: identical results (the cast convention
+    * matches the DuckDB oracle's `CAST(x AS DECIMAL)` exactly), ~2×
+    * cheaper per row, and partial sums are overflow-bounded at 10^11+
+    * rows. */
   private def q07(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    li.groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-        sum((col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
-        ).cast("double").as("sum_disc_price"),
-        count(lit(1)).as("count_order"))
+    val cents = ExactAgg.fixedPointUnits(col("l_extendedprice"), 8, 2)
+    val dcents = ExactAgg.fixedPointUnits(col("l_discount"), 1, 2)
+    ExactAgg.exactSums(li,
+        keys = Seq(col("l_returnflag"), col("l_linestatus")),
+        sums = Seq(
+          ("sum_base_price", cents, 2),
+          // price_cents × (100 − disc_cents) = disc_price × 10^4, all in
+          // exact long arithmetic (≤1.05e9 per row)
+          ("sum_disc_price", cents * (lit(100L) - dcents), 4)),
+        carryDouble = Seq(("sum_qty", col("l_quantity"))))
       .withColumn("avg_qty", col("sum_qty") / col("count_order"))
       .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price"), col("sum_disc_price"), col("count_order"),
+        col("avg_qty"), col("avg_price"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -616,6 +628,12 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY content_hash""".stripMargin,
     "q10_jaccard_pairs" -> jaccardOracle(0.5),
+    // q11 equals the exact-Jaccard oracle only up to LSH recall: a pair
+    // at similarity s survives banding with p = 1-(1-s^(k/bands))^bands
+    // (~0.9998 at s=0.8, k=64, bands=16). The driver fixtures plant
+    // pairs at s≈0.97 where p≈1-1e-12, so the equality is safe there;
+    // borderline-0.8 fixtures would need the candidate-restricted
+    // oracle instead (see SimilaritySpec's recall gate).
     "q11_minhash_pairs" -> jaccardOracle(0.8),
     "q12_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
