@@ -87,15 +87,19 @@ object TextHash {
     out.result()
   }
 
-  /** SimHash kernel (codegen entry point). */
-  def simhash32(text: UTF8String): Long = {
+  /** SimHash kernel (codegen entry point). `bits` ≤ 60 — token hash60s
+    * carry 60 independent bits. Wider fingerprints matter for the
+    * pigeonhole pair search: 60 bits ÷ 4 chunks = 15-bit join keys (32k
+    * values) where 32 bits gave 8-bit keys (256 values) and candidate
+    * counts degraded toward n²/256 at corpus scale (round-1 verdict). */
+  def simhashFp(text: UTF8String, bits: Int): Long = {
     val hs = tokenHashes(text)
-    val counts = new Array[Int](32)
+    val counts = new Array[Int](bits)
     var i = 0
     while (i < hs.length) {
       val h = hs(i)
       var j = 0
-      while (j < 32) {
+      while (j < bits) {
         if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
         j += 1
       }
@@ -103,7 +107,7 @@ object TextHash {
     }
     var out = 0L
     var j = 0
-    while (j < 32) {
+    while (j < bits) {
       if (counts(j) > 0) out |= (1L << j)
       j += 1
     }
@@ -252,16 +256,17 @@ case class MinHashSigExpr(child: Expression, n: Int, k: Int,
     copy(child = c)
 }
 
-/** 32-bit SimHash over token hash60s in one pass (bit j set iff the
-  * signed population count of bit j over all tokens is positive). */
-case class SimHash32Expr(child: Expression)
+/** `bits`-wide SimHash over token hash60s in one pass (bit j set iff
+  * the signed population count of bit j over all tokens is positive). */
+case class SimHashExpr(child: Expression, bits: Int)
     extends UnaryExpression {
+  require(bits >= 1 && bits <= 60, s"simhash width must be 1..60, got $bits")
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash32"
+  override def prettyName: String = "simhash_fp"
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhash32($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhashFp($c, $bits)")
   override def nullSafeEval(input: Any): Any =
-    TextHash.simhash32(input.asInstanceOf[UTF8String])
+    TextHash.simhashFp(input.asInstanceOf[UTF8String], bits)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -333,8 +338,8 @@ object TextHashFunctions {
     reg.createOrReplaceTempFunction("minhash_signature",
       es => MinHashSigExpr(es(0), intArg(es(1)), intArg(es(2)),
         TextOps.minhashCoeffs(intArg(es(2)))), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash32",
-      es => SimHash32Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_fp",
+      es => SimHashExpr(es(0), intArg(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("doc_fingerprint",
       es => DocFingerprintExpr(es.head, TextOps.FpBase), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_pairs",
@@ -352,7 +357,8 @@ object TextHashFunctions {
   def minhashSig(text: Column, n: Int, k: Int): Column =
     call_function("minhash_signature", text, lit(n), lit(k))
 
-  def simhash32(text: Column): Column = call_function("simhash32", text)
+  def simhashFp(text: Column, bits: Int): Column =
+    call_function("simhash_fp", text, lit(bits))
 
   def docFingerprint(text: Column): Column =
     call_function("doc_fingerprint", text)
