@@ -130,10 +130,13 @@ object SparkEntry {
     TextOps.exactDedup(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("content_hash")
 
-  /** Exact word-3-gram Jaccard near-dup pairs (inverted shingle index). */
+  /** Exact word-3-gram Jaccard near-dup pairs (inverted shingle index).
+    * Opt-in exact mode (no posting cap) — the oracle is the full
+    * brute-force Jaccard; pipeline callers get the stop-shingle-safe
+    * default cap instead. */
   private def q10(s: SparkSession, dir: String): DataFrame =
     TextOps.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.5)
+        n = 3, threshold = 0.5, maxPostings = None)
       .orderBy("id_a", "id_b")
 
   /** MinHash-LSH candidate generation + exact verification at 0.8. */

@@ -42,6 +42,29 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 1.0), (1L, 3L, 0.5), (2L, 3L, 0.5)))
   }
 
+  test("posting cap: a stop-shingle corpus completes and keeps discriminative pairs") {
+    // every doc shares the same 5-token prefix (stop-shingles in ALL
+    // docs); docs 1/2 additionally share a distinctive tail. Capping
+    // postings below the corpus size drops the stop-shingles but must
+    // keep the pair found through discriminative shingles.
+    val stop = "the quick brown fox jumps"
+    val corpus = ((1 to 20).map {
+      case 1 => (1L, s"$stop alpha beta gamma delta epsilon")
+      case 2 => (2L, s"$stop alpha beta gamma delta zeta")
+      case i => (i.toLong, s"$stop u${i}a u${i}b u${i}c u${i}d u${i}e")
+    }).toDF("doc_id", "text")
+    val capped = TextOps.jaccardPairs(corpus, "doc_id", "text", 3, 0.3,
+        maxPostings = Some(10)) // < 20 docs → stop-shingles dropped
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+    // exact mode agrees on the discriminative pair (values differ — the
+    // cap removes stop-shingle intersections — but detection matches)
+    val exact = TextOps.jaccardPairs(corpus, "doc_id", "text", 3, 0.3,
+        maxPostings = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((1L, 2L)))
+  }
+
   test("minhash signature similarity approximates jaccard") {
     val sig = TextOps.minhashSignatures(docs, "doc_id", "text", 3, 64)
       .collect().map(r => r.getLong(0) -> (1 to 64).map(i => r.getLong(i))).toMap
