@@ -846,9 +846,9 @@ object SparkEntry {
         |      ELSE 0 END AS new_session
         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |sessions AS (
-        |  SELECT *, sum(new_session) OVER (
+        |  SELECT *, (sum(new_session) OVER (
         |    PARTITION BY user_id ORDER BY ts_us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_idx
         |  FROM flagged)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |       min(ts_us) AS start_us, max(ts_us) AS end_us

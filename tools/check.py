@@ -66,6 +66,12 @@ def main():
             x, y = a[c], b[c]
             try:
                 if x.dtype.kind == "f" or y.dtype.kind == "f":
+                    # Driver hashes exact values: float 3.0 vs int 3 is a
+                    # mismatch there even though numerically equal here.
+                    if x.dtype.kind != y.dtype.kind:
+                        bad.append(f"{c} (dtype {x.dtype} vs {y.dtype}: "
+                                   "driver hash would differ)")
+                        continue
                     import numpy as np
                     xe, ye = x.fillna(1.5e308), y.fillna(1.5e308)
                     if not (xe.values == ye.values).all():
