@@ -36,12 +36,25 @@ object ExactAgg {
   /** `e` as exact integer units (scale-`s` fixed point) in a LONG.
     * The double→decimal cast is HALF_UP — identical to the SQL oracle's
     * CAST convention — and every intermediate stays a compact decimal
-    * (precision ≤ 18), so the whole extraction is Long arithmetic. */
+    * (precision ≤ 18), so the whole extraction is Long arithmetic.
+    *
+    * Domain bound: |e| < 10^intDigits. Sessions here run with ANSI off,
+    * where an out-of-range cast yields NULL — which a sum would silently
+    * drop, corrupting the "exact" total. The guard turns that into a
+    * loud per-row error instead (also fires on NaN, which has no money
+    * meaning). Cost: one null-check branch per row inside codegen,
+    * negligible next to the decimal multiply. */
   def fixedPointUnits(e: Column, intDigits: Int, s: Int): Column = {
     val p = intDigits + s
     require(p + s + 1 + 1 <= 18, s"decimal($p,$s) × 10^$s must stay compact")
-    (e.cast(s"decimal($p,$s)") *
-      lit(math.pow(10, s).toLong).cast(s"decimal(${s + 1},0)")).cast("long")
+    val fixed = e.cast(s"decimal($p,$s)")
+    val guarded = when(e.isNotNull && fixed.isNull,
+      raise_error(concat(
+        lit(s"fixedPointUnits: value exceeds decimal($p,$s) domain: "),
+        e.cast("string"))).cast(s"decimal($p,$s)"))
+      .otherwise(fixed)
+    (guarded * lit(math.pow(10, s).toLong).cast(s"decimal(${s + 1},0)"))
+      .cast("long")
   }
 
   /** Two-level exact sum: stage-1 long sums per (keys, partition id),

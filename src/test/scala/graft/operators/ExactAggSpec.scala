@@ -59,6 +59,26 @@ class ExactAggSpec extends SparkSpec {
     }
   }
 
+  test("out-of-domain value fails loudly instead of vanishing as NULL") {
+    // with ANSI off a cast overflow yields NULL, which sum() would drop
+    // silently; the guard must convert that into a runtime error.
+    val over = Seq(1.0e9, 2.5).toDF("x") // 1e9 needs 10 int digits > 8
+    val ex = intercept[Exception] {
+      over.select(ExactAgg.fixedPointUnits(col("x"), 8, 2).as("u"))
+        .agg(sum(col("u"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("fixedPointUnits")), ex.toString)
+
+    // nulls still pass through untouched (excluded from sums as before)
+    val withNull = Seq[Option[Double]](Some(2.5), None).toDF("x")
+    val got = withNull
+      .select(ExactAgg.fixedPointUnits(col("x"), 8, 2).as("u"))
+      .agg(sum(col("u"))).first().getLong(0)
+    assert(got == 250L)
+  }
+
   test("partial long sums stay bounded: units magnitude contract") {
     // the two-level reduce is safe while a single scan partition's unit
     // sum fits a long; with ≤1e9 units/row that is ≥9e9 rows/partition —
