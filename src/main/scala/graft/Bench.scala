@@ -44,13 +44,17 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+    // a crashed query's elapsed time is noise, not a result — keep it out
+    // of the per-query map and the total so failures can't read as fast
+    // successes; failed names live only in `errors`
+    val qs = results.collect { case (k, v, None) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v, None) => v }.sum
+    val nFailed = results.count(_._3.isDefined)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":$nFailed,"sf":${jstr(sfDir)}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()

@@ -99,11 +99,23 @@ object TextOps {
     * index (groupBy h), pairs emitted in place from each sorted posting
     * list, one aggregate. The join formulation would shuffle the full
     * index twice and stream the same pair multiset through a join. */
+  private val obsSeq = new java.util.concurrent.atomic.AtomicInteger()
+
   private def pairCounts(idx: DataFrame, idCol: String,
                          maxPostings: Option[Int]): DataFrame = {
-    val cap = math.min(maxPostings.getOrElse(HardMaxPostings), HardMaxPostings)
+    maxPostings.foreach(m => require(m <= HardMaxPostings,
+      s"maxPostings=$m exceeds HardMaxPostings=$HardMaxPostings — lists " +
+        "that long emit C(m,2) pairs; raise HardMaxPostings deliberately " +
+        "if you really mean it"))
+    val cap = maxPostings.getOrElse(HardMaxPostings)
     idx.groupBy(col("h"))
       .agg(collect_list(col(idCol)).as("ds"))
+      // capped lists are stop-shingles (no near-dup signal, C(m,2) pair
+      // blow-up); the drop is observable, not silent: the named metric
+      // surfaces through Observation/QueryExecutionListener at zero cost
+      .observe(s"graft.jaccard.postings.${obsSeq.getAndIncrement()}",
+        count(when(size(col("ds")) > cap, 1)).as("dropped_posting_lists"),
+        max(size(col("ds"))).as("max_posting_list"))
       .filter(size(col("ds")).between(2, cap))
       .select(explode(TextHashFunctions.sortedPairs(col("ds"))).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))

@@ -156,24 +156,27 @@ final class ApiPartitionReader(schema: StructType, transportName: String,
       // documented short-page end (no extra request) and the empty page.
       // A transport that ignores page/page_size and whose everything-page
       // is exactly ps rows would otherwise refetch forever with
-      // duplicated rows — detect the repeat by page hash and stop, and
-      // keep a generous absolute cap as the final backstop.
+      // duplicated rows — that failure mode always re-serves PAGE 1, so
+      // detect it by comparing each later page against page 1 (not its
+      // immediate predecessor: duplicate-heavy feeds may legitimately
+      // serve row-identical consecutive pages). A generous absolute cap
+      // stays as the final backstop.
       new Iterator[Seq[InternalRow]] {
         private var page = 1
         private var done = false
-        private var prev: Seq[InternalRow] = null
+        private var first: Seq[InternalRow] = null
         override def hasNext: Boolean = !done
         override def next(): Seq[InternalRow] = {
           val rows = fetchPage(Map(
             "page" -> page.toString, "page_size" -> ps.toString)).toSeq
-          val repeated = prev != null && rows == prev
+          val repeated = first != null && rows == first
           if (rows.size != ps || repeated) done = true
           else if (page >= ApiPartitionReader.MaxPages)
             throw new IllegalStateException(
               s"graft-api: endpoint '$endpoint' exceeded " +
                 s"${ApiPartitionReader.MaxPages} pages of size $ps — " +
                 "transport is likely ignoring paging parameters")
-          prev = rows
+          if (first == null) first = rows
           page += 1
           if (repeated) Seq.empty else rows
         }

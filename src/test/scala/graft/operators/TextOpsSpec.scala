@@ -65,6 +65,14 @@ class TextOpsSpec extends SparkSpec {
     assert(exact.contains((1L, 2L)))
   }
 
+  test("maxPostings beyond the hard ceiling is rejected, not silently clamped") {
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        maxPostings = Some(TextOps.HardMaxPostings + 1))
+    }
+    assert(ex.getMessage.contains("HardMaxPostings"))
+  }
+
   test("minhash signature similarity approximates jaccard") {
     val sig = TextOps.minhashSignatures(docs, "doc_id", "text", 3, 64)
       .collect().map(r => r.getLong(0) -> (1 to 64).map(i => r.getLong(i))).toMap

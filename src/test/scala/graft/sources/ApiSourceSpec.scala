@@ -171,6 +171,38 @@ class ApiSourceSpec extends SparkSpec {
     assert(calls.get() <= 3)
   }
 
+  test("row-identical consecutive full pages are not mistaken for a paging loop") {
+    // advice-round finding: a duplicate-heavy feed whose pages 2 and 3
+    // happen to be row-for-row identical is legitimate data; only a
+    // transport that re-serves PAGE 1 forever is a paging loop.
+    def page(vs: Range): String = {
+      val rows = vs.map(v =>
+        s"""{"id": $v, "date_time": "x", "close_price": 1.0,
+           |"instrument": {"id": 1, "type": "s"}, "meta": {"version": $v}}"""
+          .stripMargin.replace("\n", " "))
+      s"""{"data": [${rows.mkString(",")}]}"""
+    }
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    TransportRegistry.register("fake-dup-pages", new ApiTransport {
+      override def fetch(e: String, p: Map[String, String]): String = {
+        calls.incrementAndGet()
+        p("page").toInt match {
+          case 1 => page(1 to 10)
+          case 2 | 3 => page(11 to 20) // identical consecutive full pages
+          case _ => page(21 to 25)     // short page ends the scan
+        }
+      }
+    })
+    val df = spark.read.format("graft-api")
+      .schema(schemaDdl)
+      .option("endpoints", "e")
+      .option("transport", "fake-dup-pages")
+      .option("pageSize", "10")
+      .load()
+    assert(df.count() == 35) // 10 + 10 + 10 + 5: nothing truncated
+    assert(calls.get() == 4)
+  }
+
   test("HttpTransport.buildUrl uses '&' when the endpoint already has a query string") {
     import graft.sources.api.HttpTransport
     assert(HttpTransport.buildUrl("http://h", "exchange/trades?instrument.type=share",
