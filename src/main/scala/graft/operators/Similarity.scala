@@ -138,23 +138,52 @@ object Similarity {
         col("best.v").as(vecCol))
   }
 
-  /** IVF approximate top-k: probe the `nProbe` nearest centroid lists
-    * per query, exact rerank within them. Complements lshTopK: IVF
-    * adapts buckets to the data distribution (trained), LSH is
-    * data-independent (no training pass). */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+  /** A trained IVF index: broadcast-sized `centroids`
+    * (centroid_id, cvec) and the corpus partitioned into inverted lists
+    * `index` (neighbor_id, centroid_id, __cv). At 100 TB the index build
+    * is the expensive step (Lloyd iterations scan the corpus) — build it
+    * ONCE, persist, and serve every query batch from the artifact; see
+    * [[buildIvfIndex]] / [[writeIvfIndex]] / [[readIvfIndex]]. */
+  final case class IvfIndex(centroids: DataFrame, index: DataFrame)
+
+  /** Train the quantizer and assign every corpus vector to its inverted
+    * list. The one corpus-scale step of IVF — run it per corpus version,
+    * not per query. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int, iters: Int = 2): IvfIndex = {
     ArrayMath.register(corpus.sparkSession)
-    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nCentroids)
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nCentroids, iters)
     val index = assignToCentroid(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("centroid_id"),
         col(vecCol).as("__cv"))
-    // nProbe nearest centroids per query
+    IvfIndex(centroids, index)
+  }
+
+  /** Persist an index: inverted lists parquet-partitioned by centroid so
+    * a probe reads only the `nProbe` lists it needs (partition pruning). */
+  def writeIvfIndex(ivf: IvfIndex, path: String): Unit = {
+    ivf.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    ivf.index.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/index")
+  }
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/index"))
+
+  /** Probe a built index: `nProbe` nearest centroid lists per query,
+    * exact rerank within them. No training happens here — the plan is a
+    * broadcast join against the inverted lists (pinned by
+    * PlanContractSpec: no Lloyd aggregation in the probe). */
+  def probeIvfIndex(ivf: IvfIndex, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    ArrayMath.register(queries.sparkSession)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("__sim").desc, col("centroid_id"))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(ivf.centroids))
       .withColumn("__sim", ArrayMath.cosineSimilarity(
         col("__qv").cast("array<double>"), col("cvec")))
       .withColumn("__r", row_number().over(wq))
@@ -162,7 +191,7 @@ object Similarity {
       .select(col("query_id"), col("__qv"), col("centroid_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    index.join(broadcast(probes), Seq("centroid_id"))
+    ivf.index.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         round(ArrayMath.cosineSimilarity(col("__qv"), col("__cv")), 6))
@@ -170,6 +199,15 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** IVF approximate top-k in one call (build + probe). Complements
+    * lshTopK: IVF adapts buckets to the data distribution (trained),
+    * LSH is data-independent (no training pass). Repeated query batches
+    * should build once via [[buildIvfIndex]] and probe the artifact. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame =
+    probeIvfIndex(buildIvfIndex(corpus, idCol, vecCol, nCentroids),
+      queries, idCol, vecCol, k, nProbe)
 
   /** All near-duplicate pairs by embedding cosine ≥ threshold — the
     * embedding-space analogue of TextOps.minhashDedupPairs. Buckets via
