@@ -210,13 +210,25 @@ object SparkEntry {
         col("mweek_num").cast("long").as("mweek_num"))
       .orderBy("miladi")
 
-  /** Generated dim-date, full Jalali shape (no SQL oracle — DuckDB has
-    * no Persian calendar; correctness is pinned by JalaliSpec's ICU4J
-    * cross-validation + golden dates). */
+  /** Generated dim-date, full Jalali shape. DuckDB has no Persian
+    * calendar, but over the reference artifact's span (1320–1429) the
+    * Jalali leap pattern is exactly the arithmetic 33-year cycle with
+    * leap residues {1,5,9,13,17,22,26,30} and 1320 ≡ 0 (mod 33) a cycle
+    * start (verified against all 40,151 xlsx rows), so the oracle is
+    * closed-form integer SQL. Also pinned by JalaliSpec's ICU4J sweep
+    * and GoldenDimDateSpec. */
   private def q21(s: SparkSession, dir: String): DataFrame =
     DimDate.generate(s, DimStart, DimEnd)
-      .select("miladi", "jalali", "jyear", "jmonth", "jday", "jmonth_name",
-        "jquarter", "jnime", "jday_of_year", "jweek_day", "jweek_num")
+      .select(col("miladi"), col("jalali"),
+        col("jyear").cast("long").as("jyear"),
+        col("jmonth").cast("long").as("jmonth"),
+        col("jday").cast("long").as("jday"),
+        col("jmonth_name"),
+        col("jquarter").cast("long").as("jquarter"),
+        col("jnime").cast("long").as("jnime"),
+        col("jday_of_year").cast("long").as("jday_of_year"),
+        col("jweek_day").cast("long").as("jweek_day"),
+        col("jweek_num").cast("long").as("jweek_num"))
       .orderBy("miladi")
 
   /** S3 JSON envelope → flatten, round-tripped through nation. */
@@ -715,10 +727,50 @@ object SparkEntry {
          |       quarter(d)::BIGINT AS mquarter,
          |       (CASE WHEN month(d) <= 6 THEN 1 ELSE 2 END)::BIGINT AS mnime,
          |       dayname(d) AS mweek_day,
-         |       weekofyear(d)::BIGINT AS mweek_num
+         |       ((dayofyear(d) + dayofweek(date_trunc('year', d)) - 1) // 7
+         |         + 1)::BIGINT AS mweek_num
          |FROM (SELECT unnest(generate_series(DATE '$DimStart', DATE '$DimEnd',
          |        INTERVAL 1 DAY))::DATE AS d)
          |ORDER BY miladi""".stripMargin,
+    // Closed-form arithmetic Jalali calendar, exact on the generated
+    // span (see q21 scaladoc): 33-year cycles of 12053 days anchored at
+    // 1941-03-21 = 1320/01/01; cumleap(r) counts leap residues < r.
+    "q21_dimdate_jalali" ->
+      s"""WITH base AS (SELECT unnest(generate_series(DATE '$DimStart',
+         |        DATE '$DimEnd', INTERVAL 1 DAY))::DATE AS d),
+         |n AS (SELECT d, datediff('day', DATE '1941-03-21', d) AS nd FROM base),
+         |c AS (SELECT d, nd // 12053 AS cyc, nd % 12053 AS n2 FROM n),
+         |r AS (SELECT d, cyc, n2,
+         |        CASE WHEN 365 * (n2 // 366 + 1) +
+         |               (CASE WHEN n2 // 366 + 1 <= 21
+         |                     THEN (n2 // 366 + 3) // 4
+         |                     ELSE 5 + (n2 // 366 - 18) // 4 END) <= n2
+         |             THEN n2 // 366 + 1 ELSE n2 // 366 END AS r FROM c),
+         |j AS (SELECT d, cyc, r,
+         |        n2 - (365 * r + (CASE WHEN r <= 21 THEN (r + 2) // 4
+         |                              ELSE 5 + (r - 19) // 4 END)) + 1 AS doy
+         |      FROM r),
+         |p AS (SELECT d, 1320 + 33 * cyc + r AS jy, doy,
+         |        CASE WHEN doy <= 186 THEN (doy - 1) // 31 + 1
+         |             ELSE (doy - 187) // 30 + 7 END AS jm,
+         |        CASE WHEN doy <= 186 THEN (doy - 1) % 31 + 1
+         |             ELSE (doy - 187) % 30 + 1 END AS jd
+         |      FROM j)
+         |SELECT strftime(d, '%Y-%m-%d') AS miladi,
+         |       printf('%04d/%02d/%02d', jy, jm, jd) AS jalali,
+         |       jy::BIGINT AS jyear, jm::BIGINT AS jmonth, jd::BIGINT AS jday,
+         |       CASE jm WHEN 1 THEN 'Farvardin' WHEN 2 THEN 'Ordibehesht'
+         |            WHEN 3 THEN 'Khordad' WHEN 4 THEN 'Tir' WHEN 5 THEN 'Mordad'
+         |            WHEN 6 THEN 'Shahrivar' WHEN 7 THEN 'Mehr' WHEN 8 THEN 'Aban'
+         |            WHEN 9 THEN 'Azar' WHEN 10 THEN 'Dey' WHEN 11 THEN 'Bahman'
+         |            ELSE 'Esfand' END AS jmonth_name,
+         |       ((jm - 1) // 3 + 1)::BIGINT AS jquarter,
+         |       (CASE WHEN jm <= 6 THEN 1 ELSE 2 END)::BIGINT AS jnime,
+         |       doy::BIGINT AS jday_of_year,
+         |       (((dayofweek(d) + 1) % 7) + 1)::BIGINT AS jweek_day,
+         |       ((doy - 1 + ((((dayofweek(d) + 1) % 7) - (doy - 1) % 7) % 7 + 7)
+         |          % 7) // 7 + 1)::BIGINT AS jweek_num
+         |FROM p ORDER BY miladi""".stripMargin,
     "q22_json_flatten" ->
       """SELECT n_nationkey AS id, n_name AS name, n_regionkey AS meta_region_id
         |FROM nation ORDER BY id""".stripMargin,

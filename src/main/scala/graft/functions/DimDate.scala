@@ -12,10 +12,17 @@ import org.apache.spark.sql.functions._
   * range, Jalali parts from the native expression — no artifact to ship,
   * any range on demand.
   *
-  * Week-number conventions (the xlsx's exact rules are not recoverable
-  * from the clone): JWeekDay is 1=Saturday..7=Friday (Persian week),
-  * JWeekNum is the 1-based week of the Jalali year with week 1 starting
-  * Farvardin 1; MWeekNum/MWeekDay use ISO rules via Spark built-ins.
+  * Week-number conventions, recovered from the artifact itself (every
+  * rule below reproduces all 40,151 xlsx rows exactly; pinned by
+  * GoldenDimDateSpec against fixtures/dimdate_golden.csv):
+  *  - JWeekDay is 1=Saturday..7=Friday (Persian week).
+  *  - JWeekNum is the week of the Jalali year with weeks breaking at
+  *    Saturday and week 1 containing Farvardin 1 (Excel WEEKNUM-style
+  *    anchoring on the year start, Saturday-based).
+  *  - MWeekNum is Excel `WEEKNUM(date, 1)`: weeks break at Sunday and
+  *    week 1 contains Jan 1 — NOT ISO 8601 (`weekofyear`), which the
+  *    xlsx contradicts at every Sunday row (e.g. 1941-03-23 is week 13
+  *    in the artifact but ISO week 12).
   */
 object DimDate {
 
@@ -50,7 +57,12 @@ object DimDate {
           .cast("int"))
       .withColumn("jweek_day", // 1=Saturday .. 7=Friday
         (pmod(dayofweek(col("d")), lit(7)) + 1).cast("int"))
-      .withColumn("jweek_num", ((col("jday_of_year") - 1) / 7 + 1).cast("int"))
+      // Saturday-based offset of Farvardin 1, recovered from the row's
+      // own weekday: offset ≡ jweek_day-1 - (jday_of_year-1)  (mod 7).
+      .withColumn("jweek_num",
+        ((col("jday_of_year") - 1 +
+          pmod(col("jweek_day") - 1 - (col("jday_of_year") - 1), lit(7)))
+          .divide(7).cast("int") + 1).cast("int"))
       .withColumn("myear", year(col("d")))
       .withColumn("mmonth", month(col("d")))
       .withColumn("mday", dayofmonth(col("d")))
@@ -58,7 +70,13 @@ object DimDate {
       .withColumn("mquarter", quarter(col("d")))
       .withColumn("mnime", when(col("mmonth") <= 6, 1).otherwise(2))
       .withColumn("mweek_day", date_format(col("d"), "EEEE"))
-      .withColumn("mweek_num", weekofyear(col("d")))
+      // Excel WEEKNUM(d, 1): Sunday-start weeks anchored at Jan 1.
+      // Spark dayofweek is 1=Sunday..7=Saturday, so dayofweek(jan1)-1
+      // is the Sunday-based offset of the year start.
+      .withColumn("mweek_num",
+        ((dayofyear(col("d")) +
+          dayofweek(trunc(col("d"), "year")) - 2)
+          .divide(7).cast("int") + 1).cast("int"))
       .drop("d")
   }
 }
