@@ -433,6 +433,25 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Skew-guarded as-of join: q38's semantics via asofJoinBucketed with
+    * 1-day time buckets, so one hot user's history shards across tasks
+    * instead of serializing into a single partition. Same oracle as q38
+    * (output is defined to be identical). */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", tsUs)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_us", "value")
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("signup_event"))
+      .select(col("user_id"), col("signup_event"), col("ts_us").as("signup_ts_us"))
+    Joins.asofJoinBucketed(clicks, signups, key = "user_id",
+        factTime = "ts_us", dimTime = "signup_ts_us",
+        dimCols = Seq("signup_event", "signup_ts_us"),
+        bucketWidth = 86400L * 1000000L)
+      .orderBy("event_id")
+  }
+
   /** Bucketized range join: sampled lineitem price points against part
     * price±size intervals (equi-join on buckets, never a cross product). */
   private def q39(s: SparkSession, dir: String): DataFrame = {
@@ -489,6 +508,7 @@ object SparkEntry {
     "q37_ann_ivf" -> q37,
     "q38_asof_join" -> q38,
     "q39_range_join" -> q39,
+    "q40_asof_bucketed" -> q40,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -496,6 +516,24 @@ object SparkEntry {
   /** DuckDB 60-bit md5 hash — must mirror TextOps.hash60 exactly. */
   private def sqlHash60(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** Shared by q38 (plain as-of) and q40 (skew-guarded as-of): both are
+    * defined to produce identical output, DuckDB's native ASOF JOIN is
+    * the oracle for each. */
+  private val asofOracle =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE event_type = 'click'),
+      |signups AS (
+      |  SELECT user_id, ts_us, max(event_id) AS signup_event FROM (
+      |    SELECT user_id, epoch_us(ts) AS ts_us, event_id
+      |    FROM events WHERE event_type = 'signup')
+      |  GROUP BY user_id, ts_us)
+      |SELECT c.event_id, c.user_id, c.ts_us, c.value,
+      |       s.signup_event, s.ts_us AS signup_ts_us
+      |FROM clicks c ASOF LEFT JOIN signups s
+      |  ON c.user_id = s.user_id AND c.ts_us >= s.ts_us
+      |ORDER BY c.event_id""".stripMargin
 
   private val P = TextOps.MinhashP
 
@@ -851,20 +889,10 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, v, p_partkey, lo, hi
         |FROM probes p JOIN intervals i ON p.v BETWEEN i.lo AND i.hi
         |ORDER BY l_orderkey, l_linenumber, p_partkey""".stripMargin,
-    "q38_asof_join" ->
-      """WITH clicks AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
-        |  FROM events WHERE event_type = 'click'),
-        |signups AS (
-        |  SELECT user_id, ts_us, max(event_id) AS signup_event FROM (
-        |    SELECT user_id, epoch_us(ts) AS ts_us, event_id
-        |    FROM events WHERE event_type = 'signup')
-        |  GROUP BY user_id, ts_us)
-        |SELECT c.event_id, c.user_id, c.ts_us, c.value,
-        |       s.signup_event, s.ts_us AS signup_ts_us
-        |FROM clicks c ASOF LEFT JOIN signups s
-        |  ON c.user_id = s.user_id AND c.ts_us >= s.ts_us
-        |ORDER BY c.event_id""".stripMargin,
+    "q38_asof_join" -> asofOracle,
+    // q40 is the skew-guarded variant of the same semantics — defined to
+    // produce byte-identical output, so it shares q38's oracle
+    "q40_asof_bucketed" -> asofOracle,
     "q34_set_ops" ->
       """SELECT user_id FROM (
         |  SELECT user_id FROM events WHERE event_type = 'click' AND value > 95

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -94,6 +94,80 @@ object Joins {
     f.union(d)
       .withColumn("__matched", last(col("__dim"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+      .select(factCols.map(c => col(s"__fact.$c").as(c)) ++
+        dimCols.map(c => col(s"__matched.$c").as(c)): _*)
+  }
+
+  /** AS-OF join with a skew guard: [[asofJoin]] partitions by key only,
+    * so at corpus scale one hot key's entire history sorts in a single
+    * partition. This variant shards the timeline into `bucketWidth`-wide
+    * buckets and partitions by (key, bucket) — a hot key's cost drops
+    * from O(history) to O(history / #buckets) per task.
+    *
+    * State does not leak across bucket boundaries by accident: the
+    * latest dim row of each (key, dim-bucket) is reduced first
+    * (`max_by`, one small aggregate), then the carry-in for every
+    * (key, fact-bucket) is resolved with the *plain* as-of join over
+    * those per-bucket summaries — rows per key there = #buckets with
+    * dim data, so the recursion runs on metadata-scale input. Carry
+    * rows are injected at each fact-bucket's start, ordered before real
+    * dim rows at the same instant (side 0 < 1 < 2), and the final
+    * window runs within (key, bucket).
+    *
+    * Time columns must be integral (cast timestamps to epoch units
+    * first); bucket ids use exact integer floor division, so int64
+    * microsecond timestamps never round through a double. Output
+    * equals [[asofJoin]] exactly (AsofJoinSpec pins the equivalence on
+    * random and hot-key fixtures). */
+  def asofJoinBucketed(fact: DataFrame, dim: DataFrame, key: String,
+                       factTime: String, dimTime: String,
+                       dimCols: Seq[String], bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val factCols = fact.columns.toSeq
+    def bucketOf(t: Column): Column =
+      ((t - pmod(t, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+
+    val dimSchema = dim.select(dimCols.map(col): _*).schema.catalogString
+    val factSchema = fact.select(factCols.map(col): _*).schema.catalogString
+
+    // latest dim state at the end of each (key, dim-bucket)
+    val lastPerBucket = dim
+      .select(col(key).as("__k"), col(dimTime).cast("long").as("__t"),
+        struct(dimCols.map(col): _*).as("__dim"))
+      .groupBy(col("__k"), bucketOf(col("__t")).as("__b"))
+      .agg(max_by(col("__dim"), col("__t")).as("__dim"))
+
+    // carry-in per (key, fact-bucket): as-of over bucket summaries —
+    // strictly-before semantics via the fb-1 probe on integer buckets
+    val factBuckets = fact
+      .select(col(key).as("__k"),
+        bucketOf(col(factTime).cast("long")).as("__fb"))
+      .distinct()
+    val carries = asofJoin(
+      factBuckets.withColumn("__q", col("__fb") - 1),
+      lastPerBucket, "__k", "__q", "__b", Seq("__dim"))
+      .filter(col("__dim").isNotNull)
+      .select(col("__k"), (col("__fb") * bucketWidth).as("__t"),
+        lit(0).as("__side"), col("__fb").as("__b"),
+        lit(null).cast(factSchema).as("__fact"), col("__dim"))
+
+    val f = fact.select(
+      col(key).as("__k"), col(factTime).cast("long").as("__t"),
+      lit(2).as("__side"), bucketOf(col(factTime).cast("long")).as("__b"),
+      struct(factCols.map(col): _*).as("__fact"),
+      lit(null).cast(dimSchema).as("__dim"))
+    val d = dim.select(
+      col(key).as("__k"), col(dimTime).cast("long").as("__t"),
+      lit(1).as("__side"), bucketOf(col(dimTime).cast("long")).as("__b"),
+      lit(null).cast(factSchema).as("__fact"),
+      struct(dimCols.map(col): _*).as("__dim"))
+
+    val w = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    f.union(d).union(carries)
+      .withColumn("__matched", last(col("__dim"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 2)
       .select(factCols.map(c => col(s"__fact.$c").as(c)) ++
         dimCols.map(c => col(s"__matched.$c").as(c)): _*)
   }

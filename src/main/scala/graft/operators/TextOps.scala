@@ -218,18 +218,22 @@ object TextOps {
     val bandsDf = lshBands(sig, idCol, k, bands)
     val l = bandsDf.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val r = bandsDf.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    // the banding self-join feeds three consumers below (candidate-id
+    // derivation, the exact-verify slice, and the final pair filter) —
+    // materialize it once; candidate pairs are tiny by construction
     val cand = l.join(r, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .localCheckpoint(true)
 
-    // exact verification restricted to candidate docs: the full index is
-    // semi-joined down to candidate ids (broadcast — the candidate set is
-    // tiny by construction), so the expensive intersection join never
-    // touches the rest of the corpus
-    val idx = hashedIndex(docs, idCol, textCol, n)
+    // exact verification restricted to candidate docs: the corpus is
+    // broadcast-semi-joined down to candidate ids BEFORE shingling, so
+    // the explode + hash of the exact pass only ever touches candidate
+    // documents — at corpus scale everything else never leaves the scan
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .distinct()
-    val smallIdx = idx.join(broadcast(candIds), Seq(idCol))
+    val smallIdx = hashedIndex(
+      docs.join(broadcast(candIds), Seq(idCol)), idCol, textCol, n)
     // set sizes computed from the candidate slice only — it carries
     // every shingle row of each candidate doc, so the counts are
     // identical to a full-corpus aggregate without the corpus-wide
@@ -250,8 +254,12 @@ object TextOps {
     * (localCheckpoint) so plans stay constant-size — the standard
     * Pregel-style shape for iterative algorithms on DataFrames. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the (typically expensive) pair pipeline ONCE — the
+    // src/dst union below reads it twice, and without the cut each
+    // branch would re-run the whole upstream plan
+    val p = pairs.localCheckpoint(true)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))

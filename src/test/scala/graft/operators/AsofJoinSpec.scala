@@ -37,4 +37,55 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.count() == fact.count())
     assert(out.columns.toSeq == Seq("fid", "k", "t", "payload", "dval", "dt"))
   }
+
+  test("asofJoinBucketed ≡ asofJoin on the base fixture, all widths") {
+    for (w <- Seq(1L, 7L, 100L, 1000L)) {
+      val plain = Joins.asofJoin(fact, dim, "k", "t", "dt", Seq("dval", "dt"))
+        .collect().map(_.toSeq).toSet
+      val bucketed = Joins.asofJoinBucketed(
+        fact, dim, "k", "t", "dt", Seq("dval", "dt"), w)
+        .collect().map(_.toSeq).toSet
+      assert(bucketed == plain, s"bucketWidth=$w diverged")
+    }
+  }
+
+  test("asofJoinBucketed ≡ asofJoin on a hot-key skewed fixture") {
+    // one key carries 95% of the rows — the shape the bucket guard
+    // exists for. Deterministic congruential series, dim times
+    // deliberately sparse so most fact buckets need a carry-in.
+    val hotFacts = (1L to 2000L).map(i =>
+      (i, if (i % 20 == 0) 7L + i % 3 else 42L, (i * 37) % 911, s"p$i"))
+    val facts = hotFacts.toDF("fid", "k", "t", "payload")
+    val dims = ((1L to 40L).map(i => (42L, i * 23 % 907, s"v$i")) ++
+      Seq((7L, 3L, "a"), (8L, 100L, "b"), (9L, 5L, "c")))
+      .toDF("k", "dt", "dval")
+      // contract: dim unique per (key, time)
+      .groupBy("k", "dt").agg(org.apache.spark.sql.functions.min("dval").as("dval"))
+    val plain = Joins.asofJoin(facts, dims, "k", "t", "dt", Seq("dval", "dt"))
+      .collect().map(_.toSeq).toSet
+    for (w <- Seq(1L, 13L, 64L, 1000L)) {
+      val bucketed = Joins.asofJoinBucketed(
+        facts, dims, "k", "t", "dt", Seq("dval", "dt"), w)
+        .collect().map(_.toSeq).toSet
+      assert(bucketed == plain, s"bucketWidth=$w diverged on skewed data")
+    }
+  }
+
+  test("asofJoinBucketed partitions the window by (key, bucket)") {
+    val plan = Joins.asofJoinBucketed(
+      fact, dim, "k", "t", "dt", Seq("dval"), 10L)
+      .queryExecution.executedPlan.toString
+    // the final window's partition spec must include the bucket column —
+    // that IS the skew guard; key-only partitioning would regress it
+    assert(plan.contains("__b"), "bucket column missing from physical plan")
+    // two windows exist: the inner carry-resolution one (key-only, over
+    // metadata-scale bucket summaries — fine) and the outer row-level
+    // one, which MUST partition by (key, bucket): that is the skew guard
+    val windowLines = plan.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("__matched")).toSeq
+    assert(windowLines.exists(l =>
+        l.contains("partitionBy") || // plan-format drift guard
+          l.matches(""".*windowspecdefinition\(__k#\d+L?, __b#\d+L?,.*""")),
+      s"no window partitioned by (key, bucket):\n${windowLines.mkString("\n")}")
+  }
 }
