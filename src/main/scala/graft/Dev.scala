@@ -25,30 +25,27 @@ object Dev {
 
     val li = Tables.lineitem(spark, dir)
     time("scan count")(li.count())
-    time("scan count (2nd)")(li.count())
 
-    time("plain long-ish agg") {
-      li.groupBy("l_returnflag", "l_linestatus")
-        .agg(sum("l_quantity"), count(lit(1))).collect()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // q01 decomposition: where do the 3 s go?
+    time("q01 full (1st)")(noop(SparkEntry.queries("q01_stg_trades")(spark, dir)))
+    time("q01 full (2nd)")(noop(SparkEntry.queries("q01_stg_trades")(spark, dir)))
+    time("q01 no sort") {
+      noop(graft.operators.Transforms.stgTrades(li))
+    }
+    time("sort only") {
+      noop(li.orderBy("l_orderkey", "l_linenumber"))
+    }
+    time("transforms only, no sort") {
+      noop(graft.operators.Transforms.stgTrades(li))
     }
 
-    time("q07 full (1st)") {
-      SparkEntry.queries("q07_agg_pricing_summary")(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("q07 full (2nd)") {
-      SparkEntry.queries("q07_agg_pricing_summary")(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-    }
-
-    time("q09 full (1st)") {
-      SparkEntry.queries("q09_exact_dedup")(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("q09 full (2nd)") {
-      SparkEntry.queries("q09_exact_dedup")(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-    }
+    time("q02 full")(noop(SparkEntry.queries("q02_prd_trades_star")(spark, dir)))
+    time("q39 full")(noop(SparkEntry.queries("q39_range_join")(spark, dir)))
+    time("q29 full")(noop(SparkEntry.queries("q29_part_supplier_rev")(spark, dir)))
+    time("q37 full")(noop(SparkEntry.queries("q37_ann_ivf")(spark, dir)))
 
     spark.stop()
   }
