@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DimDate
-import graft.operators.{Dedup, ExactAgg, Incremental, Joins, Multimodal, Similarity, TextOps, Transforms}
+import graft.operators.{Dedup, ExactAgg, Incremental, Joins, Multimodal, Sampling, Similarity, TextOps, Transforms}
 import graft.sources.JsonFlatten
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -452,6 +452,34 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  private val SampleSeed = "graft-mix"
+  private val SampleRate = 0.1
+
+  /** Deterministic hash-Bernoulli sample of events: membership is a
+    * pure function of (event_id, seed) — reproducible across runs,
+    * engines, and re-partitionings; shuffle-free filter. */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(
+        Tables.events(s, dir).withColumn("ts_us", tsUs).drop("ts"),
+        "event_id", SampleRate, SampleSeed)
+      .select("event_id", "user_id", "event_type", "value", "ts_us")
+      .orderBy("event_id")
+
+  /** Exact stratified sample with per-stratum training-mix weights:
+    * 20% of clicks, 5% of everything else, exact quota per stratum. */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(
+        Tables.events(s, dir).withColumn("ts_us", tsUs).drop("ts"),
+        stratumCol = "event_type", idCol = "event_id",
+        defaultFrac = 0.05, fracs = Map("click" -> 0.2), seed = SampleSeed)
+      .select("event_id", "user_id", "event_type", "value", "ts_us")
+      .orderBy("event_id")
+
+  /** TF-IDF top-5 terms per document (rounded-score ranking). */
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
+      .orderBy("doc_id", "rank")
+
   /** Bucketized range join: sampled lineitem price points against part
     * price±size intervals (equi-join on buckets, never a cross product). */
   private def q39(s: SparkSession, dir: String): DataFrame = {
@@ -509,6 +537,9 @@ object SparkEntry {
     "q38_asof_join" -> q38,
     "q39_range_join" -> q39,
     "q40_asof_bucketed" -> q40,
+    "q41_hash_sample" -> q41,
+    "q42_stratified_sample" -> q42,
+    "q43_tfidf_topterms" -> q43,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -893,6 +924,44 @@ object SparkEntry {
     // q40 is the skew-guarded variant of the same semantics — defined to
     // produce byte-identical output, so it shares q38's oracle
     "q40_asof_bucketed" -> asofOracle,
+    // the same salted 60-bit hash both engines compute; the threshold is
+    // one driver-computed integer literal so there is no float to drift
+    "q41_hash_sample" ->
+      s"""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+         |FROM events
+         |WHERE ('0x' || substr(md5(event_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT
+         |      < ${Sampling.threshold(SampleRate)}
+         |ORDER BY event_id""".stripMargin,
+    // fractions forced to ::DOUBLE — DuckDB decimal literals would take
+    // exact decimal math where Spark rounds through IEEE doubles, and
+    // ceil() would disagree whenever frac·n lands on an integer
+    "q42_stratified_sample" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us,
+         |         ('0x' || substr(md5(event_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS n FROM e)
+         |SELECT event_id, user_id, event_type, value, ts_us FROM r
+         |WHERE rn <= ceil((CASE WHEN event_type = 'click' THEN 0.2::DOUBLE
+         |                       ELSE 0.05::DOUBLE END) * n)
+         |ORDER BY event_id""".stripMargin,
+    "q43_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |         round(t.tf * ln(1.0 + nd.n_docs::DOUBLE / d.df), 6) AS tfidf
+        |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM scored)
+        |SELECT doc_id, rnk::BIGINT AS "rank", term, tf, df, tfidf
+        |FROM r WHERE rnk <= 5
+        |ORDER BY doc_id, "rank"""".stripMargin,
     "q34_set_ops" ->
       """SELECT user_id FROM (
         |  SELECT user_id FROM events WHERE event_type = 'click' AND value > 95

@@ -429,6 +429,35 @@ object TextOps {
       size(regexp_extract_all(col(textCol),
         lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"), lit(0))).cast("long").as("bpe_tokens"))
 
+  /** TF-IDF top-k terms per document — the classic keyword/topic signal
+    * a training-mix pipeline uses for domain tagging and quality
+    * filters. idf = ln(1 + N/df) (smoothed, always positive).
+    *
+    * Shape at corpus scale: one explode + (doc,term) count (shuffle 1),
+    * document frequency from those distinct pairs (shuffle 2, vocabulary
+    * cardinality), corpus size as a one-row broadcast, then a per-doc
+    * top-k window. Scores are rounded to 6 decimals BEFORE ranking so
+    * the ordering is identical cross-engine (ulp-level ln drift cannot
+    * reorder ties — same convention as the ANN cosine ranking). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(1.0) +
+          col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), col("df"), col("tfidf"))
+  }
+
   // -------------------------------------------------------- fingerprinting
 
   val FpBase = 131L // polynomial base; FpBase * P < 2⁶² keeps folds exact

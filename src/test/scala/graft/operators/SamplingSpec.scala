@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows = (1L to 5000L).map(i => (i, s"u${i % 97}",
+    if (i % 10 < 2) "click" else if (i % 10 < 6) "view" else "scroll"))
+  private def df = rows.toDF("id", "user", "kind")
+
+  test("hashSample is deterministic and partitioning-independent") {
+    val a = Sampling.hashSample(df, "id", 0.2, "s1").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df.repartition(7), "id", 0.2, "s1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("hashSample rate is honored in expectation and monotone in rate") {
+    val small = Sampling.hashSample(df, "id", 0.1, "s1").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val big = Sampling.hashSample(df, "id", 0.3, "s1").select("id")
+      .collect().map(_.getLong(0)).toSet
+    // raising the rate only ADDS rows — incremental-pipeline stability
+    assert(small.subsetOf(big))
+    assert(math.abs(small.size / 5000.0 - 0.1) < 0.02)
+    assert(math.abs(big.size / 5000.0 - 0.3) < 0.03)
+  }
+
+  test("different seeds give different (still deterministic) samples") {
+    val a = Sampling.hashSample(df, "id", 0.2, "s1").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val c = Sampling.hashSample(df, "id", 0.2, "s2").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a != c)
+  }
+
+  test("stratifiedSample hits the exact per-stratum quota") {
+    val out = Sampling.stratifiedSample(df, "kind", "id",
+      defaultFrac = 0.05, fracs = Map("click" -> 0.5))
+    val got = out.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = df.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (k, n) =>
+      val frac = if (k == "click") 0.5 else 0.05
+      assert(got(k) == math.ceil(frac * n).toLong,
+        s"stratum $k: got ${got(k)}, want ceil($frac*$n)")
+    }
+  }
+
+  test("stratifiedSample keeps original columns and is deterministic") {
+    val out = Sampling.stratifiedSample(df, "kind", "id", 0.1)
+    assert(out.columns.toSeq == Seq("id", "user", "kind"))
+    val a = out.select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedSample(df.repartition(11), "kind", "id", 0.1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("tfidfTopTerms scores a tiny corpus as computed by hand") {
+    val docs = Seq((1L, "a b b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(5)))
+    // N=2; df: a=1 b=2 c=1; idf_a = ln(3), idf_b = ln(2), idf_c = ln(3)
+    val lnRound = (x: Double) => math.round(x * 1e6) / 1e6
+    assert(out.toSeq == Seq(
+      (1L, 1L, "b", lnRound(2 * math.log(2.0))),
+      (1L, 2L, "a", lnRound(math.log(3.0))),
+      (2L, 1L, "c", lnRound(math.log(3.0))),
+      (2L, 2L, "b", lnRound(math.log(2.0)))))
+  }
+}
