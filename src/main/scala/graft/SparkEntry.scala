@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DimDate
-import graft.operators.{Dedup, ExactAgg, Incremental, Joins, Multimodal, Sampling, Similarity, TextOps, Transforms}
+import graft.operators.{Dedup, ExactAgg, Incremental, Joins, Multimodal, Packing, Sampling, Similarity, TextOps, Transforms}
 import graft.sources.JsonFlatten
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -480,6 +480,28 @@ object SparkEntry {
     TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
       .orderBy("doc_id", "rank")
 
+  /** Benchmark-contamination check: every 100th document plays the
+    * "eval suite"; each doc scores the fraction of its 3-gram shingles
+    * found anywhere in that probe set (broadcast — a benchmark is tiny
+    * next to a pre-training corpus). */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextOps.contamination(docs, "doc_id", "text",
+        probes = docs.filter(col("doc_id") % 100 === 0), n = 3)
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing: shard by doc_id % 8, contiguous-fill bins with a
+    * 2048-token budget over whitespace token counts. */
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(
+        TextOps.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
+          .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard"),
+            col("ws_tokens")),
+        shardCol = "shard", idCol = "doc_id", tokensCol = "ws_tokens",
+        budgetTokens = 2048L)
+      .orderBy("doc_id")
+
   /** Bucketized range join: sampled lineitem price points against part
     * price±size intervals (equi-join on buckets, never a cross product). */
   private def q39(s: SparkSession, dir: String): DataFrame = {
@@ -540,6 +562,8 @@ object SparkEntry {
     "q41_hash_sample" -> q41,
     "q42_stratified_sample" -> q42,
     "q43_tfidf_topterms" -> q43,
+    "q44_contamination" -> q44,
+    "q45_seq_packing" -> q45,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -947,6 +971,31 @@ object SparkEntry {
          |WHERE rn <= ceil((CASE WHEN event_type = 'click' THEN 0.2::DOUBLE
          |                       ELSE 0.05::DOUBLE END) * n)
          |ORDER BY event_id""".stripMargin,
+    // same hashed-shingle-vs-string convention q10 proved out; DuckDB
+    // prunes the shared CTE's unused `inter` branch
+    "q44_contamination" ->
+      s"""WITH $shingleCte,
+         |probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0),
+         |hits AS (SELECT a.doc_id, count(*) AS c
+         |         FROM sh a JOIN probe p ON a.s = p.s GROUP BY 1)
+         |SELECT z.doc_id, round(coalesce(h.c, 0) * 1.0 / z.n, 6) AS contamination
+         |FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id
+         |ORDER BY z.doc_id""".stripMargin,
+    // prefix cast ::BIGINT — DuckDB's windowed sum yields HUGEINT, which
+    // pandas would render as float and fail the exact compare
+    "q45_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         len(string_split(text, ' '))::BIGINT AS ws_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT *, coalesce(sum(ws_tokens) OVER (
+        |      PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prefix
+        |  FROM t)
+        |SELECT doc_id, shard, ws_tokens, prefix // 2048 AS bin,
+        |       prefix % 2048 AS bin_offset
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q43_tfidf_topterms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -458,6 +458,31 @@ object TextOps {
         col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Benchmark-contamination score: the fraction of each document's
+    * distinct n-gram shingles that also appear anywhere in a probe
+    * corpus (the eval/benchmark suite). The standard pre-training leak
+    * check — a doc scoring near 1.0 is a copy of something in the
+    * benchmark; near 0 is clean.
+    *
+    * Shape at corpus scale: the probe shingle set is benchmark-sized
+    * (small), deduped and broadcast, so the corpus-side cost is the
+    * shingle scan plus a broadcast hash join — no shuffle of the corpus
+    * index at all. Documents with fewer than n tokens have no shingles
+    * and produce no row (no 0/0 to define). */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    probes: DataFrame, n: Int = 3): DataFrame = {
+    val idx = hashedIndex(docs, idCol, textCol, n)
+    val probeSet = hashedIndex(probes, idCol, textCol, n)
+      .select(col("h")).distinct()
+    val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val hits = idx.join(broadcast(probeSet), Seq("h"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    sizes.join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("n_hits"), lit(0L)) * lit(1.0) /
+          col("n_shingles"), 6).as("contamination"))
+  }
+
   // -------------------------------------------------------- fingerprinting
 
   val FpBase = 131L // polynomial base; FpBase * P < 2⁶² keeps folds exact
