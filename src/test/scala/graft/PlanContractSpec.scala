@@ -101,4 +101,31 @@ class PlanContractSpec extends SparkSpec {
     assert(plan.contains("GreaterThan(event_id,5000)"),
       "watermark filter not pushed")
   }
+
+  test("hashSample is a shuffle-free filter over the scan") {
+    val plan = physical(graft.operators.Sampling.hashSample(
+      Tables.events(spark, dir), "event_id", 0.1))
+    assert(!plan.contains("Exchange"),
+      s"deterministic sample should not shuffle:\n$plan")
+  }
+
+  test("contamination joins the probe set as a broadcast, never sort-merge") {
+    val docs = Tables.documents(spark, dir)
+    val plan = physical(TextOps.contamination(
+      docs, "doc_id", "text", docs.filter(col("doc_id") % 100 === 0)))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe-set join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus index shuffled for the probe join:\n$plan")
+  }
+
+  test("packSequences partitions its window by shard (no global sort)") {
+    val plan = physical(graft.operators.Packing.packSequences(
+      TextOps.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
+        .withColumn("shard", pmod(col("doc_id"), lit(8L))),
+      "shard", "doc_id", "ws_tokens", 2048L))
+    assert(plan.contains("Window"), "packing window missing")
+    assert(!plan.contains("rangepartitioning"),
+      s"packing fell back to a global sort:\n$plan")
+  }
 }
