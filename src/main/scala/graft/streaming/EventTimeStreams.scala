@@ -41,4 +41,21 @@ object EventTimeStreams {
     events
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Gap-based sessionization on an unbounded stream: Spark's native
+    * `session_window` merges events per user into sessions that close
+    * after `gap` of event-time silence; the watermark both bounds state
+    * and decides when a session is final. The streaming counterpart of
+    * the batch q33 operator (same gap rule — a session is a maximal
+    * run of events with inter-event gaps < gap). */
+  def sessionize(events: DataFrame, tsCol: String, userCol: String,
+                 gap: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
 }

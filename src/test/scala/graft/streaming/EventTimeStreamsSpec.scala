@@ -54,4 +54,28 @@ class EventTimeStreamsSpec extends SparkSpec {
       assert(keys.count(_ == 7L) == 1)
     } finally q.stop()
   }
+
+  test("session_window sessionization merges runs and splits on gaps") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // 5-minute gap: events at :01 :03 :06 are one session (gaps 2, 3);
+    // :20 starts a new one. key 2 has a lone event → its own session.
+    val q = EventTimeStreams.sessionize(in.toDF(), "event_time", "key",
+      gap = "5 minutes", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(
+        Ev(ts(1), "a", 1.0, 1), Ev(ts(3), "a", 2.0, 1), Ev(ts(6), "a", 4.0, 1),
+        Ev(ts(20), "a", 8.0, 1), Ev(ts(2), "a", 16.0, 2))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(16)) ->
+          (r.getLong(3), r.getDouble(4))).toMap
+      assert(rows((1L, "2024-01-01 10:01")) == (3L, 7.0))  // merged run
+      assert(rows((1L, "2024-01-01 10:20")) == (1L, 8.0))  // after the gap
+      assert(rows((2L, "2024-01-01 10:02")) == (1L, 16.0))
+      assert(rows.size == 3)
+    } finally q.stop()
+  }
 }
