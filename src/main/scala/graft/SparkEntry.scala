@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DimDate
-import graft.operators.{Dedup, ExactAgg, Incremental, Joins, Multimodal, Packing, Sampling, Similarity, TextOps, Transforms}
+import graft.operators.{Dedup, ExactAgg, Incremental, Joins, Multimodal, Packing, Sampling, Similarity, Stats, TextOps, Transforms}
 import graft.sources.JsonFlatten
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -502,6 +502,18 @@ object SparkEntry {
         budgetTokens = 2048L)
       .orderBy("doc_id")
 
+  /** Exact grouped quantiles (R-7 interpolation, the convention Spark's
+    * percentile and DuckDB's quantile_cont share). */
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    Stats.groupedQuantiles(Tables.events(s, dir), "event_type", "value",
+        Seq(0.5, 0.9, 0.99))
+      .orderBy("event_type")
+
+  /** Fixed-width value histogram per event type (sparse buckets). */
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    Stats.histogram(Tables.events(s, dir), "event_type", "value", 10.0)
+      .orderBy("event_type", "bucket_lo")
+
   /** Bucketized range join: sampled lineitem price points against part
     * price±size intervals (equi-join on buckets, never a cross product). */
   private def q39(s: SparkSession, dir: String): DataFrame = {
@@ -564,6 +576,8 @@ object SparkEntry {
     "q43_tfidf_topterms" -> q43,
     "q44_contamination" -> q44,
     "q45_seq_packing" -> q45,
+    "q46_grouped_quantiles" -> q46,
+    "q47_histogram" -> q47,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -971,6 +985,16 @@ object SparkEntry {
          |WHERE rn <= ceil((CASE WHEN event_type = 'click' THEN 0.2::DOUBLE
          |                       ELSE 0.05::DOUBLE END) * n)
          |ORDER BY event_id""".stripMargin,
+    "q46_grouped_quantiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.9), 6) AS p90,
+        |       round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q47_histogram" ->
+      """SELECT event_type, floor(value / 10.0) * 10.0 AS bucket_lo,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // same hashed-shingle-vs-string convention q10 proved out; DuckDB
     // prunes the shared CTE's unused `inter` branch
     "q44_contamination" ->
