@@ -36,9 +36,13 @@ object DimDate {
       .foldLeft(lit("")) { case (acc, (n, i)) =>
         when(col("jmonth") === (i + 1), lit(n)).otherwise(acc)
       }
-    spark.range(1)
-      .select(explode(sequence(
-        to_date(lit(start)), to_date(lit(end)))).as("d"))
+    // distributed generation: explode(sequence(...)) would build the
+    // whole span inside one task; range() shards it across the cluster
+    val nDays = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(start), java.time.LocalDate.parse(end))
+    require(nDays >= 0, s"end $end precedes start $start")
+    spark.range(nDays + 1)
+      .select(date_add(to_date(lit(start)), col("id").cast("int")).as("d"))
       .withColumn("jp", GraftFunctions.jalaliParts(col("d")))
       .select(
         date_format(col("d"), "yyyy-MM-dd").as("miladi"),

@@ -23,8 +23,11 @@ object Stats {
   def groupedQuantiles(df: DataFrame, groupCol: String, valCol: String,
                        ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
-    val aggs = ps.map { p =>
-      val name = "p" + math.round(p * 100)
+    val names = ps.map(p => "p" + math.round(p * 100))
+    require(names.distinct.size == names.size,
+      s"quantile labels collide after rounding to whole percents: $names — " +
+        "space the requested quantiles at least 1% apart")
+    val aggs = ps.zip(names).map { case (p, name) =>
       round(percentile(col(valCol), lit(p)), 6).as(name)
     }
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
