@@ -32,14 +32,11 @@ object Dev {
     // q01 decomposition: where do the 3 s go?
     time("q01 full (1st)")(noop(SparkEntry.queries("q01_stg_trades")(spark, dir)))
     time("q01 full (2nd)")(noop(SparkEntry.queries("q01_stg_trades")(spark, dir)))
-    time("q01 no sort") {
+    time("transforms only, no sort") {
       noop(graft.operators.Transforms.stgTrades(li))
     }
     time("sort only") {
       noop(li.orderBy("l_orderkey", "l_linenumber"))
-    }
-    time("transforms only, no sort") {
-      noop(graft.operators.Transforms.stgTrades(li))
     }
 
     time("q02 full")(noop(SparkEntry.queries("q02_prd_trades_star")(spark, dir)))

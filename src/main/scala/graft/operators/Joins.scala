@@ -124,8 +124,14 @@ object Joins {
                        dimCols: Seq[String], bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val factCols = fact.columns.toSeq
+    // exact integral floor division: long `/` in Spark coerces to
+    // DOUBLE, which rounds above 2^53 (ns-epoch times are ~1.7e18) and
+    // could land a row one bucket off its carry row. The numerator is
+    // an exact multiple of the width, so a decimal divide yields the
+    // exact integer quotient at any long magnitude.
     def bucketOf(t: Column): Column =
-      ((t - pmod(t, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+      ((t - pmod(t, lit(bucketWidth))).cast("decimal(38,0)") /
+        lit(bucketWidth).cast("decimal(38,0)")).cast("long")
 
     val dimSchema = dim.select(dimCols.map(col): _*).schema.catalogString
     val factSchema = fact.select(factCols.map(col): _*).schema.catalogString

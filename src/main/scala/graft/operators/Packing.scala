@@ -25,8 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  // exact at any long magnitude: long `/` coerces to DOUBLE (rounds
+  // above 2^53); the numerator is an exact multiple of d, so a decimal
+  // divide returns the exact integer quotient
   private def floorDiv(x: Column, d: Long): Column =
-    ((x - pmod(x, lit(d))) / lit(d)).cast("long")
+    ((x - pmod(x, lit(d))).cast("decimal(38,0)") /
+      lit(d).cast("decimal(38,0)")).cast("long")
 
   def packSequences(docs: DataFrame, shardCol: String, idCol: String,
                     tokensCol: String, budgetTokens: Long): DataFrame = {

@@ -23,10 +23,14 @@ object Stats {
   def groupedQuantiles(df: DataFrame, groupCol: String, valCol: String,
                        ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
-    val names = ps.map(p => "p" + math.round(p * 100))
+    // labels keep sub-percent precision (0.999 → p99_9, never a column
+    // named p100 holding the 99.9th percentile)
+    val names = ps.map { p =>
+      "p" + BigDecimal.valueOf(p * 100).underlying.stripTrailingZeros
+        .toPlainString.replace(".", "_").replace("-", "m")
+    }
     require(names.distinct.size == names.size,
-      s"quantile labels collide after rounding to whole percents: $names — " +
-        "space the requested quantiles at least 1% apart")
+      s"duplicate quantiles requested: $ps")
     val aggs = ps.zip(names).map { case (p, name) =>
       round(percentile(col(valCol), lit(p)), 6).as(name)
     }

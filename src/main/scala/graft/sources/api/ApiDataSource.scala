@@ -161,6 +161,14 @@ final class ApiPartitionReader(schema: StructType, transportName: String,
       // immediate predecessor: duplicate-heavy feeds may legitimately
       // serve row-identical consecutive pages). A generous absolute cap
       // stays as the final backstop.
+      //
+      // SOURCE CONTRACT: a full page that is row-for-row identical to
+      // page 1 is indistinguishable from a paging-ignoring transport and
+      // terminates the scan — a feed whose legitimate page 2 exactly
+      // equals page 1 (every row, every column, same order) is read as
+      // one page. Feeds carrying any distinguishing column (id,
+      // meta.version, a timestamp — everything in the reference's API
+      // does) never trigger this.
       new Iterator[Seq[InternalRow]] {
         private var page = 1
         private var done = false

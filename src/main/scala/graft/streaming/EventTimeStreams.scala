@@ -49,13 +49,18 @@ object EventTimeStreams {
     * the batch q33 operator (same gap rule — a session is a maximal
     * run of events with inter-event gaps < gap). */
   def sessionize(events: DataFrame, tsCol: String, userCol: String,
-                 gap: String, lateness: String): DataFrame =
+                 gap: String, lateness: String,
+                 sumCol: Option[String] = None): DataFrame = {
+    val aggs = count(lit(1)).as("n_events") +:
+      sumCol.map(c => sum(col(c)).as(s"sum_$c")).toSeq
+    val outCols = Seq(col(userCol),
+      col("session_window.start").as("session_start"),
+      col("session_window.end").as("session_end"),
+      col("n_events")) ++ sumCol.map(c => col(s"sum_$c"))
     events
       .withWatermark(tsCol, lateness)
       .groupBy(session_window(col(tsCol), gap), col(userCol))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-      .select(col(userCol),
-        col("session_window.start").as("session_start"),
-        col("session_window.end").as("session_end"),
-        col("n_events"), col("sum_value"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(outCols: _*)
+  }
 }

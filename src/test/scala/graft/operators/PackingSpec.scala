@@ -29,6 +29,32 @@ class PackingSpec extends SparkSpec {
     assert(out(("B", 2L)) == (2L, 904L))
   }
 
+  test("bucket/bin arithmetic is exact beyond double precision (2^53)") {
+    // ns-epoch-scale values with an odd width: a double-coerced long
+    // division would land some of these one bucket off
+    val width = 3600000001L
+    val ts = Seq(1700000000000000000L, 1700000000000000000L + width - 1,
+      1700000000000000000L + width, 9210000000000000000L)
+    val df = ts.map(t => ("s", t, 1L)).toDF("shard", "id", "toks")
+    val bins = Packing.packSequences(df, "shard", "id", "toks", width)
+      .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // prefix sums are 0,1,2,3 → all bin 0; the real check is the as-of
+    // bucket kernel below, driven through asofJoinBucketed at the same
+    // magnitudes
+    assert(bins.values.forall(_ == 0L))
+    val facts = ts.zipWithIndex
+      .map { case (t, i) => (i.toLong, 1L, t) }.toDF("fid", "k", "t")
+    val dims = ts.map(t => (1L, t - 1, s"v${t % 1000}"))
+      .toDF("k", "dt", "dval")
+      .groupBy("k", "dt").agg(org.apache.spark.sql.functions.min("dval").as("dval"))
+    val plain = Joins.asofJoin(facts, dims, "k", "t", "dt", Seq("dval"))
+      .collect().map(_.toSeq).toSet
+    val bucketed = Joins.asofJoinBucketed(
+      facts, dims, "k", "t", "dt", Seq("dval"), width)
+      .collect().map(_.toSeq).toSet
+    assert(bucketed == plain, "bucketed as-of diverged at ns-epoch magnitudes")
+  }
+
   test("packing is deterministic under repartitioning") {
     val docs = (1L to 2000L).map(i => (i % 5, i, 50 + i % 400))
       .toDF("shard", "id", "toks")

@@ -61,7 +61,7 @@ class EventTimeStreamsSpec extends SparkSpec {
     // 5-minute gap: events at :01 :03 :06 are one session (gaps 2, 3);
     // :20 starts a new one. key 2 has a lone event → its own session.
     val q = EventTimeStreams.sessionize(in.toDF(), "event_time", "key",
-      gap = "5 minutes", lateness = "10 minutes")
+      gap = "5 minutes", lateness = "10 minutes", sumCol = Some("value"))
       .writeStream.format("memory").queryName("sessions")
       .outputMode(OutputMode.Complete()).start()
     try {
