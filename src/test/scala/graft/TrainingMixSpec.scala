@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Packing, Sampling, TextOps}
+
+/** End-to-end training-mix pipeline over the sf0.001 documents table:
+  * near-dup dedup (keep cluster keepers) → benchmark decontamination →
+  * language-stratified sampling → sequence packing. The composition a
+  * pre-training data job actually runs, asserted stage by stage —
+  * every operator is the same one the driver's oracle gate certifies
+  * individually (q31, q44, q42, q45 shapes). */
+class TrainingMixSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup → decontaminate → stratify → pack composes end to end") {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+
+    // 1. near-dup clustering; keep one doc per cluster
+    val clusters = TextOps.dedupClusters(docs, "doc_id", "text",
+      n = 3, threshold = 0.8)
+    val keepers = docs.join(
+      clusters.filter(col("is_keeper")).select("doc_id"), Seq("doc_id"))
+    val nKeepers = keepers.count()
+    assert(nKeepers < nDocs, "fixtures plant near-dup pairs; some must drop")
+    assert(nKeepers > nDocs / 2, "dedup must not collapse the corpus")
+
+    // 2. decontaminate against a fake benchmark (every 50th doc)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val contam = TextOps.contamination(keepers, "doc_id", "text", bench)
+    val clean = keepers.join(
+      contam.filter(col("contamination") < 0.5).select("doc_id"), Seq("doc_id"))
+    val benchKeepers = keepers.join(bench.select("doc_id"), Seq("doc_id")).count()
+    val dropped = nKeepers - clean.count()
+    // benchmark members drop (full self-overlap); NEAR-DUPS of benchmark
+    // members drop too — their shingle overlap with the bench copy is
+    // exactly the leak the check exists to catch. The fixtures plant a
+    // handful of such cross-boundary pairs.
+    assert(dropped >= benchKeepers, "every benchmark member must drop")
+    assert(dropped <= benchKeepers + 10,
+      s"only bench members + their few planted near-dups may drop (dropped=$dropped)")
+    assert(clean.join(bench.select("doc_id"), Seq("doc_id")).isEmpty,
+      "no benchmark member survives decontamination")
+
+    // 3. stratify by language (the table's own lang tag) with
+    // per-language mix weights
+    val tagged = clean
+    val langs = tagged.select("lang").distinct().collect().map(_.getString(0))
+    val hotLang = langs.head
+    val sampled = Sampling.stratifiedSample(tagged, "lang", "doc_id",
+      defaultFrac = 0.5, fracs = Map(hotLang -> 1.0))
+    val perLang = tagged.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampledPerLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (l, n) =>
+      val frac = if (l == hotLang) 1.0 else 0.5
+      assert(sampledPerLang.getOrElse(l, 0L) == math.ceil(frac * n).toLong,
+        s"stratum $l missed its quota")
+    }
+
+    // 4. pack into 2048-token bins, sharded by language
+    val packed = Packing.packSequences(
+      sampled.select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("ws_tokens")),
+      shardCol = "lang", idCol = "doc_id", tokensCol = "ws_tokens",
+      budgetTokens = 2048L)
+    assert(packed.count() == sampled.count(), "packing is row-preserving")
+    // within every (lang, bin), token totals stay near the budget: a bin
+    // only exceeds it by less than its last doc's length
+    val over = packed.groupBy("lang", "bin")
+      .agg(sum("ws_tokens").as("toks"), max("ws_tokens").as("maxdoc"))
+      .filter(col("toks") >= lit(2048L) + col("maxdoc"))
+    assert(over.isEmpty, "a bin exceeded budget + one document")
+  }
+}
