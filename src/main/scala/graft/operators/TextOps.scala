@@ -269,13 +269,14 @@ object TextOps {
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      // carry the previous label through the checkpoint so convergence
+      // is a filter over the materialized round, not a second join
       val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint(true)
-      converged = updated.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).isEmpty
-      labels = updated
+      converged = updated.filter(col("label") =!= col("prev")).isEmpty
+      labels = updated.select("id", "label")
       i += 1
     }
     // a silent non-fixpoint would return wrong cluster labels — refuse
