@@ -300,6 +300,27 @@ object SparkEntry {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("cohort"))
 
+  /** CUBE grouping sets (all 4 combinations of the two dimensions). */
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("cohort", (col("user_id") % 10).cast("long"))
+      .cube(col("event_type"), col("cohort"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("cohort"))
+
+  /** UNPIVOT/melt: wide metric columns to (metric, val) rows. */
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 500 === 0)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "val")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
   /** JSON scalar extraction from the event payload column. */
   private def q28(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -578,6 +599,8 @@ object SparkEntry {
     "q45_seq_packing" -> q45,
     "q46_grouped_quantiles" -> q46,
     "q47_histogram" -> q47,
+    "q48_cube_agg" -> q48,
+    "q49_unpivot" -> q49,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -918,6 +941,23 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
         |ORDER BY event_id""".stripMargin,
+    "q48_cube_agg" ->
+      """SELECT event_type, user_id % 10 AS cohort,
+        |       count(*) AS n,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY CUBE (event_type, cohort)
+        |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin,
+    "q49_unpivot" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |  FROM lineitem WHERE l_orderkey % 500 = 0)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM src
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "q29_part_supplier_rev" ->
       """SELECT p_brand, n_name AS supp_nation,
         |       count(*) AS n_lines,
