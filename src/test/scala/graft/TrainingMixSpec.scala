@@ -29,9 +29,14 @@ class TrainingMixSpec extends SparkSpec {
 
     // 2. decontaminate against a fake benchmark (every 50th doc)
     val bench = docs.filter(col("doc_id") % 50 === 0)
+    // left join: contamination() emits no row for docs shorter than n
+    // tokens — those are shingle-less, hence uncontaminated, and must
+    // survive (an inner join would silently drop them)
     val contam = TextOps.contamination(keepers, "doc_id", "text", bench)
-    val clean = keepers.join(
-      contam.filter(col("contamination") < 0.5).select("doc_id"), Seq("doc_id"))
+    val clean = keepers
+      .join(contam, Seq("doc_id"), "left")
+      .filter(coalesce(col("contamination"), lit(0.0)) < 0.5)
+      .drop("contamination")
     val benchKeepers = keepers.join(bench.select("doc_id"), Seq("doc_id")).count()
     val dropped = nKeepers - clean.count()
     // benchmark members drop (full self-overlap); NEAR-DUPS of benchmark
@@ -46,12 +51,11 @@ class TrainingMixSpec extends SparkSpec {
 
     // 3. stratify by language (the table's own lang tag) with
     // per-language mix weights
-    val tagged = clean
-    val langs = tagged.select("lang").distinct().collect().map(_.getString(0))
+    val langs = clean.select("lang").distinct().collect().map(_.getString(0))
     val hotLang = langs.head
-    val sampled = Sampling.stratifiedSample(tagged, "lang", "doc_id",
+    val sampled = Sampling.stratifiedSample(clean, "lang", "doc_id",
       defaultFrac = 0.5, fracs = Map(hotLang -> 1.0))
-    val perLang = tagged.groupBy("lang").count().collect()
+    val perLang = clean.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val sampledPerLang = sampled.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
