@@ -71,6 +71,26 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinBucketed ≡ asofJoin on seeded random data, odd widths") {
+    val rnd = new scala.util.Random(0xA50F)
+    val facts = (1 to 5000).map { i =>
+      (i.toLong, (rnd.nextInt(40) + 1).toLong, rnd.nextLong(1000000L), s"f$i")
+    }.toDF("fid", "k", "t", "payload")
+    val dims = (1 to 2000).map { i =>
+      ((rnd.nextInt(40) + 1).toLong, rnd.nextLong(1000000L), s"d$i")
+    }.toDF("k", "dt", "dval")
+      .groupBy("k", "dt")
+      .agg(org.apache.spark.sql.functions.min("dval").as("dval"))
+    val plain = Joins.asofJoin(facts, dims, "k", "t", "dt", Seq("dval", "dt"))
+      .collect().map(_.toSeq).toSet
+    for (w <- Seq(1L, 997L, 32768L, 1000003L)) {
+      val bucketed = Joins.asofJoinBucketed(
+        facts, dims, "k", "t", "dt", Seq("dval", "dt"), w)
+        .collect().map(_.toSeq).toSet
+      assert(bucketed == plain, s"random-data divergence at width=$w")
+    }
+  }
+
   test("asofJoinBucketed partitions the window by (key, bucket)") {
     val plan = Joins.asofJoinBucketed(
       fact, dim, "k", "t", "dt", Seq("dval"), 10L)

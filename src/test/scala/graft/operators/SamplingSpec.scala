@@ -61,6 +61,18 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("stratifiedSample is monotone in fraction (superset under growth)") {
+    // the ranking is fixed per stratum and only the quota grows, so a
+    // larger fraction must keep every previously selected row — the
+    // same incremental-pipeline stability hashSample guarantees
+    val small = Sampling.stratifiedSample(df, "kind", "id", 0.1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.stratifiedSample(df, "kind", "id", 0.4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+    assert(small.nonEmpty && big.size > small.size)
+  }
+
   test("tfidfTopTerms scores a tiny corpus as computed by hand") {
     val docs = Seq((1L, "a b b"), (2L, "b c")).toDF("doc_id", "text")
     val out = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)
