@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DimDate
-import graft.operators.{Dedup, ExactAgg, Incremental, Joins, Multimodal, Packing, Sampling, Similarity, Stats, TextOps, Transforms}
+import graft.operators.{Dedup, ExactAgg, Incremental, Joins, Multimodal, Packing, Resample, Sampling, Similarity, Stats, TextOps, Transforms}
 import graft.sources.JsonFlatten
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -321,6 +321,19 @@ object SparkEntry {
         "metric", "val")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** LOCF resampling: hourly as-of snapshots of each sampled user's
+    * irregular event stream (grid ⋈asof observations; see Resample). */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(s, dir).withColumn("ts_us", tsUs)
+      .filter(col("user_id") % 25 === 0)
+      // asofJoin determinism contract: unique (key, time)
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("value")).as("value"))
+    Resample.resampleLocf(obs, "user_id", "ts_us", Seq("value", "ts_us"),
+        stepUs = 3600L * 1000000L)
+      .orderBy("user_id", "grid_ts")
+  }
+
   /** JSON scalar extraction from the event payload column. */
   private def q28(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -601,6 +614,7 @@ object SparkEntry {
     "q47_histogram" -> q47,
     "q48_cube_agg" -> q48,
     "q49_unpivot" -> q49,
+    "q50_resample_locf" -> q50,
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -948,6 +962,20 @@ object SparkEntry {
         |FROM events
         |GROUP BY CUBE (event_type, cohort)
         |ORDER BY event_type NULLS FIRST, cohort NULLS FIRST""".stripMargin,
+    "q50_resample_locf" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS value
+        |  FROM events WHERE user_id % 25 = 0 GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(ts_us) AS lo, max(ts_us) AS hi FROM o GROUP BY 1),
+        |g AS (SELECT user_id,
+        |        unnest(generate_series((lo + 3599999999) // 3600000000,
+        |                               hi // 3600000000)) AS k
+        |      FROM s),
+        |grid AS (SELECT user_id, k * 3600000000 AS grid_ts FROM g)
+        |SELECT grid.user_id, grid.grid_ts, o.value, o.ts_us
+        |FROM grid ASOF LEFT JOIN o
+        |  ON grid.user_id = o.user_id AND grid.grid_ts >= o.ts_us
+        |ORDER BY grid.user_id, grid.grid_ts""".stripMargin,
     "q49_unpivot" ->
       """WITH src AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
