@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** Scale stress for the dedup family: blow the sf0.1 documents table up
+  * N× (each copy's text perturbed by one appended token → a near-dup,
+  * not an exact dup), then run the LSH near-dup pipeline end to end.
+  * This makes every original doc a 20-member near-dup cluster —
+  * a duplicate-STORM corpus, far denser than a real crawl — so the
+  * candidate path, exact verification and connected components all see
+  * quadratic-per-group load (C(20,2)·5k ≈ 950k true pairs at 20×).
+  * Evidence for docs/SCALE.md, not part of the driver contract. */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = Engine.withGraftConfs(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select("doc_id", "text")
+    val big = base
+      .crossJoin(spark.range(factor).select(col("id").as("copy")))
+      .select((col("doc_id") * factor + col("copy")).as("doc_id"),
+        concat(col("text"), lit(" copytag"), col("copy")).as("text"))
+      .localCheckpoint(true)
+    val n = big.count()
+    println(s"[stress] corpus: $n docs (${factor}x sf0.1)")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[stress] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($rows rows)")
+    }
+
+    time("exactDedup") {
+      TextOps.exactDedup(big, "doc_id", "text").count()
+    }
+    time("minhashDedupPairs") {
+      TextOps.minhashDedupPairs(big, "doc_id", "text", n = 3, threshold = 0.8).count()
+    }
+    time("dedupClusters") {
+      TextOps.dedupClusters(big, "doc_id", "text", n = 3, threshold = 0.8).count()
+    }
+    time("contamination") {
+      TextOps.contamination(big, "doc_id", "text",
+        probes = base.filter(col("doc_id") % 100 === 0)).count()
+    }
+    spark.stop()
+  }
+}
