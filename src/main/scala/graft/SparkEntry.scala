@@ -432,9 +432,12 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
-  /** Multi-table hyperplane-LSH ANN (scale path; rows-only check —
-    * approximate results have no SQL oracle, recall is spec-gated
-    * against brute force in SimilaritySpec). */
+  /** Multi-table hyperplane-LSH ANN (scale path). Fully oracle-checked:
+    * the bucket function is deterministic splitmix64 integer math
+    * (ArrayMath.planeCoeff), transliterated to DuckDB HUGEINT SQL, so
+    * the oracle reproduces the exact candidate sets and rerank — not
+    * just a rows-only count. Recall is additionally spec-gated against
+    * brute force in SimilaritySpec. */
   private def q36(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Similarity.lshTopK(e, e.filter(col("vec_id") % 50 === 0),
@@ -442,11 +445,15 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF ANN with trained coarse quantizer (scale path; rows-only). */
+  /** IVF ANN (scale path). iters = 0 keeps the quantizer deterministic
+    * and SQL-expressible (seed centroids = 16 smallest vec_ids) so the
+    * DuckDB oracle replays assignment, probing, and rerank exactly; the
+    * Lloyd-trained variant is recall-gated in SimilaritySpec. */
   private def q37(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Similarity.ivfTopK(e, e.filter(col("vec_id") % 50 === 0),
-        "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
+        "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4,
+        iters = 0)
       .orderBy("query_id", "rank")
   }
 
@@ -699,7 +706,95 @@ object SparkEntry {
        |FROM g ORDER BY doc_id""".stripMargin
   }
 
+  /** Rounded cosine between two DOUBLE[] lists — the exact convention
+    * of the native kernel + round(…, 6) used by every ANN query. */
+  private def sqlCosine(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / " +
+      s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  /** DuckDB transliteration of ArrayMath.planeCoeff — the splitmix64
+    * (plane, dim) mix, bit for bit. HUGEINT carries the unsigned-64
+    * domain; the two 64×64 wrapping multiplies are split hi/lo-32 so no
+    * intermediate exceeds 2^96 (a full 64×64 product overflows INT128).
+    * Validated coefficient-for-coefficient against the JVM kernel.
+    * Emits `coef(plane, dim, c)`; dim range derives from the data. */
+  private def planeCoeffCte(nPlanes: Int, nTables: Int): String = {
+    def mulmod(a: String, hi: Long, lo: Long): String =
+      s"((($a) * $hi::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT" +
+        s" + ($a) * $lo::HUGEINT) % 18446744073709551616::HUGEINT"
+    s"""pd AS (SELECT plane::HUGEINT AS plane,
+       |         unnest(generate_series(0, (SELECT max(len(embedding)) - 1 FROM embeddings)))::HUGEINT AS dim
+       |       FROM range(0, ${nTables * nPlanes}) p(plane)),
+       |s0 AS (SELECT plane, dim,
+       |  (plane * 11400714819323198485::HUGEINT % 18446744073709551616::HUGEINT
+       |   + dim * 14029467366897019727::HUGEINT % 18446744073709551616::HUGEINT
+       |   + 1609587929392839161::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM pd),
+       |s1 AS (SELECT plane, dim, ${mulmod("xor(z, z // 1073741824::HUGEINT)", 3210233709L, 484763065L)} AS z FROM s0),
+       |s2 AS (SELECT plane, dim, ${mulmod("xor(z, z // 134217728::HUGEINT)", 2496678331L, 321982955L)} AS z FROM s1),
+       |coef AS (SELECT plane::BIGINT AS plane, dim::BIGINT AS dim,
+       |  ((xor(z, z // 2147483648::HUGEINT) // 2048::HUGEINT)::DOUBLE / 9007199254740992::DOUBLE) * 2.0 - 1.0 AS c
+       |  FROM s2)""".stripMargin
+  }
+
+  /** q36 oracle: full replay of lshTopK — per-table sign-pattern
+    * buckets from the splitmix64 planes, candidate equi-join on
+    * (table, bucket), exact rounded-cosine rerank. */
+  private def annLshOracle(nPlanes: Int, nTables: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |${planeCoeffCte(nPlanes, nTables)},
+       |dots AS (
+       |  SELECT e.vec_id, coef.plane // $nPlanes AS tbl, coef.plane % $nPlanes AS p,
+       |         sum(e.v[coef.dim + 1] * coef.c) AS dot
+       |  FROM e, coef WHERE coef.dim < len(e.v)
+       |  GROUP BY 1, 2, 3),
+       |buckets AS (
+       |  SELECT vec_id, tbl,
+       |         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |qb AS (SELECT vec_id, tbl, bucket FROM buckets WHERE vec_id % 50 = 0),
+       |cand AS (SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS neighbor_id
+       |         FROM qb JOIN buckets c ON qb.tbl = c.tbl AND qb.bucket = c.bucket
+       |         WHERE c.vec_id != qb.vec_id),
+       |s AS (SELECT cand.query_id, cand.neighbor_id, ${sqlCosine("eq.v", "ec.v")} AS cosine
+       |      FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+       |                JOIN e ec ON ec.vec_id = cand.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |      FROM s)
+       |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** q37 oracle: full replay of the deterministic-quantizer IVF probe —
+    * seed centroids (smallest ids), rounded-cosine argmax assignment,
+    * nProbe nearest lists per query, exact rerank. */
+  private def annIvfOracle(nCentroids: Int, nProbe: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, v AS cvec FROM e ORDER BY vec_id LIMIT $nCentroids),
+       |asg AS (SELECT e.vec_id, cent.centroid_id,
+       |          row_number() OVER (PARTITION BY e.vec_id
+       |            ORDER BY ${sqlCosine("e.v", "cent.cvec")} DESC, cent.centroid_id) AS rn
+       |        FROM e, cent),
+       |idx AS (SELECT vec_id AS neighbor_id, centroid_id FROM asg WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id % 50 = 0),
+       |pr AS (SELECT q.query_id, cent.centroid_id,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |           ORDER BY ${sqlCosine("q.v", "cent.cvec")} DESC, cent.centroid_id) AS rn
+       |       FROM q, cent),
+       |cand AS (SELECT pr.query_id, idx.neighbor_id
+       |         FROM pr JOIN idx ON pr.centroid_id = idx.centroid_id
+       |         WHERE pr.rn <= $nProbe AND idx.neighbor_id != pr.query_id),
+       |s AS (SELECT cand.query_id, cand.neighbor_id, ${sqlCosine("eq.v", "ec.v")} AS cosine
+       |      FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+       |                JOIN e ec ON ec.vec_id = cand.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |      FROM s)
+       |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q36_ann_lsh" -> annLshOracle(nPlanes = 4, nTables = 8, k = 10),
+    "q37_ann_ivf" -> annIvfOracle(nCentroids = 16, nProbe = 4, k = 10),
     "q01_stg_trades" ->
       """SELECT l_orderkey, l_partkey, j_date,
         |       l_suppkey, l_linenumber, l_quantity, l_extendedprice,

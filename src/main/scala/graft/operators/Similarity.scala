@@ -125,12 +125,16 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment (broadcast centroids, argmax by
-    * cosine with deterministic tie-break). */
+    * cosine with deterministic tie-break). The similarity is rounded to
+    * 6 dp BEFORE the argmax — same convention as the top-k rerank: the
+    * assignment becomes a pure function of the data (engine-exact, so
+    * the DuckDB oracle reproduces the identical inverted lists) instead
+    * of depending on last-ulp summation order. */
   private def assignToCentroid(df: DataFrame, centroids: DataFrame,
                                idCol: String, vecCol: String): DataFrame = {
     val scored = df.crossJoin(broadcast(centroids))
-      .withColumn("__sim", ArrayMath.cosineSimilarity(
-        col(vecCol).cast("array<double>"), col("cvec")))
+      .withColumn("__sim", round(ArrayMath.cosineSimilarity(
+        col(vecCol).cast("array<double>"), col("cvec")), 6))
     scored.groupBy(col(idCol))
       .agg(max_by(struct(col("centroid_id"), col(vecCol).as("v")),
         struct(col("__sim"), -col("centroid_id"))).as("best"))
@@ -184,8 +188,9 @@ object Similarity {
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .crossJoin(broadcast(ivf.centroids))
-      .withColumn("__sim", ArrayMath.cosineSimilarity(
-        col("__qv").cast("array<double>"), col("cvec")))
+      // rounded for the same engine-exactness reason as assignToCentroid
+      .withColumn("__sim", round(ArrayMath.cosineSimilarity(
+        col("__qv").cast("array<double>"), col("cvec")), 6))
       .withColumn("__r", row_number().over(wq))
       .filter(col("__r") <= nProbe)
       .select(col("query_id"), col("__qv"), col("centroid_id"))
@@ -203,10 +208,15 @@ object Similarity {
   /** IVF approximate top-k in one call (build + probe). Complements
     * lshTopK: IVF adapts buckets to the data distribution (trained),
     * LSH is data-independent (no training pass). Repeated query batches
-    * should build once via [[buildIvfIndex]] and probe the artifact. */
+    * should build once via [[buildIvfIndex]] and probe the artifact.
+    * `iters = 0` skips Lloyd entirely: centroids are the nCentroids
+    * smallest-id vectors — a deterministic, SQL-expressible quantizer
+    * (how the driver oracle certifies the probe machinery); positive
+    * `iters` buys recall via data-adapted centroids. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame =
-    probeIvfIndex(buildIvfIndex(corpus, idCol, vecCol, nCentroids),
+              vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
+              iters: Int = 2): DataFrame =
+    probeIvfIndex(buildIvfIndex(corpus, idCol, vecCol, nCentroids, iters),
       queries, idCol, vecCol, k, nProbe)
 
   /** All near-duplicate pairs by embedding cosine ≥ threshold — the
