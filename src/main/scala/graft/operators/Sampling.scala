@@ -52,21 +52,67 @@ object Sampling {
     * quota per stratum (a Bernoulli filter only hits the quota in
     * expectation), deterministic tie-break via the unique id. `fracs`
     * overrides the default fraction per stratum value — the per-source
-    * mixing-weights shape of a training-mix config. One shuffle. */
+    * mixing-weights shape of a training-mix config.
+    *
+    * Two-phase, skew-proof: a naive `row_number` over
+    * `partitionBy(stratum)` sorts every hot stratum in ONE task — at
+    * 100 TB a stratum is a source domain with billions of rows. Instead:
+    *  - Phase 1 histograms hash keys into 2^(60-shift) buckets per
+    *    stratum (pure hash aggregate, no sort) and locates the single
+    *    boundary bucket where the quota-th smallest (hash, id) lands —
+    *    a window over ≤ 2^(60-shift) tiny histogram rows per stratum.
+    *  - Phase 2 keeps every row hashing below the boundary bucket with
+    *    a shuffle-free broadcast-join filter, and ranks ONLY the
+    *    boundary bucket's rows (~|stratum|/2^(60-shift) of the data,
+    *    uniform by construction) for the exact cut.
+    * Same selected set as the single-window form — the bucket is the
+    * hash's high bits, so bucket order refines hash order — at the cost
+    * of scanning `df` twice. `boundaryShift` trades boundary-task size
+    * against histogram width (50 → 1024 buckets → the ranked slice is
+    * ~0.1% of the hottest stratum). */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        defaultFrac: Double,
                        fracs: Map[String, Double] = Map.empty,
-                       seed: String = "graft"): DataFrame = {
+                       seed: String = "graft",
+                       boundaryShift: Int = 50): DataFrame = {
     (defaultFrac +: fracs.values.toSeq).foreach(f =>
       require(f >= 0.0 && f <= 1.0, s"fraction $f outside [0,1]"))
+    require(boundaryShift >= 30 && boundaryShift <= 59,
+      s"boundaryShift=$boundaryShift outside [30, 59]")
     val fracCol = fracs.foldLeft(lit(defaultFrac)) { case (acc, (k, v)) =>
       when(col(stratumCol) === k, lit(v)).otherwise(acc)
     }
+    val h = hashKey(col(idCol), seed)
+    val bucket = shiftright(h, boundaryShift)
+
+    // Phase 1: histogram → per-stratum quota and boundary bucket.
     val byStratum = Window.partitionBy(col(stratumCol))
-    val ranked = byStratum.orderBy(hashKey(col(idCol), seed), col(idCol))
-    df.withColumn("__rn", row_number().over(ranked))
-      .withColumn("__n", count(lit(1)).over(byStratum))
-      .filter(col("__rn") <= ceil(fracCol * col("__n")))
-      .drop("__rn", "__n")
+    val cum = sum(col("__cnt")).over(byStratum.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0))
+    val bounds = df
+      .groupBy(col(stratumCol).as("__s"), bucket.as("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn(stratumCol, col("__s"))
+      .withColumn("__cum", cum)
+      .withColumn("__quota", ceil(fracCol * sum(col("__cnt")).over(byStratum)))
+      // the unique bucket containing the quota-th smallest hash; strata
+      // with quota 0 (frac = 0) match no bucket and drop in the join
+      .filter(col("__cum") >= col("__quota") &&
+        col("__cum") - col("__cnt") < col("__quota"))
+      .select(col("__s"), col("__b").as("__bb"),
+        (col("__quota") - (col("__cum") - col("__cnt"))).as("__r"))
+
+    // Phase 2: keep below-boundary rows outright; exact-rank only the
+    // boundary bucket (null-safe stratum join preserves a null stratum
+    // as its own group, like the window form did).
+    val keyed = df.withColumn("__h", h).withColumn("__b", bucket)
+      .join(broadcast(bounds), col(stratumCol) <=> col("__s"))
+    val original = df.columns.map(col).toSeq
+    val below = keyed.filter(col("__b") < col("__bb"))
+    val boundary = keyed.filter(col("__b") === col("__bb"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__s")).orderBy(col("__h"), col(idCol))))
+      .filter(col("__rn") <= col("__r"))
+    below.select(original: _*).unionByName(boundary.select(original: _*))
   }
 }

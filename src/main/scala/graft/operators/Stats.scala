@@ -17,24 +17,50 @@ import org.apache.spark.sql.functions._
   * of (group, bucket) partial counts, no value buffering at all. */
 object Stats {
 
-  /** One row per group: `p<NN>` columns with the exact interpolated
-    * quantile of `valCol`, rounded to 6 decimals (cross-engine float
-    * parity). */
-  def groupedQuantiles(df: DataFrame, groupCol: String, valCol: String,
-                       ps: Seq[Double]): DataFrame = {
+  /** `p<NN>` column labels with sub-percent precision (0.999 → p99_9,
+    * never a column named p100 holding the 99.9th percentile). */
+  private def quantileNames(ps: Seq[Double]): Seq[String] = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
-    // labels keep sub-percent precision (0.999 → p99_9, never a column
-    // named p100 holding the 99.9th percentile)
     val names = ps.map { p =>
       "p" + BigDecimal.valueOf(p * 100).underlying.stripTrailingZeros
         .toPlainString.replace(".", "_").replace("-", "m")
     }
     require(names.distinct.size == names.size,
       s"duplicate quantiles requested: $ps")
-    val aggs = ps.zip(names).map { case (p, name) =>
+    names
+  }
+
+  /** One row per group: `p<NN>` columns with the exact interpolated
+    * quantile of `valCol`, rounded to 6 decimals (cross-engine float
+    * parity). */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                       ps: Seq[Double]): DataFrame = {
+    val aggs = ps.zip(quantileNames(ps)).map { case (p, name) =>
       round(percentile(col(valCol), lit(p)), 6).as(name)
     }
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[groupedQuantiles]] with bounded memory: same output schema, but
+    * the per-group state is a mergeable fixed-size sketch
+    * (`approx_percentile`) instead of a buffer of every value — the
+    * form that survives an unbounded hot group (one event type with
+    * billions of rows) at 100 TB, where the exact variant OOMs its
+    * reduce task. Rank error ≤ 1/`accuracy`; raise `accuracy` to
+    * tighten (memory grows linearly with it, independent of group
+    * size). Use the exact form when groups are known-bounded — it is
+    * the one the DuckDB oracle certifies. */
+  def approxGroupedQuantiles(df: DataFrame, groupCol: String,
+                             valCol: String, ps: Seq[Double],
+                             accuracy: Int = 10000): DataFrame = {
+    require(accuracy >= 1, s"accuracy=$accuracy must be positive")
+    val names = quantileNames(ps)
+    val sketch = approx_percentile(col(valCol),
+      array(ps.map(lit): _*), lit(accuracy))
+    df.groupBy(col(groupCol)).agg(sketch.as("__q"))
+      .select(col(groupCol) +: names.zipWithIndex.map { case (name, i) =>
+        round(element_at(col("__q"), i + 1), 6).as(name)
+      }: _*)
   }
 
   /** Fixed-width histogram per group: bucket lower bound (an exact

@@ -109,6 +109,20 @@ class PlanContractSpec extends SparkSpec {
       s"deterministic sample should not shuffle:\n$plan")
   }
 
+  test("stratifiedSample broadcasts bounds and never sorts a whole stratum") {
+    val plan = physical(graft.operators.Sampling.stratifiedSample(
+      Tables.events(spark, dir), "event_type", "event_id",
+      defaultFrac = 0.05, fracs = Map("click" -> 0.2), seed = "graft-mix"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-stratum bounds not broadcast:\n$plan")
+    assert(plan.contains("Union"),
+      s"below/boundary split missing — whole-stratum window suspected:\n$plan")
+    // the only full-data window must rank the boundary bucket subset,
+    // i.e. sit above the bucket-equality filter, not the raw scan
+    assert(plan.contains("__bb"),
+      s"boundary-bucket filter missing below the ranking window:\n$plan")
+  }
+
   test("contamination joins the probe set as a broadcast, never sort-merge") {
     val docs = Tables.documents(spark, dir)
     val plan = physical(TextOps.contamination(

@@ -73,6 +73,44 @@ class SamplingSpec extends SparkSpec {
     assert(small.nonEmpty && big.size > small.size)
   }
 
+  test("two-phase stratifiedSample equals the single-window reference") {
+    import org.apache.spark.sql.expressions.Window
+    // the pre-round-4 implementation, kept as the semantic reference:
+    // rank the WHOLE stratum in one window and cut at the quota
+    def reference(d: org.apache.spark.sql.DataFrame, frac: Double,
+                  fracs: Map[String, Double], seed: String) = {
+      val fracCol = fracs.foldLeft(lit(frac)) { case (acc, (k, v)) =>
+        when(col("kind") === k, lit(v)).otherwise(acc)
+      }
+      val byStratum = Window.partitionBy(col("kind"))
+      val ranked = byStratum.orderBy(Sampling.hashKey(col("id"), seed), col("id"))
+      d.withColumn("__rn", row_number().over(ranked))
+        .withColumn("__n", count(lit(1)).over(byStratum))
+        .filter(col("__rn") <= ceil(fracCol * col("__n")))
+        .drop("__rn", "__n")
+    }
+    // skewed data (one hot stratum), a null stratum, and edge fractions
+    val skewed = (1L to 4000L).map(i =>
+        (i, if (i % 100 == 0) "rare" else "hot"))
+      .map { case (i, k) => (i, if (i % 997 == 0) null else k) }
+      .toDF("id", "kind")
+    for (frac <- Seq(0.0, 0.07, 0.5, 1.0); seed <- Seq("s1", "s2")) {
+      val want = reference(skewed, frac, Map("rare" -> 0.9), seed)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val got = Sampling.stratifiedSample(skewed, "kind", "id", frac,
+          Map("rare" -> 0.9), seed)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"frac=$frac seed=$seed: ${got.size} vs ${want.size}")
+    }
+    // a coarse shift exercises multi-row boundary buckets
+    val coarse = Sampling.stratifiedSample(skewed, "kind", "id", 0.07,
+        Map("rare" -> 0.9), "s1", boundaryShift = 55)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = reference(skewed, 0.07, Map("rare" -> 0.9), "s1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(coarse == want)
+  }
+
   test("tfidfTopTerms scores a tiny corpus as computed by hand") {
     val docs = Seq((1L, "a b b"), (2L, "b c")).toDF("doc_id", "text")
     val out = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)

@@ -15,6 +15,31 @@ class StatsSpec extends SparkSpec {
     assert(out("b") == (5.0, 5.0)) // single value: every quantile is it
   }
 
+  test("approxGroupedQuantiles tracks the exact form within rank tolerance") {
+    // 10k values per group, deliberately skewed (quadratic ramp) so a
+    // sloppy sketch would visibly drift at the upper quantiles
+    val df = (1 to 10000).flatMap(i =>
+        Seq(("a", (i.toDouble * i) / 10000.0), ("b", i.toDouble)))
+      .toDF("g", "v")
+    val ps = Seq(0.5, 0.9, 0.99)
+    val exact = Stats.groupedQuantiles(df, "g", "v", ps).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Stats.approxGroupedQuantiles(df, "g", "v", ps, accuracy = 10000)
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    // schema parity with the exact form
+    assert(Stats.approxGroupedQuantiles(df, "g", "v", ps).columns.toSeq ==
+      Stats.groupedQuantiles(df, "g", "v", ps).columns.toSeq)
+    for (g <- exact.keys; i <- ps.indices) {
+      // rank error ≤ 1/accuracy ⇒ value error bounded by the local value
+      // spread around the quantile; 1% of the group's range is generous
+      val spread = (exact(g).max - exact(g).min).max(1.0) // values span the ramp
+      assert(math.abs(approx(g)(i) - exact(g)(i)) <= 0.01 * spread + 1e-6,
+        s"group $g p=${ps(i)}: approx ${approx(g)(i)} vs exact ${exact(g)(i)}")
+    }
+  }
+
   test("histogram buckets are exact width multiples with sparse gaps") {
     val df = Seq(("a", 0.0), ("a", 9.99), ("a", 10.0), ("a", 35.0),
       ("b", -0.5)).toDF("g", "v")
