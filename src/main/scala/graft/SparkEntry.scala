@@ -389,8 +389,12 @@ object SparkEntry {
         max(col("event_id")).as("last_event"))
       .orderBy("event_type")
 
-  /** Sessionization: a gap of more than 1 hour of event time starts a
-    * new session per user; one row per session. */
+  /** Sessionization: a gap of AT LEAST 1 hour of event time starts a
+    * new session per user; one row per session. `>=` (split at exactly
+    * gap) is Spark `session_window` semantics — a session spans
+    * [first, last + gap), so an event landing exactly on last + gap
+    * falls outside — which makes this batch shape and the streaming
+    * EventTimeStreams.sessionize equal by law (EventTimeStreamsSpec). */
   private def q33(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
@@ -398,7 +402,7 @@ object SparkEntry {
     Tables.events(s, dir)
       .withColumn("ts_us", tsUs).drop("ts")
       .withColumn("new_session",
-        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) >= gapUs, 1L)
           .otherwise(when(lag(col("ts_us"), 1).over(w).isNull, 1L).otherwise(0L)))
       .withColumn("session_idx",
         sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -1227,7 +1231,7 @@ object SparkEntry {
         |flagged AS (
         |  SELECT *, CASE
         |      WHEN lag(ts_us) OVER w IS NULL THEN 1
-        |      WHEN ts_us - lag(ts_us) OVER w > 3600000000 THEN 1
+        |      WHEN ts_us - lag(ts_us) OVER w >= 3600000000 THEN 1
         |      ELSE 0 END AS new_session
         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |sessions AS (

@@ -46,8 +46,11 @@ object EventTimeStreams {
     * `session_window` merges events per user into sessions that close
     * after `gap` of event-time silence; the watermark both bounds state
     * and decides when a session is final. The streaming counterpart of
-    * the batch q33 operator (same gap rule — a session is a maximal
-    * run of events with inter-event gaps < gap). */
+    * the batch q33 operator, equal by law (EventTimeStreamsSpec runs
+    * both over the events fixture): a session is a maximal run of
+    * events with inter-event gaps strictly below `gap` — a session
+    * spans [first, last + gap), so an event at exactly last + gap
+    * SPLITS in both shapes. */
   def sessionize(events: DataFrame, tsCol: String, userCol: String,
                  gap: String, lateness: String,
                  sumCol: Option[String] = None): DataFrame = {

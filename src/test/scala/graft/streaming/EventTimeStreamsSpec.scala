@@ -13,6 +13,7 @@ class EventTimeStreamsSpec extends SparkSpec {
   private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
   case class Ev(event_time: Timestamp, event_type: String, value: Double, key: Long)
+  case class E(user_id: Long, event_time: Timestamp)
 
   test("tumbling 15-minute windows aggregate by event time across batches") {
     implicit val ctx = spark.sqlContext
@@ -52,6 +53,46 @@ class EventTimeStreamsSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSeq
       assert(keys.count(_ == 42L) == 1) // all 42-dupes within horizon suppressed
       assert(keys.count(_ == 7L) == 1)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize ≡ batch q33 on the events fixture (law)") {
+    implicit val ctx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val gapUs = 3600L * 1000000L
+    // batch truth: (user, start_us, end_us, n_events) from the q33 shape
+    val batch = graft.SparkEntry.queries("q33_sessionization")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(2)))
+      .toSet
+    // same fixture through the streaming operator (Complete mode emits
+    // every session, including those the watermark hasn't finalized)
+    val rows = graft.Tables.events(spark, dir)
+      .selectExpr("user_id", "ts DIV 1000 AS ts_us")
+      .collect().map { r =>
+        val us = r.getLong(1)
+        val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+        t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+        E(r.getLong(0), t)
+      }
+    val in = MemoryStream[E]
+    val q = EventTimeStreams.sessionize(in.toDF(), "event_time", "user_id",
+      gap = "1 hour", lateness = "1 hour")
+      .writeStream.format("memory").queryName("sessions_law")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_law")
+        .selectExpr("user_id", "unix_micros(session_start) AS start_us",
+          "unix_micros(session_end) AS end_us", "n_events")
+        .collect()
+        // session_window end = last event + gap; q33 end = last event
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) - gapUs, r.getLong(3)))
+        .toSet
+      assert(streamed == batch,
+        s"batch ${batch.size} sessions vs streamed ${streamed.size}; " +
+          s"only-batch=${(batch -- streamed).take(3)} only-stream=${(streamed -- batch).take(3)}")
     } finally q.stop()
   }
 
