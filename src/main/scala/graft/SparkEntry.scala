@@ -654,14 +654,14 @@ object SparkEntry {
 
   private val P = TextOps.MinhashP
 
-  /** Shared CTE: distinct word-3-gram shingles per doc. The position
-    * range is capped at 4000 (fixture docs max ~100 tokens; a corpus
-    * with longer docs must raise it or the oracle silently truncates —
-    * the Spark side has no such cap). */
+  /** Shared CTE: distinct word-3-gram shingles per doc. Positions come
+    * from `generate_series(1, len(w) - 2)` — derived per document, so
+    * no fixed cap can silently truncate when fixture docs grow (the
+    * Spark side never had one). */
   private val shingleCte =
     """d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      |       FROM d, range(1, 4000) r(i) WHERE i <= len(w) - 2),
+      |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM d)),
       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
       |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) c
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -955,7 +955,7 @@ object SparkEntry {
     "q19_winnow_fingerprints" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
          |g AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-         |      FROM d, range(1, 4000) r(i) WHERE i <= len(w) - 2),
+         |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM d)),
          |h AS (SELECT doc_id, i, ${sqlHash60("s")} % $P AS h FROM g),
          |m AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
          |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f FROM h)
@@ -1256,7 +1256,7 @@ object SparkEntry {
       """WITH m AS (SELECT doc_id AS media_id, text,
         |             (length(text) + 99) // 100 AS n_blocks FROM documents),
         |f AS (SELECT media_id, b, substr(text, (b * 100 + 1)::INT, 100) AS frame
-        |      FROM m, range(0, 4000, 2) r(b) WHERE b <= n_blocks - 1)
+        |      FROM (SELECT media_id, text, unnest(generate_series(0, n_blocks - 1, 2)) AS b FROM m))
         |SELECT media_id, (b // 2)::BIGINT AS frame_idx,
         |       length(frame)::BIGINT AS frame_bytes, md5(frame) AS frame_hash
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,

@@ -29,12 +29,17 @@ object Resample {
   def resampleLocf(obs: DataFrame, keyCol: String, tsCol: String,
                    valCols: Seq[String], stepUs: Long): DataFrame = {
     require(stepUs > 0, "stepUs must be positive")
+    // loud domain bound (the rest of this file is exact at any long
+    // magnitude): the 1024-step as-of bucket width must not wrap
+    require(stepUs <= Long.MaxValue / 1024,
+      s"stepUs=$stepUs overflows the 1024-step bucket width")
     val spans = obs.groupBy(col(keyCol))
       .agg(min(col(tsCol)).cast("long").as("__lo"),
         max(col(tsCol)).cast("long").as("__hi"))
-    // first/last step-multiple inside the span: ceil-div on the
-    // non-negative lo is (lo + step - 1) div step, exact in longs
-    val kLo = floorDiv(col("__lo") + lit(stepUs - 1), stepUs)
+    // first/last step-multiple inside the span: ceil(lo/step) as
+    // -floor(-lo/step) — exact for any long and, unlike the
+    // (lo + step - 1) form, free of additive overflow near Long.Max
+    val kLo = -floorDiv(-col("__lo"), stepUs)
     val kHi = floorDiv(col("__hi"), stepUs)
     val grid = spans
       .select(col(keyCol), kLo.as("__klo"), kHi.as("__khi"))

@@ -210,7 +210,14 @@ object TextOps {
     * candidates — the expensive exact join runs on the tiny candidate
     * set, not the corpus). With k=64, bands=16 the s-curve puts recall
     * at ≥ 0.999 for similarity ≥ 0.8, so the verified output equals the
-    * exact result in practice while scaling linearly. */
+    * exact result in practice while scaling linearly.
+    *
+    * NOTE: calling this triggers Spark jobs eagerly (the candidate set
+    * is materialized via localCheckpoint so three consumers share it),
+    * and the materialization is executor-local — an executor loss after
+    * the cut fails the job rather than recomputing. The trade is
+    * deliberate for a derived temporary; see [[connectedComponents]]'s
+    * `checkpointDir` for the reliable-storage alternative shape. */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         k: Int = 64, bands: Int = 16): DataFrame = {
@@ -250,20 +257,35 @@ object TextOps {
     * iterative min-label propagation — each round every node adopts the
     * smallest label in its neighbourhood; fixpoint in O(component
     * diameter) rounds (near-dup clusters are shallow). Each iteration
-    * is one join + one aggregate; lineage is cut per round
-    * (localCheckpoint) so plans stay constant-size — the standard
-    * Pregel-style shape for iterative algorithms on DataFrames. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    * is one join + one aggregate; lineage is cut per round so plans
+    * stay constant-size — the standard Pregel-style shape for
+    * iterative algorithms on DataFrames.
+    *
+    * Calling this runs Spark jobs eagerly (every round materializes).
+    * `checkpointDir = None` cuts lineage with executor-local blocks:
+    * fastest, but an executor loss mid-run fails the job (the lineage
+    * was deliberately severed) — fine for a single-tenant batch that
+    * simply reruns. Pass a reliable-store path (HDFS/S3 at cluster
+    * scale) to make every round's cut durable: an executor loss then
+    * recovers from storage and long multi-hour runs survive preemption.
+    * The result is identical either way (ClusterSpec runs both). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = pairs.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(true)
+    }
     // materialize the (typically expensive) pair pipeline ONCE — the
     // src/dst union below reads it twice, and without the cut each
     // branch would re-run the whole upstream plan
-    val p = pairs.localCheckpoint(true)
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    val p = cut(pairs)
+    val edges = cut(p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -271,10 +293,10 @@ object TextOps {
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
       // carry the previous label through the checkpoint so convergence
       // is a filter over the materialized round, not a second join
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      val updated = cut(
+        labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+          .select(col("id"), col("label").as("prev"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
       converged = updated.filter(col("label") =!= col("prev")).isEmpty
       labels = updated.select("id", "label")
       i += 1
@@ -289,11 +311,14 @@ object TextOps {
   /** Near-duplicate clusters: MinHash-LSH pairs → connected components →
     * one row per document with its cluster id and whether it is the
     * cluster's keeper (smallest id — the standard "keep one per
-    * near-dup cluster" pre-training filter). Singletons keep themselves. */
+    * near-dup cluster" pre-training filter). Singletons keep themselves.
+    * Runs jobs eagerly (see [[connectedComponents]]); `checkpointDir`
+    * selects durable vs executor-local round cuts. */
   def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
-                    n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                    n: Int = 3, threshold: Double = 0.8,
+                    checkpointDir: Option[String] = None): DataFrame = {
     val pairs = minhashDedupPairs(docs, idCol, textCol, n, threshold)
-    val cc = connectedComponents(pairs)
+    val cc = connectedComponents(pairs, checkpointDir = checkpointDir)
     val d = docs.select(col(idCol))
     // dataframe-qualified references: a caller idCol named "id" would
     // otherwise be ambiguous against cc's "id" after the join

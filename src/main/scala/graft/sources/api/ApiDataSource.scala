@@ -168,7 +168,12 @@ final class ApiPartitionReader(schema: StructType, transportName: String,
       // equals page 1 (every row, every column, same order) is read as
       // one page. Feeds carrying any distinguishing column (id,
       // meta.version, a timestamp — everything in the reference's API
-      // does) never trigger this.
+      // does) never trigger this. A cursor stuck on a LATER page
+      // (serving page 2 forever, never re-serving page 1) is NOT
+      // detected early — consecutive identical pages are legal in
+      // duplicate-heavy feeds — so that failure mode runs to the
+      // MaxPages backstop and fails LOUDLY there, by design: a silent
+      // early stop would truncate a legitimate feed.
       new Iterator[Seq[InternalRow]] {
         private var page = 1
         private var done = false

@@ -22,6 +22,21 @@ class ClusterSpec extends SparkSpec {
     assert(cc.values.toSet == Set(1L)) // one component, min label 1
   }
 
+  test("reliable-checkpoint CC equals the executor-local-cut result") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val pairs = ((1L to 24L).map(i => (i, i + 1)) ++ Seq((40L, 41L)))
+      .toDF("id_a", "id_b")
+    val local = TextOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val durable = TextOps.connectedComponents(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(durable == local)
+    // the rounds really did checkpoint to the reliable store
+    assert(new java.io.File(dir).listFiles != null &&
+      new java.io.File(dir).listFiles.nonEmpty,
+      s"no checkpoint data written under $dir")
+  }
+
   test("dedupClusters works when the id column is literally named 'id'") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("id", "text")
     val out = TextOps.dedupClusters(docs, "id", "text")
