@@ -575,7 +575,18 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber", "p_partkey")
   }
 
+  /** Embedding-cosine near-duplicate pairs — the embedding-space
+    * analogue of q11's MinHash pairs: hyperplane-bucket candidates
+    * (pairs must agree on all 4 plane signs), exact rounded-cosine
+    * verify at ≥ 0.35. Fully oracle-checked via the same splitmix64
+    * bucket transliteration as q36. */
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineDedupPairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.35, nPlanes = 4)
+      .orderBy("id_a", "id_b")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_cosine_dedup_pairs" -> q51,
     "q01_stg_trades" -> q01,
     "q02_prd_trades_star" -> q02,
     "q03_join_events_users" -> q03,
@@ -796,9 +807,33 @@ object SparkEntry {
        |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** q51 oracle: single-table hyperplane buckets (same splitmix64
+    * transliteration), bucket-agreement pair join, rounded-cosine
+    * threshold. */
+  private def cosinePairsOracle(nPlanes: Int, threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |${planeCoeffCte(nPlanes, 1)},
+       |dots AS (
+       |  SELECT e.vec_id, coef.plane AS p,
+       |         sum(e.v[coef.dim + 1] * coef.c) AS dot
+       |  FROM e, coef WHERE coef.dim < len(e.v)
+       |  GROUP BY 1, 2),
+       |buckets AS (
+       |  SELECT vec_id,
+       |         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+       |  FROM dots GROUP BY 1),
+       |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |        ${sqlCosine("ea.v", "eb.v")} AS cosine
+       |      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |      JOIN e ea ON ea.vec_id = a.vec_id
+       |      JOIN e eb ON eb.vec_id = b.vec_id)
+       |SELECT id_a, id_b, cosine FROM s WHERE cosine >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q36_ann_lsh" -> annLshOracle(nPlanes = 4, nTables = 8, k = 10),
     "q37_ann_ivf" -> annIvfOracle(nCentroids = 16, nProbe = 4, k = 10),
+    "q51_cosine_dedup_pairs" -> cosinePairsOracle(nPlanes = 4, threshold = 0.35),
     "q01_stg_trades" ->
       """SELECT l_orderkey, l_partkey, j_date,
         |       l_suppkey, l_linenumber, l_quantity, l_extendedprice,

@@ -232,9 +232,13 @@ object Similarity {
     val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("bucket"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", ArrayMath.cosineSimilarity(col("__va"), col("__vb")))
+      // threshold the ROUNDED value (like every ANN rank): the kept set
+      // becomes engine-exact instead of hinging on last-ulp sums for
+      // pairs sitting precisely on the threshold
+      .withColumn("cosine",
+        round(ArrayMath.cosineSimilarity(col("__va"), col("__vb")), 6))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
       .distinct()
   }
 }
