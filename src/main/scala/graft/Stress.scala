@@ -52,6 +52,19 @@ object Stress {
       TextOps.contamination(big, "doc_id", "text",
         probes = base.filter(col("doc_id") % 100 === 0)).count()
     }
+    // hot-stratum stratified sample: one stratum holds ~99.9% of the
+    // corpus (the 100 TB "one source domain dominates" shape). The
+    // two-phase sampler must rank only the boundary bucket, never the
+    // whole hot stratum — wall-clock here tracks the histogram scans,
+    // not a single-task sort of the hot stratum.
+    time("stratifiedSample(hot)") {
+      graft.operators.Sampling.stratifiedSample(
+        big.select(col("doc_id"),
+          when(col("doc_id") % 1000 === 0, lit("rare"))
+            .otherwise(lit("hot")).as("stratum")),
+        "stratum", "doc_id", defaultFrac = 0.1,
+        fracs = Map("rare" -> 0.9)).count()
+    }
     spark.stop()
   }
 }
