@@ -732,7 +732,11 @@ object SparkEntry {
     * domain; the two 64×64 wrapping multiplies are split hi/lo-32 so no
     * intermediate exceeds 2^96 (a full 64×64 product overflows INT128).
     * Validated coefficient-for-coefficient against the JVM kernel.
-    * Emits `coef(plane, dim, c)`; dim range derives from the data. */
+    * Emits `coef(plane, dim, c)` and `coefl(plane, cl)` — the latter a
+    * dim-ORDERED coefficient list, so the bucket-sign dot product runs
+    * through `list_dot_product` in the same sequential dim order as the
+    * JVM kernel (a hash-aggregate SUM would accumulate in chunk order
+    * and could flip the sign of a dot within an ulp of zero). */
   private def planeCoeffCte(nPlanes: Int, nTables: Int): String = {
     def mulmod(a: String, hi: Long, lo: Long): String =
       s"((($a) * $hi::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT" +
@@ -748,7 +752,8 @@ object SparkEntry {
        |s2 AS (SELECT plane, dim, ${mulmod("xor(z, z // 134217728::HUGEINT)", 2496678331L, 321982955L)} AS z FROM s1),
        |coef AS (SELECT plane::BIGINT AS plane, dim::BIGINT AS dim,
        |  ((xor(z, z // 2147483648::HUGEINT) // 2048::HUGEINT)::DOUBLE / 9007199254740992::DOUBLE) * 2.0 - 1.0 AS c
-       |  FROM s2)""".stripMargin
+       |  FROM s2),
+       |coefl AS (SELECT plane, list(c ORDER BY dim) AS cl FROM coef GROUP BY plane)""".stripMargin
   }
 
   /** q36 oracle: full replay of lshTopK — per-table sign-pattern
@@ -758,10 +763,9 @@ object SparkEntry {
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
        |${planeCoeffCte(nPlanes, nTables)},
        |dots AS (
-       |  SELECT e.vec_id, coef.plane // $nPlanes AS tbl, coef.plane % $nPlanes AS p,
-       |         sum(e.v[coef.dim + 1] * coef.c) AS dot
-       |  FROM e, coef WHERE coef.dim < len(e.v)
-       |  GROUP BY 1, 2, 3),
+       |  SELECT e.vec_id, coefl.plane // $nPlanes AS tbl, coefl.plane % $nPlanes AS p,
+       |         list_dot_product(e.v, coefl.cl[1:len(e.v)]) AS dot
+       |  FROM e, coefl),
        |buckets AS (
        |  SELECT vec_id, tbl,
        |         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
@@ -814,10 +818,9 @@ object SparkEntry {
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
        |${planeCoeffCte(nPlanes, 1)},
        |dots AS (
-       |  SELECT e.vec_id, coef.plane AS p,
-       |         sum(e.v[coef.dim + 1] * coef.c) AS dot
-       |  FROM e, coef WHERE coef.dim < len(e.v)
-       |  GROUP BY 1, 2),
+       |  SELECT e.vec_id, coefl.plane AS p,
+       |         list_dot_product(e.v, coefl.cl[1:len(e.v)]) AS dot
+       |  FROM e, coefl),
        |buckets AS (
        |  SELECT vec_id,
        |         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket

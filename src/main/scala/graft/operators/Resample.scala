@@ -36,10 +36,13 @@ object Resample {
     val spans = obs.groupBy(col(keyCol))
       .agg(min(col(tsCol)).cast("long").as("__lo"),
         max(col(tsCol)).cast("long").as("__hi"))
-    // first/last step-multiple inside the span: ceil(lo/step) as
-    // -floor(-lo/step) — exact for any long and, unlike the
-    // (lo + step - 1) form, free of additive overflow near Long.Max
-    val kLo = -floorDiv(-col("__lo"), stepUs)
+    // first/last step-multiple inside the span: ceil(lo/step) =
+    // floor((lo + step − 1)/step) with the ADD done in decimal(38,0),
+    // where it cannot wrap — exact for every long including
+    // Long.MinValue (a long-typed negate or add would overflow at the
+    // extremes under the non-ANSI session)
+    val kLo = floorDiv(
+      col("__lo").cast("decimal(38,0)") + lit(stepUs - 1), stepUs)
     val kHi = floorDiv(col("__hi"), stepUs)
     val grid = spans
       .select(col(keyCol), kLo.as("__klo"), kHi.as("__khi"))

@@ -67,7 +67,14 @@ object Sampling {
     *    uniform by construction) for the exact cut.
     * Same selected set as the single-window form — the bucket is the
     * hash's high bits, so bucket order refines hash order — at the cost
-    * of scanning `df` twice. `boundaryShift` trades boundary-task size
+    * of THREE scans of `df` (histogram + the two phase-2 branches; the
+    * below/boundary branches are separate subtrees, which Spark does
+    * not common-subexpression-share). That trade is deliberate: the
+    * scans are shuffle-free pushed-filter passes and the only shuffled
+    * data is the ~0.1% boundary slice — at 100 TB, re-scanning columnar
+    * input beats either caching the corpus or shuffling it once by
+    * (stratum, bucket). Callers that prefer one scan over memory can
+    * persist `df` first. `boundaryShift` trades boundary-task size
     * against histogram width (50 → 1024 buckets → the ranked slice is
     * ~0.1% of the hottest stratum). */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
@@ -82,7 +89,12 @@ object Sampling {
     val fracCol = fracs.foldLeft(lit(defaultFrac)) { case (acc, (k, v)) =>
       when(col(stratumCol) === k, lit(v)).otherwise(acc)
     }
-    val h = hashKey(col(idCol), seed)
+    // a null id hashes to null; the single-window form sorted nulls
+    // FIRST, selecting them ahead of every real hash. Coalescing to -1
+    // reproduces that exactly (every real key is ≥ 0, and -1 >> shift
+    // = -1 keeps the null bucket first in histogram order) instead of
+    // silently dropping the rows at the null-hostile comparisons below
+    val h = coalesce(hashKey(col(idCol), seed), lit(-1L))
     val bucket = shiftright(h, boundaryShift)
 
     // Phase 1: histogram → per-stratum quota and boundary bucket.

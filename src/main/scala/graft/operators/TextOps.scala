@@ -274,7 +274,14 @@ object TextOps {
     val cut: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         val sc = pairs.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        // setCheckpointDir stores the fs-qualified path with a fresh
+        // UUID subdirectory (`file:/dir/3f2a…`), so equality against the
+        // raw string never holds — test containment, or every CC call
+        // would reset the context-global dir and strand a new orphan
+        // UUID directory of (never auto-cleaned) reliable checkpoints
+        val want = dir.stripSuffix("/")
+        if (!sc.getCheckpointDir.exists(_.contains(want)))
+          sc.setCheckpointDir(dir)
         df => df.checkpoint(eager = true)
       case None => df => df.localCheckpoint(true)
     }

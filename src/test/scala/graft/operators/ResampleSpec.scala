@@ -24,6 +24,27 @@ class ResampleSpec extends SparkSpec {
     ))
   }
 
+  test("grid math is exact at the long extremes (no negate/add wrap)") {
+    // spans hugging Long.MinValue / Long.MaxValue: ceil(lo/step) must
+    // not wrap (a long negate of MinValue or lo + step - 1 near Max
+    // would); expected ticks computed in BigInt
+    val step = 7L
+    // floor division in BigInt (BigInt / truncates toward zero)
+    def floorD(x: BigInt, d: BigInt) =
+      { val q = x / d; if (x % d != 0 && x < 0) q - 1 else q }
+    for (lo <- Seq(Long.MinValue, Long.MinValue + 3, Long.MaxValue - 20)) {
+      val hi = lo + 15
+      val obs = Seq((1L, lo, 1.0), (1L, hi, 2.0)).toDF("k", "t", "v")
+      val got = Resample.resampleLocf(obs, "k", "t", Seq("v"), step)
+        .select("grid_ts").collect().map(_.getLong(0)).sorted
+      val klo = floorD(BigInt(lo) + (step - 1), step)
+      val khi = floorD(BigInt(hi), step)
+      val want = (klo to khi).map(k => (k * step).toLong).toArray
+      assert(got.sameElements(want),
+        s"lo=$lo: got ${got.mkString(",")} want ${want.mkString(",")}")
+    }
+  }
+
   test("ticks are never null-valued: each key's grid starts at-or-after its first obs") {
     val rnd = new scala.util.Random(7)
     val obs = (1 to 3000).map { i =>

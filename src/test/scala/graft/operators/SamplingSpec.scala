@@ -89,25 +89,33 @@ class SamplingSpec extends SparkSpec {
         .filter(col("__rn") <= ceil(fracCol * col("__n")))
         .drop("__rn", "__n")
     }
-    // skewed data (one hot stratum), a null stratum, and edge fractions
+    // skewed data (one hot stratum), a null stratum, null ids (the
+    // window reference sorts null hashes first and selects them), and
+    // edge fractions
     val skewed = (1L to 4000L).map(i =>
         (i, if (i % 100 == 0) "rare" else "hot"))
       .map { case (i, k) => (i, if (i % 997 == 0) null else k) }
       .toDF("id", "kind")
+      .union(Seq((null.asInstanceOf[java.lang.Long], "hot"),
+        (null.asInstanceOf[java.lang.Long], "rare"))
+        .toDF("id", "kind"))
+    // multiset of (kind, id) — null ids are indistinguishable, so their
+    // COUNT per stratum is the observable
+    def keys(d: org.apache.spark.sql.DataFrame) =
+      d.select("kind", "id").collect()
+        .map(r => (Option(r.getString(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .groupBy(identity).view.mapValues(_.length).toMap
     for (frac <- Seq(0.0, 0.07, 0.5, 1.0); seed <- Seq("s1", "s2")) {
-      val want = reference(skewed, frac, Map("rare" -> 0.9), seed)
-        .select("id").collect().map(_.getLong(0)).toSet
-      val got = Sampling.stratifiedSample(skewed, "kind", "id", frac,
-          Map("rare" -> 0.9), seed)
-        .select("id").collect().map(_.getLong(0)).toSet
+      val want = keys(reference(skewed, frac, Map("rare" -> 0.9), seed))
+      val got = keys(Sampling.stratifiedSample(skewed, "kind", "id", frac,
+        Map("rare" -> 0.9), seed))
       assert(got == want, s"frac=$frac seed=$seed: ${got.size} vs ${want.size}")
     }
     // a coarse shift exercises multi-row boundary buckets
-    val coarse = Sampling.stratifiedSample(skewed, "kind", "id", 0.07,
-        Map("rare" -> 0.9), "s1", boundaryShift = 55)
-      .select("id").collect().map(_.getLong(0)).toSet
-    val want = reference(skewed, 0.07, Map("rare" -> 0.9), "s1")
-      .select("id").collect().map(_.getLong(0)).toSet
+    val coarse = keys(Sampling.stratifiedSample(skewed, "kind", "id", 0.07,
+      Map("rare" -> 0.9), "s1", boundaryShift = 55))
+    val want = keys(reference(skewed, 0.07, Map("rare" -> 0.9), "s1"))
     assert(coarse == want)
   }
 
