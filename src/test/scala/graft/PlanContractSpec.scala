@@ -123,6 +123,12 @@ class PlanContractSpec extends SparkSpec {
       s"boundary-bucket filter missing below the ranking window:\n$plan")
   }
 
+  test("cosineDedupPairs candidates come from a bucket equi-join, never a product") {
+    val plan = physical(SparkEntry.queries("q51_cosine_dedup_pairs")(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"cosine pair generation fell back to a product join:\n$plan")
+  }
+
   test("contamination joins the probe set as a broadcast, never sort-merge") {
     val docs = Tables.documents(spark, dir)
     val plan = physical(TextOps.contamination(
