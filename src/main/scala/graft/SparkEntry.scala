@@ -585,8 +585,37 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.35, nPlanes = 4)
       .orderBy("id_a", "id_b")
 
+  /** PII scrub over deterministic contact strings built from the
+    * customer fixture (name-derived email + an 8-digit account run):
+    * emails and long digit runs are counted, then redacted. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val contact = concat(lower(col("c_name")), lit("@example.com ph "),
+      lpad(((col("c_custkey") * 7919L) % 100000000L).cast("string"), 8, "0"),
+      lit(" "), col("c_mktsegment"))
+    TextOps.redactPii(
+        Tables.customer(s, dir).select(col("c_custkey"), contact.as("contact")),
+        "c_custkey", "contact")
+      .orderBy("c_custkey")
+  }
+
+  /** Canonical text normalization (the exactDedup canon, standalone):
+    * certifies the string pipeline byte-for-byte across engines. */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextOps.normalizeText(col("text")).as("norm_text"))
+      .orderBy("doc_id")
+
+  /** Per-document 3-gram repetition signal. */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionScore(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_cosine_dedup_pairs" -> q51,
+    "q52_redact_pii" -> q52,
+    "q53_normalize" -> q53,
+    "q54_repetition" -> q54,
     "q01_stg_trades" -> q01,
     "q02_prd_trades_star" -> q02,
     "q03_join_events_users" -> q03,
@@ -837,6 +866,43 @@ object SparkEntry {
     "q36_ann_lsh" -> annLshOracle(nPlanes = 4, nTables = 8, k = 10),
     "q37_ann_ivf" -> annIvfOracle(nCentroids = 16, nProbe = 4, k = 10),
     "q51_cosine_dedup_pairs" -> cosinePairsOracle(nPlanes = 4, threshold = 0.35),
+    "q52_redact_pii" -> {
+      val email = TextOps.EmailRe // RE2-safe: classes + bounded reps only
+      s"""WITH c AS (
+         |  SELECT c_custkey,
+         |         lower(c_name) || '@example.com ph ' ||
+         |         lpad(((c_custkey * 7919) % 100000000)::VARCHAR, 8, '0') ||
+         |         ' ' || c_mktsegment AS contact
+         |  FROM customer),
+         |r AS (
+         |  SELECT c_custkey,
+         |         len(regexp_extract_all(contact, '$email'))::BIGINT AS n_emails,
+         |         regexp_replace(contact, '$email', '<EMAIL>', 'g') AS pass1
+         |  FROM c)
+         |SELECT c_custkey, n_emails,
+         |       len(regexp_extract_all(pass1, '${TextOps.LongDigitRe}'))::BIGINT AS n_digit_runs,
+         |       regexp_replace(pass1, '${TextOps.LongDigitRe}', '<NUM>', 'g') AS redacted
+         |FROM r ORDER BY c_custkey""".stripMargin
+    },
+    "q53_normalize" ->
+      """SELECT doc_id,
+        |       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q54_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM d)),
+        |a AS (SELECT doc_id, count(*) AS total_ngrams,
+        |             count(DISTINCT s) AS distinct_ngrams
+        |      FROM g GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(a.total_ngrams, 0)::BIGINT AS total_ngrams,
+        |       coalesce(a.distinct_ngrams, 0)::BIGINT AS distinct_ngrams,
+        |       CASE WHEN a.total_ngrams > 0
+        |            THEN round(1.0::DOUBLE - a.distinct_ngrams / a.total_ngrams::DOUBLE, 6)
+        |            ELSE 0.0::DOUBLE END AS dup_ratio
+        |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q01_stg_trades" ->
       """SELECT l_orderkey, l_partkey, j_date,
         |       l_suppkey, l_linenumber, l_quantity, l_extendedprice,

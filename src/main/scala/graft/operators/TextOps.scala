@@ -58,7 +58,7 @@ object TextOps {
   def exactDedup(docs: DataFrame, idCol: String, textCol: String,
                  normalize: Boolean = true): DataFrame = {
     val canon =
-      if (normalize) regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+      if (normalize) normalizeText(col(textCol))
       else col(textCol)
     docs
       .select(col(idCol), md5(canon).as("content_hash"))
@@ -556,4 +556,54 @@ object TextOps {
       i => concat_ws(" ", slice(w, i, lit(n))))
     when(size(w) >= n, grams).otherwise(array().cast("array<string>"))
   }
+
+  // ---------------------------------------------- normalization / quality
+
+  /** Canonical text form: lowercase, trimmed, runs of whitespace
+    * collapsed to one space — the normalization [[exactDedup]] applies
+    * before hashing, exposed standalone for pipelines that persist the
+    * canonical text. Pure per-row select, no shuffle. */
+  def normalizeText(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Per-document n-gram repetition: total sliding n-grams, distinct
+    * n-grams, and `dup_ratio` = 1 − distinct/total — the standard
+    * "fraction of repeated n-grams" pretraining quality signal (highly
+    * repetitive boilerplate scores near 1). Row-local, shuffle-free;
+    * docs shorter than n score 0. */
+  def repetitionScore(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val total = greatest(size(tokens(col(textCol))) - (n - 1), lit(0))
+      .cast("long")
+    val dist = size(shingles(col(textCol), n)).cast("long")
+    docs.select(col(idCol),
+      total.as("total_ngrams"),
+      dist.as("distinct_ngrams"),
+      when(total > 0,
+        round(lit(1.0) - dist.cast("double") / total.cast("double"), 6))
+        .otherwise(lit(0.0)).as("dup_ratio"))
+  }
+
+  /** Email pattern shared by Spark and the RE2-based oracle: character
+    * classes and bounded repetition only — no backrefs or lookarounds,
+    * so both engines produce identical leftmost-greedy matches. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs (7+) — the phone/account-number shape. */
+  val LongDigitRe = "[0-9]{7,}"
+
+  /** PII scrub: count then redact emails and long digit runs. The
+    * standard pre-training privacy pass; counts are taken BEFORE
+    * redaction (they report what was found, not what remains), and
+    * emails redact first so their digit runs don't double-count as
+    * phones. Row-local, shuffle-free, codegen'd regex. */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(
+        regexp_replace(col(textCol), EmailRe, "<EMAIL>"), lit(LongDigitRe))
+        .cast("long").as("n_digit_runs"),
+      regexp_replace(
+        regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        LongDigitRe, "<NUM>").as("redacted"))
 }

@@ -147,4 +147,39 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("quality_score") >= 0 && r.getAs[Double]("quality_score") <= 1)
     }
   }
+
+  test("repetitionScore counts sliding 3-grams and their duplication by hand") {
+    val d = Seq(
+      (1L, "a b a b a"),   // 3-grams: "a b a","b a b","a b a" → 3 total, 2 distinct
+      (2L, "x y"),         // shorter than n → all zeros
+      (3L, "p q r s")      // 2 total, both distinct → ratio 0
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionScore(d, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (3L, 2L, 0.333333))
+    assert(out(2L) == (0L, 0L, 0.0))
+    assert(out(3L) == (2L, 2L, 0.0))
+  }
+
+  test("redactPii counts before redacting and never double-counts email digits") {
+    val d = Seq(
+      (1L, "write bob.smith+x@mail-host.co.uk or call 08155551234 now"),
+      (2L, "ids 123456 are short but 1234567 is a run"),
+      (3L, "clean text only")
+    ).toDF("id", "text")
+    val out = TextOps.redactPii(d, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (1L, 1L, "write <EMAIL> or call <NUM> now"))
+    // 123456 (6 digits) survives; 1234567 (7) is a run
+    assert(out(2L) == (0L, 1L, "ids 123456 are short but <NUM> is a run"))
+    assert(out(3L) == (0L, 0L, "clean text only"))
+  }
+
+  test("normalizeText lowercases, trims and collapses whitespace") {
+    val d = Seq((1L, "  Foo\t BAR   baz ")).toDF("id", "text")
+    val got = d.select(TextOps.normalizeText(col("text"))).head.getString(0)
+    assert(got == "foo bar baz")
+  }
 }
