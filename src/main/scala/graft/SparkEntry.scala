@@ -611,11 +611,18 @@ object SparkEntry {
     TextOps.repetitionScore(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Context-window chunking: 32-token chunks overlapping by 8. */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_cosine_dedup_pairs" -> q51,
     "q52_redact_pii" -> q52,
     "q53_normalize" -> q53,
     "q54_repetition" -> q54,
+    "q55_chunking" -> q55,
     "q01_stg_trades" -> q01,
     "q02_prd_trades_star" -> q02,
     "q03_join_events_users" -> q03,
@@ -888,6 +895,14 @@ object SparkEntry {
       """SELECT doc_id,
         |       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q55_chunking" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |c AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 24)) AS s FROM d)
+        |SELECT doc_id,
+        |       ((s - 1) // 24)::BIGINT AS chunk_idx,
+        |       array_to_string(w[s:s+31], ' ') AS chunk_text,
+        |       least(32, len(w) - s + 1)::BIGINT AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q54_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s

@@ -592,6 +592,29 @@ object TextOps {
   /** Long digit runs (7+) — the phone/account-number shape. */
   val LongDigitRe = "[0-9]{7,}"
 
+  /** Split documents into token-budgeted chunks with overlap — the
+    * context-window shaping pass upstream of [[graft.operators.Packing]]:
+    * chunk i covers tokens [1 + i·(chunk − overlap), …] for `chunk`
+    * tokens (the final chunk may be shorter; every token is covered).
+    * Row-local generate — the only row amplification is the output
+    * chunk count itself, and nothing shuffles. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap($overlap) < chunkTokens($chunkTokens)")
+    val stride = chunkTokens - overlap
+    val w = tokens(col(textCol))
+    val chunks = transform(
+      sequence(lit(1), size(w), lit(stride)),
+      s => struct(
+        (((s - 1) / stride)).cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(w, s, lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens), size(w) - s + 1).cast("long").as("n_tokens")))
+    docs.select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol), col("c.chunk_idx"), col("c.chunk_text"),
+        col("c.n_tokens"))
+  }
+
   /** PII scrub: count then redact emails and long digit runs. The
     * standard pre-training privacy pass; counts are taken BEFORE
     * redaction (they report what was found, not what remains), and

@@ -177,6 +177,33 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == (0L, 0L, "clean text only"))
   }
 
+  test("chunkDocuments covers every token with the declared overlap") {
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(d, "doc_id", "text",
+        chunkTokens = 4, overlap = 1)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    // stride 3: starts 1,4,7,10 → last chunk is the single trailing token
+    assert(out.toSeq == Seq(
+      (0L, "t1 t2 t3 t4", 4L),
+      (1L, "t4 t5 t6 t7", 4L),
+      (2L, "t7 t8 t9 t10", 4L),
+      (3L, "t10", 1L)))
+    // law on the fixture: concatenating chunks minus overlaps re-forms
+    // each document exactly
+    val fix = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rebuilt = TextOps.chunkDocuments(fix, "doc_id", "text", 32, 8)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().groupBy(_.getLong(0)).map { case (id, rows) =>
+        val texts = rows.sortBy(_.getLong(1)).map(_.getString(2))
+        id -> (texts.head +: texts.tail.map(_.split(" ").drop(8).mkString(" ")))
+          .filter(_.nonEmpty).mkString(" ")
+      }
+    val want = fix.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt == want)
+  }
+
   test("normalizeText lowercases, trims and collapses whitespace") {
     val d = Seq((1L, "  Foo\t BAR   baz ")).toDF("id", "text")
     val got = d.select(TextOps.normalizeText(col("text"))).head.getString(0)
