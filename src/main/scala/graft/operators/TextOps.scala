@@ -569,13 +569,19 @@ object TextOps {
   /** Per-document n-gram repetition: total sliding n-grams, distinct
     * n-grams, and `dup_ratio` = 1 − distinct/total — the standard
     * "fraction of repeated n-grams" pretraining quality signal (highly
-    * repetitive boilerplate scores near 1). Row-local, shuffle-free;
-    * docs shorter than n score 0. */
+    * repetitive boilerplate scores near 1). Row-local, shuffle-free.
+    * Distinctness is by gram hash60 — the same convention the whole
+    * dedup family certifies against the string-distinct oracle — via
+    * the native kernel (the declarative transform/slice shingle chain
+    * is CodegenFallback and ran ~12× slower here). Docs shorter than n
+    * score 0. */
   def repetitionScore(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3): DataFrame = {
+    TextHashFunctions.register(docs.sparkSession)
     val total = greatest(size(tokens(col(textCol))) - (n - 1), lit(0))
       .cast("long")
-    val dist = size(shingles(col(textCol), n)).cast("long")
+    val dist = size(TextHashFunctions.shingleHash60(col(textCol), n))
+      .cast("long")
     docs.select(col(idCol),
       total.as("total_ngrams"),
       dist.as("distinct_ngrams"),
