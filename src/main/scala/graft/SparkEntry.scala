@@ -893,7 +893,7 @@ object SparkEntry {
     },
     "q53_normalize" ->
       """SELECT doc_id,
-        |       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm_text
+        |       regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q55_chunking" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
@@ -999,7 +999,7 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10""".stripMargin,
     "q09_exact_dedup" ->
-      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+      """SELECT md5(regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS content_hash,
         |       min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents
         |GROUP BY 1

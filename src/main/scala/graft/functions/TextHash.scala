@@ -87,6 +87,21 @@ object TextHash {
     out.result()
   }
 
+  /** [total, distinct] n-gram counts, one pass (see NgramCountsExpr). */
+  def ngramCounts(text: UTF8String, n: Int): Array[Long] = {
+    val b = text.getBytes
+    val (starts, ends) = tokenBounds(b)
+    val m = starts.length - n + 1
+    if (m <= 0) return Array(0L, 0L)
+    val seen = new mutable.HashSet[Long]
+    var i = 0
+    while (i < m) {
+      seen.add(hash60(b, starts(i), ends(i + n - 1)))
+      i += 1
+    }
+    Array(m.toLong, seen.size.toLong)
+  }
+
   /** SimHash kernel (codegen entry point). `bits` ≤ 60 — token hash60s
     * carry 60 independent bits. Wider fingerprints matter for the
     * pigeonhole pair search: 60 bits ÷ 4 chunks = 15-bit join keys (32k
@@ -213,6 +228,26 @@ case class ShingleHash60Expr(child: Expression, n: Int, distinct: Boolean,
     copy(child = c)
 }
 
+/** [total, distinct] word-n-gram counts in ONE tokenization pass —
+  * repetition scoring needs both, and computing them separately would
+  * tokenize every document twice (plus allocate a token-string array
+  * just to count it). Distinctness is by gram hash60, the convention
+  * the dedup family certifies against string-distinct oracles. */
+case class NgramCountsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_counts"
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.ngramCounts(
+      input.asInstanceOf[UTF8String], n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextHash.ngramCounts($c, $n))")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** array<long> of per-token hash60s (ordered, non-distinct). */
 case class TokenHash60Expr(child: Expression)
     extends UnaryExpression {
@@ -335,6 +370,8 @@ object TextHashFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction("token_hash60",
       es => TokenHash60Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram_counts",
+      es => NgramCountsExpr(es(0), intArg(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",
       es => MinHashSigExpr(es(0), intArg(es(1)), intArg(es(2)),
         TextOps.minhashCoeffs(intArg(es(2)))), "scala_udf")
@@ -353,6 +390,9 @@ object TextHashFunctions {
     call_function("shingle_hash60", text, lit(n), lit(distinct), lit(modP))
 
   def tokenHash60(text: Column): Column = call_function("token_hash60", text)
+
+  def ngramCounts(text: Column, n: Int): Column =
+    call_function("ngram_counts", text, lit(n))
 
   def minhashSig(text: Column, n: Int, k: Int): Column =
     call_function("minhash_signature", text, lit(n), lit(k))

@@ -562,9 +562,14 @@ object TextOps {
   /** Canonical text form: lowercase, trimmed, runs of whitespace
     * collapsed to one space — the normalization [[exactDedup]] applies
     * before hashing, exposed standalone for pipelines that persist the
-    * canonical text. Pure per-row select, no shuffle. */
+    * canonical text. Pure per-row select, no shuffle. The whitespace
+    * class is EXPLICIT (not `\s`): Java's `\s` includes vertical tab
+    * (0x0B) but RE2's does not, so a bare `\s` would silently diverge
+    * from the DuckDB oracle on 0x0B-bearing text. */
+  val WhitespaceRe = "[ \\t\\n\\u000B\\f\\r]+"
+
   def normalizeText(c: Column): Column =
-    regexp_replace(trim(lower(c)), "\\s+", " ")
+    regexp_replace(trim(lower(c)), WhitespaceRe, " ")
 
   /** Per-document n-gram repetition: total sliding n-grams, distinct
     * n-grams, and `dup_ratio` = 1 − distinct/total — the standard
@@ -574,14 +579,16 @@ object TextOps {
     * dedup family certifies against the string-distinct oracle — via
     * the native kernel (the declarative transform/slice shingle chain
     * is CodegenFallback and ran ~12× slower here). Docs shorter than n
-    * score 0. */
+    * score 0, as does a null text (the kernel's null result coalesces
+    * to [0, 0] — `size(null)` is −1 under the legacy-sizeOfNull
+    * session and would otherwise leak out as a count). */
   def repetitionScore(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3): DataFrame = {
     TextHashFunctions.register(docs.sparkSession)
-    val total = greatest(size(tokens(col(textCol))) - (n - 1), lit(0))
-      .cast("long")
-    val dist = size(TextHashFunctions.shingleHash60(col(textCol), n))
-      .cast("long")
+    val counts = coalesce(TextHashFunctions.ngramCounts(col(textCol), n),
+      array(lit(0L), lit(0L)))
+    val total = element_at(counts, 1)
+    val dist = element_at(counts, 2)
     docs.select(col(idCol),
       total.as("total_ngrams"),
       dist.as("distinct_ngrams"),
@@ -616,7 +623,12 @@ object TextOps {
         (((s - 1) / stride)).cast("long").as("chunk_idx"),
         concat_ws(" ", slice(w, s, lit(chunkTokens))).as("chunk_text"),
         least(lit(chunkTokens), size(w) - s + 1).cast("long").as("n_tokens")))
-    docs.select(col(idCol), explode(chunks).as("c"))
+    // null text must yield NO chunks (like the oracle), not an
+    // IllegalArgumentException: size(null) is −1 under the
+    // legacy-sizeOfNull session and sequence(1, −1, stride) throws.
+    // when() evaluates branches lazily, and explode drops null arrays.
+    docs.select(col(idCol),
+        explode(when(col(textCol).isNotNull, chunks)).as("c"))
       .select(col(idCol), col("c.chunk_idx"), col("c.chunk_text"),
         col("c.n_tokens"))
   }

@@ -154,12 +154,16 @@ class TextOpsSpec extends SparkSpec {
       (2L, "x y"),         // shorter than n → all zeros
       (3L, "p q r s")      // 2 total, both distinct → ratio 0
     ).toDF("doc_id", "text")
+      .union(Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
     val out = TextOps.repetitionScore(d, "doc_id", "text", n = 3)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(out(1L) == (3L, 2L, 0.333333))
     assert(out(2L) == (0L, 0L, 0.0))
     assert(out(3L) == (2L, 2L, 0.0))
+    // null text scores zero (size(null) is −1 under legacy sizeOfNull —
+    // must never leak out as a count)
+    assert(out(4L) == (0L, 0L, 0.0))
   }
 
   test("redactPii counts before redacting and never double-counts email digits") {
@@ -179,6 +183,8 @@ class TextOpsSpec extends SparkSpec {
 
   test("chunkDocuments covers every token with the declared overlap") {
     val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+      .union(Seq((2L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    // null text yields no chunks — not a sequence(1, −1) crash
     val out = TextOps.chunkDocuments(d, "doc_id", "text",
         chunkTokens = 4, overlap = 1)
       .orderBy("chunk_idx").collect()
