@@ -78,5 +78,30 @@ class TrainingMixSpec extends SparkSpec {
       .agg(sum("ws_tokens").as("toks"), max("ws_tokens").as("maxdoc"))
       .filter(col("toks") >= lit(2048L) + col("maxdoc"))
     assert(over.isEmpty, "a bin exceeded budget + one document")
+
+    // 5. context-window shaping: chunk the sampled docs to a 64-token
+    // window (16 overlap) and verify the chunk stream carries every
+    // token of every sampled document exactly once net of overlaps
+    val chunked = TextOps.chunkDocuments(sampled, "doc_id", "text",
+      chunkTokens = 64, overlap = 16)
+    val tokensPerDoc = sampled
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val coveredPerDoc = chunked.groupBy("doc_id")
+      .agg(sum(col("n_tokens")).as("c"), count(lit(1)).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    coveredPerDoc.foreach { case (id, covered, k) =>
+      // chunk i starts at 1 + 48·i and carries min(64, n − start + 1)
+      // tokens; the final chunk is truncated by the document end
+      val n = tokensPerDoc(id)
+      val starts = 0L.until(k).map(1L + 48L * _)
+      assert(starts.forall(_ <= n) && (k - 1) * 48L + 1 + 48L > n,
+        s"doc $id: wrong chunk count $k for $n tokens")
+      val want = starts.map(s => math.min(64L, n - s + 1)).sum
+      assert(covered == want,
+        s"doc $id: chunk coverage $covered != $want over $n tokens")
+    }
+    assert(coveredPerDoc.map(_._1).toSet == tokensPerDoc.keySet,
+      "every sampled doc must be chunked")
   }
 }
