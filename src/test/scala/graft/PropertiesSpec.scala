@@ -63,6 +63,70 @@ class PropertiesSpec extends SparkSpec {
     assert(viaNative == viaStrings)
   }
 
+  test("ngram_counts kernel ≡ declarative totals + string-distinct (seeded)") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "dd", "")
+    val docs = (0 until 80).map { i =>
+      (i.toLong, (0 until rnd.nextInt(14)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = TextOps.repetitionScore(df, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    docs.foreach { case (id, text) =>
+      val w = text.split(" ", -1)
+      val grams = (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" "))
+      assert(got(id) == (grams.length.toLong, grams.distinct.length.toLong),
+        s"doc $id '$text': ${got(id)} vs (${grams.length}, ${grams.distinct.length})")
+    }
+  }
+
+  test("chunkDocuments reconstructs every doc for random geometries (seeded)") {
+    val rnd = new scala.util.Random(17)
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(30))).map(j => s"w$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((chunk, overlap) <- Seq((5, 0), (5, 2), (8, 7), (3, 1))) {
+      val stride = chunk - overlap
+      val out = TextOps.chunkDocuments(df, "doc_id", "text", chunk, overlap)
+        .collect().groupBy(_.getLong(0))
+      docs.foreach { case (id, text) =>
+        val chunks = out(id).sortBy(_.getLong(1)).map(_.getString(2))
+        val rebuilt = (chunks.head +: chunks.tail.map(
+          _.split(" ", -1).drop(overlap).mkString(" ")))
+          .filter(_.nonEmpty).mkString(" ")
+        assert(rebuilt == text,
+          s"chunk=$chunk overlap=$overlap doc $id: '$rebuilt' != '$text'")
+      }
+    }
+  }
+
+  test("redactPii output never contains a redactable span (seeded)") {
+    val rnd = new scala.util.Random(19)
+    def word() = rnd.nextInt(4) match {
+      case 0 => s"u${rnd.nextInt(99)}@${Seq("a.com","b-x.org","m.co.uk")(rnd.nextInt(3))}"
+      case 1 => (0 until 5 + rnd.nextInt(8)).map(_ => rnd.nextInt(10)).mkString
+      case 2 => s"t${rnd.nextInt(50)}"
+      case _ => s"${rnd.nextInt(999999)}" // short digits must survive
+    }
+    val docs = (0 until 120).map(i =>
+      (i.toLong, (0 until rnd.nextInt(10)).map(_ => word()).mkString(" ")))
+    val out = TextOps.redactPii(docs.toDF("id", "text"), "id", "text")
+      .as[(Long, Long, Long, String)].collect()
+    val email = TextOps.EmailRe.r
+    val digits = TextOps.LongDigitRe.r
+    out.foreach { case (id, nE, nD, red) =>
+      assert(email.findFirstIn(red).isEmpty, s"doc $id leaked an email: $red")
+      assert(digits.findFirstIn(red).isEmpty, s"doc $id leaked a digit run: $red")
+      // counts agree with a JVM-regex recount on the original
+      val text = docs(id.toInt)._2
+      assert(nE == email.findAllIn(text).size, s"doc $id email count")
+      assert(nD == digits.findAllIn(
+        email.replaceAllIn(text, "<EMAIL>")).size, s"doc $id digit-run count")
+    }
+  }
+
   test("keep-last dedup is idempotent and order-insensitive (seeded Spark check)") {
     val rnd = new scala.util.Random(11)
     val rows = (1 to 300).map { _ =>
