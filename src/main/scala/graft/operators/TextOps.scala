@@ -616,21 +616,24 @@ object TextOps {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap($overlap) < chunkTokens($chunkTokens)")
     val stride = chunkTokens - overlap
-    val w = tokens(col(textCol))
-    val chunks = transform(
-      sequence(lit(1), size(w), lit(stride)),
-      s => struct(
-        (((s - 1) / stride)).cast("long").as("chunk_idx"),
-        concat_ws(" ", slice(w, s, lit(chunkTokens))).as("chunk_text"),
-        least(lit(chunkTokens), size(w) - s + 1).cast("long").as("n_tokens")))
-    // null text must yield NO chunks (like the oracle), not an
+    // Generate only the start offsets, then build each chunk with plain
+    // built-ins ABOVE the generate — everything stays in whole-stage
+    // codegen (a transform() lambda building the chunks would run
+    // interpreted per element). posexplode's ordinal IS the chunk index.
+    // Null text must yield NO chunks (like the oracle), not an
     // IllegalArgumentException: size(null) is −1 under the
-    // legacy-sizeOfNull session and sequence(1, −1, stride) throws.
-    // when() evaluates branches lazily, and explode drops null arrays.
-    docs.select(col(idCol),
-        explode(when(col(textCol).isNotNull, chunks)).as("c"))
-      .select(col(idCol), col("c.chunk_idx"), col("c.chunk_text"),
-        col("c.n_tokens"))
+    // legacy-sizeOfNull session and sequence(1, −1, stride) throws;
+    // when() evaluates lazily and explode drops null arrays.
+    val w = col("__w")
+    docs.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol), w,
+        posexplode(when(w.isNotNull,
+          sequence(lit(1), size(w), lit(stride)))).as(Seq("__i", "__s")))
+      .select(col(idCol),
+        col("__i").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(w, col("__s"), lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens), size(w) - col("__s") + 1).cast("long")
+          .as("n_tokens"))
   }
 
   /** PII scrub: count then redact emails and long digit runs. The
