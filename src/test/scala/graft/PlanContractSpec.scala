@@ -123,6 +123,18 @@ class PlanContractSpec extends SparkSpec {
       s"boundary-bucket filter missing below the ranking window:\n$plan")
   }
 
+  test("text scrubbing/chunking queries shuffle only for the presentation sort") {
+    for (q <- Seq("q52_redact_pii", "q53_normalize", "q54_repetition",
+        "q55_chunking")) {
+      val plan = physical(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("HashAggregate") && !plan.contains("SortMergeJoin"),
+        s"$q grew an aggregate/join — should be a pure per-row select:\n$plan")
+      val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+      assert(exchanges <= 1,
+        s"$q shuffles beyond the presentation sort ($exchanges exchanges):\n$plan")
+    }
+  }
+
   test("cosineDedupPairs candidates come from a bucket equi-join, never a product") {
     val plan = physical(SparkEntry.queries("q51_cosine_dedup_pairs")(spark, dir))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
