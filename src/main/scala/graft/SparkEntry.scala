@@ -617,12 +617,21 @@ object SparkEntry {
         chunkTokens = 32, overlap = 8)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Winsorize event values to each type's [p05, p95] band. */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    Stats.winsorize(
+        Tables.events(s, dir).select("event_id", "event_type", "value"),
+        "event_type", "value", pLo = 0.05, pHi = 0.95)
+      .select("event_id", "event_type", "value", "clipped")
+      .orderBy("event_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_cosine_dedup_pairs" -> q51,
     "q52_redact_pii" -> q52,
     "q53_normalize" -> q53,
     "q54_repetition" -> q54,
     "q55_chunking" -> q55,
+    "q56_winsorize" -> q56,
     "q01_stg_trades" -> q01,
     "q02_prd_trades_star" -> q02,
     "q03_join_events_users" -> q03,
@@ -903,6 +912,16 @@ object SparkEntry {
         |       array_to_string(w[s:s+31], ' ') AS chunk_text,
         |       least(32, len(w) - s + 1)::BIGINT AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q56_winsorize" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |         round(quantile_cont(value, 0.05), 6) AS lo,
+        |         round(quantile_cont(value, 0.95), 6) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |       least(greatest(value, lo), hi) AS clipped
+        |FROM events e JOIN q USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     "q54_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s

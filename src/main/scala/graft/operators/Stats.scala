@@ -63,6 +63,24 @@ object Stats {
       }: _*)
   }
 
+  /** Winsorize: clip `valCol` to its group's [pLo, pHi] quantile band —
+    * the standard outlier-taming pass before training-statistics or
+    * normalization. The per-group bounds are a broadcast-sized
+    * aggregate; clipping itself picks one of {value, lo, hi} by
+    * comparison only (no float arithmetic), so the output is
+    * engine-exact. Appends a `clipped` column. */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo < pHi, s"need pLo($pLo) < pHi($pHi)")
+    val names = quantileNames(Seq(pLo, pHi))
+    val bounds = groupedQuantiles(df, groupCol, valCol, Seq(pLo, pHi))
+      .select(col(groupCol), col(names.head).as("__lo"), col(names(1)).as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("clipped",
+        least(greatest(col(valCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Fixed-width histogram per group: bucket lower bound (an exact
     * multiple of `width`) and row count. Buckets with no rows emit no
     * row (sparse form — at corpus scale a dense form would materialize

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class StatsSpec extends SparkSpec {
@@ -38,6 +40,24 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(approx(g)(i) - exact(g)(i)) <= 0.01 * spread + 1e-6,
         s"group $g p=${ps(i)}: approx ${approx(g)(i)} vs exact ${exact(g)(i)}")
     }
+  }
+
+  test("winsorize clips each group to its own band, interior untouched") {
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(i => ("b", i * 1000.0))).toDF("g", "v")
+    val out = Stats.winsorize(df, "g", "v", 0.05, 0.95)
+    val a = out.filter(col("g") === "a").select("clipped")
+      .collect().map(_.getDouble(0))
+    // R-7 on 1..100: p05 = 5.95, p95 = 95.05
+    assert(a.min == 5.95 && a.max == 95.05)
+    // interior values (6..95) pass through untouched
+    assert(a.count(v => v > 5.95 && v < 95.05) == 90)
+    // group b is clipped against ITS band, not a's: R-7 on 1k..10k
+    val b = out.filter(col("g") === "b").select("clipped")
+      .collect().map(_.getDouble(0))
+    assert(b.min == 1450.0 && b.max == 9550.0)
+    // no row leaves its group band
+    assert(out.filter(col("clipped") < 5.95 && col("g") === "a").isEmpty)
   }
 
   test("histogram buckets are exact width multiples with sparse gaps") {
