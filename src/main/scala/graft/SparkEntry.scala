@@ -576,13 +576,16 @@ object SparkEntry {
   }
 
   /** Embedding-cosine near-duplicate pairs — the embedding-space
-    * analogue of q11's MinHash pairs: hyperplane-bucket candidates
-    * (pairs must agree on all 4 plane signs), exact rounded-cosine
-    * verify at ≥ 0.35. Fully oracle-checked via the same splitmix64
-    * bucket transliteration as q36. */
+    * analogue of q11's MinHash pairs, in the corpus-size-safe banded
+    * form: 16 bands of ⌈log2 n⌉ hyperplanes each (key space per band
+    * scales with the corpus, so the candidate self-join stays O(n)
+    * instead of Θ(n²/2^p) on a fixed key space), candidates agree on
+    * any band, exact rounded-cosine verify at ≥ 0.35. Fully
+    * oracle-checked via the same splitmix64 bucket transliteration as
+    * q36 plus an integer bit-length replay of the auto-sizing. */
   private def q51(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineDedupPairs(Tables.embeddings(s, dir),
-        "vec_id", "embedding", threshold = 0.35, nPlanes = 4)
+    Similarity.cosineDedupPairsAuto(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.35, nTables = 16)
       .orderBy("id_a", "id_b")
 
   /** PII scrub over deterministic contact strings built from the
@@ -782,13 +785,21 @@ object SparkEntry {
     * through `list_dot_product` in the same sequential dim order as the
     * JVM kernel (a hash-aggregate SUM would accumulate in chunk order
     * and could flip the sign of a dot within an ulp of zero). */
-  private def planeCoeffCte(nPlanes: Int, nTables: Int): String = {
+  private def planeCoeffCte(nPlanes: Int, nTables: Int): String =
+    planeCoeffCteDyn((nTables * nPlanes).toString)
+
+  /** [[planeCoeffCte]] with a data-derived plane count: `totalPlanes` is
+    * any scalar SQL expression (DuckDB's range() rejects subquery
+    * bounds, but scalar generate_series + unnest accepts them — the
+    * auto-sized q51 oracle derives its plane count from count(*)). */
+  private def planeCoeffCteDyn(totalPlanes: String): String = {
     def mulmod(a: String, hi: Long, lo: Long): String =
       s"((($a) * $hi::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT" +
         s" + ($a) * $lo::HUGEINT) % 18446744073709551616::HUGEINT"
-    s"""pd AS (SELECT plane::HUGEINT AS plane,
-       |         unnest(generate_series(0, (SELECT max(len(embedding)) - 1 FROM embeddings)))::HUGEINT AS dim
-       |       FROM range(0, ${nTables * nPlanes}) p(plane)),
+    s"""pl AS (SELECT unnest(generate_series(0, ($totalPlanes) - 1)) AS plane),
+       |dims AS (SELECT unnest(generate_series(0, (SELECT max(len(embedding)) - 1 FROM embeddings))) AS dim),
+       |pd AS (SELECT pl.plane::HUGEINT AS plane, dims.dim::HUGEINT AS dim
+       |       FROM pl, dims),
        |s0 AS (SELECT plane, dim,
        |  (plane * 11400714819323198485::HUGEINT % 18446744073709551616::HUGEINT
        |   + dim * 14029467366897019727::HUGEINT % 18446744073709551616::HUGEINT
@@ -856,32 +867,39 @@ object SparkEntry {
        |SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
-  /** q51 oracle: single-table hyperplane buckets (same splitmix64
-    * transliteration), bucket-agreement pair join, rounded-cosine
-    * threshold. */
-  private def cosinePairsOracle(nPlanes: Int, threshold: Double): String =
+  /** q51 oracle: full replay of the banded auto-sized
+    * cosineDedupPairs — per-band key width p = ⌈log2 n⌉ derived from
+    * count(*) exactly as Similarity.autoPlanes does (length(bin(n−1))
+    * is the integer bit-length, no float log2), nTables bands of p
+    * splitmix64 planes, candidate pairs agree on all planes of ANY
+    * band, exact rounded-cosine threshold on the deduplicated set. */
+  private def cosinePairsOracle(nTables: Int, threshold: Double): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-       |${planeCoeffCte(nPlanes, 1)},
+       |np AS (SELECT length(bin((count(*) - 1)::BIGINT))::BIGINT AS p FROM e),
+       |${planeCoeffCteDyn(s"$nTables * (SELECT p FROM np)")},
        |dots AS (
-       |  SELECT e.vec_id, coefl.plane AS p,
+       |  SELECT e.vec_id,
+       |         coefl.plane // (SELECT p FROM np) AS tbl,
+       |         coefl.plane % (SELECT p FROM np) AS pp,
        |         list_dot_product(e.v, coefl.cl[1:len(e.v)]) AS dot
        |  FROM e, coefl),
        |buckets AS (
-       |  SELECT vec_id,
-       |         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
-       |  FROM dots GROUP BY 1),
-       |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |        ${sqlCosine("ea.v", "eb.v")} AS cosine
-       |      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |      JOIN e ea ON ea.vec_id = a.vec_id
-       |      JOIN e eb ON eb.vec_id = b.vec_id)
+       |  SELECT vec_id, tbl,
+       |         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << pp) ELSE 0 END)::BIGINT AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM buckets a JOIN buckets b
+       |           ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |s AS (SELECT cand.id_a, cand.id_b, ${sqlCosine("ea.v", "eb.v")} AS cosine
+       |      FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+       |                JOIN e eb ON eb.vec_id = cand.id_b)
        |SELECT id_a, id_b, cosine FROM s WHERE cosine >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q36_ann_lsh" -> annLshOracle(nPlanes = 4, nTables = 8, k = 10),
     "q37_ann_ivf" -> annIvfOracle(nCentroids = 16, nProbe = 4, k = 10),
-    "q51_cosine_dedup_pairs" -> cosinePairsOracle(nPlanes = 4, threshold = 0.35),
+    "q51_cosine_dedup_pairs" -> cosinePairsOracle(nTables = 16, threshold = 0.35),
     "q52_redact_pii" -> {
       val email = TextOps.EmailRe // RE2-safe: classes + bounded reps only
       s"""WITH c AS (
@@ -906,7 +924,9 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q55_chunking" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-        |c AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 24)) AS s FROM d)
+        |c AS (SELECT doc_id, w,
+        |        unnest(generate_series(1, least(len(w), greatest(len(w) - 8, 1)), 24)) AS s
+        |      FROM d)
         |SELECT doc_id,
         |       ((s - 1) // 24)::BIGINT AS chunk_idx,
         |       array_to_string(w[s:s+31], ' ') AS chunk_text,
@@ -920,7 +940,7 @@ object SparkEntry {
         |  FROM events GROUP BY event_type)
         |SELECT event_id, e.event_type, value,
         |       least(greatest(value, lo), hi) AS clipped
-        |FROM events e JOIN q USING (event_type)
+        |FROM events e JOIN q ON e.event_type IS NOT DISTINCT FROM q.event_type
         |ORDER BY event_id""".stripMargin,
     "q54_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),

@@ -65,6 +65,29 @@ object Stress {
         "stratum", "doc_id", defaultFrac = 0.1,
         fracs = Map("rare" -> 0.9)).count()
     }
+
+    // embedding near-dup storm: every sf0.1 vector gains factor−1
+    // deterministically perturbed copies (cosine ≥ 0.999 to the
+    // original), so the corpus holds factor·2000 vectors in 2000
+    // C(factor,2)-pair near-dup cliques. The banded auto-sized pair
+    // engine must track that true-pair mass; the retired fixed-p=4
+    // single-band shape is timed alongside as the Θ(n²/16) contrast.
+    val ebig = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .crossJoin(spark.range(factor).select(col("id").as("copy")))
+      .select((col("vec_id") * factor + col("copy")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> double(x) + 0.003 * (pmod(copy * 31 + i, 7) - 3))")
+          .as("embedding"))
+      .localCheckpoint(true)
+    println(s"[stress] embeddings: ${ebig.count()} vectors (${factor}x sf0.1)")
+    time("cosinePairs(banded auto)") {
+      graft.operators.Similarity.cosineDedupPairsAuto(
+        ebig, "vec_id", "embedding", threshold = 0.9).count()
+    }
+    time("cosinePairs(fixed p=4)") {
+      graft.operators.Similarity.cosineDedupPairs(
+        ebig, "vec_id", "embedding", threshold = 0.9,
+        nPlanes = 4, nTables = 1).count()
+    }
     spark.stop()
   }
 }

@@ -76,7 +76,15 @@ object Sampling {
     * (stratum, bucket). Callers that prefer one scan over memory can
     * persist `df` first. `boundaryShift` trades boundary-task size
     * against histogram width (50 → 1024 buckets → the ranked slice is
-    * ~0.1% of the hottest stratum). */
+    * ~0.1% of the hottest stratum).
+    *
+    * CORRECTNESS REQUIRES `df` BE DETERMINISTIC across those scans: a
+    * non-deterministic upstream (`sample()`, rand()-derived columns, a
+    * re-listed mutable source) can present different rows to the
+    * histogram and the two phase-2 branches, yielding an inconsistent
+    * selected set. Persist (or checkpoint) such an input first — the
+    * same contract as re-reading any Spark plan twice, but it is load-
+    * bearing here, so it is a contract, not a performance note. */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        defaultFrac: Double,
                        fracs: Map[String, Double] = Map.empty,

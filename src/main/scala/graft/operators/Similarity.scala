@@ -220,18 +220,38 @@ object Similarity {
       queries, idCol, vecCol, k, nProbe)
 
   /** All near-duplicate pairs by embedding cosine ≥ threshold — the
-    * embedding-space analogue of TextOps.minhashDedupPairs. Buckets via
-    * hyperplane LSH (pairs must agree on all planes → candidates from an
-    * equi-join), verified exactly. nPlanes small keeps recall high for
-    * near-identical vectors. */
+    * embedding-space analogue of TextOps.minhashDedupPairs, in the
+    * banded multi-table form (like q11's MinHash banding): `nTables`
+    * independent bands of `nPlanes` hyperplanes each; a pair is a
+    * candidate when it agrees on EVERY plane of ANY band, then every
+    * candidate is verified exactly on the rounded cosine.
+    *
+    * Sizing is what makes this corpus-size-safe: each band has 2^nPlanes
+    * bucket keys, so size nPlanes ≳ log2(corpus) and the expected bucket
+    * occupancy — hence the per-band self-join — stays O(n), never
+    * Θ(n²/2^p) on a fixed tiny key space (a single wide table can't
+    * spread across more tasks than it has keys). Recall lost to the
+    * narrower per-band agreement comes back across bands:
+    * P(candidate at cosine c) = 1 − (1 − (1 − acos(c)/π)^nPlanes)^nTables
+    * — ≈ 1 for true near-dups (c ≥ 0.95) at nPlanes = 12, nTables = 16
+    * even on a billion-vector corpus. [[cosineDedupPairsAuto]] applies
+    * the log2 rule for you. Precision is always exact (candidates are
+    * verified); only recall is probabilistic. */
   def cosineDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, nPlanes: Int): DataFrame = {
+                       threshold: Double, nPlanes: Int,
+                       nTables: Int = 16): DataFrame = {
     ArrayMath.register(corpus.sparkSession)
-    val b = lshBucket(corpus, vecCol, nPlanes)
-    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("bucket"))
-    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("bucket"))
-    l.join(r, Seq("bucket"))
+    val b = lshBuckets(corpus, vecCol, nPlanes, nTables)
+    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      col("table"), col("bucket"))
+    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      col("table"), col("bucket"))
+    l.join(r, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      // dedupe candidates ACROSS bands before the cosine verify — a pair
+      // agreeing on several bands must pay the kernel once, not once per
+      // band (the vectors ride along: functionally determined by the ids)
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb")).distinct()
       // threshold the ROUNDED value (like every ANN rank): the kept set
       // becomes engine-exact instead of hinging on last-ulp sums for
       // pairs sitting precisely on the threshold
@@ -239,6 +259,21 @@ object Similarity {
         round(ArrayMath.cosineSimilarity(col("__va"), col("__vb")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
-      .distinct()
   }
+
+  /** Bit width of the per-band key space for a corpus of `n` vectors:
+    * ⌈log2 n⌉ (so 2^planes ≥ n), clamped to the kernel's [1, 62]. */
+  def autoPlanes(n: Long): Int = {
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.min(62, math.max(1, bits))
+  }
+
+  /** [[cosineDedupPairs]] with the per-band key space sized from the
+    * corpus itself (one metadata-scale count; at 100 TB that's a
+    * parquet-footer statistic, not a scan). The default entry point —
+    * callers who know their corpus size can pass nPlanes explicitly. */
+  def cosineDedupPairsAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, nTables: Int = 16): DataFrame =
+    cosineDedupPairs(corpus, idCol, vecCol, threshold,
+      autoPlanes(corpus.count()), nTables)
 }

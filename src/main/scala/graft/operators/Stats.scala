@@ -68,17 +68,21 @@ object Stats {
     * normalization. The per-group bounds are a broadcast-sized
     * aggregate; clipping itself picks one of {value, lo, hi} by
     * comparison only (no float arithmetic), so the output is
-    * engine-exact. Appends a `clipped` column. */
+    * engine-exact. Appends a `clipped` column. Every input row is
+    * preserved: the bounds join is null-safe, so a null group clips
+    * against the null group's own quantile band (a plain equi-join
+    * would silently drop those rows). */
   def winsorize(df: DataFrame, groupCol: String, valCol: String,
                 pLo: Double, pHi: Double): DataFrame = {
     require(pLo < pHi, s"need pLo($pLo) < pHi($pHi)")
     val names = quantileNames(Seq(pLo, pHi))
     val bounds = groupedQuantiles(df, groupCol, valCol, Seq(pLo, pHi))
-      .select(col(groupCol), col(names.head).as("__lo"), col(names(1)).as("__hi"))
-    df.join(broadcast(bounds), Seq(groupCol))
+      .select(col(groupCol).as("__g"), col(names.head).as("__lo"),
+        col(names(1)).as("__hi"))
+    df.join(broadcast(bounds), df(groupCol) <=> bounds("__g"))
       .withColumn("clipped",
         least(greatest(col(valCol), col("__lo")), col("__hi")))
-      .drop("__lo", "__hi")
+      .drop("__g", "__lo", "__hi")
   }
 
   /** Fixed-width histogram per group: bucket lower bound (an exact

@@ -276,12 +276,18 @@ object TextOps {
         val sc = pairs.sparkSession.sparkContext
         // setCheckpointDir stores the fs-qualified path with a fresh
         // UUID subdirectory (`file:/dir/3f2a…`), so equality against the
-        // raw string never holds — test containment, or every CC call
-        // would reset the context-global dir and strand a new orphan
-        // UUID directory of (never auto-cleaned) reliable checkpoints
-        val want = dir.stripSuffix("/")
-        if (!sc.getCheckpointDir.exists(_.contains(want)))
-          sc.setCheckpointDir(dir)
+        // raw string never holds. Compare the stored dir's PARENT to the
+        // fs-qualified requested path — a substring test would let
+        // `/tmp/cc-other` satisfy a request for `/tmp/cc` and silently
+        // checkpoint to the wrong (possibly non-durable) location, while
+        // an exact match here avoids resetting the context-global dir
+        // and stranding an orphan UUID directory per CC call.
+        val want = new org.apache.hadoop.fs.Path(dir)
+        val wantQ = want.getFileSystem(sc.hadoopConfiguration).makeQualified(want)
+        val alreadySet = sc.getCheckpointDir.exists { cur =>
+          Option(new org.apache.hadoop.fs.Path(cur).getParent).contains(wantQ)
+        }
+        if (!alreadySet) sc.setCheckpointDir(dir)
         df => df.checkpoint(eager = true)
       case None => df => df.localCheckpoint(true)
     }
@@ -609,8 +615,13 @@ object TextOps {
     * context-window shaping pass upstream of [[graft.operators.Packing]]:
     * chunk i covers tokens [1 + i·(chunk − overlap), …] for `chunk`
     * tokens (the final chunk may be shorter; every token is covered).
-    * Row-local generate — the only row amplification is the output
-    * chunk count itself, and nothing shuffles. */
+    * Starts stop once a chunk reaches the document's end: a trailing
+    * start whose tokens all lie inside the previous chunk's overlap
+    * would duplicate content beyond the declared overlap, so the last
+    * start is min(len, max(len − overlap, 1)) and no fully-redundant
+    * final chunk is emitted. Row-local generate — the only row
+    * amplification is the output chunk count itself, and nothing
+    * shuffles. */
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
                      chunkTokens: Int, overlap: Int): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
@@ -625,10 +636,11 @@ object TextOps {
     // legacy-sizeOfNull session and sequence(1, −1, stride) throws;
     // when() evaluates lazily and explode drops null arrays.
     val w = col("__w")
+    val lastStart = least(size(w), greatest(size(w) - lit(overlap), lit(1)))
     docs.select(col(idCol), tokens(col(textCol)).as("__w"))
       .select(col(idCol), w,
         posexplode(when(w.isNotNull,
-          sequence(lit(1), size(w), lit(stride)))).as(Seq("__i", "__s")))
+          sequence(lit(1), lastStart, lit(stride)))).as(Seq("__i", "__s")))
       .select(col(idCol),
         col("__i").cast("long").as("chunk_idx"),
         concat_ws(" ", slice(w, col("__s"), lit(chunkTokens))).as("chunk_text"),

@@ -104,4 +104,38 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("autoPlanes sizes the per-band key space to the corpus") {
+    assert(Similarity.autoPlanes(1L) == 1)
+    assert(Similarity.autoPlanes(2L) == 1)
+    assert(Similarity.autoPlanes(500L) == 9)   // 2^9 = 512 >= 500
+    assert(Similarity.autoPlanes(2000L) == 11) // 2^11 = 2048 >= 2000
+    assert(Similarity.autoPlanes(1L << 40) == 40)
+    assert(Similarity.autoPlanes(Long.MaxValue) == 62) // kernel clamp
+  }
+
+  test("banded cosineDedupPairs recall on planted near-dups (seeded)") {
+    // the operator's design regime is TRUE near-dups (cosine >= 0.95) —
+    // the fixture corpus has none (max pairwise ~0.5), so plant them:
+    // a deterministically perturbed copy of every 10th vector
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val rnd = new scala.util.Random(23)
+    val perturbed = e.filter(col("vec_id") % 10 === 0).collect().map { r =>
+      val v = r.getSeq[Double](1).toArray
+      val noise = v.map(_ => rnd.nextGaussian() * 0.03)
+      (r.getLong(0) + 100000L, v.zip(noise).map { case (x, d) => x + d })
+    }
+    val planted = spark.createDataFrame(
+      spark.sparkContext.parallelize(perturbed.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2.toSeq)), 2),
+      e.schema)
+    val corpus = e.union(planted)
+    val pairs = Similarity.cosineDedupPairsAuto(corpus, "vec_id", "embedding",
+        threshold = 0.9, nTables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = perturbed.map(p => (p._1 - 100000L, p._1)).toSet
+    val recall = (expected intersect pairs).size.toDouble / expected.size
+    assert(recall >= 0.9, s"banded near-dup recall $recall collapsed " +
+      s"(found ${(expected intersect pairs).size} of ${expected.size})")
+  }
 }

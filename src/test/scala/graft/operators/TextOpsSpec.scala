@@ -189,12 +189,12 @@ class TextOpsSpec extends SparkSpec {
         chunkTokens = 4, overlap = 1)
       .orderBy("chunk_idx").collect()
       .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
-    // stride 3: starts 1,4,7,10 → last chunk is the single trailing token
+    // stride 3: starts 1,4,7 — a 4th start at 10 would re-emit only
+    // tokens already inside chunk 2's overlap, so it is not generated
     assert(out.toSeq == Seq(
       (0L, "t1 t2 t3 t4", 4L),
       (1L, "t4 t5 t6 t7", 4L),
-      (2L, "t7 t8 t9 t10", 4L),
-      (3L, "t10", 1L)))
+      (2L, "t7 t8 t9 t10", 4L)))
     // law on the fixture: concatenating chunks minus overlaps re-forms
     // each document exactly
     val fix = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
