@@ -3,15 +3,28 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main: runs every SparkEntry query against
-  * `SPARK_GRAFT_SF_DIR`, emits ONE JSON result line on stdout AND writes
-  * the identical JSON to `bench.json` (cwd, or `SPARK_GRAFT_BENCH_OUT`).
-  * Each query reports the MEDIAN of `SPARK_GRAFT_BENCH_REPS` runs
-  * (default 3) plus the per-query min→max spread.
+  * `SPARK_GRAFT_SF_DIR`, emits ONE compact JSON result line on stdout and
+  * writes a FULL JSON artifact to `bench.json` (cwd, or
+  * `SPARK_GRAFT_BENCH_OUT`). Each query reports the MEDIAN of
+  * `SPARK_GRAFT_BENCH_REPS` runs (default 3) plus, in the file artifact,
+  * the per-query min→max spread.
   *
-  * Round-1 postmortem (VERDICT §wrong 2-3): the stdout line alone was
-  * unparseable — sbt decorates it with `[info]` and the function-registry
-  * WARN storm preceded it — and exceptions were swallowed as fast times.
-  * Now: file artifact + per-query `err` strings + stdout line kept last.
+  * Stdout contract (round-5 postmortem): the driver's tail capture keeps
+  * only the LAST 2000 characters of stdout, so the round-4/5 single line
+  * (~3.9 KB with full-precision spread/error maps) had its head clipped
+  * and recorded `parsed: null` two rounds running — worse, the visible
+  * tail was the `spread` map, which read as medians. Now the stdout line
+  * is compact by construction: totals first, per-query medians at 3 dp,
+  * no spread/error detail (that lives in the file artifact), and a length
+  * guard drops to 2 dp if the line ever approaches the window. Measured:
+  * 56 queries ≈ 1.5 KB.
+  *
+  * Noise contract: a contended run must not masquerade as a regression
+  * (round-5: a polluted driver run printed 10.68 s for a 0.55 s query).
+  * After the initial reps, any query whose spread exceeds its median (and
+  * whose median exceeds a 0.2 s floor) gets up to 2 extra reps; the
+  * median is recomputed over all successful reps, and queries still noisy
+  * after that are listed loudly in `noisy`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,47 +50,79 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // median-of-N per query (default 3): run-to-run noise at sf0.1 is
-    // ±15% (BENCH_HISTORY.md) — a single sample hides real regressions
-    // of the same size. `spread` (max − min over the reps) is reported
-    // per query so a noisy median is visibly noisy.
+    // median of successful reps: a query that succeeds on rep 1 but
+    // throws later still reports its successful timings (plus the error);
+    // even rep counts average the two middle values instead of biasing
+    // high on the upper-middle element
+    def median(ts: Seq[Double]): Double = {
+      if (ts.isEmpty) return 0.0
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val extraReps = 2  // noise-guard budget per query
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
-      var r = 0
-      while (r < reps && err.isEmpty) {
+      def runOnce(): Unit = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
-        if (err.isEmpty) times += (System.nanoTime() - t0) / 1e9
-        r += 1
       }
-      val sorted = times.sorted
-      val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
-      val spread = if (sorted.isEmpty) 0.0 else sorted.last - sorted.head
-      (name, median, spread, err)
+      var r = 0
+      while (r < reps && err.isEmpty) { runOnce(); r += 1 }
+      // noise guard: spread > median on a non-trivial query means at
+      // least one rep was polluted by transient contention — buy extra
+      // reps so the median can recover before we publish it
+      def spreadOf(ts: Seq[Double]) = if (ts.isEmpty) 0.0 else ts.max - ts.min
+      var extra = 0
+      while (err.isEmpty && extra < extraReps &&
+             median(times.toSeq) > 0.2 &&
+             spreadOf(times.toSeq) > median(times.toSeq)) {
+        runOnce(); extra += 1
+      }
+      val med = median(times.toSeq)
+      val spread = spreadOf(times.toSeq)
+      val noisy = err.isEmpty && med > 0.2 && spread > med
+      (name, med, spread, err, noisy)
     }
-    // a crashed query's elapsed time is noise, not a result — keep it out
-    // of the per-query map and the total so failures can't read as fast
-    // successes; failed names live only in `errors`
-    val qs = results.collect { case (k, v, _, None) => jstr(k) + ":" + v }
-      .mkString("{", ",", "}")
-    val spreads = results.collect { case (k, _, s, None) => jstr(k) + ":" + s }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, None) => v }.sum
+    def fmt(v: Double, dp: Int): String = s"%.${dp}f".format(v)
+    // a crashed query with NO successful rep contributes nothing to the
+    // per-query map or the total; a query with some successful reps
+    // reports their median AND its error string
+    val okPairs = results.collect { case (k, v, _, e, _) if v > 0.0 || e.isEmpty => (k, v) }
+    val total = okPairs.map(_._2).sum
     val nFailed = results.count(_._4.isDefined)
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spreads,"errors":$errs,"n_failed":$nFailed,"sf":${jstr(sfDir)}}"""
+    val noisyNames = results.collect { case (k, _, _, _, true) => k }
+    def stdoutLine(dp: Int): String = {
+      val qs = okPairs.map { case (k, v) => jstr(k) + ":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","reps":$reps,""" +
+        s""""n_failed":$nFailed,"noisy":${noisyNames.map(jstr).mkString("[", ",", "]")},""" +
+        s""""queries":$qs,"sf":${jstr(sfDir)}}"""
+    }
+    // 2000-char driver tail-capture window; leave slack for a stray
+    // trailing log line
+    val line = { val l3 = stdoutLine(3); if (l3.length <= 1900) l3 else stdoutLine(2) }
+    // full-precision artifact: spreads + errors live here, not on stdout
+    val spreads = results.map { case (k, _, s, _, _) => jstr(k) + ":" + fmt(s, 3) }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val qsFull = okPairs.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val fileJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"spread":$spreads,"errors":$errs,"n_failed":$nFailed,"noisy":${noisyNames.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    Files.writeString(Paths.get(outPath), json + "\n")
+    Files.writeString(Paths.get(outPath), fileJson + "\n")
     spark.stop()
     // last line of output, after Spark's shutdown logging is done
-    println(json)
+    println(line)
     System.out.flush()
   }
 }

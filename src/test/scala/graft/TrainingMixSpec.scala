@@ -92,10 +92,13 @@ class TrainingMixSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     coveredPerDoc.foreach { case (id, covered, k) =>
       // chunk i starts at 1 + 48·i and carries min(64, n − start + 1)
-      // tokens; the final chunk is truncated by the document end
+      // tokens; starts stop at min(n, max(n − overlap, 1)) so no
+      // fully-redundant final chunk (already covered by the previous
+      // chunk's overlap) is emitted
       val n = tokensPerDoc(id)
-      val starts = 0L.until(k).map(1L + 48L * _)
-      assert(starts.forall(_ <= n) && (k - 1) * 48L + 1 + 48L > n,
+      val lastStart = math.min(n, math.max(n - 16L, 1L))
+      val starts = 1L.to(lastStart, 48L)
+      assert(starts.length.toLong == k,
         s"doc $id: wrong chunk count $k for $n tokens")
       val want = starts.map(s => math.min(64L, n - s + 1)).sum
       assert(covered == want,
