@@ -51,7 +51,8 @@ object Bench {
       case c => c.toString
     } + "\""
     // median of successful reps: a query that succeeds on rep 1 but
-    // throws later still reports its successful timings (plus the error);
+    // throws later still reports its successful timings (plus the error),
+    // but is excluded from `total` and flagged in `partial` — see below;
     // even rep counts average the two middle values instead of biasing
     // high on the upper-middle element
     def median(ts: Seq[Double]): Double = {
@@ -89,35 +90,59 @@ object Bench {
       val med = median(times.toSeq)
       val spread = spreadOf(times.toSeq)
       val noisy = err.isEmpty && med > 0.2 && spread > med
-      (name, med, spread, err, noisy)
+      (name, med, spread, err, noisy, times.size)
     }
-    def fmt(v: Double, dp: Int): String = s"%.${dp}f".format(v)
-    // a crashed query with NO successful rep contributes nothing to the
-    // per-query map or the total; a query with some successful reps
-    // reports their median AND its error string
-    val okPairs = results.collect { case (k, v, _, e, _) if v > 0.0 || e.isEmpty => (k, v) }
-    val total = okPairs.map(_._2).sum
+    // Locale.ROOT: under a comma-decimal JVM locale the default-locale
+    // format would emit "1,106" and break the JSON on both stdout and the
+    // file artifact's spread map
+    def fmt(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    // total is comparable across rounds only if every contributing query
+    // ran its full rep budget cleanly: a query that succeeded some reps
+    // then threw reports its reduced-sample median in the per-query map
+    // (flagged in `partial`) but is EXCLUDED from total; a query with no
+    // successful rep appears only in `errors`
+    val cleanPairs = results.collect { case (k, v, _, None, _, _) => (k, v) }
+    val partialPairs = results.collect { case (k, v, _, Some(_), _, n) if n > 0 => (k, v) }
+    val qPairs = (cleanPairs ++ partialPairs).sortBy(_._1)
+    val total = cleanPairs.map(_._2).sum
     val nFailed = results.count(_._4.isDefined)
-    val noisyNames = results.collect { case (k, _, _, _, true) => k }
-    def stdoutLine(dp: Int): String = {
-      val qs = okPairs.map { case (k, v) => jstr(k) + ":" + fmt(v, dp) }
-        .mkString("{", ",", "}")
+    val noisyNames = results.collect { case (k, _, _, _, true, _) => k }
+    val partialNames = partialPairs.map(_._1)
+    def jarr(ns: Seq[String]) = ns.map(jstr).mkString("[", ",", "]")
+    def head(dp: Int): String =
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","reps":$reps,""" +
-        s""""n_failed":$nFailed,"noisy":${noisyNames.map(jstr).mkString("[", ",", "]")},""" +
-        s""""queries":$qs,"sf":${jstr(sfDir)}}"""
+        s""""n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)}"""
+    def stdoutLine(dp: Int): String = {
+      val qs = qPairs.map { case (k, v) => jstr(k) + ":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+      head(dp) + s""","queries":$qs,"sf":${jstr(sfDir)}}"""
     }
     // 2000-char driver tail-capture window; leave slack for a stray
-    // trailing log line
-    val line = { val l3 = stdoutLine(3); if (l3.length <= 1900) l3 else stdoutLine(2) }
-    // full-precision artifact: spreads + errors live here, not on stdout
-    val spreads = results.map { case (k, _, s, _, _) => jstr(k) + ":" + fmt(s, 3) }
+    // trailing log line. Final fallback (query count past ~70 / long sf
+    // path): drop the per-query map entirely — totals stay parseable, the
+    // full map is always in the file artifact.
+    val line = {
+      val l3 = stdoutLine(3)
+      if (l3.length <= 1900) l3
+      else {
+        val l2 = stdoutLine(2)
+        if (l2.length <= 1900) l2
+        else head(3) + s""","queries_in":"bench.json","sf":${jstr(sfDir)}}"""
+      }
+    }
+    // full-precision artifact: spreads + errors + per-query rep counts
+    // live here, not on stdout
+    val spreads = results.map { case (k, _, s, _, _, _) => jstr(k) + ":" + fmt(s, 3) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
+    val errs = results.collect { case (k, _, _, Some(e), _, _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val qsFull = okPairs.map { case (k, v) => jstr(k) + ":" + v }
+    val repCounts = results.map { case (k, _, _, _, _, n) => jstr(k) + ":" + n }
+      .mkString("{", ",", "}")
+    val qsFull = qPairs.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"spread":$spreads,"errors":$errs,"n_failed":$nFailed,"noisy":${noisyNames.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"spread":$spreads,"errors":$errs,"rep_counts":$repCounts,"n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)},"sf":${jstr(sfDir)}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(outPath), fileJson + "\n")
     spark.stop()

@@ -628,7 +628,57 @@ object SparkEntry {
       .select("event_id", "event_type", "value", "clipped")
       .orderBy("event_id")
 
+  /** X3 first-array-element field extract as a driver-oracled query
+    * (the reference's Python row loop over `categories[0]['id']`,
+    * mabna_tables_create.py:113-117). Each customer's 'F'-status orders
+    * are packed into a sorted array-of-structs; [[JsonFlatten
+    * .firstElementField]] extracts the earliest order's key and date.
+    * Customers whose orders all miss the filter get an EMPTY array —
+    * `try_element_at` returns NULL, the reference's KeyError-guard
+    * branch. */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val hist = c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"))
+      .agg(array_sort(collect_list(when(col("o_orderstatus") === "F",
+        struct(col("o_orderdate"), col("o_orderkey"))))).as("orders_f"))
+    hist.select(
+        col("c_custkey"),
+        size(col("orders_f")).cast("long").as("n_f_orders"),
+        JsonFlatten.firstElementField(col("orders_f"), "o_orderkey")
+          .as("first_orderkey"),
+        date_format(
+            JsonFlatten.firstElementField(col("orders_f"), "o_orderdate"),
+            "yyyy-MM-dd")
+          .as("first_orderdate"))
+      .orderBy("c_custkey")
+  }
+
+  /** §2.9 end-to-end incremental refresh as ONE driver query — the
+    * reference's update loop (mabna_tables_update.py:383-410) composed
+    * from its operators: the target starts as the first 5 000 events,
+    * its watermark is PROBED from the data (A1, a real driver action,
+    * exactly as the reference queries `max(version)` before each fetch),
+    * the source is filtered past it (F3), and target ∪ delta is
+    * keep-last-deduped (W1). The oracle is the replay ≡ full-refresh
+    * law: the merged result must hash-equal a full keep-last dedup over
+    * the whole source. */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(s, dir).withColumn("ts_us", tsUs).drop("ts")
+    val target = src.filter(col("event_id") <= 5000L)
+    val wm = Incremental.maxWatermark(target, "event_id")
+    val delta = Incremental.newerThan(src, "event_id", wm)
+    Dedup.keepLast(target.unionByName(delta),
+        Seq("user_id", "event_type"), Seq(col("ts_us"), col("event_id")))
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_first_order" -> q57,
+    "q58_incremental_e2e" -> q58,
     "q51_cosine_dedup_pairs" -> q51,
     "q52_redact_pii" -> q52,
     "q53_normalize" -> q53,
@@ -1010,6 +1060,30 @@ object SparkEntry {
         |FROM events WHERE event_id > 5000
         |ORDER BY event_id""".stripMargin,
     "q06_keeplast_dedup" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q57_first_order" ->
+      """WITH f AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn,
+        |         count(*) OVER (PARTITION BY o_custkey) AS n
+        |  FROM orders WHERE o_orderstatus = 'F')
+        |SELECT c_custkey,
+        |       coalesce(f.n, 0)::BIGINT AS n_f_orders,
+        |       f.o_orderkey AS first_orderkey,
+        |       strftime(f.o_orderdate, '%Y-%m-%d') AS first_orderdate
+        |FROM customer LEFT JOIN f ON c_custkey = f.o_custkey AND f.rn = 1
+        |ORDER BY c_custkey""".stripMargin,
+    // replay ≡ full-refresh: the incremental merge must equal a full
+    // keep-last dedup over the whole source
+    "q58_incremental_e2e" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM (
         |  SELECT *, row_number() OVER (
