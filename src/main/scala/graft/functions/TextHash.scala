@@ -194,6 +194,38 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Per-set marker-token hit counts in ONE tokenization pass (codegen
+    * entry point). Semantics pinned to the declarative form it replaces:
+    * `size(filter(split(text, " "), t => t.isin(set)))` per set — binary
+    * UTF8 equality, empty tokens never match, one count per set. Sets
+    * are tiny vocabularies (≤ 8 markers), so membership is a linear scan
+    * over interned UTF8Strings; no per-row allocation beyond the token
+    * view. */
+  def tokenSetCounts(text: UTF8String, sets: Array[Array[UTF8String]]): Array[Long] = {
+    val out = new Array[Long](sets.length)
+    val b = text.getBytes
+    val (starts, ends) = tokenBounds(b)
+    var i = 0
+    while (i < starts.length) {
+      val len = ends(i) - starts(i)
+      if (len > 0) {
+        val tok = UTF8String.fromBytes(b, starts(i), len)
+        var s = 0
+        while (s < sets.length) {
+          val set = sets(s)
+          var j = 0
+          while (j < set.length) {
+            if (set(j).equals(tok)) { out(s) += 1; j = set.length }
+            else j += 1
+          }
+          s += 1
+        }
+      }
+      i += 1
+    }
+    out
+  }
+
   def tokenHashes(text: UTF8String): Array[Long] = {
     val b = text.getBytes
     val (starts, ends) = tokenBounds(b)
@@ -347,6 +379,33 @@ case class SortedPairsExpr(child: Expression)
     copy(child = c)
 }
 
+/** Per-set marker-token hit counts: array<long>, one slot per marker
+  * set, in one tokenization pass. Replaces the K-fold
+  * `size(filter(tokens, isin(...)))` formulation whose HOF lambdas run
+  * interpreted (CodegenFallback) AND tokenize the text K times —
+  * language-ID scored 5 vocabularies that way (round-5 verdict). Marker
+  * sets travel as a plan-time constant via `addReferenceObj`, so the
+  * generated code is a single static call inside the codegen span. */
+case class TokenSetCountsExpr(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression {
+  @transient private lazy val setArr: Array[Array[UTF8String]] =
+    sets.map(_.map(UTF8String.fromString).toArray).toArray
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_set_counts"
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.tokenSetCounts(
+      input.asInstanceOf[UTF8String], setArr))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenSets", setArr,
+      "org.apache.spark.unsafe.types.UTF8String[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextHash.tokenSetCounts($c, $ref))")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Session registration + Column API (same registry path the other
   * graft expressions use — static parameters travel as literal args and
   * are unwrapped once at plan-construction time). */
@@ -381,6 +440,13 @@ object TextHashFunctions {
       es => DocFingerprintExpr(es.head, TextOps.FpBase), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_pairs",
       es => SortedPairsExpr(es.head), "scala_udf")
+    // marker sets travel as one string literal ('|' between sets, ' '
+    // between tokens — markers are single words by construction)
+    reg.createOrReplaceTempFunction("token_set_counts",
+      es => TokenSetCountsExpr(es(0),
+        es(1).eval().asInstanceOf[UTF8String].toString
+          .split('|').toSeq.map(_.split(' ').toSeq.filter(_.nonEmpty))),
+      "scala_udf")
   }
 
   import org.apache.spark.sql.functions.lit
@@ -404,4 +470,12 @@ object TextHashFunctions {
     call_function("doc_fingerprint", text)
 
   def sortedPairs(ids: Column): Column = call_function("sorted_pairs", ids)
+
+  def tokenSetCounts(text: Column, sets: Seq[Seq[String]]): Column = {
+    require(sets.nonEmpty && sets.forall(_.forall(m =>
+      m.nonEmpty && !m.contains(' ') && !m.contains('|'))),
+      "marker tokens must be non-empty, space-free and '|'-free")
+    call_function("token_set_counts", text,
+      lit(sets.map(_.mkString(" ")).mkString("|")))
+  }
 }
