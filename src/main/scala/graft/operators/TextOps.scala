@@ -409,13 +409,17 @@ object TextOps {
 
   /** Language-ID: score each language by marker-token hits, pick the
     * argmax (ties → lexicographically first language, deterministic).
-    * Pure per-row expressions — no shuffle, fully codegen'd. */
+    * Pure per-row expressions — no shuffle. All 5 vocabularies are
+    * scored by one codegen'd `token_set_counts` kernel call (one
+    * tokenization pass, no interpreted HOF lambdas). */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(lower(col(textCol)))
-    val scored = LangMarkers.foldLeft(docs.select(col(idCol), toks.as("__t"))) {
-      case (df, (lang, markers)) =>
-        df.withColumn(s"score_$lang",
-          size(filter(col("__t"), t => t.isin(markers.map(lit(_)): _*))))
+    TextHashFunctions.register(docs.sparkSession)
+    val counts =
+      TextHashFunctions.tokenSetCounts(lower(col(textCol)), LangMarkers.map(_._2))
+    val scored = LangMarkers.zipWithIndex.foldLeft(
+        docs.select(col(idCol), counts.as("__t"))) {
+      case (df, ((lang, _), i)) =>
+        df.withColumn(s"score_$lang", element_at(col("__t"), i + 1))
     }
     val best = LangMarkers.map(_._1).sortBy(identity).foldLeft(
       (lit(null).cast("string"), lit(-1L))) { case ((bl, bs), lang) =>
@@ -430,13 +434,18 @@ object TextOps {
 
   /** Quality-scoring features + a composite score — the usual pre-train
     * corpus filters (length, word shape, punctuation/digit density,
-    * stopword ratio). Per-row expressions only. */
+    * stopword ratio). Per-row expressions only; the stopword count runs
+    * through the codegen'd `token_set_counts` kernel (no interpreted
+    * HOF lambda on the hot path). */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    TextHashFunctions.register(docs.sparkSession)
     val t = col(textCol)
     val toks = tokens(t)
     val nChars = length(t)
     val nTokens = size(toks)
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "that")
+    val stopHits =
+      element_at(TextHashFunctions.tokenSetCounts(lower(t), Seq(stop)), 1)
     docs.select(
       col(idCol),
       nChars.cast("long").as("n_chars"),
@@ -446,8 +455,7 @@ object TextOps {
         .cast("double") / nChars, 6).as("punct_ratio"),
       round(length(regexp_replace(t, "[^0-9]", ""))
         .cast("double") / nChars, 6).as("digit_ratio"),
-      round(size(filter(tokens(lower(t)), x => x.isin(stop.map(lit(_)): _*)))
-        .cast("double") / nTokens, 6).as("stopword_ratio"))
+      round(stopHits.cast("double") / nTokens, 6).as("stopword_ratio"))
       // each criterion contributes an exact quarter — the sum is a
       // dyadic rational, so no engine-dependent rounding can occur
       .withColumn("quality_score",

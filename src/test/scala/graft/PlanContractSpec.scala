@@ -151,6 +151,50 @@ class PlanContractSpec extends SparkSpec {
       s"corpus index shuffled for the probe join:\n$plan")
   }
 
+  test("q15 langid scores through the codegen'd kernel, no interpreted HOFs") {
+    val df = SparkEntry.queries("q15_langid")(spark, dir)
+    val plan = physical(df)
+    assert(plan.contains("token_set_counts"),
+      s"langid not using the native token_set_counts kernel:\n$plan")
+    val fallbacks = df.queryExecution.executedPlan.flatMap(_.expressions)
+      .flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback => e
+      })
+    assert(fallbacks.isEmpty,
+      s"interpreted (CodegenFallback) expressions on the q15 hot path: " +
+        fallbacks.map(_.getClass.getSimpleName).distinct.mkString(", "))
+  }
+
+  test("q16 quality stopword ratio runs through the codegen'd kernel") {
+    val plan = physical(SparkEntry.queries("q16_quality")(spark, dir))
+    assert(plan.contains("token_set_counts"),
+      s"stopword_ratio not using the native kernel:\n$plan")
+    assert(!plan.contains("ArrayFilter"),
+      s"interpreted HOF filter survives in q16:\n$plan")
+  }
+
+  test("q57 first-order extract: one aggregation shuffle, no product join") {
+    val plan = physical(SparkEntry.queries("q57_first_order")(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+      s"customer⋈orders left join fell back to a product:\n$plan")
+    val hashEx = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx <= 1,
+      s"q57 shuffles beyond the per-customer aggregation ($hashEx):\n$plan")
+  }
+
+  test("q58 incremental e2e: watermark filter pushed, one window exchange") {
+    val qe = SparkEntry.queries("q58_incremental_e2e")(spark, dir).queryExecution
+    assert(qe.toString.contains("GreaterThan(event_id"),
+      "delta watermark predicate not pushed to the events scan")
+    val plan = qe.executedPlan.toString
+    val hashEx = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx == 1,
+      s"q58 should shuffle exactly once for the keep-last window ($hashEx):\n$plan")
+  }
+
   test("packSequences partitions its window by shard (no global sort)") {
     val plan = physical(graft.operators.Packing.packSequences(
       TextOps.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
