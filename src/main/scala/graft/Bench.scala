@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main: runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR`, emits ONE compact JSON result line on stdout and
@@ -25,6 +26,18 @@ import java.nio.file.{Files, Paths}
   * whose median exceeds a 0.2 s floor) gets up to 2 extra reps; the
   * median is recomputed over all successful reps, and queries still noisy
   * after that are listed loudly in `noisy`.
+  *
+  * Cross-round guard (round-7 postmortem): within-run spread cannot catch
+  * a query whose reps are ALL contended — q51 published 1.224 s vs 0.621 s
+  * the round before with zero code changes on its path, and sailed through
+  * because its three polluted reps agreed with each other. So after
+  * medians are final, they are diffed against the previous round's
+  * committed artifact (`SPARK_GRAFT_BENCH_PREV`, else the
+  * highest-numbered `BENCH_r*.json` in cwd — the driver wrapper's
+  * `parsed.queries` or a raw bench.json's `queries`): any non-trivial
+  * query >1.5× its prior median is listed in `suspect`, so an
+  * all-reps-contended number cannot silently enter the history as a real
+  * regression. Advisory only — it never changes the measured medians.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -102,6 +115,40 @@ object Bench {
     // then threw reports its reduced-sample median in the per-query map
     // (flagged in `partial`) but is EXCLUDED from total; a query with no
     // successful rep appears only in `errors`
+    // previous-round medians for the cross-round suspect guard; any
+    // parse/IO failure degrades to an empty map (first round, renamed
+    // artifact) — the guard is advisory and must never fail the bench
+    val prevMedians: Map[String, Double] = try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      def queriesOf(j: JValue): Map[String, Double] = (j \ "queries") match {
+        case JObject(fs) => fs.collect {
+          case (k, JDouble(v))  => k -> v
+          case (k, JInt(v))     => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+      val prev = sys.env.get("SPARK_GRAFT_BENCH_PREV").map(Paths.get(_))
+        .orElse {
+          val rx = raw"BENCH_r0*(\d+)\.json".r
+          val s = Files.list(Paths.get("."))
+          try s.iterator().asScala.flatMap(p => p.getFileName.toString match {
+              case rx(n) => Some((n.toInt, p))
+              case _     => None
+            }).toSeq.sortBy(-_._1).headOption.map(_._2)
+          finally s.close()
+        }
+      prev.map { p =>
+        val j = JsonMethods.parse(Files.readString(p))
+        (j \ "parsed") match {
+          case JNothing | JNull => queriesOf(j)
+          case wrapped          => queriesOf(wrapped)
+        }
+      }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
+    val suspectNames = results.collect { case (k, med, _, None, _, _)
+      if med > 0.2 && prevMedians.get(k).exists(p => p > 0.0 && med > 1.5 * p) => k }
     val cleanPairs = results.collect { case (k, v, _, None, _, _) => (k, v) }
     val partialPairs = results.collect { case (k, v, _, Some(_), _, n) if n > 0 => (k, v) }
     val qPairs = (cleanPairs ++ partialPairs).sortBy(_._1)
@@ -112,7 +159,8 @@ object Bench {
     def jarr(ns: Seq[String]) = ns.map(jstr).mkString("[", ",", "]")
     def head(dp: Int): String =
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","reps":$reps,""" +
-        s""""n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)}"""
+        s""""n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)},""" +
+        s""""suspect":${jarr(suspectNames)}"""
     def stdoutLine(dp: Int): String = {
       val qs = qPairs.map { case (k, v) => jstr(k) + ":" + fmt(v, dp) }
         .mkString("{", ",", "}")
@@ -142,7 +190,7 @@ object Bench {
     val qsFull = qPairs.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"spread":$spreads,"errors":$errs,"rep_counts":$repCounts,"n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"spread":$spreads,"errors":$errs,"rep_counts":$repCounts,"n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)},"suspect":${jarr(suspectNames)},"sf":${jstr(sfDir)}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(outPath), fileJson + "\n")
     spark.stop()
