@@ -676,9 +676,50 @@ object SparkEntry {
       .orderBy("user_id", "event_type")
   }
 
+  /** Multimodal ingest end-to-end: the sf directory's parquet files
+    * themselves, read as opaque media via Spark's `binaryFile` source,
+    * flow through the whole media pipeline — [[Multimodal.byteFeatures]]
+    * (format/n_bytes), the codegen'd decode kernel
+    * ([[Multimodal.decodeMeta]]; the stub's pseudo-dimensions are pure
+    * arithmetic on byte length, which is exactly what lets DuckDB's
+    * `read_blob` oracle reproduce them from file sizes), and
+    * [[Multimodal.sampleFrames]] (stride-4 over 4 KiB blocks, aggregated
+    * to per-file frame counts/bytes). File identity is the engine's
+    * cross-engine hash60 of the basename. Ten files — metadata scale;
+    * at 100 TB the same plan fans out one file per task and the joins
+    * stay broadcast. */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val media = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet").load(dir)
+      .select(
+        regexp_extract(col("path"), "[^/]+$", 0).as("file_name"),
+        col("content").as("media"))
+      .select(col("file_name"),
+        conv(substring(md5(col("file_name")), 1, 15), 16, 10).cast("long")
+          .as("media_id"),
+        col("media"),
+        struct(lit("parquet").as("format"),
+          octet_length(col("media")).cast("long").as("n_bytes")).as("meta"))
+    val feats = Multimodal.byteFeatures(media)
+      .select("media_id", "format", "n_bytes") // md5(blob) has no DuckDB mirror
+    val dims = Multimodal.decodeMeta(media)
+      .select("media_id", "width", "height")
+    val frames = Multimodal.sampleFrames(media, blockSize = 4096, stride = 4)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("frame_bytes")).cast("long").as("frame_bytes_total"))
+    media.select("file_name", "media_id")
+      .join(feats, Seq("media_id")).join(dims, Seq("media_id"))
+      .join(frames, Seq("media_id"))
+      .select(col("file_name"), col("media_id"), col("format"), col("n_bytes"),
+        col("width"), col("height"), col("n_frames"), col("frame_bytes_total"))
+      .orderBy("file_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_first_order" -> q57,
     "q58_incremental_e2e" -> q58,
+    "q59_binary_ingest" -> q59,
     "q51_cosine_dedup_pairs" -> q51,
     "q52_redact_pii" -> q52,
     "q53_normalize" -> q53,
@@ -1092,6 +1133,29 @@ object SparkEntry {
         |  FROM events
         |) WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+    // {SF_DIR} is substituted with the actual sf directory by Verify at
+    // dump time (the only query whose oracle reads FILES, not tables);
+    // the stub decode dims are byte-length arithmetic, so read_blob's
+    // size reproduces every column
+    "q59_binary_ingest" ->
+      """WITH f AS (
+        |  SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+        |         size::BIGINT AS n_bytes
+        |  FROM read_blob('{SF_DIR}/*.parquet')),
+        |d AS (
+        |  SELECT file_name,
+        |         ('0x' || substr(md5(file_name), 1, 15))::BIGINT AS media_id,
+        |         n_bytes,
+        |         (64 + (n_bytes % 64))::INTEGER AS width,
+        |         (64 + ((n_bytes // 64) % 64))::INTEGER AS height,
+        |         (n_bytes + 4095) // 4096 AS n_blocks
+        |  FROM f)
+        |SELECT file_name, media_id, 'parquet' AS format, n_bytes, width, height,
+        |       ((n_blocks + 3) // 4)::BIGINT AS n_frames,
+        |       list_sum(list_transform(generate_series(0, n_blocks - 1, 4),
+        |         off -> least(4096, n_bytes - off * 4096)))::BIGINT
+        |         AS frame_bytes_total
+        |FROM d ORDER BY file_name""".stripMargin,
     "q07_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,

@@ -16,6 +16,10 @@ import graft.operators.TextOps
 object Stress {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
+    // "all" (default) | "text" | "embed" — the embedding storm is the
+    // slow-growing half; a mode flag lets the 40x point re-run without
+    // repaying the ~5 min text-family sweep
+    val mode = args.lift(1).getOrElse("all")
     val spark = Engine.withGraftConfs(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -39,6 +43,7 @@ object Stress {
       println(f"[stress] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f s  ($rows rows)")
     }
 
+    if (mode != "embed") {
     time("exactDedup") {
       TextOps.exactDedup(big, "doc_id", "text").count()
     }
@@ -66,6 +71,9 @@ object Stress {
         fracs = Map("rare" -> 0.9)).count()
     }
 
+    }
+
+    if (mode != "text") {
     // embedding near-dup storm: every sf0.1 vector gains factor−1
     // deterministically perturbed copies (cosine ≥ 0.999 to the
     // original), so the corpus holds factor·2000 vectors in 2000
@@ -87,6 +95,7 @@ object Stress {
       graft.operators.Similarity.cosineDedupPairs(
         ebig, "vec_id", "embedding", threshold = 0.9,
         nPlanes = 4, nTables = 1).count()
+    }
     }
     spark.stop()
   }

@@ -39,11 +39,18 @@ object Verify {
     // while round 1 keyed this map by bare `qNN` → 39× err:"no_oracle".
     // Emit BOTH key forms, plus a `<name>.sql` sidecar per output, so no
     // plausible driver lookup convention can miss the oracle.
-    val json = SparkEntry.oracleSql
+    // {SF_DIR}: file-reading oracles (q59's read_blob) need the sf
+    // directory as a literal path; the static oracleSql map carries a
+    // placeholder and the dump pins it to THIS run's directory, so the
+    // SQL is correct at whichever SF the driver verifies
+    val sfAbs = Paths.get(sfDir).toAbsolutePath.normalize.toString
+    val oracles = SparkEntry.oracleSql.view
+      .mapValues(_.replace("{SF_DIR}", sfAbs)).toMap
+    val json = oracles
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    SparkEntry.oracleSql.foreach { case (k, v) =>
+    oracles.foreach { case (k, v) =>
       Files.writeString(Paths.get(s"$outDir/$k.sql"), v)
     }
     spark.stop()

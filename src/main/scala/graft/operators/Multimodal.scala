@@ -1,14 +1,15 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal (image/audio/video) column plumbing.
   *
   * Media lives as opaque `binary` columns beside a typed metadata
-  * struct; decode/feature steps run per-partition so a real codec
-  * (JNI/FFI) would amortize init per partition, not per row. The codecs
+  * struct; decode runs as a codegen'd native expression
+  * ([[graft.functions.MediaDecodeExpr]]) so a real codec (JNI/FFI)
+  * would amortize its handle per JVM, not per row. The codecs
   * themselves are NOT in this container, so the decode kernel is a
   * clearly-marked deterministic stub — the Spark-side contract (schema,
   * batching, partitioning) is real and tested, and swapping the stub for
@@ -36,44 +37,20 @@ object Multimodal {
         octet_length(encode(col(payloadCol), "utf-8")).cast("long").as("n_bytes"))
         .as("meta"))
 
-  /** STUB decode kernel: a real implementation calls the codec here
-    * (per partition, reusing the handle). The stub derives deterministic
-    * pseudo-dimensions from the byte length + first bytes so tests and
-    * oracles can pin the plumbing. */
-  private def stubDecode(bytes: Array[Byte]): (Int, Int, Int) = {
-    // ??? <- real codec goes here (libjpeg / ffmpeg via JNI)
-    val n = bytes.length
-    val w = 64 + (n % 64)
-    val h = 64 + ((n / 64) % 64)
-    val channels = 3
-    (w, h, channels)
-  }
-
-  private val decodedSchema = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("channels", IntegerType, nullable = false),
-    StructField("n_bytes", LongType, nullable = false)))
-
-  /** Batch decode: mapPartitions over the binary column. Output schema
-    * is fixed (decodedSchema); rows with null media are dropped like a
-    * failed decode would be. */
+  /** Batch decode through the codegen'd [[graft.functions
+    * .MediaDecodeExpr]] kernel (the codec stub lives in
+    * [[graft.functions.MediaCodec]]): a shuffle-free columnar select
+    * that stays inside whole-stage codegen — no RDD hop, no Row boxing.
+    * Rows with null media decode to null and are dropped, like a failed
+    * decode would be. */
   def decodeMeta(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select("media_id", "media").rdd.mapPartitions { it =>
-      // per-partition: a real codec initializes once here
-      it.flatMap { r =>
-        if (r.isNullAt(1)) Iterator.empty
-        else {
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          val (w, h, c) = stubDecode(bytes)
-          Iterator(Row(id, w, h, c, bytes.length.toLong))
-        }
-      }
-    }
-    spark.createDataFrame(rdd, decodedSchema)
+    graft.functions.MediaFunctions.register(media.sparkSession)
+    media.select(col("media_id"),
+        graft.functions.MediaFunctions.decodeMedia(col("media")).as("__d"))
+      .where(col("__d").isNotNull)
+      .select(col("media_id"),
+        col("__d.width").as("width"), col("__d.height").as("height"),
+        col("__d.channels").as("channels"), col("__d.n_bytes").as("n_bytes"))
   }
 
   /** Frame sampling for sequential media: every `stride`-th block of

@@ -89,6 +89,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.GraftFunctions.register(session)
       graft.functions.ArrayMath.register(session)
       graft.functions.TextHashFunctions.register(session)
+      graft.functions.MediaFunctions.register(session)
       NoopRule
     }
   }

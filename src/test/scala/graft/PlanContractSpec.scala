@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Similarity, TextOps}
+import graft.operators.{Multimodal, Similarity, TextOps}
 
 /** Plan-shape contracts: the scale properties this engine claims
   * (pushdown, broadcast, shuffle-freedom) asserted on the actual
@@ -171,6 +171,18 @@ class PlanContractSpec extends SparkSpec {
       s"stopword_ratio not using the native kernel:\n$plan")
     assert(!plan.contains("ArrayFilter"),
       s"interpreted HOF filter survives in q16:\n$plan")
+  }
+
+  test("media decode is a codegen'd columnar select (no RDD hop)") {
+    val media = Multimodal.asMediaTable(
+      Tables.documents(spark, dir), "doc_id", "text", "text")
+    val plan = physical(Multimodal.decodeMeta(media))
+    assert(plan.contains("media_decode"),
+      s"decode not using the native kernel:\n$plan")
+    assert(!plan.contains("ExistingRDD"),
+      s"decode fell back to an RDD hop (out of whole-stage codegen):\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"decode should be a shuffle-free select:\n$plan")
   }
 
   test("q57 first-order extract: one aggregation shuffle, no product join") {
