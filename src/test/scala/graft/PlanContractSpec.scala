@@ -207,6 +207,14 @@ class PlanContractSpec extends SparkSpec {
       s"q58 should shuffle exactly once for the keep-last window ($hashEx):\n$plan")
   }
 
+  test("q59 binary ingest: codegen'd decode, all joins broadcast") {
+    val plan = physical(SparkEntry.queries("q59_binary_ingest")(spark, dir))
+    assert(plan.contains("media_decode"),
+      s"q59 decode not using the native kernel:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"metadata-scale media joins should all broadcast:\n$plan")
+  }
+
   test("packSequences partitions its window by shard (no global sort)") {
     val plan = physical(graft.operators.Packing.packSequences(
       TextOps.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
