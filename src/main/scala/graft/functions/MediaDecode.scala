@@ -40,6 +40,50 @@ object MediaCodec {
     val h = 64 + ((n / 64) % 64)
     new GenericInternalRow(Array[Any](w, h, 3, n.toLong))
   }
+
+  val frameStatsType: ArrayType = ArrayType(StructType(Seq(
+    StructField("frame_bytes", IntegerType, nullable = false),
+    StructField("frame_hash", StringType, nullable = false))),
+    containsNull = false)
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** One-pass frame stats: every `stride`-th `blockSize`-byte block of
+    * the media binary yields (length, md5-hex). `MessageDigest.update
+    * (bytes, off, len)` hashes each slice IN PLACE, so the file binary
+    * is materialized once per row — the declarative
+    * `transform(offsets, substring(media, …))` form this replaces
+    * re-fetched the whole binary from the UnsafeRow for every frame
+    * (`getBinary` copies), an O(frames × file_size) blow-up that a
+    * multi-MB file turns into minutes of single-thread work. */
+  def frameStats(bytes: Array[Byte],
+                 blockSize: Int, stride: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = bytes.length
+    val nBlocks = (n + blockSize - 1) / blockSize
+    val out = new Array[Any](if (nBlocks <= 0) 0 else (nBlocks + stride - 1) / stride)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    var b = 0
+    while (b < nBlocks) {
+      val off = b * blockSize
+      val len = math.min(blockSize, n - off)
+      md.reset()
+      md.update(bytes, off, len)
+      val dig = md.digest()
+      val hex = new Array[Char](dig.length * 2)
+      var j = 0
+      while (j < dig.length) {
+        hex(j * 2) = HexDigits((dig(j) >> 4) & 0xf)
+        hex(j * 2 + 1) = HexDigits(dig(j) & 0xf)
+        j += 1
+      }
+      out(i) = new GenericInternalRow(Array[Any](
+        len, org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex))))
+      i += 1
+      b += stride
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Codegen'd decode: `binary → struct<width,height,channels,n_bytes>`,
@@ -58,14 +102,41 @@ case class MediaDecodeExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Frame sampling as ONE codegen'd pass: `binary → array<struct<
+  * frame_bytes, frame_hash>>`, frame i covering block i·stride. The
+  * output array is tiny (one ~40-byte struct per frame) regardless of
+  * media size, so the explode downstream shuffles stats, never bytes. */
+case class MediaFrameStatsExpr(child: Expression, blockSize: Int, stride: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = MediaCodec.frameStatsType
+  override def prettyName: String = "media_frame_stats"
+  override def nullSafeEval(input: Any): Any =
+    MediaCodec.frameStats(input.asInstanceOf[Array[Byte]], blockSize, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MediaCodec.frameStats($c, $blockSize, $stride)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object MediaFunctions {
+  private def intArg(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("media_decode"))) return
+        org.apache.spark.sql.catalyst.FunctionIdentifier("media_frame_stats"))) return
     reg.createOrReplaceTempFunction("media_decode",
       es => MediaDecodeExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("media_frame_stats",
+      es => MediaFrameStatsExpr(es(0), intArg(es(1)), intArg(es(2))), "scala_udf")
   }
 
   def decodeMedia(media: Column): Column = call_function("media_decode", media)
+
+  def frameStats(media: Column, blockSize: Int, stride: Int): Column =
+    call_function("media_frame_stats", media,
+      org.apache.spark.sql.functions.lit(blockSize),
+      org.apache.spark.sql.functions.lit(stride))
 }

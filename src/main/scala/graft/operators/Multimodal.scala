@@ -54,24 +54,24 @@ object Multimodal {
   }
 
   /** Frame sampling for sequential media: every `stride`-th block of
-    * `blockSize` bytes becomes one "frame" row. Pure built-ins
-    * (sequence + transform + explode) — fully codegen'd, no UDF. */
+    * `blockSize` bytes becomes one "frame" row, carrying only its stats
+    * (length + md5), computed by the one-pass codegen'd
+    * [[graft.functions.MediaFrameStatsExpr]] kernel. The earlier
+    * declarative form (`transform(offsets, substring(media, …))`)
+    * re-fetched the whole binary per frame — O(frames × file_size) —
+    * which turned multi-MB files into minutes of single-thread work;
+    * the kernel reads the binary once and the exploded rows carry ~40
+    * bytes each, never the media itself. */
   def sampleFrames(media: DataFrame, blockSize: Int, stride: Int): DataFrame = {
-    // block offsets measured in BYTES (octet_length/substring on binary);
-    // zero-length media produces zero frames, not one empty frame
-    val nBlocks = floor((octet_length(col("media")) + blockSize - 1) / blockSize)
-    val offsets = when(nBlocks > 0,
-      sequence(lit(0), nBlocks - 1, lit(stride)))
-      .otherwise(array().cast("array<bigint>"))
+    graft.functions.MediaFunctions.register(media.sparkSession)
     media.select(
       col("media_id"),
-      posexplode(transform(offsets,
-        b => substring(col("media"), (b * blockSize + 1).cast("int"), lit(blockSize))))
-        .as(Seq("frame_idx", "frame")))
+      posexplode(graft.functions.MediaFunctions.frameStats(
+        col("media"), blockSize, stride)).as(Seq("frame_idx", "__f")))
       .select(
         col("media_id"), col("frame_idx"),
-        octet_length(col("frame")).as("frame_bytes"),
-        md5(col("frame")).as("frame_hash"))
+        col("__f.frame_bytes").as("frame_bytes"),
+        col("__f.frame_hash").as("frame_hash"))
   }
 
   /** Byte-level feature extraction with built-ins only: length, an

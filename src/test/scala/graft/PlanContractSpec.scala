@@ -185,6 +185,20 @@ class PlanContractSpec extends SparkSpec {
       s"decode should be a shuffle-free select:\n$plan")
   }
 
+  test("sampleFrames is the one-pass frame-stats kernel (no per-frame binary refetch)") {
+    val media = Multimodal.asMediaTable(
+      Tables.documents(spark, dir), "doc_id", "text", "text")
+    val plan = physical(Multimodal.sampleFrames(media, 4096, 4))
+    assert(plan.contains("media_frame_stats"),
+      s"sampleFrames not using the native kernel:\n$plan")
+    // the declarative form it replaces: transform(offsets, substring(media,…))
+    // re-copied the full binary per frame — O(frames × file_size)
+    assert(!plan.contains("ArrayTransform") && !plan.contains("substring"),
+      s"sampleFrames fell back to per-frame binary slicing:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"frame sampling should be a shuffle-free select:\n$plan")
+  }
+
   test("q57 first-order extract: one aggregation shuffle, no product join") {
     val plan = physical(SparkEntry.queries("q57_first_order")(spark, dir))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&

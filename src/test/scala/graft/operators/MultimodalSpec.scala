@@ -41,6 +41,20 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("frame_bytes")).toSeq == Seq(100, 100, 50))
   }
 
+  test("sampleFrames: stride skips blocks; hashes match per-slice md5") {
+    // 250 bytes → blocks (100,100,50); stride 2 keeps blocks 0 and 2
+    val frames = Multimodal.sampleFrames(media, blockSize = 100, stride = 2)
+      .filter(col("media_id") === 2)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1))
+    assert(frames.map(_.getAs[Int]("frame_bytes")).toSeq == Seq(100, 50))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(frames.map(_.getAs[String]("frame_hash")).toSeq ==
+      Seq(md5hex("x" * 100), md5hex("x" * 50)))
+  }
+
   test("sampleFrames: zero-length media yields zero frames") {
     val empty = Multimodal.asMediaTable(
       Seq((9L, "")).toDF("id", "payload"), "id", "payload", "fake")
