@@ -97,6 +97,31 @@ object Stress {
         nPlanes = 4, nTables = 1).count()
     }
     }
+
+    if (mode == "media") {
+    // media frame-stats storm: synthetic binaries at doubling sizes,
+    // constant total bytes per tier (more files × smaller, then fewer ×
+    // bigger). The one-pass kernel must be ~flat across tiers at equal
+    // total bytes; the retired transform+substring shape was
+    // O(frames × file_size), so its per-tier cost would double down
+    // the table. Frame count doubles with file size at fixed stride,
+    // so per-tier output rows also double — stats rows, ~40 B each.
+    Seq((1024, 1 << 20), (256, 4 << 20), (64, 16 << 20)).foreach {
+      case (files, bytes) =>
+        val media = spark.range(files)
+          .select(col("id").as("media_id"),
+            // deterministic payload: repeat the file's 64-char sha2 hex
+            // to the target size (cheap to build; md5-per-frame work is
+            // length-driven, content-independent)
+            expr(s"repeat(sha2(cast(id as string), 256), ${bytes / 64})")
+              .cast("binary").as("media"))
+          .localCheckpoint(true)
+        time(f"frameStats(${files}x${bytes / (1 << 20)}MiB)") {
+          graft.operators.Multimodal.sampleFrames(media, blockSize = 4096, stride = 4)
+            .groupBy("media_id").agg(count(lit(1))).count()
+        }
+    }
+    }
     spark.stop()
   }
 }
