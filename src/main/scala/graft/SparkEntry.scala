@@ -716,10 +716,29 @@ object SparkEntry {
       .orderBy("file_name")
   }
 
+  /** Training-mix corpus prep end-to-end as ONE driver query — the
+    * LLM-pipeline analogue of q58's incremental loop: a staged second
+    * crawl (byte-identical copies of every 10th doc at doc_id+100000,
+    * the classic re-crawl duplicate) is unioned with the corpus, then
+    * [[TextOps.trainingMixChunks]] runs quality gate (= 1.0) → language
+    * keep (en) → keep-first exact dedup (every re-crawl copy collapses
+    * onto its original; min doc_id wins) → 32/8 context-window chunking.
+    * One shuffle end to end; every stage is the same expression the
+    * individually-oracled q16/q15/q09/q55 queries certify. */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val recrawl = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(100000L)).as("doc_id"), col("text"))
+    TextOps.trainingMixChunks(docs.unionByName(recrawl), "doc_id", "text",
+        minQuality = 1.0, keepLangs = Seq("en"), chunkTokens = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_first_order" -> q57,
     "q58_incremental_e2e" -> q58,
     "q59_binary_ingest" -> q59,
+    "q60_training_mix" -> q60,
     "q51_cosine_dedup_pairs" -> q51,
     "q52_redact_pii" -> q52,
     "q53_normalize" -> q53,
@@ -858,6 +877,64 @@ object SparkEntry {
        |g AS (SELECT doc_id, $m AS m, * FROM s)
        |SELECT doc_id, CASE $pick END AS lang_pred, m AS lang_score
        |FROM g ORDER BY doc_id""".stripMargin
+  }
+
+  /** Training-mix e2e oracle: the q16 quality gate, the q15 language
+    * argmax, the q09 normalized-content keep-first, and the q55 chunk
+    * geometry, composed over the corpus ∪ staged re-crawl — each
+    * fragment verbatim from the individually-certified oracle so the
+    * composition can only fail where the COMPOSITION is wrong. */
+  private val trainingMixOracle: String = {
+    val scores = TextOps.LangMarkers.map { case (lang, markers) =>
+      val lst = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($lst, t)))::BIGINT AS score_$lang"
+    }.mkString(",\n         ")
+    val langs = TextOps.LangMarkers.map(_._1).sorted
+    val m = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val pick = langs.map(l => s"WHEN score_$l = m THEN '$l'").mkString(" ")
+    s"""WITH crawl AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+       |f AS (
+       |  SELECT doc_id, text,
+       |         len(string_split(text, ' '))::BIGINT AS n_tokens_d,
+       |         round(length(text) * 1.0 / len(string_split(text, ' ')), 6) AS mean_token_len,
+       |         round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+       |               / length(text), 6) AS punct_ratio,
+       |         round(len(list_filter(string_split(lower(text), ' '),
+       |                 t -> list_contains(['the','a','of','and','to','in','is','that'], t)))
+       |               * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio
+       |  FROM crawl),
+       |q AS (
+       |  SELECT doc_id, text,
+       |         ((CASE WHEN n_tokens_d >= 10 THEN 0.25 ELSE 0 END)
+       |        + (CASE WHEN mean_token_len BETWEEN 3 AND 12 THEN 0.25 ELSE 0 END)
+       |        + (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0 END)
+       |        + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0 END))::DOUBLE
+       |           AS quality_score
+       |  FROM f),
+       |s AS (
+       |  SELECT doc_id, text, quality_score,
+       |         $scores
+       |  FROM q WHERE quality_score >= 1.0),
+       |g AS (SELECT *, $m AS m FROM s),
+       |l AS (SELECT doc_id, text, quality_score, CASE $pick END AS lang_pred FROM g),
+       |ded AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
+       |    ORDER BY doc_id) AS rn
+       |  FROM l WHERE lang_pred IN ('en')),
+       |d AS (SELECT doc_id, lang_pred, quality_score, string_split(text, ' ') w
+       |      FROM ded WHERE rn = 1),
+       |c AS (SELECT doc_id, lang_pred, quality_score, w,
+       |        unnest(generate_series(1, least(len(w), greatest(len(w) - 8, 1)), 24)) AS s
+       |      FROM d)
+       |SELECT doc_id, lang_pred, quality_score,
+       |       ((s - 1) // 24)::BIGINT AS chunk_idx,
+       |       array_to_string(w[s:s+31], ' ') AS chunk_text,
+       |       least(32, len(w) - s + 1)::BIGINT AS n_tokens
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
   /** Rounded cosine between two DOUBLE[] lists — the exact convention
@@ -1156,6 +1233,7 @@ object SparkEntry {
         |         off -> least(4096, n_bytes - off * 4096)))::BIGINT
         |         AS frame_bytes_total
         |FROM d ORDER BY file_name""".stripMargin,
+    "q60_training_mix" -> trainingMixOracle,
     "q07_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,

@@ -407,6 +407,22 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "les", "des", "un"),
     "zh" -> Seq("的", "是", "了", "在", "我", "不"))
 
+  /** (lang_pred, lang_score) argmax expressions over one
+    * `token_set_counts` array (vocabulary order = [[LangMarkers]] order;
+    * ties → lexicographically first language, deterministic). Shared by
+    * [[languageId]] and [[trainingMixChunks]] so the two surfaces can
+    * never disagree on the tie-break. */
+  private def langArgmax(countsArr: Column): (Column, Column) = {
+    val scoreByLang = LangMarkers.map(_._1).zipWithIndex.map {
+      case (lang, i) => lang -> element_at(countsArr, i + 1).cast("long")
+    }.toMap
+    scoreByLang.keys.toSeq.sorted.foldLeft(
+      (lit(null).cast("string"), lit(-1L))) { case ((bl, bs), lang) =>
+      val s = scoreByLang(lang)
+      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+  }
+
   /** Language-ID: score each language by marker-token hits, pick the
     * argmax (ties → lexicographically first language, deterministic).
     * Pure per-row expressions — no shuffle. All 5 vocabularies are
@@ -421,11 +437,7 @@ object TextOps {
       case (df, ((lang, _), i)) =>
         df.withColumn(s"score_$lang", element_at(col("__t"), i + 1))
     }
-    val best = LangMarkers.map(_._1).sortBy(identity).foldLeft(
-      (lit(null).cast("string"), lit(-1L))) { case ((bl, bs), lang) =>
-      val s = col(s"score_$lang").cast("long")
-      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
-    }
+    val best = langArgmax(col("__t"))
     scored
       .withColumn("lang_pred", best._1)
       .withColumn("lang_score", best._2)
@@ -439,15 +451,21 @@ object TextOps {
     * HOF lambda on the hot path). */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     TextHashFunctions.register(docs.sparkSession)
-    val t = col(textCol)
-    val toks = tokens(t)
+    docs.select(col(idCol) +: qualityFeatureCols(col(textCol)): _*)
+      .withColumn("quality_score", qualityScoreCol)
+  }
+
+  /** The six quality feature columns over text `t` — extracted so
+    * [[trainingMixChunks]]'s gate computes bit-identical rounding to the
+    * [[qualityScore]] surface the oracle certifies. Callers must have
+    * registered TextHashFunctions on the session. */
+  private def qualityFeatureCols(t: Column): Seq[Column] = {
     val nChars = length(t)
-    val nTokens = size(toks)
+    val nTokens = size(tokens(t))
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "that")
     val stopHits =
       element_at(TextHashFunctions.tokenSetCounts(lower(t), Seq(stop)), 1)
-    docs.select(
-      col(idCol),
+    Seq(
       nChars.cast("long").as("n_chars"),
       nTokens.cast("long").as("n_tokens"),
       round(nChars.cast("double") / nTokens, 6).as("mean_token_len"),
@@ -456,14 +474,16 @@ object TextOps {
       round(length(regexp_replace(t, "[^0-9]", ""))
         .cast("double") / nChars, 6).as("digit_ratio"),
       round(stopHits.cast("double") / nTokens, 6).as("stopword_ratio"))
-      // each criterion contributes an exact quarter — the sum is a
-      // dyadic rational, so no engine-dependent rounding can occur
-      .withColumn("quality_score",
-        when(col("n_tokens") >= 10, 0.25).otherwise(0.0)
-          + when(col("mean_token_len").between(3, 12), 0.25).otherwise(0.0)
-          + when(col("punct_ratio") < 0.2, 0.25).otherwise(0.0)
-          + when(col("stopword_ratio") >= 0.05, 0.25).otherwise(0.0))
   }
+
+  /** Composite score over the named feature columns; each criterion
+    * contributes an exact quarter — the sum is a dyadic rational, so no
+    * engine-dependent rounding can occur. */
+  private val qualityScoreCol: Column =
+    when(col("n_tokens") >= 10, 0.25).otherwise(0.0) +
+      when(col("mean_token_len").between(3, 12), 0.25).otherwise(0.0) +
+      when(col("punct_ratio") < 0.2, 0.25).otherwise(0.0) +
+      when(col("stopword_ratio") >= 0.05, 0.25).otherwise(0.0)
 
   /** Token counting: whitespace tokens plus a BPE-ish sub-token count
     * (letter runs, single digits, single punctuation marks — the classic
@@ -631,7 +651,8 @@ object TextOps {
     * amplification is the output chunk count itself, and nothing
     * shuffles. */
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
-                     chunkTokens: Int, overlap: Int): DataFrame = {
+                     chunkTokens: Int, overlap: Int,
+                     carry: Seq[String] = Nil): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap($overlap) < chunkTokens($chunkTokens)")
     val stride = chunkTokens - overlap
@@ -643,17 +664,60 @@ object TextOps {
     // IllegalArgumentException: size(null) is −1 under the
     // legacy-sizeOfNull session and sequence(1, −1, stride) throws;
     // when() evaluates lazily and explode drops null arrays.
+    // `carry` columns ride along per chunk (row-local, still codegen'd).
     val w = col("__w")
+    val carried = carry.map(col)
     val lastStart = least(size(w), greatest(size(w) - lit(overlap), lit(1)))
-    docs.select(col(idCol), tokens(col(textCol)).as("__w"))
-      .select(col(idCol), w,
+    docs.select(col(idCol) +: carried :+ tokens(col(textCol)).as("__w"): _*)
+      .select(col(idCol) +: carried ++: Seq(w,
         posexplode(when(w.isNotNull,
-          sequence(lit(1), lastStart, lit(stride)))).as(Seq("__i", "__s")))
-      .select(col(idCol),
+          sequence(lit(1), lastStart, lit(stride)))).as(Seq("__i", "__s"))): _*)
+      .select(col(idCol) +: carried ++: Seq(
         col("__i").cast("long").as("chunk_idx"),
         concat_ws(" ", slice(w, col("__s"), lit(chunkTokens))).as("chunk_text"),
         least(lit(chunkTokens), size(w) - col("__s") + 1).cast("long")
-          .as("n_tokens"))
+          .as("n_tokens")): _*)
+  }
+
+  /** End-to-end training-mix corpus prep — the composition a pre-train
+    * data job runs, as ONE operator with ONE shuffle:
+    *
+    *   quality gate (≥ minQuality, [[qualityScore]]'s exact rounding) →
+    *   language keep ([[languageId]]'s exact argmax) →
+    *   keep-first exact dedup on normalized content →
+    *   [[chunkDocuments]] context windows.
+    *
+    * Both gates are row-local codegen'd projections and run BEFORE the
+    * dedup exchange, so the one shuffle moves only gate survivors; the
+    * chunk generate is row-local above it. At 100 TB this is a single
+    * hash-partitioned pass: scan → filter → exchange(content_hash) →
+    * window → generate, with no joins and no driver state. */
+  def trainingMixChunks(docs: DataFrame, idCol: String, textCol: String,
+                        minQuality: Double, keepLangs: Seq[String],
+                        chunkTokens: Int, overlap: Int): DataFrame = {
+    TextHashFunctions.register(docs.sparkSession)
+    val langCounts =
+      TextHashFunctions.tokenSetCounts(lower(col(textCol)), LangMarkers.map(_._2))
+    val (langPred, _) = langArgmax(col("__lc"))
+    val gated = docs
+      .select(col(idCol) +: col(textCol) +: langCounts.as("__lc") +:
+        qualityFeatureCols(col(textCol)): _*)
+      .withColumn("quality_score", qualityScoreCol)
+      .filter(col("quality_score") >= minQuality)
+      .withColumn("lang_pred", langPred)
+      .filter(col("lang_pred").isin(keepLangs: _*))
+      .select(col(idCol), col(textCol), col("quality_score"), col("lang_pred"))
+    // keep-first on normalized content: the min-id copy survives — same
+    // keeper convention as exactDedup, as a window so the full row rides
+    // through one exchange instead of an agg + self-join.
+    val keepFirst = Window
+      .partitionBy(md5(normalizeText(col(textCol)))).orderBy(col(idCol))
+    val kept = gated
+      .withColumn("__rn", row_number().over(keepFirst))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    chunkDocuments(kept, idCol, textCol, chunkTokens, overlap,
+      carry = Seq("lang_pred", "quality_score"))
   }
 
   /** PII scrub: count then redact emails and long digit runs. The

@@ -229,6 +229,18 @@ class PlanContractSpec extends SparkSpec {
       s"metadata-scale media joins should all broadcast:\n$plan")
   }
 
+  test("q60 training mix: one dedup shuffle, no joins, gates below it") {
+    val plan = physical(SparkEntry.queries("q60_training_mix")(spark, dir))
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"the mix must be a single pass — no join anywhere:\n$plan")
+    val hashEx = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx == 1,
+      s"q60 should shuffle exactly once for the keep-first window ($hashEx):\n$plan")
+    assert(plan.contains("token_set_counts"),
+      s"quality/lang gates not on the native kernel:\n$plan")
+  }
+
   test("packSequences partitions its window by shard (no global sort)") {
     val plan = physical(graft.operators.Packing.packSequences(
       TextOps.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")

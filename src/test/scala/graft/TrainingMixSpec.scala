@@ -107,4 +107,37 @@ class TrainingMixSpec extends SparkSpec {
     assert(coveredPerDoc.map(_._1).toSet == tokensPerDoc.keySet,
       "every sampled doc must be chunked")
   }
+
+  test("trainingMixChunks ≡ composing the individually-certified stages") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val crawl = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(100000L)).as("doc_id"), col("text")))
+
+    val mixed = TextOps.trainingMixChunks(crawl, "doc_id", "text",
+      minQuality = 1.0, keepLangs = Seq("en"), chunkTokens = 32, overlap = 8)
+
+    // the same semantics composed from the operators the driver oracles
+    // individually: q16 gate ⋈ q15 gate → q09 keepers → q55 chunks
+    val quality = TextOps.qualityScore(crawl, "doc_id", "text")
+      .filter(col("quality_score") >= 1.0).select("doc_id", "quality_score")
+    val lang = TextOps.languageId(crawl, "doc_id", "text")
+      .filter(col("lang_pred") === "en").select("doc_id", "lang_pred")
+    val survivors = crawl.join(quality, Seq("doc_id")).join(lang, Seq("doc_id"))
+    val keepers = TextOps.exactDedup(survivors, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"))
+    val kept = survivors.join(keepers, Seq("doc_id"))
+    val composed = TextOps.chunkDocuments(kept, "doc_id", "text",
+      chunkTokens = 32, overlap = 8, carry = Seq("lang_pred", "quality_score"))
+
+    val key = Seq("doc_id", "chunk_idx")
+    val a = mixed.orderBy(key.head, key.tail: _*).collect()
+    val b = composed.select(mixed.columns.map(col): _*)
+      .orderBy(key.head, key.tail: _*).collect()
+    assert(a.nonEmpty, "mix produced no chunks — fixture or gates broken")
+    assert(a.sameElements(b), "one-pass mix diverged from the composition")
+
+    // the staged re-crawl must have collapsed: min-id keepers only
+    assert(mixed.filter(col("doc_id") >= 100000L).isEmpty,
+      "a re-crawl copy survived keep-first dedup")
+  }
 }
