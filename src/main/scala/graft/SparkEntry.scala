@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DimDate
-import graft.operators.{Dedup, ExactAgg, Incremental, Joins, Multimodal, Packing, Resample, Sampling, Similarity, Stats, TextOps, Transforms}
+import graft.operators.{Dedup, ExactAgg, Incremental, Joins, Multimodal, Packing, Resample, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms}
 import graft.sources.JsonFlatten
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -734,11 +734,69 @@ object SparkEntry {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  private val MixDefaultBudget = 800L
+  private val MixBudgets = Map("src0" -> 5000L, "src1" -> 0L)
+
+  /** Token-budget mix: per-source token budgets (the "N tokens of web,
+    * M of code" pre-training mix spec) taken in deterministic hash
+    * order via the two-phase skew-proof prefix take — 800 tokens of
+    * every source, 5000 of src0, none of src1. */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("ws_tokens",
+        size(TextOps.tokens(col("text"))).cast("long"))
+    Sampling.budgetTake(docs, "source", "doc_id", "ws_tokens",
+        MixDefaultBudget, MixBudgets, SampleSeed)
+      .select("doc_id", "source", "ws_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic corpus shuffle: every document's 1-based position in
+    * the seeded-hash training order, computed without a global sort
+    * (bucket offsets from a tiny histogram + rank within bucket). */
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    Sampling.shufflePositions(Tables.documents(s, dir).select("doc_id"),
+        "doc_id", SampleSeed)
+      .select("doc_id", "shuffle_pos")
+      .orderBy("shuffle_pos")
+
+  /** Sketch accuracy audit: HLL distinct users and approximate median
+    * value per event type, certified within 5% of their exact
+    * counterparts (the flags oracle as constant TRUE; the sketch path
+    * is the constant-memory 100 TB form of both aggregates). */
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    Stats.sketchAccuracy(Tables.events(s, dir), "event_type",
+        distinctCol = "user_id", valueCol = "value")
+      .orderBy("event_type")
+
+  /** Skew-salted join: lineitem ⋈ supplier on suppkey via
+    * [[Shuffles.saltedEquiJoin]] (8-way salt, supplier replicated 8×),
+    * aggregated to per-nation revenue. The oracle is the PLAIN join —
+    * green means the salting rewrite is semantics-preserving, promoting
+    * the previously spec-only operator to driver-oracle coverage. */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val supp = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    Shuffles.saltedEquiJoin(li, supp, "l_suppkey", salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+        ).cast("double").as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_first_order" -> q57,
     "q58_incremental_e2e" -> q58,
     "q59_binary_ingest" -> q59,
     "q60_training_mix" -> q60,
+    "q61_token_budget_mix" -> q61,
+    "q62_corpus_shuffle" -> q62,
+    "q63_sketch_accuracy" -> q63,
+    "q64_salted_join" -> q64,
     "q51_cosine_dedup_pairs" -> q51,
     "q52_redact_pii" -> q52,
     "q53_normalize" -> q53,
@@ -1234,6 +1292,47 @@ object SparkEntry {
         |         AS frame_bytes_total
         |FROM d ORDER BY file_name""".stripMargin,
     "q60_training_mix" -> trainingMixOracle,
+    // prefix-take in (hash, id) order: cumulative tokens ≤ the per-source
+    // budget; same driver-side literals as the Spark plan
+    "q61_token_budget_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         len(string_split(text, ' '))::BIGINT AS ws_tokens,
+         |         ('0x' || substr(md5(doc_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, SUM(ws_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |           ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT doc_id, source, ws_tokens FROM c
+         |WHERE cum <= CASE source WHEN 'src0' THEN ${MixBudgets("src0")}
+         |                         WHEN 'src1' THEN ${MixBudgets("src1")}
+         |                         ELSE $MixDefaultBudget END
+         |ORDER BY doc_id""".stripMargin,
+    "q62_corpus_shuffle" ->
+      s"""SELECT doc_id,
+         |       ROW_NUMBER() OVER (ORDER BY
+         |         ('0x' || substr(md5(doc_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+         |         doc_id)::BIGINT AS shuffle_pos
+         |FROM documents ORDER BY shuffle_pos""".stripMargin,
+    // the sketch values are engine-specific; the exact values and the
+    // tolerance verdicts are portable, so the flags oracle as TRUE
+    "q63_sketch_accuracy" ->
+      """SELECT event_type,
+        |       COUNT(DISTINCT user_id) AS exact_distinct,
+        |       TRUE AS hll_ok,
+        |       TRUE AS p50_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the PLAIN join: green certifies the salted rewrite changes nothing
+    "q64_salted_join" ->
+      """SELECT s_nationkey,
+        |       count(*) AS n_lines,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
     "q07_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,

@@ -135,4 +135,99 @@ object Sampling {
       .filter(col("__rn") <= col("__r"))
     below.select(original: _*).unionByName(boundary.select(original: _*))
   }
+
+  /** Token-budget mix: within each stratum, take documents in hash
+    * order while the running `weightCol` total stays within the
+    * stratum's budget — the "N tokens of web, M tokens of code" shape a
+    * pre-training mix config specifies. Keeps exactly the rows whose
+    * cumulative weight over (hash, id) order is ≤ budget (the classic
+    * prefix rule: once the budget is crossed every later row is out,
+    * so membership is deterministic and engine-independent).
+    *
+    * Same two-phase, skew-proof machinery as [[stratifiedSample]], with
+    * the count histogram generalized to a WEIGHT histogram: phase 1
+    * sums `weightCol` per (stratum, hash-bucket) and finds the single
+    * bucket where the running total first crosses the budget; phase 2
+    * keeps every earlier bucket outright and runs the exact running sum
+    * only over that one boundary bucket (~|stratum|/2^(60-shift) rows,
+    * uniform by construction). A hot stratum is never sorted whole. A
+    * stratum whose total weight never reaches its budget has no
+    * boundary bucket — the left join keeps all its rows.
+    *
+    * Contracts: weights must be non-negative and non-null (token counts
+    * are); `df` must be deterministic across scans (same load-bearing
+    * re-scan contract as [[stratifiedSample]]). */
+  def budgetTake(df: DataFrame, stratumCol: String, idCol: String,
+                 weightCol: String, defaultBudget: Long,
+                 budgets: Map[String, Long] = Map.empty,
+                 seed: String = "graft",
+                 boundaryShift: Int = 50): DataFrame = {
+    (defaultBudget +: budgets.values.toSeq).foreach(b =>
+      require(b >= 0, s"budget $b negative"))
+    require(boundaryShift >= 30 && boundaryShift <= 59,
+      s"boundaryShift=$boundaryShift outside [30, 59]")
+    val budgetCol = budgets.foldLeft(lit(defaultBudget)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val h = coalesce(hashKey(col(idCol), seed), lit(-1L))
+    val bucket = shiftright(h, boundaryShift)
+
+    // Phase 1: weight histogram → the unique bucket where the running
+    // stratum total first crosses the budget (cum is monotone, so the
+    // pair of conditions matches at most one bucket per stratum).
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val cum = sum(col("__w")).over(byStratum.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0))
+    val bounds = df
+      .groupBy(col(stratumCol).as("__s"), bucket.as("__b"))
+      .agg(sum(col(weightCol)).as("__w"))
+      .withColumn(stratumCol, col("__s"))
+      .withColumn("__cum", cum)
+      .filter(col("__cum") > budgetCol && col("__cum") - col("__w") <= budgetCol)
+      .select(col("__s"), col("__b").as("__bb"),
+        (budgetCol - (col("__cum") - col("__w"))).as("__rem"))
+
+    // Phase 2: left join — a stratum with no boundary bucket (total ≤
+    // budget) keeps everything; otherwise keep below-boundary buckets
+    // outright and exact-running-sum only the boundary bucket.
+    val original = df.columns.map(col).toSeq
+    val keyed = df.withColumn("__h", h).withColumn("__b", bucket)
+      .join(broadcast(bounds), col(stratumCol) <=> col("__s"), "left")
+    val below = keyed.filter(col("__bb").isNull || col("__b") < col("__bb"))
+    val boundary = keyed.filter(col("__b") === col("__bb"))
+      .withColumn("__rs", sum(col(weightCol)).over(
+        Window.partitionBy(col("__s")).orderBy(col("__h"), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("__rs") <= col("__rem"))
+    below.select(original: _*).unionByName(boundary.select(original: _*))
+  }
+
+  /** Deterministic corpus shuffle: assigns every row its 1-based
+    * position in (hash(id, seed), id) order — the reproducible global
+    * training-order permutation a data loader consumes. A naive
+    * `row_number() OVER (ORDER BY hash)` is a single-partition sort; at
+    * 100 TB that is one task sorting the corpus. Instead the hash's
+    * high bits bucket the rows (bucket order refines hash order), a
+    * tiny ≤2^(60-shift)-row histogram yields each bucket's global
+    * offset (the only global window runs over that histogram), and
+    * positions are offset + rank within the row's own bucket — one
+    * shuffle keyed by uniform buckets, max task ~n/2^(60-shift). */
+  def shufflePositions(df: DataFrame, idCol: String, seed: String = "graft",
+                       boundaryShift: Int = 50): DataFrame = {
+    require(boundaryShift >= 30 && boundaryShift <= 59,
+      s"boundaryShift=$boundaryShift outside [30, 59]")
+    val h = coalesce(hashKey(col(idCol), seed), lit(-1L))
+    val bucket = shiftright(h, boundaryShift)
+    val histW = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy(bucket.as("__b")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(histW), lit(0L)))
+      .select("__b", "__off")
+    val rn = row_number().over(
+      Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol)))
+    df.withColumn("__h", h).withColumn("__b", bucket)
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("shuffle_pos", col("__off") + rn.cast("long"))
+      .drop("__h", "__b", "__off")
+  }
 }

@@ -97,4 +97,33 @@ object Stats {
     df.groupBy(col(groupCol), bucket)
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Sketch-vs-exact accuracy audit per group: HyperLogLog++ distinct
+    * count (`approx_count_distinct`) and mergeable approximate median
+    * (`percentile_approx`) computed ALONGSIDE their exact counterparts,
+    * emitting the exact value plus a within-tolerance flag for each
+    * sketch. This is how the constant-memory sketch path — the 100 TB
+    * form, where exact distinct shuffles every key and exact percentile
+    * buffers every value — gets certified against the exact path it
+    * replaces: the sketch value itself is engine-specific (an oracle
+    * can't reproduce Spark's HLL registers), but the exact value and
+    * the tolerance verdict are portable, so the flags oracle as
+    * constant TRUE. Sketches are deterministic for a given input, so a
+    * green flag is stable, not flaky. `rsd` 0.01 gives ~1% HLL error
+    * against the 5% tolerance; `percentile_approx` at accuracy 10000
+    * bounds rank error to n/10000 per group. */
+  def sketchAccuracy(df: DataFrame, groupCol: String, distinctCol: String,
+                     valueCol: String, rsd: Double = 0.01,
+                     tol: Double = 0.05): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        countDistinct(col(distinctCol)).as("exact_distinct"),
+        approx_count_distinct(col(distinctCol), rsd).as("__hll"),
+        percentile(col(valueCol), lit(0.5)).as("__p50"),
+        percentile_approx(col(valueCol), lit(0.5), lit(10000)).as("__p50a"))
+      .select(col(groupCol), col("exact_distinct"),
+        (abs(col("__hll") - col("exact_distinct")) <=
+          col("exact_distinct") * tol).as("hll_ok"),
+        (abs(col("__p50a") - col("__p50")) <=
+          abs(col("__p50")) * tol + lit(1e-9)).as("p50_ok"))
 }

@@ -241,6 +241,53 @@ class PlanContractSpec extends SparkSpec {
       s"quality/lang gates not on the native kernel:\n$plan")
   }
 
+  test("q61 budgetTake broadcasts bounds and never sorts a whole stratum") {
+    val plan = physical(SparkEntry.queries("q61_token_budget_mix")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-stratum budget bounds not broadcast:\n$plan")
+    assert(plan.contains("Union"),
+      s"below/boundary split missing — whole-stratum window suspected:\n$plan")
+    assert(plan.contains("__bb"),
+      s"boundary-bucket filter missing below the running-sum window:\n$plan")
+  }
+
+  test("q62 shufflePositions ranks within buckets, no global sort window") {
+    val plan = physical(graft.operators.Sampling.shufflePositions(
+      Tables.documents(spark, dir).select("doc_id"), "doc_id"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets not broadcast:\n$plan")
+    // the per-row ranking window partitions by bucket (__b as the
+    // partition spec) — a global ORDER-BY-hash window would carry an
+    // empty partition spec over a rangepartitioning exchange
+    assert(plan.contains("windowspecdefinition(__b"),
+      s"bucket-partitioned ranking window missing:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort leaked into the permutation plan:\n$plan")
+  }
+
+  test("q63 sketch accuracy is one aggregation pass, no join") {
+    val plan = physical(SparkEntry.queries("q63_sketch_accuracy")(spark, dir))
+    assert(!plan.contains("Join"),
+      s"sketch audit must be a single grouped pass:\n$plan")
+    // two hash exchanges: (group, distinct-key) then (group) — the
+    // standard exact-COUNT(DISTINCT) expansion. That extra shuffle is
+    // precisely what the HLL sketch path removes at scale; the audit
+    // query pays it because it runs both paths side by side.
+    val hashEx = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx == 2,
+      s"q63 should shuffle (group,key) then (group) ($hashEx):\n$plan")
+  }
+
+  test("q64 salted join carries the salt in the join keys") {
+    val plan = physical(SparkEntry.queries("q64_salted_join")(spark, dir))
+    assert(plan.contains("__salt"),
+      s"salt column missing from the join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"salted join fell back to a product:\n$plan")
+  }
+
   test("packSequences partitions its window by shard (no global sort)") {
     val plan = physical(graft.operators.Packing.packSequences(
       TextOps.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")

@@ -119,6 +119,81 @@ class SamplingSpec extends SparkSpec {
     assert(coarse == want)
   }
 
+  test("budgetTake equals the single-window prefix-take reference") {
+    import org.apache.spark.sql.expressions.Window
+    // semantic reference: cumulative weight over (hash, id) order per
+    // stratum, keep while ≤ budget — the naive hot-stratum-sorting form
+    def reference(d: org.apache.spark.sql.DataFrame, dflt: Long,
+                  budgets: Map[String, Long], seed: String) = {
+      val budgetCol = budgets.foldLeft(lit(dflt)) { case (acc, (k, v)) =>
+        when(col("kind") === k, lit(v)).otherwise(acc)
+      }
+      val cum = sum(col("w")).over(Window.partitionBy(col("kind"))
+        .orderBy(coalesce(Sampling.hashKey(col("id"), seed), lit(-1L)), col("id"))
+        .rowsBetween(Window.unboundedPreceding, 0))
+      d.withColumn("__cum", cum).filter(col("__cum") <= budgetCol)
+        .drop("__cum")
+    }
+    // skew (one hot stratum), a null stratum, zero weights, and
+    // budgets hitting all regimes: 0, mid-stratum, over-total
+    val data = (1L to 3000L).map { i =>
+      val kind = if (i % 50 == 0) "rare" else "hot"
+      (i, if (i % 997 == 0) null else kind, (i % 7): Long)
+    }.toDF("id", "kind", "w")
+    def keys(d: org.apache.spark.sql.DataFrame) =
+      d.select("kind", "id").collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    for (dflt <- Seq(0L, 500L, 100000L); seed <- Seq("s1", "s2")) {
+      val budgets = Map("rare" -> 40L)
+      val want = keys(reference(data, dflt, budgets, seed))
+      val got = keys(Sampling.budgetTake(data, "kind", "id", "w",
+        dflt, budgets, seed))
+      assert(got == want, s"dflt=$dflt seed=$seed: ${got.size} vs ${want.size}")
+    }
+    // coarse shift → multi-row boundary buckets exercise the running sum
+    val want = keys(reference(data, 500L, Map("rare" -> 40L), "s1"))
+    val coarse = keys(Sampling.budgetTake(data, "kind", "id", "w",
+      500L, Map("rare" -> 40L), "s1", boundaryShift = 55))
+    assert(coarse == want)
+  }
+
+  test("budgetTake honors the budget and is monotone in budget") {
+    val docs = (1L to 1000L).map(i => (i, s"s${i % 3}", 10L))
+      .toDF("id", "kind", "w")
+    val out = Sampling.budgetTake(docs, "kind", "id", "w", 170L)
+    val spent = out.groupBy("kind").agg(sum("w").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    spent.values.foreach(t => assert(t <= 170L && t > 0L))
+    val small = out.select("id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.budgetTake(docs, "kind", "id", "w", 400L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // growing a budget only ADDS rows — mix-config stability
+    assert(small.subsetOf(big) && big.size > small.size)
+  }
+
+  test("shufflePositions is the exact permutation of the hash order") {
+    val d = (1L to 2357L).map(i => (i, s"p$i")).toDF("id", "payload")
+    val out = Sampling.shufflePositions(d, "id", "seed1")
+    val rows = out.select("shuffle_pos", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // positions are exactly 1..n, each once
+    assert(rows.map(_._1).sorted.toSeq == (1L to 2357L).toSeq)
+    // position order IS (hash, id) order
+    val byPos = rows.sortBy(_._1).map(_._2).toSeq
+    val byHash = d.orderBy(Sampling.hashKey(col("id"), "seed1"), col("id"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(byPos == byHash)
+    // deterministic under repartitioning, seed changes the permutation
+    val again = Sampling.shufflePositions(d.repartition(13), "id", "seed1")
+      .select("shuffle_pos", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == rows.toSet)
+    val other = Sampling.shufflePositions(d, "id", "seed2")
+      .select("shuffle_pos", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(other != rows.toSet)
+  }
+
   test("tfidfTopTerms scores a tiny corpus as computed by hand") {
     val docs = Seq((1L, "a b b"), (2L, "b c")).toDF("doc_id", "text")
     val out = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)

@@ -71,4 +71,18 @@ class StatsSpec extends SparkSpec {
     assert(out(("b", -10.0)) == 1) // floor semantics for negatives
     assert(!out.contains(("a", 20.0)))
   }
+
+  test("sketchAccuracy: exact values exact, sketches within tolerance") {
+    // two groups with very different cardinalities and value ranges
+    val df = ((1 to 20000).map(i => ("big", (i % 4831).toLong, i * 0.5)) ++
+      (1 to 200).map(i => ("small", (i % 7).toLong, i * 100.0)))
+      .toDF("g", "u", "v")
+    val out = Stats.sketchAccuracy(df, "g", "u", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out("big")._1 == 4831L && out("small")._1 == 7L)
+    // the flags are the oracle surface — they must hold at any scale
+    assert(out.values.forall(t => t._2 && t._3),
+      s"sketch outside tolerance: $out")
+  }
 }
