@@ -63,6 +63,41 @@ object Engine {
     // fast shuffle/spill scratch where available (see fastScratch)
     .config(fastScratch.map("spark.local.dir" -> _).toMap)
 
+  /** Fan a NARROW scan out across the cluster before a heavy row-local
+    * kernel, when — and only when — the input cannot parallelize by
+    * itself. Spark assigns one task per file split, and a parquet file
+    * is splittable only at row-group boundaries: a corpus that arrives
+    * as a few single-row-group files (the local test shape; also the
+    * "one fat export file" antipattern in the wild) runs every
+    * downstream per-row kernel in ONE task no matter how many cores
+    * exist. The condition is computed from file METADATA only (no job):
+    * estimated splits = Σ ceil(bytes / maxPartitionBytes) per file; if
+    * that already reaches half the session's default parallelism — any
+    * real multi-split input, let alone 100 TB — this is an exact no-op
+    * and the plan keeps its scan-parallel shape with no extra exchange.
+    * Only a provably narrow input pays one small hash repartition on
+    * `key` (deterministic under retries, unlike round-robin) to unlock
+    * every core.
+    *
+    * Call it where a compute-heavy kernel feeds a shuffle anyway (pair
+    * engines, banding, explodes) — NOT on pure per-row selects, whose
+    * shuffle-free contract (PlanContractSpec) is the thing worth more
+    * at scale. */
+  def fanOutIfNarrow(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    val files = df.inputFiles
+    if (files.isEmpty) return df // derived plan, no scan to rescue
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes.toDouble
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val est = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val len = p.getFileSystem(hconf).getFileStatus(p).getLen
+      math.max(1L, math.ceil(len / maxSplit).toLong)
+    }.sum
+    val target = spark.sparkContext.defaultParallelism
+    if (est * 2 < target) df.repartition(target, key) else df
+  }
+
   /** Local session for tests/dev. Shuffle partitions sized to cores, not
     * the 200 default (SURVEY.md §4 — local[n] has n executor threads). */
   def localSession(cores: Int = 8): SparkSession = {

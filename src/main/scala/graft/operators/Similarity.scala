@@ -241,7 +241,8 @@ object Similarity {
                        threshold: Double, nPlanes: Int,
                        nTables: Int = 16): DataFrame = {
     ArrayMath.register(corpus.sparkSession)
-    val b = lshBuckets(corpus, vecCol, nPlanes, nTables)
+    val b = lshBuckets(graft.Engine.fanOutIfNarrow(corpus, col(idCol)),
+      vecCol, nPlanes, nTables)
     val l = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
       col("table"), col("bucket"))
     val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),

