@@ -268,18 +268,21 @@ class PlanContractSpec extends SparkSpec {
       s"global sort leaked into the permutation plan:\n$plan")
   }
 
-  test("q63 sketch accuracy is one aggregation pass, no join") {
+  test("q63 sketch accuracy: sketch branch clean, exact branch expanded") {
     val plan = physical(SparkEntry.queries("q63_sketch_accuracy")(spark, dir))
-    assert(!plan.contains("Join"),
-      s"sketch audit must be a single grouped pass:\n$plan")
-    // two hash exchanges: (group, distinct-key) then (group) — the
-    // standard exact-COUNT(DISTINCT) expansion. That extra shuffle is
-    // precisely what the HLL sketch path removes at scale; the audit
-    // query pays it because it runs both paths side by side.
+    // two separate aggregation branches rejoined by broadcast: a single
+    // mixed aggregate would drag sketch buffers through the
+    // (group, distinct-key) expansion — one percentile/HLL buffer per
+    // USER (measured 7× slower). Three hash exchanges total: sketch
+    // (group), exact (group, key), exact (group).
+    assert(plan.contains("BroadcastHashJoin"),
+      s"branches should rejoin via broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"rejoin fell off the broadcast path:\n$plan")
     val hashEx = plan.sliding("Exchange hashpartitioning".length)
       .count(_ == "Exchange hashpartitioning")
-    assert(hashEx == 2,
-      s"q63 should shuffle (group,key) then (group) ($hashEx):\n$plan")
+    assert(hashEx == 3,
+      s"q63 should shuffle sketch(group) + exact(group,key)+(group) ($hashEx):\n$plan")
   }
 
   test("q64 salted join carries the salt in the join keys") {
