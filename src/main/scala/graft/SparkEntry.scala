@@ -788,6 +788,15 @@ object SparkEntry {
       .orderBy("s_nationkey")
   }
 
+  /** Heavy-hitter tokens per source: the custom Misra-Gries mergeable
+    * aggregate (k=100 counters) audited in-query against exact counts —
+    * every token above 4% of its source's token mass, with the sketch's
+    * completeness flag (provably TRUE since 25 ≤ k). */
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    TextOps.heavyTokens(Tables.documents(s, dir), "source", "text",
+        k = 100, reportFrac = 25)
+      .orderBy("source", "item")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_first_order" -> q57,
     "q58_incremental_e2e" -> q58,
@@ -797,6 +806,7 @@ object SparkEntry {
     "q62_corpus_shuffle" -> q62,
     "q63_sketch_accuracy" -> q63,
     "q64_salted_join" -> q64,
+    "q65_heavy_tokens" -> q65,
     "q51_cosine_dedup_pairs" -> q51,
     "q52_redact_pii" -> q52,
     "q53_normalize" -> q53,
@@ -1322,6 +1332,19 @@ object SparkEntry {
         |       TRUE AS hll_ok,
         |       TRUE AS p50_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the sketch's own output is merge-tree-specific; the exact heavy
+    // set and the MG completeness guarantee are portable, so mg_found
+    // oracles as constant TRUE (Misra-Gries: freq > n/k survives)
+    "q65_heavy_tokens" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS item FROM documents),
+        |tot AS (SELECT source, count(*) AS n FROM tok GROUP BY source),
+        |cnt AS (SELECT source, item, count(*) AS exact_count
+        |        FROM tok GROUP BY source, item)
+        |SELECT c.source, c.item, c.exact_count, TRUE AS mg_found
+        |FROM cnt c JOIN tot t USING (source)
+        |WHERE c.exact_count * 25 > t.n
+        |ORDER BY source, item""".stripMargin,
     // the PLAIN join: green certifies the salted rewrite changes nothing
     "q64_salted_join" ->
       """SELECT s_nationkey,

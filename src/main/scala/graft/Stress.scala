@@ -98,6 +98,44 @@ object Stress {
     }
     }
 
+    if (mode == "skew") {
+    // hot-key join storm: one key owns 90% of the fact side — the
+    // "null-ish default id / bot user" shape. With broadcast off (the
+    // skew regime: both sides too big to broadcast at 100 TB) a plain
+    // shuffle join lands the hot key's entire partition on ONE
+    // reducer; the salted join spreads it over `salts` reducers; AQE's
+    // skew split repairs the sort-merge case at runtime. All three are
+    // timed so SCALE.md carries the measured contrast, not an assertion.
+    val nRows = 250000L * factor
+    val fact = spark.range(nRows).select(
+      col("id"),
+      when(pmod(col("id"), lit(10)) < 9, lit(0L))
+        .otherwise(pmod(col("id"), lit(1000))).as("k"),
+      (col("id") % 97).cast("double").as("v"))
+      .localCheckpoint(true)
+    val dim = spark.range(1000)
+      .select(col("id").as("k"), (col("id") * 2).as("w"))
+      .localCheckpoint(true)
+    println(s"[stress] skew fact: $nRows rows, 90% on one key")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      time("join(plain, AQE skew split)") {
+        fact.join(dim, Seq("k")).count()
+      }
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      time("join(plain, no skew split)") {
+        fact.join(dim, Seq("k")).count()
+      }
+      time("join(salted x16)") {
+        graft.operators.Shuffles.saltedEquiJoin(fact, dim, "k", 16).count()
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    }
+    }
+
     if (mode == "media") {
     // media frame-stats storm: synthetic binaries at doubling sizes,
     // constant total bytes per tier (more files × smaller, then fewer ×

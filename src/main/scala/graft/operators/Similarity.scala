@@ -80,16 +80,21 @@ object Similarity {
               nPlanes: Int, nTables: Int = 8): DataFrame = {
     ArrayMath.register(corpus.sparkSession)
     val cb = lshBuckets(corpus, vecCol, nPlanes, nTables)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-        col("table"), col("bucket"))
+      .select(col(idCol).as("neighbor_id"), col("table"), col("bucket"))
     val qb = lshBuckets(queries, vecCol, nPlanes, nTables)
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-        col("table"), col("bucket"))
+      .select(col(idCol).as("query_id"), col("table"), col("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    cb.join(broadcast(qb), Seq("table", "bucket"))
+    // dedupe candidate (query, neighbor) id pairs BEFORE re-attaching
+    // vectors (same rationale as cosineDedupPairs: multi-table overlap
+    // replicates each pair ~nTables×, and the distinct should hash slim
+    // id pairs, not vector payloads)
+    val cand = cb.join(broadcast(qb), Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "__qv", "__cv").distinct()
+      .select("query_id", "neighbor_id").distinct()
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    cand.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
       .withColumn("cosine",
         round(ArrayMath.cosineSimilarity(col("__qv"), col("__cv")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -243,16 +248,22 @@ object Similarity {
     ArrayMath.register(corpus.sparkSession)
     val b = lshBuckets(graft.Engine.fanOutIfNarrow(corpus, col(idCol)),
       vecCol, nPlanes, nTables)
-    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
-      col("table"), col("bucket"))
-    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
-      col("table"), col("bucket"))
-    l.join(r, Seq("table", "bucket"))
+      .select(col(idCol), col("table"), col("bucket"))
+    val l = b.select(col(idCol).as("id_a"), col("table"), col("bucket"))
+    val r = b.select(col(idCol).as("id_b"), col("table"), col("bucket"))
+    // dedupe candidates ACROSS bands on IDS ALONE, then re-attach the
+    // vectors by joining the corpus back. In a duplicate storm a pair
+    // agrees on most of the nTables bands, so pre-distinct candidate
+    // multiplicity is ~nTables×; dragging two full vectors per
+    // replicated row through the distinct's hash aggregate was measured
+    // 50× slower than deduping bare id pairs and paying two slim joins
+    // (which the planner broadcasts when the corpus is small).
+    val cand = l.join(r, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      // dedupe candidates ACROSS bands before the cosine verify — a pair
-      // agreeing on several bands must pay the kernel once, not once per
-      // band (the vectors ride along: functionally determined by the ids)
-      .select(col("id_a"), col("id_b"), col("__va"), col("__vb")).distinct()
+      .select(col("id_a"), col("id_b")).distinct()
+    val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       // threshold the ROUNDED value (like every ANN rank): the kept set
       // becomes engine-exact instead of hinging on last-ulp sums for
       // pairs sitting precisely on the threshold

@@ -566,6 +566,40 @@ object TextOps {
           col("n_shingles"), 6).as("contamination"))
   }
 
+  /** Heavy-hitter tokens per group via the native Misra-Gries aggregate
+    * ([[graft.functions.MisraGriesAgg]]), audited against the exact
+    * counts in the same query (the q63 sketch-audit pattern, here for a
+    * CUSTOM mergeable aggregate): emit every token with exact frequency
+    * > n/reportFrac in its group, its exact count, and whether the
+    * k-counter sketch surfaced it. With reportFrac ≤ k the Misra-Gries
+    * guarantee (any item with freq > n/k survives every merge) makes
+    * `mg_found` provably TRUE — which is what the DuckDB oracle pins.
+    * At 100 TB the sketch branch is one grouped pass with k counters
+    * per group regardless of vocabulary size; the exact branch — which
+    * shuffles every distinct (group, token) — exists to certify it and
+    * as the small-corpus path. */
+  def heavyTokens(docs: DataFrame, groupCol: String, textCol: String,
+                  k: Int, reportFrac: Int): DataFrame = {
+    require(reportFrac <= k,
+      s"reportFrac=$reportFrac above k=$k voids the MG completeness guarantee")
+    graft.functions.HeavyHittersFunctions.register(docs.sparkSession)
+    val toks = Engine.fanOutIfNarrow(docs, col(groupCol))
+      .select(col(groupCol), explode(tokens(col(textCol))).as("item"))
+    val mg = toks.groupBy(col(groupCol))
+      .agg(graft.functions.HeavyHittersFunctions.heavyHitters(col("item"), k)
+        .as("__mg"))
+      .select(col(groupCol),
+        transform(col("__mg"), s => s.getField("item")).as("__mg_items"))
+    val cnt = toks.groupBy(col(groupCol), col("item"))
+      .agg(count(lit(1)).as("exact_count"))
+    val tot = toks.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    cnt.join(broadcast(tot), Seq(groupCol))
+      .filter(col("exact_count") * reportFrac > col("__n"))
+      .join(broadcast(mg), Seq(groupCol))
+      .select(col(groupCol), col("item"), col("exact_count"),
+        array_contains(col("__mg_items"), col("item")).as("mg_found"))
+  }
+
   // -------------------------------------------------------- fingerprinting
 
   val FpBase = 131L // polynomial base; FpBase * P < 2⁶² keeps folds exact
