@@ -742,24 +742,40 @@ object TextOps {
     * chunk generate is row-local above it. At 100 TB this is a single
     * hash-partitioned pass: scan → filter → exchange(content_hash) →
     * window → generate, with no joins and no driver state. */
-  def trainingMixChunks(docs: DataFrame, idCol: String, textCol: String,
-                        minQuality: Double, keepLangs: Seq[String],
-                        chunkTokens: Int, overlap: Int): DataFrame = {
+  /** Row-local quality + language gate: keeps every input column,
+    * appends `quality_score` and `lang_pred`, filters to passing docs.
+    * Pure codegen'd selects — no shuffle — so it runs unchanged on a
+    * STREAMING DataFrame (micro-batch gates, see
+    * [[graft.streaming.DocumentStreams]]). Bit-identical to the
+    * oracled q15/q16 surfaces: same feature expressions, same argmax
+    * tie-break. */
+  def gateDocuments(docs: DataFrame, textCol: String,
+                    minQuality: Double, keepLangs: Seq[String]): DataFrame = {
     TextHashFunctions.register(docs.sparkSession)
     val langCounts =
       TextHashFunctions.tokenSetCounts(lower(col(textCol)), LangMarkers.map(_._2))
     val (langPred, _) = langArgmax(col("__lc"))
-    // gates stay BELOW the dedup exchange (survivors shuffle, not the
-    // raw corpus); the conditional fan-out only fires on an input too
-    // narrow to parallelize the gate kernels by itself (no-op at scale)
-    val gated = Engine.fanOutIfNarrow(docs, col(idCol))
-      .select(col(idCol) +: col(textCol) +: langCounts.as("__lc") +:
+    docs
+      .select(col("*") +: langCounts.as("__lc") +:
         qualityFeatureCols(col(textCol)): _*)
       .withColumn("quality_score", qualityScoreCol)
       .filter(col("quality_score") >= minQuality)
       .withColumn("lang_pred", langPred)
       .filter(col("lang_pred").isin(keepLangs: _*))
-      .select(col(idCol), col(textCol), col("quality_score"), col("lang_pred"))
+      .drop("__lc", "n_chars", "n_tokens", "mean_token_len", "punct_ratio",
+        "digit_ratio", "stopword_ratio")
+  }
+
+  def trainingMixChunks(docs: DataFrame, idCol: String, textCol: String,
+                        minQuality: Double, keepLangs: Seq[String],
+                        chunkTokens: Int, overlap: Int): DataFrame = {
+    // gates stay BELOW the dedup exchange (survivors shuffle, not the
+    // raw corpus); the conditional fan-out only fires on an input too
+    // narrow to parallelize the gate kernels by itself (no-op at scale)
+    val gated =
+      gateDocuments(Engine.fanOutIfNarrow(docs, col(idCol)), textCol,
+          minQuality, keepLangs)
+        .select(col(idCol), col(textCol), col("quality_score"), col("lang_pred"))
     // keep-first on normalized content: the min-id copy survives — same
     // keeper convention as exactDedup, as a window so the full row rides
     // through one exchange instead of an agg + self-join.
