@@ -48,6 +48,23 @@ import scala.jdk.CollectionConverters._
   * overestimates, so min-of-medians converges on engine cost. Rescued
   * queries are listed in `rescued`; ones that stay high in both windows
   * are real and keep their `suspect` flag.
+  *
+  * Environment sentinel (round-9, from the round-8 adjudication): when
+  * contention spans the WHOLE run, both measurement windows are
+  * polluted and min-of-medians still publishes inflated totals with no
+  * run-level signal — BENCH_r08 published 84 s for an engine the judge
+  * re-measured at ~50 s warm. So the bench now measures a fixed
+  * CALIBRATION PROBE — a canned compute plan (`sum(xxhash64(id))` over
+  * 64M rows) that never changes with engine code — at run start and
+  * run end, compares the better of the two against the probe median
+  * committed in the previous round's artifact, and stamps a top-level
+  * `"environment_suspect": true` (plus the raw probe numbers) on BOTH
+  * stdout and the file artifact when even the better probe window is
+  * >2x prior: the host was contended for the entire run and the totals
+  * are void — readers (judge, bench_history.py) can discard the column
+  * instead of investigating phantom regressions. The probe median
+  * stored for the NEXT round is min(start, end) — contention only ever
+  * overestimates.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -90,6 +107,20 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("q04_watermark_max")
       .foreach(fn => fn(spark, sfDir).collect())
+    // calibration probe: fixed canned compute, independent of engine
+    // code and of the sf dir, so its cost can only move when the HOST
+    // does — median of 3, measured again after the main pass
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(64L * 1000 * 1000).selectExpr("sum(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probeOnce() // probe's own warm-up
+    def probeMedian(): Double = {
+      val ts = Seq.fill(3)(probeOnce()).sorted
+      ts(1)
+    }
+    val probeStart = probeMedian()
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -161,18 +192,22 @@ object Bench {
     // then threw reports its reduced-sample median in the per-query map
     // (flagged in `partial`) but is EXCLUDED from total; a query with no
     // successful rep appears only in `errors`
-    // previous-round medians for the cross-round suspect guard; any
-    // parse/IO failure degrades to an empty map (first round, renamed
-    // artifact) — the guard is advisory and must never fail the bench
-    val prevMedians: Map[String, Double] = try {
+    // previous-round medians for the cross-round suspect guard, plus the
+    // previous round's calibration probe median for the environment
+    // sentinel; any parse/IO failure degrades to empty (first round,
+    // renamed artifact) — both guards are advisory and must never fail
+    // the bench
+    val (prevMedians: Map[String, Double], prevProbe: Option[Double]) = try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
+      def numOf(j: JValue): Option[Double] = j match {
+        case JDouble(v)  => Some(v)
+        case JInt(v)     => Some(v.toDouble)
+        case JDecimal(v) => Some(v.toDouble)
+        case _           => None
+      }
       def queriesOf(j: JValue): Map[String, Double] = (j \ "queries") match {
-        case JObject(fs) => fs.collect {
-          case (k, JDouble(v))  => k -> v
-          case (k, JInt(v))     => k -> v.toDouble
-          case (k, JDecimal(v)) => k -> v.toDouble
-        }.toMap
+        case JObject(fs) => fs.flatMap { case (k, v) => numOf(v).map(k -> _) }.toMap
         case _ => Map.empty
       }
       val prev = sys.env.get("SPARK_GRAFT_BENCH_PREV").map(Paths.get(_))
@@ -187,12 +222,13 @@ object Bench {
         }
       prev.map { p =>
         val j = JsonMethods.parse(Files.readString(p))
-        (j \ "parsed") match {
-          case JNothing | JNull => queriesOf(j)
-          case wrapped          => queriesOf(wrapped)
+        val payload = (j \ "parsed") match {
+          case JNothing | JNull => j
+          case wrapped          => wrapped
         }
-      }.getOrElse(Map.empty)
-    } catch { case _: Throwable => Map.empty }
+        (queriesOf(payload), numOf(payload \ "calibration" \ "probe_median"))
+      }.getOrElse((Map.empty[String, Double], None))
+    } catch { case _: Throwable => (Map.empty[String, Double], None) }
     // Second-pass rescue (round-8 postmortem): host-level contention here
     // arrives in multi-minute WINDOWS — one run's suspect list was exactly
     // the alphabetically-contiguous q40..q47, i.e. whatever executed while
@@ -222,6 +258,17 @@ object Bench {
       case r => r
     }
     val suspectNames = suspectsOf(results)
+    // environment sentinel: second probe window after all measurement;
+    // flag the RUN when even the better window is >2x the committed
+    // prior — whole-run contention, totals void
+    val probeEnd = probeMedian()
+    val probeBest = math.min(probeStart, probeEnd)
+    val envSuspect = prevProbe.exists(p => p > 0.0 && probeBest > 2.0 * p)
+    def calibJson(dp: Int): String =
+      s""""calibration":{"probe_start":${fmt(probeStart, dp)},""" +
+        s""""probe_end":${fmt(probeEnd, dp)},"probe_median":${fmt(probeBest, dp)},""" +
+        s""""probe_prior":${prevProbe.map(fmt(_, dp)).getOrElse("null")}},""" +
+        s""""environment_suspect":$envSuspect"""
     val cleanPairs = results.collect { case (k, v, _, None, _, _) => (k, v) }
     val partialPairs = results.collect { case (k, v, _, Some(_), _, n) if n > 0 => (k, v) }
     val qPairs = (cleanPairs ++ partialPairs).sortBy(_._1)
@@ -233,7 +280,8 @@ object Bench {
     def head(dp: Int): String =
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","reps":$reps,""" +
         s""""n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)},""" +
-        s""""suspect":${jarr(suspectNames)},"rescued":${jarr(rescuedNames.toSeq)}"""
+        s""""suspect":${jarr(suspectNames)},"rescued":${jarr(rescuedNames.toSeq)},""" +
+        calibJson(3)
     def stdoutLine(dp: Int): String = {
       val qs = qPairs.map { case (k, v) => jstr(k) + ":" + fmt(v, dp) }
         .mkString("{", ",", "}")
@@ -263,7 +311,7 @@ object Bench {
     val qsFull = qPairs.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"spread":$spreads,"errors":$errs,"rep_counts":$repCounts,"n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)},"suspect":${jarr(suspectNames)},"rescued":${jarr(rescuedNames.toSeq)},"sf":${jstr(sfDirOrig)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"spread":$spreads,"errors":$errs,"rep_counts":$repCounts,"n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)},"suspect":${jarr(suspectNames)},"rescued":${jarr(rescuedNames.toSeq)},${calibJson(4)},"sf":${jstr(sfDirOrig)}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(outPath), fileJson + "\n")
     spark.stop()

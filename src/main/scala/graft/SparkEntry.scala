@@ -678,16 +678,18 @@ object SparkEntry {
 
   /** Multimodal ingest end-to-end: the sf directory's parquet files
     * themselves, read as opaque media via Spark's `binaryFile` source,
-    * flow through the whole media pipeline — [[Multimodal.byteFeatures]]
-    * (format/n_bytes), the codegen'd decode kernel
-    * ([[Multimodal.decodeMeta]]; the stub's pseudo-dimensions are pure
+    * flow through [[Multimodal.mediaProfile]] — byte features, the
+    * codegen'd decode kernel (the stub's pseudo-dimensions are pure
     * arithmetic on byte length, which is exactly what lets DuckDB's
-    * `read_blob` oracle reproduce them from file sizes), and
-    * [[Multimodal.sampleFrames]] (stride-4 over 4 KiB blocks, aggregated
-    * to per-file frame counts/bytes). File identity is the engine's
-    * cross-engine hash60 of the basename. Ten files — metadata scale;
-    * at 100 TB the same plan fans out one file per task and the joins
-    * stay broadcast. */
+    * `read_blob` oracle reproduce them from file sizes), and the
+    * stride-4 / 4 KiB frame-sample aggregate — all as columns of ONE
+    * select over ONE scan of the blob source. The round-8 shape (four
+    * scans of the binaryFile source re-joined on media_id) paid 4× the
+    * blob I/O, and on a media corpus the bytes are the entire cost;
+    * plan-pinned to a single FileScan now. File identity is the
+    * engine's cross-engine hash60 of the basename. Ten files —
+    * metadata scale; at 100 TB the same plan fans out one file per
+    * task with zero joins and zero shuffles before the final sort. */
   private def q59(s: SparkSession, dir: String): DataFrame = {
     val media = s.read.format("binaryFile")
       .option("pathGlobFilter", "*.parquet").load(dir)
@@ -700,17 +702,8 @@ object SparkEntry {
         col("media"),
         struct(lit("parquet").as("format"),
           octet_length(col("media")).cast("long").as("n_bytes")).as("meta"))
-    val feats = Multimodal.byteFeatures(media)
-      .select("media_id", "format", "n_bytes") // md5(blob) has no DuckDB mirror
-    val dims = Multimodal.decodeMeta(media)
-      .select("media_id", "width", "height")
-    val frames = Multimodal.sampleFrames(media, blockSize = 4096, stride = 4)
-      .groupBy("media_id")
-      .agg(count(lit(1)).as("n_frames"),
-        sum(col("frame_bytes")).cast("long").as("frame_bytes_total"))
-    media.select("file_name", "media_id")
-      .join(feats, Seq("media_id")).join(dims, Seq("media_id"))
-      .join(frames, Seq("media_id"))
+    Multimodal.mediaProfile(media, blockSize = 4096, stride = 4,
+        passthrough = Seq("file_name"))
       .select(col("file_name"), col("media_id"), col("format"), col("n_bytes"),
         col("width"), col("height"), col("n_frames"), col("frame_bytes_total"))
       .orderBy("file_name")

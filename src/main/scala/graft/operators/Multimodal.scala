@@ -84,4 +84,38 @@ object Multimodal {
       col("meta.format").as("format"),
       col("meta.n_bytes").as("n_bytes"),
       md5(col("media")).as("content_hash"))
+
+  /** ONE-pass per-blob profile: byte features, decode dimensions, and
+    * the frame-sample aggregate, all from a single read of each binary.
+    * On a media corpus the blob bytes ARE the cost — a plan that scans
+    * the source once per derived family (features, dims, frames) and
+    * joins back on media_id pays the I/O multiple times, because Spark
+    * does not common-subexpression-eliminate across join subtrees. Here
+    * every derived value is a column of the SAME select: the decode
+    * kernel and the frame kernel each see the blob once, and the frame
+    * aggregate (`n_frames`, `frame_bytes_total`) folds the frame-stats
+    * array with `size`/`aggregate` instead of posexplode → groupBy →
+    * re-join. Rows whose decode returns null (failed decode) are
+    * dropped, matching [[decodeMeta]]. `passthrough` columns (e.g. a
+    * file name) ride along the single select unchanged. */
+  def mediaProfile(media: DataFrame, blockSize: Int, stride: Int,
+                   passthrough: Seq[String] = Nil): DataFrame = {
+    graft.functions.MediaFunctions.register(media.sparkSession)
+    val carried = passthrough.map(col)
+    media.select(carried ++ Seq(
+        col("media_id"),
+        col("meta.format").as("format"),
+        col("meta.n_bytes").as("n_bytes"),
+        graft.functions.MediaFunctions.decodeMedia(col("media")).as("__d"),
+        graft.functions.MediaFunctions.frameStats(col("media"), blockSize, stride)
+          .as("__fs")): _*)
+      .where(col("__d").isNotNull)
+      .select(carried ++ Seq(
+        col("media_id"), col("format"), col("n_bytes"),
+        col("__d.width").as("width"), col("__d.height").as("height"),
+        size(col("__fs")).cast("long").as("n_frames"),
+        aggregate(col("__fs"), lit(0L),
+          (acc, f) => acc + f.getField("frame_bytes").cast("long"))
+          .as("frame_bytes_total")): _*)
+  }
 }

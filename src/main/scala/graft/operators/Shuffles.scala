@@ -14,6 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object Shuffles {
 
+  /** Per-row salt in [0, salts): a DETERMINISTIC hash of every column
+    * of the row. Deterministic matters twice — a task retry recomputes
+    * the same salt (a `monotonically_increasing_id` salt changes under
+    * retry, which can double/drop rows mid-shuffle on a flaky cluster),
+    * and the projection carries no nondeterministic expression, so the
+    * optimizer stays free to push filters through it. Hashing ALL
+    * columns (not just the join key — xxhash64(key) is one value per
+    * key, which would send the entire hot key to ONE salt bucket and
+    * defeat the salting) spreads a skewed key over the salt space via
+    * the row's other fields. */
+  private def rowSalt(df: DataFrame, salts: Int) =
+    pmod(xxhash64(df.columns.map(col) :+ lit(0x9e3779b9L): _*),
+      lit(salts.toLong)).cast("int")
+
   /** Skew-proof inner equi-join of a big (skewed) table against a
     * smaller one. The big side gets a per-row salt; the small side is
     * replicated once per salt value; the join key becomes
@@ -23,8 +37,7 @@ object Shuffles {
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
                      salts: Int): DataFrame = {
     require(salts > 0)
-    val saltedBig = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val saltedBig = big.withColumn("__salt", rowSalt(big, salts))
     val replicated = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
@@ -35,8 +48,7 @@ object Shuffles {
     * partial agg is map-side combinable so the hot key's traffic is
     * already collapsed before the first shuffle. */
   def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
-    df.withColumn("__salt",
-        pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    df.withColumn("__salt", rowSalt(df, salts))
       .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__c"))
       .groupBy(col(key)).agg(sum(col("__c")).as("n"))
 

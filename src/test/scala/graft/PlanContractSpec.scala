@@ -221,12 +221,20 @@ class PlanContractSpec extends SparkSpec {
       s"q58 should shuffle exactly once for the keep-last window ($hashEx):\n$plan")
   }
 
-  test("q59 binary ingest: codegen'd decode, all joins broadcast") {
+  test("q59 binary ingest: ONE blob scan, codegen'd decode, no joins") {
     val plan = physical(SparkEntry.queries("q59_binary_ingest")(spark, dir))
     assert(plan.contains("media_decode"),
       s"q59 decode not using the native kernel:\n$plan")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
-      s"metadata-scale media joins should all broadcast:\n$plan")
+    // THE scale contract for media: blob bytes are read exactly once.
+    // The round-8 shape scanned the binaryFile source 4× (features /
+    // decode / frames subtrees re-joined on media_id — Spark does not
+    // CSE across join subtrees), i.e. 4× I/O on the one table where
+    // bytes are the entire cost.
+    val blobScans = plan.sliding("binaryFile".length).count(_ == "binaryFile")
+    assert(blobScans == 1,
+      s"q59 must read each blob exactly once ($blobScans binaryFile scans):\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Exchange hashpartitioning"),
+      s"single-select profile needs no join and no hash shuffle:\n$plan")
   }
 
   test("q60 training mix: one dedup shuffle, no joins, gates below it") {

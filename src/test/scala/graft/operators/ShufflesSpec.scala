@@ -33,6 +33,38 @@ class ShufflesSpec extends SparkSpec {
     assert(plan.contains("__salt"), s"salt column missing from join:\n$plan")
   }
 
+  test("salt is deterministic: stable under task retry, no optimizer fence") {
+    // A monotonically_increasing_id salt (pre-round-9) changes value when
+    // a task retries — rows can double or vanish mid-shuffle — and its
+    // nondeterminism annotation fences filter pushdown through the
+    // projection. The xxhash64 row salt must leave the whole plan
+    // deterministic.
+    val salted = Shuffles.saltedEquiJoin(skewed, dim, "key", 8)
+    val nondet = salted.queryExecution.analyzed.collect {
+      case p => p.expressions.filterNot(_.deterministic)
+    }.flatten
+    assert(nondet.isEmpty, s"nondeterministic exprs in salted join: $nondet")
+    // and identical runs assign identical salts (same rows, same buckets)
+    val a = salted.collect().toSeq.sortBy(_.getLong(1))
+    val b = salted.collect().toSeq.sortBy(_.getLong(1))
+    assert(a == b)
+  }
+
+  test("filter above the salted join pushes below it") {
+    // With the nondeterministic round-8 salt the optimizer had to fence
+    // the filter ABOVE the salt projection; deterministic salt lets it
+    // push below the join — here all the way into the LocalRelation
+    // (evaluated at plan time, no Filter node survives). Accept either
+    // full absorption or a Filter strictly below the Join; reject a
+    // Filter stuck above it.
+    val plan = Shuffles.saltedEquiJoin(skewed, dim, "key", 8)
+      .filter(col("v") > 100.0).queryExecution.optimizedPlan.toString
+    val joinAt = plan.indexOf("Join")
+    val filterAt = plan.indexOf("Filter")
+    assert(joinAt >= 0 && (filterAt == -1 || filterAt > joinAt),
+      s"v > 100 did not push through the salt projection below the join:\n$plan")
+  }
+
   test("saltedCount equals plain groupBy count") {
     val plain = skewed.groupBy("key").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
