@@ -790,6 +790,50 @@ object SparkEntry {
         k = 100, reportFrac = 25)
       .orderBy("source", "item")
 
+  /** Bucket-amortized join: both join sides are materialized ONCE as
+    * catalog tables bucketed + sorted on the join key
+    * ([[Shuffles.writeBucketed]], 8 buckets), then the q64-shaped
+    * per-nation revenue aggregation joins them with NO shuffle and NO
+    * sort in the join stage — each side's bucketing already satisfies
+    * the sort-merge join's distribution and ordering requirements, so
+    * the only Exchange left in the plan is the per-nation aggregation.
+    * This is the pay-once answer to the reference's pattern of
+    * re-joining the same tables every 15-minute batch
+    * (mabna_tables_update.py runs the identical join each cycle): at
+    * 100 TB the join's shuffle is paid at write time and amortized
+    * over every later batch. The MERGE hint keeps the plan on the
+    * bucketed sort-merge path (supplier is broadcast-small at test SF,
+    * but it stands in for a big-big join — the case bucketing exists
+    * for). Within one session the tables are written once and reused
+    * (`tableExists` guard), which is exactly the amortization being
+    * modeled; the oracle is the PLAIN join, so green proves the
+    * bucketed rewrite is semantics-preserving. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    // session-unique tag: the warehouse DIRECTORY outlives the in-memory
+    // catalog, so a name reused across sessions would hit
+    // LOCATION_ALREADY_EXISTS on the second session's CREATE; within one
+    // session the tableExists guard reuses the bucketed build
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      dir + s.sparkContext.applicationId)) % 1000000).toString
+    val liT = s"graft_bkt_lineitem_$tag"
+    val suT = s"graft_bkt_supplier_$tag"
+    if (!s.catalog.tableExists(liT))
+      Shuffles.writeBucketed(Tables.lineitem(s, dir)
+          .select("l_suppkey", "l_extendedprice", "l_discount"),
+        liT, "l_suppkey", buckets = 8)
+    if (!s.catalog.tableExists(suT))
+      Shuffles.writeBucketed(Tables.supplier(s, dir)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+        suT, "l_suppkey", buckets = 8)
+    s.table(liT).hint("MERGE").join(s.table(suT).hint("MERGE"), Seq("l_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+        ).cast("double").as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_first_order" -> q57,
     "q58_incremental_e2e" -> q58,
@@ -800,6 +844,7 @@ object SparkEntry {
     "q63_sketch_accuracy" -> q63,
     "q64_salted_join" -> q64,
     "q65_heavy_tokens" -> q65,
+    "q66_bucketed_join" -> q66,
     "q51_cosine_dedup_pairs" -> q51,
     "q52_redact_pii" -> q52,
     "q53_normalize" -> q53,
@@ -1340,6 +1385,18 @@ object SparkEntry {
         |ORDER BY source, item""".stripMargin,
     // the PLAIN join: green certifies the salted rewrite changes nothing
     "q64_salted_join" ->
+      """SELECT s_nationkey,
+        |       count(*) AS n_lines,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS VARCHAR) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
+    // same plain-join oracle as q64: the bucketed pay-once plan must be
+    // indistinguishable from the straight join in its results
+    "q66_bucketed_join" ->
       """SELECT s_nationkey,
         |       count(*) AS n_lines,
         |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

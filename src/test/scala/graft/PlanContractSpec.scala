@@ -302,6 +302,28 @@ class PlanContractSpec extends SparkSpec {
       s"salted join fell back to a product:\n$plan")
   }
 
+  test("q66 bucketed join: no shuffle and no sort in the join stage") {
+    val df = SparkEntry.queries("q66_bucketed_join")(spark, dir)
+    val plan = physical(df)
+    assert(plan.contains("SortMergeJoin"),
+      s"bucketed join should stay on the sort-merge path (MERGE hint):\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"scan does not report bucketed reading:\n$plan")
+    // the ONLY hash exchange allowed is the per-nation aggregation ABOVE
+    // the join; each bucketed side satisfies the join's distribution
+    // requirement as-read, and the bucket sort order satisfies SMJ's
+    // ordering requirement, so the join stage itself is exchange- and
+    // sort-free — the pay-once contract
+    val hashEx = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx == 1,
+      s"q66 must shuffle only for the aggregation ($hashEx exchanges):\n$plan")
+    val joinAt = plan.indexOf("SortMergeJoin")
+    val exBelowJoin = plan.indexOf("Exchange", joinAt)
+    assert(exBelowJoin == -1,
+      s"exchange below the bucketed join — bucketing not used:\n$plan")
+  }
+
   test("packSequences partitions its window by shard (no global sort)") {
     val plan = physical(graft.operators.Packing.packSequences(
       TextOps.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
