@@ -239,9 +239,14 @@ object Bench {
     // passes (contention only ever overestimates, so min-of-medians
     // converges on engine cost). Queries that stay high in both windows
     // are real regressions and keep their suspect flag.
+    // prior artifacts may key by full name (file artifact, rounds ≤8) or
+    // by short `qNN` id (stdout-parsed artifacts from round 9 on) — look
+    // up both
+    def priorOf(k: String): Option[Double] =
+      prevMedians.get(k).orElse(prevMedians.get(k.takeWhile(_ != '_')))
     def suspectsOf(rs: Seq[(String, Double, Double, Option[String], Boolean, Int)]) =
       rs.collect { case (k, med, _, None, _, _)
-        if med > 0.2 && prevMedians.get(k).exists(p => p > 0.0 && med > 1.5 * p) => k }
+        if med > 0.2 && priorOf(k).exists(p => p > 0.0 && med > 1.5 * p) => k }
     val rescueSet: Set[String] =
       (suspectsOf(firstPass) ++ firstPass.collect {
         case (k, med, _, None, true, _) if med > 0.2 => k }).toSet
@@ -277,18 +282,34 @@ object Bench {
     val noisyNames = results.collect { case (k, _, _, _, true, _) => k }
     val partialNames = partialPairs.map(_._1)
     def jarr(ns: Seq[String]) = ns.map(jstr).mkString("[", ",", "]")
+    // STDOUT uses the short `qNN` id per query (the `_`-suffix trimmed);
+    // the 66-query round blew the 2000-char tail window on full names
+    // alone (names total 1067 chars) and the line degraded to the no-map
+    // fallback — which would strip BENCH_r{N} of per-query data. Short
+    // ids keep the map ~850 chars smaller and scale past 100 queries.
+    // Full names always live in the file artifact; consumers
+    // (bench_history.py, the cross-round guard here) rekey by prefix.
+    // Defensive: if two names ever collide on their short id, those keep
+    // full names so the map never silently merges queries.
+    def shortName(n: String): String = n.takeWhile(_ != '_')
+    val shortCounts = qPairs.groupBy(p => shortName(p._1)).map { case (s, g) => (s, g.size) }
+    def stdoutKey(n: String): String = {
+      val s = shortName(n)
+      if (shortCounts.getOrElse(s, 0) > 1) n else s
+    }
+    def jarrShort(ns: Seq[String]) = ns.map(n => jstr(stdoutKey(n))).mkString("[", ",", "]")
     def head(dp: Int): String =
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","reps":$reps,""" +
-        s""""n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)},""" +
-        s""""suspect":${jarr(suspectNames)},"rescued":${jarr(rescuedNames.toSeq)},""" +
+        s""""n_failed":$nFailed,"noisy":${jarrShort(noisyNames)},"partial":${jarrShort(partialNames)},""" +
+        s""""suspect":${jarrShort(suspectNames)},"rescued":${jarrShort(rescuedNames.toSeq)},""" +
         calibJson(3)
     def stdoutLine(dp: Int): String = {
-      val qs = qPairs.map { case (k, v) => jstr(k) + ":" + fmt(v, dp) }
+      val qs = qPairs.map { case (k, v) => jstr(stdoutKey(k)) + ":" + fmt(v, dp) }
         .mkString("{", ",", "}")
       head(dp) + s""","queries":$qs,"sf":${jstr(sfDirOrig)}}"""
     }
     // 2000-char driver tail-capture window; leave slack for a stray
-    // trailing log line. Final fallback (query count past ~70 / long sf
+    // trailing log line. Final fallback (query count past ~130 / long sf
     // path): drop the per-query map entirely — totals stay parseable, the
     // full map is always in the file artifact.
     val line = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DimDate
-import graft.operators.{Dedup, ExactAgg, Incremental, Joins, Multimodal, Packing, Resample, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms}
+import graft.operators.{Blooms, Dedup, ExactAgg, Incremental, Joins, Layout, Multimodal, Packing, Resample, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms}
 import graft.sources.JsonFlatten
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -834,6 +834,60 @@ object SparkEntry {
       .orderBy("s_nationkey")
   }
 
+  /** Partition-pruned layout round trip: events re-laid-out as a
+    * Hive-partitioned parquet tree on derived `event_day`
+    * ([[Layout.writePartitioned]]; 30 day-directories at any SF), then
+    * an even-days aggregate over the partitioned read. The day filter
+    * references ONLY the partition column, so it prunes at the file
+    * index — odd-day directories are never opened, `PartitionFilters`
+    * pinned by PlanContractSpec. At 100 TB this is the load-bearing
+    * pushdown: the dominant filter column chosen at WRITE time turns
+    * time-window queries from corpus scans into directory listings.
+    * Layout written once per session (exists guard), like q66's
+    * bucketed build. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-layout-events-$tag"
+    if (!new java.io.File(path).exists()) {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), tsUs.as("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        .withColumn("event_day", expr("ts_us DIV 86400000000"))
+      Layout.writePartitioned(ev, path, "event_day")
+    }
+    Layout.readPartitioned(s, path)
+      .filter(col("event_day") % 2 === 0)
+      .groupBy(col("event_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("event_day")
+  }
+
+  /** Bloom-prefiltered semi join: lineitem reduced to lines of URGENT
+    * orders. The probe keys build a [[Blooms]] bloom filter IN-PLAN (a
+    * scalar subquery — no driver collect); `might_contain` prunes the
+    * big side at the scan, and the exact left-semi join above it
+    * removes the bloom's false positives, so the result is EXACTLY the
+    * plain semi join — which is what the oracle runs. At 100 TB the
+    * plain semi join shuffles every lineitem row; the bloom (a few MB,
+    * broadcast) lets only ~20% of rows plus an ~3% false-positive tail
+    * reach the shuffle. */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_returnflag", "l_extendedprice")
+    Blooms.bloomSemiJoin(li, urgent, "l_orderkey", "o_orderkey",
+        expectedItems = 4096L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_first_order" -> q57,
     "q58_incremental_e2e" -> q58,
@@ -845,6 +899,8 @@ object SparkEntry {
     "q64_salted_join" -> q64,
     "q65_heavy_tokens" -> q65,
     "q66_bucketed_join" -> q66,
+    "q67_partition_prune" -> q67,
+    "q68_bloom_semijoin" -> q68,
     "q51_cosine_dedup_pairs" -> q51,
     "q52_redact_pii" -> q52,
     "q53_normalize" -> q53,
@@ -1394,6 +1450,30 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey
         |ORDER BY s_nationkey""".stripMargin,
+    // the layout round trip must be invisible to results: the oracle
+    // computes the same even-days aggregate straight off the flat table
+    "q67_partition_prune" ->
+      """SELECT (epoch_us(ts) // 86400000000) AS event_day,
+        |       count(*) AS n_events,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |         AS sum_value
+        |FROM events
+        |WHERE (epoch_us(ts) // 86400000000) % 2 = 0
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    // oracle is the PLAIN semi join: green proves the bloom prefilter +
+    // exact join composition is semantics-preserving (no false negatives,
+    // false positives removed by the join)
+    "q68_bloom_semijoin" ->
+      """SELECT l_returnflag,
+        |       count(*) AS n_lines,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        |         AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // same plain-join oracle as q64: the bucketed pay-once plan must be
     // indistinguishable from the straight join in its results
     "q66_bucketed_join" ->

@@ -324,6 +324,31 @@ class PlanContractSpec extends SparkSpec {
       s"exchange below the bucketed join — bucketing not used:\n$plan")
   }
 
+  test("q67 layout: day filter prunes partitions at the file index") {
+    val plan = physical(SparkEntry.queries("q67_partition_prune")(spark, dir))
+    // the even-days predicate references only the partition column, so
+    // it must appear under PartitionFilters (file-index elision — odd
+    // directories never opened), NOT as a post-scan Filter on data
+    assert(plan.contains("PartitionFilters: [") &&
+        plan.substring(plan.indexOf("PartitionFilters: [")).take(200)
+          .contains("event_day"),
+      s"event_day filter did not reach PartitionFilters:\n$plan")
+  }
+
+  test("q68 bloom semi join: might_contain prunes the big side below the join") {
+    val plan = physical(SparkEntry.queries("q68_bloom_semijoin")(spark, dir))
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter missing from the plan:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"exact semi join missing above the bloom prefilter:\n$plan")
+    // the prefilter must sit in the big side's scan stage, i.e. BELOW
+    // the semi join in the tree (printed after it), so pruned rows never
+    // reach the join's shuffle
+    val joinAt = plan.indexOf("LeftSemi")
+    assert(plan.indexOf("might_contain", joinAt) > joinAt,
+      s"bloom prefilter not below the semi join:\n$plan")
+  }
+
   test("packSequences partitions its window by shard (no global sort)") {
     val plan = physical(graft.operators.Packing.packSequences(
       TextOps.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
