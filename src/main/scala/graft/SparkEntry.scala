@@ -888,6 +888,34 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Z-order clustered layout: events re-laid-out clustered on
+    * (user_id, value) ([[Layout.writeZOrdered]] — bit-interleaved sort
+    * key, range-repartitioned write), then a selective filter on
+    * `value` ALONE aggregated by event_type. The layout is invisible to
+    * results — the oracle runs the same aggregate on the flat table —
+    * but on disk every file's footer min/max is a tight box in BOTH
+    * clustered dimensions, so the value-only predicate skips most row
+    * groups where a user_id-sorted layout would scan all of them
+    * (measured scan-row contrast in LayoutSpec; at 100 TB that gap is
+    * the whole query cost). PlanContractSpec pins the value predicate
+    * reaching the scan as a pushed filter. */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-layout-zorder-$tag"
+    if (!new java.io.File(path).exists()) {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      Layout.writeZOrderedAuto(ev, path, Seq("user_id", "value"), numFiles = 32)
+    }
+    s.read.parquet(path)
+      .filter(col("value").between(20.0, 60.0))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_first_order" -> q57,
     "q58_incremental_e2e" -> q58,
@@ -901,6 +929,7 @@ object SparkEntry {
     "q66_bucketed_join" -> q66,
     "q67_partition_prune" -> q67,
     "q68_bloom_semijoin" -> q68,
+    "q69_zorder_layout" -> q69,
     "q51_cosine_dedup_pairs" -> q51,
     "q52_redact_pii" -> q52,
     "q53_normalize" -> q53,
@@ -1459,6 +1488,17 @@ object SparkEntry {
         |         AS sum_value
         |FROM events
         |WHERE (epoch_us(ts) // 86400000000) % 2 = 0
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    // the z-order re-layout must be invisible to results: the oracle is
+    // the same value-window aggregate straight off the flat table
+    "q69_zorder_layout" ->
+      """SELECT event_type,
+        |       count(*) AS n_events,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |         AS sum_value
+        |FROM events
+        |WHERE value BETWEEN 20.0 AND 60.0
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
     // oracle is the PLAIN semi join: green proves the bloom prefilter +

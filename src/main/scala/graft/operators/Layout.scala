@@ -1,6 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrder
 
 /** Data-layout operators: Hive-style partitioned parquet writes and
   * partition-pruned reads.
@@ -34,4 +37,60 @@ object Layout {
     * pinned by PlanContractSpec. */
   def readPartitioned(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
+
+  /** Write `df` z-order-clustered on `zcols` ([[ZOrder]] bit
+    * interleave): normalize each column to a `bits`-bit bucket over
+    * `bounds`, range-repartition + sort by the interleaved key, write
+    * `numFiles` parquet files, drop the key. The layout is invisible to
+    * results (same rows, pinned by the q69 oracle); what changes is
+    * that every file's min/max footer stats become a tight box in
+    * z-space, so a conjunctive filter on ANY subset of `zcols` skips
+    * the row groups whose box misses it — where a lexicographic sort
+    * only ever skips on its leading column (measured contrast in
+    * LayoutSpec and docs/SCALE.md).
+    *
+    * `bounds` are the normalization ranges (inclusive); values outside
+    * clamp to the edge buckets, nulls go to bucket 0 — clustering
+    * quality degrades gracefully, correctness is unaffected. Use
+    * [[writeZOrderedAuto]] to derive bounds with one extra
+    * min/max pass; at 100 TB prefer bounds from existing footer stats
+    * or domain knowledge (user ids, timestamps) and skip that pass. */
+  def writeZOrdered(df: DataFrame, path: String, zcols: Seq[String],
+                    bounds: Seq[(Double, Double)], numFiles: Int,
+                    bits: Int = 16): Unit = {
+    require(zcols.nonEmpty && zcols.size == bounds.size &&
+      zcols.size * bits <= 63, "zcols/bounds mismatch or too many bits")
+    val maxB = (1L << bits) - 1
+    val buckets = zcols.zip(bounds).map { case (c, (lo, hi)) =>
+      val b =
+        if (hi > lo)
+          floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(maxB.toDouble))
+            .cast("long")
+        else lit(0L)
+      coalesce(least(greatest(b, lit(0L)), lit(maxB)), lit(0L))
+    }
+    df.withColumn("__graft_z", ZOrder.zKey(df.sparkSession, bits, buckets: _*))
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** [[writeZOrdered]] with bounds from one min/max aggregate over the
+    * input (a second scan — fine when the write itself dominates, as it
+    * does for a re-layout; avoid at 100 TB if footer stats are at
+    * hand). */
+  def writeZOrderedAuto(df: DataFrame, path: String, zcols: Seq[String],
+                        numFiles: Int, bits: Int = 16): Unit = {
+    val aggs = zcols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"__lo_$c"),
+        max(col(c).cast("double")).as(s"__hi_$c")))
+    val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+    val bounds = zcols.indices.map { i =>
+      val lo = if (row.isNullAt(2 * i)) 0d else row.getDouble(2 * i)
+      val hi = if (row.isNullAt(2 * i + 1)) 0d else row.getDouble(2 * i + 1)
+      (lo, hi)
+    }
+    writeZOrdered(df, path, zcols, bounds, numFiles, bits)
+  }
 }

@@ -349,6 +349,16 @@ class PlanContractSpec extends SparkSpec {
       s"bloom prefilter not below the semi join:\n$plan")
   }
 
+  test("q69 z-order layout: value window pushes to the parquet scan") {
+    val plan = SparkEntry.queries("q69_zorder_layout")(spark, dir)
+      .queryExecution.toString
+    // pushed bounds on the clustered column = the row-group skipping
+    // contract (footer stats do the elision; LayoutSpec measures it)
+    assert(plan.contains("GreaterThanOrEqual(value,20.0)") &&
+        plan.contains("LessThanOrEqual(value,60.0)"),
+      s"value window not pushed to the z-layout scan:\n$plan")
+  }
+
   test("packSequences partitions its window by shard (no global sort)") {
     val plan = physical(graft.operators.Packing.packSequences(
       TextOps.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")

@@ -2,12 +2,27 @@ package graft.operators
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.functions.ZOrder
 
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
+
+  /** Rows the parquet reader actually emitted (post row-group-stats
+    * skipping, pre any residual Filter) for the one scan in `df`. */
+  private def scanRows(df: DataFrame): Long = {
+    df.collect() // run THIS queryExecution so its scan metric populates
+    // (count() would plan and run a separate execution, leaving ours 0)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"expected one scan, got ${scans.size}")
+    scans.head.metrics("numOutputRows").value
+  }
 
   test("partitioned write/read round-trips rows and prunes directories") {
     val dir = Files.createTempDirectory("graft-layout-spec").toString
@@ -27,5 +42,48 @@ class LayoutSpec extends SparkSpec {
         plan.substring(plan.indexOf("PartitionFilters: [")).take(120).contains("bucket"),
       s"bucket filter not a partition filter:\n$plan")
     assert(filtered.count() == 100)
+  }
+
+  test("zorder_key interleaves bits with col 0 in the low position") {
+    val df = Seq((3L, 0L), (0L, 3L), (1L, 2L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(ZOrder.zKey(spark, 16, col("a"), col("b")).as("z"))
+    // (a=0b11, b=0b00) -> 0b0101; (a=0b00, b=0b11) -> 0b1010;
+    // (a=0b01, b=0b10) -> 0b1001; all-ones interleaves to 32 ones
+    assert(df.as[Long].collect().toSeq ==
+      Seq(5L, 10L, 9L, (1L << 32) - 1))
+  }
+
+  test("z-ordered layout skips row groups on the SECOND dimension; linear can't") {
+    // two independent uniform dims; a lexicographic layout on `a` holds
+    // the full `b` range in every file, a z-ordered layout boxes both
+    val n = 65536
+    val rng = new scala.util.Random(7)
+    val df = (1 to n).map(_ => (rng.nextInt(256).toLong, rng.nextInt(256).toLong))
+      .toDF("a", "b")
+    val base = Files.createTempDirectory("graft-zorder-spec").toString
+    Layout.writeZOrdered(df, s"$base/z", Seq("a", "b"),
+      Seq((0d, 255d), (0d, 255d)), numFiles = 16, bits = 8)
+    df.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.parquet(s"$base/linear")
+
+    val pred = col("b").between(100, 115) // 1/16 of rows, second dim only
+    val zRows = scanRows(spark.read.parquet(s"$base/z").filter(pred))
+    val linRows = scanRows(spark.read.parquet(s"$base/linear").filter(pred))
+    // linear: every file's b-range spans [0,255] -> no skipping, all n
+    // rows leave the reader; z-ordered: only files whose b-box overlaps
+    // [100,115] emit. Assert the contrast with a 2x margin (expected ~4x)
+    assert(linRows >= n * 9L / 10,
+      s"linear layout unexpectedly skipped: $linRows of $n")
+    assert(zRows * 2 <= linRows,
+      s"z-order skipped nothing: z=$zRows vs linear=$linRows")
+    info(s"scan rows under the b-only predicate: z-ordered=$zRows, " +
+      s"linear=$linRows of $n (${linRows / math.max(zRows, 1)}x skipped)")
+
+    // and the layout is invisible to results
+    val zAgg = spark.read.parquet(s"$base/z").filter(pred)
+      .agg(count(lit(1)), sum("a")).collect().toSeq
+    val flatAgg = df.filter(pred).agg(count(lit(1)), sum("a")).collect().toSeq
+    assert(zAgg == flatAgg)
   }
 }
