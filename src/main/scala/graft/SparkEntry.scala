@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DimDate
-import graft.operators.{Blooms, Dedup, ExactAgg, Incremental, Joins, Layout, Multimodal, Packing, Resample, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms}
+import graft.operators.{Blooms, Cdc, Dedup, ExactAgg, Incremental, Joins, Layout, Multimodal, Packing, Resample, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms}
 import graft.sources.JsonFlatten
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -916,6 +916,44 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** SCD2 history build ([[Cdc.scd2]]): the events log per user,
+    * consecutive equal event_types collapsed into effective-dated
+    * versions (valid_from/valid_to/is_current). The reference keeps
+    * only latest state (replace / append+dedup,
+    * mabna_tables_update.py:271-280) — this is the history the
+    * warehouse loses, built in ONE hash shuffle: all three window
+    * passes (change-detect lag, dating lead, version row_number) share
+    * the user_id partitioning, pinned in PlanContractSpec. */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    Cdc.scd2(Tables.events(s, dir).withColumn("ts_us", tsUs).drop("ts"),
+        Seq("user_id"), "ts_us", Seq(col("event_id")), Seq("event_type"))
+      .withColumnRenamed("valid_from", "valid_from_us")
+      .withColumnRenamed("valid_to", "valid_to_us")
+      .orderBy("user_id", "version")
+  }
+
+  /** Snapshot diff ([[Cdc.snapshotDiff]]): per-(user,event_type) last
+    * value in the first three days vs the last three days of the
+    * month, every key classified inserted/deleted/changed/unchanged.
+    * Both snapshots are keep-last windows hash-partitioned on the key,
+    * so the full-outer join REUSES their partitioning — the whole diff
+    * costs two exchanges, the join itself none (pinned). */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("user_id", "event_type")
+    val ord = Seq(col("ts_us"), col("event_id"))
+    // slice bounds in epoch µs: 2024-01-04 / 2024-01-28 UTC
+    val t1 = 1704326400000000L
+    val t2 = 1706400000000000L
+    val ev = Tables.events(s, dir).withColumn("ts_us", tsUs)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts_us"), col("event_id"))
+    val oldSnap = Dedup.keepLast(ev.filter(col("ts_us") < t1), keys, ord)
+    val newSnap = Dedup.keepLast(ev.filter(col("ts_us") >= t2), keys, ord)
+    Cdc.snapshotDiff(oldSnap.drop("ts_us", "event_id"),
+        newSnap.drop("ts_us", "event_id"), keys, Seq("value"))
+      .orderBy("user_id", "event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_first_order" -> q57,
     "q58_incremental_e2e" -> q58,
@@ -930,6 +968,8 @@ object SparkEntry {
     "q67_partition_prune" -> q67,
     "q68_bloom_semijoin" -> q68,
     "q69_zorder_layout" -> q69,
+    "q70_scd2_history" -> q70,
+    "q71_snapshot_diff" -> q71,
     "q51_cosine_dedup_pairs" -> q51,
     "q52_redact_pii" -> q52,
     "q53_normalize" -> q53,
@@ -1526,6 +1566,57 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey
         |ORDER BY s_nationkey""".stripMargin,
+    // SCD2: consecutive equal tracked values collapse; effective dating
+    // via lead over the change rows. `<>` suffices for the oracle's
+    // change test (event_type is non-null); the engine's null-safe
+    // compare agrees wherever both are defined
+    "q70_scd2_history" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, ts_us, event_id, event_type FROM ordered
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |versions AS (
+        |  SELECT user_id,
+        |         row_number() OVER w AS version,
+        |         event_type,
+        |         ts_us AS valid_from_us,
+        |         lead(ts_us) OVER w AS valid_to_us
+        |  FROM changes
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, version, event_type, valid_from_us, valid_to_us,
+        |       (valid_to_us IS NULL) AS is_current
+        |FROM versions
+        |ORDER BY user_id, version""".stripMargin,
+    // period-over-period state diff: keep-last per (user, event_type)
+    // in each slice, full-outer joined and classified
+    "q71_snapshot_diff" ->
+      """WITH old_snap AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT user_id, event_type, value,
+        |           row_number() OVER (PARTITION BY user_id, event_type
+        |                              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events WHERE epoch_us(ts) < 1704326400000000) WHERE rn = 1),
+        |new_snap AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT user_id, event_type, value,
+        |           row_number() OVER (PARTITION BY user_id, event_type
+        |                              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events WHERE epoch_us(ts) >= 1706400000000000) WHERE rn = 1)
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |       coalesce(o.event_type, n.event_type) AS event_type,
+        |       CASE WHEN o.user_id IS NULL THEN 'inserted'
+        |            WHEN n.user_id IS NULL THEN 'deleted'
+        |            WHEN o.value IS NOT DISTINCT FROM n.value THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |       o.value AS old_value, n.value AS new_value
+        |FROM old_snap o
+        |FULL OUTER JOIN new_snap n
+        |  ON o.user_id = n.user_id AND o.event_type = n.event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "q07_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,

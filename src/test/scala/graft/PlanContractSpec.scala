@@ -349,6 +349,28 @@ class PlanContractSpec extends SparkSpec {
       s"bloom prefilter not below the semi join:\n$plan")
   }
 
+  test("q70 scd2: all three window passes share ONE hash exchange") {
+    val plan = physical(SparkEntry.queries("q70_scd2_history")(spark, dir))
+    // change-detect lag, version row_number and dating lead all window
+    // over (user_id | ts_us, event_id); only the presentation sort may
+    // add a range exchange above them
+    val hashEx = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx == 1,
+      s"scd2 must build history in one key shuffle ($hashEx):\n$plan")
+  }
+
+  test("q71 snapshot diff: the full-outer join reuses the snapshots' partitioning") {
+    val plan = physical(SparkEntry.queries("q71_snapshot_diff")(spark, dir))
+    assert(plan.contains("FullOuter"), s"diff join missing:\n$plan")
+    // one exchange per snapshot's keep-last window, NONE for the join:
+    // the window outputs are already hash-partitioned on the join key
+    val hashEx = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx == 2,
+      s"diff must cost two snapshot shuffles, join adds none ($hashEx):\n$plan")
+  }
+
   test("q69 z-order layout: value window pushes to the parquet scan") {
     val plan = SparkEntry.queries("q69_zorder_layout")(spark, dir)
       .queryExecution.toString
