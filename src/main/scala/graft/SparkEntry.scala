@@ -954,6 +954,28 @@ object SparkEntry {
       .orderBy("user_id", "event_type")
   }
 
+  /** Quantize-shortlist-rerank ANN ([[Similarity.quantizedTopK]]) with
+    * an in-query recall audit: the same query set as q12 retrieved via
+    * int8-quantized scores (4× scan bandwidth of the f32 corpus — the
+    * 100 TB embedding-store economics), shortlist 32, exact rerank to
+    * top-10, then each hit checked against the exact brute-force top-10
+    * (q63-style certification — the exact branch is the baseline a
+    * production run would drop). `hit` false rows are exactly the
+    * recall loss the shortlist width buys back. */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val approx = Similarity.quantizedTopK(e, queries, "vec_id", "embedding",
+      k = 10, shortlist = 32)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding",
+        k = 10)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("__hit"))
+    approx.join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
+      .withColumn("hit", coalesce(col("__hit"), lit(false)))
+      .select("query_id", "rank", "neighbor_id", "cosine", "q_rank", "hit")
+      .orderBy("query_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_first_order" -> q57,
     "q58_incremental_e2e" -> q58,
@@ -970,6 +992,7 @@ object SparkEntry {
     "q69_zorder_layout" -> q69,
     "q70_scd2_history" -> q70,
     "q71_snapshot_diff" -> q71,
+    "q72_quantized_ann" -> q72,
     "q51_cosine_dedup_pairs" -> q51,
     "q52_redact_pii" -> q52,
     "q53_normalize" -> q53,
@@ -1617,6 +1640,53 @@ object SparkEntry {
         |FULL OUTER JOIN new_snap n
         |  ON o.user_id = n.user_id AND o.event_type = n.event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    // int8 quantization is floor(x*127/max|x| + 0.5) on doubles — exact
+    // integer outputs, so quantized dot/norms are bit-identical across
+    // engines; the rerank and the hit audit reuse q12's exact-cosine
+    // arithmetic
+    "q72_quantized_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS s
+        |       FROM e),
+        |qz AS (SELECT vec_id, v,
+        |         CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> floor(x * 127.0 / s + 0.5))
+        |         END AS qv
+        |       FROM sc),
+        |q AS (SELECT vec_id, v, qv FROM qz WHERE vec_id % 50 = 0),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_dot_product(q.qv, c.qv) /
+        |           (sqrt(list_dot_product(q.qv, q.qv)) *
+        |            sqrt(list_dot_product(c.qv, c.qv))), 6) AS qcos,
+        |         round(list_dot_product(q.v, c.v) /
+        |           (sqrt(list_dot_product(q.v, q.v)) *
+        |            sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+        |  FROM q, qz c WHERE c.vec_id != q.vec_id),
+        |short AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY qcos DESC, neighbor_id) AS q_rank
+        |  FROM cand),
+        |rer AS (
+        |  SELECT query_id, neighbor_id, cosine, q_rank,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM short WHERE q_rank <= 32),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY cosine DESC, neighbor_id) AS xr
+        |    FROM cand) WHERE xr <= 10)
+        |SELECT r.query_id, r.rank, r.neighbor_id, r.cosine, r.q_rank,
+        |       (x.neighbor_id IS NOT NULL) AS hit
+        |FROM rer r
+        |LEFT JOIN exact x
+        |  ON r.query_id = x.query_id AND r.neighbor_id = x.neighbor_id
+        |WHERE r.rank <= 10
+        |ORDER BY r.query_id, r.rank""".stripMargin,
     "q07_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,

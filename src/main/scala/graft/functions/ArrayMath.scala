@@ -131,6 +131,49 @@ case class HyperplaneBucketsExpr(child: Expression, nPlanes: Int, nTables: Int)
     copy(child = c)
 }
 
+/** Symmetric int8 scalar quantization of an embedding: scale by the
+  * vector's max |component| onto [-127, 127] and round half-up. Output
+  * stays `array<double>` holding exact integer values — cheap to reason
+  * about (every downstream double op on them is exact, so the DuckDB
+  * oracle reproduces quantized scores bit-for-bit) while modelling the
+  * int8 storage the scale path would write (4× smaller than f32; the
+  * scan bandwidth win is the whole point at 100 TB). One compiled pass:
+  * max-abs fold + quantize loop, no allocation beyond the output. */
+case class Int8QuantizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_quantize"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float|double>, got ${dt.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val q = ArrayMath.int8Quantize(input.asInstanceOf[ArrayData],
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType)
+    if (q == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(q)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |double[] q = graft.functions.ArrayMath.int8Quantize($c, $isFloat);
+       |if (q == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(q); }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object ArrayMath {
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a splitmix64-style mix of both indices, so no (plane, dim) pair
@@ -180,6 +223,34 @@ object ArrayMath {
     out
   }
 
+  /** Kernel (codegen entry point): symmetric int8 quantization.
+    * q_i = floor(x_i·127/max|x| + 0.5) — round-half-toward-+∞, the same
+    * floor(x+0.5) the oracle uses, identical for both engines on IEEE
+    * doubles. All-zero vectors quantize to zeros (no 0/0); null
+    * elements or an empty array → null, matching the other kernels. */
+  def int8Quantize(v: ArrayData, isFloat: Boolean): Array[Double] = {
+    val dim = v.numElements()
+    if (dim == 0) return null
+    var scale = 0.0
+    var d = 0
+    while (d < dim) {
+      if (v.isNullAt(d)) return null
+      val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+      val ax = math.abs(x)
+      if (ax > scale) scale = ax
+      d += 1
+    }
+    val out = new Array[Double](dim)
+    if (scale == 0.0) return out
+    d = 0
+    while (d < dim) {
+      val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+      out(d) = math.floor(x * 127.0 / scale + 0.5)
+      d += 1
+    }
+    out
+  }
+
   /** Register the kernels as SQL functions on the session (idempotent). */
   def register(spark: SparkSession): Unit = {
     // register-once: avoids the per-call SimpleFunctionRegistry WARN
@@ -193,6 +264,8 @@ object ArrayMath {
       "hyperplane_buckets", es => HyperplaneBucketsExpr(es(0),
         es(1).eval().asInstanceOf[Number].intValue(),
         es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_quantize", es => Int8QuantizeExpr(es(0)), "scala_udf")
   }
 
   /** Column API for the bucket kernel. */
@@ -205,4 +278,8 @@ object ArrayMath {
     * registered — all graft entry points do this). */
   def cosineSimilarity(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
+
+  /** Column API for the int8 quantization kernel. */
+  def int8Quantize(v: Column): Column =
+    call_function("int8_quantize", v)
 }

@@ -51,6 +51,60 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Quantize-shortlist-rerank top-k: score every corpus vector with
+    * the int8-quantized cosine (native `int8_quantize` kernel — the
+    * scan reads what would be an int8 column at 4× less bandwidth than
+    * f32, which IS the economics of a 100 TB embedding store), keep the
+    * top `shortlist` per query, then rerank ONLY those with the exact
+    * full-precision cosine. Output matches [[bruteForceTopK]]'s shape
+    * (query_id, rank, neighbor_id, cosine) plus `q_rank`, the
+    * quantized-stage rank — the visible evidence of how much the
+    * shortlist reordered under exact scores.
+    *
+    * Recall is governed by `shortlist`/`k`: a true top-k neighbour is
+    * missed only if quantization error pushes it below the shortlist
+    * boundary. q72 certifies the trade in-query against the exact
+    * baseline (q63-style audit). */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    shortlist: Int): DataFrame = {
+    ArrayMath.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"),
+      ArrayMath.int8Quantize(col(vecCol)).as("__qq"))
+    // quantized scan: ONLY (query_id, neighbor_id, qcos) survive into
+    // the shortlist window's shuffle — vectors never cross it (the
+    // id-pairs-first discipline that fixed q51's candidate storm)
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"),
+        ArrayMath.int8Quantize(col(vecCol)).as("__cq"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qcos",
+        round(ArrayMath.cosineSimilarity(col("__qq"), col("__cq")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("qcos"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    val short = scored
+      .withColumn("q_rank", row_number().over(wq).cast("long"))
+      .filter(col("q_rank") <= shortlist)
+      .drop("qcos")
+    // exact rerank touches full-precision vectors ONLY for the
+    // |queries|·shortlist survivors: the shortlist broadcasts against
+    // the corpus (no corpus shuffle), the query vectors broadcast too
+    val wx = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"))), Seq("query_id"))
+      .withColumn("cosine",
+        round(ArrayMath.cosineSimilarity(col("__qv"), col("__cv")), 6))
+      .withColumn("rank", row_number().over(wx).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"), col("q_rank"))
+  }
+
   /** Single-table bucket (used by the pair-dedup variant). The bucket
     * kernel is the native `hyperplane_buckets` expression — one
     * compiled loop per row instead of nPlanes×dim element_at terms. */

@@ -371,6 +371,19 @@ class PlanContractSpec extends SparkSpec {
       s"diff must cost two snapshot shuffles, join adds none ($hashEx):\n$plan")
   }
 
+  test("q72 quantized ANN: native kernels, broadcast-only joins, no vector re-shuffle") {
+    val plan = physical(SparkEntry.queries("q72_quantized_ann")(spark, dir))
+    assert(plan.contains("int8_quantize"),
+      s"quantization kernel missing from the plan:\n$plan")
+    assert(plan.contains("cosine_similarity"),
+      s"cosine kernel missing from the plan:\n$plan")
+    // the shortlist re-attach and the audit join must all broadcast —
+    // a sort-merge join would mean the corpus or its vectors were
+    // shuffled after the quantized scan
+    assert(!plan.contains("SortMergeJoin"),
+      s"a q72 join fell back to sort-merge:\n$plan")
+  }
+
   test("q69 z-order layout: value window pushes to the parquet scan") {
     val plan = SparkEntry.queries("q69_zorder_layout")(spark, dir)
       .queryExecution.toString

@@ -41,6 +41,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantize kernel: exact integers in [-127,127], max hits ±127, null-safe, zero-vector safe") {
+    ArrayMath.register(spark)
+    val q = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f)),
+      (1L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("id", "v")
+      .select(col("id"), ArrayMath.int8Quantize(col("v")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // scale = 1.0: 0.5*127+0.5 → floor(64.0) = 64; -1 → -127; 0.25 → 32
+    assert(q(0L) == Seq(64.0, -127.0, 32.0))
+    assert(q(0L).forall(x => x == math.floor(x) && math.abs(x) <= 127))
+    assert(q(1L) == Seq(0.0, 0.0, 0.0), "all-zero vector must quantize to zeros, not null/NaN")
+    val withNull = Seq(Tuple1(Array[java.lang.Float](1.0f, null)))
+      .toDF("v").select(ArrayMath.int8Quantize(col("v")))
+    assert(withNull.first().isNullAt(0))
+  }
+
+  test("quantizedTopK recall vs brute force on the fixture embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.quantizedTopK(e, q, "vec_id", "embedding",
+        k = 10, shortlist = 32)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8-shortlist recall $recall below 0.9")
+  }
+
+  test("quantizedTopK rerank scores are the exact cosine, not the quantized one") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect().toMap
+    Similarity.quantizedTopK(e, q, "vec_id", "embedding", k = 5, shortlist = 64)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect()
+      .foreach { case (n, c) =>
+        exact.get(n).foreach(x => assert(x == c,
+          s"rerank cosine for $n is $c, exact is $x"))
+      }
+  }
+
   test("bruteForceTopK ranks nearest first with deterministic ties") {
     val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
       "vec_id", "embedding", k = 2)
