@@ -976,6 +976,60 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Small-file compaction ([[Layout.compact]]): events shattered into
+    * 64 micro-batch-sized files (the reference's every-15-minutes
+    * append layout, mabna_tables_update.py:58-59), compacted by a
+    * shuffle-free coalesce rewrite sized from the layout's actual
+    * bytes, then aggregated. Oracle = the same aggregate on the flat
+    * table: green proves the rewrite preserved every row. The plan pin
+    * asserts the compaction plan has NO Exchange — compaction must be
+    * read-concat-write, never a shuffle. */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      dir + s.sparkContext.applicationId)) % 1000000).toString
+    val tmp = System.getProperty("java.io.tmpdir")
+    val small = s"$tmp/graft-compact-small-$tag"
+    val compacted = s"$tmp/graft-compact-out-$tag"
+    if (!new java.io.File(small).exists()) {
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .repartition(64) // simulate 64 micro-batch appends
+        .write.mode("overwrite").parquet(small)
+    }
+    if (!new java.io.File(compacted).exists())
+      Layout.compact(s, small, compacted, targetBytes = 1L << 20)
+    s.read.parquet(compacted)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+      .orderBy("event_type")
+  }
+
+  /** Incremental aggregate maintenance ([[Incremental.aggState]] /
+    * mergeAggState): per-type stats built as two half-month partial
+    * states merged WITHOUT rescanning raw history — sum-of-sums on
+    * decimal state is exact and associative. Oracle = the straight
+    * full-table aggregate, so green certifies merge ≡ recompute. At
+    * 100 TB this is the difference between O(batch) and the
+    * reference's O(table) per 15-minute update. */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val mid = 1705363200000000L // 2024-01-16 UTC, epoch µs
+    val ev = Tables.events(s, dir).withColumn("ts_us", tsUs)
+      .select(col("event_type"), col("value"), col("ts_us"))
+    val stateA = Incremental.aggState(
+      ev.filter(col("ts_us") < mid), Seq("event_type"), "value")
+    val stateB = Incremental.aggState(
+      ev.filter(col("ts_us") >= mid), Seq("event_type"), "value")
+    Incremental.mergeAggState(Seq(stateA, stateB), Seq("event_type"))
+      .select(col("event_type"), col("cnt"),
+        col("vsum").cast("double").as("sum_value"),
+        col("vmin"), col("vmax"),
+        (col("vsum").cast("double") / col("cnt")).as("avg_value"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_first_order" -> q57,
     "q58_incremental_e2e" -> q58,
@@ -993,6 +1047,8 @@ object SparkEntry {
     "q70_scd2_history" -> q70,
     "q71_snapshot_diff" -> q71,
     "q72_quantized_ann" -> q72,
+    "q73_compaction" -> q73,
+    "q74_incremental_agg" -> q74,
     "q51_cosine_dedup_pairs" -> q51,
     "q52_redact_pii" -> q52,
     "q53_normalize" -> q53,
@@ -1687,6 +1743,32 @@ object SparkEntry {
         |  ON r.query_id = x.query_id AND r.neighbor_id = x.neighbor_id
         |WHERE r.rank <= 10
         |ORDER BY r.query_id, r.rank""".stripMargin,
+    // the compacted layout must be invisible to results: oracle is the
+    // same aggregate straight off the flat events table
+    "q73_compaction" ->
+      """SELECT event_type,
+        |       count(*) AS n_events,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |         AS sum_value,
+        |       min(value) AS vmin,
+        |       max(value) AS vmax
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // merge-of-partials must equal the straight full recompute: the
+    // oracle IS the recompute
+    "q74_incremental_agg" ->
+      """SELECT event_type,
+        |       count(value) AS cnt,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |         AS sum_value,
+        |       min(value) AS vmin,
+        |       max(value) AS vmax,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |         / count(value) AS avg_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q07_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,

@@ -30,6 +30,32 @@ object Incremental {
   /** F3 — the incremental filter `version > wm`; pushed to the scan. */
   def newerThan(df: DataFrame, versionCol: String, wm: Option[Long]): DataFrame =
     wm.fold(df)(w => df.filter(col(versionCol) > lit(w)))
+
+  /** Mergeable per-key aggregate state: (cnt, sum, vmin, vmax) of a
+    * value column. The reference recomputes every aggregate from the
+    * whole table each 15-minute batch; with a MERGEABLE state the
+    * update costs O(batch + |state|) — history is never rescanned. The
+    * sum is held as DECIMAL so merging is exact and associative (a
+    * double sum would drift with merge order and diverge from any
+    * oracle); derive doubles only at presentation. */
+  def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      count(col(valueCol)).as("cnt"),
+      sum(col(valueCol).cast("decimal(18,6)")).cast("decimal(28,6)").as("vsum"),
+      min(col(valueCol)).as("vmin"),
+      max(col(valueCol)).as("vmax"))
+
+  /** Merge any number of [[aggState]] snapshots: sum-of-sums on the
+    * decimal state is exact, so merge(a, b) == aggState(a.raw ∪ b.raw)
+    * for ANY slicing of the raw data (the associativity law
+    * IncrementalSpec pins and q74's oracle certifies end-to-end). */
+  def mergeAggState(states: Seq[DataFrame], keys: Seq[String]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*).agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("vsum")).cast("decimal(28,6)").as("vsum"),
+        min(col("vmin")).as("vmin"),
+        max(col("vmax")).as("vmax"))
 }
 
 /** Layered table store abstraction (SURVEY.md §1.1): the reference's

@@ -76,6 +76,38 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Compact a small-files layout into ~`targetBytes` files.
+    *
+    * Micro-batch appends — the reference writes one per 15 minutes
+    * (mabna_tables_update.py:58-59) — shatter a table into files far
+    * smaller than a row group should be; at 100 TB the scan's task
+    * count and footer-read overhead come to dominate. Compaction is a
+    * pure read-concat-rewrite: file count from the layout's ACTUAL
+    * listed bytes, `coalesce` (NOT repartition — merging partitions
+    * needs no shuffle, and the scan already packs small files into
+    * splits via maxPartitionBytes) and one write. No Exchange anywhere
+    * in the plan (pinned). Returns the compacted file count.
+    *
+    * Trade-off, documented: coalesce merges ADJACENT splits, so file
+    * sizes can skew where input files do; for strict sizing use the
+    * z-order path (range write) instead. At cluster scale run this
+    * per-partition-directory under the partition-pruning layout. */
+  def compact(s: SparkSession, srcPath: String, dstPath: String,
+              targetBytes: Long): Int = {
+    val bytes = listParquetBytes(new java.io.File(srcPath))
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    s.read.parquet(srcPath).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(dstPath)
+    nFiles
+  }
+
+  private def listParquetBytes(dir: java.io.File): Long =
+    Option(dir.listFiles()).getOrElse(Array.empty).map { f =>
+      if (f.isDirectory) listParquetBytes(f)
+      else if (f.getName.endsWith(".parquet")) f.length()
+      else 0L
+    }.sum
+
   /** [[writeZOrdered]] with bounds from one min/max aggregate over the
     * input (a second scan — fine when the write itself dominates, as it
     * does for a re-layout; avoid at 100 TB if footer stats are at

@@ -384,6 +384,29 @@ class PlanContractSpec extends SparkSpec {
       s"a q72 join fell back to sort-merge:\n$plan")
   }
 
+  test("q73 compaction: the query reads the compacted layout, one agg shuffle") {
+    val plan = physical(SparkEntry.queries("q73_compaction")(spark, dir))
+    assert(plan.contains("graft-compact-out"),
+      s"q73 is not reading the compacted layout:\n$plan")
+    val hashEx = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx == 1,
+      s"q73 must shuffle only for the aggregation ($hashEx):\n$plan")
+  }
+
+  test("q74 incremental agg: map-side partials, merge stage adds NO exchange") {
+    val plan = physical(SparkEntry.queries("q74_incremental_agg")(spark, dir))
+    // one exchange per half-month partial state; the merge-of-states
+    // aggregate sits on the Union with no third shuffle — the whole
+    // point of mergeable state
+    val hashEx = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx == 2,
+      s"q74 must shuffle once per partial state, none to merge ($hashEx):\n$plan")
+    assert(plan.contains("partial_sum(cast(value"),
+      s"value sum not partially aggregated map-side:\n$plan")
+  }
+
   test("q69 z-order layout: value window pushes to the parquet scan") {
     val plan = SparkEntry.queries("q69_zorder_layout")(spark, dir)
       .queryExecution.toString

@@ -25,6 +25,38 @@ class IncrementalSpec extends SparkSpec {
   /** The reference's core correctness claim, stated as a law
     * (SURVEY.md §5.3): replaying increments through the watermark+append+
     * dedup loop converges to the same table as one full refresh. */
+  test("aggState merge ≡ full recompute for ANY slicing (associativity law)") {
+    val rows = (1 to 300).map(i => (s"k${i % 3}", (i % 17).toDouble - 5.0))
+    val df = rows.toDF("k", "v")
+    val full = Incremental.aggState(df, Seq("k"), "v")
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    // three different slicings, including an empty slice
+    val slicings = Seq(
+      Seq(df.filter($"v" < 0), df.filter($"v" >= 0)),
+      Seq(df.limit(0), df),
+      Seq(df.filter($"v" < -1), df.filter($"v".between(-1, 5)), df.filter($"v" > 5)))
+    slicings.foreach { slices =>
+      val merged = Incremental.mergeAggState(
+          slices.map(Incremental.aggState(_, Seq("k"), "v")), Seq("k"))
+        .orderBy("k").collect().map(_.toSeq).toSeq
+      assert(merged == full, "merge of partial states diverged from recompute")
+    }
+  }
+
+  test("aggState merge is associative: merge(merge(a,b),c) == merge(a,b,c)") {
+    val df = (1 to 90).map(i => (s"k${i % 2}", i.toDouble / 7.0)).toDF("k", "v")
+    val Seq(a, b, c) = Seq(
+      df.filter($"v" <= 4), df.filter($"v" > 4 && $"v" <= 9), df.filter($"v" > 9))
+      .map(Incremental.aggState(_, Seq("k"), "v"))
+    val stepwise = Incremental.mergeAggState(
+      Seq(Incremental.mergeAggState(Seq(a, b), Seq("k")), c), Seq("k"))
+    val flat = Incremental.mergeAggState(Seq(a, b, c), Seq("k"))
+    assert(stepwise.orderBy("k").collect().toSeq ==
+      flat.orderBy("k").collect().toSeq)
+    assert(stepwise.schema == flat.schema,
+      "merge must keep the state schema stable (no decimal precision creep)")
+  }
+
   test("incremental replay ≡ full refresh (the create-DAG/update-DAG law)") {
     val root = Files.createTempDirectory("graft-inc").toString
     val store = TableStore(spark, root)

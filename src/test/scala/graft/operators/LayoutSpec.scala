@@ -44,6 +44,32 @@ class LayoutSpec extends SparkSpec {
     assert(filtered.count() == 100)
   }
 
+  test("compact merges small files shuffle-free and preserves every row") {
+    val base = Files.createTempDirectory("graft-compact-spec").toString
+    val df = (1 to 5000).map(i => (i.toLong, s"payload-$i")).toDF("id", "p")
+    df.repartition(32).write.parquet(s"$base/small")
+    def files(d: String) = Option(new java.io.File(d).listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(files(s"$base/small") == 32)
+    val smallBytes = new java.io.File(s"$base/small").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n = Layout.compact(spark, s"$base/small", s"$base/big", smallBytes / 4)
+    // sized from actual bytes: ceil(bytes / floor(bytes/4)) ∈ {4, 5};
+    // coalesce may write fewer when a merged partition lands empty
+    assert(n >= 4 && n <= 5, s"planned file count $n not from layout bytes")
+    val written = files(s"$base/big")
+    assert(written <= n && written >= 1 && written < 32,
+      s"expected ≤$n compacted files, got $written")
+    val out = spark.read.parquet(s"$base/big").as[(Long, String)].collect().toSet
+    assert(out == (1 to 5000).map(i => (i.toLong, s"payload-$i")).toSet,
+      "compaction must preserve row multiset exactly")
+    // the compaction plan itself must never shuffle: coalesce, not
+    // repartition — read-concat-write is the whole contract
+    val plan = spark.read.parquet(s"$base/small").coalesce(4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction plan shuffles:\n$plan")
+  }
+
   test("zorder_key interleaves bits with col 0 in the low position") {
     val df = Seq((3L, 0L), (0L, 3L), (1L, 2L), (65535L, 65535L))
       .toDF("a", "b")
