@@ -1030,6 +1030,34 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Incremental near-dup dedup ([[TextOps.incrementalDedupPairs]]):
+    * docs with doc_id % 8 == 0 arrive as the new batch. History's LSH
+    * band index is PERSISTED to parquet; the batch is signed once and
+    * its bands APPENDED to the store (the durable artifact every later
+    * increment reuses); candidates then come from probing the batch's
+    * band rows inside the updated store — so the candidate plan reads
+    * ONLY the store and signs nothing (pinned: zero minhash kernels).
+    * Oracle = exact Jaccard pairs touching the batch; green certifies
+    * probe-the-store ≡ full recompute restricted to new pairs. At
+    * 100 TB: O(batch) signing + an equi-join against a
+    * 3-longs-per-band store vs the reference's recompute-everything. */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      dir + s.sparkContext.applicationId)) % 1000000).toString
+    val storePath = s"${System.getProperty("java.io.tmpdir")}/graft-sigstore-$tag"
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val isNew = col("doc_id") % 8 === 0
+    if (!new java.io.File(storePath).exists()) {
+      TextOps.signatureStore(docs.filter(!isNew), "doc_id", "text")
+        .write.mode("overwrite").parquet(storePath)     // history ingest
+      TextOps.signatureStore(docs.filter(isNew), "doc_id", "text")
+        .write.mode("append").parquet(storePath)        // the increment
+    }
+    TextOps.incrementalDedupPairs(
+        s.read.parquet(storePath), docs, "doc_id", "text", isNew)
+      .orderBy("id_a", "id_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_first_order" -> q57,
     "q58_incremental_e2e" -> q58,
@@ -1049,6 +1077,7 @@ object SparkEntry {
     "q72_quantized_ann" -> q72,
     "q73_compaction" -> q73,
     "q74_incremental_agg" -> q74,
+    "q75_incremental_dedup" -> q75,
     "q51_cosine_dedup_pairs" -> q51,
     "q52_redact_pii" -> q52,
     "q53_normalize" -> q53,
@@ -1146,14 +1175,14 @@ object SparkEntry {
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2)""".stripMargin
 
-  private def jaccardOracle(threshold: Double): String =
+  private def jaccardOracle(threshold: Double, extraWhere: String = ""): String =
     s"""WITH $shingleCte
        |SELECT da AS id_a, db AS id_b,
        |       round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
        |FROM inter
        |JOIN sizes sa ON sa.doc_id = da
        |JOIN sizes sb ON sb.doc_id = db
-       |WHERE c * 1.0 / (sa.n + sb.n - c) >= $threshold
+       |WHERE c * 1.0 / (sa.n + sb.n - c) >= $threshold$extraWhere
        |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash per-doc CTE (mirrors TextOps.simhash bit for bit). */
@@ -1769,6 +1798,10 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // probe-the-store must equal the full recompute restricted to
+    // pairs that touch the new batch (doc_id % 8 == 0)
+    "q75_incremental_dedup" ->
+      jaccardOracle(0.8, "\n  AND (da % 8 = 0 OR db % 8 = 0)"),
     "q07_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,

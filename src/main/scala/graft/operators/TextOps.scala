@@ -236,19 +236,26 @@ object TextOps {
       .select("id_a", "id_b").distinct()
       .localCheckpoint(true)
 
-    // exact verification restricted to candidate docs: the corpus is
-    // broadcast-semi-joined down to candidate ids BEFORE shingling, so
-    // the shingle hashing only ever touches candidate documents — at
-    // corpus scale everything else never leaves the scan. Each doc's
-    // DISTINCT shingle-hash set is computed in one native pass (no
-    // explode), attached to both sides of the pair list, and the
-    // Jaccard is an exact array intersection per pair — versus the
-    // posting-list route (explode → collect → pair-count → size join)
-    // this is three fewer shuffles. The trade: a doc's set array ships
-    // once per candidate pair it appears in, which is fine because LSH
-    // keeps per-doc candidate multiplicity O(1) in expectation (the
-    // full-corpus all-pairs path, q10, keeps the posting-list form
-    // where that replication would be unbounded).
+    verifyCandidatesExact(cand, docs, idCol, textCol, n, threshold)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair list (id_a, id_b).
+    *
+    * The corpus is broadcast-semi-joined down to candidate ids BEFORE
+    * shingling, so the shingle hashing only ever touches candidate
+    * documents — at corpus scale everything else never leaves the scan.
+    * Each doc's DISTINCT shingle-hash set is computed in one native
+    * pass (no explode), attached to both sides of the pair list, and
+    * the Jaccard is an exact array intersection per pair — versus the
+    * posting-list route (explode → collect → pair-count → size join)
+    * this is three fewer shuffles. The trade: a doc's set array ships
+    * once per candidate pair it appears in, which is fine because LSH
+    * keeps per-doc candidate multiplicity O(1) in expectation (the
+    * full-corpus all-pairs path, q10, keeps the posting-list form
+    * where that replication would be unbounded). */
+  private def verifyCandidatesExact(cand: DataFrame, docs: DataFrame,
+                                    idCol: String, textCol: String,
+                                    n: Int, threshold: Double): DataFrame = {
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .distinct()
     val candSets = docs.join(broadcast(candIds), Seq(idCol))
@@ -263,6 +270,68 @@ object TextOps {
         (size(col("__sa")) + size(col("__sb")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The persistable LSH signature store for a corpus: one (id, band,
+    * band_key) row per document per band. This is the ONLY artifact
+    * incremental dedup needs from history — text is never re-read for
+    * candidate generation, so the store (bands × corpus rows of three
+    * longs) stands in for the 100 TB of raw documents. Write it
+    * partitioned/bucketed by band_key at cluster scale. */
+  def signatureStore(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame =
+    lshBands(minhashSignatures(Engine.fanOutIfNarrow(docs, col(idCol)),
+      idCol, textCol, n, k), idCol, k, bands)
+
+  /** Incremental near-dup pairs: a NEW batch against a persisted
+    * [[signatureStore]], without rescanning or re-signing history.
+    *
+    * The production loop is: sign the batch ONCE ([[signatureStore]]),
+    * APPEND its bands to the durable store (they serve every future
+    * increment), then call this with the updated store and `isNew`
+    * selecting the batch's rows (production keeps a batch-id column in
+    * the store; any id predicate works). The reference's 15-minute loop
+    * (mabna_tables_update.py) recomputes derived tables from scratch —
+    * the corresponding near-dup recompute at 100 TB would be O(corpus)
+    * signatures + an O(corpus) band self-join PER BATCH. Here the probe
+    * side is the batch's band rows only, so candidate generation is an
+    * O(batch)-probe equi-join, every emitted pair involves ≥1 new doc
+    * by construction, history pairs are never re-derived, and the
+    * candidate plan touches NOTHING but the store (pinned: zero minhash
+    * kernels). History text is read exactly once, in the verify stage,
+    * broadcast-semi-joined down to candidate ids (point fetches at
+    * cluster scale, not a scan).
+    *
+    * `corpus` must contain the text of history ∪ batch (candidate
+    * fetch only). Output = the full-corpus [[minhashDedupPairs]]
+    * restricted to pairs touching the batch (the law TextOpsSpec pins;
+    * q75's oracle certifies it against exact Jaccard end-to-end). */
+  def incrementalDedupPairs(store: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String, isNew: Column,
+                            n: Int = 3,
+                            threshold: Double = 0.8): DataFrame = {
+    val cand = incrementalCandidates(store, idCol, isNew)
+      .localCheckpoint(true) // feeds id-derivation and the pair join
+    verifyCandidatesExact(cand, corpus, idCol, textCol, n, threshold)
+  }
+
+  /** Candidate stage of [[incrementalDedupPairs]], exposed lazily so
+    * its plan shape is pinnable: two scans of the already-signed store
+    * (probe = `isNew` rows, index = all rows), one equi-join on
+    * (band, band_key), never a product, zero signature computation. */
+  def incrementalCandidates(store: DataFrame, idCol: String,
+                            isNew: Column): DataFrame = {
+    val probe = store.filter(isNew)
+      .select(col(idCol).as("id_p"), col("band"), col("band_key"))
+    val index = store
+      .select(col(idCol).as("id_s"), col("band"), col("band_key"))
+    // normalize (least, greatest) so a batch-batch collision found from
+    // both sides dedups; id_p != id_s drops the self-matches
+    probe.join(index, Seq("band", "band_key"))
+      .filter(col("id_p") =!= col("id_s"))
+      .select(least(col("id_p"), col("id_s")).as("id_a"),
+        greatest(col("id_p"), col("id_s")).as("id_b"))
+      .distinct()
   }
 
   // ------------------------------------------------------ dedup clustering

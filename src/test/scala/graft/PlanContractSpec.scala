@@ -407,6 +407,30 @@ class PlanContractSpec extends SparkSpec {
       s"value sum not partially aggregated map-side:\n$plan")
   }
 
+  test("q75 candidate stage probes the signed store only: zero minhash kernels") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sigstore-pin").toString
+    TextOps.signatureStore(Tables.documents(spark, dir), "doc_id", "text")
+      .write.mode("overwrite").parquet(tmp)
+    val plan = physical(TextOps.incrementalCandidates(
+      spark.read.parquet(tmp), "doc_id", col("doc_id") % 8 === 0))
+    assert(plan.contains("graft-sigstore-pin"),
+      s"candidates not derived from the persisted store:\n$plan")
+    assert(!plan.contains("minhash_signature"),
+      s"candidate stage re-signs documents — the store IS the signatures:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join:\n$plan")
+  }
+
+  test("q75 verify stage: candidate text fetched via broadcast semi-join") {
+    val plan = physical(SparkEntry.queries("q75_incremental_dedup")(spark, dir))
+    assert(plan.contains("shingle_hash60"),
+      s"exact verify kernel missing:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"candidate-id fetch must broadcast, not shuffle the corpus:\n$plan")
+  }
+
   test("q69 z-order layout: value window pushes to the parquet scan") {
     val plan = SparkEntry.queries("q69_zorder_layout")(spark, dir)
       .queryExecution.toString

@@ -215,4 +215,38 @@ class TextOpsSpec extends SparkSpec {
     val got = d.select(TextOps.normalizeText(col("text"))).head.getString(0)
     assert(got == "foo bar baz")
   }
+
+  test("incremental dedup ≡ full recompute restricted to batch-touching pairs") {
+    // history-history dups (1,2)/(4,5) must NOT re-emit; new-old
+    // (8↔1,2,3 and 16↔4,5) and new-new (24,32) must
+    val corpus = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d x"),
+      (4L, "z y x w v u t"), (5L, "z y x w v u t"),
+      (8L, "a b c d e"),
+      (16L, "z y x w v u t"),
+      (24L, "q r s t u v w"), (32L, "q r s t u v w"),
+      (40L, "completely different words here entirely")
+    ).toDF("doc_id", "text")
+    val isNew = col("doc_id") % 8 === 0
+    // the store as production holds it: history ingest + appended batch
+    val store = TextOps.signatureStore(corpus.filter(!isNew), "doc_id", "text")
+      .unionByName(TextOps.signatureStore(corpus.filter(isNew), "doc_id", "text"))
+    val inc = TextOps.incrementalDedupPairs(
+        store, corpus, "doc_id", "text", isNew, 3, 0.5)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val full = TextOps.minhashDedupPairs(corpus, "doc_id", "text", 3, 0.5)
+      .filter(col("id_a") % 8 === 0 || col("id_b") % 8 === 0)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(inc == full, "probe-the-store diverged from the full recompute")
+    assert(inc.size >= 5, s"fixture must exercise new-old and new-new pairs: $inc")
+    assert(inc.forall(r => r.getLong(0) % 8 == 0 || r.getLong(1) % 8 == 0),
+      "a pair with no new endpoint leaked out")
+  }
+
+  test("incremental dedup with no new rows returns no pairs") {
+    val corpus = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val store = TextOps.signatureStore(corpus, "doc_id", "text")
+    assert(TextOps.incrementalDedupPairs(
+      store, corpus, "doc_id", "text", lit(false)).count() == 0)
+  }
 }
