@@ -1030,6 +1030,39 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Incremental DISTINCT-count maintenance ([[Incremental
+    * .distinctState]] / mergeDistinctState): per-type distinct users
+    * from two half-month HLL sketch states merged by register-max —
+    * COUNT(DISTINCT) is not sum-decomposable, so this is the sketch
+    * sibling of q74's exact state. The audit follows q63's pattern:
+    * the exact distinct count is the oracle-portable value; the
+    * sketch-specific columns are in-query flags — merged-state
+    * estimate IDENTICAL to the single-pass estimate (merge exactness,
+    * deterministic) and within 5% of exact (accuracy). At 100 TB the
+    * state is 2^14 registers per key vs the full key×user set. */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val mid = 1705363200000000L // same boundary as q74
+    val ev = Tables.events(s, dir).withColumn("ts_us", tsUs)
+      .select(col("event_type"), col("user_id"), col("ts_us"))
+    val stateA = Incremental.distinctState(
+      ev.filter(col("ts_us") < mid), Seq("event_type"), "user_id")
+    val stateB = Incremental.distinctState(
+      ev.filter(col("ts_us") >= mid), Seq("event_type"), "user_id")
+    val merged = Incremental.mergeDistinctState(Seq(stateA, stateB), Seq("event_type"))
+      .select(col("event_type"), hll_sketch_estimate(col("hll")).as("__est_m"))
+    val single = Incremental.distinctState(ev, Seq("event_type"), "user_id")
+      .select(col("event_type"), hll_sketch_estimate(col("hll")).as("__est_s"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    exact.join(broadcast(merged), Seq("event_type"))
+      .join(broadcast(single), Seq("event_type"))
+      .select(col("event_type"), col("exact_distinct"),
+        (col("__est_m") === col("__est_s")).as("merge_eq_single_pass"),
+        (abs(col("__est_m") - col("exact_distinct")) <=
+          col("exact_distinct") * lit(0.05)).as("hll_ok"))
+      .orderBy("event_type")
+  }
+
   /** Incremental near-dup dedup ([[TextOps.incrementalDedupPairs]]):
     * docs with doc_id % 8 == 0 arrive as the new batch. History's LSH
     * band index is PERSISTED to parquet; the batch is signed once and
@@ -1078,6 +1111,7 @@ object SparkEntry {
     "q73_compaction" -> q73,
     "q74_incremental_agg" -> q74,
     "q75_incremental_dedup" -> q75,
+    "q76_incremental_distinct" -> q76,
     "q51_cosine_dedup_pairs" -> q51,
     "q52_redact_pii" -> q52,
     "q53_normalize" -> q53,
@@ -1802,6 +1836,14 @@ object SparkEntry {
     // pairs that touch the new batch (doc_id % 8 == 0)
     "q75_incremental_dedup" ->
       jaccardOracle(0.8, "\n  AND (da % 8 = 0 OR db % 8 = 0)"),
+    // sketch registers are engine-specific; the exact distinct and the
+    // merge-exactness/accuracy verdicts are portable (q63's pattern)
+    "q76_incremental_distinct" ->
+      """SELECT event_type,
+        |       COUNT(DISTINCT user_id) AS exact_distinct,
+        |       TRUE AS merge_eq_single_pass,
+        |       TRUE AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q07_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,

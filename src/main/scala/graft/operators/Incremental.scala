@@ -56,6 +56,27 @@ object Incremental {
         sum(col("vsum")).cast("decimal(28,6)").as("vsum"),
         min(col("vmin")).as("vmin"),
         max(col("vmax")).as("vmax"))
+
+  /** Mergeable per-key DISTINCT-count state: a Datasketches HLL sketch
+    * (binary column) per key. The exact-distinct counterpart of
+    * [[aggState]]: COUNT(DISTINCT) is the one common aggregate that is
+    * NOT sum-decomposable, so incremental maintenance needs sketch
+    * state — constant bytes per key (2^lgK registers) where the exact
+    * state would be the full key×distinct-value set. Register-max union
+    * makes the merge exact w.r.t. the sketch: merging any slicing of
+    * the raw data yields the IDENTICAL sketch (and thus estimate) as
+    * one pass over everything — the law IncrementalSpec pins and q76
+    * audits in-query. */
+  def distinctState(df: DataFrame, keys: Seq[String], distinctCol: String,
+                    lgK: Int = 14): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(distinctCol), lit(lgK)).as("hll"))
+
+  /** Merge any number of [[distinctState]] snapshots (register-max). */
+  def mergeDistinctState(states: Seq[DataFrame], keys: Seq[String]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("hll"), lit(false)).as("hll"))
 }
 
 /** Layered table store abstraction (SURVEY.md §1.1): the reference's

@@ -431,6 +431,14 @@ class PlanContractSpec extends SparkSpec {
       s"candidate-id fetch must broadcast, not shuffle the corpus:\n$plan")
   }
 
+  test("q76 incremental distinct: map-side sketch partials, broadcast audit rejoin") {
+    val plan = physical(SparkEntry.queries("q76_incremental_distinct")(spark, dir))
+    assert(plan.contains("partial_hll_sketch_agg"),
+      s"HLL sketch not partially aggregated map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"the |groups|-row audit rejoin must broadcast:\n$plan")
+  }
+
   test("q69 z-order layout: value window pushes to the parquet scan") {
     val plan = SparkEntry.queries("q69_zorder_layout")(spark, dir)
       .queryExecution.toString

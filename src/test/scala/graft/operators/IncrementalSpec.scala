@@ -57,6 +57,32 @@ class IncrementalSpec extends SparkSpec {
       "merge must keep the state schema stable (no decimal precision creep)")
   }
 
+  test("distinctState merge yields the IDENTICAL sketch estimate as one pass") {
+    val rows = (1 to 5000).map(i => (s"k${i % 3}", s"u${i % 700}"))
+    val df = rows.toDF("k", "u")
+    val est = (st: org.apache.spark.sql.DataFrame) => st
+      .select(col("k"), hll_sketch_estimate(col("hll")).as("e"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val single = est(Incremental.distinctState(df, Seq("k"), "u"))
+    // any slicing, including overlapping distincts across slices and an
+    // empty slice — register-max union must reproduce the one-pass sketch
+    val slicings = Seq(
+      Seq(df.filter($"u".substr(2, 1) < "4"), df.filter($"u".substr(2, 1) >= "4")),
+      Seq(df.limit(0), df),
+      Seq(df, df)) // full overlap: merging a state with itself is a no-op
+    slicings.foreach { slices =>
+      val merged = est(Incremental.mergeDistinctState(
+        slices.map(Incremental.distinctState(_, Seq("k"), "u")), Seq("k")))
+      assert(merged == single, "sketch merge diverged from the one-pass sketch")
+    }
+    // and the estimate is actually accurate on this cardinality
+    val exact = df.groupBy("k").agg(countDistinct($"u").as("d"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    single.zip(exact).foreach { case ((_, e), (_, x)) =>
+      assert(math.abs(e - x) <= x * 0.05, s"estimate $e vs exact $x")
+    }
+  }
+
   test("incremental replay ≡ full refresh (the create-DAG/update-DAG law)") {
     val root = Files.createTempDirectory("graft-inc").toString
     val store = TableStore(spark, root)
