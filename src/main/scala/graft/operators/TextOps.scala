@@ -318,16 +318,28 @@ object TextOps {
   /** Candidate stage of [[incrementalDedupPairs]], exposed lazily so
     * its plan shape is pinnable: two scans of the already-signed store
     * (probe = `isNew` rows, index = all rows), one equi-join on
-    * (band, band_key), never a product, zero signature computation. */
+    * (band, band_key), never a product, zero signature computation.
+    *
+    * The probe side is BROADCAST: an increment's band rows are
+    * bands-per-doc × |batch| triples of longs (a few MB for a
+    * 15-minute batch), while the index side is the whole store —
+    * hash-joining them would shuffle O(corpus) band rows PER
+    * INCREMENT, which the 40× storm measured as the dominant cost.
+    * Broadcasting the probe leaves the store map-side: one scan, zero
+    * shuffle of it (the only exchange left is the candidate-pair
+    * distinct — output-sized). Pass `broadcastProbe = false` for a
+    * backfill-scale "batch" too big to broadcast. */
   def incrementalCandidates(store: DataFrame, idCol: String,
-                            isNew: Column): DataFrame = {
-    val probe = store.filter(isNew)
+                            isNew: Column,
+                            broadcastProbe: Boolean = true): DataFrame = {
+    val probeRaw = store.filter(isNew)
       .select(col(idCol).as("id_p"), col("band"), col("band_key"))
+    val probe = if (broadcastProbe) broadcast(probeRaw) else probeRaw
     val index = store
       .select(col(idCol).as("id_s"), col("band"), col("band_key"))
     // normalize (least, greatest) so a batch-batch collision found from
     // both sides dedups; id_p != id_s drops the self-matches
-    probe.join(index, Seq("band", "band_key"))
+    index.join(probe, Seq("band", "band_key"))
       .filter(col("id_p") =!= col("id_s"))
       .select(least(col("id_p"), col("id_s")).as("id_a"),
         greatest(col("id_p"), col("id_s")).as("id_b"))

@@ -421,6 +421,14 @@ class PlanContractSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"candidate generation must stay an equi-join:\n$plan")
+    // the increment broadcasts; the store must NEVER shuffle — the only
+    // hash exchange is the output-sized candidate distinct
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe side not broadcast — this shuffles the store per increment:\n$plan")
+    val hashEx = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx == 1,
+      s"store-side shuffle crept into candidate generation ($hashEx):\n$plan")
   }
 
   test("q75 verify stage: candidate text fetched via broadcast semi-join") {
