@@ -140,8 +140,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
 
-  /** `events.ts` arrives as Long nanoseconds (see Engine.withGraftConfs). */
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** `events.ts` is ALWAYS Long epoch-nanoseconds out of this loader —
+    * that's the contract every downstream operator (and every spec
+    * fixture) is written against. The driver has shipped the column in
+    * two physical layouts so far: TIMESTAMP(NANOS), which
+    * `nanosAsLong` (Engine.withGraftConfs) surfaces as Long ns
+    * directly, and TIMESTAMP(MICROS), which Spark reads as a timestamp
+    * type and is normalized here (`unix_micros * 1000` — exact; the
+    * NTZ→LTZ cast is identity under the session's pinned UTC zone).
+    * DuckDB reads both layouts as a timestamp, so the oracles'
+    * `epoch_us(ts)` is layout-independent on that side. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
