@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DimDate
-import graft.operators.{Blooms, Cdc, Dedup, ExactAgg, Incremental, Joins, Layout, Multimodal, Packing, Resample, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms}
+import graft.operators.{Blooms, Cdc, Dedup, ExactAgg, Incremental, Joins, Layout, Multimodal, Packing, Resample, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms, Vocab}
 import graft.sources.JsonFlatten
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1091,7 +1091,21 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Corpus vocabulary ([[Vocab.vocabulary]]): token counts over
+    * `documents`, sub-`minCount` tail dropped, dense 1-based ids in
+    * (cnt DESC, token ASC) order. The global rank is DECOMPOSED —
+    * cumulative offsets over a (cnt, token-prefix) bucket histogram +
+    * in-bucket row_number — so no task ever windows the whole
+    * vocabulary; the only single-partition window runs over the
+    * metadata-sized histogram (pinned in PlanContractSpec). Oracle =
+    * the naive single-window row_number, certifying the decomposition
+    * law end-to-end. */
+  private def q77(s: SparkSession, dir: String): DataFrame =
+    Vocab.vocabulary(Tables.documents(s, dir), "text", minCount = 2L)
+      .orderBy("vocab_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_vocabulary" -> q77,
     "q57_first_order" -> q57,
     "q58_incremental_e2e" -> q58,
     "q59_binary_ingest" -> q59,
@@ -1844,6 +1858,18 @@ object SparkEntry {
         |       TRUE AS merge_eq_single_pass,
         |       TRUE AS hll_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the decomposed histogram-offset rank must equal the naive
+    // single-window row_number over the same (cnt DESC, token) order
+    "q77_vocabulary" ->
+      """SELECT token, cnt,
+        |       row_number() OVER (ORDER BY cnt DESC, token) AS vocab_id
+        |FROM (SELECT token, count(*) AS cnt
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |            FROM documents)
+        |      WHERE len(token) > 0
+        |      GROUP BY token)
+        |WHERE cnt >= 2
+        |ORDER BY vocab_id""".stripMargin,
     "q07_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,

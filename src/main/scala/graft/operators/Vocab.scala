@@ -49,23 +49,27 @@ object Vocab {
       .where(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
-    rankedBy(counts, col("cnt").desc, substring(col("token"), 1, prefixLen),
+    rankedBy(counts, col("cnt"), descending = true,
+        substring(col("token"), 1, prefixLen),
         orderInBucket = col("token"), outCol = "vocab_id")
       .select("token", "cnt", "vocab_id")
   }
 
-  /** Dense 1-based global rank in (bucketOrd, inBucket) order without a
+  /** Dense 1-based global rank in (bucketVal, inBucket) order without a
     * data-sized window: cumulative offsets over the bucket-size
-    * histogram + in-bucket row_number. `bucketOrd` must be the leading
-    * sort key (its `.desc`/`.asc` carries through); `bucketSub` splits
-    * ties of the leading key into parallel slices and must be a PREFIX
-    * of `orderInBucket`'s order (bucket boundaries may not interleave
-    * the in-bucket order). */
-  private[operators] def rankedBy(df: DataFrame, bucketOrd: Column,
+    * histogram + in-bucket row_number. `bucketVal` is the leading sort
+    * VALUE (a plain column — SortOrder expressions cannot live in a
+    * projection); `descending` picks its direction, applied only inside
+    * window orderings. `bucketSub` splits ties of the leading key into
+    * parallel slices and must be a PREFIX of `orderInBucket`'s order
+    * (bucket boundaries may not interleave the in-bucket order). */
+  private[operators] def rankedBy(df: DataFrame, bucketVal: Column,
+                                  descending: Boolean,
                                   bucketSub: Column, orderInBucket: Column,
                                   outCol: String): DataFrame = {
-    val bucketed = df.withColumn("__b1", bucketOrd).withColumn("__b2", bucketSub)
-    val histW = Window.orderBy(col("__b1"), col("__b2"))
+    val bucketed = df.withColumn("__b1", bucketVal).withColumn("__b2", bucketSub)
+    val b1Ord = if (descending) col("__b1").desc else col("__b1").asc
+    val histW = Window.orderBy(b1Ord, col("__b2"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bucketed.groupBy("__b1", "__b2")
       .agg(count(lit(1)).as("__n"))

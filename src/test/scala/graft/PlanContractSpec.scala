@@ -457,6 +457,32 @@ class PlanContractSpec extends SparkSpec {
       s"value window not pushed to the z-layout scan:\n$plan")
   }
 
+  test("q77 vocabulary: the only single-partition window runs over the histogram") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = SparkEntry.queries("q77_vocabulary")(spark, dir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "vocabulary lost its windows entirely")
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.size == 1,
+      s"expected exactly one single-partition window, got ${global.size}")
+    // that one window's input must be the (cnt, prefix) bucket-size
+    // histogram — an Aggregate grouped on the two bucket keys — never
+    // the vocabulary rows themselves
+    val hist = global.head.child.collect {
+      case a: Aggregate if a.groupingExpressions.size == 2 => a
+    }
+    assert(hist.nonEmpty,
+      s"single-partition window does not sit on the bucket histogram:\n${global.head}")
+    // every data-sized window is bucket-partitioned (parallel)
+    val bucketed = wins.filterNot(_.partitionSpec.isEmpty)
+    assert(bucketed.nonEmpty && bucketed.forall(_.partitionSpec.size == 2),
+      "in-bucket ranking window lost its bucket partitioning")
+    // and the offsets rejoin is a broadcast, not a shuffle of the vocab
+    val pplan = physical(df)
+    assert(pplan.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back onto the vocabulary:\n$pplan")
+  }
+
   test("packSequences partitions its window by shard (no global sort)") {
     val plan = physical(graft.operators.Packing.packSequences(
       TextOps.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
