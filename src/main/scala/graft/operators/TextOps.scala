@@ -283,6 +283,53 @@ object TextOps {
     lshBands(minhashSignatures(Engine.fanOutIfNarrow(docs, col(idCol)),
       idCol, textCol, n, k), idCol, k, bands)
 
+  /** Persist a [[signatureStore]] hash-partitioned on `band_key` so an
+    * increment's probe PRUNES its read to the partitions its keys can
+    * live in, instead of scanning the whole store (the O(corpus)-I/O
+    * residual the round-9 storm measured). Layout: `parts` directories
+    * keyed by `bk_part = pmod(xxhash64(band_key), parts)`; size
+    * `parts` so each partition holds a fixed row budget (store_rows /
+    * parts ≈ const) and GROW parts as the corpus grows (re-layout via
+    * [[graft.operators.Layout.compact]]'s machinery) — then a batch
+    * touching K distinct band keys reads ≤ K constant-size partitions:
+    * per-increment I/O is O(batch), flat in history size. Pruning
+    * saturates when K ≥ parts (a backfill-scale batch) — at that point
+    * the read degrades gracefully to the full scan it would have been
+    * anyway. `bucketBy(band_key)` on a catalog table is the same
+    * pay-once layout (q66); the directory form needs no metastore. */
+  def writeSignatureStorePartitioned(store: DataFrame, path: String,
+                                     parts: Int,
+                                     mode: String = "overwrite"): Unit = {
+    require(parts >= 1, s"parts=$parts must be >= 1")
+    store
+      .withColumn("bk_part",
+        pmod(xxhash64(col("band_key")), lit(parts.toLong)).cast("int"))
+      .repartition(col("bk_part")) // one writer task per partition dir
+      .write.partitionBy("bk_part").mode(mode).parquet(path)
+  }
+
+  /** Open a partitioned store pruned to the partitions `batchBands`'
+    * keys can touch. The partition list is collected to the driver to
+    * become a static partition filter — bounded by min(parts, batch
+    * keys) ints, metadata-scale by construction (the same rows are
+    * already small enough to broadcast in [[incrementalCandidates]]).
+    * Directory-level pruning then never opens the other partitions'
+    * files. Correctness is a law, not a hope: a store row can only
+    * join a probe row on equal `band_key`, equal keys hash to the same
+    * `bk_part`, so every possible match lives in a kept partition
+    * (pinned by TextOpsSpec's pruned ≡ full candidate law). */
+  def prunedSignatureStore(s: org.apache.spark.sql.SparkSession,
+                           path: String, parts: Int,
+                           batchBands: DataFrame): DataFrame = {
+    val pp = batchBands
+      .select(pmod(xxhash64(col("band_key")), lit(parts.toLong))
+        .cast("int").as("p"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    s.read.parquet(path)
+      .filter(col("bk_part").isin(pp: _*))
+      .drop("bk_part")
+  }
+
   /** Incremental near-dup pairs: a NEW batch against a persisted
     * [[signatureStore]], without rescanning or re-signing history.
     *

@@ -249,4 +249,49 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.incrementalDedupPairs(
       store, corpus, "doc_id", "text", lit(false)).count() == 0)
   }
+
+  test("pruned partitioned store ≡ full store candidates; scan is partition-pruned") {
+    val corpus = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d x"),
+      (4L, "z y x w v u t"), (5L, "z y x w v u t"),
+      (8L, "a b c d e"), (16L, "z y x w v u t"),
+      (24L, "q r s t u v w"), (32L, "q r s t u v w"),
+      (40L, "completely different words here entirely")
+    ).toDF("doc_id", "text")
+    val isNew = col("doc_id") % 8 === 0
+    val parts = 64
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-prunedstore").toString
+    TextOps.writeSignatureStorePartitioned(
+      TextOps.signatureStore(corpus.filter(!isNew), "doc_id", "text"),
+      tmp, parts)
+    val batchBands = TextOps.signatureStore(corpus.filter(isNew), "doc_id", "text")
+    TextOps.writeSignatureStorePartitioned(batchBands, tmp, parts, mode = "append")
+    val pruned = TextOps.prunedSignatureStore(spark, tmp, parts, batchBands)
+    // equal-key rows hash to the same partition → no candidate can be
+    // lost by pruning (the law the 100 TB layout rests on)
+    val viaPruned = TextOps.incrementalCandidates(pruned, "doc_id", isNew)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = TextOps.signatureStore(corpus.filter(!isNew), "doc_id", "text")
+      .unionByName(batchBands)
+    val viaFull = TextOps.incrementalCandidates(full, "doc_id", isNew)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPruned == viaFull && viaPruned.nonEmpty,
+      s"pruning changed the candidate set: $viaPruned vs $viaFull")
+    // and the pruning is real: a static partition filter on bk_part
+    // reaches the scan, so unmatched directories are never opened
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bk_part"),
+      s"bk_part partition filter missing from the pruned scan:\n$plan")
+  }
+
+  test("pruned store with an empty batch reads nothing and yields nothing") {
+    val corpus = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-prunedstore-empty").toString
+    TextOps.writeSignatureStorePartitioned(
+      TextOps.signatureStore(corpus, "doc_id", "text"), tmp, 8)
+    val noBands = TextOps.signatureStore(corpus.filter(lit(false)), "doc_id", "text")
+    assert(TextOps.prunedSignatureStore(spark, tmp, 8, noBands).count() == 0)
+  }
 }
