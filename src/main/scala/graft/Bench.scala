@@ -65,8 +65,46 @@ import scala.jdk.CollectionConverters._
   * instead of investigating phantom regressions. The probe median
   * stored for the NEXT round is min(start, end) — contention only ever
   * overestimates.
+  *
+  * Window sentinel (round-10, from the round-9 adjudication): the
+  * start/end probes cannot see a contention window in the MIDDLE of the
+  * run — round 9 published five phantom 3-7x per-query regressions with
+  * `environment_suspect: false` because both boundary probes were
+  * clean. Now a single probe sample (~0.1 s) is interleaved every
+  * `winSize`=10 queries; each query is attached to its bracketing probe
+  * pair, and when BOTH brackets exceed 2x the committed prior the
+  * query is window-suspect: it joins the rescue pass (re-measured after
+  * the main pass, min-of-medians published) and, if its number still
+  * comes from the contended window, it is listed in `window_suspect` so
+  * readers void exactly the contended stretch instead of the whole run.
+  * The per-window probe samples are published on stdout
+  * (`calibration.probe_windows`) so the artifact localizes contention
+  * by itself. Both-brackets (min, not max) keeps a single spiky probe
+  * sample from voiding 20 clean queries; a contention window shorter
+  * than one query window can still slip the flag, but its queries keep
+  * every older guard (spread reps, cross-round suspect, rescue).
   */
 object Bench {
+
+  /** Query ordinals whose measurement window was contended: query i's
+    * window is i/winSize, bracketed by probes(w) and probes(w+1)
+    * (`probes` = start probe +: interleaved samples :+ end probe, one
+    * per window boundary); suspect when BOTH brackets exceed 2x the
+    * committed prior. Pure so BenchWindowSpec can law-check it. */
+  private[graft] def windowSuspects(nQueries: Int, winSize: Int,
+                                    probes: IndexedSeq[Double],
+                                    prior: Option[Double]): Set[Int] =
+    prior match {
+      case Some(p) if p > 0.0 && probes.nonEmpty =>
+        (0 until nQueries).filter { i =>
+          val w = i / winSize
+          val lo = probes(math.min(w, probes.size - 1))
+          val hi = probes(math.min(w + 1, probes.size - 1))
+          math.min(lo, hi) > 2.0 * p
+        }.toSet
+      case _ => Set.empty
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDirOrig = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Pin the input in RAM for the measured runs: the bench's contract is
@@ -161,7 +199,13 @@ object Bench {
       }
       (times.toSeq, err)
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // window sentinel: one probe sample between every winSize queries
+    // (plus the start/end medians as outer boundaries) — localizes
+    // mid-run contention the run-level flag can't see
+    val winSize = 10
+    val interiorProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi > 0 && qi % winSize == 0) interiorProbes += probeOnce()
       val (t0s, err0) = measure(fn, reps)
       val times = scala.collection.mutable.ArrayBuffer(t0s: _*)
       var err = err0
@@ -247,9 +291,20 @@ object Bench {
     def suspectsOf(rs: Seq[(String, Double, Double, Option[String], Boolean, Int)]) =
       rs.collect { case (k, med, _, None, _, _)
         if med > 0.2 && priorOf(k).exists(p => p > 0.0 && med > 1.5 * p) => k }
+    // end probe measured BEFORE the rescue pass: it closes the main
+    // pass's last window, and the rescue then runs in a window the
+    // sentinel has already bracketed
+    val probeEnd = probeMedian()
+    val probes = (probeStart +: interiorProbes :+ probeEnd).toIndexedSeq
+    val winSuspectIdx =
+      windowSuspects(firstPass.size, winSize, probes, prevProbe)
+    val winSuspectNames =
+      winSuspectIdx.map(i => firstPass(i)._1).toSet
     val rescueSet: Set[String] =
       (suspectsOf(firstPass) ++ firstPass.collect {
-        case (k, med, _, None, true, _) if med > 0.2 => k }).toSet
+        case (k, med, _, None, true, _) if med > 0.2 => k } ++
+        firstPass.collect { case (k, med, _, None, _, _)
+          if winSuspectNames.contains(k) && med > 0.2 => k }).toSet
     val rescuedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = firstPass.map {
       case r @ (name, med, _, None, _, n) if rescueSet.contains(name) =>
@@ -263,16 +318,21 @@ object Bench {
       case r => r
     }
     val suspectNames = suspectsOf(results)
-    // environment sentinel: second probe window after all measurement;
-    // flag the RUN when even the better window is >2x the committed
-    // prior — whole-run contention, totals void
-    val probeEnd = probeMedian()
+    // a window-suspect query that the rescue pass re-measured lower now
+    // publishes a number from OUTSIDE the contended window — only the
+    // ones still carrying the contended measurement stay flagged
+    val windowSuspectFinal =
+      (winSuspectNames -- rescuedNames.toSet).toSeq.sorted
+    // environment sentinel: flag the RUN when even the better boundary
+    // probe is >2x the committed prior — whole-run contention, totals
+    // void (per-window contention is the window sentinel's job)
     val probeBest = math.min(probeStart, probeEnd)
     val envSuspect = prevProbe.exists(p => p > 0.0 && probeBest > 2.0 * p)
     def calibJson(dp: Int): String =
       s""""calibration":{"probe_start":${fmt(probeStart, dp)},""" +
         s""""probe_end":${fmt(probeEnd, dp)},"probe_median":${fmt(probeBest, dp)},""" +
-        s""""probe_prior":${prevProbe.map(fmt(_, dp)).getOrElse("null")}},""" +
+        s""""probe_prior":${prevProbe.map(fmt(_, dp)).getOrElse("null")},""" +
+        s""""probe_windows":${probes.map(fmt(_, dp)).mkString("[", ",", "]")}},""" +
         s""""environment_suspect":$envSuspect"""
     val cleanPairs = results.collect { case (k, v, _, None, _, _) => (k, v) }
     val partialPairs = results.collect { case (k, v, _, Some(_), _, n) if n > 0 => (k, v) }
@@ -302,6 +362,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","reps":$reps,""" +
         s""""n_failed":$nFailed,"noisy":${jarrShort(noisyNames)},"partial":${jarrShort(partialNames)},""" +
         s""""suspect":${jarrShort(suspectNames)},"rescued":${jarrShort(rescuedNames.toSeq)},""" +
+        s""""window_suspect":${jarrShort(windowSuspectFinal)},""" +
         calibJson(3)
     def stdoutLine(dp: Int): String = {
       val qs = qPairs.map { case (k, v) => jstr(stdoutKey(k)) + ":" + fmt(v, dp) }
@@ -332,7 +393,7 @@ object Bench {
     val qsFull = qPairs.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"spread":$spreads,"errors":$errs,"rep_counts":$repCounts,"n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)},"suspect":${jarr(suspectNames)},"rescued":${jarr(rescuedNames.toSeq)},${calibJson(4)},"sf":${jstr(sfDirOrig)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"spread":$spreads,"errors":$errs,"rep_counts":$repCounts,"n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)},"suspect":${jarr(suspectNames)},"rescued":${jarr(rescuedNames.toSeq)},"window_suspect":${jarr(windowSuspectFinal)},${calibJson(4)},"sf":${jstr(sfDirOrig)}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(outPath), fileJson + "\n")
     spark.stop()
