@@ -1113,7 +1113,78 @@ object SparkEntry {
     Vocab.vocabulary(Tables.documents(s, dir), "text", minCount = 2L)
       .orderBy("vocab_id")
 
+  /** The incremental warehouse LIFECYCLE end-to-end — q58's operator
+    * loop composed with the storage layer it feeds at scale. Three
+    * micro-batches flow through [[graft.operators.TableStore
+    * .incrementalUpsertPartitioned]] (merge with ONLY the touched
+    * partitions, dynamic overwrite — the update path is pinned
+    * partition-filtered, never a full-table scan), the shattered
+    * partition directories are compacted per-directory
+    * ([[Layout.compact]], Exchange-free), and the serving aggregates
+    * are refreshed by MERGING per-batch state ([[Incremental
+    * .aggState]]/[[Incremental.distinctState]]) instead of rescanning
+    * history. Oracle = the flat-table recompute: the replay ≡
+    * full-refresh law the reference's 15-minute DAG implies
+    * (mabna_tables_update.py:383-410) — batch-by-batch upserts must
+    * land exactly where one keep-last over everything lands, and the
+    * merged states must equal the single-pass aggregates. HLL columns
+    * follow q76's audit convention (portable exact value + in-query
+    * boolean verdicts). n_current doubles as the exact distinct-user
+    * audit base: the table holds one row per (user_id, event_type) by
+    * construction. */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q78" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-$tag"
+    val store = graft.operators.TableStore(s, root)
+    val ev = Tables.events(s, dir).withColumn("ts_us", tsUs)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+    val keys = Seq("user_id", "event_type")
+    val ord = Seq(col("ts_us"), col("event_id"))
+    val batches = Seq(
+      ev.filter(col("event_id") <= 4000L),
+      ev.filter(col("event_id") > 4000L && col("event_id") <= 7000L),
+      ev.filter(col("event_id") > 7000L))
+    val compactedRoot = s"$root/prod/events_compacted"
+    if (!store.exists("prod", "events")) {
+      batches.foreach(b => store.incrementalUpsertPartitioned(
+        "prod", "events", b, "event_id", keys, ord, "event_type"))
+      // per-partition-directory compaction of the micro-batch shatter
+      // (partition values are metadata-scale)
+      val parts = store.read("prod", "events").select("event_type")
+        .distinct().collect().map(_.getString(0))
+      parts.foreach { p =>
+        Layout.compact(s, s"$root/prod/events/event_type=$p",
+          s"$compactedRoot/event_type=$p", 8L * 1024 * 1024)
+      }
+    }
+    val tableStats = s.read.parquet(compactedRoot)
+      .groupBy("event_type").agg(count(lit(1)).as("n_current"))
+    val aggMerged = Incremental.mergeAggState(
+      batches.map(b => Incremental.aggState(b, Seq("event_type"), "value")),
+      Seq("event_type"))
+    val hllMerged = Incremental.mergeDistinctState(
+      batches.map(b => Incremental.distinctState(b, Seq("event_type"), "user_id")),
+      Seq("event_type"))
+      .select(col("event_type"), hll_sketch_estimate(col("hll")).as("__est_m"))
+    val hllSingle = Incremental.distinctState(ev, Seq("event_type"), "user_id")
+      .select(col("event_type"), hll_sketch_estimate(col("hll")).as("__est_s"))
+    tableStats
+      .join(broadcast(aggMerged), Seq("event_type"))
+      .join(broadcast(hllMerged), Seq("event_type"))
+      .join(broadcast(hllSingle), Seq("event_type"))
+      .select(col("event_type"), col("n_current"), col("cnt"),
+        col("vsum").cast("double").as("sum_value"),
+        col("vmin"), col("vmax"),
+        (col("__est_m") === col("__est_s")).as("merge_eq_single_pass"),
+        (abs(col("__est_m") - col("n_current")) <=
+          col("n_current") * lit(0.05)).as("hll_ok"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_warehouse_loop" -> q78,
     "q77_vocabulary" -> q77,
     "q57_first_order" -> q57,
     "q58_incremental_e2e" -> q58,
@@ -1867,6 +1938,27 @@ object SparkEntry {
         |       TRUE AS merge_eq_single_pass,
         |       TRUE AS hll_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // replay ≡ full-refresh: three partition-pruned upserts + compaction
+    // + merged per-batch states must equal one flat recompute — current
+    // rows via the keep-last window, stream aggregates via q74's
+    // decimal-sum convention, HLL verdicts via q76's audit convention
+    "q78_warehouse_loop" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+        |                   event_type, value FROM events),
+        |cur AS (SELECT event_type, count(*) AS n_current
+        |        FROM (SELECT *, row_number() OVER (
+        |                PARTITION BY user_id, event_type
+        |                ORDER BY ts_us DESC, event_id DESC) AS rn FROM ev)
+        |        WHERE rn = 1 GROUP BY event_type),
+        |agg AS (SELECT event_type, count(value) AS cnt,
+        |               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |                 AS sum_value,
+        |               min(value) AS vmin, max(value) AS vmax
+        |        FROM ev GROUP BY event_type)
+        |SELECT event_type, n_current, cnt, sum_value, vmin, vmax,
+        |       TRUE AS merge_eq_single_pass, TRUE AS hll_ok
+        |FROM agg JOIN cur USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // the decomposed histogram-offset rank must equal the naive
     // single-window row_number over the same (cnt DESC, token) order
     "q77_vocabulary" ->

@@ -188,27 +188,13 @@ final case class TableStore(spark: SparkSession, root: String) extends LayeredSt
       replacePartitioned(layer, table,
         Dedup.keepLast(aligned, keys, ordering), partCol)
     } else {
-      val touched = aligned.select(partCol).distinct()
-        .collect().map(_.get(0)).toSeq
-      // isin(null) evaluates to NULL, not true — the null partition
-      // (__HIVE_DEFAULT_PARTITION__) must be matched explicitly or its
-      // existing rows would be excluded from the merge and then erased
-      // by the dynamic overwrite
-      val nonNull = touched.filter(_ != null)
-      val touchCond = {
-        val in = if (nonNull.nonEmpty) col(partCol).isin(nonNull: _*) else lit(false)
-        if (touched.contains(null)) in || col(partCol).isNull else in
-      }
-      val affected = read(layer, table)
-        .filter(touchCond) // static partition pruning
-        .select(batchCols.map(col): _*)
       // materialize BEFORE the overwrite: the merged plan reads the same
       // path it is about to replace, so the lineage must be cut (eager
       // localCheckpoint) or the lazy re-read would see truncated data.
       // (A transactional table format — Delta/Iceberg — makes this a
       // real MERGE at cluster scale; same logical shape.)
-      val merged = Dedup.keepLast(affected.union(aligned), keys, ordering)
-        .localCheckpoint(true)
+      val merged = upsertMergePlan(layer, table, aligned, keys, ordering,
+        partCol).localCheckpoint(true)
       // dynamic mode set ON THE WRITE, not just the session: under the
       // default static mode this overwrite would silently delete every
       // untouched partition
@@ -216,6 +202,32 @@ final case class TableStore(spark: SparkSession, root: String) extends LayeredSt
         .option("partitionOverwriteMode", "dynamic")
         .parquet(path(layer, table))
     }
+  }
+
+  /** The LAZY merge plan of one partitioned upsert, factored out so its
+    * scale contract is pinnable (PlanContractSpec): the existing-rows
+    * side reads ONLY the partitions the batch touches — the scan must
+    * carry a partition filter, never a full-table scan. */
+  def upsertMergePlan(layer: String, table: String, batch: DataFrame,
+                      keys: Seq[String], ordering: Seq[Column],
+                      partCol: String): DataFrame = {
+    val batchCols = batch.columns
+    val aligned = batch.select(batchCols.map(col): _*)
+    val touched = aligned.select(partCol).distinct()
+      .collect().map(_.get(0)).toSeq
+    // isin(null) evaluates to NULL, not true — the null partition
+    // (__HIVE_DEFAULT_PARTITION__) must be matched explicitly or its
+    // existing rows would be excluded from the merge and then erased
+    // by the dynamic overwrite
+    val nonNull = touched.filter(_ != null)
+    val touchCond = {
+      val in = if (nonNull.nonEmpty) col(partCol).isin(nonNull: _*) else lit(false)
+      if (touched.contains(null)) in || col(partCol).isNull else in
+    }
+    val affected = read(layer, table)
+      .filter(touchCond) // static partition pruning
+      .select(batchCols.map(col): _*)
+    Dedup.keepLast(affected.union(aligned), keys, ordering)
   }
 }
 

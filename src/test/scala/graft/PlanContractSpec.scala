@@ -483,6 +483,28 @@ class PlanContractSpec extends SparkSpec {
       s"bucket offsets must broadcast back onto the vocabulary:\n$pplan")
   }
 
+  test("q78 upsert merge reads only touched partitions: partition filter pinned") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-upsert-pin").toString
+    val store = graft.operators.TableStore(spark, root)
+    val init = Seq((1L, 10L, "a", 1.0), (2L, 10L, "b", 2.0), (3L, 10L, "c", 3.0))
+      .toDF("event_id", "ts_us", "part", "value")
+    store.incrementalUpsertPartitioned("prod", "t", init, "event_id",
+      Seq("event_id"), Seq(col("ts_us")), "part")
+    // second batch touches ONE of three partitions
+    val batch = Seq((4L, 20L, "a", 4.0)).toDF("event_id", "ts_us", "part", "value")
+    val plan = store.upsertMergePlan("prod", "t", batch,
+      Seq("event_id"), Seq(col("ts_us")), "part")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("part#"),
+      s"existing-rows side lost its partition filter — full-table scan per batch:\n$plan")
+    assert(plan.contains("= a)"),
+      s"touched-partition value must reach the scan's partition filter:\n$plan")
+    assert(!plan.contains("= b)") && !plan.contains("= c)"),
+      s"untouched partitions leaked into the merge scan:\n$plan")
+  }
+
   test("packSequences partitions its window by shard (no global sort)") {
     val plan = physical(graft.operators.Packing.packSequences(
       TextOps.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
