@@ -152,13 +152,21 @@ object Tables {
     * `epoch_us(ts)` is layout-independent on that side. */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => df
-      case _ =>
+      case LongType => df
+      case TimestampType | TimestampNTZType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.unix_micros(
             org.apache.spark.sql.functions.col("ts")
-              .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+              .cast(TimestampType)) * 1000L)
+      case other =>
+        // fail loudly: a numeric→timestamp cast here would interpret
+        // e.g. INT32 micros as SECONDS under non-ANSI mode and silently
+        // corrupt every event time by 10^6
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — expected Long " +
+            "epoch-nanos or a parquet timestamp")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
