@@ -1113,6 +1113,36 @@ object SparkEntry {
     Vocab.vocabulary(Tables.documents(s, dir), "text", minCount = 2L)
       .orderBy("vocab_id")
 
+  /** Incremental vocabulary maintenance ([[Vocab.tokenCountState]] /
+    * mergeTokenCountState / vocabularyFromState): history and an
+    * arriving batch are counted SEPARATELY, the mergeable states are
+    * summed, and only the merged state — vocabulary-sized, not
+    * corpus-sized — is re-ranked. Token counting runs once per slice;
+    * history text is never recounted on refresh (q74/q76's state
+    * discipline applied to q77's operator). Oracle = the from-scratch
+    * recount + naive global rank: the merge ≡ recompute law end-to-end. */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val isNew = col("doc_id") % 3 === 0
+    val history = Vocab.tokenCountState(docs.filter(!isNew), "text")
+    val batch = Vocab.tokenCountState(docs.filter(isNew), "text")
+    Vocab.vocabularyFromState(
+        Vocab.mergeTokenCountState(Seq(history, batch)), minCount = 3L)
+      .orderBy("vocab_id")
+  }
+
+  /** Deterministic train/val/test split assignment ([[Sampling
+    * .splitAssign]]): a pure projection — every id's split is a
+    * function of its engine-portable hash alone, so the assignment
+    * survives re-partitioning, retries, corpus growth, and re-reads
+    * from any engine (the DuckDB oracle reproduces it bit-for-bit from
+    * the same md5 arithmetic). No shuffle anywhere. */
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitAssign(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), SampleSeed)
+      .orderBy("doc_id")
+
   /** The incremental warehouse LIFECYCLE end-to-end — q58's operator
     * loop composed with the storage layer it feeds at scale. Three
     * micro-batches flow through [[graft.operators.TableStore
@@ -1184,6 +1214,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_split_assign" -> q80,
+    "q79_incremental_vocab" -> q79,
     "q78_warehouse_loop" -> q78,
     "q77_vocabulary" -> q77,
     "q57_first_order" -> q57,
@@ -1971,6 +2003,32 @@ object SparkEntry {
         |      GROUP BY token)
         |WHERE cnt >= 2
         |ORDER BY vocab_id""".stripMargin,
+    // merged per-batch count states re-ranked must equal the
+    // from-scratch recount (merge ≡ recompute, q74's law for q77's op)
+    "q79_incremental_vocab" ->
+      """SELECT token, cnt,
+        |       row_number() OVER (ORDER BY cnt DESC, token) AS vocab_id
+        |FROM (SELECT token, count(*) AS cnt
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |            FROM documents)
+        |      WHERE len(token) > 0
+        |      GROUP BY token)
+        |WHERE cnt >= 3
+        |ORDER BY vocab_id""".stripMargin,
+    // bit-for-bit portable split: same md5-prefix hash, same integer
+    // interval edges
+    "q80_split_assign" -> {
+      val cuts = Sampling.splitCuts(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""SELECT doc_id,
+         |       CASE WHEN h < ${cuts(0)} THEN 'train'
+         |            WHEN h < ${cuts(1)} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        ('0x' || substr(md5(doc_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT AS h
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
     "q07_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,

@@ -47,6 +47,40 @@ object Sampling {
                  seed: String = "graft"): DataFrame =
     df.filter(hashKey(col(idCol), seed) < lit(threshold(rate)))
 
+  /** Deterministic train/val/test split assignment: each row joins the
+    * split whose cumulative-fraction interval its hash key falls in.
+    * The property that makes this THE split mechanism at 100 TB: it is
+    * a pure projection — no shuffle, no sort, no state — and the
+    * assignment of a given id never changes under re-partitioning, task
+    * retry, corpus growth, or a different executor count (the hash is
+    * engine-portable, so a reader in another system reproduces the
+    * exact same split). Fractions must sum to 1 (every row lands
+    * somewhere); interval edges are integer thresholds computed once on
+    * the driver, so there is no cross-engine float drift at the cuts. */
+  def splitAssign(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)],
+                  seed: String = "graft"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0.0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must be positive and sum to 1: $splits")
+    val cuts = splitCuts(splits)
+    val h = hashKey(col(idCol), seed)
+    // last split takes the open top interval (threshold rounding never
+    // drops a row)
+    val assign = splits.init.zip(cuts).foldRight(
+        lit(splits.last._1)) { case (((name, _), cut), rest) =>
+      when(h < lit(cut), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** The integer interval edges [[splitAssign]] compares against —
+    * public so an external oracle/reader uses the IDENTICAL literals
+    * (recomputing `threshold(0.8 + 0.1)` elsewhere can land one ulp
+    * off `threshold(0.9)` and flip a hash at the cut). */
+  def splitCuts(splits: Seq[(String, Double)]): Seq[Long] =
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(threshold)
+
   /** Exact stratified sample: within each stratum keep the
     * ceil(frac·|stratum|) rows with the smallest (hash, id) — exact
     * quota per stratum (a Bernoulli filter only hits the quota in

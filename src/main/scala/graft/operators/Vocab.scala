@@ -41,16 +41,37 @@ object Vocab {
     *                  (raise it if a single first-char slice of the
     *                  singleton tail could still swamp one task) */
   def vocabulary(docs: DataFrame, textCol: String,
-                 minCount: Long = 1L, prefixLen: Int = 1): DataFrame = {
-    require(minCount >= 1, s"minCount=$minCount must be >= 1")
-    require(prefixLen >= 1, s"prefixLen=$prefixLen must be >= 1")
-    val counts = docs
-      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+                 minCount: Long = 1L, prefixLen: Int = 1): DataFrame =
+    vocabularyFromState(tokenCountState(docs, textCol), minCount, prefixLen)
+
+  /** Mergeable token-count state: `(token, cnt)` for one corpus slice.
+    * Counts are sum-decomposable, so vocabulary maintenance is
+    * incremental for free: keep the state per ingested batch (or one
+    * rolling merged state), [[mergeTokenCountState]] on refresh, and
+    * re-rank only the merged STATE — token counting, the part that
+    * scales with corpus bytes, runs once per batch, never again over
+    * history. (The reference's create-or-replace loop would recount
+    * the whole corpus per refresh.) */
+  def tokenCountState(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= minCount)
-    rankedBy(counts, col("cnt"), descending = true,
-        substring(col("token"), 1, prefixLen),
+
+  /** Merge [[tokenCountState]] snapshots: sum-of-counts per token —
+    * exact and associative for ANY slicing of the corpus (the law
+    * VocabSpec pins: merge ≡ recount from scratch). */
+  def mergeTokenCountState(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy("token").agg(sum(col("cnt")).as("cnt"))
+
+  /** Rank a (possibly merged) token-count state into the final
+    * `(token, cnt, vocab_id)` vocabulary. */
+  def vocabularyFromState(state: DataFrame, minCount: Long = 1L,
+                          prefixLen: Int = 1): DataFrame = {
+    require(minCount >= 1, s"minCount=$minCount must be >= 1")
+    require(prefixLen >= 1, s"prefixLen=$prefixLen must be >= 1")
+    rankedBy(state.where(col("cnt") >= minCount), col("cnt"),
+        descending = true, substring(col("token"), 1, prefixLen),
         orderInBucket = col("token"), outCol = "vocab_id")
       .select("token", "cnt", "vocab_id")
   }

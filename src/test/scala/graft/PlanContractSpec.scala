@@ -483,6 +483,26 @@ class PlanContractSpec extends SparkSpec {
       s"bucket offsets must broadcast back onto the vocabulary:\n$pplan")
   }
 
+  test("q79 incremental vocab: merged state ranks without a global sort") {
+    val plan = physical(SparkEntry.queries("q79_incremental_vocab")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"histogram offsets must broadcast onto the merged state:\n$plan")
+    // the only rangepartitioning allowed is the output orderBy — never
+    // a window sort over the vocabulary itself
+    val rangeEx = plan.sliding("Exchange rangepartitioning".length)
+      .count(_ == "Exchange rangepartitioning")
+    assert(rangeEx <= 1,
+      s"a data-sized sort window leaked into the incremental rank:\n$plan")
+  }
+
+  test("q80 split assignment is a pure projection: no hash exchange, no join") {
+    val plan = physical(SparkEntry.queries("q80_split_assign")(spark, dir))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"split assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Join"),
+      s"split assignment must not join:\n$plan")
+  }
+
   test("q78 upsert merge reads only touched partitions: partition filter pinned") {
     import spark.implicits._
     val root = java.nio.file.Files

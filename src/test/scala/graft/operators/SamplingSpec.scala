@@ -207,4 +207,37 @@ class SamplingSpec extends SparkSpec {
       (2L, 1L, "c", lnRound(math.log(3.0))),
       (2L, 2L, "b", lnRound(math.log(2.0)))))
   }
+
+  test("splitAssign partitions every row; fractions approximately honored") {
+    val df = spark.range(2000).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val m = Sampling.splitAssign(df, "id", splits)
+      .groupBy("split").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(m.values.sum == 2000 && m.keySet == Set("train", "val", "test"))
+    // hash-uniformity: train ≈ 1600 within a generous tolerance
+    assert(math.abs(m("train") - 1600L) < 150,
+      s"train split far from its fraction: $m")
+  }
+
+  test("splitAssign is invariant under repartitioning and corpus growth") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def assigned(df: org.apache.spark.sql.DataFrame) =
+      Sampling.splitAssign(df, "id", splits)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val small = assigned(spark.range(500).toDF("id"))
+    val grown = assigned(spark.range(1500).toDF("id").repartition(13))
+    // a given id NEVER changes split — growth only adds assignments
+    assert(small.forall { case (id, s) => grown(id) == s })
+  }
+
+  test("splitAssign rejects fractions that do not sum to 1") {
+    val df = spark.range(10).toDF("id")
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(df, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(df, "id", Seq("a" -> 1.2, "b" -> -0.2))
+    }
+  }
 }

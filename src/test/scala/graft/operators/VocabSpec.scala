@@ -78,6 +78,25 @@ class VocabSpec extends SparkSpec {
     assert(got == Set(("a", 2L, 1L), ("b", 1L, 2L)))
   }
 
+  test("merged count states re-ranked equal the from-scratch vocabulary") {
+    val docs = corpus(nDocs = 50, seed = 3)
+    val slice = pmod(col("doc_id"), lit(3L))
+    // three-way slicing, merged pairwise-then-once (associativity) vs
+    // one merge of all three vs the from-scratch recount
+    val states = (0 until 3).map(i =>
+      Vocab.tokenCountState(docs.filter(slice === i), "text"))
+    val allAtOnce = Vocab.vocabularyFromState(
+      Vocab.mergeTokenCountState(states), minCount = 2L)
+    val pairwise = Vocab.vocabularyFromState(
+      Vocab.mergeTokenCountState(Seq(
+        Vocab.mergeTokenCountState(states.take(2)), states(2))), minCount = 2L)
+    val scratch = Vocab.vocabulary(docs, "text", minCount = 2L)
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = set(scratch)
+    assert(set(allAtOnce) == want && set(pairwise) == want && want.nonEmpty)
+  }
+
   test("rankedBy ascending assigns ids least-value-first") {
     val df = Seq(("a", 3L), ("b", 1L), ("c", 1L), ("d", 2L)).toDF("k", "v")
     val got = Vocab.rankedBy(df, col("v"), descending = false,
