@@ -1213,7 +1213,19 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Duplicated-passage removal ([[TextOps.removeDuplicatedBlocks]]):
+    * repeated 16-token blocks keep only their first corpus occurrence,
+    * documents rebuilt from surviving blocks. The passage-level sibling
+    * of q09's doc-level exact dedup — sf0.01 has ~70 repeated block
+    * texts across otherwise-distinct documents. */
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    TextOps.removeDuplicatedBlocks(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", blockTokens = 16)
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_dup_passages" -> q81,
     "q80_split_assign" -> q80,
     "q79_incremental_vocab" -> q79,
     "q78_warehouse_loop" -> q78,
@@ -2015,6 +2027,26 @@ object SparkEntry {
         |      GROUP BY token)
         |WHERE cnt >= 3
         |ORDER BY vocab_id""".stripMargin,
+    // block grid + first-occurrence window + ordered rebuild, all
+    // portable: same split, same inclusive slice, same (doc, block)
+    // tie order
+    "q81_dup_passages" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, w,
+        |        unnest(generate_series(1, greatest(len(w), 1), 16)) AS st
+        |      FROM d),
+        |b AS (SELECT doc_id, ((st - 1) // 16)::BIGINT AS block_idx,
+        |             array_to_string(w[st:st+15], ' ') AS blk
+        |      FROM s),
+        |k AS (SELECT *, row_number() OVER (
+        |        PARTITION BY blk ORDER BY doc_id, block_idx) AS rn
+        |      FROM b)
+        |SELECT doc_id,
+        |       string_agg(blk, ' ' ORDER BY block_idx) AS clean_text,
+        |       count(*) AS n_kept
+        |FROM k WHERE rn = 1
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // bit-for-bit portable split: same md5-prefix hash, same integer
     // interval edges
     "q80_split_assign" -> {

@@ -857,6 +857,56 @@ object TextOps {
           .as("n_tokens")): _*)
   }
 
+  /** Exact duplicated-PASSAGE removal at block granularity — the
+    * corpus-scalable form of exact-substring dedup (the "repeated
+    * ≥50-token passage" pass pretraining pipelines run after doc-level
+    * dedup: boilerplate, licenses, navigation chrome repeat across
+    * otherwise-distinct documents). Documents are cut into
+    * non-overlapping `blockTokens`-token blocks ([[chunkDocuments]]'
+    * codegen'd start-offset generate with overlap 0); a block text that
+    * occurs more than once in the corpus keeps only its FIRST
+    * occurrence in (doc, block) order and every other occurrence is
+    * dropped; each document is rebuilt from its kept blocks in order.
+    * Documents whose every block was dropped vanish from the output
+    * (they were pure duplicated boilerplate).
+    *
+    * Shape: one corpus-sized exchange (the per-block-text window — the
+    * same volume [[exactDedup]] shuffles) + the doc-rebuild aggregate.
+    * The window partitions by the exact block text so the result is
+    * exactly right by construction; at 100 TB partition by
+    * `hash60(block)` instead to shuffle fixed-width keys and verify the
+    * rare collision bucket exactly — same plan shape, and the verify
+    * term is collision-rate-sized. A suffix-array engine finds
+    * arbitrary-offset repeats this block grid can miss (a passage
+    * straddling two blocks); the grid trades that recall for a plan
+    * with no index build, which is the trade large pipelines take. */
+  def removeDuplicatedBlocks(docs: DataFrame, idCol: String,
+                             textCol: String,
+                             blockTokens: Int = 16): DataFrame = {
+    require(blockTokens > 0, s"blockTokens=$blockTokens must be positive")
+    val w = col("__w")
+    val blocks = docs
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        posexplode(when(w.isNotNull,
+          sequence(lit(1), greatest(size(w), lit(1)), lit(blockTokens))))
+          .as(Seq("__i", "__s")),
+        w)
+      .select(col(idCol), col("__i").cast("long").as("block_idx"),
+        concat_ws(" ", slice(w, col("__s"), lit(blockTokens))).as("__block"))
+    val firstOccurrence = row_number().over(
+      Window.partitionBy(col("__block"))
+        .orderBy(col(idCol), col("block_idx"))) === 1
+    blocks.withColumn("__keep", firstOccurrence)
+      .filter(col("__keep"))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("block_idx"), col("__block")))),
+          s => s.getField("__block"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** End-to-end training-mix corpus prep — the composition a pre-train
     * data job runs, as ONE operator with ONE shuffle:
     *

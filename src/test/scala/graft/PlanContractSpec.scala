@@ -483,6 +483,19 @@ class PlanContractSpec extends SparkSpec {
       s"bucket offsets must broadcast back onto the vocabulary:\n$pplan")
   }
 
+  test("q81 dup passages: block window + rebuild agg, no joins, no global sort") {
+    val plan = physical(graft.operators.TextOps.removeDuplicatedBlocks(
+      Tables.documents(spark, dir), "doc_id", "text", 16))
+    assert(!plan.contains("Join"),
+      s"passage dedup must be window+aggregate, never a join:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"a global sort leaked into passage dedup:\n$plan")
+    val hashEx = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx == 2,
+      s"expected the block window + doc rebuild exchanges only ($hashEx):\n$plan")
+  }
+
   test("q79 incremental vocab: merged state ranks without a global sort") {
     val plan = physical(SparkEntry.queries("q79_incremental_vocab")(spark, dir))
     assert(plan.contains("BroadcastHashJoin"),

@@ -285,6 +285,36 @@ class TextOpsSpec extends SparkSpec {
       s"bk_part partition filter missing from the pruned scan:\n$plan")
   }
 
+  test("removeDuplicatedBlocks keeps first occurrence, rebuilds in order") {
+    // doc 1: blocks [A, B]; doc 2: blocks [A, C] (A repeated — doc 2's
+    // copy must drop); doc 3: all blocks repeated → vanishes entirely
+    val a = (1 to 4).map(i => s"a$i").mkString(" ")
+    val b = (1 to 4).map(i => s"b$i").mkString(" ")
+    val c = (1 to 4).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$a $b"), (2L, s"$a $c"), (3L, s"$a $b")
+    ).toDF("doc_id", "text")
+    val got = TextOps.removeDuplicatedBlocks(docs, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, s"$a $b", 2L), (2L, c, 1L)),
+      s"got $got")
+  }
+
+  test("removeDuplicatedBlocks with no repeats is the identity") {
+    val docs = Seq((1L, "x1 x2 x3"), (2L, "y1 y2")).toDF("doc_id", "text")
+    val got = TextOps.removeDuplicatedBlocks(docs, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "x1 x2 x3"), (2L, "y1 y2")))
+  }
+
+  test("removeDuplicatedBlocks drops an intra-doc repeat too") {
+    val blk = "r1 r2 r3 r4"
+    val docs = Seq((5L, s"$blk $blk tail")).toDF("doc_id", "text")
+    val got = TextOps.removeDuplicatedBlocks(docs, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((5L, s"$blk tail", 2L)))
+  }
+
   test("pruned store with an empty batch reads nothing and yields nothing") {
     val corpus = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
     val tmp = java.nio.file.Files
