@@ -1224,7 +1224,20 @@ object SparkEntry {
         "doc_id", "text", blockTokens = 16)
       .orderBy("doc_id")
 
+  /** Per-source frequency cap ([[Sampling.stratumCap]]): at most N
+    * documents per source, smallest (hash, id) kept — the "no single
+    * domain dominates the corpus" pass. Overrides exercise all paths:
+    * src3 capped above its size (keeps everything), src7 capped at 0
+    * (drops entirely), everyone else at the default. */
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratumCap(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "source", "doc_id", defaultCap = 10L,
+        caps = Map("src3" -> 100L, "src7" -> 0L), seed = SampleSeed)
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_source_cap" -> q82,
     "q81_dup_passages" -> q81,
     "q80_split_assign" -> q80,
     "q79_incremental_vocab" -> q79,
@@ -2027,6 +2040,19 @@ object SparkEntry {
         |      GROUP BY token)
         |WHERE cnt >= 3
         |ORDER BY vocab_id""".stripMargin,
+    // cap = keep the rows ranked ≤ cap in (hash, id) order per source;
+    // rn ≤ cap ≡ rn ≤ least(n, cap) since rn never exceeds n
+    "q82_source_cap" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+         |                    doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= CASE source WHEN 'src3' THEN 100
+         |                        WHEN 'src7' THEN 0
+         |                        ELSE 10 END
+         |ORDER BY doc_id""".stripMargin,
     // block grid + first-occurrence window + ordered rebuild, all
     // portable: same split, same inclusive slice, same (doc, block)
     // tie order

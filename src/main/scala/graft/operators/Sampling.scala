@@ -131,6 +131,47 @@ object Sampling {
     val fracCol = fracs.foldLeft(lit(defaultFrac)) { case (acc, (k, v)) =>
       when(col(stratumCol) === k, lit(v)).otherwise(acc)
     }
+    takeSmallestByHash(df, stratumCol, idCol,
+      total => ceil(fracCol * total), seed, boundaryShift)
+  }
+
+  /** Per-stratum frequency CAP: keep at most `cap` rows per stratum —
+    * the "max N documents per domain" pass a crawl-derived corpus runs
+    * so no single site dominates training (the absolute-count sibling
+    * of [[stratifiedSample]]'s fractional quota; a fraction can't
+    * express "never more than 10k docs from one domain" when domain
+    * sizes span six orders of magnitude). Deterministic: keeps the cap
+    * rows with the smallest (hash, id) per stratum, so growing the
+    * corpus only ever REPLACES kept rows with smaller-hash arrivals,
+    * never reshuffles the survivors arbitrarily. Same two-phase
+    * skew-proof machinery — a billion-row domain is histogrammed, never
+    * sorted whole; a cap of 0 drops the stratum. */
+  def stratumCap(df: DataFrame, stratumCol: String, idCol: String,
+                 defaultCap: Long, caps: Map[String, Long] = Map.empty,
+                 seed: String = "graft",
+                 boundaryShift: Int = 50): DataFrame = {
+    (defaultCap +: caps.values.toSeq).foreach(c =>
+      require(c >= 0, s"cap $c must be non-negative"))
+    require(boundaryShift >= 30 && boundaryShift <= 59,
+      s"boundaryShift=$boundaryShift outside [30, 59]")
+    val capCol = caps.foldLeft(lit(defaultCap)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    takeSmallestByHash(df, stratumCol, idCol,
+      total => least(total, capCol), seed, boundaryShift)
+  }
+
+  /** Shared two-phase engine of [[stratifiedSample]] / [[stratumCap]]:
+    * keep, per stratum, the `quota(stratumTotal)` rows with the
+    * smallest (hash, id). Phase 1 histograms hash buckets and finds the
+    * one boundary bucket where the quota lands; phase 2 keeps earlier
+    * buckets outright and exact-ranks only the boundary bucket. See
+    * [[stratifiedSample]]'s scaladoc for the full scale rationale and
+    * the determinism contract on `df`. */
+  private def takeSmallestByHash(df: DataFrame, stratumCol: String,
+                                 idCol: String, quota: Column => Column,
+                                 seed: String,
+                                 boundaryShift: Int): DataFrame = {
     // a null id hashes to null; the single-window form sorted nulls
     // FIRST, selecting them ahead of every real hash. Coalescing to -1
     // reproduces that exactly (every real key is ≥ 0, and -1 >> shift
@@ -148,9 +189,9 @@ object Sampling {
       .agg(count(lit(1)).as("__cnt"))
       .withColumn(stratumCol, col("__s"))
       .withColumn("__cum", cum)
-      .withColumn("__quota", ceil(fracCol * sum(col("__cnt")).over(byStratum)))
+      .withColumn("__quota", quota(sum(col("__cnt")).over(byStratum)))
       // the unique bucket containing the quota-th smallest hash; strata
-      // with quota 0 (frac = 0) match no bucket and drop in the join
+      // with quota 0 (frac/cap = 0) match no bucket and drop in the join
       .filter(col("__cum") >= col("__quota") &&
         col("__cum") - col("__cnt") < col("__quota"))
       .select(col("__s"), col("__b").as("__bb"),

@@ -231,6 +231,27 @@ class SamplingSpec extends SparkSpec {
     assert(small.forall { case (id, s) => grown(id) == s })
   }
 
+  test("stratumCap equals the single-window reference; 0 drops, big cap keeps all") {
+    import org.apache.spark.sql.expressions.Window
+    val caps = Map("s1" -> 1000L, "s2" -> 0L)
+    val df = (1 to 300).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "src")
+    // reference: rank the whole stratum in one window, cut at the cap
+    val capCol = caps.foldLeft(lit(7L)) { case (acc, (k, v)) =>
+      when(col("src") === k, lit(v)).otherwise(acc)
+    }
+    val ranked = Window.partitionBy(col("src"))
+      .orderBy(Sampling.hashKey(col("id"), "graft"), col("id"))
+    val want = df.withColumn("__rn", row_number().over(ranked))
+      .filter(col("__rn") <= capCol).drop("__rn")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = Sampling.stratumCap(df, "src", "id", defaultCap = 7L, caps)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    assert(!got.exists(_._2 == "s2"), "cap 0 must drop the stratum")
+    assert(got.count(_._2 == "s1") == 100, "cap above size must keep all")
+    assert(got.count(_._2 == "s0") == 7, "default cap must bind")
+  }
+
   test("splitAssign rejects fractions that do not sum to 1") {
     val df = spark.range(10).toDF("id")
     intercept[IllegalArgumentException] {
