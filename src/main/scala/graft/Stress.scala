@@ -70,6 +70,26 @@ object Stress {
         "stratum", "doc_id", defaultFrac = 0.1,
         fracs = Map("rare" -> 0.9)).count()
     }
+    // duplicate-storm passage removal: every clique shares its prefix
+    // blocks, so the block window sees maximal duplication pressure —
+    // ~94% of blocks drop at 20×
+    time("removeDuplicatedBlocks") {
+      TextOps.removeDuplicatedBlocks(big, "doc_id", "text", 16).count()
+    }
+    // vocabulary over the storm corpus: the decomposed rank must stay
+    // histogram-bound as token volume scales with the corpus
+    time("vocabulary") {
+      graft.operators.Vocab.vocabulary(big, "text", minCount = 2L).count()
+    }
+    // per-source cap under the same hot-stratum skew: the capped probe
+    // histograms the hot domain, never sorts it in one task
+    time("stratumCap(hot)") {
+      graft.operators.Sampling.stratumCap(
+        big.select(col("doc_id"),
+          when(col("doc_id") % 1000 === 0, lit("rare"))
+            .otherwise(lit("hot")).as("stratum")),
+        "stratum", "doc_id", defaultCap = 10000L).count()
+    }
 
     }
 
