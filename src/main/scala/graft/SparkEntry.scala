@@ -1236,7 +1236,35 @@ object SparkEntry {
         caps = Map("src3" -> 100L, "src7" -> 0L), seed = SampleSeed)
       .orderBy("doc_id")
 
+  /** Incremental IVF maintenance ([[Similarity.appendToIvfIndex]]):
+    * the index is built (seeded centroids, iters=0 — q37's
+    * deterministic convention) over history only, persisted, and the
+    * batch (vec_id % 10 == 0) is APPENDED by assigning it to the frozen
+    * centroids — no retraining, no history rewrite. Queries probe the
+    * updated index. Oracle assigns everything in one pass against the
+    * same centroids: append-then-probe ≡ assign-all-at-once, the exact
+    * law frozen-centroid assignment guarantees. */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q83" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-$tag"
+    val e = Tables.embeddings(s, dir)
+    val isNew = col("vec_id") % 10 === 0
+    if (!new java.io.File(path).exists()) {
+      Similarity.writeIvfIndex(
+        Similarity.buildIvfIndex(e.filter(!isNew), "vec_id", "embedding",
+          nCentroids = 16, iters = 0), path)
+      Similarity.appendToIvfIndex(s, path, e.filter(isNew),
+        "vec_id", "embedding")
+    }
+    Similarity.probeIvfIndex(Similarity.readIvfIndex(s, path),
+        e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_ivf_append" -> q83,
     "q82_source_cap" -> q82,
     "q81_dup_passages" -> q81,
     "q80_split_assign" -> q80,
@@ -1534,15 +1562,17 @@ object SparkEntry {
   /** q37 oracle: full replay of the deterministic-quantizer IVF probe —
     * seed centroids (smallest ids), rounded-cosine argmax assignment,
     * nProbe nearest lists per query, exact rerank. */
-  private def annIvfOracle(nCentroids: Int, nProbe: Int, k: Int): String =
+  private def annIvfOracle(nCentroids: Int, nProbe: Int, k: Int,
+                           centPred: String = "TRUE",
+                           queryPred: String = "vec_id % 50 = 0"): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-       |cent AS (SELECT vec_id AS centroid_id, v AS cvec FROM e ORDER BY vec_id LIMIT $nCentroids),
+       |cent AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE $centPred ORDER BY vec_id LIMIT $nCentroids),
        |asg AS (SELECT e.vec_id, cent.centroid_id,
        |          row_number() OVER (PARTITION BY e.vec_id
        |            ORDER BY ${sqlCosine("e.v", "cent.cvec")} DESC, cent.centroid_id) AS rn
        |        FROM e, cent),
        |idx AS (SELECT vec_id AS neighbor_id, centroid_id FROM asg WHERE rn = 1),
-       |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id % 50 = 0),
+       |q AS (SELECT vec_id AS query_id, v FROM e WHERE $queryPred),
        |pr AS (SELECT q.query_id, cent.centroid_id,
        |         row_number() OVER (PARTITION BY q.query_id
        |           ORDER BY ${sqlCosine("q.v", "cent.cvec")} DESC, cent.centroid_id) AS rn
@@ -1591,6 +1621,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q36_ann_lsh" -> annLshOracle(nPlanes = 4, nTables = 8, k = 10),
     "q37_ann_ivf" -> annIvfOracle(nCentroids = 16, nProbe = 4, k = 10),
+    // centroids seeded from HISTORY only; every row (history + batch)
+    // assigned against them in one pass — must equal append-then-probe
+    "q83_ivf_append" -> annIvfOracle(nCentroids = 16, nProbe = 4, k = 10,
+      centPred = "vec_id % 10 != 0", queryPred = "vec_id % 100 = 0"),
     "q51_cosine_dedup_pairs" -> cosinePairsOracle(nTables = 16, threshold = 0.35),
     "q52_redact_pii" -> {
       val email = TextOps.EmailRe // RE2-safe: classes + bounded reps only

@@ -235,6 +235,31 @@ object Similarity {
     IvfIndex(spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/index"))
 
+  /** Incrementally append a batch to a persisted IVF index: assign the
+    * new vectors to the index's FROZEN centroids and append their
+    * inverted-list rows into the matching centroid partitions. No
+    * retraining, no rewrite of history lists — per-increment cost is
+    * O(batch × nCentroids) assignment plus an append into the touched
+    * partition directories (the reference's pattern would rebuild the
+    * whole index per refresh). The correctness law is exact, not
+    * approximate: assignment is a pure per-row function of the frozen
+    * centroids, so append-then-probe ≡ assign-everything-at-once-then-
+    * probe (SimilaritySpec pins it; q83's oracle certifies it
+    * end-to-end). The honest trade: frozen centroids drift stale as the
+    * embedding distribution shifts — list sizes skew and recall sags —
+    * so production retrains on a cadence (a rebuild, amortized over
+    * thousands of appends), never per batch. */
+  def appendToIvfIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                       batch: DataFrame, idCol: String,
+                       vecCol: String): Unit = {
+    val centroids = s.read.parquet(s"$path/centroids")
+    assignToCentroid(batch, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/index")
+  }
+
   /** Probe a built index: `nProbe` nearest centroid lists per query,
     * exact rerank within them. No training happens here — the plan is a
     * broadcast join against the inverted lists (pinned by

@@ -140,6 +140,35 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("posexplode"), plan.take(500))
   }
 
+  test("IVF append: assign-to-frozen-centroids then probe equals one-pass assignment") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isNew = col("vec_id") % 10 === 0
+    val q = e.filter(col("vec_id") % 100 === 0)
+    // incremental: build over history, append the batch
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(e.filter(!isNew), "vec_id", "embedding",
+        nCentroids = 8, iters = 0), dir)
+    Similarity.appendToIvfIndex(spark, dir, e.filter(isNew),
+      "vec_id", "embedding")
+    val inc = Similarity.probeIvfIndex(Similarity.readIvfIndex(spark, dir),
+        q, "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(_.toString).sorted
+    // one pass: same frozen (history-trained) centroids, all rows
+    // assigned at once
+    val centroids = Similarity.trainIvfCentroids(e.filter(!isNew),
+      "vec_id", "embedding", nCentroids = 8, iters = 0)
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf-onepass").toString
+    centroids.write.mode("overwrite").parquet(s"$dir2/centroids")
+    Similarity.appendToIvfIndex(spark, dir2, e, "vec_id", "embedding")
+    val onePass = Similarity.probeIvfIndex(Similarity.readIvfIndex(spark, dir2),
+        q, "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(_.toString).sorted
+    assert(inc.sameElements(onePass) && inc.nonEmpty)
+    // the appended index covers the whole corpus exactly once
+    assert(spark.read.parquet(s"$dir/index").count() == e.count())
+  }
+
   test("cosineDedupPairs finds planted duplicates") {
     val pairs = Similarity.cosineDedupPairs(vecs, "vec_id", "embedding",
       threshold = 0.99, nPlanes = 2)
