@@ -1263,7 +1263,22 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Grouped top-k ([[Stats.topKPerGroup]]): the 3 highest-quality
+    * documents per source — the per-domain shortlist shape (best docs
+    * per site, top products per category). Quality is the oracled q16
+    * surface; rank order ends in doc_id so the kept set is a total
+    * order. The plan is the scale story: WindowGroupLimit pre-prunes
+    * each map task to its local top-3 before the exchange (pinned). */
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    Stats.topKPerGroup(
+        TextOps.qualityScore(Tables.documents(s, dir), "doc_id", "text",
+            passthrough = Seq("source"))
+          .select("doc_id", "source", "quality_score"),
+        "source", 3, Seq(col("quality_score").desc, col("doc_id")))
+      .orderBy("source", "rank")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_grouped_topk" -> q84,
     "q83_ivf_append" -> q83,
     "q82_source_cap" -> q82,
     "q81_dup_passages" -> q81,
@@ -2074,6 +2089,31 @@ object SparkEntry {
         |      GROUP BY token)
         |WHERE cnt >= 3
         |ORDER BY vocab_id""".stripMargin,
+    // q16's exact quality expression + a per-source rank cut at 3
+    "q84_grouped_topk" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |         len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |         round(length(text) * 1.0 / len(string_split(text, ' ')), 6) AS mean_token_len,
+        |         round(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0
+        |               / length(text), 6) AS punct_ratio,
+        |         round(len(list_filter(string_split(lower(text), ' '),
+        |                 t -> list_contains(['the','a','of','and','to','in','is','that'], t)))
+        |               * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio
+        |  FROM documents),
+        |s AS (SELECT doc_id, source,
+        |        (CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0 END)
+        |          + (CASE WHEN mean_token_len BETWEEN 3 AND 12 THEN 0.25 ELSE 0 END)
+        |          + (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0 END)
+        |          + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0 END) AS quality_score
+        |      FROM f),
+        |r AS (SELECT doc_id, source, quality_score,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY quality_score DESC, doc_id) AS rank
+        |      FROM s)
+        |SELECT doc_id, source, quality_score, rank
+        |FROM r WHERE rank <= 3
+        |ORDER BY source, rank""".stripMargin,
     // cap = keep the rows ranked ≤ cap in (hash, id) order per source;
     // rn ≤ cap ≡ rn ≤ least(n, cap) since rn never exceeds n
     "q82_source_cap" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution statistics for quality-gating a corpus: exact grouped
@@ -33,6 +34,22 @@ object Stats {
   /** One row per group: `p<NN>` columns with the exact interpolated
     * quantile of `valCol`, rounded to 6 decimals (cross-engine float
     * parity). */
+  /** Exact top-k rows per group in `ordering` order, `rank` appended.
+    * The ordering must reach a total order (end it with a unique id)
+    * or the kept set is nondeterministic. Scale note: Spark's
+    * rank-limit pushdown rewrites the `row_number ≤ k` filter into
+    * `WindowGroupLimit`, so each map task pre-prunes to its LOCAL
+    * top-k before the exchange — the shuffle carries ≤ k rows per
+    * (task, group), never the group. That is what makes grouped top-k
+    * survive a billion-row group; pinned in PlanContractSpec. */
+  def topKPerGroup(df: DataFrame, groupCol: String, k: Int,
+                   ordering: Seq[Column]): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    df.withColumn("rank", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(ordering: _*)).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def groupedQuantiles(df: DataFrame, groupCol: String, valCol: String,
                        ps: Seq[Double]): DataFrame = {
     val aggs = ps.zip(quantileNames(ps)).map { case (p, name) =>

@@ -591,9 +591,11 @@ object TextOps {
     * stopword ratio). Per-row expressions only; the stopword count runs
     * through the codegen'd `token_set_counts` kernel (no interpreted
     * HOF lambda on the hot path). */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+                   passthrough: Seq[String] = Nil): DataFrame = {
     TextHashFunctions.register(docs.sparkSession)
-    docs.select(col(idCol) +: qualityFeatureCols(col(textCol)): _*)
+    docs.select(col(idCol) +: passthrough.map(col) ++:
+        qualityFeatureCols(col(textCol)): _*)
       .withColumn("quality_score", qualityScoreCol)
   }
 

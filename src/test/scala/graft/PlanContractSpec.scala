@@ -483,6 +483,14 @@ class PlanContractSpec extends SparkSpec {
       s"bucket offsets must broadcast back onto the vocabulary:\n$pplan")
   }
 
+  test("q84 grouped top-k: rank limit pushes down to a map-side WindowGroupLimit") {
+    val plan = physical(SparkEntry.queries("q84_grouped_topk")(spark, dir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k not pushed below the window exchange — whole groups would shuffle:\n$plan")
+    assert(!plan.contains("Join"),
+      s"grouped top-k must not join:\n$plan")
+  }
+
   test("q81 dup passages: block window + rebuild agg, no joins, no global sort") {
     val plan = physical(graft.operators.TextOps.removeDuplicatedBlocks(
       Tables.documents(spark, dir), "doc_id", "text", 16))

@@ -85,4 +85,20 @@ class StatsSpec extends SparkSpec {
     assert(out.values.forall(t => t._2 && t._3),
       s"sketch outside tolerance: $out")
   }
+
+  test("topKPerGroup equals the per-group sorted take; small groups keep all") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i => (i.toLong, s"g${i % 5}", (i * 37 % 101).toDouble)) ++
+      Seq((900L, "tiny", 1.0), (901L, "tiny", 2.0))
+    val df = rows.toDF("id", "grp", "v")
+    val got = Stats.topKPerGroup(df, "grp", 3,
+        Seq(col("v").desc, col("id")))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3))).toSet
+    val want = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      rs.sortBy(t => (-t._3, t._1)).take(3).zipWithIndex
+        .map { case ((id, _, _), i) => (g, id, (i + 1).toLong) }
+    }.toSet
+    assert(got == want)
+    assert(got.count(_._1 == "tiny") == 2, "k past group size keeps the whole group")
+  }
 }
