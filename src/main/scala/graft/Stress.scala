@@ -244,6 +244,45 @@ object Stress {
     println(s"[stress] pruned probe reads $keptParts/$parts partitions, " +
       s"$kept of ${n * 16} store rows")
 
+    // IVF maintenance: rebuild assigns the WHOLE corpus to centroids
+    // per refresh (O(n·C) kernel calls); append assigns the batch only
+    // (O(batch·C)) — the embedding-index sibling of the signature-store
+    // contrast above. Same storm construction as the embed mode.
+    import graft.operators.Similarity
+    val evec = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .crossJoin(spark.range(factor).select(col("id").as("copy")))
+      .select((col("vec_id") * factor + col("copy")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> double(x) + 0.003 * (pmod(copy * 31 + i, 7) - 3))")
+          .as("embedding"))
+      .localCheckpoint(true)
+    val nv = evec.count()
+    val vHi = 5000L * factor
+    val vBatch = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select((col("vec_id") + lit(vHi)).as("vec_id"),
+        expr("transform(embedding, x -> double(x))").as("embedding"))
+      .localCheckpoint(true)
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft-stress-ivf").toString
+    Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+      evec, "vec_id", "embedding", nCentroids = 64, iters = 0), ivfDir)
+    println(s"[stress] ivf index: $nv vectors, 64 lists (amortized ingest)")
+    // both cells pay what a refresh actually pays: assignment + the
+    // index WRITE — rebuild assigns and persists the whole corpus,
+    // append assigns and persists the batch partitions only
+    time("ivf full rebuild") {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-stress-ivf-rebuild").toString
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(
+        evec.unionByName(vBatch), "vec_id", "embedding",
+        nCentroids = 64, iters = 0), d)
+      nv + 5000L
+    }
+    time("ivf append") {
+      Similarity.appendToIvfIndex(spark, ivfDir, vBatch,
+        "vec_id", "embedding")
+      5000L
+    }
+
     // exact aggregate state over factor× events + a one-copy increment
     val ev = Tables.events(spark, "/root/testdata/sf0.1")
       .select(col("event_id"), col("event_type"), col("user_id"),
