@@ -77,9 +77,14 @@ object Sampling {
   /** The integer interval edges [[splitAssign]] compares against —
     * public so an external oracle/reader uses the IDENTICAL literals
     * (recomputing `threshold(0.8 + 0.1)` elsewhere can land one ulp
-    * off `threshold(0.9)` and flip a hash at the cut). */
+    * off `threshold(0.9)` and flip a hash at the cut). The cumulative
+    * sum is clamped into [0, 1]: fractions that sum to 1.0 within
+    * tolerance can still accumulate to 1.0 + 1 ulp, which would
+    * otherwise throw in [[threshold]] (found by the PropertiesSpec
+    * law over random fraction vectors). */
   def splitCuts(splits: Seq[(String, Double)]): Seq[Long] =
-    splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(threshold)
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => threshold(math.min(1.0, math.max(0.0, c))))
 
   /** Exact stratified sample: within each stratum keep the
     * ceil(frac·|stratum|) rows with the smallest (hash, id) — exact

@@ -84,7 +84,7 @@ object Vocab {
     * window orderings. `bucketSub` splits ties of the leading key into
     * parallel slices and must be a PREFIX of `orderInBucket`'s order
     * (bucket boundaries may not interleave the in-bucket order). */
-  private[operators] def rankedBy(df: DataFrame, bucketVal: Column,
+  private[graft] def rankedBy(df: DataFrame, bucketVal: Column,
                                   descending: Boolean,
                                   bucketSub: Column, orderInBucket: Column,
                                   outCol: String): DataFrame = {

@@ -229,6 +229,55 @@ class PropertiesSpec extends SparkSpec {
     assert(bucketized == theta && theta.nonEmpty)
   }
 
+  test("splitCuts partition the hash space for any valid fractions (property)") {
+    import graft.operators.Sampling
+    // random split vectors: 2-6 positive fractions normalized to sum 1
+    val fracsGen = for {
+      n <- Gen.choose(2, 6)
+      raw <- Gen.listOfN(n, Gen.choose(1, 1000))
+    } yield {
+      val total = raw.sum.toDouble
+      raw.map(_ / total)
+    }
+    check(Prop.forAll(fracsGen) { fs =>
+      // shrinking can hand back out-of-contract vectors ([0.0]) — the
+      // contract is the generator's, so vacuously pass those
+      val valid = fs.size >= 2 && fs.forall(_ > 0.0) &&
+        math.abs(fs.sum - 1.0) < 1e-9
+      !valid || {
+        val cuts = Sampling.splitCuts(fs.zipWithIndex.map { case (f, i) => (s"s$i", f) })
+        // strictly increasing (no empty split can swallow another) and
+        // the last cut covers the whole space up to float accumulation:
+        // one ulp near 1.0 is ~2^60 × 2.2e-16 ≈ 256 hash units, and the
+        // cumulative sum can be a few ulps off per term
+        cuts.zip(cuts.tail).forall { case (a, b) => a < b } &&
+          math.abs(cuts.last - Sampling.threshold(1.0)) <= 1024L * fs.size
+      }
+    })
+  }
+
+  test("rankedBy ≡ naive global row_number for random values (seeded Spark check)") {
+    import graft.operators.Vocab
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(17)
+    for (descending <- Seq(true, false); trial <- 1 to 2) {
+      // heavy value ties (values 0-6) exercise the bucket-sub tie-break
+      val rows = (1 to 300).map { i =>
+        (f"k${rnd.nextInt(1000)}%03d-$i", rnd.nextInt(7).toLong)
+      }
+      val df = rows.toDF("k", "v")
+      val b1 = if (descending) col("__n1").desc else col("__n1").asc
+      val naive = df.withColumn("__n1", col("v"))
+        .withColumn("id", row_number().over(Window.orderBy(b1, col("k"))).cast("long"))
+        .select("k", "v", "id")
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      val got = Vocab.rankedBy(df, col("v"), descending,
+          substring(col("k"), 1, 2), orderInBucket = col("k"), outCol = "id")
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      assert(got == naive, s"descending=$descending trial=$trial diverged")
+    }
+  }
+
   test("minhash signature agreement tracks true jaccard (statistical)") {
     val rnd = new scala.util.Random(31)
     val base = (0 until 60).map(i => s"w$i")
