@@ -1277,7 +1277,22 @@ object SparkEntry {
         "source", 3, Seq(col("quality_score").desc, col("doc_id")))
       .orderBy("source", "rank")
 
+  /** BM25 retrieval ([[TextOps.bm25TopK]]): every 100th document's
+    * first five tokens become a query; top-10 documents per query by
+    * exact decimal-summed BM25. The query doc itself ranking first is
+    * expected (it contains its own terms) and deterministic. */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("qtext"))
+    TextOps.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_bm25_topk" -> q85,
     "q84_grouped_topk" -> q84,
     "q83_ivf_append" -> q83,
     "q82_source_cap" -> q82,
@@ -2089,6 +2104,41 @@ object SparkEntry {
         |      GROUP BY token)
         |WHERE cnt >= 3
         |ORDER BY vocab_id""".stripMargin,
+    // full BM25 replay: same pruned postings, same idf/tf math, term
+    // contributions rounded to 6 dp and summed as DECIMAL so score and
+    // rank are exact in both engines
+    "q85_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |stats AS (SELECT count(*)::DOUBLE AS n, avg(len(w))::DOUBLE AS avgdl FROM d),
+        |q AS (SELECT doc_id AS query_id, w[1:5] AS qw FROM d WHERE doc_id % 100 = 0),
+        |qterm AS (SELECT DISTINCT query_id, term
+        |          FROM (SELECT query_id, unnest(qw) AS term FROM q)
+        |          WHERE len(term) > 0),
+        |tok AS (SELECT doc_id, len(w)::DOUBLE AS dl, unnest(w) AS term FROM d),
+        |toks AS (SELECT * FROM tok
+        |         WHERE len(term) > 0
+        |           AND term IN (SELECT DISTINCT term FROM qterm)),
+        |post AS (SELECT doc_id, term, count(*)::DOUBLE AS tf, min(dl) AS dl
+        |         FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+        |sc AS (SELECT qt.query_id, p.doc_id,
+        |         sum(CAST(round(
+        |           ln((stats.n - f.df + 0.5) / (f.df + 0.5) + 1)
+        |             * p.tf * (1.2 + 1)
+        |             / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / stats.avgdl)),
+        |           6) AS DECIMAL(18,6))) AS s
+        |       FROM post p
+        |       JOIN qterm qt USING (term)
+        |       JOIN dfreq f USING (term), stats
+        |       GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id,
+        |        CAST(CAST(s AS VARCHAR) AS DOUBLE) AS score,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY s DESC, doc_id) AS rank
+        |      FROM sc)
+        |SELECT query_id, rank, doc_id, score
+        |FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     // q16's exact quality expression + a per-source rank cut at 3
     "q84_grouped_topk" ->
       """WITH f AS (

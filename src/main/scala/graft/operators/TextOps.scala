@@ -859,6 +859,65 @@ object TextOps {
           .as("n_tokens")): _*)
   }
 
+  /** BM25 top-k retrieval: score every document against every query by
+    * Okapi BM25 over whitespace terms and keep the k best per query —
+    * the lexical-retrieval pass training pipelines run for eval-set
+    * decontamination and hard-negative mining (q44's contamination
+    * check asks "does an n-gram leak?"; this asks "WHICH documents
+    * match this query, ranked?").
+    *
+    * Scale shape: the corpus is exploded into term postings ONCE, then
+    * immediately pruned by a BROADCAST semi-join on the query-term set
+    * — every aggregate downstream (per-(doc, term) tf, per-term df,
+    * the final per-(query, doc) sum) runs on query-term-sized data,
+    * never the full posting list. Corpus-level stats (N, avg doc
+    * length) come from one non-exploded pass and ride along as a
+    * broadcast scalar row. Per-term contributions are rounded to 6 dp
+    * and summed as DECIMAL, so the score — and therefore the ranking —
+    * is exact and order-independent across engines (the q07/q74 money
+    * discipline applied to relevance). Query-term multiplicity is
+    * ignored (qtf = 1, the common simplification). At 100 TB with a
+    * standing query workload, persist the postings bucketed by term
+    * (q66's pay-once layout) and this becomes an index probe instead
+    * of a scan. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, queryIdCol: String, queryTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0 && k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k=$k k1=$k1 b=$b")
+    val d = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
+    val stats = d.agg(count(lit(1)).cast("double").as("__n"),
+      avg(size(col("__w")).cast("double")).as("__avgdl"))
+    val qterm = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(tokens(col(queryTextCol))).as("term"))
+      .where(length(col("term")) > 0).distinct()
+    val tok = d
+      .select(col("doc_id"), size(col("__w")).cast("double").as("__dl"),
+        explode(col("__w")).as("term"))
+      .where(length(col("term")) > 0)
+      // prune the exploded stream to query terms BEFORE any aggregate
+      .join(broadcast(qterm.select("term").distinct()), Seq("term"))
+    val post = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("__tf"), min(col("__dl")).as("__dl"))
+    val dfreq = post.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val scored = post
+      .join(broadcast(qterm), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1))
+      .withColumn("__c", round(
+        col("__idf") * col("__tf") * lit(k1 + 1) /
+          (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))), 6))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c").cast("decimal(18,6)")).cast("decimal(28,6)").as("__s"))
+    Stats.topKPerGroup(scored, "query_id", k,
+        Seq(col("__s").desc, col("doc_id")))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("__s").cast("double").as("score"))
+  }
+
   /** Exact duplicated-PASSAGE removal at block granularity — the
     * corpus-scalable form of exact-substring dedup (the "repeated
     * ≥50-token passage" pass pretraining pipelines run after doc-level

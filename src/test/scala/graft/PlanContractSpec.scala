@@ -483,6 +483,16 @@ class PlanContractSpec extends SparkSpec {
       s"bucket offsets must broadcast back onto the vocabulary:\n$pplan")
   }
 
+  test("q85 bm25: postings pruned by broadcast, no sort-merge, rank-limited") {
+    val plan = physical(SparkEntry.queries("q85_bm25_topk")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term prune must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a corpus-sized join crept into retrieval:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k not rank-limit-pushed:\n$plan")
+  }
+
   test("q84 grouped top-k: rank limit pushes down to a map-side WindowGroupLimit") {
     val plan = physical(SparkEntry.queries("q84_grouped_topk")(spark, dir))
     assert(plan.contains("WindowGroupLimit"),

@@ -315,6 +315,30 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq((5L, s"$blk tail", 2L)))
   }
 
+  test("bm25TopK matches the hand-computed formula on a tiny corpus") {
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry date egg")).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple cherry")).toDF("qid", "qtext")
+    val got = TextOps.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 3)
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getDouble(3))).toSet
+    // hand computation, same constants k1=1.2 b=0.75
+    val n = 3.0; val avgdl = 8.0 / 3.0
+    def idf(df: Double) = math.log((n - df + 0.5) / (df + 0.5) + 1)
+    def contrib(df: Double, tf: Double, dl: Double) =
+      math.rint(idf(df) * tf * 2.2 /
+        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6) / 1e6
+    val d1 = contrib(1, 2, 3)           // apple in doc 1
+    val d2 = contrib(2, 1, 2)           // cherry in doc 2
+    val d3 = contrib(2, 1, 3)           // cherry in doc 3
+    // cherry in the shorter doc 2 outranks doc 3; apple's rarity wins
+    val expected = Seq((1L, d1), (2L, d2), (3L, d3))
+      .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, s), i) => (id, (i + 1).toLong, s) }.toSet
+    assert(got == expected, s"got $got want $expected")
+  }
+
   test("pruned store with an empty batch reads nothing and yields nothing") {
     val corpus = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
     val tmp = java.nio.file.Files
