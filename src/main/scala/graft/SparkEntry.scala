@@ -1291,7 +1291,29 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Indexed BM25 ([[TextOps.bm25TopKIndexed]]): q85 against a
+    * persisted posting index — the query batch's term-hash partition
+    * set prunes the postings/dfreq read to matching directories.
+    * Same oracle as q85: the index changes what is READ, never what
+    * is computed. */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q86" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-postidx-$tag"
+    val parts = 16
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    if (!new java.io.File(path).exists())
+      TextOps.writePostingIndex(docs, "doc_id", "text", path, parts)
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("qtext"))
+    TextOps.bm25TopKIndexed(s, path, parts, queries, "query_id", "qtext",
+        k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_bm25_indexed" -> q86,
     "q85_bm25_topk" -> q85,
     "q84_grouped_topk" -> q84,
     "q83_ivf_append" -> q83,
@@ -1647,6 +1669,40 @@ object SparkEntry {
        |                JOIN e eb ON eb.vec_id = cand.id_b)
        |SELECT id_a, id_b, cosine FROM s WHERE cosine >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Shared by q85 (direct) and q86 (indexed): the full BM25 replay. */
+  private val bm25Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |stats AS (SELECT count(*)::DOUBLE AS n, avg(len(w))::DOUBLE AS avgdl FROM d),
+      |q AS (SELECT doc_id AS query_id, w[1:5] AS qw FROM d WHERE doc_id % 100 = 0),
+      |qterm AS (SELECT DISTINCT query_id, term
+      |          FROM (SELECT query_id, unnest(qw) AS term FROM q)
+      |          WHERE len(term) > 0),
+      |tok AS (SELECT doc_id, len(w)::DOUBLE AS dl, unnest(w) AS term FROM d),
+      |toks AS (SELECT * FROM tok
+      |         WHERE len(term) > 0
+      |           AND term IN (SELECT DISTINCT term FROM qterm)),
+      |post AS (SELECT doc_id, term, count(*)::DOUBLE AS tf, min(dl) AS dl
+      |         FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+      |sc AS (SELECT qt.query_id, p.doc_id,
+      |         sum(CAST(round(
+      |           ln((stats.n - f.df + 0.5) / (f.df + 0.5) + 1)
+      |             * p.tf * (1.2 + 1)
+      |             / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / stats.avgdl)),
+      |           6) AS DECIMAL(18,6))) AS s
+      |       FROM post p
+      |       JOIN qterm qt USING (term)
+      |       JOIN dfreq f USING (term), stats
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id,
+      |        CAST(CAST(s AS VARCHAR) AS DOUBLE) AS score,
+      |        row_number() OVER (PARTITION BY query_id
+      |          ORDER BY s DESC, doc_id) AS rank
+      |      FROM sc)
+      |SELECT query_id, rank, doc_id, score
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q36_ann_lsh" -> annLshOracle(nPlanes = 4, nTables = 8, k = 10),
@@ -2106,39 +2162,10 @@ object SparkEntry {
         |ORDER BY vocab_id""".stripMargin,
     // full BM25 replay: same pruned postings, same idf/tf math, term
     // contributions rounded to 6 dp and summed as DECIMAL so score and
-    // rank are exact in both engines
-    "q85_bm25_topk" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |stats AS (SELECT count(*)::DOUBLE AS n, avg(len(w))::DOUBLE AS avgdl FROM d),
-        |q AS (SELECT doc_id AS query_id, w[1:5] AS qw FROM d WHERE doc_id % 100 = 0),
-        |qterm AS (SELECT DISTINCT query_id, term
-        |          FROM (SELECT query_id, unnest(qw) AS term FROM q)
-        |          WHERE len(term) > 0),
-        |tok AS (SELECT doc_id, len(w)::DOUBLE AS dl, unnest(w) AS term FROM d),
-        |toks AS (SELECT * FROM tok
-        |         WHERE len(term) > 0
-        |           AND term IN (SELECT DISTINCT term FROM qterm)),
-        |post AS (SELECT doc_id, term, count(*)::DOUBLE AS tf, min(dl) AS dl
-        |         FROM toks GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY 1),
-        |sc AS (SELECT qt.query_id, p.doc_id,
-        |         sum(CAST(round(
-        |           ln((stats.n - f.df + 0.5) / (f.df + 0.5) + 1)
-        |             * p.tf * (1.2 + 1)
-        |             / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / stats.avgdl)),
-        |           6) AS DECIMAL(18,6))) AS s
-        |       FROM post p
-        |       JOIN qterm qt USING (term)
-        |       JOIN dfreq f USING (term), stats
-        |       GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id,
-        |        CAST(CAST(s AS VARCHAR) AS DOUBLE) AS score,
-        |        row_number() OVER (PARTITION BY query_id
-        |          ORDER BY s DESC, doc_id) AS rank
-        |      FROM sc)
-        |SELECT query_id, rank, doc_id, score
-        |FROM r WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    // rank are exact in both engines. q86 shares it verbatim — the
+    // posting index changes what is read, never what is computed.
+    "q85_bm25_topk" -> bm25Sql,
+    "q86_bm25_indexed" -> bm25Sql,
     // q16's exact quality expression + a per-source rank cut at 3
     "q84_grouped_topk" ->
       """WITH f AS (

@@ -918,6 +918,81 @@ object TextOps {
         col("__s").cast("double").as("score"))
   }
 
+  /** Persist a BM25 posting INDEX: the pay-once layout for a standing
+    * retrieval workload (the signature-store discipline applied to
+    * [[bm25TopK]]). Three artifacts under `path`:
+    *
+    *  - `postings/` — (term, doc_id, tf, dl), hash-partitioned on
+    *    `tp = pmod(xxhash64(term), parts)` with a fixed row budget per
+    *    partition, so a query batch opens only the partitions its
+    *    terms hash into;
+    *  - `dfreq/`   — (term, df), partitioned identically (df is fixed
+    *    at build time — the standard static-index convention);
+    *  - `stats/`   — one row (n, avgdl).
+    *
+    * [[bm25TopKIndexed]] then scores a query batch reading ONLY the
+    * matching partitions — per-batch I/O tracks the query terms, not
+    * the corpus, exactly like the pruned signature store. */
+  def writePostingIndex(docs: DataFrame, idCol: String, textCol: String,
+                        path: String, parts: Int, n: Int = 3): Unit = {
+    require(parts >= 1, s"parts=$parts must be >= 1")
+    val d = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
+    val post = d
+      .select(col("doc_id"), size(col("__w")).cast("double").as("dl"),
+        explode(col("__w")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), min(col("dl")).as("dl"))
+    def partitioned(df: DataFrame) = df
+      .withColumn("tp", pmod(xxhash64(col("term")), lit(parts.toLong)).cast("int"))
+      .repartition(col("tp"))
+    partitioned(post)
+      .write.partitionBy("tp").mode("overwrite").parquet(s"$path/postings")
+    partitioned(post.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df")))
+      .write.partitionBy("tp").mode("overwrite").parquet(s"$path/dfreq")
+    d.agg(count(lit(1)).cast("double").as("n"),
+        avg(size(col("__w")).cast("double")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k against a persisted [[writePostingIndex]]: the query
+    * batch's term-partition set (bounded by min(parts, batch terms)
+    * ints — metadata-scale) becomes a static partition filter on both
+    * postings and dfreq, so unmatched partitions are never opened.
+    * Scoring is IDENTICAL to [[bm25TopK]] — q86's oracle is literally
+    * q85's — the index changes what is READ, never what is computed. */
+  def bm25TopKIndexed(s: org.apache.spark.sql.SparkSession, path: String,
+                      parts: Int, queries: DataFrame, queryIdCol: String,
+                      queryTextCol: String, k: Int, k1: Double = 1.2,
+                      b: Double = 0.75): DataFrame = {
+    val qterm = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(tokens(col(queryTextCol))).as("term"))
+      .where(length(col("term")) > 0).distinct()
+    val pp = qterm
+      .select(pmod(xxhash64(col("term")), lit(parts.toLong)).cast("int").as("p"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    def pruned(sub: String) = s.read.parquet(s"$path/$sub")
+      .filter(col("tp").isin(pp: _*)).drop("tp")
+    val stats = s.read.parquet(s"$path/stats")
+    val scored = pruned("postings")
+      .join(broadcast(qterm), Seq("term"))
+      .join(broadcast(pruned("dfreq")), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("__c", round(
+        col("__idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c").cast("decimal(18,6)")).cast("decimal(28,6)").as("__s"))
+    Stats.topKPerGroup(scored, "query_id", k,
+        Seq(col("__s").desc, col("doc_id")))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("__s").cast("double").as("score"))
+  }
+
   /** Exact duplicated-PASSAGE removal at block granularity — the
     * corpus-scalable form of exact-substring dedup (the "repeated
     * ≥50-token passage" pass pretraining pipelines run after doc-level

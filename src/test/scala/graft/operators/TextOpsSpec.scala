@@ -339,6 +339,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got == expected, s"got $got want $expected")
   }
 
+  test("indexed bm25 ≡ direct bm25; the probe is partition-pruned") {
+    val docs = Seq(
+      (1L, "apple banana apple kiwi"), (2L, "banana cherry plum"),
+      (3L, "cherry date egg fig"), (4L, "kiwi plum apple"),
+      (5L, "unrelated words entirely different")).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple cherry")).toDF("qid", "qtext")
+    val direct = TextOps.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted
+    val parts = 32
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-postidx-spec").toString
+    TextOps.writePostingIndex(docs, "doc_id", "text", tmp, parts)
+    val indexed = TextOps.bm25TopKIndexed(spark, tmp, parts,
+      queries, "qid", "qtext", k = 5)
+    assert(indexed.collect().map(_.toString).sorted.sameElements(direct),
+      "index changed the scores — it must only change what is read")
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tp#"),
+      s"term-partition filter missing from the index probe:\n$plan")
+  }
+
   test("pruned store with an empty batch reads nothing and yields nothing") {
     val corpus = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
     val tmp = java.nio.file.Files
