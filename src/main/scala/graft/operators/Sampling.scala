@@ -56,7 +56,10 @@ object Sampling {
     * engine-portable, so a reader in another system reproduces the
     * exact same split). Fractions must sum to 1 (every row lands
     * somewhere); interval edges are integer thresholds computed once on
-    * the driver, so there is no cross-engine float drift at the cuts. */
+    * the driver, so there is no cross-engine float drift at the cuts.
+    * A null id hashes to null, every `h < cut` comparison is null, and
+    * the row falls through to the LAST split — deterministic, and
+    * explicit here so it reads as a contract rather than an accident. */
   def splitAssign(df: DataFrame, idCol: String,
                   splits: Seq[(String, Double)],
                   seed: String = "graft"): DataFrame = {

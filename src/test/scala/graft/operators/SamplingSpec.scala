@@ -252,6 +252,15 @@ class SamplingSpec extends SparkSpec {
     assert(got.count(_._2 == "s0") == 7, "default cap must bind")
   }
 
+  test("splitAssign sends a null id to the last split, deterministically") {
+    val df = Seq[java.lang.Long](1L, 2L, null).toDF("id")
+    val splits = Seq("train" -> 0.5, "test" -> 0.5)
+    val got = Sampling.splitAssign(df, "id", splits)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getString(1))).toMap
+    assert(got(-1L) == "test", s"null id must land in the last split: $got")
+  }
+
   test("splitAssign rejects fractions that do not sum to 1") {
     val df = spark.range(10).toDF("id")
     intercept[IllegalArgumentException] {
