@@ -90,6 +90,34 @@ object Stress {
             .otherwise(lit("hot")).as("stratum")),
         "stratum", "doc_id", defaultCap = 10000L).count()
     }
+    // retrieval: a 5-query batch (~25 distinct terms — the production
+    // regime where batch terms ≪ index partitions) against the storm
+    // corpus. Direct BM25 re-tokenizes the corpus per batch
+    // (O(corpus)); the persisted posting index prunes the probe to the
+    // ≤ |batch terms| partitions those terms hash into, each of fixed
+    // row budget — I/O flat as the corpus grows. Index build is ingest
+    // (amortized, printed, not a compared cell). Pruning saturates
+    // gracefully for term-heavy batches (a 250-term batch at this
+    // parts count reads ~half the index — degrade, not break).
+    val qBatch = base.filter(col("doc_id") % 1000 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("qtext"))
+      .localCheckpoint(true)
+    time("bm25 direct") {
+      TextOps.bm25TopK(big, "doc_id", "text",
+        qBatch, "query_id", "qtext", k = 10).count()
+    }
+    val idxParts = math.max(8, (n / 500L).toInt)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-stress-postidx").toString
+    time("posting index write (ingest)") {
+      TextOps.writePostingIndex(big, "doc_id", "text", idxDir, idxParts)
+      n
+    }
+    time("bm25 indexed probe") {
+      TextOps.bm25TopKIndexed(spark, idxDir, idxParts,
+        qBatch, "query_id", "qtext", k = 10).count()
+    }
 
     }
 
