@@ -105,6 +105,40 @@ object Bench {
       case _ => Set.empty
     }
 
+  /** A measurement window is CLEAN when both bracketing probe samples sit
+    * within 2x the committed prior (no prior, or a zero prior → trivially
+    * clean: there is nothing to compare against and the older guards —
+    * spread reps, cross-round suspect — still apply). Note the asymmetry
+    * with [[windowSuspects]]: *suspicion* needs BOTH brackets hot
+    * (min > 2p) so one spiky probe sample can't void ten clean queries,
+    * but *publication-cleanliness* needs both brackets clean (max ≤ 2p)
+    * so a rescue measurement is never published out of a half-hot
+    * window. Pure so BenchWindowSpec can law-check it. */
+  private[graft] def cleanWindow(lo: Double, hi: Double,
+                                 prior: Option[Double]): Boolean =
+    prior.forall(p => p <= 0.0 || math.max(lo, hi) <= 2.0 * p)
+
+  /** Run-level sentinel (round-11, from the round-10 adjudication): the
+    * round-9 rule — void the run when even the BETTER boundary probe is
+    * >2x prior — missed a run where 8 of 10 interleaved probe windows
+    * were hot (0.217–0.583 vs 0.117 prior) because a lucky clean end
+    * probe (0.133) let it pass, and the contaminated totals entered the
+    * record. Now the run is also void when at least HALF of all probe
+    * samples exceed 2x prior: a majority-hot run's totals are
+    * contaminated regardless of how its boundaries happened to look.
+    * The majority rule needs ≥6 samples (≥~50 queries) so that a single
+    * spiky sample in a short run can't void it — short runs keep the
+    * boundary rule plus the window sentinel. Pure for BenchWindowSpec. */
+  private[graft] def envSuspectFlag(probeStart: Double, probeEnd: Double,
+                                    probes: IndexedSeq[Double],
+                                    prior: Option[Double]): Boolean =
+    prior.exists { p =>
+      p > 0.0 && (
+        math.min(probeStart, probeEnd) > 2.0 * p ||
+        (probes.size >= 6 && probes.count(_ > 2.0 * p) * 2 >= probes.size)
+      )
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDirOrig = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Pin the input in RAM for the measured runs: the bench's contract is
@@ -305,29 +339,79 @@ object Bench {
         case (k, med, _, None, true, _) if med > 0.2 => k } ++
         firstPass.collect { case (k, med, _, None, _, _)
           if winSuspectNames.contains(k) && med > 0.2 => k }).toSet
+    // Clean-window rescue (round-11, from the round-10 adjudication):
+    // the single-shot rescue could itself land inside a hot window —
+    // r10 published q12 at 8.93 s (18x its r9 number) because both the
+    // main pass AND its one rescue rep set ran while the host was
+    // contended, and min-of-medians faithfully picked the lower of two
+    // polluted numbers. Now every rescue measurement is BRACKETED by
+    // its own probe samples and retried (bounded: maxRescueAttempts)
+    // until the brackets are clean per [[cleanWindow]]; the published
+    // median is the MIN over clean-window measurements (the first-pass
+    // median participates when its own brackets were clean). Only when
+    // no clean window is found within the retry budget does the query
+    // publish min-over-all — and then it KEEPS its window_suspect flag
+    // so the reader knows the number is still from a hot window. A
+    // small global backoff budget spaces retries out (contention here
+    // arrives in multi-minute windows; immediate retries tend to land
+    // in the same one) without letting a fully-contended host stall
+    // the bench.
+    val maxRescueAttempts = 3
+    var rescueBackoffBudgetMs = 60000L
     val rescuedNames = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = firstPass.map {
-      case r @ (name, med, _, None, _, n) if rescueSet.contains(name) =>
-        val (ts, e2) = measure(SparkEntry.queries(name), reps)
-        val med2 = median(ts)
-        if (e2.isEmpty && ts.nonEmpty && med2 < med) {
-          rescuedNames += name
-          (name, med2, spreadOf(ts), None, med2 > 0.2 && spreadOf(ts) > med2,
-            n + ts.size)
-        } else r
-      case r => r
+    val cleanPublished = scala.collection.mutable.Set.empty[String]
+    val results = firstPass.zipWithIndex.map {
+      case ((name, med, spr, None, _, n), qi) if rescueSet.contains(name) =>
+        val w = qi / winSize
+        val fLo = probes(math.min(w, probes.size - 1))
+        val fHi = probes(math.min(w + 1, probes.size - 1))
+        // candidate = (median, spread, clean, fromRescue)
+        val cands = scala.collection.mutable.ArrayBuffer(
+          (med, spr, cleanWindow(fLo, fHi, prevProbe), false))
+        var repsSpent = n
+        var attempt = 0
+        var done = false
+        var lastHi: Option[Double] = None
+        while (!done && attempt < maxRescueAttempts) {
+          if (attempt > 0) { // previous attempt was hot — back off
+            val wait = math.min(10000L, rescueBackoffBudgetMs)
+            if (wait > 0) { rescueBackoffBudgetMs -= wait; Thread.sleep(wait) }
+          }
+          // the previous attempt's closing probe doubles as this
+          // attempt's opening bracket (they are the same moment)
+          val lo = lastHi.getOrElse(probeOnce())
+          val (ts, e2) = measure(SparkEntry.queries(name), reps)
+          val hi = probeOnce()
+          lastHi = Some(hi)
+          if (e2.nonEmpty || ts.isEmpty) done = true
+          else {
+            repsSpent += ts.size
+            val clean = cleanWindow(lo, hi, prevProbe)
+            cands += ((median(ts), spreadOf(ts), clean, true))
+            if (clean) done = true
+          }
+          attempt += 1
+        }
+        val cleanCands = cands.filter(_._3)
+        val pool = if (cleanCands.nonEmpty) cleanCands else cands
+        val best = pool.minBy(_._1)
+        if (cleanCands.nonEmpty) cleanPublished += name
+        if (best._4) rescuedNames += name
+        (name, best._1, best._2, None,
+          best._1 > 0.2 && best._2 > best._1, repsSpent)
+      case (r, _) => r
     }
     val suspectNames = suspectsOf(results)
-    // a window-suspect query that the rescue pass re-measured lower now
-    // publishes a number from OUTSIDE the contended window — only the
-    // ones still carrying the contended measurement stay flagged
+    // a window-suspect query whose published number now comes from a
+    // probe-verified clean window drops the flag; only the ones still
+    // carrying a hot-window measurement stay flagged
     val windowSuspectFinal =
-      (winSuspectNames -- rescuedNames.toSet).toSeq.sorted
-    // environment sentinel: flag the RUN when even the better boundary
-    // probe is >2x the committed prior — whole-run contention, totals
-    // void (per-window contention is the window sentinel's job)
+      (winSuspectNames -- cleanPublished).toSeq.sorted
+    // environment sentinel: flag the RUN on whole-run contention —
+    // better-boundary-probe rule OR majority-hot-windows rule (the
+    // per-window sentinel handles anything smaller)
     val probeBest = math.min(probeStart, probeEnd)
-    val envSuspect = prevProbe.exists(p => p > 0.0 && probeBest > 2.0 * p)
+    val envSuspect = envSuspectFlag(probeStart, probeEnd, probes, prevProbe)
     def calibJson(dp: Int): String =
       s""""calibration":{"probe_start":${fmt(probeStart, dp)},""" +
         s""""probe_end":${fmt(probeEnd, dp)},"probe_median":${fmt(probeBest, dp)},""" +
@@ -358,30 +442,42 @@ object Bench {
       if (shortCounts.getOrElse(s, 0) > 1) n else s
     }
     def jarrShort(ns: Seq[String]) = ns.map(n => jstr(stdoutKey(n))).mkString("[", ",", "]")
-    def head(dp: Int): String =
+    // compact=true replaces the noisy/partial NAME lists with counts
+    // ("n_noisy"/"n_partial") — those lists are diagnostic, and in a
+    // contended 86-query run they alone overflowed the tail window and
+    // cost round 10 its entire per-query map. suspect/rescued/
+    // window_suspect keep their names at every level: they are the
+    // semantically load-bearing flags (they say which numbers to
+    // distrust), and they shrink as the environment gets cleaner, not
+    // as the query count grows.
+    def head(dp: Int, compact: Boolean): String = {
+      val noiseFlags =
+        if (compact) s""""n_noisy":${noisyNames.size},"n_partial":${partialNames.size},"""
+        else s""""noisy":${jarrShort(noisyNames)},"partial":${jarrShort(partialNames)},"""
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","reps":$reps,""" +
-        s""""n_failed":$nFailed,"noisy":${jarrShort(noisyNames)},"partial":${jarrShort(partialNames)},""" +
+        s""""n_failed":$nFailed,""" + noiseFlags +
         s""""suspect":${jarrShort(suspectNames)},"rescued":${jarrShort(rescuedNames.toSeq)},""" +
         s""""window_suspect":${jarrShort(windowSuspectFinal)},""" +
-        calibJson(3)
-    def stdoutLine(dp: Int): String = {
+        calibJson(if (compact) 2 else 3)
+    }
+    def stdoutLine(dp: Int, compact: Boolean): String = {
       val qs = qPairs.map { case (k, v) => jstr(stdoutKey(k)) + ":" + fmt(v, dp) }
         .mkString("{", ",", "}")
-      head(dp) + s""","queries":$qs,"sf":${jstr(sfDirOrig)}}"""
+      head(dp, compact) + s""","queries":$qs,"sf":${jstr(sfDirOrig)}}"""
     }
     // 2000-char driver tail-capture window; leave slack for a stray
-    // trailing log line. Final fallback (query count past ~130 / long sf
-    // path): drop the per-query map entirely — totals stay parseable, the
-    // full map is always in the file artifact.
-    val line = {
-      val l3 = stdoutLine(3)
-      if (l3.length <= 1900) l3
-      else {
-        val l2 = stdoutLine(2)
-        if (l2.length <= 1900) l2
-        else head(3) + s""","queries_in":"bench.json","sf":${jstr(sfDirOrig)}}"""
-      }
-    }
+    // trailing log line. Fallback ladder (round-11: round 10's 86-query
+    // contended run fell past 2dp straight to the no-map fallback and
+    // the round's per-query history was lost): full 3dp → full 2dp →
+    // compact-flags 2dp (counts for noisy/partial) → no-map. The
+    // per-query map is the artifact's whole point; it is dropped only
+    // when nothing else fits.
+    val line =
+      Seq(stdoutLine(3, compact = false), stdoutLine(2, compact = false),
+          stdoutLine(2, compact = true))
+        .find(_.length <= 1900)
+        .getOrElse(head(3, compact = true) +
+          s""","queries_in":"bench.json","sf":${jstr(sfDirOrig)}}""")
     // full-precision artifact: spreads + errors + per-query rep counts
     // live here, not on stdout
     val spreads = results.map { case (k, _, s, _, _, _) => jstr(k) + ":" + fmt(s, 3) }

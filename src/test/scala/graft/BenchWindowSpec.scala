@@ -45,4 +45,64 @@ class BenchWindowSpec extends AnyFunSuite {
     assert(Bench.windowSuspects(30, 10,
       IndexedSeq(0.09, 0.12, 0.11, 0.10), prior).isEmpty)
   }
+
+  // ---- cleanWindow: the rescue pass's publication gate -------------------
+
+  test("cleanWindow needs BOTH brackets clean (max ≤ 2x prior)") {
+    assert(Bench.cleanWindow(0.10, 0.12, prior))
+    assert(!Bench.cleanWindow(0.10, 0.55, prior), "half-hot is not clean")
+    assert(!Bench.cleanWindow(0.55, 0.10, prior))
+    assert(!Bench.cleanWindow(0.55, 0.60, prior))
+  }
+
+  test("cleanWindow with no (or zero) prior is trivially clean") {
+    assert(Bench.cleanWindow(9.0, 9.0, None))
+    assert(Bench.cleanWindow(9.0, 9.0, Some(0.0)))
+  }
+
+  test("suspicion and cleanliness are asymmetric by design: a half-hot " +
+       "window is neither suspect nor clean") {
+    // one hot bracket: windowSuspects does NOT flag (min rule) …
+    val probes = IndexedSeq(0.10, 0.55, 0.10, 0.10)
+    assert(Bench.windowSuspects(30, 10, probes, prior).isEmpty)
+    // … but a rescue measured across the same brackets may NOT publish
+    assert(!Bench.cleanWindow(0.10, 0.55, prior))
+  }
+
+  // ---- envSuspectFlag: run-level sentinel --------------------------------
+
+  test("boundary rule: both boundary probes hot voids the run") {
+    assert(Bench.envSuspectFlag(0.5, 0.48,
+      IndexedSeq(0.5, 0.48), prior))
+  }
+
+  test("one clean boundary alone does not void a mostly-clean run") {
+    assert(!Bench.envSuspectFlag(0.5, 0.10,
+      IndexedSeq(0.5, 0.11, 0.12, 0.10, 0.11, 0.09, 0.10), prior))
+  }
+
+  test("majority rule: the round-10 shape (8 of 10 windows hot, clean " +
+       "end probe) now voids the run") {
+    // the actual r10 probe_windows, prior 0.117
+    val r10 = IndexedSeq(0.241, 0.574, 0.583, 0.426, 0.427, 0.499,
+                         0.242, 0.217, 0.333, 0.133)
+    assert(Bench.envSuspectFlag(0.241, 0.133, r10, Some(0.117)))
+  }
+
+  test("majority rule needs ≥6 probe samples — a short run with one " +
+       "spiky sample of four is not voided") {
+    assert(!Bench.envSuspectFlag(0.55, 0.10,
+      IndexedSeq(0.55, 0.60, 0.10, 0.10), prior))
+  }
+
+  test("exactly half hot with ≥6 samples voids; just under half does not") {
+    val half = IndexedSeq(0.5, 0.5, 0.5, 0.1, 0.1, 0.1)
+    assert(Bench.envSuspectFlag(0.5, 0.1, half, prior))
+    val under = IndexedSeq(0.5, 0.5, 0.1, 0.1, 0.1, 0.1)
+    assert(!Bench.envSuspectFlag(0.5, 0.1, under, prior))
+  }
+
+  test("no prior → run never voided") {
+    assert(!Bench.envSuspectFlag(9.0, 9.0, IndexedSeq.fill(10)(9.0), None))
+  }
 }
