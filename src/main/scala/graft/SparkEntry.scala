@@ -1181,9 +1181,14 @@ object SparkEntry {
       batches.foreach(b => store.incrementalUpsertPartitioned(
         "prod", "events", b, "event_id", keys, ord, "event_type"))
       // per-partition-directory compaction of the micro-batch shatter
-      // (partition values are metadata-scale)
+      // (partition values are metadata-scale); a NULL partition value
+      // lives under __HIVE_DEFAULT_PARTITION__ on disk — mapping it
+      // (rather than interpolating the literal string "null") keeps the
+      // compacted table from silently dropping that partition, matching
+      // upsertMergePlan's explicit null-partition handling
       val parts = store.read("prod", "events").select("event_type")
-        .distinct().collect().map(_.getString(0))
+        .distinct().collect().map(r =>
+          Option(r.getString(0)).getOrElse("__HIVE_DEFAULT_PARTITION__"))
       parts.foreach { p =>
         Layout.compact(s, s"$root/prod/events/event_type=$p",
           s"$compactedRoot/event_type=$p", 8L * 1024 * 1024)

@@ -31,11 +31,10 @@ object Stats {
     names
   }
 
-  /** One row per group: `p<NN>` columns with the exact interpolated
-    * quantile of `valCol`, rounded to 6 decimals (cross-engine float
-    * parity). */
-  /** Exact top-k rows per group in `ordering` order, `rank` appended.
-    * The ordering must reach a total order (end it with a unique id)
+  /** Exact top-k rows per group in `ordering` order, `rank` appended —
+    * REPLACING any pre-existing `rank` column in the input (withColumn
+    * semantics; rename yours first if it must survive). The ordering
+    * must reach a total order (end it with a unique id)
     * or the kept set is nondeterministic. Scale note: Spark's
     * rank-limit pushdown rewrites the `row_number ≤ k` filter into
     * `WindowGroupLimit`, so each map task pre-prunes to its LOCAL
@@ -50,6 +49,9 @@ object Stats {
       .filter(col("rank") <= k)
   }
 
+  /** One row per group: `p<NN>` columns with the exact interpolated
+    * quantile of `valCol`, rounded to 6 decimals (cross-engine float
+    * parity). */
   def groupedQuantiles(df: DataFrame, groupCol: String, valCol: String,
                        ps: Seq[Double]): DataFrame = {
     val aggs = ps.zip(quantileNames(ps)).map { case (p, name) =>

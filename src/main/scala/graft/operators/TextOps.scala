@@ -934,7 +934,7 @@ object TextOps {
     * matching partitions — per-batch I/O tracks the query terms, not
     * the corpus, exactly like the pruned signature store. */
   def writePostingIndex(docs: DataFrame, idCol: String, textCol: String,
-                        path: String, parts: Int, n: Int = 3): Unit = {
+                        path: String, parts: Int): Unit = {
     require(parts >= 1, s"parts=$parts must be >= 1")
     val d = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
     val post = d

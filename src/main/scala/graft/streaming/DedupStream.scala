@@ -35,8 +35,14 @@ object DedupStream {
     * the retained representatives (enough to CLUSTER them with the
     * batch connected-components pass) but are not retained themselves,
     * so a pathological hot bucket cannot grow state without limit.
-    * Re-delivered documents (at-least-once sources) are membership
-    * no-ops and emit nothing new. */
+    * Re-delivery (at-least-once sources): a RETAINED member's
+    * re-delivery is a membership no-op and emits nothing new. A doc
+    * that arrived while its bucket was already at cap was never
+    * retained, so its re-delivery re-emits its pairs against the
+    * retained representatives — duplicate PAIRS, never duplicate
+    * state, and the downstream exact-verify join (which must already
+    * absorb the once-per-agreeing-band multiplicity above) dedups
+    * them with no extra machinery. */
   def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 64, bands: Int = 16,
                         maxPerBucket: Int = 32): Dataset[CandidatePair] = {

@@ -88,4 +88,32 @@ class DedupStreamSpec extends SparkSpec {
         s"cap did not bound pairing: ${pairs.size}")
     } finally q.stop()
   }
+
+  test("over-cap redelivery re-emits duplicate pairs but never a NEW pair " +
+       "(the docstring's scoped at-least-once contract)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = DedupStream.nearDupCandidates(in.toDF(), "doc_id", "text",
+        maxPerBucket = 2)
+      .writeStream.format("memory").queryName("stream_cands_overcap").start()
+    try {
+      val clones = (1L to 8L).map(i => Doc(i, "same same same same text"))
+      in.addData(clones: _*)
+      q.processAllAvailable()
+      def rows() = spark.table("stream_cands_overcap").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val (firstRows, firstSet) = (rows(), rows().toSet)
+      // doc 8 arrived after the bucket hit cap → was never retained, so
+      // its redelivery is NOT a membership no-op: it re-pairs against
+      // the retained representatives (duplicate pairs) — but the
+      // DISTINCT pair set must not grow (no new information)
+      in.addData(Doc(8L, "same same same same text"))
+      q.processAllAvailable()
+      val after = rows()
+      assert(after.size > firstRows.size,
+        "over-cap redelivery should re-emit (at-least-once)")
+      assert(after.toSet == firstSet,
+        s"redelivery invented a new pair: ${after.toSet -- firstSet}")
+    } finally q.stop()
+  }
 }
