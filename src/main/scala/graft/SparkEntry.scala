@@ -1317,7 +1317,39 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Incremental posting-index maintenance
+    * ([[TextOps.appendToPostingIndex]]): q86's index built from the
+    * doc_id % 4 != 0 three-quarters of the corpus, then the % 4 == 0
+    * batch APPENDED — its postings and per-batch dfreq rows land only
+    * in the batch's term-hash partitions, and corpus stats merge by
+    * (n, dl_sum, dl_cnt) summation — and the same query batch
+    * retrieves over the union. Same oracle as q85/q86 (the full
+    * direct-BM25 replay): index maintenance changes WHEN rows are
+    * written, never what is computed. The one persisted store that
+    * was still overwrite-only now has the same incremental discipline
+    * as the signature store (q75) and the IVF index (q83). */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q87" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-postidx-incr-$tag"
+    val parts = 16
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    if (!new java.io.File(path).exists()) {
+      TextOps.writePostingIndex(docs.filter(col("doc_id") % 4 =!= 0),
+        "doc_id", "text", path, parts)
+      TextOps.appendToPostingIndex(docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", path, parts)
+    }
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("qtext"))
+    TextOps.bm25TopKIndexed(s, path, parts, queries, "query_id", "qtext",
+        k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_bm25_incremental" -> q87,
     "q86_bm25_indexed" -> q86,
     "q85_bm25_topk" -> q85,
     "q84_grouped_topk" -> q84,
@@ -2170,6 +2202,9 @@ object SparkEntry {
     // rank are exact in both engines. q86 shares it verbatim — the
     // posting index changes what is read, never what is computed.
     "q85_bm25_topk" -> bm25Sql,
+    // incremental maintenance must read back identical to a fresh
+    // build, so the oracle is again the full direct replay
+    "q87_bm25_incremental" -> bm25Sql,
     "q86_bm25_indexed" -> bm25Sql,
     // q16's exact quality expression + a per-source rank cut at 3
     "q84_grouped_topk" ->

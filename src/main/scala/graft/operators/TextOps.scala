@@ -926,15 +926,44 @@ object TextOps {
     *    `tp = pmod(xxhash64(term), parts)` with a fixed row budget per
     *    partition, so a query batch opens only the partitions its
     *    terms hash into;
-    *  - `dfreq/`   — (term, df), partitioned identically (df is fixed
-    *    at build time — the standard static-index convention);
-    *  - `stats/`   — one row (n, avgdl).
+    *  - `dfreq/`   — (term, df) PER BUILD/APPEND BATCH, partitioned
+    *    identically; the reader sums df per term, so document
+    *    frequency merges by union — no rebuild on append;
+    *  - `stats/`   — one (n, dl_sum, dl_cnt) row per batch; the
+    *    reader derives the corpus (n, avgdl) by summation. Integer
+    *    counts and integer-valued length sums are exact in double, so
+    *    the merged avgdl is bit-identical to a from-scratch build.
     *
     * [[bm25TopKIndexed]] then scores a query batch reading ONLY the
     * matching partitions — per-batch I/O tracks the query terms, not
-    * the corpus, exactly like the pruned signature store. */
+    * the corpus, exactly like the pruned signature store. Batches must
+    * be doc-disjoint (the standard append contract every store here
+    * shares): a doc re-ingested in a later batch would double its
+    * postings and over-count df. */
   def writePostingIndex(docs: DataFrame, idCol: String, textCol: String,
-                        path: String, parts: Int): Unit = {
+                        path: String, parts: Int): Unit =
+    writePostingBatch(docs, idCol, textCol, path, parts, "overwrite")
+
+  /** Append one NEW doc batch into a [[writePostingIndex]] layout
+    * without rebuilding: the batch's postings and per-batch dfreq rows
+    * land ONLY in the term-hash partitions its terms map to (pinned in
+    * TextOpsSpec — untouched partition directories gain no files), and
+    * one stats row joins the mergeable (n, dl_sum, dl_cnt) state. The
+    * reference's 15-minute loop (mabna_tables_update.py:383-410)
+    * re-derives its world per cycle; at 100 TB the equivalent index
+    * rebuild is O(corpus) per batch — this is O(batch). `parts` must
+    * equal the build's parts (same contract as [[bm25TopKIndexed]]);
+    * the law indexed-after-appends ≡ direct-over-union is q87's
+    * oracle, not a convention. */
+  def appendToPostingIndex(docs: DataFrame, idCol: String, textCol: String,
+                           path: String, parts: Int): Unit =
+    writePostingBatch(docs, idCol, textCol, path, parts, "append")
+
+  /** One batch's index contribution, shared by build (= first batch,
+    * overwrite) and append so the two paths cannot drift. */
+  private def writePostingBatch(docs: DataFrame, idCol: String,
+                                textCol: String, path: String, parts: Int,
+                                mode: String): Unit = {
     require(parts >= 1, s"parts=$parts must be >= 1")
     val d = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
     val post = d
@@ -947,13 +976,15 @@ object TextOps {
       .withColumn("tp", pmod(xxhash64(col("term")), lit(parts.toLong)).cast("int"))
       .repartition(col("tp"))
     partitioned(post)
-      .write.partitionBy("tp").mode("overwrite").parquet(s"$path/postings")
+      .write.partitionBy("tp").mode(mode).parquet(s"$path/postings")
     partitioned(post.groupBy(col("term"))
         .agg(count(lit(1)).cast("double").as("df")))
-      .write.partitionBy("tp").mode("overwrite").parquet(s"$path/dfreq")
+      .write.partitionBy("tp").mode(mode).parquet(s"$path/dfreq")
+    val dl = size(col("__w")).cast("double")
     d.agg(count(lit(1)).cast("double").as("n"),
-        avg(size(col("__w")).cast("double")).as("avgdl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+        coalesce(sum(dl), lit(0.0)).as("dl_sum"),
+        count(dl).cast("double").as("dl_cnt"))
+      .write.mode(mode).parquet(s"$path/stats")
   }
 
   /** BM25 top-k against a persisted [[writePostingIndex]]: the query
@@ -975,10 +1006,18 @@ object TextOps {
       .distinct().collect().map(_.getInt(0)).toSeq
     def pruned(sub: String) = s.read.parquet(s"$path/$sub")
       .filter(col("tp").isin(pp: _*)).drop("tp")
+    // stats/ and dfreq/ hold one contribution per build/append batch —
+    // merge by sum (exact: integer counts and integer-valued length
+    // sums in double), so an appended index reads identically to a
+    // from-scratch build
     val stats = s.read.parquet(s"$path/stats")
+      .agg(sum(col("n")).as("n"),
+        (sum(col("dl_sum")) / sum(col("dl_cnt"))).as("avgdl"))
+    val dfreq = pruned("dfreq").groupBy(col("term"))
+      .agg(sum(col("df")).as("df"))
     val scored = pruned("postings")
       .join(broadcast(qterm), Seq("term"))
-      .join(broadcast(pruned("dfreq")), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("__idf",
         log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1))

@@ -361,6 +361,55 @@ class TextOpsSpec extends SparkSpec {
       s"term-partition filter missing from the index probe:\n$plan")
   }
 
+  test("indexed-after-appends ≡ direct over the unioned corpus, and an " +
+       "increment writes only to its term-hash partitions") {
+    val history = Seq(
+      (1L, "apple banana apple kiwi"), (2L, "banana cherry plum"),
+      (3L, "cherry date egg fig")).toDF("doc_id", "text")
+    val batch = Seq(
+      (4L, "kiwi plum apple"), (5L, "apple apple cherry date"),
+      (6L, "unrelated words entirely different")).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple cherry"), (200L, "kiwi fig"))
+      .toDF("qid", "qtext")
+    val parts = 32
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-postidx-incr-spec").toString
+    TextOps.writePostingIndex(history, "doc_id", "text", tmp, parts)
+    def files(sub: String): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$tmp/$sub")
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("tp="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val before = files("postings")
+    TextOps.appendToPostingIndex(batch, "doc_id", "text", tmp, parts)
+    val after = files("postings")
+    // the batch's terms hash to a bounded partition set — every OTHER
+    // partition directory must be byte-identical (no files added)
+    val batchParts = batch
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .select(pmod(xxhash64(col("term")), lit(parts.toLong)).cast("int"))
+      .distinct().collect().map(r => s"tp=${r.getInt(0)}").toSet
+    val touched = after.keySet.filter(d =>
+      after(d) != before.getOrElse(d, Set.empty[String]))
+    assert(touched.nonEmpty && touched.subsetOf(batchParts),
+      s"append touched non-batch partitions: ${touched -- batchParts}")
+    // the law: maintenance changes when rows are written, never what
+    // is computed — indexed over (history ++ appended batch) must be
+    // bit-identical to direct BM25 over the union
+    val direct = TextOps.bm25TopK(history.union(batch), "doc_id", "text",
+        queries, "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted
+    val indexed = TextOps.bm25TopKIndexed(spark, tmp, parts,
+        queries, "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted
+    assert(indexed.sameElements(direct),
+      s"append drifted from direct:\n${indexed.mkString("\n")}\nvs\n${direct.mkString("\n")}")
+  }
+
   test("pruned store with an empty batch reads nothing and yields nothing") {
     val corpus = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
     val tmp = java.nio.file.Files
