@@ -1348,7 +1348,41 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Store retention in the lifecycle loop ([[Layout.compactStore]]):
+    * q87's append discipline run to its steady state — a build plus
+    * three appends shatter every term-hash partition into one file
+    * per batch (the reference's 15-minute cadence would add 96/day,
+    * mabna_tables_update.py:58-59) — then the store is compacted IN
+    * PLACE: trigger is the observable per-partition file count,
+    * target file count from actual listed bytes, partition dirs keep
+    * their names so the pruned probe layout is untouched. Same oracle
+    * as q85/q86/q87: retention changes bytes-on-disk, never a
+    * result. */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q89" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-postidx-compact-$tag"
+    val parts = 16
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    if (!new java.io.File(path).exists()) {
+      TextOps.writePostingIndex(docs.filter(col("doc_id") % 4 === 1),
+        "doc_id", "text", path, parts)
+      Seq(2L, 3L, 0L).foreach(m =>
+        TextOps.appendToPostingIndex(docs.filter(col("doc_id") % 4 === m),
+          "doc_id", "text", path, parts))
+      Layout.compactStore(s, s"$path/postings", 64L * 1024 * 1024, maxFiles = 1)
+      Layout.compactStore(s, s"$path/dfreq", 64L * 1024 * 1024, maxFiles = 1)
+    }
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("qtext"))
+    TextOps.bm25TopKIndexed(s, path, parts, queries, "query_id", "qtext",
+        k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_store_compaction" -> q89,
     "q87_bm25_incremental" -> q87,
     "q86_bm25_indexed" -> q86,
     "q85_bm25_topk" -> q85,
@@ -2205,6 +2239,8 @@ object SparkEntry {
     // incremental maintenance must read back identical to a fresh
     // build, so the oracle is again the full direct replay
     "q87_bm25_incremental" -> bm25Sql,
+    // and in-place store compaction must too (bytes change, rows don't)
+    "q89_store_compaction" -> bm25Sql,
     "q86_bm25_indexed" -> bm25Sql,
     // q16's exact quality expression + a per-source rank cut at 3
     "q84_grouped_topk" ->

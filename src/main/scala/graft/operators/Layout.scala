@@ -101,6 +101,59 @@ object Layout {
     nFiles
   }
 
+  /** In-place retention compaction of a hash-partitioned STORE layout
+    * (the signature store's `bk_part=N` dirs, the posting index's
+    * `tp=N`, the IVF index's `part=N`): every partition directory
+    * whose parquet file count exceeds `maxFiles` is compacted to
+    * ~`targetBytes` files via [[compact]] and swapped back under the
+    * SAME directory name, so readers keep the root path, the partition
+    * column (re-derived from the directory name), and the pruning
+    * layout. Append-per-batch stores shatter at the increment cadence
+    * (one file per partition per append — the reference's 15-minute
+    * loop, mabna_tables_update.py:58-59, would add 96/day); the
+    * trigger is the OBSERVABLE shatter (file count), not an append
+    * counter someone must remember to maintain. Compaction changes
+    * bytes-on-disk only — the row multiset, and therefore every probe
+    * over the store, is invariant (pinned in LayoutSpec and by q89's
+    * oracle).
+    *
+    * Swap discipline: compact lands in a dot-prefixed sibling (hidden
+    * from Spark reads), the old dir is renamed aside, the new one
+    * takes its name, then the old is deleted. Single-writer contract
+    * like every append here; at cluster scale the swap becomes a
+    * transactional metadata commit (table-format territory) — the
+    * directory form keeps the identical READ layout without a
+    * metastore. Returns (partitions compacted, files before, files
+    * after) for the caller's retention log. */
+  def compactStore(s: SparkSession, root: String, targetBytes: Long,
+                   maxFiles: Int): (Int, Int, Int) = {
+    require(maxFiles >= 1, s"maxFiles=$maxFiles must be >= 1")
+    val rootF = new java.io.File(root)
+    val parts = Option(rootF.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.contains("=") &&
+        !d.getName.startsWith("."))
+    var done = 0; var before = 0; var after = 0
+    parts.foreach { d =>
+      val nSrc = Option(d.listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      before += nSrc
+      if (nSrc > maxFiles) {
+        val tmp = new java.io.File(rootF, s".compact-${d.getName}")
+        val n = compact(s, d.getAbsolutePath, tmp.getAbsolutePath, targetBytes)
+        val old = new java.io.File(rootF, s".old-${d.getName}")
+        require(d.renameTo(old), s"could not move aside $d")
+        require(tmp.renameTo(d), s"could not install compacted ${d.getName}")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(old)
+        done += 1; after += n
+      } else after += nSrc
+    }
+    (done, before, after)
+  }
+
   private def listParquetBytes(dir: java.io.File): Long =
     Option(dir.listFiles()).getOrElse(Array.empty).map { f =>
       if (f.isDirectory) listParquetBytes(f)

@@ -112,4 +112,79 @@ class LayoutSpec extends SparkSpec {
     val flatAgg = df.filter(pred).agg(count(lit(1)), sum("a")).collect().toSeq
     assert(zAgg == flatAgg)
   }
+
+  test("compactStore: in-place partition-dir compaction preserves the row " +
+       "multiset, keeps the pruning layout, and skips tidy partitions") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compactstore").toString
+    // an append-per-batch store: 3 batches shatter each partition dir
+    // into 3 files (repartition on the partition column → 1 per batch)
+    val store = s"$base/store"
+    (0 until 3).foreach { b =>
+      (0 until 40).map(i => (b * 40L + i, (i % 4).toString))
+        .toDF("id", "pk")
+        .repartition(col("pk"))
+        .write.partitionBy("pk").mode("append").parquet(store)
+    }
+    def partFiles(): Map[String, Set[String]] =
+      new java.io.File(store).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("pk="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    val before = spark.read.parquet(store)
+      .groupBy("id", "pk").count().collect().toSet
+    val filesBefore = partFiles()
+    assert(filesBefore.values.forall(_.size == 3), s"setup: $filesBefore")
+
+    val (nDone, nBefore, nAfter) =
+      Layout.compactStore(spark, store, 64L * 1024 * 1024, maxFiles = 1)
+    assert(nDone == 4 && nBefore == 12 && nAfter == 4,
+      s"expected 4 dirs 12→4 files, got ($nDone, $nBefore, $nAfter)")
+    val filesAfter = partFiles()
+    assert(filesAfter.keySet == filesBefore.keySet,
+      "compaction must not change the partition-directory layout")
+    assert(filesAfter.values.forall(_.size == 1))
+    // bytes changed, rows did not — the full multiset survives,
+    // partition column still derived from the directory names
+    val after = spark.read.parquet(store)
+      .groupBy("id", "pk").count().collect().toSet
+    assert(after == before, "compaction altered the row multiset")
+    // no stale swap-working dirs left behind (Hadoop's own dot-files,
+    // e.g. ._SUCCESS.crc, are expected), and a second pass is a no-op
+    assert(!new java.io.File(store).listFiles()
+      .exists(f => f.getName.startsWith(".compact-") ||
+        f.getName.startsWith(".old-")), "stale swap dirs left behind")
+    val (n2, b2, a2) =
+      Layout.compactStore(spark, store, 64L * 1024 * 1024, maxFiles = 1)
+    assert(n2 == 0 && b2 == 4 && a2 == 4, s"re-run not a no-op: ($n2,$b2,$a2)")
+  }
+
+  test("compactStore keeps a pruned signature-store probe identical") {
+    import graft.operators.TextOps
+    val docs = (1L to 30L).map(i =>
+        (i, if (i % 3 == 0) "a b c d e f g" else s"w$i x$i y$i z$i q$i"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sigstore-compact").toString
+    val parts = 8
+    // two appends shatter the store, as the incremental loop would
+    val (h1, h2) = (docs.filter(col("doc_id") <= 15),
+      docs.filter(col("doc_id") > 15))
+    TextOps.writeSignatureStorePartitioned(
+      TextOps.signatureStore(h1, "doc_id", "text"), tmp, parts)
+    TextOps.writeSignatureStorePartitioned(
+      TextOps.signatureStore(h2, "doc_id", "text"), tmp, parts,
+      mode = "append")
+    val probe = TextOps.signatureStore(docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text")
+    val pre = TextOps.prunedSignatureStore(spark, tmp, parts, probe)
+      .collect().map(_.toString).sorted
+    Layout.compactStore(spark, tmp, 64L * 1024 * 1024, maxFiles = 1)
+    val post = TextOps.prunedSignatureStore(spark, tmp, parts, probe)
+      .collect().map(_.toString).sorted
+    assert(post.sameElements(pre),
+      "compaction changed what a pruned probe reads")
+  }
 }
