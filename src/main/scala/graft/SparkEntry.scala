@@ -1381,7 +1381,41 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Multimodal retrieval composition ([[Multimodal.mediaEmbeddings]]
+    * → [[Similarity.quantizedTopK]]): the multimodal family (q23/q24/
+    * q59) and the ANN family (q12/q72) meeting in ONE pipeline. The sf
+    * directory's parquet files are ingested once as opaque blobs
+    * (binaryFile), decoded and embedded in a single pass, and the
+    * compact (media_id, emb) store is MATERIALIZED — the blob source
+    * is read exactly once (q59's pin, by construction) and retrieval
+    * never touches bytes again; at 100 TB the blobs are the entire
+    * I/O cost and the store is ~8 doubles per object. Retrieval is
+    * q72's discipline over the store: int8-quantized shortlist 5,
+    * exact rerank to top-3, ids-only shuffles. Every stage is DuckDB-
+    * reproducible from read_blob file sizes. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q88" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft-mediaemb-$tag"
+    if (!new java.io.File(store).exists()) {
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet").load(dir)
+        .select(
+          conv(substring(md5(regexp_extract(col("path"), "[^/]+$", 0)), 1, 15),
+            16, 10).cast("long").as("media_id"),
+          col("content").as("media"))
+      Multimodal.mediaEmbeddings(media)
+        .write.mode("overwrite").parquet(store)
+    }
+    val e = s.read.parquet(store)
+    val queries = e.filter(col("media_id") % 2 === 0)
+    Similarity.quantizedTopK(e, queries, "media_id", "emb",
+        k = 3, shortlist = 5)
+      .orderBy("query_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_media_ann" -> q88,
     "q89_store_compaction" -> q89,
     "q87_bm25_incremental" -> q87,
     "q86_bm25_indexed" -> q86,
@@ -2239,6 +2273,59 @@ object SparkEntry {
     // incremental maintenance must read back identical to a fresh
     // build, so the oracle is again the full direct replay
     "q87_bm25_incremental" -> bm25Sql,
+    // the blob→decode→embed→quantize→rerank composition re-derived
+    // from read_blob file sizes alone: the decode stub's dims and the
+    // embedding are integer arithmetic (MediaDecode.scala,
+    // Multimodal.mediaEmbeddings), quantization is
+    // floor(x*127/max|x|+0.5) — every stage bit-exact across engines
+    "q88_media_ann" ->
+      """WITH f AS (
+        |  SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+        |         size::BIGINT AS n_bytes
+        |  FROM read_blob('{SF_DIR}/*.parquet')),
+        |d AS (
+        |  SELECT ('0x' || substr(md5(file_name), 1, 15))::BIGINT AS media_id,
+        |         n_bytes,
+        |         (64 + (n_bytes % 64)) AS width,
+        |         (64 + ((n_bytes // 64) % 64)) AS height
+        |  FROM f),
+        |e AS (
+        |  SELECT media_id,
+        |         list_transform(range(0, 8), i ->
+        |           ((n_bytes * (i + 1) + width * (3 * i + 1) +
+        |             height * (7 * i + 2)) % 997 - 498)::DOUBLE) AS v
+        |  FROM d),
+        |sc AS (SELECT media_id, v,
+        |         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS s
+        |       FROM e),
+        |qz AS (SELECT media_id, v,
+        |         CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> floor(x * 127.0 / s + 0.5))
+        |         END AS qv
+        |       FROM sc),
+        |q AS (SELECT media_id, v, qv FROM qz WHERE media_id % 2 = 0),
+        |cand AS (
+        |  SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+        |         round(list_dot_product(q.qv, c.qv) /
+        |           (sqrt(list_dot_product(q.qv, q.qv)) *
+        |            sqrt(list_dot_product(c.qv, c.qv))), 6) AS qcos,
+        |         round(list_dot_product(q.v, c.v) /
+        |           (sqrt(list_dot_product(q.v, q.v)) *
+        |            sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+        |  FROM q, qz c WHERE c.media_id != q.media_id),
+        |short AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY qcos DESC, neighbor_id) AS q_rank
+        |  FROM cand),
+        |rer AS (
+        |  SELECT query_id, neighbor_id, cosine, q_rank,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM short WHERE q_rank <= 5)
+        |SELECT query_id, rank, neighbor_id, cosine, q_rank
+        |FROM rer WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     // and in-place store compaction must too (bytes change, rows don't)
     "q89_store_compaction" -> bm25Sql,
     "q86_bm25_indexed" -> bm25Sql,

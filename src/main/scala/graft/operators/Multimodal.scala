@@ -85,6 +85,37 @@ object Multimodal {
       col("meta.n_bytes").as("n_bytes"),
       md5(col("media")).as("content_hash"))
 
+  /** Deterministic stub EMBEDDING from decoded media features — the
+    * multimodal bridge into the ANN family: one pass over the blobs
+    * decodes (codegen'd kernel) and embeds each object into a `dim`
+    * vector, producing the compact (media_id, emb) store retrieval
+    * runs on. The embedding body is integer arithmetic on the decoded
+    * pseudo-dimensions — the same discipline as the decode stub
+    * (MediaDecode.scala): DuckDB reproduces it from file sizes, so the
+    * whole blob→embedding→ANN composition is oracle-certifiable with
+    * no codec or model libraries in the container. In production THIS
+    * select is where the encoder model runs (ONNX / mapInPandas batch
+    * inference); everything around it — a single blob scan, blobs
+    * dropped before any shuffle or write, ids-only retrieval — is the
+    * real 100 TB contract: the store is ~dim doubles per object and
+    * the blob bytes never travel again. Values span ±498 (integer mod,
+    * re-centered) so cosines exercise both signs. */
+  def mediaEmbeddings(media: DataFrame, dim: Int = 8): DataFrame = {
+    graft.functions.MediaFunctions.register(media.sparkSession)
+    val d = media.select(col("media_id"),
+        graft.functions.MediaFunctions.decodeMedia(col("media")).as("__d"))
+      .where(col("__d").isNotNull)
+      .select(col("media_id"),
+        col("__d.n_bytes").as("__nb"),
+        col("__d.width").cast("long").as("__w"),
+        col("__d.height").cast("long").as("__h"))
+    val emb = array((0 until dim).map { i =>
+      ((col("__nb") * (i + 1) + col("__w") * (3 * i + 1) +
+        col("__h") * (7 * i + 2)) % 997 - 498).cast("double")
+    }: _*)
+    d.select(col("media_id"), emb.as("emb"))
+  }
+
   /** ONE-pass per-blob profile: byte features, decode dimensions, and
     * the frame-sample aggregate, all from a single read of each binary.
     * On a media corpus the blob bytes ARE the cost — a plan that scans

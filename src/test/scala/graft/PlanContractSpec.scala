@@ -556,6 +556,36 @@ class PlanContractSpec extends SparkSpec {
       s"untouched partitions leaked into the merge scan:\n$plan")
   }
 
+  test("q88 embedding-store build: ONE blob scan, codegen'd decode, " +
+       "blobs dropped before the write (no shuffle)") {
+    val media = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet").load(dir)
+      .select(
+        conv(substring(md5(regexp_extract(col("path"), "[^/]+$", 0)), 1, 15),
+          16, 10).cast("long").as("media_id"),
+        col("content").as("media"))
+    val plan = physical(Multimodal.mediaEmbeddings(media))
+    assert(plan.contains("media_decode"),
+      s"embedding build not using the native decode kernel:\n$plan")
+    val blobScans = plan.sliding("binaryFile".length).count(_ == "binaryFile")
+    assert(blobScans == 1,
+      s"embedding build must read each blob exactly once ($blobScans):\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"blob→embedding must be one shuffle-free select:\n$plan")
+  }
+
+  test("q88 retrieval never touches the blob source: quantized kernels " +
+       "over the materialized store, broadcast-only joins") {
+    val plan = physical(SparkEntry.queries("q88_media_ann")(spark, dir))
+    assert(!plan.contains("binaryFile"),
+      s"retrieval re-scanned the blob source — the store exists so bytes " +
+        s"must never be re-read:\n$plan")
+    assert(plan.contains("int8_quantize") && plan.contains("cosine_similarity"),
+      s"quantize/cosine kernels missing from the retrieval plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a q88 join fell back to sort-merge (vectors shuffled):\n$plan")
+  }
+
   test("packSequences partitions its window by shard (no global sort)") {
     val plan = physical(graft.operators.Packing.packSequences(
       TextOps.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
