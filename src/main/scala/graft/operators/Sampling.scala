@@ -295,6 +295,21 @@ object Sampling {
     * offset (the only global window runs over that histogram), and
     * positions are offset + rank within the row's own bucket — one
     * shuffle keyed by uniform buckets, max task ~n/2^(60-shift). */
+  /** The bucket-size histogram [[shufflePositions]]'s only global
+    * window runs over: one row per occupied hash bucket. The hash is
+    * 60-bit, so the cardinality is ≤ 2^(60-boundaryShift) (+1 for the
+    * null-id bucket) BY CONSTRUCTION — independent of row count, which
+    * is exactly what makes the unpartitioned offsets window safe at any
+    * corpus size. SamplingSpec pins the bound, and its growth
+    * invariance, on this real construction. */
+  private[graft] def shuffleBucketHistogram(df: DataFrame, idCol: String,
+                                            seed: String,
+                                            boundaryShift: Int): DataFrame = {
+    val h = coalesce(hashKey(col(idCol), seed), lit(-1L))
+    df.groupBy(shiftright(h, boundaryShift).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+  }
+
   def shufflePositions(df: DataFrame, idCol: String, seed: String = "graft",
                        boundaryShift: Int = 50): DataFrame = {
     require(boundaryShift >= 30 && boundaryShift <= 59,
@@ -303,7 +318,7 @@ object Sampling {
     val bucket = shiftright(h, boundaryShift)
     val histW = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = df.groupBy(bucket.as("__b")).agg(count(lit(1)).as("__n"))
+    val offsets = shuffleBucketHistogram(df, idCol, seed, boundaryShift)
       .withColumn("__off", coalesce(sum(col("__n")).over(histW), lit(0L)))
       .select("__b", "__off")
     val rn = row_number().over(

@@ -84,6 +84,21 @@ object Vocab {
     * window orderings. `bucketSub` splits ties of the leading key into
     * parallel slices and must be a PREFIX of `orderInBucket`'s order
     * (bucket boundaries may not interleave the in-bucket order). */
+  /** The bucket-size histogram [[rankedBy]]'s only unpartitioned window
+    * runs over: ONE row per distinct (bucketVal, bucketSub) pair. Its
+    * cardinality is the scale contract that makes that window safe —
+    * bounded by |distinct bucketVal| × |distinct bucketSub|, never by
+    * the data (duplicating a corpus multiplies every count in place,
+    * so the histogram does NOT grow — VocabSpec pins this growth
+    * invariance, and pins the bound itself, on this real construction
+    * rather than a spec-side re-implementation). A caller who hands
+    * rankedBy a near-unique bucketVal (e.g. raw doubles) breaks the
+    * bound and the spec's contract documents that as the misuse. */
+  private[graft] def bucketHistogram(df: DataFrame, bucketVal: Column,
+                                     bucketSub: Column): DataFrame =
+    df.withColumn("__b1", bucketVal).withColumn("__b2", bucketSub)
+      .groupBy("__b1", "__b2").agg(count(lit(1)).as("__n"))
+
   private[graft] def rankedBy(df: DataFrame, bucketVal: Column,
                                   descending: Boolean,
                                   bucketSub: Column, orderInBucket: Column,
@@ -92,8 +107,7 @@ object Vocab {
     val b1Ord = if (descending) col("__b1").desc else col("__b1").asc
     val histW = Window.orderBy(b1Ord, col("__b2"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("__b1", "__b2")
-      .agg(count(lit(1)).as("__n"))
+    val offsets = bucketHistogram(df, bucketVal, bucketSub)
       .withColumn("__off", coalesce(sum(col("__n")).over(histW), lit(0L)))
       .select("__b1", "__b2", "__off")
     val rn = row_number().over(

@@ -270,4 +270,27 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitAssign(df, "id", Seq("a" -> 1.2, "b" -> -0.2))
     }
   }
+
+  test("shufflePositions' global-window histogram is bounded by " +
+       "2^(60-shift) buckets regardless of row count") {
+    // the construction whose size makes the offsets window safe: the
+    // 60-bit hash shifted right leaves ≤ 2^(60-shift) possible buckets
+    // (+1 for the null-id bucket) — row count cannot move it, which is
+    // the documented contract for running an unpartitioned window here
+    val shift = 52 // 2^8 = 256 possible buckets — observable with 20k rows
+    val bound = (1L << (60 - shift)) + 1
+    val small = spark.range(5000).toDF("id")
+    val large = spark.range(20000).toDF("id")
+    val hSmall = Sampling.shuffleBucketHistogram(small, "id", "graft", shift)
+    val hLarge = Sampling.shuffleBucketHistogram(large, "id", "graft", shift)
+    val (nS, nL) = (hSmall.count(), hLarge.count())
+    assert(nS <= bound && nL <= bound,
+      s"histogram exceeded its structural bound: $nS / $nL vs $bound")
+    // 4x the rows, same histogram size (every bucket already occupied)
+    assert(nL == nS,
+      s"row growth moved the histogram size ($nS -> $nL) — the bound " +
+        "must come from the hash width, never the data")
+    // and the histogram accounts for every row
+    assert(hLarge.agg(sum(col("__n"))).head().getLong(0) == 20000L)
+  }
 }

@@ -105,4 +105,32 @@ class VocabSpec extends SparkSpec {
     // v ASC, then k: b(1)=1, c(1)=2, d(2)=3, a(3)=4
     assert(got == Map("b" -> 1L, "c" -> 2L, "d" -> 3L, "a" -> 4L))
   }
+
+  test("the unpartitioned window's histogram is bounded by distinct " +
+       "(cnt, prefix) pairs and does NOT grow with corpus size") {
+    // the construction whose size makes Vocab's single-partition window
+    // safe (the WindowExec warning in the bench tail is THIS window):
+    // one row per (count-value, token-prefix) pair, never per token
+    val state = Vocab.tokenCountState(corpus(nDocs = 60), "text")
+    val hist = Vocab.bucketHistogram(state, col("cnt"),
+      substring(col("token"), 1, 1))
+    val histRows = hist.count()
+    val bound = state.select(countDistinct(col("cnt")),
+        countDistinct(substring(col("token"), 1, 1)))
+      .head() match { case r => r.getLong(0) * r.getLong(1) }
+    val tokens = state.count()
+    assert(histRows <= bound,
+      s"histogram $histRows exceeds the |cnt|x|prefix| bound $bound")
+    assert(histRows < tokens,
+      s"histogram ($histRows) must be smaller than the token state ($tokens)")
+    // growth invariance: doubling the corpus doubles every count IN
+    // PLACE (merge of two identical states), so the histogram must not
+    // grow — this is what a future caller with a near-unique bucketVal
+    // would break, and the contract this spec exists to defend
+    val doubled = Vocab.mergeTokenCountState(Seq(state, state))
+    val histRows2 = Vocab.bucketHistogram(doubled, col("cnt"),
+      substring(col("token"), 1, 1)).count()
+    assert(histRows2 <= histRows,
+      s"corpus 2x grew the histogram $histRows -> $histRows2")
+  }
 }
