@@ -1414,7 +1414,59 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Store purge ([[TextOps.purgeFromPostingIndex]]): the retraction
+    * path of the index lifecycle — build over three quarters of the
+    * corpus, append the rest (so the purge spans rows from BOTH
+    * batches), then PURGE every doc_id ≡ 3 (mod 5): their posting rows
+    * are anti-joined out of only the term-hash partitions the purged
+    * docs' terms name, df retracts by appended NEGATIVE contributions
+    * into the same pruned partitions (the mergeable-state reader
+    * already sums), and one negative (n, dl_sum, dl_cnt) row rebalances
+    * the corpus stats. The query batch (doc_id ≡ 0 mod 100, disjoint
+    * from the purge set) then retrieves over the index. Oracle: the
+    * full direct-BM25 replay over the corpus WITHOUT the purged docs —
+    * purge(build(A∪B), B) must read identically to build(A). */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q90" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-postidx-purge-$tag"
+    val parts = 16
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    if (!new java.io.File(path).exists()) {
+      TextOps.writePostingIndex(docs.filter(col("doc_id") % 4 =!= 0),
+        "doc_id", "text", path, parts)
+      TextOps.appendToPostingIndex(docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", path, parts)
+      TextOps.purgeFromPostingIndex(s, path, parts,
+        docs.filter(col("doc_id") % 5 === 3), "doc_id", "text")
+    }
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("qtext"))
+    TextOps.bm25TopKIndexed(s, path, parts, queries, "query_id", "qtext",
+        k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Priority sampling ([[Sampling.prioritySample]], Duffield–Lund–
+    * Thorup): a fixed-size weight-sensitive audit sample of the
+    * document corpus, weighted by token count — the k kept rows plus
+    * the τ-floored estimator answer any "tokens in slice X" question
+    * unbiasedly without rescanning the corpus. Deterministic u from
+    * the portable 60-bit hash; priority/τ/estimator are
+    * division-and-compare only, so the oracle replays them
+    * bit-for-bit. */
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    Sampling.prioritySample(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).as("toks")),
+        "doc_id", "toks", k = 25, seed = SampleSeed)
+      .orderBy("rank")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_store_purge" -> q90,
+    "q91_priority_sample" -> q91,
     "q88_media_ann" -> q88,
     "q89_store_compaction" -> q89,
     "q87_bm25_incremental" -> q87,
@@ -1776,8 +1828,17 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
 
   /** Shared by q85 (direct) and q86 (indexed): the full BM25 replay. */
-  private val bm25Sql =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** The direct-BM25 replay, optionally over a restricted corpus —
+    * q90 purges docs from the index, so its oracle is the SAME replay
+    * with the purged docs excluded at the source: index maintenance
+    * (build / append / compact / purge) changes what is STORED, never
+    * what is computed. The query batch (doc_id ≡ 0 mod 100) is
+    * disjoint from every predicate used, so the query set is invariant
+    * across variants. */
+  private def bm25SqlOver(corpusPred: String): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents WHERE $corpusPred),""".stripMargin +
+    """
       |stats AS (SELECT count(*)::DOUBLE AS n, avg(len(w))::DOUBLE AS avgdl FROM d),
       |q AS (SELECT doc_id AS query_id, w[1:5] AS qw FROM d WHERE doc_id % 100 = 0),
       |qterm AS (SELECT DISTINCT query_id, term
@@ -1809,7 +1870,27 @@ object SparkEntry {
       |FROM r WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  private val bm25Sql = bm25SqlOver("TRUE")
+
   def oracleSql: Map[String, String] = Map(
+    // q90's purge leaves the index reading exactly as if the purged
+    // docs were never ingested — same replay, restricted corpus
+    "q90_store_purge" -> bm25SqlOver("doc_id % 5 != 3"),
+    "q91_priority_sample" ->
+      s"""WITH d AS (SELECT doc_id,
+         |        len(string_split(text, ' '))::DOUBLE AS weight,
+         |        ('0x' || substr(md5(doc_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT AS h
+         |      FROM documents),
+         |p AS (SELECT doc_id, weight,
+         |        weight / ((h + 1)::DOUBLE / 1152921504606846976.0) AS priority
+         |      FROM d),
+         |r AS (SELECT doc_id, weight, priority,
+         |        row_number() OVER (ORDER BY priority DESC, doc_id) AS rank
+         |      FROM p),
+         |tau AS (SELECT coalesce(max(CASE WHEN rank = 26 THEN priority END), 0.0) AS t
+         |        FROM r)
+         |SELECT rank, doc_id, weight, priority, greatest(weight, t) AS w_est
+         |FROM r, tau WHERE rank <= 25 ORDER BY rank""".stripMargin,
     "q36_ann_lsh" -> annLshOracle(nPlanes = 4, nTables = 8, k = 10),
     "q37_ann_ivf" -> annIvfOracle(nCentroids = 16, nProbe = 4, k = 10),
     // centroids seeded from HISTORY only; every row (history + batch)

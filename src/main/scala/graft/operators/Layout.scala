@@ -140,18 +140,67 @@ object Layout {
       if (nSrc > maxFiles) {
         val tmp = new java.io.File(rootF, s".compact-${d.getName}")
         val n = compact(s, d.getAbsolutePath, tmp.getAbsolutePath, targetBytes)
-        val old = new java.io.File(rootF, s".old-${d.getName}")
-        require(d.renameTo(old), s"could not move aside $d")
-        require(tmp.renameTo(d), s"could not install compacted ${d.getName}")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(old)
+        swapInto(rootF, d, tmp)
         done += 1; after += n
       } else after += nSrc
     }
     (done, before, after)
+  }
+
+  /** Rewrite the NAMED partition directories of a store in place:
+    * each existing `dirName` under `root` is read, passed through
+    * `transform`, written to a dot-prefixed sibling, and swapped back
+    * under the SAME name ([[compactStore]]'s discipline — readers keep
+    * the root path, the partition column, and the pruning layout).
+    * Directories not named are never touched, never even listed — this
+    * is the write-side mirror of a pruned probe, and it is what makes
+    * targeted store maintenance (purging opted-out documents, applying
+    * a correction) O(affected partitions) instead of O(store). Names
+    * absent on disk are skipped: a purge batch's key set may hash to a
+    * partition the store never wrote (no rows there to change — the
+    * same containment law that makes pruned reads exact makes the skip
+    * exact). Returns the number of directories rewritten.
+    *
+    * `transform` must be a row-level shrink/rewrite (filter, column
+    * fix) — it sees one partition's rows WITHOUT the partition column
+    * (that lives in the directory name) and its output lands back
+    * under that name, so emitting rows that belong elsewhere would
+    * corrupt the layout. Single-writer contract as everywhere here; at
+    * cluster scale the swap becomes a table-format transactional
+    * commit. */
+  def rewritePartitionsInPlace(s: SparkSession, root: String,
+                               dirNames: Seq[String])
+                              (transform: DataFrame => DataFrame): Int = {
+    val rootF = new java.io.File(root)
+    var done = 0
+    dirNames.distinct.foreach { name =>
+      require(!name.startsWith(".") && !name.contains("/"),
+        s"partition dir name '$name' must be a plain child directory")
+      val d = new java.io.File(rootF, name)
+      if (d.isDirectory) {
+        val tmp = new java.io.File(rootF, s".rewrite-$name")
+        transform(s.read.parquet(d.getAbsolutePath))
+          .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+        swapInto(rootF, d, tmp)
+        done += 1
+      }
+    }
+    done
+  }
+
+  /** Install `tmp` under `d`'s name: move `d` aside, rename `tmp`
+    * into place, delete the old tree. The non-atomic window is two
+    * renames — the single-writer contract all stores here share. */
+  private def swapInto(rootF: java.io.File, d: java.io.File,
+                       tmp: java.io.File): Unit = {
+    val old = new java.io.File(rootF, s".old-${d.getName}")
+    require(d.renameTo(old), s"could not move aside $d")
+    require(tmp.renameTo(d), s"could not install rewritten ${d.getName}")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(old)
   }
 
   private def listParquetBytes(dir: java.io.File): Long =

@@ -328,4 +328,53 @@ object Sampling {
       .withColumn("shuffle_pos", col("__off") + rn.cast("long"))
       .drop("__h", "__b", "__off")
   }
+
+  /** Deterministic PRIORITY SAMPLING (Duffield, Lund & Thorup, "Priority
+    * sampling for estimation of arbitrary subset sums", JACM 54(6),
+    * 2007): a weight-sensitive k-row sample whose per-row estimator
+    * `w_est = max(weight, τ)` makes any subset-sum estimate unbiased —
+    * THE way to keep a fixed-size audit sample of a 100 TB corpus that
+    * still answers "how many tokens does slice X hold" without a full
+    * scan. Each row draws priority `weight / u` with `u ∈ (0,1]` derived
+    * from [[hashKey]] — deterministic, so the sample is reproducible
+    * across retries, engines, and re-partitionings (the same discipline
+    * as every sampler here; randomized u is one seed swap away). τ is
+    * the (k+1)-th largest priority (0 when the population has ≤ k rows,
+    * where the sample is exact and `w_est = weight`).
+    *
+    * Cross-engine exactness without a single transcendental: `u =
+    * (h+1)/2^60` is a round-to-nearest cast plus an exact power-of-two
+    * scale, and `weight / u` is one correctly-rounded IEEE division —
+    * every engine computing this expression produces bit-identical
+    * doubles, so rank, τ, and estimator all replay exactly in the
+    * oracle (q91). Contrast Efraimidis–Spirtes keys `u^(1/w)`: same
+    * sampling power, but pow/ln are NOT correctly rounded and last-ulp
+    * divergence would flip ranks cross-engine.
+    *
+    * Shape: the priority is a codegen'd projection; top-(k+1) is
+    * TakeOrderedAndProject (per-partition heap of k+1, driver merge —
+    * no global sort, no full shuffle); τ and the estimator are derived
+    * on the ≤ k+1 survivors. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: String = "graft"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val u = (hashKey(col(idCol), seed) + lit(1L)).cast("double") /
+      lit(Space.toDouble)
+    val prio = df
+      .withColumn("weight", col(weightCol).cast("double"))
+      .withColumn("priority", col("weight") / u)
+      .select(col(idCol), col("weight"), col("priority"))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k + 1)
+    val rn = row_number().over(
+      Window.orderBy(col("priority").desc, col(idCol)))
+    val ranked = prio.withColumn("rank", rn) // ≤ k+1 rows: tiny window
+    val tau = ranked.filter(col("rank") === k + 1)
+      .agg(coalesce(max(col("priority")), lit(0.0)).as("__tau"))
+    ranked.filter(col("rank") <= k)
+      .crossJoin(broadcast(tau))
+      .withColumn("w_est", greatest(col("weight"), col("__tau")))
+      .select(col("rank"), col(idCol), col("weight"), col("priority"),
+        col("w_est"))
+  }
 }

@@ -260,6 +260,36 @@ object Similarity {
       .parquet(s"$path/index")
   }
 
+  /** PURGE vectors from a persisted IVF index — [[appendToIvfIndex]]'s
+    * retraction twin (an opted-out document's embedding must leave the
+    * index, not just the corpus). The purge batch is assigned to the
+    * FROZEN centroids exactly as ingest was; assignment is a pure
+    * per-row function of those centroids, so the batch's centroid ids
+    * name every inverted-list partition its rows can live in, and only
+    * those directories are rewritten (purged `neighbor_id`s
+    * anti-joined out, [[graft.operators.Layout.rewritePartitionsInPlace]]'s
+    * swap). O(batch × nCentroids) assignment + O(touched partitions)
+    * rewrite, never O(index); idempotent (absent rows delete to
+    * nothing). The batch must carry the embeddings AS INGESTED — same
+    * contract as every pruned-maintenance path here: the vector is
+    * what names the partition. Law: purge(index(A∪B), B) holds the
+    * same inverted-list rows as index(A) assigned fresh against the
+    * same centroids — pinned in SimilaritySpec. */
+  def purgeFromIvfIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                        purgeBatch: DataFrame, idCol: String,
+                        vecCol: String): Unit = {
+    val centroids = s.read.parquet(s"$path/centroids")
+    val cids = assignToCentroid(purgeBatch, centroids, idCol, vecCol)
+      .select(col("centroid_id")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val ids = purgeBatch.select(col(idCol).as("neighbor_id")).distinct()
+    Layout.rewritePartitionsInPlace(s, s"$path/index",
+        cids.map(c => s"centroid_id=$c")) { part =>
+      part.join(broadcast(ids), Seq("neighbor_id"), "left_anti")
+    }
+    ()
+  }
+
   /** Probe a built index: `nProbe` nearest centroid lists per query,
     * exact rerank within them. No training happens here — the plan is a
     * broadcast join against the inverted lists (pinned by

@@ -1032,6 +1032,104 @@ object TextOps {
         col("__s").cast("double").as("score"))
   }
 
+  /** PURGE documents from a persisted [[writePostingIndex]] layout —
+    * the delete path every durable store in a training pipeline
+    * eventually needs (takedown requests, licensing opt-outs,
+    * found-contaminated documents) and the one
+    * [[appendToPostingIndex]] cannot express: appends add state, a
+    * purge must RETRACT it.
+    *
+    * Three coordinated moves, each O(purge-batch), never O(index):
+    *
+    *  - `postings/`: the purge docs' terms name the only term-hash
+    *    partitions their rows can live in (same containment law as
+    *    [[bm25TopKIndexed]]'s pruned probe); those directories — and
+    *    ONLY those — are rewritten in place with the purged ids
+    *    anti-joined out
+    *    ([[graft.operators.Layout.rewritePartitionsInPlace]]).
+    *  - `dfreq/`: a NEGATIVE per-term df contribution is appended —
+    *    the mergeable-state design was built for this: the reader
+    *    already sums df per term across batches, so retraction is an
+    *    append with the opposite sign, landing in the same pruned
+    *    partitions. Integer-valued doubles sum exactly, so the merged
+    *    df equals a from-scratch build's bit-for-bit.
+    *  - `stats/`: one negative (n, dl_sum, dl_cnt) row, same argument.
+    *
+    * The retraction amounts are computed from the STORED rows being
+    * deleted (materialized before the rewrite), not from re-tokenized
+    * text — so purging an id the index never held is an exact no-op
+    * and the purge is idempotent (a second purge finds no stored
+    * rows: zero negatives, empty anti-join). `purgeDocs` must carry
+    * the text AS INGESTED (the pipeline keeps the corpus table the
+    * index was built from — the lookup is a point fetch, not a scan):
+    * the text is what prunes the partition set, and the containment
+    * law only holds for the tokens that built the rows. The law —
+    * purge(build(A∪B), B) reads identically to build(A) — is pinned
+    * in TextOpsSpec and certified end-to-end by q90's oracle. */
+  def purgeFromPostingIndex(s: org.apache.spark.sql.SparkSession,
+                            path: String, parts: Int, purgeDocs: DataFrame,
+                            idCol: String, textCol: String): Unit = {
+    require(parts >= 1, s"parts=$parts must be >= 1")
+    val ids = purgeDocs.select(col(idCol).as("doc_id")).distinct()
+    val pp = purgeDocs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+      .select(pmod(xxhash64(col("term")), lit(parts.toLong)).cast("int").as("p"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    // stored rows being deleted — the source of truth for the
+    // retraction amounts; materialized BEFORE the rewrite deletes them
+    val doomed = s.read.parquet(s"$path/postings")
+      .filter(col("tp").isin(pp: _*))
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("term"), col("dl"))
+      .localCheckpoint()
+    def partitioned(df: DataFrame) = df
+      .withColumn("tp", pmod(xxhash64(col("term")), lit(parts.toLong)).cast("int"))
+      .repartition(col("tp"))
+    partitioned(doomed.groupBy(col("term"))
+        .agg((-count(lit(1))).cast("double").as("df")))
+      .write.partitionBy("tp").mode("append").parquet(s"$path/dfreq")
+    doomed.groupBy(col("doc_id")).agg(min(col("dl")).as("dl"))
+      .agg((-count(lit(1))).cast("double").as("n"),
+        (-coalesce(sum(col("dl")), lit(0.0))).as("dl_sum"),
+        (-count(col("dl"))).cast("double").as("dl_cnt"))
+      .filter(col("n") < 0) // an empty purge appends nothing
+      .write.mode("append").parquet(s"$path/stats")
+    Layout.rewritePartitionsInPlace(s, s"$path/postings",
+        pp.map(p => s"tp=$p")) { part =>
+      part.join(broadcast(ids), Seq("doc_id"), "left_anti")
+    }
+    ()
+  }
+
+  /** PURGE documents from a partitioned signature store
+    * ([[writeSignatureStorePartitioned]]): the purge batch is signed
+    * once — signing is a pure function of the ingested text, so the
+    * batch's band keys name exactly the `bk_part` directories its
+    * store rows live in — and those partitions alone are rewritten
+    * with the purged ids anti-joined out. No retraction bookkeeping:
+    * this store has no merged statistics, its rows ARE the state.
+    * Idempotent for the same reason the anti-join is (deleting absent
+    * rows deletes nothing). Law: purge(store(A∪B), B) holds the same
+    * row multiset as store(A) written fresh — pinned in TextOpsSpec. */
+  def purgeFromSignatureStore(s: org.apache.spark.sql.SparkSession,
+                              path: String, parts: Int,
+                              purgeDocs: DataFrame, idCol: String,
+                              textCol: String, n: Int = 3, k: Int = 64,
+                              bands: Int = 16): Unit = {
+    require(parts >= 1, s"parts=$parts must be >= 1")
+    val bandRows = signatureStore(purgeDocs, idCol, textCol, n, k, bands)
+    val pp = bandRows
+      .select(pmod(xxhash64(col("band_key")), lit(parts.toLong))
+        .cast("int").as("p"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val ids = purgeDocs.select(col(idCol)).distinct()
+    Layout.rewritePartitionsInPlace(s, path, pp.map(p => s"bk_part=$p")) {
+      part => part.join(broadcast(ids), Seq(idCol), "left_anti")
+    }
+    ()
+  }
+
   /** Exact duplicated-PASSAGE removal at block granularity — the
     * corpus-scalable form of exact-substring dedup (the "repeated
     * ≥50-token passage" pass pretraining pipelines run after doc-level

@@ -187,4 +187,35 @@ class LayoutSpec extends SparkSpec {
     assert(post.sameElements(pre),
       "compaction changed what a pruned probe reads")
   }
+
+  test("rewritePartitionsInPlace transforms only the named partitions, " +
+       "skips absent names, and preserves the read layout") {
+    val df = (1L to 40L).map(i => (i, i % 4)).toDF("id", "p")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-rewrite-inplace").toString
+    df.write.mode("overwrite").partitionBy("p").parquet(tmp)
+    def fileSet(name: String) =
+      Option(new java.io.File(tmp, name).listFiles())
+        .getOrElse(Array.empty)
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val untouchedBefore = fileSet("p=2")
+    // rewrite p=0 and p=1 (drop even ids); p=9 does not exist → skipped
+    val n = Layout.rewritePartitionsInPlace(spark, tmp,
+      Seq("p=0", "p=1", "p=9"))(part => part.filter(col("id") % 2 === 1))
+    assert(n == 2, s"expected 2 rewrites, got $n")
+    val back = spark.read.parquet(tmp)
+    // p=0 holds ids ≡ 0 mod 4 — all even, so the partition empties;
+    // p=1's ids are all odd — the filter keeps everything
+    assert(back.filter(col("p") === 0).count() == 0)
+    assert(back.filter(col("p") === 1).count() == 10)
+    // unnamed partitions byte-identical, full layout still readable
+    assert(fileSet("p=2") == untouchedBefore,
+      "an unnamed partition's files changed")
+    assert(back.filter(col("p") === 2).count() == 10)
+    assert(back.filter(col("p") === 3).count() == 10)
+    // the partition column still prunes (the dirs kept their names)
+    val plan = back.filter(col("p") === 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(400))
+  }
 }

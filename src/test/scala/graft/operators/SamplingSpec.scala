@@ -293,4 +293,61 @@ class SamplingSpec extends SparkSpec {
     // and the histogram accounts for every row
     assert(hLarge.agg(sum(col("__n"))).head().getLong(0) == 20000L)
   }
+
+  test("prioritySample: τ is the (k+1)-th priority, every kept priority " +
+       "is ≥ τ, and the estimator floors at the weight") {
+    val df = (1L to 200L).map(i => (i, 1L + i % 17)).toDF("id", "w")
+    val k = 12
+    val out = Sampling.prioritySample(df, "id", "w", k, seed = "ps-law")
+      .orderBy("rank").collect()
+    assert(out.length == k)
+    // recompute every priority naively and check τ against rank k+1
+    val all = df.withColumn("__p",
+        col("w").cast("double") /
+          ((Sampling.hashKey(col("id"), "ps-law") + lit(1L)).cast("double") /
+            lit(Sampling.Space.toDouble)))
+      .orderBy(col("__p").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val tau = all(k)._2
+    out.zip(all.take(k)).foreach { case (got, (id, p)) =>
+      assert(got.getAs[Long]("id") == id && got.getAs[Double]("priority") == p,
+        s"rank ${got.getAs[Int]("rank")}: got $got expected ($id, $p)")
+      assert(p >= tau, "kept priority below τ")
+      assert(got.getAs[Double]("w_est") ==
+        math.max(got.getAs[Double]("weight"), tau))
+    }
+  }
+
+  test("prioritySample with k ≥ population keeps everything exactly " +
+       "(τ = 0, estimator = weight) and is repartition-invariant") {
+    val df = (1L to 9L).map(i => (i, 2L * i)).toDF("id", "w")
+    val out = Sampling.prioritySample(df, "id", "w", k = 20, seed = "ps-all")
+      .collect()
+    assert(out.length == 9)
+    out.foreach(r => assert(
+      r.getAs[Double]("w_est") == r.getAs[Double]("weight"),
+      s"τ must be 0 when the sample is the population: $r"))
+    val big = (1L to 500L).map(i => (i, 1L + i % 23)).toDF("id", "w")
+    val a = Sampling.prioritySample(big, "id", "w", 15, "ps-inv")
+      .collect().map(_.toString).sorted
+    val b = Sampling.prioritySample(big.repartition(13), "id", "w", 15, "ps-inv")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b), "sample changed under repartitioning")
+  }
+
+  test("prioritySample subset-sum estimates are unbiased across seeds " +
+       "(Duffield–Lund–Thorup estimator sweep)") {
+    // fixed seed list → deterministic test; the MEAN total-weight
+    // estimate over seeds must sit near the true total even though any
+    // single seed's estimate is noisy
+    val df = (1L to 300L).map(i => (i, 1L + (i * i) % 29)).toDF("id", "w")
+    val truth = df.agg(sum(col("w"))).head().getLong(0).toDouble
+    val ests = (1 to 50).map { s =>
+      Sampling.prioritySample(df, "id", "w", k = 40, seed = s"sweep-$s")
+        .agg(sum(col("w_est"))).head().getDouble(0)
+    }
+    val mean = ests.sum / ests.size
+    assert(math.abs(mean - truth) / truth < 0.05,
+      s"mean estimate $mean drifted from truth $truth")
+  }
 }

@@ -169,6 +169,55 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/index").count() == e.count())
   }
 
+  test("IVF purge: purge(index(A∪B), B) holds index(A)'s rows; only B's " +
+       "centroid partitions are rewritten; idempotent") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isPurged = col("vec_id") % 7 === 0
+    val dir = java.nio.file.Files.createTempDirectory("ivf-purge").toString
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(e, "vec_id", "embedding",
+        nCentroids = 8, iters = 0), dir)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    def dirFiles() = Option(new java.io.File(s"$dir/index").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("centroid_id="))
+      .map(d => d.getName ->
+        d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+      .toMap
+    // the partitions the purge may touch = the centroid lists that
+    // actually hold purged rows (read from the index itself)
+    val before = dirFiles()
+    val holding = spark.read.parquet(s"$dir/index")
+      .filter(col("neighbor_id") % 7 === 0)
+      .select(col("centroid_id")).distinct()
+      .collect().map(r => s"centroid_id=${r.get(0)}").toSet
+    Similarity.purgeFromIvfIndex(spark, dir, e.filter(isPurged),
+      "vec_id", "embedding")
+    val after = dirFiles()
+    val touched = (after.keySet ++ before.keySet).filter(d =>
+      after.getOrElse(d, Set.empty[String]) !=
+        before.getOrElse(d, Set.empty[String]))
+    assert(touched.subsetOf(holding),
+      s"purge touched centroid partitions holding no purged rows: ${touched -- holding}")
+    // law: same inverted-list rows as building over the kept corpus
+    // against the SAME frozen centroids (the append-into-frozen trick)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("neighbor_id"), col("centroid_id"))
+      .collect().map(_.toString).sorted
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf-purge-ref").toString
+    centroids.write.mode("overwrite").parquet(s"$dir2/centroids")
+    Similarity.appendToIvfIndex(spark, dir2, e.filter(!isPurged),
+      "vec_id", "embedding")
+    val kept = spark.read.parquet(s"$dir2/index")
+    assert(rows(spark.read.parquet(s"$dir/index"))
+        .sameElements(rows(kept)),
+      "purged index rows differ from a fresh assignment of the kept corpus")
+    Similarity.purgeFromIvfIndex(spark, dir, e.filter(isPurged),
+      "vec_id", "embedding")
+    assert(rows(spark.read.parquet(s"$dir/index")).sameElements(rows(kept)),
+      "second purge changed the index")
+  }
+
   test("cosineDedupPairs finds planted duplicates") {
     val pairs = Similarity.cosineDedupPairs(vecs, "vec_id", "embedding",
       threshold = 0.99, nPlanes = 2)

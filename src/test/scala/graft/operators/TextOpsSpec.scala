@@ -419,4 +419,109 @@ class TextOpsSpec extends SparkSpec {
     val noBands = TextOps.signatureStore(corpus.filter(lit(false)), "doc_id", "text")
     assert(TextOps.prunedSignatureStore(spark, tmp, 8, noBands).count() == 0)
   }
+
+  test("purge(build(A∪B), B) reads ≡ build(A); only B's term partitions " +
+       "are rewritten; idempotent; unknown ids are a no-op") {
+    val keep = Seq(
+      (1L, "apple banana apple kiwi"), (2L, "banana cherry plum"),
+      (3L, "cherry date egg fig")).toDF("doc_id", "text")
+    val purged = Seq(
+      (4L, "kiwi plum apple"), (5L, "apple apple cherry date")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple cherry"), (200L, "kiwi fig"))
+      .toDF("qid", "qtext")
+    val parts = 32
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-postidx-purge-spec").toString
+    // purge rows must span BOTH a build batch and an append batch
+    TextOps.writePostingIndex(keep.union(purged.limit(1)),
+      "doc_id", "text", tmp, parts)
+    TextOps.appendToPostingIndex(purged.orderBy(col("doc_id").desc).limit(1),
+      "doc_id", "text", tmp, parts)
+    def files(sub: String): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$tmp/$sub")
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("tp="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val before = files("postings")
+    TextOps.purgeFromPostingIndex(spark, tmp, parts, purged, "doc_id", "text")
+    val after = files("postings")
+    val purgedParts = purged
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .select(pmod(xxhash64(col("term")), lit(parts.toLong)).cast("int"))
+      .distinct().collect().map(r => s"tp=${r.getInt(0)}").toSet
+    val touched = (after.keySet ++ before.keySet).filter(d =>
+      after.getOrElse(d, Set.empty[String]) !=
+        before.getOrElse(d, Set.empty[String]))
+    assert(touched.nonEmpty && touched.subsetOf(purgedParts),
+      s"purge touched partitions outside the purged docs' terms: ${touched -- purgedParts}")
+    val direct = TextOps.bm25TopK(keep, "doc_id", "text",
+        queries, "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted
+    def indexed() = TextOps.bm25TopKIndexed(spark, tmp, parts,
+        queries, "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted
+    assert(indexed().sameElements(direct),
+      "purged index drifted from an index never holding the purged docs")
+    // the merged corpus stats retracted exactly (negative rows summed)
+    val st = spark.read.parquet(s"$tmp/stats")
+      .agg(sum(col("n")), sum(col("dl_sum")), sum(col("dl_cnt"))).first()
+    assert(st.getDouble(0) == 3.0 && st.getDouble(2) == 3.0,
+      s"stats retraction wrong: $st")
+    // idempotent: purging the same docs again changes nothing
+    TextOps.purgeFromPostingIndex(spark, tmp, parts, purged, "doc_id", "text")
+    assert(indexed().sameElements(direct), "second purge drifted the read")
+    // unknown ids: exact no-op (retraction comes from stored rows)
+    TextOps.purgeFromPostingIndex(spark, tmp, parts,
+      Seq((99L, "apple never ingested")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(indexed().sameElements(direct), "unknown-id purge drifted the read")
+  }
+
+  test("signature-store purge holds the row multiset of a store built " +
+       "without the purged docs, touching only their band partitions") {
+    val keep = Seq((1L, "a b c d e f g h"), (2L, "q r s t u v w x"))
+      .toDF("doc_id", "text")
+    val purged = Seq((3L, "a b c d e f g z"), (4L, "m n o p m n o p"))
+      .toDF("doc_id", "text")
+    val parts = 8
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sigstore-purge").toString
+    TextOps.writeSignatureStorePartitioned(
+      TextOps.signatureStore(keep.union(purged), "doc_id", "text"), tmp, parts)
+    def rows(path: String) = spark.read.parquet(path).drop("bk_part")
+      .collect().map(_.toString).sorted
+    val beforeDirs = Option(new java.io.File(tmp).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("bk_part="))
+      .map(d => d.getName ->
+        d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+      .toMap
+    TextOps.purgeFromSignatureStore(spark, tmp, parts, purged,
+      "doc_id", "text")
+    val afterDirs = Option(new java.io.File(tmp).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("bk_part="))
+      .map(d => d.getName ->
+        d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+      .toMap
+    val purgedParts = TextOps.signatureStore(purged, "doc_id", "text")
+      .select(pmod(xxhash64(col("band_key")), lit(parts.toLong)).cast("int"))
+      .distinct().collect().map(r => s"bk_part=${r.getInt(0)}").toSet
+    val touched = (afterDirs.keySet ++ beforeDirs.keySet).filter(d =>
+      afterDirs.getOrElse(d, Set.empty[String]) !=
+        beforeDirs.getOrElse(d, Set.empty[String]))
+    assert(touched.subsetOf(purgedParts),
+      s"purge touched non-band partitions: ${touched -- purgedParts}")
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-sigstore-fresh").toString
+    TextOps.writeSignatureStorePartitioned(
+      TextOps.signatureStore(keep, "doc_id", "text"), fresh, parts)
+    assert(rows(tmp).sameElements(rows(fresh)),
+      "purged store rows differ from a store never holding the purged docs")
+  }
 }
