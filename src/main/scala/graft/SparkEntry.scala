@@ -1464,9 +1464,50 @@ object SparkEntry {
         "doc_id", "toks", k = 25, seed = SampleSeed)
       .orderBy("rank")
 
+  /** ANN recall evaluation: every approximate retrieval arm (q36's
+    * LSH, q37's IVF, q72's int8 shortlist-rerank) audited against
+    * q12's exact brute force in ONE evaluation table — the index
+    * quality regression gate a pipeline runs before swapping a new
+    * index build into serving. recall@10 denominates by |queries|·k
+    * (an arm that returns fewer than k rows — LSH with sparse buckets
+    * — is penalized for the misses, as it should be). The exact side
+    * broadcasts (|queries|·k ids — metadata-scale) onto the union of
+    * arms, so the audit adds no corpus-sized join; each arm keeps its
+    * own already-pinned plan. */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding",
+        k = 10)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("__hit"))
+    val denom = broadcast(queries
+      .agg((count(lit(1)) * 10).cast("double").as("__denom")))
+    Seq(
+      "lsh" -> Similarity.lshTopK(e, queries, "vec_id", "embedding",
+        k = 10, nPlanes = 4, nTables = 8),
+      "ivf" -> Similarity.ivfTopK(e, queries, "vec_id", "embedding",
+        k = 10, nCentroids = 16, nProbe = 4, iters = 0),
+      "int8" -> Similarity.quantizedTopK(e, queries, "vec_id", "embedding",
+        k = 10, shortlist = 32))
+      .map { case (m, df) =>
+        df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+      }
+      .reduce(_.unionByName(_))
+      .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_results"),
+        sum(coalesce(col("__hit"), lit(false)).cast("long")).as("n_hits"))
+      .crossJoin(denom)
+      .withColumn("recall_at_10",
+        round(col("n_hits").cast("double") / col("__denom"), 6))
+      .select("method", "n_results", "n_hits", "recall_at_10")
+      .orderBy("method")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_store_purge" -> q90,
     "q91_priority_sample" -> q91,
+    "q92_ann_recall" -> q92,
     "q88_media_ann" -> q88,
     "q89_store_compaction" -> q89,
     "q87_bm25_incremental" -> q87,
@@ -1872,7 +1913,100 @@ object SparkEntry {
 
   private val bm25Sql = bm25SqlOver("TRUE")
 
+  /** q12 oracle: exact brute-force cosine top-k — also the ground
+    * truth CTE of q92's recall evaluation. */
+  private val bruteAnnSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+      |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |        round(list_dot_product(q.v, e.v) /
+      |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6)
+      |          AS cosine
+      |      FROM q, e WHERE e.vec_id != q.vec_id),
+      |r AS (SELECT query_id, neighbor_id, cosine,
+      |        row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY cosine DESC, neighbor_id) AS rank
+      |      FROM s)
+      |SELECT query_id, rank, neighbor_id, cosine
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** q72 oracle: int8 quantization is floor(x*127/max|x| + 0.5) on
+    * doubles — exact integer outputs, so quantized dot/norms are
+    * bit-identical across engines; the rerank and the hit audit reuse
+    * q12's exact-cosine arithmetic. Also q92's int8 arm. */
+  private val quantAnnSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |sc AS (SELECT vec_id, v,
+      |         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS s
+      |       FROM e),
+      |qz AS (SELECT vec_id, v,
+      |         CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+      |              ELSE list_transform(v, x -> floor(x * 127.0 / s + 0.5))
+      |         END AS qv
+      |       FROM sc),
+      |q AS (SELECT vec_id, v, qv FROM qz WHERE vec_id % 50 = 0),
+      |cand AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         round(list_dot_product(q.qv, c.qv) /
+      |           (sqrt(list_dot_product(q.qv, q.qv)) *
+      |            sqrt(list_dot_product(c.qv, c.qv))), 6) AS qcos,
+      |         round(list_dot_product(q.v, c.v) /
+      |           (sqrt(list_dot_product(q.v, q.v)) *
+      |            sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+      |  FROM q, qz c WHERE c.vec_id != q.vec_id),
+      |short AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY qcos DESC, neighbor_id) AS q_rank
+      |  FROM cand),
+      |rer AS (
+      |  SELECT query_id, neighbor_id, cosine, q_rank,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM short WHERE q_rank <= 32),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |           row_number() OVER (PARTITION BY query_id
+      |                              ORDER BY cosine DESC, neighbor_id) AS xr
+      |    FROM cand) WHERE xr <= 10)
+      |SELECT r.query_id, r.rank, r.neighbor_id, r.cosine, r.q_rank,
+      |       (x.neighbor_id IS NOT NULL) AS hit
+      |FROM rer r
+      |LEFT JOIN exact x
+      |  ON r.query_id = x.query_id AND r.neighbor_id = x.neighbor_id
+      |WHERE r.rank <= 10
+      |ORDER BY r.query_id, r.rank""".stripMargin
+
+  /** q92 oracle: each approximate arm's full replay (the SAME SQL that
+    * oracles q36/q37/q72, as derived tables) audited against q12's
+    * exact replay — the evaluation layer adds counting on top of
+    * already-certified arithmetic, nothing else. */
+  private def annRecallSql: String =
+    s"""WITH lsh0 AS (SELECT query_id, neighbor_id FROM (
+       |${annLshOracle(nPlanes = 4, nTables = 8, k = 10)})),
+       |ivf0 AS (SELECT query_id, neighbor_id FROM (
+       |${annIvfOracle(nCentroids = 16, nProbe = 4, k = 10)})),
+       |qz0 AS (SELECT query_id, neighbor_id FROM (
+       |$quantAnnSql)),
+       |bf AS (SELECT query_id, neighbor_id FROM (
+       |$bruteAnnSql)),
+       |nq AS (SELECT (count(*) * 10)::DOUBLE AS denom
+       |       FROM embeddings WHERE vec_id % 50 = 0),
+       |un AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh0
+       |       UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf0
+       |       UNION ALL SELECT 'int8', query_id, neighbor_id FROM qz0),
+       |j AS (SELECT un.method,
+       |        CASE WHEN bf.query_id IS NULL THEN 0 ELSE 1 END AS hit
+       |      FROM un LEFT JOIN bf ON un.query_id = bf.query_id
+       |                          AND un.neighbor_id = bf.neighbor_id)
+       |SELECT method, count(*)::BIGINT AS n_results, sum(hit)::BIGINT AS n_hits,
+       |       round(sum(hit)::DOUBLE / (SELECT denom FROM nq), 6) AS recall_at_10
+       |FROM j GROUP BY method ORDER BY method""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q92_ann_recall" -> annRecallSql,
     // q90's purge leaves the index reading exactly as if the purged
     // docs were never ingested — same replay, restricted corpus
     "q90_store_purge" -> bm25SqlOver("doc_id % 5 != 3"),
@@ -2220,49 +2354,7 @@ object SparkEntry {
     // integer outputs, so quantized dot/norms are bit-identical across
     // engines; the rerank and the hit audit reuse q12's exact-cosine
     // arithmetic
-    "q72_quantized_ann" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        |sc AS (SELECT vec_id, v,
-        |         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS s
-        |       FROM e),
-        |qz AS (SELECT vec_id, v,
-        |         CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
-        |              ELSE list_transform(v, x -> floor(x * 127.0 / s + 0.5))
-        |         END AS qv
-        |       FROM sc),
-        |q AS (SELECT vec_id, v, qv FROM qz WHERE vec_id % 50 = 0),
-        |cand AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         round(list_dot_product(q.qv, c.qv) /
-        |           (sqrt(list_dot_product(q.qv, q.qv)) *
-        |            sqrt(list_dot_product(c.qv, c.qv))), 6) AS qcos,
-        |         round(list_dot_product(q.v, c.v) /
-        |           (sqrt(list_dot_product(q.v, q.v)) *
-        |            sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
-        |  FROM q, qz c WHERE c.vec_id != q.vec_id),
-        |short AS (
-        |  SELECT query_id, neighbor_id, cosine,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY qcos DESC, neighbor_id) AS q_rank
-        |  FROM cand),
-        |rer AS (
-        |  SELECT query_id, neighbor_id, cosine, q_rank,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY cosine DESC, neighbor_id) AS rank
-        |  FROM short WHERE q_rank <= 32),
-        |exact AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT query_id, neighbor_id,
-        |           row_number() OVER (PARTITION BY query_id
-        |                              ORDER BY cosine DESC, neighbor_id) AS xr
-        |    FROM cand) WHERE xr <= 10)
-        |SELECT r.query_id, r.rank, r.neighbor_id, r.cosine, r.q_rank,
-        |       (x.neighbor_id IS NOT NULL) AS hit
-        |FROM rer r
-        |LEFT JOIN exact x
-        |  ON r.query_id = x.query_id AND r.neighbor_id = x.neighbor_id
-        |WHERE r.rank <= 10
-        |ORDER BY r.query_id, r.rank""".stripMargin,
+    "q72_quantized_ann" -> quantAnnSql,
     // the compacted layout must be invisible to results: oracle is the
     // same aggregate straight off the flat events table
     "q73_compaction" ->
@@ -2515,21 +2607,7 @@ object SparkEntry {
     // borderline-0.8 fixtures would need the candidate-restricted
     // oracle instead (see SimilaritySpec's recall gate).
     "q11_minhash_pairs" -> jaccardOracle(0.8),
-    "q12_ann_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        |q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
-        |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-        |        round(list_dot_product(q.v, e.v) /
-        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6)
-        |          AS cosine
-        |      FROM q, e WHERE e.vec_id != q.vec_id),
-        |r AS (SELECT query_id, neighbor_id, cosine,
-        |        row_number() OVER (PARTITION BY query_id
-        |                           ORDER BY cosine DESC, neighbor_id) AS rank
-        |      FROM s)
-        |SELECT query_id, rank, neighbor_id, cosine
-        |FROM r WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    "q12_ann_topk" -> bruteAnnSql,
     "q13_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,

@@ -17,8 +17,8 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     // "all" (default = text+embed) | "text" | "embed" | "skew" |
-    // "media" | "incr" — a mode flag lets one family re-run without
-    // repaying the others (the text sweep alone is ~5 min at 40x)
+    // "media" | "incr" | "purge" — a mode flag lets one family re-run
+    // without repaying the others (the text sweep alone is ~5 min at 40x)
     val mode = args.lift(1).getOrElse("all")
     val spark = Engine.withGraftConfs(SparkSession.builder()
       .master("local[32]")
@@ -344,6 +344,47 @@ object Stress {
         Incremental.distinctState(ev, Seq("event_type"), "user_id")),
         Seq("event_type")).count()
     }
+    }
+
+    if (mode == "purge") {
+    // takedown storm: a 500-doc purge batch (the realistic "remove
+    // these opted-out documents" request size) against the factor×
+    // posting index. The naive strategy rebuilds the index without the
+    // purged docs — O(corpus) tokenize + full write per takedown; the
+    // purge rewrites only the partitions the purged docs' terms hash
+    // into and appends negative df/stats contributions — O(batch).
+    // Build is ingest (amortized, printed, not a compared cell).
+    val purgeBatch = big.filter(col("doc_id") % (n / 500L) === 0)
+      .localCheckpoint(true)
+    val nPurge = purgeBatch.count()
+    val pParts = math.max(8, (n / 500L).toInt)
+    val pDir = java.nio.file.Files
+      .createTempDirectory("graft-stress-purge").toString
+    time("posting index write (ingest)") {
+      TextOps.writePostingIndex(big, "doc_id", "text", pDir, pParts)
+      n
+    }
+    time("rebuild without purged") {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-stress-purge-rebuild").toString
+      TextOps.writePostingIndex(
+        big.join(broadcast(purgeBatch.select(col("doc_id"))),
+          Seq("doc_id"), "left_anti"),
+        "doc_id", "text", d, pParts)
+      n - nPurge
+    }
+    time("purge in place") {
+      TextOps.purgeFromPostingIndex(spark, pDir, pParts, purgeBatch,
+        "doc_id", "text")
+      nPurge
+    }
+    val touchedParts = purgeBatch
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .select(pmod(xxhash64(col("term")), lit(pParts.toLong)).cast("int"))
+      .distinct().count()
+    println(s"[stress] purge: $nPurge docs touched $touchedParts/$pParts " +
+      "term partitions")
     }
 
     if (mode == "media") {

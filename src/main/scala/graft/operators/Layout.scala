@@ -147,45 +147,60 @@ object Layout {
     (done, before, after)
   }
 
-  /** Rewrite the NAMED partition directories of a store in place:
-    * each existing `dirName` under `root` is read, passed through
-    * `transform`, written to a dot-prefixed sibling, and swapped back
-    * under the SAME name ([[compactStore]]'s discipline — readers keep
-    * the root path, the partition column, and the pruning layout).
-    * Directories not named are never touched, never even listed — this
-    * is the write-side mirror of a pruned probe, and it is what makes
+  /** Rewrite the NAMED partitions of a store in place: the partitions
+    * whose `partCol=value` directories exist are read in ONE pruned
+    * scan (`values` becomes a static partition filter — unnamed
+    * directories are never opened), passed through `transform`
+    * together, written partition-laid-out into a dot-prefixed staging
+    * sibling in ONE job, and each directory is swapped back under its
+    * SAME name ([[compactStore]]'s discipline — readers keep the root
+    * path, the partition column, and the pruning layout). This is the
+    * write-side mirror of a pruned probe, and it is what makes
     * targeted store maintenance (purging opted-out documents, applying
-    * a correction) O(affected partitions) instead of O(store). Names
-    * absent on disk are skipped: a purge batch's key set may hash to a
-    * partition the store never wrote (no rows there to change — the
-    * same containment law that makes pruned reads exact makes the skip
-    * exact). Returns the number of directories rewritten.
+    * a correction) O(affected partitions) instead of O(store) — as one
+    * job, not one job per directory: a takedown touching 200
+    * partitions pays one scan and one write, not 200 sequential
+    * fixed-overhead jobs (the 20× purge storm measured the per-dir
+    * form at parity with a full rebuild for exactly that reason).
+    * Values absent on disk are skipped: a purge batch's key set may
+    * hash to a partition the store never wrote (no rows there to
+    * change — the same containment law that makes pruned reads exact
+    * makes the skip exact). Returns the number of directories
+    * rewritten.
     *
     * `transform` must be a row-level shrink/rewrite (filter, column
-    * fix) — it sees one partition's rows WITHOUT the partition column
-    * (that lives in the directory name) and its output lands back
-    * under that name, so emitting rows that belong elsewhere would
-    * corrupt the layout. Single-writer contract as everywhere here; at
-    * cluster scale the swap becomes a table-format transactional
-    * commit. */
+    * fix): it sees the named partitions' rows WITH `partCol` attached
+    * and must preserve that column and its values — each row lands
+    * back under its own partition's name. A partition whose rows all
+    * vanish swaps to an empty directory (still listed, zero rows —
+    * the layout stays intact). Single-writer contract as everywhere
+    * here; at cluster scale the swap becomes a table-format
+    * transactional commit. */
   def rewritePartitionsInPlace(s: SparkSession, root: String,
-                               dirNames: Seq[String])
+                               partCol: String, values: Seq[Any])
                               (transform: DataFrame => DataFrame): Int = {
     val rootF = new java.io.File(root)
-    var done = 0
-    dirNames.distinct.foreach { name =>
-      require(!name.startsWith(".") && !name.contains("/"),
-        s"partition dir name '$name' must be a plain child directory")
-      val d = new java.io.File(rootF, name)
-      if (d.isDirectory) {
-        val tmp = new java.io.File(rootF, s".rewrite-$name")
-        transform(s.read.parquet(d.getAbsolutePath))
-          .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
-        swapInto(rootF, d, tmp)
-        done += 1
-      }
+    val existing = values.distinct
+      .filter(v => new java.io.File(rootF, s"$partCol=$v").isDirectory)
+    if (existing.isEmpty) return 0
+    val tmpRoot = new java.io.File(rootF, s".rewrite-batch-$partCol")
+    transform(s.read.parquet(root)
+        .filter(col(partCol).isin(existing.map(_.asInstanceOf[AnyRef]): _*)))
+      .repartition(col(partCol)) // one writer task per partition dir
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(tmpRoot.getAbsolutePath)
+    existing.foreach { v =>
+      val name = s"$partCol=$v"
+      val tmp = new java.io.File(tmpRoot, name)
+      if (!tmp.isDirectory) tmp.mkdirs() // partition emptied by transform
+      swapInto(rootF, new java.io.File(rootF, name), tmp)
     }
-    done
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(tmpRoot)
+    existing.size
   }
 
   /** Install `tmp` under `d`'s name: move `d` aside, rename `tmp`

@@ -283,9 +283,8 @@ object Similarity {
       .select(col("centroid_id")).distinct()
       .collect().map(_.get(0)).toSeq
     val ids = purgeBatch.select(col(idCol).as("neighbor_id")).distinct()
-    Layout.rewritePartitionsInPlace(s, s"$path/index",
-        cids.map(c => s"centroid_id=$c")) { part =>
-      part.join(broadcast(ids), Seq("neighbor_id"), "left_anti")
+    Layout.rewritePartitionsInPlace(s, s"$path/index", "centroid_id", cids) {
+      part => part.join(broadcast(ids), Seq("neighbor_id"), "left_anti")
     }
     ()
   }

@@ -1095,9 +1095,8 @@ object TextOps {
         (-count(col("dl"))).cast("double").as("dl_cnt"))
       .filter(col("n") < 0) // an empty purge appends nothing
       .write.mode("append").parquet(s"$path/stats")
-    Layout.rewritePartitionsInPlace(s, s"$path/postings",
-        pp.map(p => s"tp=$p")) { part =>
-      part.join(broadcast(ids), Seq("doc_id"), "left_anti")
+    Layout.rewritePartitionsInPlace(s, s"$path/postings", "tp", pp) {
+      part => part.join(broadcast(ids), Seq("doc_id"), "left_anti")
     }
     ()
   }
@@ -1124,7 +1123,7 @@ object TextOps {
         .cast("int").as("p"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val ids = purgeDocs.select(col(idCol)).distinct()
-    Layout.rewritePartitionsInPlace(s, path, pp.map(p => s"bk_part=$p")) {
+    Layout.rewritePartitionsInPlace(s, path, "bk_part", pp) {
       part => part.join(broadcast(ids), Seq(idCol), "left_anti")
     }
     ()

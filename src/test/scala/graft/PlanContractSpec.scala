@@ -526,6 +526,39 @@ class PlanContractSpec extends SparkSpec {
       s"a data-sized sort window leaked into the incremental rank:\n$plan")
   }
 
+  test("q90 purged-index probe keeps the pruned layout: partition filter " +
+       "present, no corpus-sized join") {
+    val plan = physical(SparkEntry.queries("q90_store_purge")(spark, dir))
+    assert(plan.contains("PartitionFilters") && plan.contains("tp#"),
+      s"purge broke the term-partition pruning of the probe:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a corpus-sized join crept into the purged-index probe:\n$plan")
+  }
+
+  test("q91 priority sample: per-partition heap (TakeOrdered), no global sort " +
+       "of the corpus") {
+    val plan = physical(SparkEntry.queries("q91_priority_sample")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-(k+1) must be a per-partition heap, not a sort:\n$plan")
+    // the only range exchange allowed is the k-row presentation sort;
+    // the corpus itself must never range-partition
+    val rangeEx = plan.sliding("Exchange rangepartitioning".length)
+      .count(_ == "Exchange rangepartitioning")
+    assert(rangeEx <= 1,
+      s"a corpus-sized global sort leaked into priority sampling:\n$plan")
+    assert(!plan.contains("Join") || plan.contains("BroadcastNestedLoopJoin"),
+      s"only the broadcast τ join is allowed:\n$plan")
+  }
+
+  test("q92 recall audit adds no corpus-sized join: exact side broadcasts " +
+       "onto the arm union") {
+    val plan = physical(SparkEntry.queries("q92_ann_recall")(spark, dir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"a corpus-sized shuffle join crept into the recall audit:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the exact ground-truth set must broadcast onto the arms:\n$plan")
+  }
+
   test("q80 split assignment is a pure projection: no hash exchange, no join") {
     val plan = physical(SparkEntry.queries("q80_split_assign")(spark, dir))
     assert(!plan.contains("Exchange hashpartitioning"),

@@ -200,8 +200,8 @@ class LayoutSpec extends SparkSpec {
         .map(_.getName).filter(_.endsWith(".parquet")).toSet
     val untouchedBefore = fileSet("p=2")
     // rewrite p=0 and p=1 (drop even ids); p=9 does not exist → skipped
-    val n = Layout.rewritePartitionsInPlace(spark, tmp,
-      Seq("p=0", "p=1", "p=9"))(part => part.filter(col("id") % 2 === 1))
+    val n = Layout.rewritePartitionsInPlace(spark, tmp, "p",
+      Seq(0L, 1L, 9L))(part => part.filter(col("id") % 2 === 1))
     assert(n == 2, s"expected 2 rewrites, got $n")
     val back = spark.read.parquet(tmp)
     // p=0 holds ids ≡ 0 mod 4 — all even, so the partition empties;
