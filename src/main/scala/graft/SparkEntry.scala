@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.DimDate
 import graft.operators.{Blooms, Cdc, Dedup, ExactAgg, Incremental, Joins, Layout, Multimodal, Packing, Resample, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms, Vocab}
 import graft.sources.JsonFlatten
+import graft.streaming.EventTimeStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1504,7 +1505,118 @@ object SparkEntry {
       .orderBy("method")
   }
 
+  /** Streaming-engine certification ([[graft.streaming.EventTimeStreams
+    * .runTumblingBacklog]]): the events table, laid out as an 8-file
+    * parquet backlog, driven through a REAL Structured Streaming query
+    * — readStream file source, watermarked stateful window aggregation,
+    * `Trigger.AvailableNow` walking the backlog 2 files per
+    * micro-batch, state-store checkpoints between batches — with the
+    * final Complete-mode table as the result. The law this certifies
+    * through the driver oracle (every other streaming surface is
+    * MemoryStream-specced): streamed-over-any-micro-batch-boundaries ≡
+    * one batch aggregate, bit-exact because the window state merges
+    * DECIMAL partial sums. Window arithmetic is exactly q25's 900 s
+    * buckets, so the oracle is q25's SQL reshaped. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q93" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val backlog = s"${System.getProperty("java.io.tmpdir")}/graft-stream-backlog-$tag"
+    if (!new java.io.File(backlog).exists()) {
+      Tables.events(s, dir)
+        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+        .select("event_time", "event_type", "value")
+        .repartition(8)
+        .write.mode("overwrite").parquet(backlog)
+    }
+    val sinkName = s"q93_sink_${tag}_${Q93Runs.incrementAndGet()}"
+    EventTimeStreams.runTumblingBacklog(s, backlog, "event_time",
+        lateness = "10 minutes", windowLen = "15 minutes",
+        filesPerBatch = 2, queryName = sinkName)
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start_us", "event_type")
+  }
+  // memory-sink names must be fresh per run (a bench rep re-streams
+  // the backlog from a clean checkpoint; reusing the temp-view name
+  // would collide with the previous rep's still-registered sink)
+  private val Q93Runs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Index time travel ([[TextOps.writePostingIndexVersioned]] +
+    * `asOf`): the posting index built as three versioned batches
+    * (doc_id mod 3), then read AS OF batch 1 — "retrieval as the
+    * pipeline saw it before batch 2 landed", the audit primitive for
+    * reproducing a historical training run or bisecting when a bad
+    * document entered serving. `b` is a partition column under each
+    * term-hash dir, so the as-of cut composes with q86's term pruning
+    * as one static partition filter — batch 2's files are never
+    * LISTED, let alone read (pinned in TextOpsSpec via inputFiles).
+    * Oracle: the direct BM25 replay over batches 0-1 only — time
+    * travel changes WHICH batches are read, never what is computed. */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q94" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-postidx-asof-$tag"
+    val parts = 16
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    if (!new java.io.File(path).exists()) {
+      (0L to 2L).foreach(m =>
+        TextOps.writePostingIndexVersioned(docs.filter(col("doc_id") % 3 === m),
+          "doc_id", "text", path, parts, batch = m))
+    }
+    // query docs drawn from the as-of corpus (batches 0-1) so the
+    // oracle's query set — which bm25SqlOver derives from its filtered
+    // corpus — is identical; an external query text would work the
+    // same, there would just be nothing to replay it against
+    val queries = docs
+      .filter(col("doc_id") % 100 === 0 && col("doc_id") % 3 =!= 2)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("qtext"))
+    TextOps.bm25TopKIndexed(s, path, parts, queries, "query_id", "qtext",
+        k = 10, asOf = Some(1L))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Late-interaction retrieval ([[Similarity.maxSimTopK]], the
+    * ColBERT-family MaxSim): the embedding table regrouped into
+    * multi-vector documents (8 consecutive vec_ids per doc — standing
+    * in for per-token/per-passage embeddings), query bags scored
+    * against document bags by Σ_qv max_dv cosine. The exact arm — the
+    * recall baseline the shortlist composition (quantized/IVF
+    * per-vector candidates → exact MaxSim on survivors) is audited
+    * against, exactly as q12 anchors q36/q37/q72. */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(expr("vec_id DIV 8").as("doc_id"), col("vec_id"),
+        col("embedding"))
+    val queries = e.filter(col("doc_id") % 20 === 0)
+    Similarity.maxSimTopK(e, "doc_id", "embedding",
+        queries, "doc_id", "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Approximate late-interaction retrieval
+    * ([[Similarity.maxSimTopKShortlisted]]): q95's MaxSim behind an
+    * int8-quantized per-query-vector shortlist — the shortlist-then-
+    * exact economics of q72 applied to multi-vector retrieval. Unlike
+    * most ANN, every stage is deterministic integer/rounded
+    * arithmetic, so the oracle replays the ENTIRE approximate
+    * composition (quantize → shortlist → candidate docs → exact
+    * MaxSim), not just a recall floor. */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(expr("vec_id DIV 8").as("doc_id"), col("vec_id"),
+        col("embedding"))
+    val queries = e.filter(col("doc_id") % 20 === 0)
+    Similarity.maxSimTopKShortlisted(e, "doc_id", "vec_id", "embedding",
+        queries, "doc_id", "vec_id", "embedding", k = 5, shortlist = 8)
+      .orderBy("query_id", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_maxsim_shortlist" -> q96,
+    "q93_stream_windows" -> q93,
+    "q94_index_time_travel" -> q94,
+    "q95_maxsim_topk" -> q95,
     "q90_store_purge" -> q90,
     "q91_priority_sample" -> q91,
     "q92_ann_recall" -> q92,
@@ -2006,6 +2118,94 @@ object SparkEntry {
        |FROM j GROUP BY method ORDER BY method""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // q93: the streaming run's final Complete table must equal the
+    // plain batch aggregate over the whole backlog — q25's bucket
+    // arithmetic, minus the bucket id column
+    "q93_stream_windows" ->
+      """SELECT (epoch_us(ts) // 900000000) * 900000000 AS window_start_us,
+        |       event_type,
+        |       count(*) AS n_events,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start_us, event_type""".stripMargin,
+    // q94: as-of batch 1 of the (doc_id mod 3)-versioned index ≡ the
+    // direct replay over batches 0 and 1 — the q86 discipline (the
+    // index changes what is read, never what is computed) extended to
+    // WHEN
+    "q94_index_time_travel" -> bm25SqlOver("doc_id % 3 != 2"),
+    "q95_maxsim_topk" ->
+      """WITH v AS (SELECT vec_id // 8 AS doc_id, vec_id,
+        |                  embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |q AS (SELECT * FROM v WHERE doc_id % 20 = 0),
+        |c AS (SELECT q.doc_id AS query_id, q.vec_id AS qvid,
+        |        v.doc_id AS doc_id,
+        |        round(list_dot_product(q.v, v.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) *
+        |           sqrt(list_dot_product(v.v, v.v))), 6) AS cos
+        |      FROM q, v WHERE v.doc_id != q.doc_id),
+        |m AS (SELECT query_id, qvid, doc_id, max(cos) AS mx
+        |      FROM c GROUP BY 1, 2, 3),
+        |sc AS (SELECT query_id, doc_id,
+        |         sum(CAST(mx AS DECIMAL(18,6))) AS s
+        |       FROM m GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id,
+        |        CAST(CAST(s AS VARCHAR) AS DOUBLE) AS score,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY s DESC, doc_id) AS rank
+        |      FROM sc)
+        |SELECT query_id, rank, doc_id, score
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // q96: the whole approximate composition replayed — int8 quantize
+    // (q72's exact integer formula), per-query-vector shortlist,
+    // candidate-doc collapse, exact MaxSim on survivors (q95's
+    // arithmetic)
+    "q96_maxsim_shortlist" ->
+      """WITH v AS (SELECT vec_id // 8 AS doc_id, vec_id,
+        |                  embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |sc0 AS (SELECT doc_id, vec_id, v,
+        |          list_aggregate(list_transform(v, x -> abs(x)), 'max') AS s
+        |        FROM v),
+        |qz AS (SELECT doc_id, vec_id, v,
+        |         CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> floor(x * 127.0 / s + 0.5))
+        |         END AS qv
+        |       FROM sc0),
+        |q AS (SELECT * FROM qz WHERE doc_id % 20 = 0),
+        |cand0 AS (SELECT q.doc_id AS query_id, q.vec_id AS qvid,
+        |            c.doc_id AS doc_id, c.vec_id AS vid,
+        |            round(list_dot_product(q.qv, c.qv) /
+        |              (sqrt(list_dot_product(q.qv, q.qv)) *
+        |               sqrt(list_dot_product(c.qv, c.qv))), 6) AS qcos
+        |          FROM q, qz c WHERE c.doc_id != q.doc_id),
+        |short AS (SELECT DISTINCT query_id, doc_id FROM (
+        |            SELECT query_id, qvid, doc_id, vid,
+        |                   row_number() OVER (PARTITION BY query_id, qvid
+        |                     ORDER BY qcos DESC, vid) AS r
+        |            FROM cand0) WHERE r <= 8),
+        |c AS (SELECT s.query_id, q.vec_id AS qvid, s.doc_id,
+        |        round(list_dot_product(q.v, d.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) *
+        |           sqrt(list_dot_product(d.v, d.v))), 6) AS cos
+        |      FROM short s
+        |      JOIN v d ON d.doc_id = s.doc_id
+        |      JOIN q ON q.doc_id = s.query_id),
+        |m AS (SELECT query_id, qvid, doc_id, max(cos) AS mx
+        |      FROM c GROUP BY 1, 2, 3),
+        |scr AS (SELECT query_id, doc_id,
+        |          sum(CAST(mx AS DECIMAL(18,6))) AS s
+        |        FROM m GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id,
+        |        CAST(CAST(s AS VARCHAR) AS DOUBLE) AS score,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY s DESC, doc_id) AS rank
+        |      FROM scr)
+        |SELECT query_id, rank, doc_id, score
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "q92_ann_recall" -> annRecallSql,
     // q90's purge leaves the index reading exactly as if the purged
     // docs were never ingested — same replay, restricted corpus

@@ -17,8 +17,9 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     // "all" (default = text+embed) | "text" | "embed" | "skew" |
-    // "media" | "incr" | "purge" — a mode flag lets one family re-run
-    // without repaying the others (the text sweep alone is ~5 min at 40x)
+    // "media" | "incr" | "purge" | "asof" — a mode flag lets one family
+    // re-run without repaying the others (the text sweep alone is
+    // ~5 min at 40x)
     val mode = args.lift(1).getOrElse("all")
     val spark = Engine.withGraftConfs(SparkSession.builder()
       .master("local[32]")
@@ -385,6 +386,46 @@ object Stress {
       .distinct().count()
     println(s"[stress] purge: $nPurge docs touched $touchedParts/$pParts " +
       "term partitions")
+    }
+
+    if (mode == "asof") {
+    // time-travel storm: history accumulates as `factor` versioned
+    // batches of FIXED size (doc_id mod factor ⇒ each batch ≈ |sf0.1|
+    // docs at every factor — only the batch COUNT grows with the
+    // storm). The claim under test: an as-of read of an early version
+    // costs the version read, not the history length — the `b` cut is
+    // a partition filter that composes with term pruning, so newer
+    // batches' files are never listed. Flat "as-of batch 0" probe
+    // across 20× → 40× (history doubles) is the evidence; the
+    // full-history probe is the growing contrast cell. Build is
+    // ingest (amortized, printed, not a compared cell).
+    val aParts = math.max(8, (n / 500L).toInt)
+    val aDir = java.nio.file.Files
+      .createTempDirectory("graft-stress-asof").toString
+    time(s"versioned build ($factor batches)") {
+      (0L until factor.toLong).foreach { b =>
+        TextOps.writePostingIndexVersioned(
+          big.filter(pmod(col("doc_id"), lit(factor.toLong)) === b),
+          "doc_id", "text", aDir, aParts, batch = b)
+      }
+      n
+    }
+    val aBatch = base.filter(col("doc_id") % 1000 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("qtext"))
+      .localCheckpoint(true)
+    time("probe as-of batch 0") {
+      TextOps.bm25TopKIndexed(spark, aDir, aParts, aBatch,
+        "query_id", "qtext", k = 10, asOf = Some(0L)).count()
+    }
+    time("probe as-of mid-history") {
+      TextOps.bm25TopKIndexed(spark, aDir, aParts, aBatch,
+        "query_id", "qtext", k = 10, asOf = Some(factor / 2L)).count()
+    }
+    time("probe latest (full)") {
+      TextOps.bm25TopKIndexed(spark, aDir, aParts, aBatch,
+        "query_id", "qtext", k = 10, asOf = Some(factor - 1L)).count()
+    }
     }
 
     if (mode == "media") {

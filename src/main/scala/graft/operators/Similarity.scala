@@ -396,4 +396,128 @@ object Similarity {
                            threshold: Double, nTables: Int = 16): DataFrame =
     cosineDedupPairs(corpus, idCol, vecCol, threshold,
       autoPlanes(corpus.count()), nTables)
+
+  /** Late-interaction (MaxSim) retrieval over MULTI-vector documents —
+    * the ColBERT-family scoring every single-vector ANN arm here
+    * cannot express: a document is a BAG of vectors (one per token /
+    * passage / frame), a query likewise, and
+    *
+    *   score(q, d) = Σ_{qv ∈ q} max_{dv ∈ d} cosine(qv, dv)
+    *
+    * — each query vector independently finds its best-matching
+    * document vector, so a long document is never penalized for
+    * containing extra material (the failure mode of pooling a document
+    * to one vector before retrieval).
+    *
+    * Exactness discipline: each pairwise cosine is rounded to 6 dp
+    * BEFORE the max (max commutes with rounding only if applied on the
+    * same side in both engines), and the per-query-vector maxima are
+    * summed as DECIMAL — score and rank are bit-identical
+    * cross-engine, the q85 BM25 convention applied to late
+    * interaction.
+    *
+    * Plan shape: the query bag broadcasts; the corpus's vector table is
+    * scanned once, never shuffled with payloads — only slim
+    * (query_id, qvec_id, doc_id, rounded-cosine) rows enter the
+    * two-level aggregate (max per query-vector×doc, then the decimal
+    * sum per query×doc), both with map-side partial aggregation. This
+    * is the EXACT arm — cost O(|corpus vecs|·|query vecs|·dim), the
+    * recall baseline. The scale path at 100 TB composes the existing
+    * single-vector machinery: shortlist candidate doc_ids per query
+    * vector with [[quantizedTopK]]/[[probeIvfIndex]] over the flat
+    * vector table, union the per-vector shortlists, and run this exact
+    * MaxSim only on the survivors (same shortlist-then-rerank economics
+    * as q72). */
+  def maxSimTopK(docVecs: DataFrame, docCol: String, vecCol: String,
+                 queries: DataFrame, queryCol: String, queryVecIdCol: String,
+                 queryVecCol: String, k: Int,
+                 excludeSelf: Boolean = true): DataFrame = {
+    ArrayMath.register(docVecs.sparkSession)
+    // queryVecIdCol distinguishes vectors WITHIN a query bag for the
+    // max grouping — any per-row-unique value gives the same result
+    // (order never matters), but taking it from the data keeps the
+    // whole computation a pure function of the input
+    val q = queries.select(col(queryCol).as("query_id"),
+      col(queryVecIdCol).as("__qvid"), col(queryVecCol).as("__qv"))
+    val joined = docVecs
+      .select(col(docCol).as("doc_id"), col(vecCol).as("__dv"))
+      .crossJoin(broadcast(q))
+    val scored = (if (excludeSelf) joined.filter(col("doc_id") =!= col("query_id"))
+                  else joined)
+      .withColumn("__c",
+        round(ArrayMath.cosineSimilarity(col("__qv"), col("__dv")), 6))
+      .select(col("query_id"), col("__qvid"), col("doc_id"), col("__c"))
+    val best = scored.groupBy(col("query_id"), col("__qvid"), col("doc_id"))
+      .agg(max(col("__c")).as("__m"))
+    val perDoc = best.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__m").cast("decimal(18,6)")).cast("decimal(28,6)").as("__s"))
+    Stats.topKPerGroup(perDoc, "query_id", k,
+        Seq(col("__s").desc, col("doc_id")))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("__s").cast("double").as("score"))
+  }
+
+  /** The SCALE path for [[maxSimTopK]]: shortlist-then-exact, the q72
+    * economics applied to late interaction. Stage 1 scores the FLAT
+    * corpus vector table with the int8-quantized cosine (4× less scan
+    * bandwidth than f32 — the actual cost at a 100 TB embedding
+    * store), keeps the `shortlist` best vectors PER QUERY VECTOR, and
+    * collapses them to candidate documents (a doc is a candidate if
+    * ANY of its vectors shortlists for ANY query vector — the MaxSim
+    * sum is dominated by per-query-vector best matches, which is
+    * exactly what the shortlist preserves). Stage 2 is [[maxSimTopK]]'s
+    * exact arithmetic restricted to the surviving (query, doc) pairs —
+    * full-precision vectors are touched only for candidates.
+    *
+    * Every stage is deterministic (int8 quantization is exact integer
+    * arithmetic, ranks tie-break on ids), so unlike most ANN this
+    * approximate arm is ORACLE-REPLAYABLE end-to-end — q96 certifies
+    * the whole composition, not just a recall floor. Recall vs the
+    * exact arm is governed by `shortlist` (audited in SimilaritySpec
+    * against [[maxSimTopK]] on the fixture). */
+  def maxSimTopKShortlisted(docVecs: DataFrame, docCol: String,
+                            vecIdCol: String, vecCol: String,
+                            queries: DataFrame, queryCol: String,
+                            queryVecIdCol: String, queryVecCol: String,
+                            k: Int, shortlist: Int): DataFrame = {
+    ArrayMath.register(docVecs.sparkSession)
+    val qq = queries.select(col(queryCol).as("query_id"),
+      col(queryVecIdCol).as("__qvid"),
+      ArrayMath.int8Quantize(col(queryVecCol)).as("__qq"))
+    // quantized scan: only slim (query_id, __qvid, doc_id, vec_id,
+    // qcos) rows survive into the shortlist window's shuffle
+    val wq = Window.partitionBy(col("query_id"), col("__qvid"))
+      .orderBy(col("__qcos").desc, col("__vid"))
+    val candDocs = docVecs
+      .select(col(docCol).as("doc_id"), col(vecIdCol).as("__vid"),
+        ArrayMath.int8Quantize(col(vecCol)).as("__cq"))
+      .crossJoin(broadcast(qq))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("__qcos",
+        round(ArrayMath.cosineSimilarity(col("__qq"), col("__cq")), 6))
+      .select(col("query_id"), col("__qvid"), col("doc_id"), col("__vid"),
+        col("__qcos"))
+      .withColumn("__r", row_number().over(wq))
+      .filter(col("__r") <= shortlist)
+      .select(col("query_id"), col("doc_id")).distinct()
+    // exact MaxSim only on candidate (query, doc) pairs: the pair set
+    // (≤ |query vectors|·shortlist ids) broadcasts, the corpus never
+    // shuffles with payloads
+    val qv = queries.select(col(queryCol).as("query_id"),
+      col(queryVecIdCol).as("__qvid"), col(queryVecCol).as("__qv"))
+    val best = docVecs
+      .select(col(docCol).as("doc_id"), col(vecCol).as("__dv"))
+      .join(broadcast(candDocs), Seq("doc_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("__c",
+        round(ArrayMath.cosineSimilarity(col("__qv"), col("__dv")), 6))
+      .groupBy(col("query_id"), col("__qvid"), col("doc_id"))
+      .agg(max(col("__c")).as("__m"))
+    val perDoc = best.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__m").cast("decimal(18,6)")).cast("decimal(28,6)").as("__s"))
+    Stats.topKPerGroup(perDoc, "query_id", k,
+        Seq(col("__s").desc, col("doc_id")))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("__s").cast("double").as("score"))
+  }
 }

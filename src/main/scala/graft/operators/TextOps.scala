@@ -942,7 +942,7 @@ object TextOps {
     * postings and over-count df. */
   def writePostingIndex(docs: DataFrame, idCol: String, textCol: String,
                         path: String, parts: Int): Unit =
-    writePostingBatch(docs, idCol, textCol, path, parts, "overwrite")
+    writePostingBatch(docs, idCol, textCol, path, parts, "overwrite", None)
 
   /** Append one NEW doc batch into a [[writePostingIndex]] layout
     * without rebuilding: the batch's postings and per-batch dfreq rows
@@ -957,13 +957,37 @@ object TextOps {
     * oracle, not a convention. */
   def appendToPostingIndex(docs: DataFrame, idCol: String, textCol: String,
                            path: String, parts: Int): Unit =
-    writePostingBatch(docs, idCol, textCol, path, parts, "append")
+    writePostingBatch(docs, idCol, textCol, path, parts, "append", None)
+
+  /** [[writePostingIndex]]/[[appendToPostingIndex]] with a VERSIONED
+    * layout: every artifact row carries the batch number `b` it arrived
+    * in — postings and dfreq as a second partition column under the
+    * term-hash dir (`tp=.../b=N/`), stats as a plain column. Appends
+    * are otherwise identical to the unversioned store; what the layout
+    * buys is TIME TRAVEL on the read side ([[bm25TopKIndexed]] with
+    * `asOf = Some(N)`): "the index as the pipeline saw it at batch N"
+    * — the audit primitive for reproducing a historical training run
+    * or bisecting when a bad document entered retrieval. The as-of cut
+    * is a PARTITION filter, so reading an old version prunes newer
+    * batches' files at the directory listing, it never scans-and-drops
+    * them; cost tracks the version read, not the history length.
+    * `batch` must be a new, strictly-higher number each call (batch 0
+    * creates the store); doc-disjointness across batches is the same
+    * contract as the unversioned append. */
+  def writePostingIndexVersioned(docs: DataFrame, idCol: String,
+                                 textCol: String, path: String, parts: Int,
+                                 batch: Long): Unit = {
+    require(batch >= 0, s"batch=$batch must be >= 0")
+    writePostingBatch(docs, idCol, textCol, path, parts,
+      if (batch == 0) "overwrite" else "append", Some(batch))
+  }
 
   /** One batch's index contribution, shared by build (= first batch,
     * overwrite) and append so the two paths cannot drift. */
   private def writePostingBatch(docs: DataFrame, idCol: String,
                                 textCol: String, path: String, parts: Int,
-                                mode: String): Unit = {
+                                mode: String,
+                                version: Option[Long]): Unit = {
     require(parts >= 1, s"parts=$parts must be >= 1")
     val d = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
     val post = d
@@ -972,18 +996,23 @@ object TextOps {
       .where(length(col("term")) > 0)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"), min(col("dl")).as("dl"))
-    def partitioned(df: DataFrame) = df
-      .withColumn("tp", pmod(xxhash64(col("term")), lit(parts.toLong)).cast("int"))
-      .repartition(col("tp"))
+    val partCols = "tp" +: version.map(_ => "b").toSeq
+    def partitioned(df: DataFrame) = {
+      val keyed = df.withColumn("tp",
+        pmod(xxhash64(col("term")), lit(parts.toLong)).cast("int"))
+      version.fold(keyed)(v => keyed.withColumn("b", lit(v)))
+        .repartition(col("tp"))
+    }
     partitioned(post)
-      .write.partitionBy("tp").mode(mode).parquet(s"$path/postings")
+      .write.partitionBy(partCols: _*).mode(mode).parquet(s"$path/postings")
     partitioned(post.groupBy(col("term"))
         .agg(count(lit(1)).cast("double").as("df")))
-      .write.partitionBy("tp").mode(mode).parquet(s"$path/dfreq")
+      .write.partitionBy(partCols: _*).mode(mode).parquet(s"$path/dfreq")
     val dl = size(col("__w")).cast("double")
-    d.agg(count(lit(1)).cast("double").as("n"),
-        coalesce(sum(dl), lit(0.0)).as("dl_sum"),
-        count(dl).cast("double").as("dl_cnt"))
+    val stats = d.agg(count(lit(1)).cast("double").as("n"),
+      coalesce(sum(dl), lit(0.0)).as("dl_sum"),
+      count(dl).cast("double").as("dl_cnt"))
+    version.fold(stats)(v => stats.withColumn("b", lit(v)))
       .write.mode(mode).parquet(s"$path/stats")
   }
 
@@ -996,7 +1025,8 @@ object TextOps {
   def bm25TopKIndexed(s: org.apache.spark.sql.SparkSession, path: String,
                       parts: Int, queries: DataFrame, queryIdCol: String,
                       queryTextCol: String, k: Int, k1: Double = 1.2,
-                      b: Double = 0.75): DataFrame = {
+                      b: Double = 0.75,
+                      asOf: Option[Long] = None): DataFrame = {
     val qterm = queries
       .select(col(queryIdCol).as("query_id"),
         explode(tokens(col(queryTextCol))).as("term"))
@@ -1004,13 +1034,18 @@ object TextOps {
     val pp = qterm
       .select(pmod(xxhash64(col("term")), lit(parts.toLong)).cast("int").as("p"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    def pruned(sub: String) = s.read.parquet(s"$path/$sub")
-      .filter(col("tp").isin(pp: _*)).drop("tp")
+    // asOf (versioned layouts only): `b` is a partition column under
+    // tp/, so the cut composes with the term pruning as one static
+    // partition filter — newer batches are never listed, let alone read
+    def asOfCut(df: DataFrame) =
+      asOf.fold(df)(v => df.filter(col("b") <= v).drop("b"))
+    def pruned(sub: String) = asOfCut(s.read.parquet(s"$path/$sub")
+      .filter(col("tp").isin(pp: _*))).drop("tp")
     // stats/ and dfreq/ hold one contribution per build/append batch —
     // merge by sum (exact: integer counts and integer-valued length
     // sums in double), so an appended index reads identically to a
     // from-scratch build
-    val stats = s.read.parquet(s"$path/stats")
+    val stats = asOfCut(s.read.parquet(s"$path/stats"))
       .agg(sum(col("n")).as("n"),
         (sum(col("dl_sum")) / sum(col("dl_cnt"))).as("avgdl"))
     val dfreq = pruned("dfreq").groupBy(col("term"))

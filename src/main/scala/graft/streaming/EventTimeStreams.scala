@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Idiomatic event-time streaming (SURVEY.md §2.9 "idiomatic level").
   *
@@ -26,8 +27,12 @@ object EventTimeStreams {
     events
       .withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      // decimal-summed (q07/q25 money discipline): the streaming state
+      // merges partial sums in micro-batch arrival order — a double
+      // sum would expose that order in the last ulp, a decimal sum is
+      // order-exact, so streamed ≡ batch holds bit-for-bit (q93's law)
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
@@ -41,6 +46,46 @@ object EventTimeStreams {
     events
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Drive [[tumblingCounts]] through the REAL streaming engine over a
+    * parquet backlog directory: `readStream` file source →
+    * watermarked stateful aggregation → `Trigger.AvailableNow`, which
+    * walks the backlog in bounded micro-batches (`filesPerBatch` at a
+    * time) and stops — the batch-backfill shape of the production
+    * query, state-store checkpointing, watermark advancement between
+    * batches and all. This is what lets the driver oracle certify the
+    * streaming engine itself (q93): every other streaming surface here
+    * is MemoryStream-specced because a forever-running query has no
+    * final answer to hash, but an AvailableNow run TERMINATES, and in
+    * Complete output its final table is exactly the batch aggregate
+    * over the whole backlog — whatever micro-batch boundaries the file
+    * listing produced (the decimal-sum discipline in tumblingCounts is
+    * what makes that equality bit-exact, not just approximate).
+    *
+    * Complete mode + a memory sink is the CERTIFICATION harness, not
+    * the production deployment: state is one row per (window,
+    * event_type) — bounded by the time span, not the data — and the
+    * memory sink holds only that same aggregate. A production run
+    * swaps the sink for parquet/Kafka in Append mode (emit-on-
+    * watermark, the semantics EventTimeStreamsSpec pins with
+    * MemoryStream) and drops AvailableNow for a continuous trigger;
+    * the aggregation plan — the part that matters at 100 TB — is
+    * IDENTICAL in both shapes. */
+  def runTumblingBacklog(s: SparkSession, backlogDir: String,
+                         tsCol: String, lateness: String, windowLen: String,
+                         filesPerBatch: Int, queryName: String): DataFrame = {
+    val schema = s.read.parquet(backlogDir).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(backlogDir)
+    val q = tumblingCounts(src, tsCol, lateness, windowLen)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(queryName)
+  }
 
   /** Gap-based sessionization on an unbounded stream: Spark's native
     * `session_window` merges events per user into sessions that close

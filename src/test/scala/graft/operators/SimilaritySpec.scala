@@ -258,4 +258,79 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"banded near-dup recall $recall collapsed " +
       s"(found ${(expected intersect pairs).size} of ${expected.size})")
   }
+
+  test("maxSimTopK: hand-computed on a tiny multi-vector fixture") {
+    // doc 1 = {e1, e2}; doc 2 = {e1, e1}; doc 3 = {-e1, -e2}
+    val dv = Seq(
+      (1L, 10L, Array(1.0f, 0.0f)), (1L, 11L, Array(0.0f, 1.0f)),
+      (2L, 20L, Array(1.0f, 0.0f)), (2L, 21L, Array(1.0f, 0.0f)),
+      (3L, 30L, Array(-1.0f, 0.0f)), (3L, 31L, Array(0.0f, -1.0f))
+    ).toDF("doc_id", "vec_id", "vec")
+    val q = dv.filter(col("doc_id") === 1)
+    val got = Similarity.maxSimTopK(dv, "doc_id", "vec",
+        q, "doc_id", "vec_id", "vec", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    // score(1,2): qv e1 → max(1,1)=1; qv e2 → max(0,0)=0  ⇒ 1.0
+    // score(1,3): qv e1 → max(-1,0)=0; qv e2 → max(0,-1)=0 ⇒ 0.0
+    assert(got == Seq((1L, 2L, 1.0), (2L, 3L, 0.0)), s"got $got")
+  }
+
+  test("maxSimTopK degenerates to bruteForceTopK on single-vector docs (law)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    // one vector per bag ⇒ the max is over one element and the sum has
+    // one term: MaxSim must reproduce single-vector retrieval exactly
+    val maxsim = Similarity.maxSimTopK(e, "vec_id", "embedding",
+        q, "vec_id", "vec_id", "embedding", k = 10)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    assert(maxsim == brute, s"maxsim drifted from brute force on " +
+      s"single-vector bags: ${maxsim.take(3)} vs ${brute.take(3)}")
+  }
+
+  private def multiVecDocs = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(expr("vec_id DIV 8").as("doc_id"), col("vec_id"), col("embedding"))
+
+  test("maxSimTopKShortlisted with an exhaustive shortlist ≡ exact maxSimTopK (law)") {
+    val e = multiVecDocs
+    val q = e.filter(col("doc_id") % 20 === 0)
+    val exact = Similarity.maxSimTopK(e, "doc_id", "embedding",
+        q, "doc_id", "vec_id", "embedding", k = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    // a shortlist covering every corpus vector prunes nothing — the
+    // approximate arm must then BE the exact arm, scores and ranks
+    val n = e.count().toInt
+    val full = Similarity.maxSimTopKShortlisted(e, "doc_id", "vec_id",
+        "embedding", q, "doc_id", "vec_id", "embedding",
+        k = 5, shortlist = n)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    assert(full == exact,
+      s"exhaustive shortlist drifted from exact: ${full.take(3)} vs ${exact.take(3)}")
+  }
+
+  test("maxSimTopKShortlisted recall vs exact MaxSim on the fixture") {
+    val e = multiVecDocs
+    val q = e.filter(col("doc_id") % 20 === 0)
+    val exact = Similarity.maxSimTopK(e, "doc_id", "embedding",
+        q, "doc_id", "vec_id", "embedding", k = 5)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.maxSimTopKShortlisted(e, "doc_id", "vec_id",
+        "embedding", q, "doc_id", "vec_id", "embedding",
+        k = 5, shortlist = 8)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"shortlisted MaxSim recall $recall below 0.7")
+  }
 }

@@ -410,6 +410,47 @@ class TextOpsSpec extends SparkSpec {
       s"append drifted from direct:\n${indexed.mkString("\n")}\nvs\n${direct.mkString("\n")}")
   }
 
+  test("versioned index time travel: as-of N ≡ direct over batches ≤ N " +
+       "for every N; the cut is a partition filter") {
+    val b0 = Seq(
+      (1L, "apple banana apple kiwi"), (2L, "banana cherry plum")
+    ).toDF("doc_id", "text")
+    val b1 = Seq(
+      (3L, "cherry date egg fig"), (4L, "kiwi plum apple")
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      (5L, "apple apple cherry date"), (6L, "unrelated words entirely")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple cherry"), (200L, "kiwi fig"))
+      .toDF("qid", "qtext")
+    val parts = 32
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-postidx-asof-spec").toString
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      TextOps.writePostingIndexVersioned(b, "doc_id", "text", tmp, parts, i)
+    }
+    def direct(c: org.apache.spark.sql.DataFrame) =
+      TextOps.bm25TopK(c, "doc_id", "text", queries, "qid", "qtext", k = 5)
+        .collect().map(_.toString).sorted.toSeq
+    val cuts = Seq(
+      0L -> b0, 1L -> b0.union(b1), 2L -> b0.union(b1).union(b2))
+    cuts.foreach { case (n, corpus) =>
+      val asOf = TextOps.bm25TopKIndexed(spark, tmp, parts,
+        queries, "qid", "qtext", k = 5, asOf = Some(n))
+      assert(asOf.collect().map(_.toString).sorted.toSeq == direct(corpus),
+        s"as-of $n drifted from the direct replay over batches <= $n")
+      if (n < 2) {
+        // the cut composes with term pruning as one static PARTITION
+        // filter — newer batches' files are pruned at the listing,
+        // never scanned-and-dropped (a data filter would read them)
+        val plan = asOf.queryExecution.executedPlan.toString
+        assert(plan.linesIterator.exists(l =>
+            l.contains("PartitionFilters") && l.contains("b#")),
+          s"as-of cut is not a partition filter:\n$plan")
+      }
+    }
+  }
+
   test("pruned store with an empty batch reads nothing and yields nothing") {
     val corpus = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
     val tmp = java.nio.file.Files

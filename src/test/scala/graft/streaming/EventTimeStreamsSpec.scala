@@ -96,6 +96,39 @@ class EventTimeStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runTumblingBacklog over a multi-file backlog ≡ one batch aggregate " +
+       "(streamed-batch law through the real engine)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val backlog = java.nio.file.Files
+      .createTempDirectory("graft-backlog-law").toString
+    graft.Tables.events(spark, dir)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .select("event_time", "event_type", "value")
+      .repartition(4)
+      .write.mode("overwrite").parquet(backlog)
+    // one file per micro-batch: the watermark advances between batches
+    // and the window state merges partial DECIMAL sums across them
+    val streamed = EventTimeStreams.runTumblingBacklog(spark, backlog,
+        "event_time", lateness = "10 minutes", windowLen = "15 minutes",
+        filesPerBatch = 1, queryName = "backlog_law")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val batch = spark.read.parquet(backlog)
+      .groupBy(window(col("event_time"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} windows vs batch ${batch.size}; " +
+        s"only-streamed=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
+
   test("session_window sessionization merges runs and splits on gaps") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
