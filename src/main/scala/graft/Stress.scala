@@ -414,6 +414,10 @@ object Stress {
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("qtext"))
       .localCheckpoint(true)
+    // untimed warm-up probe: the first read pays one-off plan/codegen
+    // warm-up that would otherwise bias whichever cell runs first
+    TextOps.bm25TopKIndexed(spark, aDir, aParts, aBatch,
+      "query_id", "qtext", k = 10, asOf = Some(0L)).count()
     time("probe as-of batch 0") {
       TextOps.bm25TopKIndexed(spark, aDir, aParts, aBatch,
         "query_id", "qtext", k = 10, asOf = Some(0L)).count()

@@ -619,6 +619,45 @@ class PlanContractSpec extends SparkSpec {
       s"a q88 join fell back to sort-merge (vectors shuffled):\n$plan")
   }
 
+  test("q94 as-of probe: the version cut rides the scan's partition " +
+       "filter next to the term pruning — never a data filter") {
+    val plan = physical(SparkEntry.queries("q94_index_time_travel")(spark, dir))
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("tp#") && l.contains("b#")),
+      s"as-of cut not composed with term pruning as a partition filter:\n$plan")
+  }
+
+  test("q95 exact MaxSim: corpus read once and never shuffled with " +
+       "payloads; query bag broadcast; rank limit pushed down") {
+    val df = SparkEntry.queries("q95_maxsim_topk")(spark, dir)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastExchange"),
+      s"query bag not broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k not rank-limit-pushed:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a MaxSim join fell back to sort-merge (vectors shuffled):\n$plan")
+    // both aggregate levels shuffle slim id+cosine rows only — an
+    // embedding column crossing an exchange would show as the vector
+    // attribute in an Exchange's output
+    assert(!plan.linesIterator.exists(l =>
+        l.trim.startsWith("+- Exchange") && l.contains("embedding#")),
+      s"vector payloads crossed a shuffle:\n$plan")
+  }
+
+  test("q96 shortlisted MaxSim: quantized kernels present, shortlist cut " +
+       "map-side, candidates broadcast back onto the corpus (no sort-merge)") {
+    val plan = physical(SparkEntry.queries("q96_maxsim_shortlist")(spark, dir))
+    assert(plan.contains("int8_quantize") && plan.contains("cosine_similarity"),
+      s"quantize/cosine kernels missing:\n$plan")
+    assert(plan.sliding("WindowGroupLimit".length)
+        .count(_ == "WindowGroupLimit") >= 3,
+      s"shortlist/top-k rank limits not pushed to map-side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a q96 join fell back to sort-merge:\n$plan")
+  }
+
   test("packSequences partitions its window by shard (no global sort)") {
     val plan = physical(graft.operators.Packing.packSequences(
       TextOps.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
