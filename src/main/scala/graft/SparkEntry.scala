@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DimDate
-import graft.operators.{Blooms, Cdc, Dedup, ExactAgg, Incremental, Joins, Layout, Multimodal, Packing, Resample, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms, Vocab}
+import graft.operators.{Blooms, Cdc, Clustering, Dedup, ExactAgg, Incremental, Joins, Layout, Multimodal, Packing, Resample, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms, Vocab}
 import graft.sources.JsonFlatten
 import graft.streaming.EventTimeStreams
 
@@ -1612,7 +1612,29 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Corpus clustering ([[Clustering.kmeansQuantized]]): fixed-
+    * iteration Lloyd k-means over the int8-quantized embedding space —
+    * the topic/domain-bucketing primitive between dedup and sampling.
+    * Assignment is a shuffle-free projection against broadcast centroid
+    * literals (k fused `squared_l2` kernels per row); the update step's
+    * only exchange is a k·dim-group partial-sum aggregate. Integer
+    * arithmetic end to end (quantized components, exact integer
+    * distances, floor-div centroid means), so the oracle replays every
+    * iteration bit-for-bit — clustering as a certified operator, not a
+    * "looks reasonable" one. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val (assign, _) = Clustering.kmeansQuantized(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = KmeansK, iters = KmeansIters)
+    assign.select(col("id").as("vec_id"), col("cluster"), col("dist"))
+      .orderBy("vec_id")
+  }
+
+  private val KmeansK = 8
+  private val KmeansIters = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_kmeans" -> q97,
     "q96_maxsim_shortlist" -> q96,
     "q93_stream_windows" -> q93,
     "q94_index_time_travel" -> q94,
@@ -2027,6 +2049,63 @@ object SparkEntry {
 
   /** q12 oracle: exact brute-force cosine top-k — also the ground
     * truth CTE of q92's recall evaluation. */
+  /** q97 oracle: the ENTIRE Lloyd iteration replayed in SQL. Vectors
+    * are int8-quantized (q72's exact integer formula) then kept
+    * unnested as (vec_id, pos, val); each iteration is three CTEs —
+    * distances (exact integer sums), argmin assignment (tie toward the
+    * smaller cluster id), floor-div centroid means (empty clusters
+    * coalesce to the previous centroid) — chained `iters` times, then
+    * one final assignment. Every intermediate is an integral double,
+    * so the replay is bit-identical to the Spark loop. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val header =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT vec_id, v,
+         |         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS s
+         |       FROM e),
+         |qz AS (SELECT vec_id,
+         |         CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+         |              ELSE list_transform(v, x -> floor(x * 127.0 / s + 0.5))
+         |         END AS qv
+         |       FROM sc),
+         |vz AS (SELECT vec_id, unnest(qv) AS val,
+         |              generate_subscripts(qv, 1) AS pos
+         |       FROM qz),
+         |c0 AS (SELECT i.cid, z.pos, z.val
+         |       FROM (SELECT vec_id,
+         |               row_number() OVER (ORDER BY vec_id) - 1 AS cid
+         |             FROM (SELECT vec_id FROM qz ORDER BY vec_id LIMIT $k)) i
+         |       JOIN vz z USING (vec_id)),
+         |""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""d$i AS (SELECT v.vec_id, c.cid,
+         |         sum((v.val - c.val) * (v.val - c.val)) AS dist
+         |       FROM vz v JOIN c${i - 1} c USING (pos) GROUP BY 1, 2),
+         |a$i AS (SELECT vec_id, cid FROM (
+         |         SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY dist, cid) AS rn
+         |         FROM d$i) WHERE rn = 1),
+         |m$i AS (SELECT a.cid, v.pos,
+         |          floor(sum(v.val) / count(*)) AS val
+         |        FROM a$i a JOIN vz v USING (vec_id) GROUP BY 1, 2),
+         |c$i AS (SELECT c.cid, c.pos, coalesce(m.val, c.val) AS val
+         |        FROM c${i - 1} c
+         |        LEFT JOIN m$i m ON m.cid = c.cid AND m.pos = c.pos),
+         |""".stripMargin
+    }.mkString
+    val footer =
+      s"""f AS (SELECT v.vec_id, c.cid,
+         |        CAST(sum((v.val - c.val) * (v.val - c.val)) AS BIGINT) AS dist
+         |      FROM vz v JOIN c$iters c USING (pos) GROUP BY 1, 2)
+         |SELECT vec_id, cid::INTEGER AS cluster, dist FROM (
+         |  SELECT vec_id, cid, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM f) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+    header + steps + footer
+  }
+
   private val bruteAnnSql =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
       |q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
@@ -2206,6 +2285,7 @@ object SparkEntry {
         |SELECT query_id, rank, doc_id, score
         |FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "q97_kmeans" -> kmeansOracleSql(KmeansK, KmeansIters),
     "q92_ann_recall" -> annRecallSql,
     // q90's purge leaves the index reading exactly as if the purged
     // docs were never ingested — same replay, restricted corpus

@@ -174,6 +174,88 @@ case class Int8QuantizeExpr(child: Expression)
     copy(child = c)
 }
 
+/** Σᵢ (aᵢ − bᵢ)² over two numeric arrays — the Euclidean kernel for
+  * clustering (k-means assignment is argmin of this over centroids).
+  * Same contract as the cosine kernel: elements widened to double
+  * before arithmetic, one sequential fold, null/mismatch/empty → null.
+  * On integer-valued inputs (int8-quantized vectors) every term and
+  * the sum are exact integral doubles, so a DuckDB replay over the
+  * same quantized lists is bit-identical — which is what lets k-means
+  * assignments be oracle-checked rather than eyeballed. */
+case class SquaredL2Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "squared_l2"
+
+  @transient private lazy val leftFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double> inputs, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements() || n == 0) return null
+    var acc = 0d
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xi - yi
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val anyNull = ctx.freshName("anyNull")
+      val getX = if (leftFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val getY = if (rightFloat) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements() || $n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $anyNull = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $anyNull = true; break; }
+         |    final double $d = $getX - $getY;
+         |    $acc += $d * $d;
+         |  }
+         |  if ($anyNull) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override def nullable: Boolean = true
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object ArrayMath {
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a splitmix64-style mix of both indices, so no (plane, dim) pair
@@ -266,6 +348,8 @@ object ArrayMath {
         es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "int8_quantize", es => Int8QuantizeExpr(es(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "squared_l2", es => SquaredL2Expr(es(0), es(1)), "scala_udf")
   }
 
   /** Column API for the bucket kernel. */
@@ -282,4 +366,8 @@ object ArrayMath {
   /** Column API for the int8 quantization kernel. */
   def int8Quantize(v: Column): Column =
     call_function("int8_quantize", v)
+
+  /** Column API for the Euclidean kernel. */
+  def squaredL2(a: Column, b: Column): Column =
+    call_function("squared_l2", a, b)
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ArrayMath
+
+/** Corpus clustering — the grouping primitive a training-data pipeline
+  * runs between dedup and sampling (topic balancing, domain discovery,
+  * semantic-bucket curriculum: cluster the embedding space, then
+  * sample/cap/mix per cluster with the q60/q61/q82 machinery).
+  *
+  * Reference scope: the reference pipeline (mabna_tables_update.py)
+  * stops at relational maintenance; clustering is part of the
+  * LLM-pipeline extension surface, same family as the ANN tier
+  * (Similarity.scala).
+  *
+  * Design for 100 TB, which dictates everything here:
+  *
+  *  - Lloyd's k-means with k·dim driver-resident centroids. Centroids
+  *    are metadata-scale (k ≤ a few thousand, dim ≤ a few thousand →
+  *    MBs); the corpus NEVER shuffles. Assignment is a pure projection
+  *    (k fused `squared_l2` kernel calls per row against centroid
+  *    literals — whole-stage codegen, no join, no exchange), and the
+  *    update step's only exchange is a map-side-combined
+  *    (cluster, pos) partial-sum aggregate: k·dim·partitions rows,
+  *    independent of corpus size.
+  *  - Vectors are int8-quantized first (the `int8_quantize` kernel,
+  *    q72's storage economics: a 100 TB f32 store scans 4× less as
+  *    int8). Quantization also buys exactness: every component is an
+  *    integral double, so distances are exact integers, centroid
+  *    updates are floor-divided integer means (still integral), and
+  *    the whole fixpoint iteration is bit-reproducible across engines
+  *    — the DuckDB oracle replays ALL iterations, not a recall proxy.
+  *  - Fixed iteration count, not convergence-test looping: at scale
+  *    you budget passes over the data (each iteration is one scan);
+  *    convergence deltas are observable from the returned centroids.
+  *
+  * Determinism contract: init = the k vectors with the smallest ids
+  * (cluster id = rank in that order); assignment ties break toward the
+  * smaller cluster id; empty clusters keep their previous centroid.
+  */
+object Clustering {
+
+  /** One Lloyd assignment pass as a shuffle-free projection: per row,
+    * `least()` over k (dist, cid) structs — lexicographic struct
+    * ordering gives argmin-with-tie-on-cid in one codegen'd expression
+    * tree. */
+  private def assign(qv: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val best = least(cents.map { case (cid, c) =>
+      struct(
+        ArrayMath.squaredL2(col("__qv"), typedlit(c.toSeq)).cast("long").as("d"),
+        lit(cid).as("c"))
+    }: _*)
+    qv.withColumn("__best", best)
+      .select(col("__id"), col("__qv"),
+        col("__best.c").as("cluster"), col("__best.d").as("dist"))
+  }
+
+  /** Fixed-iteration k-means over the int8-quantized embedding space.
+    *
+    * Returns (assignments, centroids):
+    *  - assignments: (id, cluster, dist) — dist is the EXACT integer
+    *    squared L2 to the final centroid;
+    *  - centroids: the final `(cluster, centroid: array<double>)`
+    *    (integral components) so callers can persist/reuse them
+    *    (e.g. as frozen IVF coarse centroids, q83-style).
+    *
+    * `iters` centroid updates are performed, then one final assignment
+    * against the updated centroids. Each update runs one corpus scan;
+    * the quantized projection is cached for the loop (the cluster-scale
+    * analog is materializing the int8 column once — the pay-once
+    * layout discipline of TextOps.writePostingIndex).
+    *
+    * Driver-side state is k·dim doubles per iteration (the update
+    * aggregate's k·dim-row result — metadata-scale, same bound class
+    * as the partition-list collects documented at TextOps.scala). */
+  def kmeansQuantized(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): (DataFrame, Seq[(Int, Array[Double])]) = {
+    require(k > 0, s"k=$k must be positive")
+    require(iters >= 0, s"iters=$iters must be non-negative")
+    ArrayMath.register(corpus.sparkSession)
+    val qv = corpus
+      .select(col(idCol).as("__id"),
+        ArrayMath.int8Quantize(col(vecCol)).as("__qv"))
+      .where(col("__qv").isNotNull)
+      .persist()
+    try {
+      // init: the k smallest ids, cluster id = rank in id order.
+      // TakeOrderedAndProject — per-partition heap, k·dim to the driver.
+      var cents: Seq[(Int, Array[Double])] =
+        qv.orderBy("__id").limit(k).collect().zipWithIndex.map {
+          case (r, i) => (i, r.getSeq[Double](1).toArray)
+        }.toSeq
+      for (_ <- 0 until iters) {
+        // update: component sums per cluster — the ONLY exchange in the
+        // loop, k·dim groups, map-side combined. floor(sum/n) keeps
+        // centroids integral (sums are integers < 2^53: exact in double
+        // in any order, so the aggregate is associative and the oracle
+        // replays it).
+        val sums = assign(qv, cents)
+          .select(col("cluster"), posexplode(col("__qv")).as(Seq("pos", "val")))
+          .groupBy("cluster", "pos")
+          .agg(sum("val").as("s"), count(lit(1)).as("n"))
+          .select(col("cluster"), col("pos"),
+            floor(col("s") / col("n").cast("double")).cast("double").as("m"))
+          .collect()
+        val byCluster: Map[Int, Map[Int, Double]] = sums
+          .groupBy(_.getInt(0))
+          .map { case (cid, rows) =>
+            cid -> rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+          }
+        cents = cents.map { case (cid, old) =>
+          byCluster.get(cid) match {
+            case Some(m) => (cid, Array.tabulate(old.length)(p => m(p)))
+            case None    => (cid, old) // empty cluster keeps its centroid
+          }
+        }
+      }
+      val out = assign(qv, cents).select(col("__id").as("id"),
+        col("cluster").cast("int"), col("dist"))
+      (out, cents)
+    } finally qv.unpersist(blocking = false)
+  }
+}

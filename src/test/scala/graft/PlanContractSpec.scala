@@ -667,4 +667,19 @@ class PlanContractSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"),
       s"packing fell back to a global sort:\n$plan")
   }
+
+  test("q97 k-means final assignment: a pure projection — native " +
+       "squared_l2 kernels against centroid literals, no join, no " +
+       "exchange below the presentation sort") {
+    val plan = physical(SparkEntry.queries("q97_kmeans")(spark, dir))
+    assert(plan.contains("squared_l2"),
+      s"native Euclidean kernel missing from the assignment:\n$plan")
+    assert(!plan.contains("Join"),
+      s"k-means assignment joined instead of projecting:\n$plan")
+    // the only exchange is the ORDER BY vec_id presentation sort —
+    // the corpus never hash-shuffles for the assignment itself
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"assignment introduced a non-sort exchange:\n$plan")
+  }
 }
