@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DimDate
-import graft.operators.{Blooms, Cdc, Clustering, Dedup, ExactAgg, Incremental, Joins, Layout, Multimodal, Packing, Resample, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms, Vocab}
+import graft.operators.{Blooms, Cdc, Clustering, Dedup, ExactAgg, Graphs, Incremental, Joins, Layout, Multimodal, Packing, Resample, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms, Vocab}
 import graft.sources.JsonFlatten
 import graft.streaming.EventTimeStreams
 
@@ -1633,7 +1633,33 @@ object SparkEntry {
   private val KmeansK = 8
   private val KmeansIters = 3
 
+  /** Graph ranking ([[Graphs.pageRankFixed]]): integer-scaled PageRank
+    * over the customer↔supplier trade graph (edge = "this customer's
+    * order had a line from this supplier", symmetrized) — the source-
+    * credibility primitive (rank a domain/citation graph, then weight
+    * documents by their origin's rank). Three fixed update passes; all
+    * arithmetic is floor-divided scaled integers, so rank mass is
+    * exactly reproducible and the oracle replays the full iteration.
+    * Node encoding: customer c ↦ 2c, supplier s ↦ 2s+1. */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val fwd = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    Graphs.pageRankFixed(edges, iters = PageRankIters)
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("node DIV 2").as("node_key"), col("rank_scaled"))
+      .orderBy("node_type", "node_key")
+  }
+
+  private val PageRankIters = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_pagerank" -> q98,
     "q97_kmeans" -> q97,
     "q96_maxsim_shortlist" -> q96,
     "q93_stream_windows" -> q93,
@@ -2106,6 +2132,45 @@ object SparkEntry {
     header + steps + footer
   }
 
+  /** q98 oracle: the integer-PageRank iteration replayed. Every
+    * contribution is `((r // outdeg) * 85) // 100` on BIGINTs and the
+    * teleport base is the same floored constant, so each rank table —
+    * and therefore the fixpoint after any number of passes — is
+    * bit-identical to the Spark loop. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val header =
+      """WITH le AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+        |                            l.l_suppkey * 2 + 1 AS dst
+        |            FROM lineitem l
+        |            JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |ed AS (SELECT src, dst FROM le
+        |       UNION SELECT dst AS src, src AS dst FROM le),
+        |deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
+        |nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        |nn AS (SELECT count(*) AS n FROM nd),
+        |r0 AS (SELECT node, 1000000000000 // n AS r FROM nd, nn),
+        |""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""s$i AS (SELECT e.dst AS node,
+         |          sum(((r.r // d.outdeg) * 85) // 100) AS c
+         |        FROM ed e JOIN r${i - 1} r ON r.node = e.src
+         |        JOIN deg d ON d.src = e.src GROUP BY 1),
+         |r$i AS (SELECT nd.node,
+         |          ((1000000000000 * 15) // (100 * nn.n)
+         |           + coalesce(s.c, 0))::BIGINT AS r
+         |        FROM nd CROSS JOIN nn
+         |        LEFT JOIN s$i s ON s.node = nd.node),
+         |""".stripMargin
+    }.mkString
+    val footer =
+      s"""fin AS (SELECT node, r FROM r$iters)
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+         |            ELSE 'supplier' END AS node_type,
+         |       node // 2 AS node_key, r AS rank_scaled
+         |FROM fin ORDER BY node_type, node_key""".stripMargin
+    header + steps + footer
+  }
+
   private val bruteAnnSql =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
       |q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
@@ -2286,6 +2351,7 @@ object SparkEntry {
         |FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "q97_kmeans" -> kmeansOracleSql(KmeansK, KmeansIters),
+    "q98_pagerank" -> pageRankOracleSql(PageRankIters),
     "q92_ann_recall" -> annRecallSql,
     // q90's purge leaves the index reading exactly as if the purged
     // docs were never ingested — same replay, restricted corpus

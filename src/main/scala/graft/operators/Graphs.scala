@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge tables — the link-structure primitives a
+  * corpus pipeline runs for source credibility (rank a domain/citation
+  * graph, weight documents by the rank of where they came from) and
+  * for influence analysis over interaction graphs. Near-dup clustering
+  * already has its own iterative graph op (TextOps.connectedComponents,
+  * the keeper-selection substrate); this module holds the general
+  * ranked-propagation family.
+  *
+  * Scale shape (the classic one): an iteration is (ranks ⋈ edges on
+  * src) → groupBy dst — two key shuffles over slim (node, long) rows,
+  * never a vector or payload. Edges are hash-partitioned ONCE on src
+  * and cached; every iteration's join reuses that layout, so the
+  * per-iteration cost is one shuffle of the (small) rank table plus
+  * one aggregate. Fixed iteration count: at 100 TB you budget passes,
+  * you don't loop on a convergence test (deltas are observable from
+  * successive rank tables).
+  *
+  * Arithmetic contract: ranks are SCALED INTEGERS (parts-per-10^12 of
+  * total rank mass). Contributions are floor-divided
+  * (`(r DIV outdeg) * damp_num DIV damp_den`), sums are exact BIGINT —
+  * every step is integer arithmetic, so a replay in any engine is
+  * bit-identical (same discipline as the quantized k-means: determinism
+  * by integerization, not by rounding-tolerance). The tiny mass lost to
+  * flooring is deliberate — this is "integer PageRank", reproducible
+  * forever, not IEEE-order-dependent.
+  */
+object Graphs {
+
+  val RankScale: Long = 1000000000000L // 10^12 — rank mass denominator
+
+  /** Fixed-iteration PageRank over a directed edge list.
+    *
+    * `edges` must be (src: long, dst: long); duplicates are collapsed.
+    * Every node appearing as a src or dst participates; dangling nodes
+    * (no out-edges) contribute nothing per iteration (their mass fades
+    * to the teleport term — the standard simple treatment; symmetrize
+    * the edge list upstream if dangling mass matters).
+    *
+    * damping = dampNum/dampDen (default 85/100); iters full update
+    * passes. Returns (node, rank_scaled: long) where rank_scaled is
+    * the node's share of RankScale. */
+  def pageRankFixed(edges: DataFrame, iters: Int,
+                    dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 0, s"iters=$iters must be non-negative")
+    require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen outside [0, 1]")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist()
+    val nn = nodes.count() // also materializes the node cache
+    require(nn > 0, "empty graph")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // pay the edge layout once: (src, dst, outdeg) partitioned on src,
+    // reused by every iteration's rank join
+    val ed = e.join(deg, "src").repartition(col("src")).persist()
+    ed.count()
+    try {
+      val base = (RankScale * (dampDen - dampNum)) / (dampDen * nn)
+      var ranks = nodes.select(col("node"), lit(RankScale / nn).as("r"))
+      for (_ <- 0 until iters) {
+        val contrib = ed
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"),
+            expr(s"(r DIV outdeg) * $dampNum DIV $dampDen").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("c"))
+        ranks = nodes
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + coalesce(col("c"), lit(0L))).as("r"))
+      }
+      // materialize before releasing the cached layouts: iterating
+      // lazily over unpersisted inputs would rescan the source per step
+      val out = ranks.select(col("node"), col("r").as("rank_scaled"))
+        .persist()
+      out.count()
+      out
+    } finally { ed.unpersist(blocking = false); nodes.unpersist(blocking = false) }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Laws for [[Graphs.pageRankFixed]]. The q98 oracle certifies the
+  * full iteration against DuckDB on the trade graph; these pin the
+  * arithmetic contract on hand-computable graphs. */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = Graphs.RankScale
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graphs.pageRankFixed(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("2-cycle: the uniform distribution is an exact fixpoint") {
+    // r0 = S/2 each; contrib = (S/2 DIV 1)*85 DIV 100; base = 15S/200
+    // → r1 = S/2 again, for every iteration count
+    for (it <- Seq(0, 1, 3)) {
+      val m = ranks(Seq((1L, 2L), (2L, 1L)), it)
+      assert(m == Map(1L -> S / 2, 2L -> S / 2), s"iters=$it broke the fixpoint")
+    }
+  }
+
+  test("one dangling edge: hand-computed single pass") {
+    // a→b, N=2: a keeps only the teleport base, b gets base + damped a
+    val m = ranks(Seq((1L, 2L)), 1)
+    val base = S * 15 / 200
+    assert(m(1L) == base)
+    assert(m(2L) == base + (S / 2) * 85 / 100)
+  }
+
+  test("iters=0 is the uniform start") {
+    val m = ranks(Seq((1L, 2L), (2L, 3L), (3L, 1L)), 0)
+    assert(m.values.toSet == Set(S / 3))
+  }
+
+  test("duplicate edges collapse (multi-edge is not double mass)") {
+    val once = ranks(Seq((1L, 2L), (2L, 1L)), 2)
+    val dup = ranks(Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L)), 2)
+    assert(once == dup)
+  }
+
+  test("hub of a symmetrized star outranks its spokes") {
+    val star = (2L to 9L).flatMap(s => Seq((1L, s), (s, 1L)))
+    val m = ranks(star, 3)
+    assert((2L to 9L).forall(s => m(1L) > m(s)))
+    // spokes are symmetric → identical ranks
+    assert((2L to 9L).map(m).toSet.size == 1)
+  }
+
+  test("rank mass is conserved up to floor loss, never created") {
+    val edges = (1L to 50L).map(i => (i, i % 50 + 1)) ++
+      (1L to 25L).map(i => (i, 51 - i))
+    val m = ranks(edges, 3)
+    val total = m.values.sum
+    assert(total <= S)
+    assert(total > S * 99 / 100, s"floor loss too large: $total of $S")
+  }
+
+  test("deterministic under repartitioning") {
+    val edges = ((1L to 30L).map(i => (i, (i * 7) % 30 + 1)) ++
+      (1L to 30L).map(i => ((i * 7) % 30 + 1, i))).toDF("src", "dst")
+    val a = Graphs.pageRankFixed(edges, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graphs.pageRankFixed(edges.repartition(7), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+}
