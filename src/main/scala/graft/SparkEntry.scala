@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DimDate
-import graft.operators.{Blooms, Cdc, Clustering, Dedup, ExactAgg, Graphs, Incremental, Joins, Layout, Multimodal, Packing, Resample, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms, Vocab}
+import graft.operators.{Blooms, Cdc, Clustering, Dedup, ExactAgg, Graphs, Incremental, Joins, Layout, Linkage, Multimodal, Packing, Resample, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms, Vocab}
 import graft.sources.JsonFlatten
 import graft.streaming.EventTimeStreams
 
@@ -1658,7 +1658,29 @@ object SparkEntry {
 
   private val PageRankIters = 3
 
+  /** Record linkage ([[Linkage.blockedFuzzyPairs]]): blocked edit-
+    * distance matching — the character-level complement to the token-
+    * set dedup arms (q10/q11 see reordered copies; this sees dense
+    * in-place edits). Blocking key = normalized 12-char prefix, blocks
+    * capped deterministically, threshold'd Levenshtein only inside
+    * blocks. Every stage — normalization, cap, DP distance — is
+    * integer/string-exact, so the oracle replays distances verbatim. */
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    Linkage.blockedFuzzyPairs(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
+  /** LM quality scoring ([[TextOps.bigramLmScores]]): corpus-trained
+    * add-one bigram model, per-doc log-likelihood — the perplexity
+    * filter of the CCNet recipe with the model AS a table (two counting
+    * aggregates), never driver state. Rounded-ln + DECIMAL sums keep
+    * the scores engine-exact. */
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    TextOps.bigramLmScores(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_bigram_lm" -> q100,
+    "q99_fuzzy_pairs" -> q99,
     "q98_pagerank" -> q98,
     "q97_kmeans" -> q97,
     "q96_maxsim_shortlist" -> q96,
@@ -2352,6 +2374,48 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin,
     "q97_kmeans" -> kmeansOracleSql(KmeansK, KmeansIters),
     "q98_pagerank" -> pageRankOracleSql(PageRankIters),
+    // q100: the bigram LM replayed — same token stream, same add-one
+    // conditional, same rounded-ln / decimal-sum discipline as q85
+    "q100_bigram_lm" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+        |           FROM documents),
+        |bgi AS (SELECT doc_id, w,
+        |          unnest(generate_series(1, len(w) - 1)) AS i FROM d),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS gram
+        |       FROM bgi),
+        |c12 AS (SELECT gram, count(*) AS c FROM bg GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c FROM bg GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT tok) AS v
+        |          FROM (SELECT unnest(w) AS tok FROM d)),
+        |sc AS (SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+        |         sum(CAST(round(
+        |           ln((c12.c + 1)::DOUBLE / (c1.c + vocab.v)), 6)
+        |           AS DECIMAL(18,6))) AS s
+        |       FROM bg b
+        |       JOIN c12 ON b.gram = c12.gram
+        |       JOIN c1 ON b.w1 = c1.w1, vocab
+        |       GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |       CAST(CAST(s AS VARCHAR) AS DOUBLE) AS logprob
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // q99: blocked fuzzy pairs — normalization, 12-char block key,
+    // 64-per-block id cap, and the Levenshtein DP replay exactly
+    "q99_fuzzy_pairs" ->
+      """WITH d AS (SELECT doc_id,
+        |             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |           FROM documents),
+        |b AS (SELECT doc_id, substr(norm, 1, 12) AS blk,
+        |             substr(norm, 1, 64) AS cmp FROM d),
+        |c AS (SELECT doc_id, blk, cmp FROM (
+        |        SELECT doc_id, blk, cmp,
+        |          row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+        |        FROM b) WHERE rn <= 64)
+        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |       levenshtein(a.cmp, b2.cmp)::BIGINT AS dist
+        |FROM c a JOIN c b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+        |WHERE levenshtein(a.cmp, b2.cmp) <= 16
+        |ORDER BY id_a, id_b""".stripMargin,
     "q92_ann_recall" -> annRecallSql,
     // q90's purge leaves the index reading exactly as if the purged
     // docs were never ingested — same replay, restricted corpus

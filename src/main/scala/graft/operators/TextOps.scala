@@ -1288,4 +1288,52 @@ object TextOps {
       regexp_replace(
         regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
         LongDigitRe, "<NUM>").as("redacted"))
+
+  /** Statistical LM quality scoring (the CCNet recipe, self-trained):
+    * fit an add-one-smoothed bigram model on the corpus itself, then
+    * score every document's log-likelihood under it. Fluent/typical
+    * text scores high per bigram; corrupted or off-distribution text
+    * scores low — the perplexity filter between heuristic quality
+    * (qualityScore's ratios) and a learned classifier.
+    *
+    * Shape at scale: train = two counting aggregates over the exploded
+    * bigram stream (map-side combined; the "model" is a table, never
+    * driver state). Score = two equi-joins of the doc bigrams against
+    * the count tables (model tables broadcast when small — AQE decides
+    * — and a plain key shuffle when the vocabulary is web-scale) and
+    * one per-doc aggregate. No driver loops, no UDFs.
+    *
+    * Exactness: per-bigram logprob = round(ln((c12+1)/(c1+V)), 6),
+    * summed as DECIMAL (the q85 BM25 discipline), so score is engine-
+    * exact. Docs with fewer than two tokens have no bigrams and drop
+    * out (inner-join semantics, documented contract).
+    *
+    * Output: (id, n_bigrams, logprob) — callers derive per-token
+    * perplexity as exp(-logprob/n_bigrams). */
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = docs.select(col(idCol).as("__id"),
+      filter(tokens(col(textCol)), w => length(w) > 0).as("__w"))
+    val n1 = greatest(size(col("__w")) - 1, lit(0))
+    val bg = t
+      .select(col("__id"), explode(zip_with(
+        slice(col("__w"), lit(1), n1), slice(col("__w"), lit(2), n1),
+        (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("gram"))))
+        .as("__p"))
+      .select(col("__id"), col("__p.w1").as("__w1"), col("__p.gram").as("__gram"))
+    val c12 = bg.groupBy("__gram").agg(count(lit(1)).as("__c12"))
+    val c1 = bg.groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    val vocab = t.select(explode(col("__w")).as("__tok"))
+      .agg(countDistinct(col("__tok")).as("__v"))
+    bg.join(c12, "__gram")
+      .join(c1, "__w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp",
+        round(log((col("__c12") + 1).cast("double") / (col("__c1") + col("__v"))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__lp")).cast("decimal(28,6)").as("__s"))
+      .select(col("__id").as(idCol), col("n_bigrams"),
+        col("__s").cast("double").as("logprob"))
+  }
 }

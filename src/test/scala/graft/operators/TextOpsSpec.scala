@@ -565,4 +565,53 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(tmp).sameElements(rows(fresh)),
       "purged store rows differ from a store never holding the purged docs")
   }
+
+  test("bigramLmScores: hand-computed add-one bigram likelihoods") {
+    // corpus: "a b a" and "a b" → c12("a b")=2, c12("b a")=1,
+    // c1(a)=2, c1(b)=1, V=2
+    val docs = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.bigramLmScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val lpAB = BigDecimal(math.log(3.0 / 4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val lpBA = BigDecimal(math.log(2.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(got(1L) == ((2L, (lpAB + lpBA).toDouble)))
+    assert(got(2L) == ((1L, lpAB.toDouble)))
+  }
+
+  test("bigramLmScores: sub-bigram docs drop out; empty tokens ignored") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "two  words"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramLmScores(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    // doc 3's double space splits to an empty token that must not
+    // create a ("two","") bigram — it still has exactly one bigram
+    assert(got == Set(3L))
+    val n = TextOps.bigramLmScores(docs, "doc_id", "text")
+      .collect().head.getLong(1)
+    assert(n == 1L)
+  }
+
+  test("bigramLmScores: formulaic text outranks shuffled text per bigram") {
+    // 9 copies of one sentence + 1 scrambled doc: the repeated bigrams
+    // are high-probability, the scrambled ones are near-unseen
+    val common = (1L to 9L).map(i => (i, "the quick brown fox jumps"))
+    val odd = Seq((10L, "fox the jumps quick brown"))
+    val got = TextOps.bigramLmScores((common ++ odd).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2) / r.getLong(1)).toMap
+    assert(got(1L) > got(10L),
+      s"common ${got(1L)} should outscore scrambled ${got(10L)}")
+  }
+
+  test("bigramLmScores: deterministic under repartitioning") {
+    val docs = (1L to 60L).map(i =>
+      (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 11} w${i % 2}"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.bigramLmScores(d, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(docs) == run(docs.repartition(7)))
+  }
 }
