@@ -1678,7 +1678,63 @@ object SparkEntry {
     TextOps.bigramLmScores(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Cluster profiling: the quality gate over q97's clustering (the
+    * q92 pattern applied to k-means) — per cluster, its size, total
+    * inertia, dominant ground-truth label and integer purity. The
+    * label column plays the held-out reference; a pipeline runs this
+    * before trusting cluster-balanced sampling. All-integer outputs
+    * (counts, exact distances, floor-div purity percent), so the
+    * oracle replays the clustering AND the audit. */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val (assign, _) = Clustering.kmeansQuantized(
+      e, "vec_id", "embedding", k = KmeansK, iters = KmeansIters)
+    val a = assign.select(col("id").as("vec_id"), col("cluster"), col("dist"))
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+    val byLabel = a.groupBy("cluster", "label").agg(count(lit(1)).as("label_n"))
+    val top = Stats.topKPerGroup(byLabel, "cluster", 1,
+      Seq(col("label_n").desc, col("label").asc)).drop("rank")
+    a.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum("dist").as("sum_dist"))
+      .join(top, "cluster")
+      .select(col("cluster"), col("n"), col("sum_dist"),
+        col("label").as("top_label"), col("label_n").as("top_label_n"),
+        expr("label_n * 100 DIV n").as("purity_pct"))
+      .orderBy("cluster")
+  }
+
+  /** Community detection ([[Graphs.labelPropagation]]): deterministic
+    * frequency-LPA over the same symmetrized trade graph as q98 —
+    * three synchronous rounds, each node adopting its neighbors' most
+    * frequent label (ties toward the smaller). Integer counts + total
+    * tie order make the whole fixpoint engine-exact. Output is the
+    * community roster: per community label, its size and member split
+    * by node type. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    // strong ties only (high-quantity lines): the dense full graph
+    // collapses to one community per side in two LPA rounds — real
+    // community structure needs the sparse backbone
+    val l = Tables.lineitem(s, dir)
+      .where(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val fwd = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    Graphs.labelPropagation(edges, iters = LpaIters)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
+        sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
+      .orderBy("community")
+  }
+
+  private val LpaIters = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_communities" -> q102,
+    "q101_cluster_profile" -> q101,
     "q100_bigram_lm" -> q100,
     "q99_fuzzy_pairs" -> q99,
     "q98_pagerank" -> q98,
@@ -2105,7 +2161,7 @@ object SparkEntry {
     * coalesce to the previous centroid) — chained `iters` times, then
     * one final assignment. Every intermediate is an integral double,
     * so the replay is bit-identical to the Spark loop. */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
+  private def kmeansOracleCtes(k: Int, iters: Int): String = {
     val header =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |sc AS (SELECT vec_id, v,
@@ -2145,14 +2201,21 @@ object SparkEntry {
     val footer =
       s"""f AS (SELECT v.vec_id, c.cid,
          |        CAST(sum((v.val - c.val) * (v.val - c.val)) AS BIGINT) AS dist
-         |      FROM vz v JOIN c$iters c USING (pos) GROUP BY 1, 2)
-         |SELECT vec_id, cid::INTEGER AS cluster, dist FROM (
-         |  SELECT vec_id, cid, dist,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |  FROM f) WHERE rn = 1
-         |ORDER BY vec_id""".stripMargin
+         |      FROM vz v JOIN c$iters c USING (pos) GROUP BY 1, 2),
+         |fa AS (SELECT vec_id, cid::INTEGER AS cluster, dist FROM (
+         |         SELECT vec_id, cid, dist,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY dist, cid) AS rn
+         |         FROM f) WHERE rn = 1)
+         |""".stripMargin
     header + steps + footer
   }
+
+  /** The k-means replay as a reusable CTE block ending in `fa`
+    * (vec_id, cluster, dist) — q97 selects it, q101 profiles it. */
+  private def kmeansOracleSql(k: Int, iters: Int): String =
+    kmeansOracleCtes(k, iters) +
+      "SELECT vec_id, cluster, dist FROM fa ORDER BY vec_id"
 
   /** q98 oracle: the integer-PageRank iteration replayed. Every
     * contribution is `((r // outdeg) * 85) // 100` on BIGINTs and the
@@ -2190,6 +2253,46 @@ object SparkEntry {
          |            ELSE 'supplier' END AS node_type,
          |       node // 2 AS node_key, r AS rank_scaled
          |FROM fin ORDER BY node_type, node_key""".stripMargin
+    header + steps + footer
+  }
+
+  /** q102 oracle: deterministic frequency-LPA replayed — neighbor
+    * label counts are integers and the argmax tie-breaks on the label,
+    * so every synchronous round (and the roster aggregate on top) is
+    * bit-identical. */
+  private def lpaOracleSql(iters: Int): String = {
+    val header =
+      """WITH le AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+        |                            l.l_suppkey * 2 + 1 AS dst
+        |            FROM lineitem l
+        |            JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |            WHERE l.l_quantity >= 45),
+        |ed AS (SELECT src, dst FROM le
+        |       UNION SELECT dst AS src, src AS dst FROM le),
+        |nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        |l0 AS (SELECT node, node AS label FROM nd),
+        |""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""m$i AS (SELECT e.dst AS node, l.label, count(*) AS c
+         |        FROM ed e JOIN l${i - 1} l ON l.node = e.src
+         |        GROUP BY 1, 2),
+         |n$i AS (SELECT node, label FROM (
+         |          SELECT node, label,
+         |            row_number() OVER (PARTITION BY node
+         |                               ORDER BY c DESC, label) AS rn
+         |          FROM m$i) WHERE rn = 1),
+         |l$i AS (SELECT p.node, coalesce(n.label, p.label) AS label
+         |        FROM l${i - 1} p LEFT JOIN n$i n ON n.node = p.node),
+         |""".stripMargin
+    }.mkString
+    val footer =
+      s"""fin AS (SELECT node, label FROM l$iters)
+         |SELECT label AS community, count(*)::BIGINT AS n_members,
+         |       sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_customers,
+         |       sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_suppliers
+         |FROM fin GROUP BY 1 ORDER BY community""".stripMargin
     header + steps + footer
   }
 
@@ -2373,7 +2476,29 @@ object SparkEntry {
         |FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "q97_kmeans" -> kmeansOracleSql(KmeansK, KmeansIters),
+    // q101: the k-means replay (same CTE block as q97) plus the
+    // label-purity audit on top — all-integer, exact
+    "q101_cluster_profile" ->
+      (kmeansOracleCtes(KmeansK, KmeansIters) +
+        """, al AS (SELECT fa.vec_id, fa.cluster, fa.dist, e2.label
+          |        FROM fa JOIN embeddings e2 ON e2.vec_id = fa.vec_id),
+          |bl AS (SELECT cluster, label, count(*) AS label_n
+          |       FROM al GROUP BY 1, 2),
+          |tl AS (SELECT cluster, label AS top_label,
+          |              label_n AS top_label_n FROM (
+          |         SELECT cluster, label, label_n,
+          |           row_number() OVER (PARTITION BY cluster
+          |                              ORDER BY label_n DESC, label) AS rn
+          |         FROM bl) WHERE rn = 1),
+          |ag AS (SELECT cluster, count(*)::BIGINT AS n,
+          |              sum(dist)::BIGINT AS sum_dist
+          |       FROM al GROUP BY 1)
+          |SELECT ag.cluster, ag.n, ag.sum_dist, tl.top_label,
+          |       tl.top_label_n,
+          |       ((tl.top_label_n * 100) // ag.n)::BIGINT AS purity_pct
+          |FROM ag JOIN tl USING (cluster) ORDER BY cluster""".stripMargin),
     "q98_pagerank" -> pageRankOracleSql(PageRankIters),
+    "q102_communities" -> lpaOracleSql(LpaIters),
     // q100: the bigram LM replayed — same token stream, same add-one
     // conditional, same rounded-ln / decimal-sum discipline as q85
     "q100_bigram_lm" ->

@@ -84,4 +84,49 @@ object Graphs {
       out
     } finally { ed.unpersist(blocking = false); nodes.unpersist(blocking = false) }
   }
+
+  /** Fixed-iteration synchronous label propagation — community
+    * detection (the frequency flavor: each node adopts the most
+    * frequent label among its in-neighbors, ties toward the smaller
+    * label; contrast TextOps.connectedComponents' min-label flavor,
+    * which finds components, not communities). Labels start as node
+    * ids; `iters` synchronous rounds; a node with no in-edges keeps
+    * its label. Deterministic by construction — counts are integers
+    * and every tie has a total order — so a SQL replay is exact,
+    * unlike the randomized-order LPA of the literature.
+    *
+    * Same per-iteration shape as [[pageRankFixed]]: one slim
+    * (node, label) join against the cached src-partitioned edges, one
+    * (dst, label) counting aggregate, one argmax — nothing wider than
+    * two longs ever shuffles. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters=$iters must be non-negative")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist()
+    nodes.count()
+    val ed = e.repartition(col("src")).persist()
+    ed.count()
+    try {
+      var labels = nodes.select(col("node"), col("node").as("label"))
+      for (_ <- 0 until iters) {
+        val top = ed
+          .join(labels.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("__c"))
+          .groupBy(col("dst").as("node"))
+          .agg(min(struct((-col("__c")).as("nc"), col("label").as("l")))
+            .as("__m"))
+          .select(col("node"), col("__m.l").as("__new"))
+        labels = labels.join(top, Seq("node"), "left")
+          .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
+      }
+      val out = labels.persist()
+      out.count()
+      out
+    } finally { ed.unpersist(blocking = false); nodes.unpersist(blocking = false) }
+  }
 }

@@ -69,4 +69,38 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  private def labels(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graphs.labelPropagation(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("LPA hand-computed round on a symmetrized chain") {
+    // 1-2-3: after one synchronous round, ends adopt the middle's
+    // label and the middle tie-breaks to the smaller end
+    val chain = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    assert(labels(chain, 1) == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    // round 2 oscillates back through the bipartite-ish structure
+    assert(labels(chain, 2) == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("LPA labels never cross a component boundary") {
+    val cliqueA = for (i <- 1L to 4L; j <- 1L to 4L if i != j) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- 10L to 13L if i != j) yield (i, j)
+    val m = labels(cliqueA ++ cliqueB, 4)
+    assert((1L to 4L).forall(n => m(n) <= 4L))
+    assert((10L to 13L).forall(n => m(n) >= 10L))
+  }
+
+  test("LPA: a node with no in-edges keeps its own label") {
+    val m = labels(Seq((1L, 2L)), 3)
+    assert(m(1L) == 1L)
+    assert(m(2L) == 1L) // 2's only voter is 1, every round
+  }
+
+  test("LPA iters=0 is the identity labeling and runs are deterministic") {
+    val edges = ((1L to 20L).map(i => (i, i % 20 + 1)) ++
+      (1L to 20L).map(i => (i % 20 + 1, i)))
+    assert(labels(edges, 0) == (1L to 20L).map(i => i -> i).toMap)
+    assert(labels(edges, 3) == labels(edges, 3))
+  }
 }
