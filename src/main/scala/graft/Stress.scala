@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextOps
+import graft.operators.{Graphs, TextOps}
 
 /** Scale stress for the dedup family: blow the sf0.1 documents table up
   * N× (each copy's text perturbed by one appended token → a near-dup,
@@ -17,7 +17,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     // "all" (default = text+embed) | "text" | "embed" | "skew" |
-    // "media" | "incr" | "purge" | "asof" — a mode flag lets one family
+    // "media" | "incr" | "purge" | "asof" | "graph" — a mode flag lets one family
     // re-run without repaying the others (the text sweep alone is
     // ~5 min at 40x)
     val mode = args.lift(1).getOrElse("all")
@@ -454,6 +454,50 @@ object Stress {
           graft.operators.Multimodal.sampleFrames(media, blockSize = 4096, stride = 4)
             .groupBy("media_id").agg(count(lit(1))).count()
         }
+    }
+    }
+
+    if (mode == "graph") {
+    // iterative-operator storm: k-means and the graph family are the
+    // only operators whose WORK is a fixed number of full passes, so
+    // the scale claim is linearity — double the input, double the
+    // per-pass cost, iteration count constant. k-means: the corpus
+    // never shuffles (assignment is a projection; the update agg is
+    // k·dim groups regardless of n). PageRank/LPA: two slim key
+    // shuffles per round over (node, long) rows against the cached
+    // src-partitioned edges.
+    val gvec = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .crossJoin(spark.range(factor).select(col("id").as("copy")))
+      .select((col("vec_id") * factor + col("copy")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> double(x) + 0.003 * (pmod(copy * 31 + i, 7) - 3))")
+          .as("embedding"))
+      .localCheckpoint(true)
+    println(s"[stress] kmeans corpus: ${gvec.count()} vectors (${factor}x sf0.1)")
+    time("kmeans k=8 iters=3") {
+      val (a, _) = graft.operators.Clustering.kmeansQuantized(
+        gvec, "vec_id", "embedding", k = 8, iters = 3)
+      a.count()
+    }
+    // factor disjoint copies of the sf0.1 trade graph (ids shifted per
+    // copy): edges scale linearly, structure per copy unchanged
+    val go = Tables.orders(spark, "/root/testdata/sf0.1")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val gl = Tables.lineitem(spark, "/root/testdata/sf0.1")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val shift = 10000000L
+    val gfwd = gl.join(go, gl("l_orderkey") === go("o_orderkey"))
+      .crossJoin(spark.range(factor).select(col("id").as("copy")))
+      .select((col("o_custkey") * 2 + col("copy") * shift).as("src"),
+        (col("l_suppkey") * 2 + 1 + col("copy") * shift).as("dst"))
+    val gedges = gfwd
+      .union(gfwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    println(s"[stress] trade graph: ${gedges.count()} directed edges (${factor}x sf0.1)")
+    time("pageRank iters=3") {
+      Graphs.pageRankFixed(gedges, iters = 3).count()
+    }
+    time("labelPropagation iters=3") {
+      Graphs.labelPropagation(gedges, iters = 3).count()
     }
     }
     spark.stop()

