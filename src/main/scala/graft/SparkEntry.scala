@@ -1732,7 +1732,37 @@ object SparkEntry {
 
   private val LpaIters = 3
 
+  /** Temperature-rebalanced source mix ([[Sampling.temperatureSample]]):
+    * the UniMax-family α=0.5 rule — sample shares ∝ √(source token
+    * mass), flattening the head so low-resource sources punch above
+    * their raw weight. Output is the per-source audit: full-corpus
+    * size, the derived integer threshold, and what survived. Exact
+    * end to end (integer sums, correctly-rounded √, decimal
+    * normalizer, floored thresholds), so the oracle replays the whole
+    * derivation. */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val w = d.select(col("doc_id"), col("source"))
+      .join(TextOps.tokenCounts(d, "doc_id", "text")
+        .select(col("doc_id"), col("ws_tokens")), "doc_id")
+    val full = w.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ws_tokens").as("tokens"))
+    val kept = Sampling.temperatureSample(w, "doc_id", "source",
+      "ws_tokens", frac = 0.25, seed = "graft-temp")
+    val ag = kept.groupBy("source")
+      .agg(min("sample_thresh").as("sample_thresh"),
+        count(lit(1)).as("n_sampled"),
+        sum("ws_tokens").as("tokens_sampled"))
+    full.join(ag, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("sample_thresh"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("tokens_sampled"), lit(0L)).as("tokens_sampled"))
+      .orderBy("source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_temperature_mix" -> q103,
     "q102_communities" -> q102,
     "q101_cluster_profile" -> q101,
     "q100_bigram_lm" -> q100,
@@ -2499,6 +2529,40 @@ object SparkEntry {
           |FROM ag JOIN tl USING (cluster) ORDER BY cluster""".stripMargin),
     "q98_pagerank" -> pageRankOracleSql(PageRankIters),
     "q102_communities" -> lpaOracleSql(LpaIters),
+    // q103: the temperature-mix derivation replayed — integer token
+    // sums, 6dp-rounded IEEE sqrt, decimal normalizer (VARCHAR-cast to
+    // double to match Spark's decimal→double), the same fixed
+    // operation order for the rate, floored integer thresholds, and
+    // the portable-hash membership rule
+    "q103_temperature_mix" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             len(string_split(text, ' '))::BIGINT AS wt
+        |           FROM documents),
+        |st AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |              sum(wt)::BIGINT AS tokens FROM t GROUP BY 1),
+        |z AS (SELECT sum(CAST(round(sqrt(tokens::DOUBLE), 6)
+        |               AS DECIMAL(18,6))) AS z,
+        |             sum(n_docs) AS n FROM st),
+        |rt AS (SELECT st.source, st.n_docs, st.tokens,
+        |         CAST(floor(least(1.0,
+        |           0.25 * n::DOUBLE * round(sqrt(st.tokens::DOUBLE), 6)
+        |             / CAST(CAST(z.z AS VARCHAR) AS DOUBLE)
+        |             / st.n_docs::DOUBLE)
+        |           * 1152921504606846976.0) AS BIGINT) AS sample_thresh
+        |       FROM st, z),
+        |kp AS (SELECT t.source, t.wt, rt.sample_thresh
+        |       FROM t JOIN rt ON rt.source = t.source
+        |       WHERE ('0x' || substr(md5(t.doc_id::VARCHAR || 'graft-temp'),
+        |                             1, 15))::BIGINT < rt.sample_thresh),
+        |ag AS (SELECT source, min(sample_thresh) AS sample_thresh,
+        |              count(*)::BIGINT AS n_sampled,
+        |              sum(wt)::BIGINT AS tokens_sampled
+        |       FROM kp GROUP BY 1)
+        |SELECT rt.source, rt.n_docs, rt.tokens, ag.sample_thresh,
+        |       coalesce(ag.n_sampled, 0)::BIGINT AS n_sampled,
+        |       coalesce(ag.tokens_sampled, 0)::BIGINT AS tokens_sampled
+        |FROM rt LEFT JOIN ag ON ag.source = rt.source
+        |ORDER BY rt.source""".stripMargin,
     // q100: the bigram LM replayed — same token stream, same add-one
     // conditional, same rounded-ln / decimal-sum discipline as q85
     "q100_bigram_lm" ->

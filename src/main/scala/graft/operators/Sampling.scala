@@ -377,4 +377,55 @@ object Sampling {
       .select(col("rank"), col(idCol), col("weight"), col("priority"),
         col("w_est"))
   }
+
+  /** Temperature-rebalanced source sampling — the multilingual/
+    * multi-domain mixing rule (UniMax family): target share of source
+    * s ∝ w_s^α, with α = 0.5 flattening the head so low-resource
+    * sources are over-represented relative to raw token mass. Returns
+    * the input rows that survive, each carrying its source's integer
+    * `sample_thresh` for auditability.
+    *
+    * Per-row membership is the [[hashKey]] Bernoulli rule against a
+    * per-source integer threshold, so the sample is deterministic,
+    * retry/partitioning-stable, and monotone in `frac` (a grown budget
+    * keeps every previously sampled row — q41's law, per source).
+    *
+    * Everything that crosses engines is exact: w_s are integer sums;
+    * √w_s is IEEE-correctly-rounded and then 6-dp-rounded; the
+    * normalizer Z is a DECIMAL sum of those roundings (order-free);
+    * the rate arithmetic is a FIXED sequence of correctly-rounded
+    * double ops; thresholds are floors. The oracle replays the whole
+    * derivation, not a tolerance band.
+    *
+    * α is fixed at 0.5 because √ is the one power both engines compute
+    * identically (IEEE sqrt is correctly rounded; pow(x, α) for
+    * arbitrary α is not so guaranteed) — and 0.5 is also the common
+    * production choice. Scale shape: source stats are one aggregate
+    * (|sources| rows), the rate table broadcasts, membership is a
+    * shuffle-free filter. */
+  def temperatureSample(df: DataFrame, idCol: String, srcCol: String,
+                        weightCol: String, frac: Double,
+                        seed: String = "graft"): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac=$frac outside (0,1]")
+    val stats = df.groupBy(col(srcCol).as("__src"))
+      .agg(count(lit(1)).as("__ns"),
+        sum(col(weightCol).cast("long")).as("__ws"))
+    val z = stats.agg(
+      sum(round(sqrt(col("__ws").cast("double")), 6).cast("decimal(18,6)"))
+        .cast("decimal(28,6)").as("__z"),
+      sum(col("__ns")).as("__n"))
+    val rates = stats.crossJoin(broadcast(z))
+      // ((frac · n) · √w_s) / z / n_s, capped at 1 — the oracle
+      // mirrors this exact operation order
+      .withColumn("__rate", least(lit(1.0),
+        lit(frac) * col("__n").cast("double") *
+          round(sqrt(col("__ws").cast("double")), 6) /
+          col("__z").cast("double") / col("__ns").cast("double")))
+      .select(col("__src"),
+        floor(col("__rate") * lit(Space.toDouble)).cast("long")
+          .as("sample_thresh"))
+    df.join(broadcast(rates), df(srcCol) === rates("__src"))
+      .where(hashKey(col(idCol), seed) < col("sample_thresh"))
+      .drop("__src")
+  }
 }

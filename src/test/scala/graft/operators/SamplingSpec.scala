@@ -10,6 +10,49 @@ class SamplingSpec extends SparkSpec {
     if (i % 10 < 2) "click" else if (i % 10 < 6) "view" else "scroll"))
   private def df = rows.toDF("id", "user", "kind")
 
+  // 3 sources with strongly skewed token mass: A has 100× C's docs
+  private def tempCorpus = (
+    (1L to 1000L).map(i => (i, "A", 100L)) ++
+    (2001L to 2100L).map(i => (i, "B", 100L)) ++
+    (3001L to 3010L).map(i => (i, "C", 100L))).toDF("id", "src", "w")
+
+  test("temperatureSample flattens shares toward sqrt(token mass)") {
+    // frac low enough that no source caps (C's rate ≈ 0.78 < 1)
+    val kept = Sampling.temperatureSample(tempCorpus, "id", "src", "w",
+      frac = 0.1)
+    val thresh = kept.groupBy("src").agg(min("sample_thresh"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-doc rate ∝ √w_s / n_s with equal per-doc weights ⇒
+    // thresh_C / thresh_A = √(n_A/n_C) = 10 (raw mass ratio is 100)
+    val ratio = thresh("C").toDouble / thresh("A")
+    assert(ratio > 9.9 && ratio < 10.1, s"flattening ratio $ratio")
+    // expected total = frac·n by construction: Σ r_s·n_s = frac·n
+    val total = kept.count()
+    assert(math.abs(total - 0.1 * 1110) < 0.1 * 1110 * 0.3,
+      s"sampled $total of 1110 at frac=0.1")
+  }
+
+  test("temperatureSample caps a tiny source's rate at exactly 1") {
+    // C's uncapped rate = frac·n·√w_C/(Z·n_C): with few enough C docs
+    // it crosses 1 and must clamp to the full hash space
+    val kept = Sampling.temperatureSample(tempCorpus, "id", "src", "w",
+      frac = 0.9)
+    val c = kept.filter(col("src") === "C")
+    assert(c.count() == 10, "capped source must keep every row")
+    assert(c.select(min("sample_thresh")).head().getLong(0) == Sampling.Space)
+  }
+
+  test("temperatureSample is monotone in frac and repartition-stable") {
+    def ids(frac: Double, parts: Int) =
+      Sampling.temperatureSample(tempCorpus.repartition(parts), "id",
+          "src", "w", frac)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val small = ids(0.2, 1)
+    val big = ids(0.4, 7)
+    assert(small.subsetOf(big), "growing the budget dropped rows")
+    assert(ids(0.2, 5) == small)
+  }
+
   test("hashSample is deterministic and partitioning-independent") {
     val a = Sampling.hashSample(df, "id", 0.2, "s1").select("id")
       .collect().map(_.getLong(0)).toSet
