@@ -1761,7 +1761,50 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Dataset card / per-source corpus report: the audit table a
+    * curation pipeline publishes with every release — size, token
+    * mass, exact-dup rate, language mix with dominant language, char-
+    * length envelope and exact lower-median. Composes the counting,
+    * distinct, argmax, dedup and order-statistic machinery in ONE
+    * query; everything integer/string-exact. The per-source median
+    * window is the q46 exact-order-statistic shape (bounded group
+    * count; the mergeable-sketch variant is the unbounded path). */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+    val base = d
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("__h"))
+      .join(TextOps.tokenCounts(d, "doc_id", "text")
+        .select(col("doc_id"), col("ws_tokens")), "doc_id")
+    val agg = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("ws_tokens").as("tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      (count(lit(1)) - countDistinct(col("__h"))).as("n_exact_dupes"),
+      min("n_chars").as("min_chars"),
+      max("n_chars").as("max_chars"))
+    val topLang = Stats.topKPerGroup(
+        base.groupBy("source", "lang").agg(count(lit(1)).as("lang_n")),
+        "source", 1, Seq(col("lang_n").desc, col("lang").asc))
+      .select(col("source"), col("lang").as("top_lang"),
+        col("lang_n").as("top_lang_n"))
+    val med = base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))))
+      .join(agg.select(col("source"), col("n_docs")), "source")
+      .where(col("__rn") === expr("(n_docs + 1) DIV 2"))
+      .select(col("source"), col("n_chars").as("p50_chars"))
+    agg.join(topLang, "source").join(med, "source")
+      .select(col("source"), col("n_docs"), col("tokens"), col("n_langs"),
+        col("top_lang"), col("top_lang_n"), col("n_exact_dupes"),
+        col("min_chars"), col("p50_chars"), col("max_chars"))
+      .orderBy("source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_corpus_report" -> q104,
     "q103_temperature_mix" -> q103,
     "q102_communities" -> q102,
     "q101_cluster_profile" -> q101,
@@ -2534,6 +2577,37 @@ object SparkEntry {
     // double to match Spark's decimal→double), the same fixed
     // operation order for the rate, floored integer thresholds, and
     // the portable-hash membership rule
+    // q104: the dataset card replayed — counts, distincts, argmax,
+    // dup rate and the exact lower-median order statistic
+    "q104_corpus_report" ->
+      """WITH b AS (SELECT doc_id, source, lang, n_chars, md5(text) AS h,
+        |             len(string_split(text, ' '))::BIGINT AS wt
+        |           FROM documents),
+        |ag AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |              sum(wt)::BIGINT AS tokens,
+        |              count(DISTINCT lang)::BIGINT AS n_langs,
+        |              (count(*) - count(DISTINCT h))::BIGINT AS n_exact_dupes,
+        |              min(n_chars)::BIGINT AS min_chars,
+        |              max(n_chars)::BIGINT AS max_chars
+        |       FROM b GROUP BY 1),
+        |tl AS (SELECT source, lang AS top_lang, lang_n AS top_lang_n FROM (
+        |         SELECT source, lang, count(*)::BIGINT AS lang_n,
+        |           row_number() OVER (PARTITION BY source
+        |             ORDER BY count(*) DESC, lang) AS rn
+        |         FROM b GROUP BY source, lang) WHERE rn = 1),
+        |md AS (SELECT r.source, r.n_chars AS p50_chars FROM (
+        |         SELECT source, n_chars, doc_id,
+        |           row_number() OVER (PARTITION BY source
+        |             ORDER BY n_chars, doc_id) AS rn
+        |         FROM b) r
+        |       JOIN ag ON ag.source = r.source
+        |       WHERE r.rn = (ag.n_docs + 1) // 2)
+        |SELECT ag.source, ag.n_docs, ag.tokens, ag.n_langs,
+        |       tl.top_lang, tl.top_lang_n, ag.n_exact_dupes,
+        |       ag.min_chars, md.p50_chars, ag.max_chars
+        |FROM ag JOIN tl ON tl.source = ag.source
+        |JOIN md ON md.source = ag.source
+        |ORDER BY ag.source""".stripMargin,
     "q103_temperature_mix" ->
       """WITH t AS (SELECT doc_id, source,
         |             len(string_split(text, ' '))::BIGINT AS wt
