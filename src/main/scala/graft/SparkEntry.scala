@@ -1803,7 +1803,26 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Per-doc duplicated-gram fraction ([[TextOps.dupGramFraction]]):
+    * the Gopher-family corpus-level repetition score — share of a
+    * doc's distinct 3-grams that appear in other documents. No pair
+    * enumeration; integer floor-div percent. */
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    TextOps.dupGramFraction(Tables.documents(s, dir), "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+
+  /** Containment pairs ([[TextOps.containmentPairs]]): asymmetric
+    * near-dup detection — |Sₐ∩S_b|/|Sₐ| ≥ 0.8, the quote/subset-copy
+    * measure Jaccard resemblance misses. Directed output names which
+    * side is contained. */
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    TextOps.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .orderBy("src_id", "dst_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_dup_fraction" -> q105,
+    "q106_containment_pairs" -> q106,
     "q104_corpus_report" -> q104,
     "q103_temperature_mix" -> q103,
     "q102_communities" -> q102,
@@ -3273,6 +3292,32 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY content_hash""".stripMargin,
     "q10_jaccard_pairs" -> jaccardOracle(0.5),
+    // q105: gram document-frequency over the same distinct-shingle
+    // index as q10; integer floor-div percent
+    "q105_dup_fraction" ->
+      s"""WITH $shingleCte,
+         |fr AS (SELECT s, count(*) AS docs FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, count(*)::BIGINT AS n_grams,
+         |       sum(CASE WHEN fr.docs >= 2 THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_shared,
+         |       ((sum(CASE WHEN fr.docs >= 2 THEN 1 ELSE 0 END) * 100)
+         |         // count(*))::BIGINT AS dup_pct
+         |FROM sh JOIN fr ON fr.s = sh.s
+         |GROUP BY 1 ORDER BY sh.doc_id""".stripMargin,
+    // q106: q10's intersection counts read as DIRECTED containment —
+    // each unordered pair emits up to two (src contained-in dst) rows
+    "q106_containment_pairs" ->
+      s"""WITH $shingleCte
+         |SELECT * FROM (
+         |  SELECT da AS src_id, db AS dst_id, c AS n_common,
+         |         sa.n AS set_size, round(c * 1.0 / sa.n, 6) AS containment
+         |  FROM inter JOIN sizes sa ON sa.doc_id = da
+         |  WHERE c * 1.0 / sa.n >= 0.8
+         |  UNION ALL
+         |  SELECT db, da, c, sb.n, round(c * 1.0 / sb.n, 6)
+         |  FROM inter JOIN sizes sb ON sb.doc_id = db
+         |  WHERE c * 1.0 / sb.n >= 0.8)
+         |ORDER BY src_id, dst_id""".stripMargin,
     // q11 equals the exact-Jaccard oracle only up to LSH recall: a pair
     // at similarity s survives banding with p = 1-(1-s^(k/bands))^bands
     // (~0.9998 at s=0.8, k=64, bands=16). The driver fixtures plant

@@ -154,6 +154,65 @@ object TextOps {
     joinSizesAndFilter(pairCounts(idx, idCol, maxPostings), sizes, idCol, threshold)
   }
 
+  /** Per-document duplicated-n-gram fraction — the Gopher-family
+    * corpus-level repetition signal: what share of a doc's distinct
+    * n-grams also appear in OTHER documents. Complements q54's
+    * intra-doc repetition (self-plagiarism) and the pairwise arms
+    * (which name the partner; this scores the doc): a high dup_pct doc
+    * is boilerplate/template mass even when no single partner crosses
+    * a pair threshold.
+    *
+    * Shape: distinct-gram index → gram document-frequency (map-side
+    * combined) → one join back + per-doc aggregate. No pair
+    * enumeration anywhere, so no posting-list cap is needed — cost is
+    * O(index) however hot a gram is. Integer outputs (floor-div
+    * percent) replay exactly. Docs with fewer than n tokens have no
+    * grams and drop out. */
+  def dupGramFraction(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    val idx = hashedIndex(docs, idCol, textCol, n)
+    val freq = idx.groupBy(col("h")).agg(count(lit(1)).as("__docs"))
+    idx.join(freq, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_pct", expr("n_shared * 100 DIV n_grams"))
+  }
+
+  /** Asymmetric near-duplicate detection by CONTAINMENT —
+    * |Sₐ ∩ S_b| / |Sₐ| — the measure Jaccard resemblance structurally
+    * misses: a short document wholly quoted inside a long one has low
+    * Jaccard (union is big) but containment ≈ 1. This is the
+    * quote/subset-copy detector (and the asymmetric half of the
+    * decontamination story: a benchmark item embedded in a crawl page).
+    *
+    * Same posting-list engine as [[jaccardPairs]] (shared-gram pair
+    * counts, capped stop-gram lists, never all-pairs); each unordered
+    * pair then emits up to two DIRECTED rows (src ⊆-score dst), so the
+    * caller sees which side is contained. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       maxPostings: Option[Int] = Some(DefaultMaxPostings)): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold outside (0,1]")
+    val idx = hashedIndex(Engine.fanOutIfNarrow(docs, col(idCol)),
+      idCol, textCol, n)
+    val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    val pc = pairCounts(idx, idCol, maxPostings)
+    val directed = pc
+      .select(col("id_a").as("src_id"), col("id_b").as("dst_id"),
+        col("n_common"))
+      .union(pc.select(col("id_b").as("src_id"), col("id_a").as("dst_id"),
+        col("n_common")))
+    directed
+      .join(sizes.withColumnRenamed(idCol, "src_id"), "src_id")
+      .where(col("n_common").cast("double") / col("set_size") >= threshold)
+      .select(col("src_id"), col("dst_id"), col("n_common"),
+        col("set_size"),
+        round(col("n_common").cast("double") / col("set_size"), 6)
+          .as("containment"))
+  }
+
   // ----------------------------------------------------------- MinHash LSH
 
   /** Universal-hash family over a Mersenne-prime field. P = 2³¹−1 keeps

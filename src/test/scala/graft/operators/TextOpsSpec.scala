@@ -566,6 +566,52 @@ class TextOpsSpec extends SparkSpec {
       "purged store rows differ from a store never holding the purged docs")
   }
 
+  test("dupGramFraction: hand-computed shared-gram shares") {
+    val docs = Seq(
+      (1L, "a b c d"),   // grams {a b c, b c d}
+      (2L, "a b c x"),   // grams {a b c, b c x} — shares "a b c" with 1
+      (3L, "z1 z2 z3"),  // one gram, unshared
+      (4L, "t t")        // too short for a 3-gram → drops out
+    ).toDF("doc_id", "text")
+    val got = TextOps.dupGramFraction(docs, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 50L)),
+      2L -> ((2L, 1L, 50L)),
+      3L -> ((1L, 0L, 0L))))
+  }
+
+  test("dupGramFraction: exact duplicates score 100") {
+    val docs = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dupGramFraction(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 100L, 2L -> 100L))
+  }
+
+  test("containmentPairs catches the quote Jaccard misses") {
+    // A is wholly quoted inside the much longer B: containment(A⊆B)=1
+    // but Jaccard is small — the asymmetric detector's reason to exist
+    val a = "p1 p2 p3 p4 p5"
+    val b = s"x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 $a y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val cont = TextOps.containmentPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    assert(cont == Set((1L, 2L, 1.0)), s"got $cont") // directed: only A⊆B
+    val jac = TextOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    assert(jac.count() == 0, "Jaccard at 0.5 should NOT pair quote+host")
+  }
+
+  test("containmentPairs: identical docs contain each other both ways") {
+    val docs = Seq((1L, "m1 m2 m3 m4 m5"), (2L, "m1 m2 m3 m4 m5"))
+      .toDF("doc_id", "text")
+    val got = TextOps.containmentPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    assert(got == Set((1L, 2L, 1.0), (2L, 1L, 1.0)))
+  }
+
   test("bigramLmScores: hand-computed add-one bigram likelihoods") {
     // corpus: "a b a" and "a b" → c12("a b")=2, c12("b a")=1,
     // c1(a)=2, c1(b)=1, V=2
