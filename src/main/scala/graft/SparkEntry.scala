@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DimDate
-import graft.operators.{Blooms, Cdc, Clustering, Dedup, ExactAgg, Graphs, Incremental, Joins, Layout, Linkage, Multimodal, Packing, Resample, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms, Vocab}
+import graft.operators.{Blooms, Cdc, Clustering, Dedup, Events, ExactAgg, Graphs, Incremental, Joins, Layout, Linkage, Multimodal, Packing, Resample, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms, Vocab}
 import graft.sources.JsonFlatten
 import graft.streaming.EventTimeStreams
 
@@ -1820,7 +1820,42 @@ object SparkEntry {
         n = 3, threshold = 0.8)
       .orderBy("src_id", "dst_id")
 
+  /** Ordered funnel ([[Events.funnelDepth]]): signup → view →
+    * purchase reach, each step strictly after the previous (earliest-
+    * qualifying-event greedy; order = (µs, event_id) so the oracle
+    * sees identical ties). Output: per step, users reached. */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us"), col("event_id"))
+    val steps = Seq("signup", "view", "purchase")
+    Events.funnelDepth(e, "user_id", "event_type", "ts_us", "event_id", steps)
+      .where(col("depth") >= 1)
+      .select(explode(sequence(lit(1), col("depth"))).as("step"))
+      .groupBy(col("step").cast("long").as("step"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("step_name",
+        element_at(typedlit(steps), col("step").cast("int")))
+      .select(col("step"), col("step_name"), col("n_users"))
+      .orderBy("step")
+  }
+
+  /** Cohort retention ([[Events.cohortRetention]]): users grouped by
+    * first-activity week, counted in each later week they return —
+    * the engagement matrix. Weeks are integer µs floor-divisions, so
+    * the whole matrix is exact. */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val e = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr(s"(ts DIV 1000) DIV $weekUs").as("week"))
+    Events.cohortRetention(e, "user_id", "week")
+      .orderBy("cohort_period", "period_offset")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_funnel" -> q107,
+    "q108_cohort_retention" -> q108,
     "q105_dup_fraction" -> q105,
     "q106_containment_pairs" -> q106,
     "q104_corpus_report" -> q104,
@@ -3294,6 +3329,52 @@ object SparkEntry {
     "q10_jaccard_pairs" -> jaccardOracle(0.5),
     // q105: gram document-frequency over the same distinct-shingle
     // index as q10; integer floor-div percent
+    // q107: the funnel replayed — earliest qualifying event per step
+    // via row_number, strictly-after as (ts_us, event_id) row compare
+    "q107_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |                  event_id FROM events),
+        |f1 AS (SELECT user_id, ts_us, event_id FROM (
+        |         SELECT user_id, ts_us, event_id,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts_us, event_id) AS rn
+        |         FROM e WHERE event_type = 'signup') WHERE rn = 1),
+        |f2 AS (SELECT user_id, ts_us, event_id FROM (
+        |         SELECT e.user_id, e.ts_us, e.event_id,
+        |           row_number() OVER (PARTITION BY e.user_id
+        |             ORDER BY e.ts_us, e.event_id) AS rn
+        |         FROM e JOIN f1 ON f1.user_id = e.user_id
+        |         WHERE e.event_type = 'view'
+        |           AND (e.ts_us, e.event_id) > (f1.ts_us, f1.event_id))
+        |       WHERE rn = 1),
+        |f3 AS (SELECT user_id FROM (
+        |         SELECT e.user_id,
+        |           row_number() OVER (PARTITION BY e.user_id
+        |             ORDER BY e.ts_us, e.event_id) AS rn
+        |         FROM e JOIN f2 ON f2.user_id = e.user_id
+        |         WHERE e.event_type = 'purchase'
+        |           AND (e.ts_us, e.event_id) > (f2.ts_us, f2.event_id))
+        |       WHERE rn = 1)
+        |SELECT * FROM (
+        |  SELECT 1::BIGINT AS step, 'signup' AS step_name,
+        |         count(*)::BIGINT AS n_users FROM f1
+        |  UNION ALL
+        |  SELECT 2, 'view', count(*) FROM f2
+        |  UNION ALL
+        |  SELECT 3, 'purchase', count(*) FROM f3)
+        |ORDER BY step""".stripMargin,
+    // q108: weekly cohort matrix — integer week indexes, distinct
+    // (user, week) activity joined to first-week cohorts
+    "q108_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+        |             epoch_us(ts) // 604800000000 AS week FROM events),
+        |fw AS (SELECT user_id, min(week) AS cohort_period FROM e GROUP BY 1),
+        |aw AS (SELECT DISTINCT user_id, week FROM e)
+        |SELECT fw.cohort_period,
+        |       (aw.week - fw.cohort_period)::BIGINT AS period_offset,
+        |       count(*)::BIGINT AS n_users
+        |FROM aw JOIN fw ON fw.user_id = aw.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_period, period_offset""".stripMargin,
     "q105_dup_fraction" ->
       s"""WITH $shingleCte,
          |fr AS (SELECT s, count(*) AS docs FROM sh GROUP BY 1)
