@@ -1853,7 +1853,45 @@ object SparkEntry {
       .orderBy("cohort_period", "period_offset")
   }
 
+  /** Frozen-centroid serving assignment
+    * ([[Clustering.assignToCentroids]]): train on 3/4 of the corpus,
+    * route the held-out batch against the frozen centroids — the q83
+    * frozen-quantizer discipline applied to k-means, and the
+    * production serve path for semantic routing. Output: the batch's
+    * per-cluster landing profile (exact counts and integer inertia). */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val (_, cents) = Clustering.kmeansQuantized(
+      e.filter(col("vec_id") % 4 =!= 3), "vec_id", "embedding",
+      k = KmeansK, iters = KmeansIters)
+    Clustering.assignToCentroids(
+        e.filter(col("vec_id") % 4 === 3), "vec_id", "embedding", cents)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_batch"), sum("dist").as("sum_dist"))
+      .orderBy("cluster")
+  }
+
+  /** Cluster-balanced corpus ([[Sampling.stratumCap]] over q97's
+    * clusters): cap every semantic cluster at 20 members — the
+    * "cluster then balance" curation move (diversity-preserving
+    * downsampling), with the cap's smallest-(hash, id) rule exactly
+    * replayable. Output: per cluster, population vs kept. */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val (assign, _) = Clustering.kmeansQuantized(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = KmeansK, iters = KmeansIters)
+    val a = assign.select(col("id").as("vec_id"), col("cluster"))
+    val capped = Sampling.stratumCap(a, "cluster", "vec_id",
+      defaultCap = 20L, seed = SampleSeed)
+    a.groupBy("cluster").agg(count(lit(1)).as("n_total"))
+      .join(capped.groupBy("cluster").agg(count(lit(1)).as("n_kept")),
+        "cluster")
+      .orderBy("cluster")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_cluster_assign" -> q109,
+    "q110_cluster_balance" -> q110,
     "q107_funnel" -> q107,
     "q108_cohort_retention" -> q108,
     "q105_dup_fraction" -> q105,
@@ -2288,17 +2326,22 @@ object SparkEntry {
     * coalesce to the previous centroid) — chained `iters` times, then
     * one final assignment. Every intermediate is an integral double,
     * so the replay is bit-identical to the Spark loop. */
-  private def kmeansOracleCtes(k: Int, iters: Int): String = {
+  private def kmeansOracleCtes(k: Int, iters: Int,
+                               trainPred: String = "TRUE"): String = {
     val header =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |sc AS (SELECT vec_id, v,
          |         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS s
          |       FROM e),
-         |qz AS (SELECT vec_id,
+         |qzall AS (SELECT vec_id,
          |         CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
          |              ELSE list_transform(v, x -> floor(x * 127.0 / s + 0.5))
          |         END AS qv
          |       FROM sc),
+         |vzall AS (SELECT vec_id, unnest(qv) AS val,
+         |              generate_subscripts(qv, 1) AS pos
+         |       FROM qzall),
+         |qz AS (SELECT * FROM qzall WHERE $trainPred),
          |vz AS (SELECT vec_id, unnest(qv) AS val,
          |              generate_subscripts(qv, 1) AS pos
          |       FROM qz),
@@ -2603,6 +2646,39 @@ object SparkEntry {
         |FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "q97_kmeans" -> kmeansOracleSql(KmeansK, KmeansIters),
+    // q109: train the k-means replay on 3/4 of the corpus (the CTE
+    // block's trainPred), then assign the held-out quarter against
+    // the frozen final centroids
+    "q109_cluster_assign" ->
+      (kmeansOracleCtes(KmeansK, KmeansIters, "vec_id % 4 != 3") +
+        s""", vb AS (SELECT vec_id, val, pos FROM vzall WHERE vec_id % 4 = 3),
+          |db AS (SELECT v.vec_id, c.cid,
+          |         CAST(sum((v.val - c.val) * (v.val - c.val)) AS BIGINT)
+          |           AS dist
+          |       FROM vb v JOIN c$KmeansIters c USING (pos) GROUP BY 1, 2),
+          |ab AS (SELECT vec_id, cid, dist FROM (
+          |         SELECT vec_id, cid, dist,
+          |           row_number() OVER (PARTITION BY vec_id
+          |                              ORDER BY dist, cid) AS rn
+          |         FROM db) WHERE rn = 1)
+          |SELECT cid::INTEGER AS cluster, count(*)::BIGINT AS n_batch,
+          |       sum(dist)::BIGINT AS sum_dist
+          |FROM ab GROUP BY 1 ORDER BY cluster""".stripMargin),
+    // q110: the full-corpus k-means replay capped per cluster by the
+    // q82 smallest-(hash, id) rule
+    "q110_cluster_balance" ->
+      (kmeansOracleCtes(KmeansK, KmeansIters) +
+        s""", rk AS (SELECT vec_id, cluster,
+          |         row_number() OVER (PARTITION BY cluster
+          |           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+          |                    vec_id) AS rn
+          |       FROM fa),
+          |tot AS (SELECT cluster, count(*)::BIGINT AS n_total
+          |        FROM fa GROUP BY 1),
+          |kp AS (SELECT cluster, count(*)::BIGINT AS n_kept
+          |       FROM rk WHERE rn <= 20 GROUP BY 1)
+          |SELECT tot.cluster, tot.n_total, kp.n_kept
+          |FROM tot JOIN kp USING (cluster) ORDER BY tot.cluster""".stripMargin),
     // q101: the k-means replay (same CTE block as q97) plus the
     // label-purity audit on top — all-integer, exact
     "q101_cluster_profile" ->

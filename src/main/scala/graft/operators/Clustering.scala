@@ -122,4 +122,24 @@ object Clustering {
       (out, cents)
     } finally qv.unpersist(blocking = false)
   }
+
+  /** Serve-path assignment against FROZEN centroids (the q83
+    * frozen-quantizer discipline applied to k-means): quantize and
+    * assign a batch without touching the training corpus — the
+    * shuffle-free projection that routes new documents into an
+    * existing cluster structure (cluster-balanced sampling, semantic
+    * routing, incremental cluster stores). Same arithmetic as the
+    * training loop's assignment, so batch ∪ train assigned here ≡ one
+    * full run's final assignment (law in ClusteringSpec). */
+  def assignToCentroids(batch: DataFrame, idCol: String, vecCol: String,
+                        cents: Seq[(Int, Array[Double])]): DataFrame = {
+    require(cents.nonEmpty, "no centroids")
+    ArrayMath.register(batch.sparkSession)
+    val qv = batch
+      .select(col(idCol).as("__id"),
+        ArrayMath.int8Quantize(col(vecCol)).as("__qv"))
+      .where(col("__qv").isNotNull)
+    assign(qv, cents).select(col("__id").as("id"),
+      col("cluster").cast("int"), col("dist"))
+  }
 }

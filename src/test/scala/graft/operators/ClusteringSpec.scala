@@ -79,6 +79,34 @@ class ClusteringSpec extends SparkSpec {
     assert(cents.toMap.apply(1).toSeq == Seq(127.0, 127.0))
   }
 
+  test("assignToCentroids replays the run's own final assignment") {
+    val (assign, cents) =
+      Clustering.kmeansQuantized(df, "id", "vec", k = 3, iters = 2)
+    val served = Clustering.assignToCentroids(df, "id", "vec", cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val trained = assign
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served == trained)
+  }
+
+  test("assignToCentroids routes an unseen batch to its true argmin") {
+    val (_, cents) =
+      Clustering.kmeansQuantized(df, "id", "vec", k = 3, iters = 2)
+    val batch = Seq((100L, Array(10.5f, 0.5f, 0f, 0f)),
+      (101L, Array(0f, 0f, 9.5f, 0.5f))).toDF("id", "vec")
+    val got = Clustering.assignToCentroids(batch, "id", "vec", cents)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    def d2(a: Array[Double], b: Array[Double]): Long =
+      a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum.toLong
+    val quant = batch
+      .select(col("id"), graft.functions.ArrayMath.int8Quantize(col("vec")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    got.foreach { case (id, (cluster, dist)) =>
+      val best = cents.map { case (cid, c) => (d2(quant(id), c), cid) }.min
+      assert((dist, cluster) == best)
+    }
+  }
+
   test("well-separated groups land in distinct clusters") {
     val (assign, _) = Clustering.kmeansQuantized(df, "id", "vec", k = 3, iters = 3)
     val m = assign.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
