@@ -1889,7 +1889,64 @@ object SparkEntry {
       .orderBy("cluster")
   }
 
+  /** Hopping (sliding) window aggregation — q25's tumbling windows
+    * generalized: 1-hour windows every 15 minutes, each event counted
+    * in size/slide = 4 overlapping windows via an integer explode (no
+    * timestamp structs, so the whole lattice is exact µs arithmetic).
+    * The streaming equivalent is `window(col, "1 hour", "15 min")`;
+    * this is the batch shape with the same semantics. */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val slide = 900000000L
+    val k = 4 // size / slide
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select(col("event_type"), col("value"), col("ts_us"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("__k"))
+      .withColumn("wstart",
+        (expr(s"ts_us DIV $slide") - col("__k")) * lit(slide))
+      .where(col("wstart") >= 0)
+      .groupBy(col("wstart"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("wstart", "event_type")
+  }
+
+  /** Robust outlier profile per event type: exact lower-median and
+    * MAD (median absolute deviation) via the q46-shape order-statistic
+    * windows, then the classic |x − med| > 3·MAD flag count — the
+    * data-quality gate that doesn't move when the outliers themselves
+    * do (unlike mean/stddev). Medians are actual data values, so every
+    * output double is bit-identical cross-engine. */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val n = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+    def medianOf(df: DataFrame, valCol: String, out: String): DataFrame =
+      df.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col(valCol), col("event_id"))))
+        .join(n, "event_type")
+        .where(col("__rn") === expr("(n + 1) DIV 2"))
+        .select(col("event_type"), col(valCol).as(out))
+    val med = medianOf(e, "value", "median")
+    val dev = e.join(med, "event_type")
+      .withColumn("__dev", abs(col("value") - col("median")))
+    val mad = medianOf(dev, "__dev", "mad")
+    dev.join(mad, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        first(col("median")).as("median"),
+        first(col("mad")).as("mad"),
+        sum(when(col("__dev") > col("mad") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_hopping_windows" -> q111,
+    "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
     "q110_cluster_balance" -> q110,
     "q107_funnel" -> q107,
@@ -2649,6 +2706,49 @@ object SparkEntry {
     // q109: train the k-means replay on 3/4 of the corpus (the CTE
     // block's trainPred), then assign the held-out quarter against
     // the frozen final centroids
+    // q111: the hopping-window lattice as integer µs arithmetic —
+    // each event exploded into its 4 overlapping 1h/15m windows
+    "q111_hopping_windows" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS t
+        |           FROM events),
+        |x AS (SELECT event_type, value,
+        |        ((t // 900000000) - k) * 900000000 AS wstart
+        |      FROM (SELECT event_type, value, t,
+        |              unnest(generate_series(0, 3)) AS k FROM e))
+        |SELECT wstart, event_type, count(*)::BIGINT AS n_events,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+        |            AS DOUBLE) AS sum_value
+        |FROM x WHERE wstart >= 0
+        |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    // q112: exact lower-median + MAD per type via order-statistic
+    // windows; medians are actual data values so the doubles match
+    "q112_robust_outliers" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events
+        |           WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, count(*)::BIGINT AS n FROM e GROUP BY 1),
+        |md AS (SELECT r.event_type, r.value AS median FROM (
+        |         SELECT event_type, value, event_id,
+        |           row_number() OVER (PARTITION BY event_type
+        |             ORDER BY value, event_id) AS rn
+        |         FROM e) r
+        |       JOIN n ON n.event_type = r.event_type
+        |       WHERE r.rn = (n.n + 1) // 2),
+        |dv AS (SELECT e.event_type, e.event_id,
+        |              abs(e.value - md.median) AS dev, md.median
+        |       FROM e JOIN md ON md.event_type = e.event_type),
+        |mad AS (SELECT r.event_type, r.dev AS mad FROM (
+        |          SELECT event_type, dev, event_id,
+        |            row_number() OVER (PARTITION BY event_type
+        |              ORDER BY dev, event_id) AS rn
+        |          FROM dv) r
+        |        JOIN n ON n.event_type = r.event_type
+        |        WHERE r.rn = (n.n + 1) // 2)
+        |SELECT dv.event_type, count(*)::BIGINT AS n,
+        |       min(dv.median) AS median, min(mad.mad) AS mad,
+        |       sum(CASE WHEN dv.dev > mad.mad * 3 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_outliers
+        |FROM dv JOIN mad ON mad.event_type = dv.event_type
+        |GROUP BY 1 ORDER BY dv.event_type""".stripMargin,
     "q109_cluster_assign" ->
       (kmeansOracleCtes(KmeansK, KmeansIters, "vec_id % 4 != 3") +
         s""", vb AS (SELECT vec_id, val, pos FROM vzall WHERE vec_id % 4 = 3),
