@@ -668,6 +668,51 @@ class PlanContractSpec extends SparkSpec {
       s"packing fell back to a global sort:\n$plan")
   }
 
+  test("q99 fuzzy blocking: the per-block cap compiles to a " +
+       "WindowGroupLimit (map-side pre-prune) and the block join never " +
+       "goes cartesian") {
+    val plan = physical(SparkEntry.queries("q99_fuzzy_pairs")(spark, dir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"block cap not rank-limit-pushed:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"blocked join degenerated to a cross product:\n$plan")
+  }
+
+  test("q103 temperature mix: the per-source rate table broadcasts and " +
+       "the hash-threshold membership rides the broadcast join as a " +
+       "condition — the corpus never shuffles for sampling") {
+    val plan = physical(SparkEntry.queries("q103_temperature_mix")(spark, dir))
+    // the membership comparison (portable hash < sample_thresh) must
+    // appear as a BroadcastHashJoin condition, not after an exchange
+    val memberJoin = plan.linesIterator.find(l =>
+      l.contains("BroadcastHashJoin") && l.contains("sample_thresh"))
+    assert(memberJoin.isDefined,
+      s"membership threshold not on a broadcast join:\n$plan")
+    // the only sort-merge allowed is the source-count-sized audit join
+    // of the two aggregates (AQE broadcasts it at runtime); the
+    // corpus-sized membership path must not contain one
+    assert(plan.sliding("SortMergeJoin".length)
+        .count(_ == "SortMergeJoin") <= 1,
+      s"an unexpected sort-merge join in the sampling path:\n$plan")
+  }
+
+  test("q107 funnel: no Window operator anywhere — reach is computed " +
+       "from min-aggregates and user-keyed joins only") {
+    val plan = physical(SparkEntry.queries("q107_funnel")(spark, dir))
+    assert(!plan.contains("Window"),
+      s"funnel fell back to a window over raw events:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q111 hopping windows: explode + one aggregate — no Window " +
+       "operator, no join") {
+    val plan = physical(SparkEntry.queries("q111_hopping_windows")(spark, dir))
+    assert(!plan.contains("Window"),
+      s"hopping lattice used a window operator:\n$plan")
+    assert(!plan.contains("Join"),
+      s"hopping lattice joined:\n$plan")
+  }
+
   test("q97 k-means final assignment: a pure projection — native " +
        "squared_l2 kernels against centroid literals, no join, no " +
        "exchange below the presentation sort") {
