@@ -1944,7 +1944,39 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Source drift ([[TextOps.sourceDriftKL]]): KL(source ‖ corpus)
+    * over unigram distributions — the per-ingest-source drift monitor.
+    * Rounded-ln + decimal sums make the statistic engine-exact. */
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    TextOps.sourceDriftKL(Tables.documents(s, dir), "doc_id", "source", "text")
+      .orderBy("source")
+
+  /** Event-type transition matrix (first-order Markov counts): for
+    * each user's (µs, event_id)-ordered stream, count consecutive
+    * type→type transitions, with each row's share of its from-type in
+    * basis points — session-shape analytics over exact integers. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val tr = Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = tr.groupBy("from_type").agg(sum("n").as("__tot"))
+    tr.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 10000 DIV __tot").as("share_bp"))
+      .orderBy("from_type", "to_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_source_drift" -> q113,
+    "q114_transition_matrix" -> q114,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -2706,6 +2738,43 @@ object SparkEntry {
     // q109: train the k-means replay on 3/4 of the corpus (the CTE
     // block's trainPred), then assign the held-out quarter against
     // the frozen final centroids
+    // q113: KL(source ‖ corpus) replayed — same ratios in the same
+    // operation order, per-term contributions rounded at 9 dp and
+    // decimal-summed
+    "q113_source_drift" ->
+      """WITH tok AS (SELECT source AS src, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |tk AS (SELECT src, t FROM tok WHERE len(t) > 0),
+        |st AS (SELECT src, t, count(*) AS cst FROM tk GROUP BY 1, 2),
+        |stot AS (SELECT src, sum(cst) AS tots FROM st GROUP BY 1),
+        |ct AS (SELECT t, sum(cst) AS c FROM st GROUP BY 1),
+        |tot AS (SELECT sum(c) AS tot FROM ct)
+        |SELECT st.src AS source, count(*)::BIGINT AS n_terms,
+        |       CAST(CAST(sum(CAST(round(
+        |         (st.cst::DOUBLE / stot.tots::DOUBLE) *
+        |           ln((st.cst::DOUBLE / stot.tots::DOUBLE) /
+        |              (ct.c::DOUBLE / tot.tot::DOUBLE)), 9)
+        |         AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS kl
+        |FROM st
+        |JOIN ct ON ct.t = st.t
+        |JOIN stot ON stot.src = st.src, tot
+        |GROUP BY 1 ORDER BY source""".stripMargin,
+    // q114: lead() over the same (µs, event_id) order, integer
+    // transition counts and basis-point shares
+    "q114_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |                  event_id FROM events),
+        |tr AS (SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts_us, event_id) AS to_type
+        |       FROM e),
+        |cnt AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+        |        FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n) AS t FROM cnt GROUP BY 1)
+        |SELECT cnt.from_type, cnt.to_type, cnt.n,
+        |       ((cnt.n * 10000) // tot.t)::BIGINT AS share_bp
+        |FROM cnt JOIN tot ON tot.from_type = cnt.from_type
+        |ORDER BY cnt.from_type, cnt.to_type""".stripMargin,
     // q111: the hopping-window lattice as integer µs arithmetic —
     // each event exploded into its 4 overlapping 1h/15m windows
     "q111_hopping_windows" ->

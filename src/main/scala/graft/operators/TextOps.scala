@@ -1348,6 +1348,42 @@ object TextOps {
         regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
         LongDigitRe, "<NUM>").as("redacted"))
 
+  /** Per-source distribution drift: KL(source ‖ corpus) over unigram
+    * distributions — the drift monitor a curation pipeline runs per
+    * ingest source (a source whose token distribution diverges from
+    * the corpus signals a format change, spam influx, or language
+    * shift long before any per-doc filter fires).
+    *
+    * KL = Σ_t p_t·ln(p_t/q_t) with p the source's term distribution
+    * and q the corpus's; only terms present in the source contribute
+    * (p=0 terms vanish; q ≥ p/|corpus| > 0 always since corpus ⊇
+    * source). Shape: one (source, term) count aggregate feeds
+    * everything — source totals, corpus term counts, the grand total
+    * — then one term-keyed join and a per-source decimal sum. The
+    * per-term contribution is a fixed sequence of correctly-rounded
+    * double ops rounded at 9 dp, so the whole statistic replays
+    * exactly (q85's discipline at drift precision). */
+  def sourceDriftKL(docs: DataFrame, idCol: String, srcCol: String,
+                    textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(srcCol).as("__src"),
+        explode(tokens(col(textCol))).as("__t"))
+      .where(length(col("__t")) > 0)
+    val st = tok.groupBy("__src", "__t").agg(count(lit(1)).as("__cst"))
+    val stot = st.groupBy("__src").agg(sum("__cst").as("__tots"))
+    val ct = st.groupBy("__t").agg(sum("__cst").as("__ct"))
+    val tot = ct.agg(sum("__ct").as("__tot"))
+    val p = col("__cst").cast("double") / col("__tots").cast("double")
+    val q = col("__ct").cast("double") / col("__tot").cast("double")
+    st.join(ct, "__t")
+      .join(stot, "__src")
+      .crossJoin(broadcast(tot))
+      .withColumn("__kl", round(p * log(p / q), 9).cast("decimal(18,9)"))
+      .groupBy(col("__src").as(srcCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__kl")).cast("decimal(28,9)").cast("double").as("kl"))
+  }
+
   /** Statistical LM quality scoring (the CCNet recipe, self-trained):
     * fit an add-one-smoothed bigram model on the corpus itself, then
     * score every document's log-likelihood under it. Fluent/typical

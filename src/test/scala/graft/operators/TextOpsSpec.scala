@@ -566,6 +566,32 @@ class TextOpsSpec extends SparkSpec {
       "purged store rows differ from a store never holding the purged docs")
   }
 
+  test("sourceDriftKL: identical distributions score exactly zero") {
+    // same token mix in every source → p = q per term → ln(1) = 0,
+    // and the zero is EXACT (no float residue survives the rounding)
+    val docs = Seq(
+      (1L, "A", "x x y"), (2L, "A", "x y x"),
+      (3L, "B", "y x x"), (4L, "B", "x x y"))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.sourceDriftKL(docs, "doc_id", "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == Map("A" -> 0.0, "B" -> 0.0))
+  }
+
+  test("sourceDriftKL: divergence is positive and grows with skew") {
+    val docs = Seq(
+      (1L, "base", "x y z w x y z w"),
+      (2L, "base", "x y z w x y z w"),
+      (3L, "mild", "x y z w x x y z"),   // slightly x-heavy
+      (4L, "heavy", "x x x x x x x y")) // almost all x
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.sourceDriftKL(docs, "doc_id", "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("mild") > 0.0)
+    assert(got("heavy") > got("mild"),
+      s"heavier skew must diverge more: $got")
+  }
+
   test("dupGramFraction: hand-computed shared-gram shares") {
     val docs = Seq(
       (1L, "a b c d"),   // grams {a b c, b c d}
