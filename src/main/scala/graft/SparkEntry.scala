@@ -2924,7 +2924,7 @@ object SparkEntry {
         |           * 1152921504606846976.0) AS BIGINT) AS sample_thresh
         |       FROM st, z),
         |kp AS (SELECT t.source, t.wt, rt.sample_thresh
-        |       FROM t JOIN rt ON rt.source = t.source
+        |       FROM t JOIN rt ON rt.source IS NOT DISTINCT FROM t.source
         |       WHERE ('0x' || substr(md5(t.doc_id::VARCHAR || 'graft-temp'),
         |                             1, 15))::BIGINT < rt.sample_thresh),
         |ag AS (SELECT source, min(sample_thresh) AS sample_thresh,
@@ -2934,7 +2934,7 @@ object SparkEntry {
         |SELECT rt.source, rt.n_docs, rt.tokens, ag.sample_thresh,
         |       coalesce(ag.n_sampled, 0)::BIGINT AS n_sampled,
         |       coalesce(ag.tokens_sampled, 0)::BIGINT AS tokens_sampled
-        |FROM rt LEFT JOIN ag ON ag.source = rt.source
+        |FROM rt LEFT JOIN ag ON ag.source IS NOT DISTINCT FROM rt.source
         |ORDER BY rt.source""".stripMargin,
     // q100: the bigram LM replayed — same token stream, same add-one
     // conditional, same rounded-ln / decimal-sum discipline as q85

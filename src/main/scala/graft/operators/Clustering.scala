@@ -45,13 +45,16 @@ object Clustering {
   /** One Lloyd assignment pass as a shuffle-free projection: per row,
     * `least()` over k (dist, cid) structs — lexicographic struct
     * ordering gives argmin-with-tie-on-cid in one codegen'd expression
-    * tree. */
+    * tree. (`least` needs ≥ 2 arguments, so a single centroid — k=1,
+    * or a corpus with one usable seed row — uses its struct directly.) */
   private def assign(qv: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
-    val best = least(cents.map { case (cid, c) =>
+    require(cents.nonEmpty, "no centroids: the quantized corpus yielded no seed rows")
+    val structs = cents.map { case (cid, c) =>
       struct(
         ArrayMath.squaredL2(col("__qv"), typedlit(c.toSeq)).cast("long").as("d"),
         lit(cid).as("c"))
-    }: _*)
+    }
+    val best = if (structs.size == 1) structs.head else least(structs: _*)
     qv.withColumn("__best", best)
       .select(col("__id"), col("__qv"),
         col("__best.c").as("cluster"), col("__best.d").as("dist"))
@@ -117,8 +120,16 @@ object Clustering {
           }
         }
       }
+      // materialize the final assignment BEFORE the cached quantized
+      // projection is released: a lazy result over an unpersisted qv
+      // would re-quantize the source on every downstream action.
+      // localCheckpoint (not persist) so the blocks belong to the
+      // returned Dataset's lineage-truncated RDD — the ContextCleaner
+      // reclaims them when the caller drops the reference, instead of
+      // accumulating session-lifetime cache entries.
       val out = assign(qv, cents).select(col("__id").as("id"),
         col("cluster").cast("int"), col("dist"))
+        .localCheckpoint(eager = true)
       (out, cents)
     } finally qv.unpersist(blocking = false)
   }

@@ -91,11 +91,14 @@ object Graphs {
             (lit(base) + coalesce(col("c"), lit(0L))).as("r"))
       }
       // materialize before releasing the cached layouts: iterating
-      // lazily over unpersisted inputs would rescan the source per step
-      val out = ranks.select(col("node"), col("r").as("rank_scaled"))
-        .persist()
-      out.count()
-      out
+      // lazily over unpersisted inputs would rescan the source per
+      // step. localCheckpoint, not persist: the blocks ride the
+      // returned Dataset's lineage-truncated RDD, so the
+      // ContextCleaner frees them once the caller drops the result —
+      // a persisted return would accumulate session-lifetime cache
+      // entries nobody can unpersist.
+      ranks.select(col("node"), col("r").as("rank_scaled"))
+        .localCheckpoint(eager = true)
     } finally {
       ed.unpersist(blocking = false)
       deg.unpersist(blocking = false)
@@ -143,9 +146,9 @@ object Graphs {
         labels = labels.join(top, Seq("node"), "left")
           .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
       }
-      val out = labels.persist()
-      out.count()
-      out
+      // same release discipline as pageRankFixed: lineage-truncated
+      // materialization the ContextCleaner can reclaim, no cache leak.
+      labels.localCheckpoint(eager = true)
     } finally { ed.unpersist(blocking = false); nodes.unpersist(blocking = false) }
   }
 }

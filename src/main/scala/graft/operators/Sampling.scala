@@ -402,7 +402,12 @@ object Sampling {
     * arbitrary α is not so guaranteed) — and 0.5 is also the common
     * production choice. Scale shape: source stats are one aggregate
     * (|sources| rows), the rate table broadcasts, membership is a
-    * shuffle-free filter. */
+    * shuffle-free filter.
+    *
+    * NULL sources form their own group end to end: they enter the
+    * stats (groupBy keeps the null group), and the membership join is
+    * null-safe, so null-source rows are sampled at the null group's
+    * own rate rather than silently dropped. */
   def temperatureSample(df: DataFrame, idCol: String, srcCol: String,
                         weightCol: String, frac: Double,
                         seed: String = "graft"): DataFrame = {
@@ -424,7 +429,12 @@ object Sampling {
       .select(col("__src"),
         floor(col("__rate") * lit(Space.toDouble)).cast("long")
           .as("sample_thresh"))
-    df.join(broadcast(rates), df(srcCol) === rates("__src"))
+    // null-safe equality: a NULL source is a source like any other —
+    // the stats aggregate above keeps the null group, so the
+    // membership join must too, or null-source rows would be counted
+    // in the normalizer Z and the global n yet never sampled (the
+    // realized total silently undershooting frac·n).
+    df.join(broadcast(rates), df(srcCol) <=> rates("__src"))
       .where(hashKey(col(idCol), seed) < col("sample_thresh"))
       .drop("__src")
   }

@@ -53,6 +53,29 @@ class DocCountsSpec extends AnyFunSuite {
       s"README says $claimed specs; src/test/scala defines $actual")
   }
 
+  test("NOTES suite counts match the suite classes in src/test/scala") {
+    // round-11 drift class: NOTES/commit text claimed 46 suites when
+    // scalatest reports 45 (one helper class is not a suite). Every
+    // "N suites" claim in NOTES must equal the static suite count:
+    // classes extending a scalatest base — helper classes excluded —
+    // OR be a historical note for an earlier round (strictly smaller).
+    val suiteRx = raw"(?m)^class\s+\w+\s+extends\s+(SparkSpec|AnyFunSuite|AnyPropSpec)".r
+    val actual = {
+      val s = Files.walk(Paths.get("src/test/scala"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.toString.endsWith(".scala"))
+          .map(p => suiteRx.findAllIn(read(p.toString)).size).sum
+      } finally s.close()
+    }
+    val claims = raw"(\d+) suites".r.findAllMatchIn(read("NOTES.md"))
+      .map(_.group(1).toInt).toSeq
+    assert(claims.nonEmpty, "NOTES.md has no 'N suites' claim")
+    assert(claims.max == actual,
+      s"NOTES.md's largest suite claim ${claims.max} != actual $actual suites")
+  }
+
   test("every registered query has a COVERAGE row") {
     val coverage = read("COVERAGE.md")
     val missing = SparkEntry.queries.keys.filterNot(coverage.contains).toSeq.sorted

@@ -58,6 +58,18 @@ class ClusteringSpec extends SparkSpec {
     assert(run(df) == run(df.repartition(7)))
   }
 
+  test("k=1 (single centroid) assigns everything to cluster 0") {
+    // least() needs ≥ 2 args; the single-struct special case must
+    // keep k=1 working rather than dying at plan build
+    val (assign, cents) =
+      Clustering.kmeansQuantized(df, "id", "vec", k = 1, iters = 2)
+    assert(cents.map(_._1) == Seq(0))
+    val rows = assign.collect()
+    assert(rows.length == vecs.length && rows.forall(_.getInt(1) == 0))
+    val batch = Clustering.assignToCentroids(df, "id", "vec", cents)
+    assert(batch.collect().forall(_.getInt(1) == 0))
+  }
+
   test("centroid components stay integral through every iteration") {
     val (_, cents) = Clustering.kmeansQuantized(df, "id", "vec", k = 3, iters = 4)
     cents.foreach { case (_, c) =>

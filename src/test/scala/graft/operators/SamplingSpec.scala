@@ -42,6 +42,23 @@ class SamplingSpec extends SparkSpec {
     assert(c.select(min("sample_thresh")).head().getLong(0) == Sampling.Space)
   }
 
+  test("temperatureSample samples NULL-source rows at the null group's own rate") {
+    // null is a source like any other: it must enter the stats AND the
+    // membership join (null-safe), or the realized total silently
+    // undershoots frac·n. 200 null-source docs next to A/B/C.
+    val withNulls = tempCorpus.unionByName(
+      (5001L to 5200L).map(i => (i, null: String, 100L)).toDF("id", "src", "w"))
+    val kept = Sampling.temperatureSample(withNulls, "id", "src", "w",
+      frac = 0.3)
+    val nullKept = kept.filter(col("src").isNull).count()
+    assert(nullKept > 0, "null-source rows were silently dropped")
+    // the null group's realized rate tracks its own √-flattened share
+    // (coarse band — hash membership is Bernoulli per row)
+    val total = kept.count()
+    assert(math.abs(total - 0.3 * 1310) < 0.3 * 1310 * 0.3,
+      s"sampled $total of 1310 at frac=0.3 with a null source present")
+  }
+
   test("temperatureSample is monotone in frac and repartition-stable") {
     def ids(frac: Double, parts: Int) =
       Sampling.temperatureSample(tempCorpus.repartition(parts), "id",
