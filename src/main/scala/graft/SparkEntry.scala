@@ -549,10 +549,14 @@ object SparkEntry {
       .orderBy("doc_id")
 
   /** Exact grouped quantiles (R-7 interpolation, the convention Spark's
-    * percentile and DuckDB's quantile_cont share). */
+    * percentile and DuckDB's quantile_cont share) — via the two-phase
+    * histogram→rank-select path ([[Stats.exactGroupedQuantilesScalable]]):
+    * same exact values as `percentile`, but no per-group value
+    * buffering, so a hot event type at 100× stays a hash aggregate
+    * instead of a single-task sort. */
   private def q46(s: SparkSession, dir: String): DataFrame =
-    Stats.groupedQuantiles(Tables.events(s, dir), "event_type", "value",
-        Seq(0.5, 0.9, 0.99))
+    Stats.exactGroupedQuantilesScalable(Tables.events(s, dir), "event_type",
+        "value", Seq(0.5, 0.9, 0.99))
       .orderBy("event_type")
 
   /** Fixed-width value histogram per event type (sparse buckets). */
@@ -1770,7 +1774,6 @@ object SparkEntry {
     * window is the q46 exact-order-statistic shape (bounded group
     * count; the mergeable-sketch variant is the unbounded path). */
   private def q104(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(s, dir)
     val base = d
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
@@ -1789,14 +1792,18 @@ object SparkEntry {
         "source", 1, Seq(col("lang_n").desc, col("lang").asc))
       .select(col("source"), col("lang").as("top_lang"),
         col("lang_n").as("top_lang_n"))
-    val med = base
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("source"))
-          .orderBy(col("n_chars"), col("doc_id"))))
-      .join(agg.select(col("source"), col("n_docs")), "source")
-      .where(col("__rn") === expr("(n_docs + 1) DIV 2"))
-      .select(col("source"), col("n_chars").as("p50_chars"))
-    agg.join(topLang, "source").join(med, "source")
+    // exact lower median via the two-phase histogram→rank-select path:
+    // no per-source buffering window, so one hot source stays a hash
+    // aggregate (the value at rank (n+1) DIV 2 is tie-independent —
+    // same number the old order-statistic window produced)
+    // — and over the slim (source, n_chars) projection, not the
+    // token-joined base: the tokenCounts join is 1:1 on doc_id, so the
+    // row set is identical and the median passes scan 2 columns only
+    val med = Stats.exactGroupedRankValues(
+        d.select(col("source"), col("n_chars")), "source", "n_chars",
+        n => Seq(("p50", (n + 1) / 2)))
+      .select(col("source"), col("value").cast("long").as("p50_chars"))
+    agg.join(topLang, "source").join(broadcast(med), "source")
       .select(col("source"), col("n_docs"), col("tokens"), col("n_langs"),
         col("top_lang"), col("top_lang_n"), col("n_exact_dupes"),
         col("min_chars"), col("p50_chars"), col("max_chars"))
@@ -1912,29 +1919,29 @@ object SparkEntry {
   }
 
   /** Robust outlier profile per event type: exact lower-median and
-    * MAD (median absolute deviation) via the q46-shape order-statistic
-    * windows, then the classic |x − med| > 3·MAD flag count — the
-    * data-quality gate that doesn't move when the outliers themselves
-    * do (unlike mean/stddev). Medians are actual data values, so every
-    * output double is bit-identical cross-engine. */
+    * MAD (median absolute deviation), then the classic
+    * |x − med| > 3·MAD flag count — the data-quality gate that doesn't
+    * move when the outliers themselves do (unlike mean/stddev).
+    * Medians are actual data values, so every output double is
+    * bit-identical cross-engine. Both medians ride the two-phase
+    * histogram→rank-select path ([[Stats.exactGroupedRankValues]]) —
+    * no per-type buffering window, so a hot event type at 100× stays
+    * a hash aggregate instead of a single-task sort (the value at
+    * rank (n+1) DIV 2 is tie-independent, so the numbers match the
+    * old order-statistic window exactly). */
   private def q112(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.events(s, dir)
       .where(col("value").isNotNull)
       .select(col("event_type"), col("event_id"), col("value"))
-    val n = e.groupBy("event_type").agg(count(lit(1)).as("n"))
     def medianOf(df: DataFrame, valCol: String, out: String): DataFrame =
-      df.withColumn("__rn", row_number().over(
-          Window.partitionBy(col("event_type"))
-            .orderBy(col(valCol), col("event_id"))))
-        .join(n, "event_type")
-        .where(col("__rn") === expr("(n + 1) DIV 2"))
-        .select(col("event_type"), col(valCol).as(out))
+      Stats.exactGroupedRankValues(df, "event_type", valCol,
+          n => Seq((out, (n + 1) / 2)))
+        .select(col("event_type"), col("value").as(out))
     val med = medianOf(e, "value", "median")
-    val dev = e.join(med, "event_type")
+    val dev = e.join(broadcast(med), "event_type")
       .withColumn("__dev", abs(col("value") - col("median")))
     val mad = medianOf(dev, "__dev", "mad")
-    dev.join(mad, "event_type")
+    dev.join(broadcast(mad), "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         first(col("median")).as("median"),

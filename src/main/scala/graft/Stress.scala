@@ -17,7 +17,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     // "all" (default = text+embed) | "text" | "embed" | "skew" |
-    // "media" | "incr" | "purge" | "asof" | "graph" — a mode flag lets one family
+    // "median" | "media" | "incr" | "purge" | "asof" | "graph" — a mode flag lets one family
     // re-run without repaying the others (the text sweep alone is
     // ~5 min at 40x)
     val mode = args.lift(1).getOrElse("all")
@@ -188,6 +188,45 @@ object Stress {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    }
+    }
+
+    if (mode == "median") {
+    // 90%-skewed exact-median storm: one source owns 90% of the
+    // corpus (the hot-domain shape). The old order-statistic window
+    // lands the hot source's entire partition on ONE task's sort; the
+    // two-phase histogram→rank-select path keeps every stage a hash
+    // aggregate, so wall-clock tracks corpus scans (linear in factor),
+    // not the hot group's single-task sort. Both paths run and must
+    // agree exactly; SCALE.md carries the measured contrast.
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Stats
+    val nRows = 250000L * factor
+    val docs = spark.range(nRows).select(
+      col("id"),
+      when(pmod(col("id"), lit(10)) < 9, lit("hot"))
+        .otherwise(concat(lit("s"), pmod(col("id"), lit(19)))).as("source"),
+      pmod(col("id") * 2654435761L, lit(1000003L)).cast("double").as("v"))
+      .localCheckpoint(true)
+    println(s"[stress] median corpus: $nRows rows, 90% on one source")
+    var twoPhase: Map[String, Double] = Map.empty
+    time("median(two-phase)") {
+      val out = Stats.exactGroupedRankValues(docs, "source", "v",
+        n => Seq(("med", (n + 1) / 2)))
+      twoPhase = out.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      twoPhase.size.toLong
+    }
+    time("median(window, old shape)") {
+      val w = Window.partitionBy(col("source")).orderBy(col("v"), col("id"))
+      val n = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      val windowed = docs.withColumn("__rn", row_number().over(w))
+        .join(n, "source")
+        .where(col("__rn") === expr("(n + 1) DIV 2"))
+        .select(col("source"), col("v"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      require(windowed == twoPhase,
+        s"two-phase medians diverge from the window reference")
+      windowed.size.toLong
     }
     }
 

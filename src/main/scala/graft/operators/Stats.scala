@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+import scala.collection.mutable
 
 /** Distribution statistics for quality-gating a corpus: exact grouped
   * quantiles (threshold picking — "keep docs above the per-language
@@ -80,6 +83,226 @@ object Stats {
       .select(col(groupCol) +: names.zipWithIndex.map { case (name, i) =>
         round(element_at(col("__q"), i + 1), 6).as(name)
       }: _*)
+  }
+
+  /** Exact per-group order statistics WITHOUT a data-sized sort or
+    * per-group value buffering — the 100 TB form of the grouped
+    * median/quantile.
+    *
+    * The naive exact forms (`percentile`, or `row_number over
+    * Window.partitionBy(group)`) buffer/sort every row of a group in
+    * one task; partitioned by a low-cardinality key, one hot group at
+    * scale becomes a single-task sort. This runs the two-phase
+    * discipline instead:
+    *
+    *  1. histogram phase — per (group, requested rank), bucket the
+    *     group's value range into `buckets` equal-width bins and count
+    *     them: a map-side-combinable hash aggregate, one slim shuffle,
+    *     ≤ |targets|·buckets result rows to the driver (metadata-scale
+    *     for bounded group counts, the same bound class as the
+    *     partition-list collects). The driver walks the cumulative
+    *     counts to find the bucket holding the rank, re-targets the
+    *     rank inside it, and — because the bucket index is monotone in
+    *     the value — narrows to the bucket's OBSERVED [min, max].
+    *     Repeat while the bucket still holds more than `cutoff` rows:
+    *     each level shrinks the candidate range ×`buckets`, so ~7
+    *     levels exhaust double precision (min==max short-circuits:
+    *     the rank's value is known without touching the rows again).
+    *  2. targeted select — only the final bucket's ≤ `cutoff` rows
+    *     (selectivity `cutoff`/|group|) are collected PER GROUP into a
+    *     bounded `collect_list`, sorted, and indexed at the residual
+    *     rank. No window over raw data anywhere; every aggregate state
+    *     is ≤ max(buckets, cutoff) entries by construction.
+    *
+    * `ranksOf(n)` names the wanted order statistics per group given
+    * its non-null count n — e.g. `n => Seq(("median", (n + 1) / 2))`.
+    * Ranks are 1-based positions in ascending `valCol` order; the
+    * VALUE at a rank is tie-independent, so no tiebreaker is needed.
+    * NULL and NaN values are excluded (and excluded from n); values
+    * must be finite. Returns one row per (group, stat): (groupCol,
+    * stat, value: double). Values round-trip exactly for integral
+    * inputs < 2^53.
+    *
+    * Passes over the data: 1 (per-group count/min/max) + L (histogram
+    * levels, L=1 for groups ≤ buckets·cutoff rows ≈ 4M at defaults;
+    * every level is the SAME scan shape) + 1 (targeted select) —
+    * a fixed small number of scans buys the absence of any
+    * group-sized task. */
+  def exactGroupedRankValues(df: DataFrame, groupCol: String, valCol: String,
+                             ranksOf: Long => Seq[(String, Long)],
+                             buckets: Int = 1024,
+                             cutoff: Long = 4096): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    require(cutoff >= 1, s"cutoff=$cutoff must be >= 1")
+    val spark = df.sparkSession
+    val gType = df.schema(groupCol).dataType
+    val base = df
+      .select(col(groupCol).as("__g"), col(valCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull && !isnan(col("__v")))
+    val outSchema = StructType(Seq(
+      StructField(groupCol, gType, nullable = true),
+      StructField("stat", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = true)))
+
+    // phase 0: per-group envelope — |groups| rows to the driver
+    val env = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), min("__v").as("mn"), max("__v").as("mx"))
+      .collect()
+
+    final class Target(val g: Any, val stat: String, var k: Long,
+                       val chain: mutable.ArrayBuffer[(Double, Double, Long)],
+                       var lo: Double, var hi: Double)
+    val resolved = mutable.ArrayBuffer.empty[Row]   // (g, stat, value)
+    var narrowing = mutable.ArrayBuffer.empty[Target] // bucket > cutoff: histogram again
+    val selecting = mutable.ArrayBuffer.empty[Target] // bucket ≤ cutoff: targeted select
+    env.foreach { r =>
+      val (g, n, mn, mx) = (r.get(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val wanted = ranksOf(n)
+      require(wanted.map(_._1).distinct.size == wanted.size,
+        s"duplicate stat names requested for group $g: ${wanted.map(_._1)}")
+      wanted.foreach { case (stat, k) =>
+        require(k >= 1 && k <= n, s"rank $k outside [1, $n] for group $g")
+        val t = new Target(g, stat, k, mutable.ArrayBuffer.empty, mn, mx)
+        if (mn == mx) resolved += Row(g, stat, mn)
+        else if (n <= cutoff) selecting += t
+        else narrowing += t
+      }
+    }
+
+    def width(lo: Double, hi: Double): Double =
+      math.max((hi - lo) / buckets, java.lang.Double.MIN_VALUE)
+    def idxExpr(l: Int): Column =
+      least(lit(buckets - 1L), greatest(lit(0L),
+        floor((col("__v") - col(s"__lo$l")) / col(s"__w$l")))).cast("long")
+
+    // phase 1: narrow each oversized target one histogram level per
+    // pass; all active targets ride ONE scan via a broadcast spec.
+    var depth = 0
+    val MaxDepth = 16 // range shrinks ×buckets per level; 7 levels span
+                      // the whole double range — 16 is a hard backstop
+    while (narrowing.nonEmpty && depth < MaxDepth) {
+      val specSchema = StructType(
+        StructField("__g", gType, nullable = true) +:
+        StructField("__stat", StringType, nullable = false) +:
+        (0 to depth).flatMap(l => Seq(
+          StructField(s"__lo$l", DoubleType, nullable = false),
+          StructField(s"__w$l", DoubleType, nullable = false),
+          StructField(s"__ib$l", LongType, nullable = true))))
+      val specRows = narrowing.map { t =>
+        val levels = (t.chain.map { case (lo, w, ib) =>
+          Seq[Any](lo, w, ib) } :+
+          Seq[Any](t.lo, width(t.lo, t.hi), null)).flatten
+        Row.fromSeq(Seq[Any](t.g, t.stat) ++ levels)
+      }
+      val spec = spark.createDataFrame(
+        spark.sparkContext.parallelize(specRows.toSeq, 1), specSchema)
+      // null-safe: a NULL group is a group like any other
+      var j = base.join(broadcast(spec), base("__g") <=> spec("__g"))
+        .drop(spec("__g"))
+      for (l <- 0 until depth) j = j.where(idxExpr(l) === col(s"__ib$l"))
+      val hist = j.groupBy(col("__g"), col("__stat"), idxExpr(depth).as("__b"))
+        .agg(count(lit(1)).as("c"), min("__v").as("bmn"), max("__v").as("bmx"))
+        .collect()
+      val byTarget = hist.groupBy(r => (r.get(0), r.getString(1)))
+      val next = mutable.ArrayBuffer.empty[Target]
+      narrowing.foreach { t =>
+        val bs = byTarget((t.g, t.stat)).sortBy(_.getLong(2))
+        var cum = 0L
+        var found = false
+        for (b <- bs if !found) {
+          val (ib, c, bmn, bmx) =
+            (b.getLong(2), b.getLong(3), b.getDouble(4), b.getDouble(5))
+          if (t.k <= cum + c) {
+            found = true
+            t.k -= cum
+            t.chain += ((t.lo, width(t.lo, t.hi), ib))
+            if (bmn == bmx) resolved += Row(t.g, t.stat, bmn)
+            else if (c <= cutoff) selecting += t
+            else { t.lo = bmn; t.hi = bmx; next += t }
+          } else cum += c
+        }
+        require(found, s"rank ${t.k} not reachable for group ${t.g} (${t.stat})")
+      }
+      narrowing = next
+      depth += 1
+    }
+    require(narrowing.isEmpty,
+      s"exactGroupedRankValues did not converge in $MaxDepth levels")
+
+    // phase 2: targeted select — only final-bucket rows (≤ cutoff per
+    // target) reach the bounded collect_list.
+    val selected: Option[DataFrame] = if (selecting.isEmpty) None else {
+      val maxD = selecting.map(_.chain.size).max
+      val specSchema = StructType(
+        StructField("__g", gType, nullable = true) +:
+        StructField("__stat", StringType, nullable = false) +:
+        StructField("__k", LongType, nullable = false) +:
+        (0 until maxD).flatMap(l => Seq(
+          StructField(s"__lo$l", DoubleType, nullable = true),
+          StructField(s"__w$l", DoubleType, nullable = true),
+          StructField(s"__ib$l", LongType, nullable = true))))
+      val specRows = selecting.map { t =>
+        val levels = (0 until maxD).flatMap { l =>
+          if (l < t.chain.size) { val (lo, w, ib) = t.chain(l); Seq[Any](lo, w, ib) }
+          else Seq[Any](null, null, null)
+        }
+        Row.fromSeq(Seq[Any](t.g, t.stat, t.k) ++ levels)
+      }
+      val spec = spark.createDataFrame(
+        spark.sparkContext.parallelize(specRows.toSeq, 1), specSchema)
+      var j = base.join(broadcast(spec), base("__g") <=> spec("__g"))
+        .drop(spec("__g"))
+      for (l <- 0 until maxD)
+        j = j.where(col(s"__ib$l").isNull || idxExpr(l) === col(s"__ib$l"))
+      Some(j.groupBy(col("__g"), col("__stat"), col("__k"))
+        .agg(expr("element_at(array_sort(collect_list(__v)), cast(__k AS INT))")
+          .as("value"))
+        .select(col("__g").as(groupCol), col("__stat").as("stat"), col("value")))
+    }
+    val resolvedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(resolved.toSeq, 1), outSchema)
+    selected.fold(resolvedDf)(s => resolvedDf.unionByName(s))
+  }
+
+  /** [[groupedQuantiles]] semantics (exact R-7 interpolation, same
+    * 6-dp rounding, same output schema) built on
+    * [[exactGroupedRankValues]] — the scale-safe exact path: no
+    * per-group value buffering, no data-sized window, identical
+    * values. Interpolation replicates Spark's `percentile` formula
+    * operation-for-operation (position = p·(n−1); result =
+    * (⌈pos⌉−pos)·x_lo + (pos−⌊pos⌋)·x_hi, degenerate cases return
+    * x_lo) so a switchover is bit-invisible. */
+  def exactGroupedQuantilesScalable(df: DataFrame, groupCol: String,
+                                    valCol: String, ps: Seq[Double],
+                                    buckets: Int = 1024,
+                                    cutoff: Long = 4096): DataFrame = {
+    val names = quantileNames(ps)
+    val ranksOf: Long => Seq[(String, Long)] = n =>
+      ps.zip(names).flatMap { case (p, name) =>
+        val pos = p * (n - 1)
+        val lo = math.floor(pos).toLong + 1
+        val hi = math.ceil(pos).toLong + 1
+        if (hi == lo) Seq((s"${name}_lo", lo))
+        else Seq((s"${name}_lo", lo), (s"${name}_hi", hi))
+      }
+    val ranks = exactGroupedRankValues(df, groupCol, valCol, ranksOf,
+      buckets, cutoff)
+    val counts = df
+      .where(col(valCol).isNotNull && !isnan(col(valCol).cast("double")))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val pivoted = ranks.groupBy(col(groupCol))
+      .pivot(col("stat"), names.flatMap(n => Seq(s"${n}_lo", s"${n}_hi")))
+      .agg(first(col("value")))
+    val out = ps.zip(names).map { case (p, name) =>
+      val pos = lit(p) * (col("__n") - 1).cast("double")
+      val vLo = col(s"${name}_lo")
+      val vHi = coalesce(col(s"${name}_hi"), vLo)
+      round(when(ceil(pos) === floor(pos) || vHi === vLo, vLo)
+        .otherwise((ceil(pos) - pos) * vLo + (pos - floor(pos)) * vHi), 6)
+        .as(name)
+    }
+    pivoted.join(broadcast(counts), Seq(groupCol))
+      .select(col(groupCol) +: out: _*)
   }
 
   /** Winsorize: clip `valCol` to its group's [pLo, pHi] quantile band —

@@ -42,6 +42,77 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  // deliberately adversarial corpus for the two-phase exact path:
+  // heavy ties, a massive skewed group, a tiny group, a 2-row group,
+  // a null group, and an all-equal group
+  private def rankCorpus = {
+    val rnd = new scala.util.Random(7)
+    val hot = (1 to 5000).map(_ => ("hot", math.floor(rnd.nextDouble() * 50) / 7.0))
+    val tiny = Seq(("tiny", 3.0), ("tiny", 1.0), ("tiny", 2.0))
+    val pair = Seq(("pair", -5.5), ("pair", 5.5))
+    val nul = (1 to 40).map(i => (null: String, i.toDouble % 11))
+    val flat = (1 to 300).map(_ => ("flat", 42.0))
+    (hot ++ tiny ++ pair ++ nul ++ flat).toDF("g", "v")
+  }
+
+  private def naiveRank(rows: Seq[(String, Double)], g: String, k: Long): Double =
+    rows.filter(_._1 == g).map(_._2).sorted.apply(k.toInt - 1)
+
+  test("exactGroupedRankValues equals the naive sorted-rank reference " +
+       "(deep narrowing forced)") {
+    val data = rankCorpus.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val ns = data.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def ranks(n: Long) = Seq(("first", 1L), ("med", (n + 1) / 2), ("last", n))
+    // buckets=4, cutoff=2 forces multi-level histogram recursion on
+    // every non-trivial group — the convergence path, not the shortcut
+    val out = Stats.exactGroupedRankValues(rankCorpus, "g", "v", ranks,
+        buckets = 4, cutoff = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for ((g, n) <- ns; (stat, k) <- ranks(n)) {
+      val expected = naiveRank(data, g, k)
+      assert(out((g, stat)) == expected,
+        s"group $g $stat (rank $k): got ${out((g, stat))}, want $expected")
+    }
+    assert(out.size == ns.size * 3)
+  }
+
+  test("exactGroupedRankValues at default sizing equals the forced-deep run") {
+    def ranks(n: Long) = Seq(("q1", (n + 3) / 4), ("med", (n + 1) / 2))
+    def run(b: Int, c: Long) =
+      Stats.exactGroupedRankValues(rankCorpus, "g", "v", ranks, b, c)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(run(1024, 4096) == run(4, 2))
+    assert(run(1024, 4096) == run(16, 1))
+  }
+
+  test("exactGroupedQuantilesScalable is bit-identical to groupedQuantiles") {
+    val ps = Seq(0.25, 0.5, 0.9, 0.99)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (1 to ps.size).map(i => if (r.isNullAt(i)) null else r.getDouble(i))).toMap
+    val corpus = rankCorpus.where(col("g").isNotNull) // percentile agg keys parity on non-null groups
+    val exact = Stats.groupedQuantiles(corpus, "g", "v", ps)
+    val scaled = Stats.exactGroupedQuantilesScalable(corpus, "g", "v", ps)
+    assert(scaled.columns.toSeq == exact.columns.toSeq, "schema parity")
+    assert(canon(scaled) == canon(exact),
+      "two-phase quantiles drifted from the percentile reference")
+    // and under forced deep narrowing
+    val deep = Stats.exactGroupedQuantilesScalable(corpus, "g", "v", ps,
+      buckets = 4, cutoff = 2)
+    assert(canon(deep) == canon(exact))
+  }
+
+  test("two-phase result plan: no Window, no global sort, bounded aggregates") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val out = Stats.exactGroupedRankValues(rankCorpus, "g", "v",
+      n => Seq(("med", (n + 1) / 2)))
+    val wins = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.isEmpty, "the targeted-select phase must not use a window")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort crept into the rank select:\n$plan")
+  }
+
   test("winsorize clips each group to its own band, interior untouched") {
     val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
       (1 to 10).map(i => ("b", i * 1000.0))).toDF("g", "v")
