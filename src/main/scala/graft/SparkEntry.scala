@@ -1580,6 +1580,39 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Index retention folding ([[TextOps.foldPostingIndexVersions]]):
+    * the lifecycle move that keeps q94's time-travel history from
+    * growing forever. Four versioned batches (doc_id mod 4) land, then
+    * batches ≤ 2 FOLD into one base snapshot at b=2 — postings
+    * relabel, per-batch dfreq contributions sum, stats rows sum (the
+    * mergeable-state design doing the work) — while batch 3 keeps its
+    * own history level. The query then reads AS OF the fold point:
+    * by the fold law (every as-of ≥ the fold point is preserved,
+    * pinned in TextOpsSpec) the answer is identical to the unfolded
+    * store's, with one directory level per touched partition instead
+    * of three. Oracle: the direct BM25 replay over batches 0-2 —
+    * folding changes bytes-on-disk and listing cost, never a result. */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q115" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-postidx-fold-$tag"
+    val parts = 16
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    if (!new java.io.File(path).exists()) {
+      (0L to 3L).foreach(m =>
+        TextOps.writePostingIndexVersioned(docs.filter(col("doc_id") % 4 === m),
+          "doc_id", "text", path, parts, batch = m))
+      TextOps.foldPostingIndexVersions(s, path, upTo = 2L)
+    }
+    val queries = docs
+      .filter(col("doc_id") % 100 === 0 && col("doc_id") % 4 =!= 3)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("qtext"))
+    TextOps.bm25TopKIndexed(s, path, parts, queries, "query_id", "qtext",
+        k = 10, asOf = Some(2L))
+      .orderBy("query_id", "rank")
+  }
+
   /** Late-interaction retrieval ([[Similarity.maxSimTopK]], the
     * ColBERT-family MaxSim): the embedding table regrouped into
     * multi-vector documents (8 consecutive vec_ids per doc — standing
@@ -1984,6 +2017,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_source_drift" -> q113,
     "q114_transition_matrix" -> q114,
+    "q115_index_fold" -> q115,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -2669,6 +2703,9 @@ object SparkEntry {
     // index changes what is read, never what is computed) extended to
     // WHEN
     "q94_index_time_travel" -> bm25SqlOver("doc_id % 3 != 2"),
+    // q115: as-of the fold point over the folded store ≡ the direct
+    // replay over batches 0-2 — folding never changes a result
+    "q115_index_fold" -> bm25SqlOver("doc_id % 4 != 3"),
     "q95_maxsim_topk" ->
       """WITH v AS (SELECT vec_id // 8 AS doc_id, vec_id,
         |                  embedding::DOUBLE[] AS v

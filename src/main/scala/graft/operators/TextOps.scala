@@ -1021,7 +1021,7 @@ object TextOps {
   /** [[writePostingIndex]]/[[appendToPostingIndex]] with a VERSIONED
     * layout: every artifact row carries the batch number `b` it arrived
     * in — postings and dfreq as a second partition column under the
-    * term-hash dir (`tp=.../b=N/`), stats as a plain column. Appends
+    * term-hash dir (`tp=.../b=N/`), stats under `b=N/`. Appends
     * are otherwise identical to the unversioned store; what the layout
     * buys is TIME TRAVEL on the read side ([[bm25TopKIndexed]] with
     * `asOf = Some(N)`): "the index as the pipeline saw it at batch N"
@@ -1041,13 +1041,113 @@ object TextOps {
       if (batch == 0) "overwrite" else "append", Some(batch))
   }
 
+  /** Retention folding for the versioned posting index: merge every
+    * batch `b ≤ upTo` into ONE base snapshot labeled `b = upTo`,
+    * leaving batches `> upTo` untouched — the lifecycle move that
+    * keeps the time-travel history from growing forever (q94's layout
+    * keeps one directory level per batch per touched term partition;
+    * a 15-minute cadence is 96/day). The mergeable-state design does
+    * all the work: postings rows of doc-disjoint batches simply
+    * relabel (a row union), per-batch dfreq contributions sum per
+    * term (negative purge retractions included), stats rows sum —
+    * so for every M ≥ upTo, `bm25TopKIndexed(asOf = Some(M))` — and
+    * the un-cut read — is IDENTICAL before and after the fold
+    * (pinned in TextOpsSpec), while the file/directory count drops to
+    * one `b=` level per touched partition. History BELOW the fold
+    * point is forfeited (asOf < upTo afterwards sees only batches
+    * that escaped folding) — that is the retention semantics, not a
+    * defect.
+    *
+    * Sequence per artifact: materialize the merged contribution
+    * (localCheckpoint — the source partitions are about to change),
+    * dynamic-overwrite it into `b=upTo`, then delete the stale
+    * `b < upTo` directories. Not crash-atomic (a failure between the
+    * last two steps leaves folded rows double-counted until the fold
+    * is re-run) — same recovery-by-rerun class as the in-place
+    * partition rewrite; production wraps it in the store's commit
+    * protocol. Stream-committed batch markers (IndexStream) are kept:
+    * they fence a redelivered producer from re-appending a batch the
+    * fold already absorbed. */
+  def foldPostingIndexVersions(s: org.apache.spark.sql.SparkSession,
+                               path: String, upTo: Long): Unit = {
+    val bs = s.read.parquet(s"$path/stats")
+      .select(col("b").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val folds = bs.filter(_ <= upTo)
+    if (folds.length <= 1) return // nothing to merge
+    def foldArtifact(sub: String, merge: DataFrame => DataFrame,
+                     parts: Seq[String]): Unit = {
+      val merged = merge(
+          s.read.parquet(s"$path/$sub").filter(col("b") <= upTo).drop("b"))
+        .withColumn("b", lit(upTo))
+        .localCheckpoint() // materialize BEFORE touching source dirs
+      val w = merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+      w.partitionBy(parts: _*).parquet(s"$path/$sub")
+      deleteBatchDirsBelow(s, s"$path/$sub", upTo)
+    }
+    foldArtifact("postings", df => df.repartition(col("tp")),
+      Seq("tp", "b"))
+    foldArtifact("dfreq",
+      df => df.groupBy(col("tp"), col("term"))
+        .agg(sum(col("df")).as("df")).repartition(col("tp")),
+      Seq("tp", "b"))
+    foldArtifact("stats",
+      df => df.agg(sum(col("n")).as("n"), sum(col("dl_sum")).as("dl_sum"),
+        sum(col("dl_cnt")).as("dl_cnt")),
+      Seq("b"))
+  }
+
+  /** Remove every `b=<k>` partition directory with k < upTo, at the
+    * artifact root and one `tp=` level below it. */
+  private def deleteBatchDirsBelow(s: org.apache.spark.sql.SparkSession,
+                                   dir: String, upTo: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val parents = root +: fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("tp="))
+      .map(_.getPath).toSeq
+    for (p <- parents; st <- fs.listStatus(p)
+         if st.isDirectory && st.getPath.getName.startsWith("b=")) {
+      val b = st.getPath.getName.stripPrefix("b=").toLong
+      if (b < upTo) fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Idempotently (re)write ONE batch of a VERSIONED posting index —
+    * the effectively-once form of [[writePostingIndexVersioned]] for a
+    * redelivering producer (a foreachBatch stream after a crash, a
+    * retried scheduler task). All three artifacts land under their
+    * batch partition (`tp=.../b=batch`, stats `b=batch`) via DYNAMIC
+    * partition overwrite: redelivering the same batch — even after a
+    * partial earlier failure — REPLACES that batch's partitions with
+    * identical content instead of appending duplicates, so any replay
+    * converges to the same store state. Never truncates other batches
+    * (starting a fresh store over a stale directory is the caller's
+    * cleanup). Same doc-disjointness and read contracts as the
+    * versioned append. */
+  def upsertPostingIndexBatch(docs: DataFrame, idCol: String,
+                              textCol: String, path: String, parts: Int,
+                              batch: Long): Unit = {
+    require(batch >= 0, s"batch=$batch must be >= 0")
+    writePostingBatch(docs, idCol, textCol, path, parts,
+      "overwrite", Some(batch), idempotent = true)
+  }
+
   /** One batch's index contribution, shared by build (= first batch,
-    * overwrite) and append so the two paths cannot drift. */
+    * overwrite), append and idempotent upsert so the paths cannot
+    * drift. Versioned stats are PARTITIONED by `b` (one directory per
+    * batch): the as-of cut prunes stats files at the listing like the
+    * postings cut, and the batch-keyed layout is what lets the
+    * idempotent path replace exactly one batch's contribution. */
   private def writePostingBatch(docs: DataFrame, idCol: String,
                                 textCol: String, path: String, parts: Int,
                                 mode: String,
-                                version: Option[Long]): Unit = {
+                                version: Option[Long],
+                                idempotent: Boolean = false): Unit = {
     require(parts >= 1, s"parts=$parts must be >= 1")
+    require(!idempotent || version.isDefined,
+      "idempotent writes need the versioned layout (the batch IS the replace key)")
     val d = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
     val post = d
       .select(col("doc_id"), size(col("__w")).cast("double").as("dl"),
@@ -1062,17 +1162,22 @@ object TextOps {
       version.fold(keyed)(v => keyed.withColumn("b", lit(v)))
         .repartition(col("tp"))
     }
-    partitioned(post)
-      .write.partitionBy(partCols: _*).mode(mode).parquet(s"$path/postings")
-    partitioned(post.groupBy(col("term"))
-        .agg(count(lit(1)).cast("double").as("df")))
-      .write.partitionBy(partCols: _*).mode(mode).parquet(s"$path/dfreq")
+    def writer(df: DataFrame) = {
+      val w = df.write.mode(mode)
+      if (idempotent) w.option("partitionOverwriteMode", "dynamic") else w
+    }
+    writer(partitioned(post))
+      .partitionBy(partCols: _*).parquet(s"$path/postings")
+    writer(partitioned(post.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))))
+      .partitionBy(partCols: _*).parquet(s"$path/dfreq")
     val dl = size(col("__w")).cast("double")
     val stats = d.agg(count(lit(1)).cast("double").as("n"),
       coalesce(sum(dl), lit(0.0)).as("dl_sum"),
       count(dl).cast("double").as("dl_cnt"))
-    version.fold(stats)(v => stats.withColumn("b", lit(v)))
-      .write.mode(mode).parquet(s"$path/stats")
+    version.fold(stats.write.mode(mode)) { v =>
+      writer(stats.withColumn("b", lit(v))).partitionBy("b")
+    }.parquet(s"$path/stats")
   }
 
   /** BM25 top-k against a persisted [[writePostingIndex]]: the query

@@ -1,48 +1,88 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.TextOps
 
 /** Continuous retrieval-index maintenance: the incremental posting-
-  * index append (q87's TextOps.appendToPostingIndex) mounted as a
-  * streaming sink, so the serving index tracks an unbounded document
-  * stream — the "crawl lands, becomes searchable" loop, closed.
+  * index append (q87's discipline) mounted as a streaming sink, so the
+  * serving index tracks an unbounded document stream — the "crawl
+  * lands, becomes searchable" loop, closed.
   *
-  * `foreachBatch` is the right integration point, not a custom sink:
-  * the append is already an idempotent-per-batch BATCH write into
-  * term-hash partitions (it touches only the partitions the batch's
-  * terms hash into, and merged (df, stats) state is additive), and
-  * foreachBatch gives it exactly-once batch boundaries against the
-  * checkpoint. Re-delivery of a completed epoch after a crash is the
-  * one at-least-once hole (the standard foreachBatch contract) — a
-  * production deployment fences on `batchId` (e.g. a committed-batch
-  * marker next to the store) the same way every idempotent-sink
-  * recipe does; the contract is documented here rather than hidden.
+  * `foreachBatch` is the integration point, and the sink is
+  * EFFECTIVELY-ONCE, by two independent mechanisms:
+  *
+  *  1. the write itself is the idempotent versioned upsert
+  *     ([[TextOps.upsertPostingIndexBatch]] with `b = batchId`):
+  *     dynamic partition overwrite keyed by the batch, so redelivering
+  *     a batch — including one whose earlier attempt failed PARTWAY
+  *     through — replaces that batch's partitions with identical
+  *     content rather than appending duplicates; any replay converges
+  *     to the same store state;
+  *  2. a committed-batch marker (`_committed/<batchId>`, written AFTER
+  *     the batch's artifacts) turns redelivery of a completed batch
+  *     into a metadata-only no-op — and fences a replayed producer
+  *     from re-creating a batch that a retention fold
+  *     ([[TextOps.foldPostingIndexVersions]]) has already absorbed
+  *     into the base snapshot (which is why folds keep the markers).
+  *
+  * A crash between the artifact writes and the marker is the case
+  * mechanism 1 exists for: the redelivered batch rewrites its own
+  * partitions byte-equivalently and then places the marker. The law —
+  * replaying ANY prefix of applied batches leaves every read of the
+  * index identical — is pinned in IndexStreamSpec.
   *
   * Scale shape: each micro-batch pays O(batch) tokenize + one
-  * partitioned append; the standing store is never read, let alone
-  * rewritten — identical economics to the q87 batch loop, just driven
-  * by a trigger instead of a scheduler. Query side is unchanged
-  * (bm25TopKIndexed), which is the point: readers cannot tell whether
-  * a scheduler or a stream maintains their index.
+  * partitioned write + one marker; the standing store is never read,
+  * let alone rewritten — identical economics to the q87 batch loop,
+  * just driven by a trigger instead of a scheduler. Query side is
+  * unchanged (bm25TopKIndexed reads the versioned layout with or
+  * without an as-of cut), which is the point: readers cannot tell
+  * whether a scheduler or a stream maintains their index.
   */
 object IndexStream {
 
+  /** Has `batchId` already been fully applied (artifacts + marker)? */
+  def committed(s: SparkSession, path: String, batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_committed/$batchId")
+    p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
+  }
+
+  private def markCommitted(s: SparkSession, path: String,
+                            batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_committed/$batchId")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
+  /** Apply one micro-batch: skip if committed, else idempotent
+    * versioned upsert, then the marker. Public so a recovery path (or
+    * a spec) can replay delivery exactly as the running stream would.
+    * Empty batches write no artifacts but still commit their marker —
+    * an empty epoch is progress, not a gap. */
+  def applyBatch(batch: DataFrame, idCol: String, textCol: String,
+                 path: String, parts: Int, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (!committed(s, path, batchId)) {
+      if (!batch.isEmpty)
+        TextOps.upsertPostingIndexBatch(batch, idCol, textCol, path, parts,
+          batchId)
+      markCommitted(s, path, batchId)
+    }
+  }
+
   /** Start the maintenance query. Documents must carry `idCol` +
     * `textCol`; batches must be doc-disjoint (the upstream keep-first
-    * dedup — DocumentStreams/KeepLastStream — is the usual guard).
-    * Empty micro-batches are skipped entirely: no empty files, no
-    * zero-contribution stats rows. */
+    * dedup — DocumentStreams/KeepLastStream — is the usual guard). */
   def maintainPostingIndex(docs: DataFrame, idCol: String, textCol: String,
                            path: String, parts: Int,
                            checkpoint: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty)
-          TextOps.appendToPostingIndex(batch, idCol, textCol, path, parts)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBatch(batch.toDF(), idCol, textCol, path, parts, batchId)
       }
       .start()
 }

@@ -451,6 +451,60 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("foldPostingIndexVersions: every as-of ≥ the fold point reads " +
+       "identically, stale batch dirs vanish, idempotent") {
+    val bs = Seq(
+      Seq((1L, "apple banana apple kiwi"), (2L, "banana cherry plum")),
+      Seq((3L, "cherry date egg fig"), (4L, "kiwi plum apple")),
+      Seq((5L, "apple apple cherry date")),
+      Seq((6L, "fig plum banana date"))).map(_.toDF("doc_id", "text"))
+    val queries = Seq((100L, "apple cherry"), (200L, "kiwi fig"))
+      .toDF("qid", "qtext")
+    val parts = 8
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-postidx-fold-spec").toString
+    bs.zipWithIndex.foreach { case (b, i) =>
+      TextOps.writePostingIndexVersioned(b, "doc_id", "text", tmp, parts, i)
+    }
+    def read(asOf: Option[Long]) =
+      TextOps.bm25TopKIndexed(spark, tmp, parts, queries, "qid", "qtext",
+          k = 5, asOf = asOf)
+        .collect().map(_.toString).sorted.toSeq
+    def bDirs(sub: String): Set[String] = {
+      val root = java.nio.file.Paths.get(tmp, sub)
+      val s = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("b="))
+          .map(root.relativize(_).toString).toSet
+      } finally s.close()
+    }
+    val keepCuts = Seq(Some(2L), Some(3L), None)
+    val before = keepCuts.map(read)
+    assert(bDirs("postings").exists(_.endsWith("b=0")), "setup: no b=0 dirs")
+    TextOps.foldPostingIndexVersions(spark, tmp, upTo = 2L)
+    // every read at or above the fold point is untouched
+    assert(keepCuts.map(read) == before,
+      "fold changed a read at or above the fold point")
+    // stale batch directories are gone everywhere; the base snapshot
+    // and the unfolded batch remain
+    Seq("postings", "dfreq", "stats").foreach { sub =>
+      val ds = bDirs(sub)
+      assert(!ds.exists(d => d.endsWith("b=0") || d.endsWith("b=1")),
+        s"$sub kept a folded batch dir: $ds")
+      assert(ds.exists(_.endsWith("b=2")), s"$sub lost the base snapshot")
+    }
+    assert(bDirs("postings").exists(_.endsWith("b=3")),
+      "fold touched a batch above the fold point")
+    // history below the fold point is forfeited by contract: asOf 1
+    // now sees only batches that escaped folding (none here ≤ 1)
+    assert(read(Some(1L)).isEmpty)
+    // idempotent: nothing left to merge
+    TextOps.foldPostingIndexVersions(spark, tmp, upTo = 2L)
+    assert(keepCuts.map(read) == before, "re-fold drifted a read")
+  }
+
   test("pruned store with an empty batch reads nothing and yields nothing") {
     val corpus = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
     val tmp = java.nio.file.Files

@@ -67,4 +67,42 @@ class IndexStreamSpec extends SparkSpec {
         r.getDouble(3))).toSet
     assert(streamed == direct)
   }
+
+  test("effectively-once: replaying any prefix — or a partially-" +
+       "applied batch — leaves every read of the index identical") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idxreplay").toString
+    val store = s"$dir/store"
+    val batches = Seq(corpus.take(2), corpus.slice(2, 3), corpus.drop(3))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IndexStream.applyBatch(b.toDF(), "doc_id", "text", store, parts, i.toLong)
+    }
+    def state() = (probe(store),
+      TextOps.bm25TopKIndexed(spark, store, parts, queriesDf,
+          "query_id", "qtext", k = 5, asOf = Some(1L))
+        .collect().map(_.toString).sorted.toSeq)
+    val before = state()
+    // 1. full redelivery of every already-committed prefix batch:
+    //    the marker makes each a metadata-only no-op
+    Seq(0, 1, 0, 2, 1).foreach(i =>
+      IndexStream.applyBatch(batches(i).toDF(), "doc_id", "text", store,
+        parts, i.toLong))
+    assert(state() == before, "committed-batch replay changed a read")
+    // 2. crash-before-marker: the batch's ARTIFACTS re-apply without
+    //    the marker fence — the idempotent dynamic-overwrite upsert
+    //    must converge to the same state, not append duplicates
+    TextOps.upsertPostingIndexBatch(batches(2).toDF(), "doc_id", "text",
+      store, parts, 2L)
+    assert(state() == before, "partial re-application duplicated state")
+    // 3. marker lost entirely: redelivery through the delivery path
+    //    rewrites the batch idempotently and re-places the marker
+    val marker = new org.apache.hadoop.fs.Path(s"$store/_committed/2")
+    marker.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(marker, false)
+    assert(!IndexStream.committed(spark, store, 2L))
+    IndexStream.applyBatch(batches(2).toDF(), "doc_id", "text", store,
+      parts, 2L)
+    assert(IndexStream.committed(spark, store, 2L))
+    assert(state() == before, "marker-loss redelivery changed a read")
+  }
 }
