@@ -1613,6 +1613,62 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private val BpeMerges = 32
+  private val BpeMaxWords = 100000
+  private val BpeMixDefaultBudget = 2400L
+  private val BpeMixBudgets = Map("src0" -> 15000L, "src1" -> 0L)
+
+  /** BPE merge-table build ([[TextOps.bpeLearnMerges]]): deterministic
+    * Sennrich training on the corpus's own word-frequency dictionary —
+    * 32 merges, ties toward the lexicographically smallest pair. The
+    * model IS a table (rank, left, right), like q100's bigram LM;
+    * oracle = the entire training loop unrolled (the q97/q98
+    * iterative-oracle discipline): per step, pair counts weighted by
+    * word frequency, argmax, and the left-to-right non-overlapping
+    * apply via run-parity windows over the dictionary — all integer
+    * counts and total-ordered ties, so 32 chained steps replay
+    * bit-exact. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val merges = TextOps.bpeLearnMerges(Tables.documents(s, dir), "text",
+      BpeMerges, BpeMaxWords)
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }.toSeq
+      .toDF("rank", "left", "right")
+      .orderBy("rank")
+  }
+
+  /** Learned-BPE token accounting ([[TextOps.bpeTokenCounts]]): every
+    * document's token count under the q116 model — the unit a real
+    * training-data pipeline budgets in (whitespace tokens under-count
+    * sub-word models). Encoding applies the merges in rank order via
+    * ONE codegen'd call per row (frozen model as a plan constant — no
+    * explode, no shuffle); the oracle counts each dictionary word's
+    * final symbols in the unrolled training state, equal to the
+    * encode by the train-state ≡ encode law (BpeSpec). */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val merges = TextOps.bpeLearnMerges(d, "text", BpeMerges, BpeMaxWords)
+    TextOps.bpeTokenCounts(d, "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget mix in BPE tokens ([[Sampling.budgetTake]] over
+    * q117's counts): q61's per-source budgeted take re-run in the
+    * budget unit that matters — documents admitted in seeded-hash
+    * order until each source's BPE-token budget is spent. Same
+    * monotone prefix-take machinery; only the measure changed. */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val merges = TextOps.bpeLearnMerges(d, "text", BpeMerges, BpeMaxWords)
+    val docs = TextOps.bpeTokenCounts(d, "doc_id", "text", merges)
+      .join(d.select("doc_id", "source"), "doc_id")
+    Sampling.budgetTake(docs, "source", "doc_id", "bpe_tokens",
+        BpeMixDefaultBudget, BpeMixBudgets, SampleSeed)
+      .select("doc_id", "source", "bpe_tokens")
+      .orderBy("doc_id")
+  }
+
   /** Late-interaction retrieval ([[Similarity.maxSimTopK]], the
     * ColBERT-family MaxSim): the embedding table regrouped into
     * multi-vector documents (8 consecutive vec_ids per doc — standing
@@ -2018,6 +2074,9 @@ object SparkEntry {
     "q113_source_drift" -> q113,
     "q114_transition_matrix" -> q114,
     "q115_index_fold" -> q115,
+    "q116_bpe_merges" -> q116,
+    "q117_bpe_tokens" -> q117,
+    "q118_bpe_budget_mix" -> q118,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -2446,6 +2505,63 @@ object SparkEntry {
 
   private val bm25Sql = bm25SqlOver("TRUE")
 
+  /** Unrolled BPE training chain (the q97/q98 iterative-oracle
+    * discipline): wf → capped dict → per-char state s0, then per merge
+    * step r: re-densify positions, best pair by (Σfreq DESC, pair
+    * ASC), candidate marks, left-to-right non-overlap via run-parity
+    * (consecutive candidate positions alternate), apply + absorb.
+    * CTEs are MATERIALIZED: the chain references each step's state
+    * several times, and DuckDB inlines plain CTEs — 32 steps of
+    * inlining would replicate the scan tree exponentially. */
+  private def bpeChainSql(m: Int, w: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """wf AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) > 0 GROUP BY 1)""".stripMargin,
+      s"dict AS MATERIALIZED (SELECT word, freq FROM wf ORDER BY freq DESC, word LIMIT $w)",
+      """s0 AS MATERIALIZED (SELECT word, freq, pos, substring(word, pos::INT, 1) AS sym
+        |  FROM (SELECT word, freq, unnest(range(1, len(word)+1)) AS pos FROM dict))""".stripMargin)
+    for (r <- 1 to m) {
+      val p = r - 1
+      ctes += s"""x$r AS MATERIALIZED (SELECT word, freq,
+        |  row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym FROM s$p)""".stripMargin
+      ctes += s"""b$r AS MATERIALIZED (SELECT l, r FROM (
+        |    SELECT sym AS l, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r, freq
+        |    FROM x$r)
+        |  WHERE r IS NOT NULL GROUP BY l, r
+        |  ORDER BY sum(freq) DESC, l, r LIMIT 1)""".stripMargin
+      ctes += s"""c$r AS MATERIALIZED (SELECT word, freq, pos, sym,
+        |  CASE WHEN sym = (SELECT l FROM b$r)
+        |        AND lead(sym) OVER (PARTITION BY word ORDER BY pos) = (SELECT r FROM b$r)
+        |       THEN 1 ELSE 0 END AS cand
+        |  FROM x$r)""".stripMargin
+      ctes += s"""m$r AS MATERIALIZED (SELECT word, freq, pos, sym, cand,
+        |  CASE WHEN cand = 1 AND (row_number() OVER (PARTITION BY word, runid ORDER BY pos)) % 2 = 1
+        |       THEN 1 ELSE 0 END AS applied
+        |  FROM (SELECT *, CASE WHEN cand = 1
+        |          THEN pos - row_number() OVER (PARTITION BY word, cand ORDER BY pos) END AS runid
+        |        FROM c$r))""".stripMargin
+      ctes += s"""s$r AS MATERIALIZED (SELECT word, freq, pos,
+        |  CASE WHEN applied = 1 THEN sym || nxt ELSE sym END AS sym
+        |  FROM (SELECT *, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+        |          lag(applied) OVER (PARTITION BY word ORDER BY pos) AS prv
+        |        FROM m$r)
+        |  WHERE coalesce(prv, 0) = 0)""".stripMargin
+    }
+    "WITH " + ctes.mkString(",\n")
+  }
+
+  /** Per-dict-word token counts from the final training state + the
+    * per-document rollup (LEFT JOIN: a wordless doc counts 0). */
+  private def bpeDocCountsSql(m: Int, w: Int): String =
+    bpeChainSql(m, w) + s""",
+      |wtok AS MATERIALIZED (SELECT word, count(*)::BIGINT AS n FROM s$m GROUP BY word),
+      |docw AS (SELECT doc_id, word FROM
+      |  (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE len(word) > 0),
+      |dcnt AS (SELECT d.doc_id, sum(w.n)::BIGINT AS bpe_tokens
+      |         FROM docw d JOIN wtok w USING (word) GROUP BY 1)""".stripMargin
+
   /** q12 oracle: exact brute-force cosine top-k — also the ground
     * truth CTE of q92's recall evaluation. */
   /** q97 oracle: the ENTIRE Lloyd iteration replayed in SQL. Vectors
@@ -2706,6 +2822,31 @@ object SparkEntry {
     // q115: as-of the fold point over the folded store ≡ the direct
     // replay over batches 0-2 — folding never changes a result
     "q115_index_fold" -> bm25SqlOver("doc_id % 4 != 3"),
+    // q116-q118: the BPE trainer unrolled (32 chained merge steps);
+    // counts are integers and every tie has a total order, so the
+    // whole model — and everything budgeted in its tokens — replays
+    // bit-exact
+    "q116_bpe_merges" -> (bpeChainSql(BpeMerges, BpeMaxWords) +
+      ",\nmm AS (" + (1 to BpeMerges).map(r =>
+        s"""SELECT ${r - 1}::BIGINT AS rank, l AS "left", r AS "right" FROM b$r""")
+        .mkString("\nUNION ALL\n") +
+      ")\nSELECT rank, \"left\", \"right\" FROM mm ORDER BY rank"),
+    "q117_bpe_tokens" -> (bpeDocCountsSql(BpeMerges, BpeMaxWords) + """
+      |SELECT doc.doc_id, coalesce(dcnt.bpe_tokens, 0)::BIGINT AS bpe_tokens
+      |FROM documents doc LEFT JOIN dcnt USING (doc_id)
+      |ORDER BY doc.doc_id""".stripMargin),
+    "q118_bpe_budget_mix" -> (bpeDocCountsSql(BpeMerges, BpeMaxWords) + s""",
+      |t AS (SELECT doc.doc_id, doc.source,
+      |        coalesce(dcnt.bpe_tokens, 0)::BIGINT AS bpe_tokens,
+      |        ('0x' || substr(md5(doc.doc_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT AS h
+      |      FROM documents doc LEFT JOIN dcnt USING (doc_id)),
+      |cum AS (SELECT *, SUM(bpe_tokens) OVER (PARTITION BY source
+      |          ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      |SELECT doc_id, source, bpe_tokens FROM cum
+      |WHERE cum <= CASE source WHEN 'src0' THEN ${BpeMixBudgets("src0")}
+      |                         WHEN 'src1' THEN ${BpeMixBudgets("src1")}
+      |                         ELSE $BpeMixDefaultBudget END
+      |ORDER BY doc_id""".stripMargin),
     "q95_maxsim_topk" ->
       """WITH v AS (SELECT vec_id // 8 AS doc_id, vec_id,
         |                  embedding::DOUBLE[] AS v

@@ -1,0 +1,196 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic byte-pair encoding (Sennrich-style BPE, the public
+  * algorithm), model-as-table: the merge list is LEARNED from the
+  * corpus itself (driver-resident word-frequency dictionary — the
+  * k-means-centroid bound class of model state), persisted/joined as
+  * an ordinary (rank, left, right) table, and APPLIED per row by a
+  * codegen'd expression. Every budget in the curation family can then
+  * count BPE tokens — what a real training-data pipeline budgets —
+  * instead of whitespace tokens, with the whole derivation replayable
+  * by the SQL oracle (an unrolled merge-step chain, the q97/q98
+  * discipline for iterative algorithms).
+  *
+  * Algorithm contract (pinned; both engines implement THIS):
+  *  - pre-tokenize: split on single space, drop empty tokens (the
+  *    TextOps.tokens convention);
+  *  - dictionary: distinct words with corpus frequencies, capped to
+  *    the top `maxWords` by (freq DESC, word ASC) — the cap is the
+  *    100 TB boundedness guarantee for driver state;
+  *  - train: `numMerges` steps; each counts adjacent symbol pairs
+  *    weighted by word frequency (overlapping adjacency — "aaa"
+  *    carries (a,a) twice), picks the max count with ties toward the
+  *    lexicographically smallest (left, right), and applies the merge
+  *    to every dict word left-to-right non-overlapping;
+  *  - encode: apply the merges to a word's codepoints IN RANK ORDER,
+  *    one pass each, same left-to-right rule. For merges learned by
+  *    this trainer that equals the classic priority-queue encode:
+  *    merge i's pair can only mention symbols produced by merges < i,
+  *    so a later merge can never re-enable an earlier one — which is
+  *    also why a trained word's final dictionary state IS its
+  *    encoding (the law BpeSpec pins and the oracle relies on).
+  *
+  * Determinism: integer counts, total-ordered ties, fixed application
+  * order — bit-reproducible across engines, like the quantized
+  * k-means. decode = concatenation (merges only ever glue), so
+  * encode/decode round-trips exactly.
+  */
+object Bpe {
+
+  /** Learn `numMerges` merges from a (word, freq) dictionary.
+    * Requires enough adjacent pairs to perform every requested merge
+    * (a corpus so small it runs dry deserves a loud error, not a
+    * silently shorter model — the oracle unrolls exactly this many
+    * steps). */
+  def learn(dict: Array[(String, Long)], numMerges: Int): Array[(String, String)] = {
+    require(numMerges >= 1, s"numMerges=$numMerges must be >= 1")
+    val words = dict.map { case (w, f) =>
+      (w.toCharArray.map(_.toString), f)
+    }
+    val state = mutable.ArrayBuffer.from(words.map { case (s, f) =>
+      (mutable.ArrayBuffer.from[String](s), f)
+    })
+    val out = mutable.ArrayBuffer.empty[(String, String)]
+    for (r <- 0 until numMerges) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      state.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      require(counts.nonEmpty,
+        s"corpus ran out of adjacent pairs at merge $r of $numMerges")
+      val maxC = counts.valuesIterator.max
+      val best = counts.collect { case (p, c) if c == maxC => p }
+        .minBy(identity) // (left, right) lexicographic, total order
+      out += best
+      var i = 0
+      while (i < state.length) {
+        state(i) = (applyMerge(state(i)._1, best._1, best._2), state(i)._2)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  private def applyMerge(syms: mutable.ArrayBuffer[String], l: String,
+                         r: String): mutable.ArrayBuffer[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2 // left-to-right, non-overlapping
+      } else { out += syms(i); i += 1 }
+    }
+    out
+  }
+
+  /** Encode ONE word: merges applied in rank order (≡ priority encode
+    * for trained merge lists — see object doc). */
+  def encodeWord(word: String, merges: Array[(String, String)]): Array[String] = {
+    var syms = mutable.ArrayBuffer.from[String](word.toCharArray.map(_.toString))
+    var r = 0
+    while (r < merges.length && syms.length > 1) {
+      syms = applyMerge(syms, merges(r)._1, merges(r)._2)
+      r += 1
+    }
+    syms.toArray
+  }
+
+  /** decode ∘ encode = identity (merges only concatenate). */
+  def decode(tokens: Array[String]): String = tokens.mkString
+}
+
+/** The serializable model a [[BpeTokenCountExpr]] plan carries: the
+  * ordered merge list plus a bounded per-executor word→count memo —
+  * real corpora repeat words massively (Zipf), so the memo turns the
+  * per-row cost into a hash probe per word. The memo is pure speed:
+  * entries are a deterministic function of the word, and it clears
+  * itself past `CacheCap` rather than growing with the vocabulary. */
+final class BpeModel(val merges: Array[(String, String)]) extends Serializable {
+  @transient private lazy val memo =
+    new ConcurrentHashMap[String, java.lang.Long]()
+  private val CacheCap = 1 << 16
+
+  def wordTokenCount(w: String): Long = {
+    val hit = memo.get(w)
+    if (hit != null) return hit.longValue()
+    val n = Bpe.encodeWord(w, merges).length.toLong
+    if (memo.size < CacheCap) memo.put(w, n)
+    n
+  }
+
+  /** Whitespace-split `text`, BPE-encode each non-empty word, total
+    * token count. Codegen entry point. */
+  def tokenCount(text: UTF8String): Long = {
+    val s = text.toString
+    var total = 0L
+    var start = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) total += wordTokenCount(s.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    total
+  }
+}
+
+/** Per-document BPE token count over a frozen merge model — the
+  * serve-path form (the q83 frozen-quantizer discipline): the model is
+  * a plan-time constant via `addReferenceObj`, the whole count runs as
+  * one static call inside the codegen span, no explode, no shuffle. */
+case class BpeTokenCountExpr(child: Expression, model: BpeModel)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count"
+  override def nullSafeEval(input: Any): Any =
+    model.tokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model, "graft.functions.BpeModel")
+    defineCodeGen(ctx, ev, c => s"$ref.tokenCount($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Registration + Column API. The merge list travels as a literal
+  * array-of-[left,right] argument, unwrapped ONCE at plan construction
+  * into the expression's reference model (the TokenSetCountsExpr
+  * idiom — no per-row interpretation of the model structure). */
+object BpeFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_token_count"))) return
+    reg.createOrReplaceTempFunction("bpe_token_count",
+      es => BpeTokenCountExpr(es(0), new BpeModel(literalMerges(es(1)))),
+      "scala_udf")
+  }
+
+  private def literalMerges(e: Expression): Array[(String, String)] =
+    e.eval().asInstanceOf[ArrayData].toObjectArray(
+        ArrayType(StringType, containsNull = false))
+      .map { pair =>
+        val a = pair.asInstanceOf[ArrayData]
+        (a.getUTF8String(0).toString, a.getUTF8String(1).toString)
+      }
+}

@@ -699,6 +699,41 @@ object TextOps {
       size(regexp_extract_all(col(textCol),
         lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"), lit(0))).cast("long").as("bpe_tokens"))
 
+  /** Learn a BPE merge list from the corpus ([[graft.functions.Bpe]]):
+    * ONE distributed word-frequency aggregate (hash agg, |vocab|
+    * groups), capped to the top `maxWords` by (freq DESC, word ASC) —
+    * the boundedness guarantee that keeps the model driver-resident at
+    * 100 TB (the k-means-centroid state class; a 50k-word cap covers
+    * the token mass of any Zipfian corpus) — then the deterministic
+    * Sennrich loop over that dictionary. Returns the ordered merge
+    * pairs; [[bpeTokenCounts]] applies them corpus-side. */
+  def bpeLearnMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                     maxWords: Int = 100000): Array[(String, String)] = {
+    require(maxWords >= 1, s"maxWords=$maxWords must be >= 1")
+    val dict = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    graft.functions.Bpe.learn(dict, numMerges)
+  }
+
+  /** Per-document LEARNED-BPE token counts — the real
+    * training-data-budget unit (the regex `bpe_tokens` of
+    * [[tokenCounts]] is the model-free approximation). The frozen
+    * merge list rides the plan as a constant and the whole count is
+    * one codegen'd call per row ([[graft.functions.BpeTokenCountExpr]]):
+    * no explode, no shuffle — a pure projection, like every per-doc
+    * sketch here. */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Array[(String, String)]): DataFrame = {
+    graft.functions.BpeFunctions.register(docs.sparkSession)
+    docs.select(col(idCol),
+      call_function("bpe_token_count", col(textCol),
+        typedlit(merges.map(p => Seq(p._1, p._2)).toSeq)).as("bpe_tokens"))
+  }
+
   /** TF-IDF top-k terms per document — the classic keyword/topic signal
     * a training-mix pipeline uses for domain tagging and quality
     * filters. idf = ln(1 + N/df) (smoothed, always positive).

@@ -484,6 +484,18 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("q117 bpe tokens: one codegen'd call per row — no explode, no " +
+       "exchange below the presentation sort") {
+    val plan = physical(SparkEntry.queries("q117_bpe_tokens")(spark, dir))
+    assert(plan.contains("bpe_token_count"),
+      s"native BPE kernel missing:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"BPE counting exploded tokens instead of projecting:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"BPE count introduced a non-sort exchange:\n$plan")
+  }
+
   test("q77 vocabulary: the only single-partition window runs over the histogram") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = SparkEntry.queries("q77_vocabulary")(spark, dir)
