@@ -1751,6 +1751,29 @@ object SparkEntry {
 
   private val PageRankIters = 3
 
+  /** PageRank with dangling-mass redistribution
+    * ([[Graphs.pageRankFixed]] `redistributeDangling = true`) on the
+    * DIRECTED customer→supplier bipartite graph — every supplier is
+    * dangling (no out-edges), the shape where q98's simple treatment
+    * visibly leaks mass to the teleport floor. Each pass sums the
+    * dangling rank (one node-sized scalar), damps it and floor-splits
+    * it evenly — integer-exact, so the oracle replays the term; rank
+    * mass is conserved up to flooring loss (law in GraphsSpec). */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val fwd = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    Graphs.pageRankFixed(fwd, iters = PageRankIters,
+        redistributeDangling = true)
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("node DIV 2").as("node_key"), col("rank_scaled"))
+      .orderBy("node_type", "node_key")
+  }
+
   /** Record linkage ([[Linkage.blockedFuzzyPairs]]): blocked edit-
     * distance matching — the character-level complement to the token-
     * set dedup arms (q10/q11 see reordered copies; this sees dense
@@ -2077,6 +2100,7 @@ object SparkEntry {
     "q116_bpe_merges" -> q116,
     "q117_bpe_tokens" -> q117,
     "q118_bpe_budget_mix" -> q118,
+    "q119_pagerank_dangling" -> q119,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -2638,28 +2662,47 @@ object SparkEntry {
     * teleport base is the same floored constant, so each rank table —
     * and therefore the fixpoint after any number of passes — is
     * bit-identical to the Spark loop. */
-  private def pageRankOracleSql(iters: Int): String = {
+  /** q98/q119 oracle: integer PageRank replayed step by step.
+    * `symmetrize` mirrors q98's undirected customer↔supplier graph;
+    * `dangling` adds the per-pass redistribution term (q119's DIRECTED
+    * bipartite graph, where every supplier is dangling): the dangling
+    * rank sum, damped and floor-split evenly — the same integer ops
+    * in the same order as Graphs.pageRankFixed. */
+  private def pageRankOracleSql(iters: Int, symmetrize: Boolean = true,
+                                dangling: Boolean = false): String = {
+    val edCte = if (symmetrize)
+      """ed AS (SELECT src, dst FROM le
+        |       UNION SELECT dst AS src, src AS dst FROM le),""".stripMargin
+    else "ed AS (SELECT src, dst FROM le),"
     val header =
       """WITH le AS (SELECT DISTINCT o.o_custkey * 2 AS src,
         |                            l.l_suppkey * 2 + 1 AS dst
         |            FROM lineitem l
         |            JOIN orders o ON l.l_orderkey = o.o_orderkey),
-        |ed AS (SELECT src, dst FROM le
-        |       UNION SELECT dst AS src, src AS dst FROM le),
+        |""".stripMargin + edCte + """
         |deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
         |nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
         |nn AS (SELECT count(*) AS n FROM nd),
         |r0 AS (SELECT node, 1000000000000 // n AS r FROM nd, nn),
         |""".stripMargin
     val steps = (1 to iters).map { i =>
+      val dangCte = if (!dangling) "" else
+        s"""d$i AS (SELECT coalesce(sum(r.r), 0) AS d
+           |        FROM r${i - 1} r LEFT JOIN deg ON deg.src = r.node
+           |        WHERE deg.outdeg IS NULL),
+           |""".stripMargin
+      val dangTerm = if (!dangling) ""
+        else " + ((d.d * 85) // 100) // nn.n"
+      val dangFrom = if (!dangling) "" else s" CROSS JOIN d$i d"
+      dangCte +
       s"""s$i AS (SELECT e.dst AS node,
          |          sum(((r.r // d.outdeg) * 85) // 100) AS c
          |        FROM ed e JOIN r${i - 1} r ON r.node = e.src
          |        JOIN deg d ON d.src = e.src GROUP BY 1),
          |r$i AS (SELECT nd.node,
-         |          ((1000000000000 * 15) // (100 * nn.n)
+         |          ((1000000000000 * 15) // (100 * nn.n)$dangTerm
          |           + coalesce(s.c, 0))::BIGINT AS r
-         |        FROM nd CROSS JOIN nn
+         |        FROM nd CROSS JOIN nn$dangFrom
          |        LEFT JOIN s$i s ON s.node = nd.node),
          |""".stripMargin
     }.mkString
@@ -3055,6 +3098,8 @@ object SparkEntry {
           |       ((tl.top_label_n * 100) // ag.n)::BIGINT AS purity_pct
           |FROM ag JOIN tl USING (cluster) ORDER BY cluster""".stripMargin),
     "q98_pagerank" -> pageRankOracleSql(PageRankIters),
+    "q119_pagerank_dangling" -> pageRankOracleSql(PageRankIters,
+      symmetrize = false, dangling = true),
     "q102_communities" -> lpaOracleSql(LpaIters),
     // q103: the temperature-mix derivation replayed — integer token
     // sums, 6dp-rounded IEEE sqrt, decimal normalizer (VARCHAR-cast to

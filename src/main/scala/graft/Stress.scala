@@ -535,6 +535,19 @@ object Stress {
     time("pageRank iters=3") {
       Graphs.pageRankFixed(gedges, iters = 3).count()
     }
+    // dangling redistribution on the DIRECTED graph (every supplier
+    // dangling — the worst case): per pass adds one node-sized scalar
+    // aggregate + one node-sized checkpoint; cost must stay in the
+    // same band as the plain run, not a new asymptotic term
+    val gdir = gfwd.localCheckpoint(true)
+    println(s"[stress] directed graph: ${gdir.count()} edges (all suppliers dangling)")
+    time("pageRank+dangling iters=3") {
+      Graphs.pageRankFixed(gdir, iters = 3,
+        redistributeDangling = true).count()
+    }
+    time("pageRank directed iters=3") {
+      Graphs.pageRankFixed(gdir, iters = 3).count()
+    }
     time("labelPropagation iters=3") {
       Graphs.labelPropagation(gedges, iters = 3).count()
     }

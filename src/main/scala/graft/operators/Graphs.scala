@@ -36,16 +36,27 @@ object Graphs {
   /** Fixed-iteration PageRank over a directed edge list.
     *
     * `edges` must be (src: long, dst: long); duplicates are collapsed.
-    * Every node appearing as a src or dst participates; dangling nodes
-    * (no out-edges) contribute nothing per iteration (their mass fades
-    * to the teleport term — the standard simple treatment; symmetrize
-    * the edge list upstream if dangling mass matters).
+    * Every node appearing as a src or dst participates. Dangling nodes
+    * (no out-edges): by default they contribute nothing per iteration
+    * (their mass fades to the teleport term — the standard simple
+    * treatment; symmetrize upstream if that suffices). With
+    * `redistributeDangling` the standard redistribution term runs
+    * instead: each pass sums the dangling nodes' rank (ONE node-sized
+    * scalar aggregate), damps it, and floor-splits it evenly across
+    * all nodes — integer-exact, so the oracle replays it, and rank
+    * mass is conserved up to flooring loss (law in GraphsSpec).
+    * The flag also switches the loop to per-pass materialization:
+    * the dangling scalar is a second consumer of each pass's ranks,
+    * and feeding both from the lazy chain would double the plan tree
+    * per iteration (2^iters growth); a node-sized localCheckpoint per
+    * pass keeps the cost one rank-table scan per consumer.
     *
     * damping = dampNum/dampDen (default 85/100); iters full update
     * passes. Returns (node, rank_scaled: long) where rank_scaled is
     * the node's share of RankScale. */
   def pageRankFixed(edges: DataFrame, iters: Int,
-                    dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+                    dampNum: Long = 85L, dampDen: Long = 100L,
+                    redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 0, s"iters=$iters must be non-negative")
     require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen outside [0, 1]")
@@ -79,7 +90,18 @@ object Graphs {
       val base = (RankScale * (dampDen - dampNum)) / (dampDen * nn)
       var ranks = nodes.select(col("node"), lit(RankScale / nn).as("r"))
       for (_ <- 0 until iters) {
-        val send = ranks.join(deg.hint("shuffle_hash"), "node")
+        val cur = if (redistributeDangling)
+          ranks.localCheckpoint(eager = true) else ranks
+        // dangling mass, damped and floor-split evenly: the standard
+        // redistribution term, one scalar per pass (metadata-scale)
+        val share = if (!redistributeDangling) 0L else {
+          val dang = cur.join(deg.hint("shuffle_hash"), "node")
+            .where(col("outdeg") === 0)
+            .agg(coalesce(sum(col("r")), lit(0L)))
+            .first().getLong(0)
+          dang * dampNum / dampDen / nn
+        }
+        val send = cur.join(deg.hint("shuffle_hash"), "node")
           .where(col("outdeg") > 0)
           .select(col("node").as("src"),
             expr(s"(r DIV outdeg) * $dampNum DIV $dampDen").as("c"))
@@ -88,7 +110,7 @@ object Graphs {
         ranks = nodes
           .join(contrib, Seq("node"), "left")
           .select(col("node"),
-            (lit(base) + coalesce(col("c"), lit(0L))).as("r"))
+            (lit(base + share) + coalesce(col("c"), lit(0L))).as("r"))
       }
       // materialize before releasing the cached layouts: iterating
       // lazily over unpersisted inputs would rescan the source per

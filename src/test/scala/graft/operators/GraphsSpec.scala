@@ -51,6 +51,34 @@ class GraphsSpec extends SparkSpec {
     assert((2L to 9L).map(m).toSet.size == 1)
   }
 
+  test("dangling redistribution conserves rank mass to flooring loss; " +
+       "the default visibly leaks on a dangling-heavy graph") {
+    // star into a sink: 1..8 each point at 0 — node 0 holds most of
+    // the mass and has no out-edges, the worst case for the default
+    import spark.implicits._
+    val edges = (1L to 8L).map(i => (i, 0L)).toDF("src", "dst")
+    def total(flag: Boolean): Long =
+      Graphs.pageRankFixed(edges, iters = 3, redistributeDangling = flag)
+        .agg(org.apache.spark.sql.functions.sum("rank_scaled"))
+        .first().getLong(0)
+    val on = total(true)
+    val off = total(false)
+    // flooring loses < 1 unit per floor-div per node per pass: with 9
+    // nodes, 8 edges, 3 passes the bound is tiny next to RankScale
+    val bound = 3L * (2 * 9 + 8 + 2)
+    assert(Graphs.RankScale - on <= bound,
+      s"redistribution still lost ${Graphs.RankScale - on} (> $bound)")
+    assert(Graphs.RankScale - off > Graphs.RankScale / 10,
+      s"expected the default to leak visibly here, lost only ${Graphs.RankScale - off}")
+    // deterministic under repartitioning, like the base operator
+    val a = Graphs.pageRankFixed(edges, 3, redistributeDangling = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graphs.pageRankFixed(edges.repartition(5), 3,
+        redistributeDangling = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("rank mass is conserved up to floor loss, never created") {
     val edges = (1L to 50L).map(i => (i, i % 50 + 1)) ++
       (1L to 25L).map(i => (i, 51 - i))
