@@ -105,4 +105,30 @@ class BenchWindowSpec extends AnyFunSuite {
   test("no prior → run never voided") {
     assert(!Bench.envSuspectFlag(9.0, 9.0, IndexedSeq.fill(10)(9.0), None))
   }
+
+  test("history band: the r11 q104 shape (4.6x its clean cost, no " +
+       "previous-round entry) is now suspect") {
+    // new last round (no prev entry) but a clean band exists once any
+    // round has recorded it — and 3.25 > 2 x 0.71 flags
+    assert(Bench.crossRoundSuspect(3.25, None, Some(0.71)))
+    // in-band publishes freely
+    assert(!Bench.crossRoundSuspect(0.80, None, Some(0.71)))
+  }
+
+  test("history band composes with the previous-round rule (either flags)") {
+    // 1.4x of prev round (under 1.5x) but 2.5x the historical min
+    assert(Bench.crossRoundSuspect(1.40, Some(1.0), Some(0.5)))
+    // 1.6x prev round flags even with no band
+    assert(Bench.crossRoundSuspect(1.60, Some(1.0), None))
+    // neither rule trips → clean
+    assert(!Bench.crossRoundSuspect(1.40, Some(1.0), Some(0.71)))
+  }
+
+  test("history band ignores trivial queries and degenerate priors") {
+    assert(!Bench.crossRoundSuspect(0.15, Some(0.01), Some(0.01)),
+      "sub-0.2s queries never flag")
+    assert(!Bench.crossRoundSuspect(5.0, Some(0.0), Some(0.0)),
+      "zero priors cannot divide a flag into existence")
+    assert(!Bench.crossRoundSuspect(5.0, None, None))
+  }
 }
