@@ -1669,6 +1669,43 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer drift monitor: the q113 source-drift discipline applied
+    * to the TOKENIZER itself. A frozen model (trained before the last
+    * data quarter landed — doc_id % 4 ≠ 3) and a retrained model (full
+    * corpus) both encode the whole corpus; per source, the fertility
+    * (BPE tokens per whitespace word, basis points — integer
+    * floor-div, exact) under each model and the drift between them.
+    * Rising frozen-model fertility on a source is the "tokenizer no
+    * longer fits the data" signal that triggers retraining — and
+    * retraining shifts every downstream token budget, which is why
+    * both numbers publish side by side. OOV words under the frozen
+    * model encode exactly (merges apply to any word); the oracle
+    * carries them through the chain at learning weight 0. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val frozen = TextOps.bpeLearnMerges(d.filter(col("doc_id") % 4 =!= 3),
+      "text", BpeMerges, BpeMaxWords)
+    val retrained = TextOps.bpeLearnMerges(d, "text", BpeMerges, BpeMaxWords)
+    val counts = TextOps.bpeTokenCounts(d, "doc_id", "text", frozen)
+      .withColumnRenamed("bpe_tokens", "tf")
+      .join(TextOps.bpeTokenCounts(d, "doc_id", "text", retrained)
+        .withColumnRenamed("bpe_tokens", "tr"), "doc_id")
+      .join(d.select(col("doc_id"), col("source"),
+        size(array_remove(TextOps.tokens(col("text")), ""))
+          .cast("long").as("ws")), "doc_id")
+    counts.groupBy("source")
+      .agg(sum("ws").as("ws_tokens"),
+        sum("tf").as("tokens_frozen"),
+        sum("tr").as("tokens_retrained"))
+      .select(col("source"), col("ws_tokens"), col("tokens_frozen"),
+        col("tokens_retrained"),
+        expr("tokens_frozen * 10000 DIV ws_tokens").as("fertility_frozen_bp"),
+        expr("tokens_retrained * 10000 DIV ws_tokens").as("fertility_retrained_bp"),
+        expr("tokens_retrained * 10000 DIV ws_tokens" +
+          " - tokens_frozen * 10000 DIV ws_tokens").as("drift_bp"))
+      .orderBy("source")
+  }
+
   /** Late-interaction retrieval ([[Similarity.maxSimTopK]], the
     * ColBERT-family MaxSim): the embedding table regrouped into
     * multi-vector documents (8 consecutive vec_ids per doc — standing
@@ -2101,6 +2138,7 @@ object SparkEntry {
     "q117_bpe_tokens" -> q117,
     "q118_bpe_budget_mix" -> q118,
     "q119_pagerank_dangling" -> q119,
+    "q120_tokenizer_drift" -> q120,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -2530,50 +2568,69 @@ object SparkEntry {
   private val bm25Sql = bm25SqlOver("TRUE")
 
   /** Unrolled BPE training chain (the q97/q98 iterative-oracle
-    * discipline): wf → capped dict → per-char state s0, then per merge
-    * step r: re-densify positions, best pair by (Σfreq DESC, pair
-    * ASC), candidate marks, left-to-right non-overlap via run-parity
-    * (consecutive candidate positions alternate), apply + absorb.
-    * CTEs are MATERIALIZED: the chain references each step's state
-    * several times, and DuckDB inlines plain CTEs — 32 steps of
-    * inlining would replicate the scan tree exponentially. */
-  private def bpeChainSql(m: Int, w: Int): String = {
+    * discipline): learning dict (word freqs under `learnPred`, capped)
+    * → per-char state s0 over the FULL corpus vocabulary (capped-out
+    * and unseen-under-the-predicate words ride along at freq 0:
+    * they contribute nothing to pair counts but every merge applies
+    * to them, so the final state IS the encode of every corpus word —
+    * including OOV words under a frozen model, which is what lets a
+    * drift oracle replay a model trained on yesterday's corpus).
+    * Then per merge step r: re-densify positions, best pair by
+    * (Σfreq DESC, pair ASC) over freq>0 words, candidate marks,
+    * left-to-right non-overlap via run-parity (consecutive candidate
+    * positions alternate), apply + absorb. CTEs are MATERIALIZED: the
+    * chain references each step's state several times, and DuckDB
+    * inlines plain CTEs — 32 steps of inlining would replicate the
+    * scan tree exponentially. `prefix` namespaces the CTEs so two
+    * models can train in one statement. */
+  private def bpeChainCtes(m: Int, w: Int, learnPred: String,
+                           prefix: String): String = {
+    val P = prefix
     val ctes = scala.collection.mutable.ArrayBuffer(
-      """wf AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM
+      s"""${P}av AS MATERIALIZED (SELECT DISTINCT word FROM
         |  (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) > 0)""".stripMargin,
+      s"""${P}wf AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |   WHERE $learnPred)
         |  WHERE len(word) > 0 GROUP BY 1)""".stripMargin,
-      s"dict AS MATERIALIZED (SELECT word, freq FROM wf ORDER BY freq DESC, word LIMIT $w)",
-      """s0 AS MATERIALIZED (SELECT word, freq, pos, substring(word, pos::INT, 1) AS sym
-        |  FROM (SELECT word, freq, unnest(range(1, len(word)+1)) AS pos FROM dict))""".stripMargin)
+      s"${P}dict AS MATERIALIZED (SELECT word, freq FROM ${P}wf ORDER BY freq DESC, word LIMIT $w)",
+      s"""${P}s0 AS MATERIALIZED (SELECT word, freq, pos, substring(word, pos::INT, 1) AS sym
+        |  FROM (SELECT a.word, coalesce(d.freq, 0) AS freq,
+        |          unnest(range(1, len(a.word)+1)) AS pos
+        |        FROM ${P}av a LEFT JOIN ${P}dict d USING (word)))""".stripMargin)
     for (r <- 1 to m) {
       val p = r - 1
-      ctes += s"""x$r AS MATERIALIZED (SELECT word, freq,
-        |  row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym FROM s$p)""".stripMargin
-      ctes += s"""b$r AS MATERIALIZED (SELECT l, r FROM (
+      ctes += s"""${P}x$r AS MATERIALIZED (SELECT word, freq,
+        |  row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym FROM ${P}s$p)""".stripMargin
+      ctes += s"""${P}b$r AS MATERIALIZED (SELECT l, r FROM (
         |    SELECT sym AS l, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r, freq
-        |    FROM x$r)
+        |    FROM ${P}x$r WHERE freq > 0)
         |  WHERE r IS NOT NULL GROUP BY l, r
         |  ORDER BY sum(freq) DESC, l, r LIMIT 1)""".stripMargin
-      ctes += s"""c$r AS MATERIALIZED (SELECT word, freq, pos, sym,
-        |  CASE WHEN sym = (SELECT l FROM b$r)
-        |        AND lead(sym) OVER (PARTITION BY word ORDER BY pos) = (SELECT r FROM b$r)
+      ctes += s"""${P}c$r AS MATERIALIZED (SELECT word, freq, pos, sym,
+        |  CASE WHEN sym = (SELECT l FROM ${P}b$r)
+        |        AND lead(sym) OVER (PARTITION BY word ORDER BY pos) = (SELECT r FROM ${P}b$r)
         |       THEN 1 ELSE 0 END AS cand
-        |  FROM x$r)""".stripMargin
-      ctes += s"""m$r AS MATERIALIZED (SELECT word, freq, pos, sym, cand,
+        |  FROM ${P}x$r)""".stripMargin
+      ctes += s"""${P}m$r AS MATERIALIZED (SELECT word, freq, pos, sym, cand,
         |  CASE WHEN cand = 1 AND (row_number() OVER (PARTITION BY word, runid ORDER BY pos)) % 2 = 1
         |       THEN 1 ELSE 0 END AS applied
         |  FROM (SELECT *, CASE WHEN cand = 1
         |          THEN pos - row_number() OVER (PARTITION BY word, cand ORDER BY pos) END AS runid
-        |        FROM c$r))""".stripMargin
-      ctes += s"""s$r AS MATERIALIZED (SELECT word, freq, pos,
+        |        FROM ${P}c$r))""".stripMargin
+      ctes += s"""${P}s$r AS MATERIALIZED (SELECT word, freq, pos,
         |  CASE WHEN applied = 1 THEN sym || nxt ELSE sym END AS sym
         |  FROM (SELECT *, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
         |          lag(applied) OVER (PARTITION BY word ORDER BY pos) AS prv
-        |        FROM m$r)
+        |        FROM ${P}m$r)
         |  WHERE coalesce(prv, 0) = 0)""".stripMargin
     }
-    "WITH " + ctes.mkString(",\n")
+    ctes.mkString(",\n")
   }
+
+  private def bpeChainSql(m: Int, w: Int): String =
+    "WITH " + bpeChainCtes(m, w, "TRUE", "")
 
   /** Per-dict-word token counts from the final training state + the
     * per-document rollup (LEFT JOIN: a wordless doc counts 0). */
@@ -2878,6 +2935,34 @@ object SparkEntry {
       |SELECT doc.doc_id, coalesce(dcnt.bpe_tokens, 0)::BIGINT AS bpe_tokens
       |FROM documents doc LEFT JOIN dcnt USING (doc_id)
       |ORDER BY doc.doc_id""".stripMargin),
+    // q120: two models trained in ONE statement (namespaced chains —
+    // frozen learns from three data quarters, retrained from all);
+    // both encode the full vocabulary (freq-0 ride-along words), then
+    // per-source integer fertility in basis points
+    "q120_tokenizer_drift" -> ("WITH " +
+      bpeChainCtes(BpeMerges, BpeMaxWords, "doc_id % 4 != 3", "a_") + ",\n" +
+      bpeChainCtes(BpeMerges, BpeMaxWords, "TRUE", "b_") + s""",
+      |awt AS MATERIALIZED (SELECT word, count(*)::BIGINT AS n
+      |  FROM a_s$BpeMerges GROUP BY 1),
+      |bwt AS MATERIALIZED (SELECT word, count(*)::BIGINT AS n
+      |  FROM b_s$BpeMerges GROUP BY 1),
+      |docw AS (SELECT doc_id, word FROM
+      |  (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE len(word) > 0),
+      |per AS (SELECT doc.source, count(*)::BIGINT AS ws_tokens,
+      |          sum(a.n)::BIGINT AS tokens_frozen,
+      |          sum(b.n)::BIGINT AS tokens_retrained
+      |        FROM docw dw
+      |        JOIN documents doc USING (doc_id)
+      |        JOIN awt a ON a.word = dw.word
+      |        JOIN bwt b ON b.word = dw.word
+      |        GROUP BY 1)
+      |SELECT source, ws_tokens, tokens_frozen, tokens_retrained,
+      |       (tokens_frozen * 10000 // ws_tokens)::BIGINT AS fertility_frozen_bp,
+      |       (tokens_retrained * 10000 // ws_tokens)::BIGINT AS fertility_retrained_bp,
+      |       ((tokens_retrained * 10000 // ws_tokens)
+      |        - (tokens_frozen * 10000 // ws_tokens))::BIGINT AS drift_bp
+      |FROM per ORDER BY source""".stripMargin),
     "q118_bpe_budget_mix" -> (bpeDocCountsSql(BpeMerges, BpeMaxWords) + s""",
       |t AS (SELECT doc.doc_id, doc.source,
       |        coalesce(dcnt.bpe_tokens, 0)::BIGINT AS bpe_tokens,
