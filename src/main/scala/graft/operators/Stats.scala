@@ -131,9 +131,11 @@ object Stats {
   def exactGroupedRankValues(df: DataFrame, groupCol: String, valCol: String,
                              ranksOf: Long => Seq[(String, Long)],
                              buckets: Int = 1024,
-                             cutoff: Long = 4096): DataFrame = {
+                             cutoff: Long = 4096,
+                             maxGroups: Long = 100000): DataFrame = {
     require(buckets >= 2, s"buckets=$buckets must be >= 2")
     require(cutoff >= 1, s"cutoff=$cutoff must be >= 1")
+    require(maxGroups >= 1, s"maxGroups=$maxGroups must be >= 1")
     val spark = df.sparkSession
     val gType = df.schema(groupCol).dataType
     val base = df
@@ -144,10 +146,23 @@ object Stats {
       StructField("stat", StringType, nullable = false),
       StructField("value", DoubleType, nullable = true)))
 
-    // phase 0: per-group envelope — |groups| rows to the driver
+    // phase 0: per-group envelope — |groups| rows to the driver. The
+    // bounded-groups contract made LOUD at zero extra scans: the
+    // collect is capped at maxGroups+1 rows (LIMIT above the
+    // aggregate, so a runaway group key reaches the driver as one
+    // excess row, not millions) and overflow fails fast with the
+    // right alternative named — a high-cardinality key belongs on
+    // approxGroupedQuantiles (mergeable sketch, constant memory),
+    // not on driver-coordinated exact ranks.
     val env = base.groupBy(col("__g"))
       .agg(count(lit(1)).as("n"), min("__v").as("mn"), max("__v").as("mx"))
+      .limit((maxGroups + 1).min(Int.MaxValue).toInt)
       .collect()
+    require(env.length <= maxGroups,
+      s"exactGroupedRankValues: over $maxGroups distinct groups in " +
+        s"'$groupCol' — driver-coordinated exact ranks need a bounded " +
+        "group key; use approxGroupedQuantiles for unbounded keys or " +
+        "raise maxGroups deliberately")
 
     final class Target(val g: Any, val stat: String, var k: Long,
                        val chain: mutable.ArrayBuffer[(Double, Double, Long)],

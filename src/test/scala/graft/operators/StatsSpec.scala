@@ -102,6 +102,18 @@ class StatsSpec extends SparkSpec {
     assert(canon(deep) == canon(exact))
   }
 
+  test("exactGroupedRankValues fails fast past maxGroups, naming the sketch path") {
+    val e = intercept[IllegalArgumentException] {
+      Stats.exactGroupedRankValues(rankCorpus, "g", "v",
+        n => Seq(("med", (n + 1) / 2)), maxGroups = 3)
+    }
+    assert(e.getMessage.contains("approxGroupedQuantiles"),
+      s"overflow error must name the unbounded-key alternative: ${e.getMessage}")
+    // at the boundary (4 named groups + the null group = 5) it still runs
+    assert(Stats.exactGroupedRankValues(rankCorpus, "g", "v",
+      n => Seq(("med", (n + 1) / 2)), maxGroups = 5).count() == 5)
+  }
+
   test("two-phase result plan: no Window, no global sort, bounded aggregates") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val out = Stats.exactGroupedRankValues(rankCorpus, "g", "v",

@@ -105,4 +105,30 @@ class IndexStreamSpec extends SparkSpec {
     assert(IndexStream.committed(spark, store, 2L))
     assert(state() == before, "marker-loss redelivery changed a read")
   }
+
+  test("fold keeps the committed-batch markers as the redelivery fence: " +
+       "a replayed producer cannot re-create a folded batch") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idxfoldfence").toString
+    val store = s"$dir/store"
+    val batches = Seq(corpus.take(2), corpus.slice(2, 4), corpus.drop(4))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IndexStream.applyBatch(b.toDF(), "doc_id", "text", store, parts, i.toLong)
+    }
+    val before = probe(store)
+    // retention: batches 0-1 fold into the base snapshot at b=1
+    TextOps.foldPostingIndexVersions(spark, store, upTo = 1L)
+    assert(probe(store) == before, "fold changed the un-cut read")
+    // the producer replays batch 0 (e.g. a rebuilt checkpoint replaying
+    // history): the marker — deliberately KEPT by the fold — must make
+    // it a no-op; re-creating b=0 would double-count rows the snapshot
+    // already absorbed
+    IndexStream.applyBatch(batches(0).toDF(), "doc_id", "text", store,
+      parts, 0L)
+    assert(probe(store) == before,
+      "replay of a folded batch re-entered the index")
+    // and fresh batches continue to land normally after the fold
+    assert(IndexStream.committed(spark, store, 0L) &&
+      IndexStream.committed(spark, store, 2L))
+  }
 }
