@@ -230,6 +230,54 @@ object Stress {
     }
     }
 
+    if (mode == "fold") {
+    // versioned-history storm: a 15-minute index cadence is 96
+    // batches/day, and every batch adds a `b=` directory level to each
+    // touched term partition — q115's fold is the retention move. Build
+    // `factor` versioned batches over disjoint doc slices, fold the
+    // older half into the base snapshot, and measure what the fold
+    // claims: file/dir count collapses toward one level per partition,
+    // reads at/above the fold point are IDENTICAL (asserted, not
+    // assumed), and the fold itself costs O(folded index).
+    import graft.operators.TextOps
+    val parts = 32
+    val nb = math.max(4, factor)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-stress-fold-$nb"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("text"))
+    val t0 = System.nanoTime()
+    (0 until nb).foreach(b =>
+      TextOps.writePostingIndexVersioned(docs.filter(pmod(col("doc_id"), lit(nb)) === b),
+        "doc_id", "text", path, parts, b))
+    println(f"[stress] built $nb versioned batches in ${(System.nanoTime()-t0)/1e9}%.1f s")
+    def fileCount(): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(java.nio.file.Files.isRegularFile(_)).toLong
+      } finally s.close()
+    }
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("qtext"))
+    def read() = TextOps.bm25TopKIndexed(spark, path, parts, queries,
+        "query_id", "qtext", k = 10, asOf = Some(nb - 1L))
+      .collect().map(_.toString).sorted.toSeq
+    println(s"[stress] files pre-fold: ${fileCount()}")
+    var pre: Seq[String] = Seq.empty
+    time("read asOf latest (pre-fold)") { pre = read(); pre.size.toLong }
+    time(s"foldVersions(upTo=${nb / 2})") {
+      TextOps.foldPostingIndexVersions(spark, path, upTo = nb / 2L)
+      1L
+    }
+    println(s"[stress] files post-fold: ${fileCount()}")
+    time("read asOf latest (post-fold)") {
+      val post = read()
+      require(post == pre, "fold changed a read at the latest as-of")
+      post.size.toLong
+    }
+    }
+
     if (mode == "incr") {
     // incremental-maintenance storm: history = the factor× corpus, the
     // increment = ONE more sf0.1-sized batch (ids disjoint above the

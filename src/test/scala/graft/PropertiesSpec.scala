@@ -278,6 +278,45 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("exactGroupedRankValues ≡ naive sorted rank on random shapes " +
+       "(seeded Spark check)") {
+    // the round-12 core change, fuzzed: random group layouts (skew,
+    // ties, negatives, tiny/huge groups), random requested ranks,
+    // adversarially small buckets/cutoff — the two-phase path must
+    // equal the in-memory sorted reference for EVERY (group, rank)
+    val rnd = new scala.util.Random(12)
+    for (trial <- 1 to 5) {
+      val nGroups = 1 + rnd.nextInt(6)
+      val rows = (1 to 2000 + rnd.nextInt(3000)).map { _ =>
+        val g = s"g${rnd.nextInt(nGroups)}"
+        // mixture: heavy ties (quantized), smooth, negative ranges
+        val v = rnd.nextInt(3) match {
+          case 0 => math.floor(rnd.nextDouble() * 20) / 3.0
+          case 1 => rnd.nextDouble() * 1e6 - 5e5
+          case _ => rnd.nextGaussian()
+        }
+        (g, v)
+      }
+      val df = rows.toDF("g", "v").repartition(1 + rnd.nextInt(8))
+      // memoized per group size so the assertion replays the same picks
+      val picks = scala.collection.mutable.Map.empty[Long, Seq[(String, Long)]]
+      val stableRanks: Long => Seq[(String, Long)] =
+        n => picks.getOrElseUpdate(n, Seq(
+          ("r1", 1L), ("rq", 1L + (rnd.nextInt(100) % n.toInt)), ("rn", n)))
+      val got = graft.operators.Stats.exactGroupedRankValues(
+          df, "g", "v", stableRanks,
+          buckets = 2 + rnd.nextInt(6), cutoff = 1 + rnd.nextInt(4))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+        .toMap
+      val byG = rows.groupBy(_._1)
+      for ((g, vs) <- byG; (stat, k) <- picks(vs.size.toLong)) {
+        val want = vs.map(_._2).sorted.apply(k.toInt - 1)
+        assert(got((g, stat)) == want,
+          s"trial $trial group $g $stat rank $k: got ${got((g, stat))}, want $want")
+      }
+    }
+  }
+
   test("minhash signature agreement tracks true jaccard (statistical)") {
     val rnd = new scala.util.Random(31)
     val base = (0 until 60).map(i => s"w$i")
