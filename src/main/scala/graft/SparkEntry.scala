@@ -2045,6 +2045,27 @@ object SparkEntry {
       .orderBy("cluster")
   }
 
+  /** SemDeDup ([[Similarity.semDedupPairs]]): semantic near-dup pairs
+    * via k-means cluster blocking — cluster the int8-quantized space
+    * (bit-identical to q97's clusters), cap each cluster by the
+    * smallest-(hash, id) rule (q110's cap, replayed), then decide each
+    * within-cluster pair in PURE INTEGER arithmetic:
+    * dot²·400 ≥ 49·‖a‖²·‖b‖² ⇔ cosine ≥ 0.35 (q51's threshold as an
+    * exact rational). The paraphrase-dedup arm: LSH bands (q51) only
+    * see cosine ≈ 1 agreement; cluster blocking surfaces the 0.35-0.7
+    * band the SemDeDup recipe prunes. drop_id = the more-prototypical
+    * member (smaller exact centroid distance, ties to the larger id). */
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupPairs(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = KmeansK, iters = KmeansIters,
+        thrNum = SemThrNum, thrDen = SemThrDen, clusterCap = SemCap,
+        seed = SampleSeed)
+      .orderBy("cluster", "id_a", "id_b")
+
+  private val SemThrNum = 49L // threshold² = 49/400 ⇒ cosine ≥ 0.35
+  private val SemThrDen = 400L
+  private val SemCap = 48L
+
   /** Hopping (sliding) window aggregation — q25's tumbling windows
     * generalized: 1-hour windows every 15 minutes, each event counted
     * in size/slide = 4 overlapping windows via an integer explode (no
@@ -2139,6 +2160,7 @@ object SparkEntry {
     "q118_bpe_budget_mix" -> q118,
     "q119_pagerank_dangling" -> q119,
     "q120_tokenizer_drift" -> q120,
+    "q121_semdedup_pairs" -> q121,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -3161,6 +3183,40 @@ object SparkEntry {
           |       FROM rk WHERE rn <= 20 GROUP BY 1)
           |SELECT tot.cluster, tot.n_total, kp.n_kept
           |FROM tot JOIN kp USING (cluster) ORDER BY tot.cluster""".stripMargin),
+    // q121: the k-means replay + q110's cap replay + integer pair
+    // decision — dot, norms and centroid distances all exact BIGINTs,
+    // so the kept set and the drop rule replay with no tolerance
+    "q121_semdedup_pairs" ->
+      (kmeansOracleCtes(KmeansK, KmeansIters) +
+        s""", rk AS (SELECT vec_id, cluster, dist,
+          |         row_number() OVER (PARTITION BY cluster
+          |           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+          |                    vec_id) AS rn
+          |       FROM fa),
+          |cap AS (SELECT vec_id, cluster, dist FROM rk WHERE rn <= $SemCap),
+          |nm AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
+          |       FROM vzall v JOIN cap c USING (vec_id) GROUP BY 1),
+          |pr AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+          |         a.dist AS da, b.dist AS db
+          |       FROM cap a JOIN cap b
+          |         ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+          |dt AS (SELECT p.cluster, p.id_a, p.id_b, p.da, p.db,
+          |         CAST(sum(va.val * vb.val) AS BIGINT) AS dot
+          |       FROM pr p
+          |       JOIN vzall va ON va.vec_id = p.id_a
+          |       JOIN vzall vb ON vb.vec_id = p.id_b AND vb.pos = va.pos
+          |       GROUP BY 1, 2, 3, 4, 5),
+          |sd AS (SELECT d.cluster, d.id_a, d.id_b, d.dot, d.da, d.db,
+          |         na.n2 AS na, nb.n2 AS nb
+          |       FROM dt d JOIN nm na ON na.vec_id = d.id_a
+          |                 JOIN nm nb ON nb.vec_id = d.id_b
+          |       WHERE d.dot > 0
+          |         AND d.dot * d.dot * $SemThrDen >= $SemThrNum * na.n2 * nb.n2)
+          |SELECT cluster, id_a, id_b,
+          |  round(dot / sqrt((na * nb)::DOUBLE), 6) AS cosine,
+          |  CASE WHEN da < db THEN id_a WHEN db < da THEN id_b
+          |       ELSE greatest(id_a, id_b) END AS drop_id
+          |FROM sd ORDER BY cluster, id_a, id_b""".stripMargin),
     // q101: the k-means replay (same CTE block as q97) plus the
     // label-purity audit on top — all-integer, exact
     "q101_cluster_profile" ->

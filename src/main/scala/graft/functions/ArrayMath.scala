@@ -256,6 +256,84 @@ case class SquaredL2Expr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Σᵢ aᵢ·bᵢ over two numeric arrays — the inner-product kernel the
+  * integer-exact similarity arms build on. Same contract as the other
+  * kernels: elements widened to double, one sequential fold,
+  * null/mismatch/empty → null. On int8-quantized inputs every term is
+  * ≤ 127² and the sum ≤ dim·127² — exact integral doubles far below
+  * 2^53, so pair thresholds can be decided in pure integer arithmetic
+  * (dot²·den ≥ num·‖a‖²·‖b‖²) and replayed bit-exactly by the oracle. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  @transient private lazy val leftFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double> inputs, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements() || n == 0) return null
+    var acc = 0d
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xi * yi
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val anyNull = ctx.freshName("anyNull")
+      val getX = if (leftFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val getY = if (rightFloat) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements() || $n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $anyNull = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $anyNull = true; break; }
+         |    $acc += $getX * $getY;
+         |  }
+         |  if ($anyNull) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override def nullable: Boolean = true
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object ArrayMath {
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a splitmix64-style mix of both indices, so no (plane, dim) pair
@@ -350,6 +428,8 @@ object ArrayMath {
       "int8_quantize", es => Int8QuantizeExpr(es(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "squared_l2", es => SquaredL2Expr(es(0), es(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", es => DotProductExpr(es(0), es(1)), "scala_udf")
   }
 
   /** Column API for the bucket kernel. */
@@ -370,4 +450,8 @@ object ArrayMath {
   /** Column API for the Euclidean kernel. */
   def squaredL2(a: Column, b: Column): Column =
     call_function("squared_l2", a, b)
+
+  /** Column API for the inner-product kernel. */
+  def dotProduct(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
 }

@@ -143,7 +143,17 @@ object Clustering {
     * training loop's assignment, so batch ∪ train assigned here ≡ one
     * full run's final assignment (law in ClusteringSpec). */
   def assignToCentroids(batch: DataFrame, idCol: String, vecCol: String,
-                        cents: Seq[(Int, Array[Double])]): DataFrame = {
+                        cents: Seq[(Int, Array[Double])]): DataFrame =
+    assignToCentroidsKeepVec(batch, idCol, vecCol, cents).drop("qv")
+
+  /** [[assignToCentroids]] that also RETURNS the int8-quantized vector
+    * (`qv: array<double>`, integral components) alongside
+    * (id, cluster, dist) — for consumers that pair rows AFTER routing
+    * (SemDedup's within-cluster similarity) and would otherwise pay a
+    * corpus-sized join to re-attach vectors to assignments. */
+  def assignToCentroidsKeepVec(batch: DataFrame, idCol: String,
+                               vecCol: String,
+                               cents: Seq[(Int, Array[Double])]): DataFrame = {
     require(cents.nonEmpty, "no centroids")
     ArrayMath.register(batch.sparkSession)
     val qv = batch
@@ -151,6 +161,6 @@ object Clustering {
         ArrayMath.int8Quantize(col(vecCol)).as("__qv"))
       .where(col("__qv").isNotNull)
     assign(qv, cents).select(col("__id").as("id"),
-      col("cluster").cast("int"), col("dist"))
+      col("cluster").cast("int"), col("dist"), col("__qv").as("qv"))
   }
 }

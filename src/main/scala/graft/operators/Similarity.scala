@@ -397,6 +397,65 @@ object Similarity {
     cosineDedupPairs(corpus, idCol, vecCol, threshold,
       autoPlanes(corpus.count()), nTables)
 
+  /** SemDeDup — semantic deduplication via cluster blocking (Abbas et
+    * al. 2023, arXiv:2303.09540): k-means the embedding space, compare
+    * pairs ONLY within a cluster, drop the more-prototypical member of
+    * each near-dup pair. The cluster plays the role the LSH band plays
+    * in [[cosineDedupPairs]] — but the blocks are SEMANTIC, so the
+    * operator also catches paraphrase-level duplicates whose cosine
+    * (0.3–0.7) sits far below any LSH-band agreement threshold.
+    *
+    * Exactness: vectors are int8-quantized (the [[Clustering]] loop's
+    * own space, so clusters here ≡ q97's clusters bit-for-bit) and the
+    * pair decision is pure integer arithmetic — keep iff dot > 0 and
+    * dot²·thrDen ≥ thrNum·‖a‖²·‖b‖² with thrNum/thrDen = threshold²
+    * as an exact rational. No float comparison anywhere in the kept-set
+    * decision, so the oracle replays clustering, capping AND pairing.
+    * The reported `cosine` is display-only (rounded like every ANN arm).
+    *
+    * Drop rule (the paper's, made deterministic): within a pair the
+    * member CLOSER to its centroid (smaller exact integer `dist`) is
+    * the droppable prototype; ties break toward the larger id.
+    *
+    * Scale contract: pair cost is Σ_c min(|c|, cap)²/2. The paper runs
+    * k ≈ n/⟨cluster⟩ (tens of thousands of clusters at corpus scale) so
+    * |c| is already bounded in expectation; `clusterCap` is the
+    * deterministic degrade path for the skewed cluster (the
+    * HardMaxPostings discipline: the cap keeps the min(|c|, cap) rows
+    * with the smallest (hash, id) via [[Sampling.stratumCap]]'s
+    * two-phase histogram — no data-sized window), and dropped rows are
+    * observable as assignment−capped. The self-join is an equi-join on
+    * cluster id — k keys, so k must scale with the corpus exactly as
+    * the paper prescribes; nothing wider than (id, dist, qv) shuffles. */
+  def semDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, thrNum: Long, thrDen: Long,
+                    clusterCap: Long, seed: String = "graft"): DataFrame = {
+    require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen,
+      s"threshold² = $thrNum/$thrDen must be a rational in [0, 1]")
+    require(clusterCap > 1, s"clusterCap=$clusterCap: need at least a pair")
+    val (_, cents) = Clustering.kmeansQuantized(corpus, idCol, vecCol, k, iters)
+    val av = Clustering.assignToCentroidsKeepVec(corpus, idCol, vecCol, cents)
+    val capped = Sampling.stratumCap(av, "cluster", "id", clusterCap, seed = seed)
+      .withColumn("__n2", ArrayMath.dotProduct(col("qv"), col("qv")).cast("long"))
+    val a = capped.select(col("cluster"), col("id").as("id_a"),
+      col("dist").as("__da"), col("qv").as("__qa"), col("__n2").as("__na"))
+    val b = capped.select(col("cluster"), col("id").as("id_b"),
+      col("dist").as("__db"), col("qv").as("__qb"), col("__n2").as("__nb"))
+    val dot = ArrayMath.dotProduct(col("__qa"), col("__qb")).cast("long")
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__dot", dot)
+      .filter(col("__dot") > 0 &&
+        col("__dot") * col("__dot") * lit(thrDen) >=
+          lit(thrNum) * col("__na") * col("__nb"))
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        round(col("__dot").cast("double") /
+          sqrt((col("__na") * col("__nb")).cast("double")), 6).as("cosine"),
+        when(col("__da") < col("__db"), col("id_a"))
+          .when(col("__db") < col("__da"), col("id_b"))
+          .otherwise(greatest(col("id_a"), col("id_b"))).as("drop_id"))
+  }
+
   /** Late-interaction (MaxSim) retrieval over MULTI-vector documents —
     * the ColBERT-family scoring every single-vector ANN arm here
     * cannot express: a document is a BAG of vectors (one per token /

@@ -333,4 +333,77 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.7, s"shortlisted MaxSim recall $recall below 0.7")
   }
+
+  test("dot_product kernel: exact fold, float inputs, mismatch/null → null") {
+    ArrayMath.register(spark)
+    val d = Seq((Array(1.0, 2.0, -3.0), Array(4.0, -5.0, 6.0)))
+      .toDF("a", "b")
+      .select(ArrayMath.dotProduct(col("a"), col("b"))).first().getDouble(0)
+    assert(d == -24.0)
+    val f = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .select(ArrayMath.dotProduct(col("a"), col("b"))).first().getDouble(0)
+    assert(f == 11.0)
+    val mismatch = Seq((Array(1.0), Array(1.0, 2.0))).toDF("a", "b")
+      .select(ArrayMath.dotProduct(col("a"), col("b")))
+    assert(mismatch.first().isNullAt(0))
+    val withNull = Seq((Array[java.lang.Double](1.0, null), Array[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b").select(ArrayMath.dotProduct(col("a"), col("b")))
+    assert(withNull.first().isNullAt(0))
+  }
+
+  test("semDedupPairs with k=1 and a non-binding cap ≡ naive all-pairs " +
+       "integer threshold (law)") {
+    // a single cluster blocks nothing, and a cap above the corpus size
+    // caps nothing — so the operator must degenerate to the brute-force
+    // quantized-threshold reference on every pair
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.semDedupPairs(e, "vec_id", "embedding",
+        k = 1, iters = 1, thrNum = 49L, thrDen = 400L, clusterCap = 10000L)
+      .select("id_a", "id_b", "drop_id")
+      .as[(Long, Long, Long)].collect().toSet
+    ArrayMath.register(spark)
+    val qv = e.select(col("vec_id"),
+      ArrayMath.int8Quantize(col("embedding")).as("qv"))
+    val a = qv.select(col("vec_id").as("id_a"), col("qv").as("qa"))
+    val b = qv.select(col("vec_id").as("id_b"), col("qv").as("qb"))
+    val naive = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("dot", ArrayMath.dotProduct(col("qa"), col("qb")).cast("long"))
+      .withColumn("na", ArrayMath.dotProduct(col("qa"), col("qa")).cast("long"))
+      .withColumn("nb", ArrayMath.dotProduct(col("qb"), col("qb")).cast("long"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 400L >= lit(49L) * col("na") * col("nb"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) == naive,
+      s"semDedup k=1 kept ${got.size} pairs, naive kept ${naive.size}")
+    assert(got.nonEmpty, "law is vacuous: no pair clears the threshold")
+    // the drop member is always one of the pair
+    assert(got.forall(p => p._3 == p._1 || p._3 == p._2))
+  }
+
+  test("semDedupPairs blocks across clusters and respects the cluster cap") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cap = 5L
+    val pairs = Similarity.semDedupPairs(e, "vec_id", "embedding",
+        k = 4, iters = 2, thrNum = 0L, thrDen = 1L, clusterCap = cap)
+    // thrNum = 0 keeps EVERY dot>0 pair of capped co-clustered members:
+    // per-cluster pair count is bounded by C(cap, 2), and every pair's
+    // members share the pair's cluster in the operator's own assignment
+    val (_, cents) = Clustering.kmeansQuantized(
+      e, "vec_id", "embedding", k = 4, iters = 2)
+    val assign = Clustering.assignToCentroids(e, "vec_id", "embedding", cents)
+      .select(col("id"), col("cluster")).as[(Long, Int)].collect().toMap
+    val got = pairs.select("cluster", "id_a", "id_b")
+      .as[(Int, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (c, ia, ib) =>
+      assert(assign(ia) == c && assign(ib) == c,
+        s"pair ($ia,$ib) reported cluster $c but assigned ${assign(ia)}/${assign(ib)}")
+    }
+    val perCluster = got.groupBy(_._1).map { case (c, ps) =>
+      c -> ps.flatMap(p => Seq(p._2, p._3)).distinct.size
+    }
+    perCluster.foreach { case (c, members) =>
+      assert(members <= cap, s"cluster $c paired $members members > cap $cap")
+    }
+  }
 }
