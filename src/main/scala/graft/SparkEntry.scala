@@ -2066,6 +2066,27 @@ object SparkEntry {
   private val SemThrDen = 400L
   private val SemCap = 48L
 
+  /** Trained language/quality classifier ([[TextOps.nbTrainPredict]]):
+    * multinomial Naive Bayes trained on the doc_id%4≠3 split, scored
+    * on the held-out quarter, reported as the (true lang × predicted
+    * lang) confusion matrix with exact count and min/max joint
+    * log-likelihood — the learned-classifier arm next to q15's
+    * n-gram heuristic (the CCNet/GPT-3 quality-filter shape: a linear
+    * model over token counts, trained on a curated reference). Every
+    * prediction is an exact-decimal argmax, so the confusion matrix —
+    * not a tolerance band — is the oracle. */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val pred = TextOps.nbTrainPredict(
+      d.filter(col("doc_id") % 4 =!= 3), d.filter(col("doc_id") % 4 === 3),
+      "doc_id", "lang", "text")
+    pred.join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .orderBy("lang", "pred")
+  }
+
   /** Hopping (sliding) window aggregation — q25's tumbling windows
     * generalized: 1-hour windows every 15 minutes, each event counted
     * in size/slide = 4 overlapping windows via an integer explode (no
@@ -2161,6 +2182,7 @@ object SparkEntry {
     "q119_pagerank_dangling" -> q119,
     "q120_tokenizer_drift" -> q120,
     "q121_semdedup_pairs" -> q121,
+    "q122_nb_classifier" -> q122,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -3309,6 +3331,47 @@ object SparkEntry {
         |ORDER BY rt.source""".stripMargin,
     // q100: the bigram LM replayed — same token stream, same add-one
     // conditional, same rounded-ln / decimal-sum discipline as q85
+    // q122: the NB classifier replayed — integer counts, rounded-ln
+    // likelihoods/floors/priors, DECIMAL sums, exact-decimal argmax
+    // with ties to the smaller label; confusion over the held-out split
+    "q122_nb_classifier" ->
+      """WITH tr AS (SELECT lang, text FROM documents WHERE doc_id % 4 != 3),
+        |te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 3),
+        |tt AS (SELECT lang AS lab, unnest(list_filter(string_split(text, ' '),
+        |         t -> len(t) > 0)) AS tok FROM tr),
+        |cwt AS (SELECT lab, tok, count(*) AS c FROM tt GROUP BY 1, 2),
+        |ct AS (SELECT lab, count(*) AS c FROM tt GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM tt),
+        |nlab AS (SELECT lang AS lab, count(*) AS nl FROM tr GROUP BY 1),
+        |ntr AS (SELECT count(*) AS n FROM tr),
+        |cls AS (SELECT ct.lab, ct.c AS ctc, vocab.v,
+        |          CAST(round(ln(nlab.nl::DOUBLE / ntr.n), 6) AS DECIMAL(18,6)) AS prior,
+        |          CAST(round(ln(1.0 / (ct.c + vocab.v)), 6) AS DECIMAL(18,6)) AS floor_lp
+        |        FROM ct JOIN nlab USING (lab), vocab, ntr),
+        |model AS (SELECT cwt.lab, cwt.tok,
+        |            CAST(round(ln((cwt.c + 1)::DOUBLE / (cls.ctc + cls.v)), 6)
+        |              AS DECIMAL(18,6)) AS lp
+        |          FROM cwt JOIN cls USING (lab)),
+        |toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |           t -> len(t) > 0)) AS tok FROM te),
+        |perdoc AS (SELECT t.doc_id, c.lab,
+        |             CAST(sum(coalesce(m.lp, c.floor_lp)) AS DECIMAL(28,6)) AS s
+        |           FROM toks t CROSS JOIN cls c
+        |           LEFT JOIN model m ON m.lab = c.lab AND m.tok = t.tok
+        |           GROUP BY 1, 2),
+        |scored AS (SELECT p.doc_id, p.lab,
+        |             CAST(p.s + c.prior AS DECIMAL(28,6)) AS score
+        |           FROM perdoc p JOIN cls c USING (lab)),
+        |pred AS (SELECT doc_id, lab AS pred,
+        |           CAST(CAST(score AS VARCHAR) AS DOUBLE) AS score
+        |         FROM (SELECT doc_id, lab, score,
+        |                 row_number() OVER (PARTITION BY doc_id
+        |                   ORDER BY score DESC, lab ASC) AS rn
+        |               FROM scored) WHERE rn = 1)
+        |SELECT te.lang, p.pred, count(*)::BIGINT AS n_docs,
+        |       min(p.score) AS min_score, max(p.score) AS max_score
+        |FROM pred p JOIN te ON te.doc_id = p.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q100_bigram_lm" ->
       """WITH d AS (SELECT doc_id,
         |             list_filter(string_split(text, ' '), t -> len(t) > 0) AS w

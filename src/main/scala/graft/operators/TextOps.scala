@@ -1545,6 +1545,75 @@ object TextOps {
     *
     * Output: (id, n_bigrams, logprob) — callers derive per-token
     * perplexity as exp(-logprob/n_bigrams). */
+  /** Multinomial Naive Bayes text classifier — the learned-classifier
+    * quality/language arm (the GPT-3/CCNet recipe trains exactly this
+    * shape, a linear classifier over token counts, to score web text
+    * against a curated reference; q15's character-n-gram langid is the
+    * heuristic arm, this is the trained one). The model IS two tables
+    * (per-(label, token) counts and per-label totals — never driver
+    * state), so training is two counting aggregates and scoring is one
+    * broadcast of the K-row class table, one left join against the
+    * model and one map-side-combinable DECIMAL-sum aggregate.
+    *
+    * Exactness (the q100 discipline): every count is an exact integer;
+    * per-token log-likelihood = round(ln((c_wt+1)/(c_t+V)), 6) with
+    * add-one smoothing; a token unseen for a class scores the class's
+    * smoothing floor round(ln(1/(c_t+V)), 6); the class prior is
+    * round(ln(n_label/n_train), 6); all summed as DECIMAL. The argmax
+    * compares exact decimals, ties break toward the smaller label — so
+    * predictions replay bit-for-bit in the oracle.
+    *
+    * Scale: scoring fans each test token out K ways (K = #classes,
+    * single digits) — the classic NB cost — then immediately collapses
+    * through a partial aggregate; nothing data-sized is ever windowed
+    * (the argmax window partitions by doc id: K rows per partition).
+    * Test docs with zero non-empty tokens have no token rows and drop
+    * out (inner contract, like q100's <2-token docs).
+    *
+    * Output: (idCol, pred, score) — score is the winning class's joint
+    * log-likelihood as double (DECIMAL cast, engine-exact). */
+  def nbTrainPredict(train: DataFrame, test: DataFrame, idCol: String,
+                     labelCol: String, textCol: String): DataFrame = {
+    val tt = train.select(col(labelCol).as("__lab"),
+      explode(filter(tokens(col(textCol)), w => length(w) > 0)).as("__tok"))
+    val cwt = tt.groupBy("__lab", "__tok").agg(count(lit(1)).as("__cwt"))
+    val ct = tt.groupBy("__lab").agg(count(lit(1)).as("__ct"))
+    val vocab = tt.agg(countDistinct(col("__tok")).as("__v"))
+    val nlab = train.groupBy(col(labelCol).as("__lab"))
+      .agg(count(lit(1)).as("__nl"))
+    val ntr = train.agg(count(lit(1)).as("__n"))
+    val classes = ct.crossJoin(broadcast(vocab))
+      .join(nlab, "__lab").crossJoin(broadcast(ntr))
+      .select(col("__lab"), col("__ct"), col("__v"),
+        round(log(col("__nl").cast("double") / col("__n")), 6)
+          .cast("decimal(18,6)").as("__prior"),
+        round(log(lit(1.0) / (col("__ct") + col("__v"))), 6)
+          .cast("decimal(18,6)").as("__floor"))
+    val model = cwt.join(classes.select("__lab", "__ct", "__v"), "__lab")
+      .select(col("__lab"), col("__tok"),
+        round(log((col("__cwt") + 1).cast("double")
+            / (col("__ct") + col("__v"))), 6)
+          .cast("decimal(18,6)").as("__lp"))
+    val toks = test.select(col(idCol).as("__id"),
+      explode(filter(tokens(col(textCol)), w => length(w) > 0)).as("__tok"))
+    val perDoc = toks
+      .crossJoin(broadcast(classes.select(col("__lab"), col("__floor"))))
+      .join(model, Seq("__lab", "__tok"), "left")
+      .select(col("__id"), col("__lab"),
+        coalesce(col("__lp"), col("__floor")).as("__lp"))
+      .groupBy("__id", "__lab")
+      .agg(sum(col("__lp")).cast("decimal(28,6)").as("__s"))
+      .join(broadcast(classes.select("__lab", "__prior")), "__lab")
+      .withColumn("__score",
+        (col("__s") + col("__prior")).cast("decimal(28,6)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
+      .orderBy(col("__score").desc, col("__lab").asc)
+    perDoc.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("__lab").as("pred"),
+        col("__score").cast("double").as("score"))
+  }
+
   def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = docs.select(col(idCol).as("__id"),
       filter(tokens(col(textCol)), w => length(w) > 0).as("__w"))

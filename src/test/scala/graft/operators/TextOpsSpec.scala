@@ -740,4 +740,65 @@ class TextOpsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(run(docs) == run(docs.repartition(7)))
   }
+
+  test("nbTrainPredict: separable vocabularies classify correctly; " +
+       "hand-computed score on a one-token doc") {
+    val train = Seq(
+      (1L, "sport", "goal match team goal"),
+      (2L, "sport", "team match win"),
+      (3L, "money", "bank loan rate"),
+      (4L, "money", "rate bank bank profit")
+    ).toDF("doc_id", "label", "text")
+    val test = Seq(
+      (10L, "goal team match"),  // pure sport vocab
+      (11L, "bank rate loan"),   // pure money vocab
+      (12L, "goal")              // single token — hand-checkable
+    ).toDF("doc_id", "text")
+    val got = TextOps.nbTrainPredict(train, test, "doc_id", "label", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got(10L)._1 == "sport")
+    assert(got(11L)._1 == "money")
+    assert(got(12L)._1 == "sport")
+    // doc 12 "goal": sport has c_goal=2, c_t=7 tokens, V=8 distinct,
+    // prior ln(2/4); score = round(ln(3/15), 6) + round(ln(0.5), 6)
+    val want = BigDecimal(math.rint(math.log(3.0 / 15) * 1e6) / 1e6) +
+      BigDecimal(math.rint(math.log(0.5) * 1e6) / 1e6)
+    assert(math.abs(got(12L)._2 - want.toDouble) < 1e-12,
+      s"score ${got(12L)._2} != hand-computed $want")
+  }
+
+  test("nbTrainPredict: unseen tokens score the per-class smoothing " +
+       "floor; all-unseen doc decided by floor+prior, ties to smaller label") {
+    // classes with identical shapes: same token count, same vocab size
+    // per class → identical floors; identical priors. An all-unseen doc
+    // ties exactly and must go to the lexicographically smaller label.
+    val train = Seq(
+      (1L, "aa", "x1 x2 x3"),
+      (2L, "bb", "y1 y2 y3")
+    ).toDF("doc_id", "label", "text")
+    val test = Seq((9L, "zz zz")).toDF("doc_id", "text")
+    val got = TextOps.nbTrainPredict(train, test, "doc_id", "label", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got(9L)._1 == "aa", s"tie must break to the smaller label, got ${got(9L)}")
+    // floor = round(ln(1/(3+6)),6) twice, prior = round(ln(1/2),6)
+    val want = 2 * (math.rint(math.log(1.0 / 9) * 1e6) / 1e6) +
+      math.rint(math.log(0.5) * 1e6) / 1e6
+    assert(math.abs(got(9L)._2 - want) < 1e-9)
+    // zero-token docs drop out (documented inner contract)
+    val empty = TextOps.nbTrainPredict(train,
+      Seq((7L, "")).toDF("doc_id", "text"), "doc_id", "label", "text")
+    assert(empty.count() == 0)
+  }
+
+  test("nbTrainPredict: deterministic under repartitioning") {
+    val train = (1L to 40L).map(i =>
+      (i, s"c${i % 3}", s"w${i % 7} w${i % 5} c${i % 3}tok w${i % 2}"))
+      .toDF("doc_id", "label", "text")
+    val test = (100L to 130L).map(i =>
+      (i, s"w${i % 7} c${i % 3}tok w${i % 11}")).toDF("doc_id", "text")
+    def run(tr: org.apache.spark.sql.DataFrame) =
+      TextOps.nbTrainPredict(tr, test, "doc_id", "label", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(run(train) == run(train.repartition(11)))
+  }
 }
