@@ -2087,6 +2087,29 @@ object SparkEntry {
       .orderBy("lang", "pred")
   }
 
+  /** Weighted exact grouped quantiles
+    * ([[Stats.exactGroupedRankValues]] with `weightCol`): per source,
+    * the document sizes below which 25/50/75% of the corpus's TOKEN
+    * MASS sits — the quantile a training pipeline actually budgets in
+    * (a source can have a modest median doc but carry its mass in a
+    * few huge docs; the doc-count median can't see that). Ranks are
+    * exact integer positions in cumulative token weight
+    * (k_p = ⌈p·W⌉), resolved by the same two-phase histogram →
+    * targeted rank-select as q46/q104/q112 — no data-sized window,
+    * weighted or not. */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .where(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars"),
+        size(filter(TextOps.tokens(col("text")), w => length(w) > 0))
+          .cast("long").as("__w"))
+    Stats.exactGroupedRankValues(d, "source", "n_chars",
+        tw => Seq(("wp25", (tw + 3) / 4), ("wp50", (tw + 1) / 2),
+          ("wp75", (3 * tw + 3) / 4)),
+        weightCol = Some("__w"))
+      .orderBy("source", "stat")
+  }
+
   /** Hopping (sliding) window aggregation — q25's tumbling windows
     * generalized: 1-hour windows every 15 minutes, each event counted
     * in size/slide = 4 overlapping windows via an integer explode (no
@@ -2183,6 +2206,7 @@ object SparkEntry {
     "q120_tokenizer_drift" -> q120,
     "q121_semdedup_pairs" -> q121,
     "q122_nb_classifier" -> q122,
+    "q123_weighted_quantiles" -> q123,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -3331,6 +3355,26 @@ object SparkEntry {
         |ORDER BY rt.source""".stripMargin,
     // q100: the bigram LM replayed — same token stream, same add-one
     // conditional, same rounded-ln / decimal-sum discipline as q85
+    // q123: weighted quantile = smallest v whose cumulative integer
+    // token weight reaches ⌈p·W⌉ — replayed as a distinct-value
+    // cumulative sum (tie-safe: equal v collapse before the window)
+    "q123_weighted_quantiles" ->
+      """WITH d AS (SELECT source, n_chars::DOUBLE AS v,
+        |             len(list_filter(string_split(text, ' '),
+        |               t -> len(t) > 0))::BIGINT AS w
+        |           FROM documents WHERE n_chars IS NOT NULL),
+        |d2 AS (SELECT * FROM d WHERE w > 0),
+        |tot AS (SELECT source, sum(w) AS tw FROM d2 GROUP BY 1),
+        |g AS (SELECT source, v, sum(w) AS wv FROM d2 GROUP BY 1, 2),
+        |c AS (SELECT source, v,
+        |        sum(wv) OVER (PARTITION BY source ORDER BY v) AS cw
+        |      FROM g),
+        |ks AS (SELECT source, 'wp25' AS stat, (tw + 3) // 4 AS k FROM tot
+        |       UNION ALL SELECT source, 'wp50', (tw + 1) // 2 FROM tot
+        |       UNION ALL SELECT source, 'wp75', (3 * tw + 3) // 4 FROM tot)
+        |SELECT ks.source, ks.stat, min(c.v) AS value
+        |FROM ks JOIN c ON c.source = ks.source AND c.cw >= ks.k
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q122: the NB classifier replayed — integer counts, rounded-ln
     // likelihoods/floors/priors, DECIMAL sums, exact-decimal argmax
     // with ties to the smaller label; confusion over the held-out split

@@ -123,6 +123,19 @@ object Stats {
     * stat, value: double). Values round-trip exactly for integral
     * inputs < 2^53.
     *
+    * `weightCol` generalizes the rank to WEIGHTED mass (the quantile a
+    * training pipeline budgets in: "the document length below which
+    * half the TOKENS sit", not half the documents): ranks become
+    * 1-based positions in cumulative integer weight — the stat at rank
+    * k is the smallest v with Σ weight(rows ≤ v) ≥ k — and `ranksOf`
+    * receives the group's TOTAL WEIGHT instead of its row count.
+    * Weights must be positive integers (a long column); rows with
+    * NULL or non-positive weight carry no mass and are excluded.
+    * Histogram narrowing still bounds by ROW count, so convergence
+    * and every memory bound are exactly the unweighted ones, and with
+    * all-1 weights the result is identical to the unweighted call
+    * (law in StatsSpec).
+    *
     * Passes over the data: 1 (per-group count/min/max) + L (histogram
     * levels, L=1 for groups ≤ buckets·cutoff rows ≈ 4M at defaults;
     * every level is the SAME scan shape) + 1 (targeted select) —
@@ -132,15 +145,18 @@ object Stats {
                              ranksOf: Long => Seq[(String, Long)],
                              buckets: Int = 1024,
                              cutoff: Long = 4096,
-                             maxGroups: Long = 100000): DataFrame = {
+                             maxGroups: Long = 100000,
+                             weightCol: Option[String] = None): DataFrame = {
     require(buckets >= 2, s"buckets=$buckets must be >= 2")
     require(cutoff >= 1, s"cutoff=$cutoff must be >= 1")
     require(maxGroups >= 1, s"maxGroups=$maxGroups must be >= 1")
     val spark = df.sparkSession
     val gType = df.schema(groupCol).dataType
+    val wExpr = weightCol.map(w => col(w).cast("long")).getOrElse(lit(1L))
     val base = df
-      .select(col(groupCol).as("__g"), col(valCol).cast("double").as("__v"))
-      .where(col("__v").isNotNull && !isnan(col("__v")))
+      .select(col(groupCol).as("__g"), col(valCol).cast("double").as("__v"),
+        wExpr.as("__wt"))
+      .where(col("__v").isNotNull && !isnan(col("__v")) && col("__wt") > 0)
     val outSchema = StructType(Seq(
       StructField(groupCol, gType, nullable = true),
       StructField("stat", StringType, nullable = false),
@@ -155,7 +171,8 @@ object Stats {
     // approxGroupedQuantiles (mergeable sketch, constant memory),
     // not on driver-coordinated exact ranks.
     val env = base.groupBy(col("__g"))
-      .agg(count(lit(1)).as("n"), min("__v").as("mn"), max("__v").as("mx"))
+      .agg(count(lit(1)).as("n"), sum("__wt").as("tw"),
+        min("__v").as("mn"), max("__v").as("mx"))
       .limit((maxGroups + 1).min(Int.MaxValue).toInt)
       .collect()
     require(env.length <= maxGroups,
@@ -171,12 +188,13 @@ object Stats {
     var narrowing = mutable.ArrayBuffer.empty[Target] // bucket > cutoff: histogram again
     val selecting = mutable.ArrayBuffer.empty[Target] // bucket ≤ cutoff: targeted select
     env.foreach { r =>
-      val (g, n, mn, mx) = (r.get(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
-      val wanted = ranksOf(n)
+      val (g, n, tw, mn, mx) =
+        (r.get(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val wanted = ranksOf(tw)
       require(wanted.map(_._1).distinct.size == wanted.size,
         s"duplicate stat names requested for group $g: ${wanted.map(_._1)}")
       wanted.foreach { case (stat, k) =>
-        require(k >= 1 && k <= n, s"rank $k outside [1, $n] for group $g")
+        require(k >= 1 && k <= tw, s"rank $k outside [1, $tw] for group $g")
         val t = new Target(g, stat, k, mutable.ArrayBuffer.empty, mn, mx)
         if (mn == mx) resolved += Row(g, stat, mn)
         else if (n <= cutoff) selecting += t
@@ -216,25 +234,26 @@ object Stats {
         .drop(spec("__g"))
       for (l <- 0 until depth) j = j.where(idxExpr(l) === col(s"__ib$l"))
       val hist = j.groupBy(col("__g"), col("__stat"), idxExpr(depth).as("__b"))
-        .agg(count(lit(1)).as("c"), min("__v").as("bmn"), max("__v").as("bmx"))
+        .agg(count(lit(1)).as("c"), sum("__wt").as("cw"),
+          min("__v").as("bmn"), max("__v").as("bmx"))
         .collect()
       val byTarget = hist.groupBy(r => (r.get(0), r.getString(1)))
       val next = mutable.ArrayBuffer.empty[Target]
       narrowing.foreach { t =>
         val bs = byTarget((t.g, t.stat)).sortBy(_.getLong(2))
-        var cum = 0L
+        var cum = 0L // cumulative WEIGHT (== row count when unweighted)
         var found = false
         for (b <- bs if !found) {
-          val (ib, c, bmn, bmx) =
-            (b.getLong(2), b.getLong(3), b.getDouble(4), b.getDouble(5))
-          if (t.k <= cum + c) {
+          val (ib, c, cw, bmn, bmx) = (b.getLong(2), b.getLong(3),
+            b.getLong(4), b.getDouble(5), b.getDouble(6))
+          if (t.k <= cum + cw) {
             found = true
             t.k -= cum
             t.chain += ((t.lo, width(t.lo, t.hi), ib))
             if (bmn == bmx) resolved += Row(t.g, t.stat, bmn)
             else if (c <= cutoff) selecting += t
             else { t.lo = bmn; t.hi = bmx; next += t }
-          } else cum += c
+          } else cum += cw
         }
         require(found, s"rank ${t.k} not reachable for group ${t.g} (${t.stat})")
       }
@@ -269,8 +288,21 @@ object Stats {
         .drop(spec("__g"))
       for (l <- 0 until maxD)
         j = j.where(col(s"__ib$l").isNull || idxExpr(l) === col(s"__ib$l"))
+      // weighted rank select inside the bounded bucket: sort the
+      // ≤ cutoff (value, weight) pairs, fold cumulative weight, answer
+      // = first value where it reaches the residual rank. With all-1
+      // weights the crossing row IS the k-th smallest, so this is
+      // exactly the old element_at(array_sort(...), k).
       Some(j.groupBy(col("__g"), col("__stat"), col("__k"))
-        .agg(expr("element_at(array_sort(collect_list(__v)), cast(__k AS INT))")
+        .agg(expr(
+          """aggregate(
+            |  array_sort(collect_list(named_struct('v', __v, 'w', __wt))),
+            |  named_struct('cum', CAST(0 AS BIGINT), 'ans', CAST(NULL AS DOUBLE)),
+            |  (acc, x) -> named_struct(
+            |    'cum', acc.cum + x.w,
+            |    'ans', CASE WHEN acc.ans IS NOT NULL THEN acc.ans
+            |                WHEN acc.cum + x.w >= __k THEN x.v END),
+            |  acc -> acc.ans)""".stripMargin)
           .as("value"))
         .select(col("__g").as(groupCol), col("__stat").as("stat"), col("value")))
     }

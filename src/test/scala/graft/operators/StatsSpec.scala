@@ -76,6 +76,53 @@ class StatsSpec extends SparkSpec {
     assert(out.size == ns.size * 3)
   }
 
+  test("weighted exactGroupedRankValues ≡ unweighted over the " +
+       "weight-expanded corpus (seeded, deep narrowing forced)") {
+    // the defining law: a row of weight w is w unit-weight copies.
+    // random shapes with ties + skewed weights, adversarial sizing.
+    val rnd = new scala.util.Random(123)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 400 + rnd.nextInt(400)).map { _ =>
+        (s"g${rnd.nextInt(4)}",
+          math.floor(rnd.nextDouble() * 40) / 2.0, // heavy ties
+          1L + rnd.nextInt(7))
+      }
+      val df = rows.toDF("g", "v", "w").repartition(1 + rnd.nextInt(6))
+      val expanded = rows.flatMap { case (g, v, w) => Seq.fill(w.toInt)((g, v)) }
+        .toDF("g", "v")
+      def ranks(n: Long) = Seq(("p25", (n + 3) / 4), ("med", (n + 1) / 2),
+        ("last", n))
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      val weighted = canon(Stats.exactGroupedRankValues(df, "g", "v", ranks,
+        buckets = 4, cutoff = 3, weightCol = Some("w")))
+      val unit = canon(Stats.exactGroupedRankValues(expanded, "g", "v", ranks,
+        buckets = 4, cutoff = 3))
+      assert(weighted == unit, s"trial $trial: weighted != expanded-unit")
+    }
+  }
+
+  test("weighted exactGroupedRankValues: all-1 weights ≡ unweighted; " +
+       "null/zero-weight rows carry no mass") {
+    def ranks(n: Long) = Seq(("med", (n + 1) / 2))
+    val withOnes = rankCorpus.withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(
+      canon(Stats.exactGroupedRankValues(withOnes, "g", "v", ranks,
+        weightCol = Some("w"))) ==
+      canon(Stats.exactGroupedRankValues(rankCorpus, "g", "v", ranks)))
+    // zero/null weight rows are excluded from mass AND total
+    val mixed = Seq(("a", 1.0, 5L), ("a", 2.0, 0L), ("a", 3.0, 5L))
+      .toDF("g", "v", "w")
+      .union(Seq(("a", 9.0)).toDF("g", "v")
+        .withColumn("w", org.apache.spark.sql.functions.lit(null: java.lang.Long)))
+    val got = canon(Stats.exactGroupedRankValues(mixed, "g", "v",
+      n => { assert(n == 10L, s"total mass $n != 10"); Seq(("med", 5L)) },
+      weightCol = Some("w")))
+    assert(got(("a", "med")) == 1.0) // cum weight reaches 5 at v=1.0
+  }
+
   test("exactGroupedRankValues at default sizing equals the forced-deep run") {
     def ranks(n: Long) = Seq(("q1", (n + 3) / 4), ("med", (n + 1) / 2))
     def run(b: Int, c: Long) =
