@@ -484,6 +484,27 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("q123 weighted quantiles: two-phase path — no window, no " +
+       "percentile buffering") {
+    // weighted ranks ride the same histogram→rank-select machinery as
+    // the q46 family; the weight must not smuggle a sort back in
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q123_weighted_quantiles")(spark, dir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.isEmpty, s"q123 reacquired a window:\n${wins.headOption}")
+    assert(!df.queryExecution.optimizedPlan.toString.contains("percentile("),
+      "q123 fell back to the buffering percentile aggregate")
+  }
+
+  test("q121 semdedup: no cartesian product; the pair join is an " +
+       "equi-join on the cluster id") {
+    val plan = physical(SparkEntry.queries("q121_semdedup_pairs")(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"semdedup pair join went cartesian:\n$plan")
+    assert(plan.contains("dot_product"),
+      s"native dot kernel missing from the pair filter:\n$plan")
+  }
+
   test("q117 bpe tokens: one codegen'd call per row — no explode, no " +
        "exchange below the presentation sort") {
     val plan = physical(SparkEntry.queries("q117_bpe_tokens")(spark, dir))
