@@ -2066,6 +2066,24 @@ object SparkEntry {
   private val SemThrDen = 400L
   private val SemCap = 48L
 
+  /** Semantic contamination ([[Similarity.semContaminationPairs]]):
+    * the vec_id%10=7 slice plays the benchmark, the rest the training
+    * corpus. k-means is trained on the CORPUS ONLY; both sides route
+    * through the frozen centroids (q109 discipline), both are capped
+    * per cluster, and every within-cluster corpus×benchmark pair is
+    * decided by the q121 integer threshold. The semantic complement
+    * to q44's lexical n-gram contamination — a paraphrased eval item
+    * shares no 8-gram but sits above cosine 0.35 here. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.semContaminationPairs(
+        e.filter(col("vec_id") % 10 =!= 7), e.filter(col("vec_id") % 10 === 7),
+        "vec_id", "embedding", k = KmeansK, iters = KmeansIters,
+        thrNum = SemThrNum, thrDen = SemThrDen, clusterCap = SemCap,
+        seed = SampleSeed)
+      .orderBy("cluster", "corpus_id", "bench_id")
+  }
+
   /** Trained language/quality classifier ([[TextOps.nbTrainPredict]]):
     * multinomial Naive Bayes trained on the doc_id%4≠3 split, scored
     * on the held-out quarter, reported as the (true lang × predicted
@@ -2207,6 +2225,7 @@ object SparkEntry {
     "q121_semdedup_pairs" -> q121,
     "q122_nb_classifier" -> q122,
     "q123_weighted_quantiles" -> q123,
+    "q124_sem_contamination" -> q124,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -3229,6 +3248,52 @@ object SparkEntry {
           |       FROM rk WHERE rn <= 20 GROUP BY 1)
           |SELECT tot.cluster, tot.n_total, kp.n_kept
           |FROM tot JOIN kp USING (cluster) ORDER BY tot.cluster""".stripMargin),
+    // q124: corpus-only k-means (trainPred), q109-style frozen-centroid
+    // routing of the benchmark slice, per-side caps, integer pair
+    // decision — the full cross-corpus composition replayed exactly
+    "q124_sem_contamination" ->
+      (kmeansOracleCtes(KmeansK, KmeansIters, "vec_id % 10 != 7") +
+        s""", vb AS (SELECT vec_id, val, pos FROM vzall WHERE vec_id % 10 = 7),
+          |db AS (SELECT v.vec_id, c.cid,
+          |         CAST(sum((v.val - c.val) * (v.val - c.val)) AS BIGINT)
+          |           AS dist
+          |       FROM vb v JOIN c$KmeansIters c USING (pos) GROUP BY 1, 2),
+          |ab AS (SELECT vec_id, cid::INTEGER AS cluster FROM (
+          |         SELECT vec_id, cid, dist,
+          |           row_number() OVER (PARTITION BY vec_id
+          |                              ORDER BY dist, cid) AS rn
+          |         FROM db) WHERE rn = 1),
+          |capc AS (SELECT vec_id, cluster FROM (
+          |         SELECT vec_id, cluster,
+          |           row_number() OVER (PARTITION BY cluster
+          |             ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+          |                      vec_id) AS rn
+          |         FROM fa) WHERE rn <= $SemCap),
+          |capb AS (SELECT vec_id, cluster FROM (
+          |         SELECT vec_id, cluster,
+          |           row_number() OVER (PARTITION BY cluster
+          |             ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+          |                      vec_id) AS rn
+          |         FROM ab) WHERE rn <= $SemCap),
+          |nm AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
+          |       FROM vzall v GROUP BY 1),
+          |pr AS (SELECT a.cluster, a.vec_id AS corpus_id, b.vec_id AS bench_id
+          |       FROM capc a JOIN capb b ON a.cluster = b.cluster),
+          |dt AS (SELECT p.cluster, p.corpus_id, p.bench_id,
+          |         CAST(sum(va.val * vb2.val) AS BIGINT) AS dot
+          |       FROM pr p
+          |       JOIN vzall va ON va.vec_id = p.corpus_id
+          |       JOIN vzall vb2 ON vb2.vec_id = p.bench_id AND vb2.pos = va.pos
+          |       GROUP BY 1, 2, 3),
+          |sd AS (SELECT d.cluster, d.corpus_id, d.bench_id, d.dot,
+          |         na.n2 AS na, nb.n2 AS nb
+          |       FROM dt d JOIN nm na ON na.vec_id = d.corpus_id
+          |                 JOIN nm nb ON nb.vec_id = d.bench_id
+          |       WHERE d.dot > 0
+          |         AND d.dot * d.dot * $SemThrDen >= $SemThrNum * na.n2 * nb.n2)
+          |SELECT cluster, corpus_id, bench_id,
+          |  round(dot / sqrt((na * nb)::DOUBLE), 6) AS cosine
+          |FROM sd ORDER BY cluster, corpus_id, bench_id""".stripMargin),
     // q121: the k-means replay + q110's cap replay + integer pair
     // decision — dot, norms and centroid distances all exact BIGINTs,
     // so the kept set and the drop rule replay with no tolerance

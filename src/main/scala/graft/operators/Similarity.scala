@@ -456,6 +456,49 @@ object Similarity {
           .otherwise(greatest(col("id_a"), col("id_b"))).as("drop_id"))
   }
 
+  /** Semantic benchmark decontamination — [[semDedupPairs]]'s cluster
+    * blocking applied ACROSS two corpora: train k-means on the
+    * training corpus only, route BOTH sides through the frozen
+    * centroids (the q109 serve-path discipline — the benchmark must
+    * never influence the cluster structure), then decide every
+    * within-cluster (corpus × benchmark) pair with the same pure
+    * integer threshold. The semantic complement to lexical
+    * n-gram contamination (q44): a paraphrased eval question shares
+    * no 8-gram with its source but sits at cosine 0.4+ in embedding
+    * space.
+    *
+    * Same scale contract as [[semDedupPairs]]: per-cluster caps on
+    * both sides (smallest-(hash, id), two-phase, observable drops),
+    * equi-join on cluster id, nothing wider than (id, qv) shuffles.
+    * Output: (cluster, corpus_id, bench_id, cosine ≥ threshold). */
+  def semContaminationPairs(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            k: Int, iters: Int, thrNum: Long, thrDen: Long,
+                            clusterCap: Long,
+                            seed: String = "graft"): DataFrame = {
+    require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen,
+      s"threshold² = $thrNum/$thrDen must be a rational in [0, 1]")
+    require(clusterCap >= 1, s"clusterCap=$clusterCap must be positive")
+    val (_, cents) = Clustering.kmeansQuantized(corpus, idCol, vecCol, k, iters)
+    def capped(df: DataFrame) = Sampling.stratumCap(
+        Clustering.assignToCentroidsKeepVec(df, idCol, vecCol, cents),
+        "cluster", "id", clusterCap, seed = seed)
+      .withColumn("__n2", ArrayMath.dotProduct(col("qv"), col("qv")).cast("long"))
+    val a = capped(corpus).select(col("cluster"), col("id").as("corpus_id"),
+      col("qv").as("__qa"), col("__n2").as("__na"))
+    val b = capped(bench).select(col("cluster"), col("id").as("bench_id"),
+      col("qv").as("__qb"), col("__n2").as("__nb"))
+    val dot = ArrayMath.dotProduct(col("__qa"), col("__qb")).cast("long")
+    a.join(b, Seq("cluster"))
+      .withColumn("__dot", dot)
+      .filter(col("__dot") > 0 &&
+        col("__dot") * col("__dot") * lit(thrDen) >=
+          lit(thrNum) * col("__na") * col("__nb"))
+      .select(col("cluster"), col("corpus_id"), col("bench_id"),
+        round(col("__dot").cast("double") /
+          sqrt((col("__na") * col("__nb")).cast("double")), 6).as("cosine"))
+  }
+
   /** Late-interaction (MaxSim) retrieval over MULTI-vector documents —
     * the ColBERT-family scoring every single-vector ANN arm here
     * cannot express: a document is a BAG of vectors (one per token /

@@ -334,6 +334,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"shortlisted MaxSim recall $recall below 0.7")
   }
 
+  test("semContaminationPairs with k=1 and non-binding caps ≡ naive " +
+       "corpus×bench threshold; planted duplicate is always caught") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") % 5 =!= 0)
+    // benchmark = the %5 slice PLUS an exact copy of corpus vec 1 under
+    // a fresh id — the contamination that must surface at cosine 1
+    val planted = e.filter(col("vec_id") === 1)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"),
+        col("label"))
+    val bench = e.filter(col("vec_id") % 5 === 0).unionByName(planted)
+    val got = Similarity.semContaminationPairs(corpus, bench,
+        "vec_id", "embedding", k = 1, iters = 1,
+        thrNum = 49L, thrDen = 400L, clusterCap = 1000000L)
+      .select("corpus_id", "bench_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 1000001L)),
+      "planted exact duplicate not reported as contamination")
+    ArrayMath.register(spark)
+    def qv(d: org.apache.spark.sql.DataFrame, as: String) =
+      d.select(col("vec_id").as(as),
+        ArrayMath.int8Quantize(col("embedding")).as(s"__$as"))
+    val naive = qv(corpus, "corpus_id").crossJoin(qv(bench, "bench_id"))
+      .withColumn("dot",
+        ArrayMath.dotProduct(col("__corpus_id"), col("__bench_id")).cast("long"))
+      .withColumn("na",
+        ArrayMath.dotProduct(col("__corpus_id"), col("__corpus_id")).cast("long"))
+      .withColumn("nb",
+        ArrayMath.dotProduct(col("__bench_id"), col("__bench_id")).cast("long"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 400L >= lit(49L) * col("na") * col("nb"))
+      .select("corpus_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(got == naive,
+      s"k=1 contamination ${got.size} pairs != naive ${naive.size}")
+  }
+
   test("dot_product kernel: exact fold, float inputs, mismatch/null → null") {
     ArrayMath.register(spark)
     val d = Seq((Array(1.0, 2.0, -3.0), Array(4.0, -5.0, 6.0)))
