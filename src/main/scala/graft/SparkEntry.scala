@@ -2128,6 +2128,18 @@ object SparkEntry {
       .orderBy("source", "stat")
   }
 
+  /** Equi-depth histogram ([[Stats.equiDepthHistogram]]): 8
+    * quantile-boundary bins of event values per event type — the
+    * balanced-bin profile where q47's fixed-width bins collapse under
+    * skew. Edges are exact order statistics at ⌈j·n/8⌉ (two-phase
+    * path, no data-sized window); assignment is a broadcast
+    * projection; a row at an edge falls left in both engines. */
+  private def q125(s: SparkSession, dir: String): DataFrame =
+    Stats.equiDepthHistogram(
+        Tables.events(s, dir).where(col("value").isNotNull),
+        "event_type", "value", bins = 8)
+      .orderBy("event_type", "bin")
+
   /** Hopping (sliding) window aggregation — q25's tumbling windows
     * generalized: 1-hour windows every 15 minutes, each event counted
     * in size/slide = 4 overlapping windows via an integer explode (no
@@ -2226,6 +2238,7 @@ object SparkEntry {
     "q122_nb_classifier" -> q122,
     "q123_weighted_quantiles" -> q123,
     "q124_sem_contamination" -> q124,
+    "q125_equidepth_hist" -> q125,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -3420,6 +3433,38 @@ object SparkEntry {
         |ORDER BY rt.source""".stripMargin,
     // q100: the bigram LM replayed — same token stream, same add-one
     // conditional, same rounded-ln / decimal-sum discipline as q85
+    // q125: equi-depth bins — edges = exact order statistics at
+    // ⌈j·n/8⌉ (distinct-value cumulative replay), bin(v) = #edges < v
+    // (edge rows fall left in both engines), empty bins absent
+    "q125_equidepth_hist" ->
+      """WITH d AS (SELECT event_type, value::DOUBLE AS v FROM events
+        |           WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+        |gv AS (SELECT event_type, v, count(*) AS nv FROM d GROUP BY 1, 2),
+        |c AS (SELECT event_type, v,
+        |        sum(nv) OVER (PARTITION BY event_type ORDER BY v) AS cw
+        |      FROM gv),
+        |ks AS (SELECT event_type, j, (j * n + 7) // 8 AS k
+        |       FROM n, (SELECT unnest(generate_series(1, 7)) AS j)),
+        |edges AS (SELECT ks.event_type, ks.j, min(c.v) AS e
+        |          FROM ks JOIN c ON c.event_type = ks.event_type
+        |                        AND c.cw >= ks.k
+        |          GROUP BY 1, 2),
+        |bv AS (SELECT gv.event_type, gv.v, gv.nv,
+        |         coalesce(sum(CASE WHEN gv.v > e.e THEN 1 ELSE 0 END), 0)
+        |           AS bin
+        |       FROM gv LEFT JOIN edges e ON e.event_type = gv.event_type
+        |       GROUP BY 1, 2, 3),
+        |bins AS (SELECT event_type, bin::BIGINT AS bin,
+        |           sum(nv)::BIGINT AS n
+        |         FROM bv GROUP BY 1, 2)
+        |SELECT b.event_type, b.bin, b.n, lo.e AS lo, hi.e AS hi
+        |FROM bins b
+        |LEFT JOIN edges lo ON lo.event_type = b.event_type
+        |                  AND lo.j = b.bin
+        |LEFT JOIN edges hi ON hi.event_type = b.event_type
+        |                  AND hi.j = b.bin + 1
+        |ORDER BY 1, 2""".stripMargin,
     // q123: weighted quantile = smallest v whose cumulative integer
     // token weight reaches ⌈p·W⌉ — replayed as a distinct-value
     // cumulative sum (tie-safe: equal v collapse before the window)

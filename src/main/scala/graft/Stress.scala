@@ -230,6 +230,37 @@ object Stress {
     }
     }
 
+    if (mode == "sem") {
+    // SemDeDup storm: corpus = factor× the sf0.1 embeddings (ids
+    // offset per replica), k scaled with the corpus as the paper
+    // prescribes (k ≈ n/256 here) so expected cluster size stays
+    // constant — the claim under test is that pair cost tracks
+    // Σ_c min(|c|, cap)²/2, i.e. wall-clock follows the k-means scans
+    // (linear), never a quadratic pair blow-up. k-means alone is
+    // timed too, so the pairing stage's cost is the visible delta.
+    import graft.operators.{Clustering, Similarity}
+    val nBase = 2000L
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = base
+      .crossJoin(spark.range(factor).select(col("id").as("__rep")))
+      .select((col("vec_id") + col("__rep") * nBase).as("vec_id"),
+        col("embedding"))
+      .localCheckpoint(true)
+    val k = math.max(8L, nBase * factor / 256L).toInt
+    println(s"[stress] semdedup corpus: ${nBase * factor} vectors, k=$k")
+    time(s"kmeans only (k=$k, 2 iters)") {
+      val (assign, _) = Clustering.kmeansQuantized(
+        corpus, "vec_id", "embedding", k = k, iters = 2)
+      assign.count()
+    }
+    time("semDedupPairs end-to-end") {
+      Similarity.semDedupPairs(corpus, "vec_id", "embedding",
+        k = k, iters = 2, thrNum = 49L, thrDen = 400L, clusterCap = 48L)
+        .count()
+    }
+    }
+
     if (mode == "fold") {
     // versioned-history storm: a 15-minute index cadence is 96
     // batches/day, and every batch adds a `b=` directory level to each

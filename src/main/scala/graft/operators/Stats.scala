@@ -352,6 +352,50 @@ object Stats {
       .select(col(groupCol) +: out: _*)
   }
 
+  /** Equi-depth (quantile-boundary) histogram per group: `bins` bins
+    * whose edges are the EXACT order statistics at ranks ⌈j·n/B⌉ —
+    * the balanced-bin profile optimizers and samplers want where
+    * [[histogram]]'s fixed-width bins collapse under skew (one hot
+    * value range owns every row). Edges ride
+    * [[exactGroupedRankValues]] (two-phase, no data-sized window);
+    * assignment is a pure projection against the broadcast per-group
+    * edge array — bin(v) = #{edges < v}, so a row at an edge falls
+    * LEFT (bin b covers (e_b, e_b+1]), ties deterministic in both
+    * engines. With all-distinct values every bin holds ⌊n/B⌋ or
+    * ⌈n/B⌉ rows; heavy ties skew bins honestly (the audit shows it —
+    * a tie-run cannot be split by any boundary). Empty bins emit no
+    * row. Output: (group, bin, n, lo, hi) with lo/hi the enclosing
+    * edges (NULL at the outer bins). */
+  def equiDepthHistogram(df: DataFrame, groupCol: String, valCol: String,
+                         bins: Int, buckets: Int = 1024,
+                         cutoff: Long = 4096): DataFrame = {
+    require(bins >= 2 && bins <= 99, s"bins=$bins outside [2, 99]")
+    val ranksOf: Long => Seq[(String, Long)] = n =>
+      (1 until bins).map(j => (f"e$j%02d", (j * n + bins - 1) / bins))
+    val edges = exactGroupedRankValues(df, groupCol, valCol, ranksOf,
+      buckets, cutoff)
+    val earr = edges
+      .select(col(groupCol).as("__g"),
+        struct(substring(col("stat"), 2, 2).cast("int").as("j"),
+          col("value").as("v")).as("__e"))
+      .groupBy("__g").agg(array_sort(collect_list(col("__e"))).as("__es"))
+      .select(col("__g"), transform(col("__es"), e => e("v")).as("__edges"))
+    val base = df
+      .select(col(groupCol).as("__bg"), col(valCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull && !isnan(col("__v")))
+    base.join(broadcast(earr), col("__bg") <=> col("__g"))
+      .withColumn("bin",
+        size(filter(col("__edges"), e => col("__v") > e)).cast("long"))
+      .groupBy(col("__bg"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(earr), col("__bg") <=> col("__g"))
+      .select(col("__bg").as(groupCol), col("bin"), col("n"),
+        when(col("bin") >= 1,
+          element_at(col("__edges"), col("bin").cast("int"))).as("lo"),
+        when(col("bin") < bins - 1,
+          element_at(col("__edges"), col("bin").cast("int") + 1)).as("hi"))
+  }
+
   /** Winsorize: clip `valCol` to its group's [pLo, pHi] quantile band —
     * the standard outlier-taming pass before training-statistics or
     * normalization. The per-group bounds are a broadcast-sized

@@ -123,6 +123,49 @@ class StatsSpec extends SparkSpec {
     assert(got(("a", "med")) == 1.0) // cum weight reaches 5 at v=1.0
   }
 
+  test("equiDepthHistogram ≡ naive edge reference; distinct values " +
+       "balance bins; total ties collapse to bin 0") {
+    val rnd = new scala.util.Random(77)
+    val rows = (1 to 3000).map { i =>
+      val g = s"g${i % 3}"
+      val v = if (g == "g2") 5.0 // total-tie group
+              else if (rnd.nextBoolean()) rnd.nextInt(12).toDouble // ties
+              else rnd.nextDouble() * 100
+      (g, v)
+    }
+    val bins = 4
+    val got = Stats.equiDepthHistogram(rows.toDF("g", "v"), "g", "v",
+        bins, buckets = 4, cutoff = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    for ((g, vs0) <- rows.groupBy(_._1)) {
+      val vs = vs0.map(_._2).sorted
+      val n = vs.size.toLong
+      val edges = (1 until bins).map(j => vs(((j * n + bins - 1) / bins).toInt - 1))
+      val naive = vs.groupBy(v => edges.count(_ < v).toLong)
+        .view.mapValues(_.size.toLong).toMap
+      val gotBins = got.collect { case ((`g`, b), t) => b -> t }.toMap
+      assert(gotBins.view.mapValues(_._1).toMap == naive,
+        s"group $g: got ${gotBins.view.mapValues(_._1).toMap}, want $naive")
+      gotBins.foreach { case (b, (_, lo, hi)) =>
+        if (b >= 1) assert(lo.contains(edges(b.toInt - 1)))
+        else assert(lo.isEmpty)
+        if (b < bins - 1) assert(hi.contains(edges(b.toInt)))
+        else assert(hi.isEmpty)
+      }
+    }
+    // the all-tied group is one bin holding everything
+    val g2 = got.keys.filter(_._1 == "g2").toSeq
+    assert(g2 == Seq(("g2", 0L)), s"tie group split: $g2")
+    // distinct values balance: sizes in {floor, ceil}
+    val distinctRows = (1 to 1000).map(i => ("d", i * 1.5))
+    val bal = Stats.equiDepthHistogram(distinctRows.toDF("g", "v"), "g", "v", 8)
+      .collect().map(_.getLong(2))
+    assert(bal.forall(c => c == 125L), s"distinct 1000/8 bins not balanced: ${bal.toSeq}")
+  }
+
   test("exactGroupedRankValues at default sizing equals the forced-deep run") {
     def ranks(n: Long) = Seq(("q1", (n + 3) / 4), ("med", (n + 1) / 2))
     def run(b: Int, c: Long) =
