@@ -79,7 +79,8 @@ object Clustering {
     * aggregate's k·dim-row result — metadata-scale, same bound class
     * as the partition-list collects documented at TextOps.scala). */
   def kmeansQuantized(corpus: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int): (DataFrame, Seq[(Int, Array[Double])]) = {
+                      k: Int, iters: Int,
+                      keepVec: Boolean = false): (DataFrame, Seq[(Int, Array[Double])]) = {
     require(k > 0, s"k=$k must be positive")
     require(iters >= 0, s"iters=$iters must be non-negative")
     ArrayMath.register(corpus.sparkSession)
@@ -127,8 +128,15 @@ object Clustering {
       // returned Dataset's lineage-truncated RDD — the ContextCleaner
       // reclaims them when the caller drops the reference, instead of
       // accumulating session-lifetime cache entries.
-      val out = assign(qv, cents).select(col("__id").as("id"),
-        col("cluster").cast("int"), col("dist"))
+      // keepVec returns the quantized vector with the assignment so
+      // pair-forming consumers (SemDedup) don't pay a SECOND
+      // O(n·k·dim) assignment pass just to re-attach vectors — at
+      // k ∝ n (the SemDeDup prescription) that pass is the single
+      // largest cost in the composition (measured in the sem storm).
+      val outCols = Seq(col("__id").as("id"),
+        col("cluster").cast("int"), col("dist")) ++
+        (if (keepVec) Seq(col("__qv").as("qv")) else Nil)
+      val out = assign(qv, cents).select(outCols: _*)
         .localCheckpoint(eager = true)
       (out, cents)
     } finally qv.unpersist(blocking = false)

@@ -433,8 +433,11 @@ object Similarity {
     require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen,
       s"threshold² = $thrNum/$thrDen must be a rational in [0, 1]")
     require(clusterCap > 1, s"clusterCap=$clusterCap: need at least a pair")
-    val (_, cents) = Clustering.kmeansQuantized(corpus, idCol, vecCol, k, iters)
-    val av = Clustering.assignToCentroidsKeepVec(corpus, idCol, vecCol, cents)
+    // keepVec: the training loop's own final assignment already has the
+    // quantized vectors — re-routing the corpus would repeat the
+    // O(n·k·dim) assignment, the dominant cost at SemDeDup's k ∝ n
+    val (av, _) = Clustering.kmeansQuantized(corpus, idCol, vecCol, k, iters,
+      keepVec = true)
     val capped = Sampling.stratumCap(av, "cluster", "id", clusterCap, seed = seed)
       .withColumn("__n2", ArrayMath.dotProduct(col("qv"), col("qv")).cast("long"))
     val a = capped.select(col("cluster"), col("id").as("id_a"),
@@ -479,15 +482,19 @@ object Similarity {
     require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen,
       s"threshold² = $thrNum/$thrDen must be a rational in [0, 1]")
     require(clusterCap >= 1, s"clusterCap=$clusterCap must be positive")
-    val (_, cents) = Clustering.kmeansQuantized(corpus, idCol, vecCol, k, iters)
-    def capped(df: DataFrame) = Sampling.stratumCap(
-        Clustering.assignToCentroidsKeepVec(df, idCol, vecCol, cents),
-        "cluster", "id", clusterCap, seed = seed)
+    // corpus side reuses the training loop's own final assignment
+    // (keepVec); only the benchmark pays a frozen-routing pass
+    val (avCorpus, cents) = Clustering.kmeansQuantized(corpus, idCol, vecCol,
+      k, iters, keepVec = true)
+    def capped(av: DataFrame) = Sampling.stratumCap(
+        av, "cluster", "id", clusterCap, seed = seed)
       .withColumn("__n2", ArrayMath.dotProduct(col("qv"), col("qv")).cast("long"))
-    val a = capped(corpus).select(col("cluster"), col("id").as("corpus_id"),
+    val a = capped(avCorpus).select(col("cluster"), col("id").as("corpus_id"),
       col("qv").as("__qa"), col("__n2").as("__na"))
-    val b = capped(bench).select(col("cluster"), col("id").as("bench_id"),
-      col("qv").as("__qb"), col("__n2").as("__nb"))
+    val b = capped(Clustering.assignToCentroidsKeepVec(bench, idCol, vecCol,
+        cents))
+      .select(col("cluster"), col("id").as("bench_id"),
+        col("qv").as("__qb"), col("__n2").as("__nb"))
     val dot = ArrayMath.dotProduct(col("__qa"), col("__qb")).cast("long")
     a.join(b, Seq("cluster"))
       .withColumn("__dot", dot)
