@@ -2128,6 +2128,35 @@ object SparkEntry {
       .orderBy("source", "stat")
   }
 
+  /** Two-level (hierarchical) centroid assignment
+    * ([[Clustering.assignToCentroidsTwoLevel]]): the large-k scale
+    * path, audited in-query — train k=8 centroids exactly as q97,
+    * coarse-cluster them into 3 cells on the driver, route every
+    * vector coarse→fine, and report per final cluster its size,
+    * integer inertia, and agreement count vs the exact argmin (q97's
+    * assignment). The oracle replays BOTH k-means chains (distributed
+    * fine + driver coarse — same CTE shapes over centroid rows) and
+    * the two-level routing, so even the approximation is certified,
+    * not eyeballed. */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val (exact, cents) = Clustering.kmeansQuantized(
+      e, "vec_id", "embedding", k = KmeansK, iters = KmeansIters)
+    val two = Clustering.assignToCentroidsTwoLevel(e, "vec_id", "embedding",
+      cents, coarseK = TwoLevelCoarseK, coarseIters = TwoLevelCoarseIters)
+    two.select(col("id").as("vec_id"), col("cluster"), col("dist"))
+      .join(exact.select(col("id").as("vec_id"), col("cluster").as("__exc")),
+        "vec_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum("dist").as("sum_dist"),
+        sum(when(col("cluster") === col("__exc"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .orderBy("cluster")
+  }
+
+  private val TwoLevelCoarseK = 3
+  private val TwoLevelCoarseIters = 2
+
   /** Equi-depth histogram ([[Stats.equiDepthHistogram]]): 8
     * quantile-boundary bins of event values per event type — the
     * balanced-bin profile where q47's fixed-width bins collapse under
@@ -2239,6 +2268,7 @@ object SparkEntry {
     "q123_weighted_quantiles" -> q123,
     "q124_sem_contamination" -> q124,
     "q125_equidepth_hist" -> q125,
+    "q126_twolevel_assign" -> q126,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -2813,6 +2843,76 @@ object SparkEntry {
   private def kmeansOracleSql(k: Int, iters: Int): String =
     kmeansOracleCtes(k, iters) +
       "SELECT vec_id, cluster, dist FROM fa ORDER BY vec_id"
+
+  /** q126 oracle: the fine k-means chain (ending at c`iters`/fa), then
+    * the DRIVER-side coarse Lloyd replayed with the SAME CTE shapes —
+    * the "corpus" is the k fine-centroid rows — then the two-level
+    * routing (coarse argmin over non-empty cells → fine argmin inside
+    * the cell) and the agreement audit vs the exact assignment. */
+  private def twoLevelOracleSql(k: Int, iters: Int,
+                                kc: Int, cIters: Int): String = {
+    val coarseSteps = (1 to cIters).map { i =>
+      s"""cd$i AS (SELECT v.fid, c.kc,
+         |         sum((v.val - c.val) * (v.val - c.val)) AS dist
+         |       FROM cv v JOIN cc${i - 1} c USING (pos) GROUP BY 1, 2),
+         |ca$i AS (SELECT fid, kc FROM (
+         |         SELECT fid, kc,
+         |           row_number() OVER (PARTITION BY fid
+         |                              ORDER BY dist, kc) AS rn
+         |         FROM cd$i) WHERE rn = 1),
+         |cm$i AS (SELECT a.kc, v.pos, floor(sum(v.val) / count(*)) AS val
+         |        FROM ca$i a JOIN cv v USING (fid) GROUP BY 1, 2),
+         |cc$i AS (SELECT c.kc, c.pos, coalesce(m.val, c.val) AS val
+         |        FROM cc${i - 1} c
+         |        LEFT JOIN cm$i m ON m.kc = c.kc AND m.pos = c.pos),
+         |""".stripMargin
+    }.mkString
+    kmeansOracleCtes(k, iters) +
+      s""", cv AS (SELECT cid AS fid, pos, val FROM c$iters),
+         |ck0 AS (SELECT fid, row_number() OVER (ORDER BY fid) - 1 AS kc
+         |        FROM (SELECT DISTINCT fid FROM cv ORDER BY fid LIMIT $kc)),
+         |cc0 AS (SELECT ck0.kc, cv.pos, cv.val
+         |        FROM ck0 JOIN cv USING (fid)),
+         |""".stripMargin +
+      coarseSteps +
+      s"""celld AS (SELECT v.fid, c.kc,
+         |            sum((v.val - c.val) * (v.val - c.val)) AS dist
+         |          FROM cv v JOIN cc$cIters c USING (pos) GROUP BY 1, 2),
+         |cellf AS (SELECT fid, kc FROM (
+         |          SELECT fid, kc,
+         |            row_number() OVER (PARTITION BY fid
+         |                               ORDER BY dist, kc) AS rn
+         |          FROM celld) WHERE rn = 1),
+         |pvc AS (SELECT v.vec_id, c.kc,
+         |          sum((v.val - c.val) * (v.val - c.val)) AS d
+         |        FROM vzall v JOIN cc$cIters c USING (pos)
+         |        WHERE c.kc IN (SELECT DISTINCT kc FROM cellf)
+         |        GROUP BY 1, 2),
+         |pva AS (SELECT vec_id, kc FROM (
+         |        SELECT vec_id, kc,
+         |          row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY d, kc) AS rn
+         |        FROM pvc) WHERE rn = 1),
+         |fd AS (SELECT v.vec_id, cf.fid,
+         |         CAST(sum((v.val - cv.val) * (v.val - cv.val)) AS BIGINT)
+         |           AS dist
+         |       FROM vzall v
+         |       JOIN pva ON pva.vec_id = v.vec_id
+         |       JOIN cellf cf ON cf.kc = pva.kc
+         |       JOIN cv ON cv.fid = cf.fid AND cv.pos = v.pos
+         |       GROUP BY 1, 2),
+         |fa2 AS (SELECT vec_id, fid::INTEGER AS cluster, dist FROM (
+         |        SELECT vec_id, fid, dist,
+         |          row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY dist, fid) AS rn
+         |        FROM fd) WHERE rn = 1)
+         |SELECT a.cluster, count(*)::BIGINT AS n,
+         |       sum(a.dist)::BIGINT AS sum_dist,
+         |       sum(CASE WHEN a.cluster = f.cluster THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_agree
+         |FROM fa2 a JOIN fa f USING (vec_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** q98 oracle: the integer-PageRank iteration replayed. Every
     * contribution is `((r // outdeg) * 85) // 100` on BIGINTs and the
@@ -3433,6 +3533,10 @@ object SparkEntry {
         |ORDER BY rt.source""".stripMargin,
     // q100: the bigram LM replayed — same token stream, same add-one
     // conditional, same rounded-ln / decimal-sum discipline as q85
+    // q126: both k-means chains + two-level routing + agreement audit
+    "q126_twolevel_assign" ->
+      twoLevelOracleSql(KmeansK, KmeansIters,
+        TwoLevelCoarseK, TwoLevelCoarseIters),
     // q125: equi-depth bins — edges = exact order statistics at
     // ⌈j·n/8⌉ (distinct-value cumulative replay), bin(v) = #edges < v
     // (edge rows fall left in both engines), empty bins absent

@@ -249,10 +249,33 @@ object Stress {
       .localCheckpoint(true)
     val k = math.max(8L, nBase * factor / 256L).toInt
     println(s"[stress] semdedup corpus: ${nBase * factor} vectors, k=$k")
+    var cents: Seq[(Int, Array[Double])] = Seq.empty
     time(s"kmeans only (k=$k, 2 iters)") {
-      val (assign, _) = Clustering.kmeansQuantized(
+      val (assign, cs) = Clustering.kmeansQuantized(
         corpus, "vec_id", "embedding", k = k, iters = 2)
+      cents = cs
       assign.count()
+    }
+    // the large-k assignment contrast the two-level path exists for:
+    // exact O(k·dim) per row vs the O(2√k·dim) coarse→fine route,
+    // measured where ARITHMETIC dominates — a 25·factor× replicated
+    // corpus, and each pass run twice so the second number excludes
+    // the one-time plan/codegen cost (which is what dominates the
+    // training loop at this corpus size; see SCALE.md)
+    val big = corpus.crossJoin(spark.range(25).select(col("id").as("__r2")))
+      .select((col("vec_id") + col("__r2") * nBase * factor).as("vec_id"),
+        col("embedding"))
+      .localCheckpoint(true)
+    val kc = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    for (pass <- 1 to 2) {
+      time(s"exact assignment over ${nBase * factor * 25} rows (k=$k, pass $pass)") {
+        Clustering.assignToCentroids(big, "vec_id", "embedding", cents)
+          .count()
+      }
+      time(s"two-level assignment (k'=$kc, pass $pass)") {
+        Clustering.assignToCentroidsTwoLevel(big, "vec_id", "embedding",
+          cents, coarseK = kc, coarseIters = 2).count()
+      }
     }
     time("semDedupPairs end-to-end") {
       Similarity.semDedupPairs(corpus, "vec_id", "embedding",

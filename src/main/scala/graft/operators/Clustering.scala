@@ -154,6 +154,120 @@ object Clustering {
                         cents: Seq[(Int, Array[Double])]): DataFrame =
     assignToCentroidsKeepVec(batch, idCol, vecCol, cents).drop("qv")
 
+  /** Driver-side integer Lloyd over a METADATA-scale point set (the k
+    * fine centroids — k·dim doubles, never data). Mirrors the
+    * distributed loop's rules exactly — init = the k smallest ids in
+    * id order (cluster id = rank), argmin ties toward the smaller id,
+    * floor(sum/n) means on exact integral sums, empty clusters keep
+    * their centroid — so the SQL oracle can replay it with the same
+    * CTE shapes it uses for the distributed loop. */
+  private[operators] def lloydIntegral(points: Seq[(Int, Array[Double])],
+                                       k: Int, iters: Int): Seq[(Int, Array[Double])] = {
+    require(points.nonEmpty, "no points")
+    val dim = points.head._2.length
+    var cents: Seq[(Int, Array[Double])] =
+      points.sortBy(_._1).take(k).zipWithIndex.map {
+        case ((_, v), i) => (i, v.clone())
+      }
+    for (_ <- 0 until iters) {
+      val byC = points
+        .map { case (_, v) => (nearestIntegral(v, cents)._1, v) }
+        .groupBy(_._1)
+      cents = cents.map { case (c, old) =>
+        byC.get(c) match {
+          case Some(vs) =>
+            val n = vs.size
+            (c, Array.tabulate(dim)(p =>
+              math.floor(vs.iterator.map(_._2(p)).sum / n)))
+          case None => (c, old)
+        }
+      }
+    }
+    cents
+  }
+
+  /** Exact integer argmin over centroids sorted by id — strict `<`
+    * keeps the first (smallest-id) centroid on distance ties, the
+    * same rule as the distributed `least(struct(d, c))`. */
+  private def nearestIntegral(v: Array[Double],
+                              cents: Seq[(Int, Array[Double])]): (Int, Double) = {
+    var bestC = Int.MaxValue
+    var bestD = Double.PositiveInfinity
+    cents.sortBy(_._1).foreach { case (c, cv) =>
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; bestC = c }
+    }
+    (bestC, bestD)
+  }
+
+  /** TWO-LEVEL assignment against frozen centroids — the large-k scale
+    * path (the faiss IMI shape): cluster the k fine centroids into
+    * ~√k coarse cells ON THE DRIVER ([[lloydIntegral]] — the
+    * centroids are metadata, never data), route each row to its
+    * nearest non-empty coarse cell, then argmin only over that cell's
+    * fine centroids. Per-row cost drops from O(k·dim) to
+    * O((k' + k/k')·dim) ≈ O(2√k·dim) — the difference between linear
+    * and quadratic total work when k scales with the corpus
+    * (SemDeDup's k ≈ n/256; see the sem storm in SCALE.md).
+    *
+    * This is an APPROXIMATION of the exact argmin: a row whose true
+    * nearest fine centroid sits in a different coarse cell is routed
+    * past it (q126 audits the agreement rate in-query). But it is a
+    * DETERMINISTIC approximation — driver Lloyd mirrors the
+    * distributed rules bit-for-bit, ties break identically at both
+    * levels, all arithmetic is exact integers — so the full two-level
+    * rule replays in the SQL oracle, certified like everything else,
+    * and with coarseK = 1 it degenerates to the exact argmin (law).
+    * Cells that attract no fine centroid are excluded from routing. */
+  def assignToCentroidsTwoLevel(batch: DataFrame, idCol: String,
+                                vecCol: String,
+                                cents: Seq[(Int, Array[Double])],
+                                coarseK: Int, coarseIters: Int): DataFrame = {
+    require(cents.nonEmpty, "no centroids")
+    require(coarseK > 0 && coarseIters >= 0, "bad coarse sizing")
+    ArrayMath.register(batch.sparkSession)
+    val coarse = lloydIntegral(cents, coarseK, coarseIters)
+    val centMap = cents.toMap
+    val cells: Map[Int, Seq[Int]] = cents
+      .map { case (fc, v) => (nearestIntegral(v, coarse)._1, fc) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val coarseMap = coarse.toMap
+    val qv = batch
+      .select(col(idCol).as("__id"),
+        ArrayMath.int8Quantize(col(vecCol)).as("__qv"))
+      .where(col("__qv").isNotNull)
+    val nonEmpty = cells.keys.toSeq.sorted
+    val coarseStructs = nonEmpty.map { kc =>
+      struct(
+        ArrayMath.squaredL2(col("__qv"), typedlit(coarseMap(kc).toSeq))
+          .cast("long").as("d"),
+        lit(kc).as("c"))
+    }
+    val cBest =
+      if (coarseStructs.size == 1) coarseStructs.head
+      else least(coarseStructs: _*)
+    def fineFor(kc: Int) = {
+      val ss = cells(kc).map { fc =>
+        struct(
+          ArrayMath.squaredL2(col("__qv"), typedlit(centMap(fc).toSeq))
+            .cast("long").as("d"),
+          lit(fc).as("c"))
+      }
+      if (ss.size == 1) ss.head else least(ss: _*)
+    }
+    val caseExpr = nonEmpty.tail.foldLeft(
+      when(col("__kc") === nonEmpty.head, fineFor(nonEmpty.head))) {
+      (acc, kc) => acc.when(col("__kc") === kc, fineFor(kc))
+    }
+    qv.withColumn("__kc", cBest.getField("c"))
+      .withColumn("__best", caseExpr)
+      .select(col("__id").as("id"),
+        col("__best").getField("c").cast("int").as("cluster"),
+        col("__best").getField("d").as("dist"))
+  }
+
   /** [[assignToCentroids]] that also RETURNS the int8-quantized vector
     * (`qv: array<double>`, integral components) alongside
     * (id, cluster, dist) — for consumers that pair rows AFTER routing

@@ -369,6 +369,38 @@ class SimilaritySpec extends SparkSpec {
       s"k=1 contamination ${got.size} pairs != naive ${naive.size}")
   }
 
+  test("two-level assignment: coarseK=1 ≡ exact argmin; driver Lloyd " +
+       "mirrors the distributed loop bit-for-bit") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (exact, cents) = Clustering.kmeansQuantized(
+      e, "vec_id", "embedding", k = 8, iters = 3)
+    // law 1: one coarse cell holds every fine centroid → brute force
+    val one = Clustering.assignToCentroidsTwoLevel(
+        e, "vec_id", "embedding", cents, coarseK = 1, coarseIters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ex = exact.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(one == ex, "coarseK=1 two-level drifted from the exact argmin")
+    // law 2: lloydIntegral over the SAME quantized vectors reproduces
+    // the distributed centroids exactly (the mirror the oracle relies on)
+    ArrayMath.register(spark)
+    val qpts = e.select(col("vec_id"),
+        ArrayMath.int8Quantize(col("embedding")).as("qv"))
+      .where(col("qv").isNotNull)
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .toSeq
+    val driverCents = Clustering.lloydIntegral(qpts, k = 8, iters = 3)
+    assert(driverCents.map { case (c, v) => (c, v.toSeq) } ==
+      cents.map { case (c, v) => (c, v.toSeq) },
+      "driver Lloyd diverged from the distributed loop")
+    // two-level at coarseK=3 is deterministic under repartitioning
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Clustering.assignToCentroidsTwoLevel(d, "vec_id", "embedding",
+        cents, coarseK = 3, coarseIters = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run(e) == run(e.repartition(13)))
+  }
+
   test("dot_product kernel: exact fold, float inputs, mismatch/null → null") {
     ArrayMath.register(spark)
     val d = Seq((Array(1.0, 2.0, -3.0), Array(4.0, -5.0, 6.0)))
