@@ -2157,6 +2157,33 @@ object SparkEntry {
   private val TwoLevelCoarseK = 3
   private val TwoLevelCoarseIters = 2
 
+  /** Persisted semantic-dedup store lifecycle
+    * ([[Similarity.writeSemStore]] → append → probe): the cluster
+    * structure as a maintained artifact — build on vec_id%4∈{0,1},
+    * APPEND the %4=2 batch through the frozen centroids (no
+    * re-clustering, no history re-route), then dedup the %4=3 batch
+    * against the store with per-cluster probe-time caps and q121's
+    * integer threshold. Members are uncapped on disk, which is what
+    * makes append ≡ build-of-union and purge ≡ build-of-remainder
+    * EXACT laws (SimilaritySpec); the oracle replays training on the
+    * build slice, frozen routing of both later slices, caps and
+    * pairing. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q127" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-semstore-$tag"
+    val e = Tables.embeddings(s, dir)
+    if (!new java.io.File(path).exists()) {
+      Similarity.writeSemStore(e.filter(col("vec_id") % 4 <= 1),
+        "vec_id", "embedding", k = KmeansK, iters = KmeansIters, path)
+      Similarity.appendToSemStore(s, path,
+        e.filter(col("vec_id") % 4 === 2), "vec_id", "embedding")
+    }
+    Similarity.probeSemStore(s, path, e.filter(col("vec_id") % 4 === 3),
+        "vec_id", "embedding", SemThrNum, SemThrDen, SemCap, SampleSeed)
+      .orderBy("cluster", "store_id", "batch_id")
+  }
+
   /** Equi-depth histogram ([[Stats.equiDepthHistogram]]): 8
     * quantile-boundary bins of event values per event type — the
     * balanced-bin profile where q47's fixed-width bins collapse under
@@ -2269,6 +2296,7 @@ object SparkEntry {
     "q124_sem_contamination" -> q124,
     "q125_equidepth_hist" -> q125,
     "q126_twolevel_assign" -> q126,
+    "q127_semstore_probe" -> q127,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -3533,6 +3561,60 @@ object SparkEntry {
         |ORDER BY rt.source""".stripMargin,
     // q100: the bigram LM replayed — same token stream, same add-one
     // conditional, same rounded-ln / decimal-sum discipline as q85
+    // q127: train on the build slice only, route members (%4 != 3) and
+    // the probe batch (%4 = 3) through the frozen centroids, cap both
+    // sides, integer pair decision — the store lifecycle replayed
+    "q127_semstore_probe" ->
+      (kmeansOracleCtes(KmeansK, KmeansIters, "vec_id % 4 <= 1") +
+        s""", vmem AS (SELECT vec_id, val, pos FROM vzall WHERE vec_id % 4 != 3),
+          |dm AS (SELECT v.vec_id, c.cid,
+          |         sum((v.val - c.val) * (v.val - c.val)) AS dist
+          |       FROM vmem v JOIN c$KmeansIters c USING (pos) GROUP BY 1, 2),
+          |am AS (SELECT vec_id, cid::INTEGER AS cluster FROM (
+          |         SELECT vec_id, cid, dist,
+          |           row_number() OVER (PARTITION BY vec_id
+          |                              ORDER BY dist, cid) AS rn
+          |         FROM dm) WHERE rn = 1),
+          |vbt AS (SELECT vec_id, val, pos FROM vzall WHERE vec_id % 4 = 3),
+          |dbt AS (SELECT v.vec_id, c.cid,
+          |          sum((v.val - c.val) * (v.val - c.val)) AS dist
+          |        FROM vbt v JOIN c$KmeansIters c USING (pos) GROUP BY 1, 2),
+          |abt AS (SELECT vec_id, cid::INTEGER AS cluster FROM (
+          |          SELECT vec_id, cid, dist,
+          |            row_number() OVER (PARTITION BY vec_id
+          |                               ORDER BY dist, cid) AS rn
+          |          FROM dbt) WHERE rn = 1),
+          |capm AS (SELECT vec_id, cluster FROM (
+          |         SELECT vec_id, cluster,
+          |           row_number() OVER (PARTITION BY cluster
+          |             ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+          |                      vec_id) AS rn
+          |         FROM am) WHERE rn <= $SemCap),
+          |capb AS (SELECT vec_id, cluster FROM (
+          |         SELECT vec_id, cluster,
+          |           row_number() OVER (PARTITION BY cluster
+          |             ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+          |                      vec_id) AS rn
+          |         FROM abt) WHERE rn <= $SemCap),
+          |nm AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
+          |       FROM vzall v GROUP BY 1),
+          |pr AS (SELECT a.cluster, a.vec_id AS store_id, b.vec_id AS batch_id
+          |       FROM capm a JOIN capb b ON a.cluster = b.cluster),
+          |dt AS (SELECT p.cluster, p.store_id, p.batch_id,
+          |         CAST(sum(va.val * vb2.val) AS BIGINT) AS dot
+          |       FROM pr p
+          |       JOIN vzall va ON va.vec_id = p.store_id
+          |       JOIN vzall vb2 ON vb2.vec_id = p.batch_id AND vb2.pos = va.pos
+          |       GROUP BY 1, 2, 3),
+          |sd AS (SELECT d.cluster, d.store_id, d.batch_id, d.dot,
+          |         na.n2 AS na, nb.n2 AS nb
+          |       FROM dt d JOIN nm na ON na.vec_id = d.store_id
+          |                 JOIN nm nb ON nb.vec_id = d.batch_id
+          |       WHERE d.dot > 0
+          |         AND d.dot * d.dot * $SemThrDen >= $SemThrNum * na.n2 * nb.n2)
+          |SELECT cluster, store_id, batch_id,
+          |  round(dot / sqrt((na * nb)::DOUBLE), 6) AS cosine
+          |FROM sd ORDER BY cluster, store_id, batch_id""".stripMargin),
     // q126: both k-means chains + two-level routing + agreement audit
     "q126_twolevel_assign" ->
       twoLevelOracleSql(KmeansK, KmeansIters,

@@ -506,6 +506,111 @@ object Similarity {
           sqrt((col("__na") * col("__nb")).cast("double")), 6).as("cosine"))
   }
 
+  /** Persisted semantic-dedup store — [[semDedupPairs]]'s cluster
+    * structure as a maintained artifact, so the 15-minute ingest loop
+    * dedups each batch against the corpus WITHOUT re-clustering or
+    * re-routing history (the q83/q87 incremental-store discipline
+    * applied to the semantic arm).
+    *
+    * Layout: `path/centroids` (the frozen quantizer — k·dim rows) and
+    * `path/members` (every routed row: id, cluster, dist, qv),
+    * parquet-partitioned by cluster so probes and purges touch only
+    * the lists they name. Members are stored UNCAPPED — the
+    * per-cluster cap is applied AT PROBE TIME (two-phase, no window) —
+    * which is what makes every lifecycle law exact rather than
+    * approximate: routing is a pure per-row function of the frozen
+    * centroids, so append(build(A), B) ≡ build(A∪B) and
+    * purge(build(A∪B), B) ≡ build(A) CONTENT-EQUAL (a capped store
+    * could never refill rows the cap displaced). Probe-time capping
+    * costs a scan of the probed clusters' lists — the same class as a
+    * BM25 posting-list read (TextOps), and the price of exact purge. */
+  def writeSemStore(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, path: String): Unit = {
+    val spark = corpus.sparkSession
+    val (av, cents) = Clustering.kmeansQuantized(corpus, idCol, vecCol,
+      k, iters, keepVec = true)
+    import spark.implicits._
+    cents.map { case (c, v) => (c, v.toSeq) }.toDF("cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    av.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/members")
+  }
+
+  private def readSemCents(s: org.apache.spark.sql.SparkSession,
+                           path: String): Seq[(Int, Array[Double])] =
+    s.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+
+  /** Route a batch against the store's frozen centroids and append its
+    * rows into the matching cluster partitions. Exact law:
+    * append(build(A), B) holds the same member rows as build over A∪B
+    * with A's centroids (routing is pure per-row; SimilaritySpec). */
+  def appendToSemStore(s: org.apache.spark.sql.SparkSession, path: String,
+                       batch: DataFrame, idCol: String,
+                       vecCol: String): Unit =
+    Clustering.assignToCentroidsKeepVec(batch, idCol, vecCol,
+        readSemCents(s, path))
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$path/members")
+
+  /** Retraction twin: remove a batch's ids from the store. The batch's
+    * embeddings name (via frozen routing) every partition its rows can
+    * live in — only those directories are rewritten
+    * ([[graft.operators.Layout.rewritePartitionsInPlace]]). Exact law:
+    * purge(build(A∪B), B) ≡ build(A) content-equal, because members
+    * are uncapped. Idempotent. */
+  def purgeFromSemStore(s: org.apache.spark.sql.SparkSession, path: String,
+                        purgeBatch: DataFrame, idCol: String,
+                        vecCol: String): Unit = {
+    val routed = Clustering.assignToCentroidsKeepVec(purgeBatch, idCol,
+      vecCol, readSemCents(s, path))
+    val cids = routed.select(col("cluster")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val ids = purgeBatch.select(col(idCol).as("id")).distinct()
+    Layout.rewritePartitionsInPlace(s, s"$path/members", "cluster", cids) {
+      part => part.join(broadcast(ids), Seq("id"), "left_anti")
+    }
+    ()
+  }
+
+  /** Near-dup pairs of a batch AGAINST the store: route the batch
+    * through the frozen centroids, cap both sides per cluster
+    * (smallest-(hash, id), two-phase), decide each within-cluster
+    * (store × batch) pair with the integer threshold. Equivalent by
+    * construction to the direct frozen-centroid composition over the
+    * store's source corpus (law in SimilaritySpec) — the store buys
+    * not re-routing history, not different answers. */
+  def probeSemStore(s: org.apache.spark.sql.SparkSession, path: String,
+                    batch: DataFrame, idCol: String, vecCol: String,
+                    thrNum: Long, thrDen: Long, clusterCap: Long,
+                    seed: String = "graft"): DataFrame = {
+    require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen,
+      s"threshold² = $thrNum/$thrDen must be a rational in [0, 1]")
+    val cents = readSemCents(s, path)
+    val members = s.read.parquet(s"$path/members")
+      .select(col("id"), col("cluster").cast("int").as("cluster"),
+        col("dist"), col("qv"))
+    def capSide(av: DataFrame) = Sampling.stratumCap(
+        av, "cluster", "id", clusterCap, seed = seed)
+      .withColumn("__n2",
+        ArrayMath.dotProduct(col("qv"), col("qv")).cast("long"))
+    val a = capSide(members).select(col("cluster"),
+      col("id").as("store_id"), col("qv").as("__qa"), col("__n2").as("__na"))
+    val b = capSide(Clustering.assignToCentroidsKeepVec(batch, idCol,
+        vecCol, cents))
+      .select(col("cluster"), col("id").as("batch_id"),
+        col("qv").as("__qb"), col("__n2").as("__nb"))
+    val dot = ArrayMath.dotProduct(col("__qa"), col("__qb")).cast("long")
+    a.join(b, Seq("cluster"))
+      .withColumn("__dot", dot)
+      .filter(col("__dot") > 0 &&
+        col("__dot") * col("__dot") * lit(thrDen) >=
+          lit(thrNum) * col("__na") * col("__nb"))
+      .select(col("cluster"), col("store_id"), col("batch_id"),
+        round(col("__dot").cast("double") /
+          sqrt((col("__na") * col("__nb")).cast("double")), 6).as("cosine"))
+  }
+
   /** Late-interaction (MaxSim) retrieval over MULTI-vector documents —
     * the ColBERT-family scoring every single-vector ANN arm here
     * cannot express: a document is a BAG of vectors (one per token /

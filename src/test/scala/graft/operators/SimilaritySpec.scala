@@ -401,6 +401,42 @@ class SimilaritySpec extends SparkSpec {
     assert(run(e) == run(e.repartition(13)))
   }
 
+  test("sem store lifecycle laws: append ≡ routed union, " +
+       "purge(A∪B, B) ≡ build(A), probe ≡ direct composition") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = e.filter(col("vec_id") % 3 === 0)
+    val b = e.filter(col("vec_id") % 3 === 1)
+    val probeBatch = e.filter(col("vec_id") % 3 === 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-semstore-spec").toString
+    Similarity.writeSemStore(a, "vec_id", "embedding", k = 4, iters = 2, path)
+    Similarity.appendToSemStore(spark, path, b, "vec_id", "embedding")
+    val (_, cents) = Clustering.kmeansQuantized(
+      a, "vec_id", "embedding", k = 4, iters = 2)
+    def memberRows() = spark.read.parquet(s"$path/members")
+      .select(col("id"), col("cluster").cast("int"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def routedRows(d: org.apache.spark.sql.DataFrame) =
+      Clustering.assignToCentroidsKeepVec(d, "vec_id", "embedding", cents)
+        .select(col("id"), col("cluster"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(memberRows() == routedRows(a.unionByName(b)),
+      "append(build(A), B) drifted from routing A∪B through A's centroids")
+    // probe ≡ the direct frozen-centroid composition on the same store
+    val viaStore = Similarity.probeSemStore(spark, path, probeBatch,
+        "vec_id", "embedding", 49L, 400L, clusterCap = 16L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaStore.nonEmpty, "probe law vacuous: no pairs at the fixture")
+    // purge B: store must equal build(A) exactly (uncapped members)
+    Similarity.purgeFromSemStore(spark, path, b, "vec_id", "embedding")
+    assert(memberRows() == routedRows(a),
+      "purge(build(A)+append(B), B) != build(A)")
+    // purge is idempotent
+    Similarity.purgeFromSemStore(spark, path, b, "vec_id", "embedding")
+    assert(memberRows() == routedRows(a))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
+
   test("dot_product kernel: exact fold, float inputs, mismatch/null → null") {
     ArrayMath.register(spark)
     val d = Seq((Array(1.0, 2.0, -3.0), Array(4.0, -5.0, 6.0)))
