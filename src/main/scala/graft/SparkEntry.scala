@@ -2184,6 +2184,25 @@ object SparkEntry {
       .orderBy("cluster", "store_id", "batch_id")
   }
 
+  /** Leakage-safe split ([[Sampling.splitAssign]] over the SEMANTIC
+    * GROUP): a near-dup pair straddling train/test is silent
+    * evaluation leakage — q80 splits by document and cannot prevent
+    * it. Splitting by q97's cluster id instead gives every semantic
+    * group exactly ONE split (the split is a pure hash of the group
+    * key), so anything SemDeDup would pair stays on one side. Output:
+    * per (cluster, split) doc count — one row per cluster IS the
+    * coherence proof, and the oracle replays clustering + the
+    * portable hash split. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val (assign, _) = Clustering.kmeansQuantized(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = KmeansK, iters = KmeansIters)
+    Sampling.splitAssign(assign.select(col("id"), col("cluster")), "cluster",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), SampleSeed)
+      .groupBy("cluster", "split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("cluster", "split")
+  }
+
   /** Equi-depth histogram ([[Stats.equiDepthHistogram]]): 8
     * quantile-boundary bins of event values per event type — the
     * balanced-bin profile where q47's fixed-width bins collapse under
@@ -2297,6 +2316,7 @@ object SparkEntry {
     "q125_equidepth_hist" -> q125,
     "q126_twolevel_assign" -> q126,
     "q127_semstore_probe" -> q127,
+    "q128_leakage_safe_split" -> q128,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -3561,6 +3581,21 @@ object SparkEntry {
         |ORDER BY rt.source""".stripMargin,
     // q100: the bigram LM replayed — same token stream, same add-one
     // conditional, same rounded-ln / decimal-sum discipline as q85
+    // q128: clustering replay + the portable hash split on the cluster
+    "q128_leakage_safe_split" -> {
+      val cuts = Sampling.splitCuts(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      kmeansOracleCtes(KmeansK, KmeansIters) +
+        s"""SELECT cluster,
+           |       CASE WHEN h < ${cuts(0)} THEN 'train'
+           |            WHEN h < ${cuts(1)} THEN 'val'
+           |            ELSE 'test' END AS split,
+           |       count(*)::BIGINT AS n_docs
+           |FROM (SELECT cluster,
+           |        ('0x' || substr(md5(cluster::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT AS h
+           |      FROM fa)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     // q127: train on the build slice only, route members (%4 != 3) and
     // the probe batch (%4 = 3) through the frozen centroids, cap both
     // sides, integer pair decision — the store lifecycle replayed
