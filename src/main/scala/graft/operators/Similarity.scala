@@ -536,8 +536,8 @@ object Similarity {
       .parquet(s"$path/members")
   }
 
-  private def readSemCents(s: org.apache.spark.sql.SparkSession,
-                           path: String): Seq[(Int, Array[Double])] =
+  private[graft] def readSemCents(s: org.apache.spark.sql.SparkSession,
+                                  path: String): Seq[(Int, Array[Double])] =
     s.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
 
