@@ -2184,6 +2184,33 @@ object SparkEntry {
       .orderBy("cluster", "store_id", "batch_id")
   }
 
+  /** Media semantic dedup — the multimodal arm composed with the
+    * SemDeDup arm: blobs → one-pass deterministic features
+    * ([[graft.operators.Multimodal.mediaEmbeddings]], q88's store
+    * discipline: blob bytes are read once and never travel again) →
+    * [[Similarity.semDedupPairs]] over the embedding store. The
+    * "near-duplicate images/videos in the crawl" pass; in production
+    * the encoder select is the only line that changes. k=2 coarse
+    * clusters over the small blob fixture; every stage — byte
+    * features, quantization, clustering, cap, pair decision — replays
+    * in the oracle. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val media = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet").load(dir)
+      .select(
+        conv(substring(md5(regexp_extract(col("path"), "[^/]+$", 0)), 1, 15),
+          16, 10).cast("long").as("media_id"),
+        col("content").as("media"))
+    val e = Multimodal.mediaEmbeddings(media)
+    Similarity.semDedupPairs(e, "media_id", "emb",
+        k = MediaSemK, iters = KmeansIters,
+        thrNum = SemThrNum, thrDen = SemThrDen, clusterCap = SemCap,
+        seed = SampleSeed)
+      .orderBy("cluster", "id_a", "id_b")
+  }
+
+  private val MediaSemK = 2
+
   /** Leakage-safe split ([[Sampling.splitAssign]] over the SEMANTIC
     * GROUP): a near-dup pair straddling train/test is silent
     * evaluation leakage — q80 splits by document and cannot prevent
@@ -2317,6 +2344,7 @@ object SparkEntry {
     "q126_twolevel_assign" -> q126,
     "q127_semstore_probe" -> q127,
     "q128_leakage_safe_split" -> q128,
+    "q129_media_semdedup" -> q129,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -2832,9 +2860,11 @@ object SparkEntry {
     * one final assignment. Every intermediate is an integral double,
     * so the replay is bit-identical to the Spark loop. */
   private def kmeansOracleCtes(k: Int, iters: Int,
-                               trainPred: String = "TRUE"): String = {
+                               trainPred: String = "TRUE",
+                               srcSql: String =
+                                 "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"): String = {
     val header =
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS ($srcSql),
          |sc AS (SELECT vec_id, v,
          |         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS s
          |       FROM e),
@@ -2891,6 +2921,40 @@ object SparkEntry {
   private def kmeansOracleSql(k: Int, iters: Int): String =
     kmeansOracleCtes(k, iters) +
       "SELECT vec_id, cluster, dist FROM fa ORDER BY vec_id"
+
+  /** The SemDeDup tail shared by q121 (fixture embeddings) and q129
+    * (media embeddings): q110's cap replay over `fa` + the integer
+    * pair decision over `vzall` — everything an exact BIGINT. */
+  private def semPairsTailSql: String =
+    s""", rk AS (SELECT vec_id, cluster, dist,
+      |         row_number() OVER (PARTITION BY cluster
+      |           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+      |                    vec_id) AS rn
+      |       FROM fa),
+      |cap AS (SELECT vec_id, cluster, dist FROM rk WHERE rn <= $SemCap),
+      |nm AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
+      |       FROM vzall v JOIN cap c USING (vec_id) GROUP BY 1),
+      |pr AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+      |         a.dist AS da, b.dist AS db
+      |       FROM cap a JOIN cap b
+      |         ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+      |dt AS (SELECT p.cluster, p.id_a, p.id_b, p.da, p.db,
+      |         CAST(sum(va.val * vb.val) AS BIGINT) AS dot
+      |       FROM pr p
+      |       JOIN vzall va ON va.vec_id = p.id_a
+      |       JOIN vzall vb ON vb.vec_id = p.id_b AND vb.pos = va.pos
+      |       GROUP BY 1, 2, 3, 4, 5),
+      |sd AS (SELECT d.cluster, d.id_a, d.id_b, d.dot, d.da, d.db,
+      |         na.n2 AS na, nb.n2 AS nb
+      |       FROM dt d JOIN nm na ON na.vec_id = d.id_a
+      |                 JOIN nm nb ON nb.vec_id = d.id_b
+      |       WHERE d.dot > 0
+      |         AND d.dot * d.dot * $SemThrDen >= $SemThrNum * na.n2 * nb.n2)
+      |SELECT cluster, id_a, id_b,
+      |  round(dot / sqrt((na * nb)::DOUBLE), 6) AS cosine,
+      |  CASE WHEN da < db THEN id_a WHEN db < da THEN id_b
+      |       ELSE greatest(id_a, id_b) END AS drop_id
+      |FROM sd ORDER BY cluster, id_a, id_b""".stripMargin
 
   /** q126 oracle: the fine k-means chain (ending at c`iters`/fa), then
     * the DRIVER-side coarse Lloyd replayed with the SAME CTE shapes —
@@ -3459,36 +3523,7 @@ object SparkEntry {
     // decision — dot, norms and centroid distances all exact BIGINTs,
     // so the kept set and the drop rule replay with no tolerance
     "q121_semdedup_pairs" ->
-      (kmeansOracleCtes(KmeansK, KmeansIters) +
-        s""", rk AS (SELECT vec_id, cluster, dist,
-          |         row_number() OVER (PARTITION BY cluster
-          |           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
-          |                    vec_id) AS rn
-          |       FROM fa),
-          |cap AS (SELECT vec_id, cluster, dist FROM rk WHERE rn <= $SemCap),
-          |nm AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
-          |       FROM vzall v JOIN cap c USING (vec_id) GROUP BY 1),
-          |pr AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
-          |         a.dist AS da, b.dist AS db
-          |       FROM cap a JOIN cap b
-          |         ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
-          |dt AS (SELECT p.cluster, p.id_a, p.id_b, p.da, p.db,
-          |         CAST(sum(va.val * vb.val) AS BIGINT) AS dot
-          |       FROM pr p
-          |       JOIN vzall va ON va.vec_id = p.id_a
-          |       JOIN vzall vb ON vb.vec_id = p.id_b AND vb.pos = va.pos
-          |       GROUP BY 1, 2, 3, 4, 5),
-          |sd AS (SELECT d.cluster, d.id_a, d.id_b, d.dot, d.da, d.db,
-          |         na.n2 AS na, nb.n2 AS nb
-          |       FROM dt d JOIN nm na ON na.vec_id = d.id_a
-          |                 JOIN nm nb ON nb.vec_id = d.id_b
-          |       WHERE d.dot > 0
-          |         AND d.dot * d.dot * $SemThrDen >= $SemThrNum * na.n2 * nb.n2)
-          |SELECT cluster, id_a, id_b,
-          |  round(dot / sqrt((na * nb)::DOUBLE), 6) AS cosine,
-          |  CASE WHEN da < db THEN id_a WHEN db < da THEN id_b
-          |       ELSE greatest(id_a, id_b) END AS drop_id
-          |FROM sd ORDER BY cluster, id_a, id_b""".stripMargin),
+      (kmeansOracleCtes(KmeansK, KmeansIters) + semPairsTailSql),
     // q101: the k-means replay (same CTE block as q97) plus the
     // label-purity audit on top — all-integer, exact
     "q101_cluster_profile" ->
@@ -3581,6 +3616,19 @@ object SparkEntry {
         |ORDER BY rt.source""".stripMargin,
     // q100: the bigram LM replayed — same token stream, same add-one
     // conditional, same rounded-ln / decimal-sum discipline as q85
+    // q129: q88's deterministic blob-feature chain as the k-means
+    // source, then the shared SemDeDup tail — the whole multimodal ×
+    // semantic-dedup composition replayed
+    "q129_media_semdedup" ->
+      (kmeansOracleCtes(MediaSemK, KmeansIters, srcSql =
+        """SELECT ('0x' || substr(md5(regexp_extract(filename, '[^/]+$')), 1, 15))::BIGINT AS vec_id,
+          |         list_transform(range(0, 8), i ->
+          |           ((size::BIGINT * (i + 1) +
+          |             (64 + (size::BIGINT % 64)) * (3 * i + 1) +
+          |             (64 + ((size::BIGINT // 64) % 64)) * (7 * i + 2))
+          |            % 997 - 498)::DOUBLE) AS v
+          |  FROM read_blob('{SF_DIR}/*.parquet')""".stripMargin) +
+        semPairsTailSql),
     // q128: clustering replay + the portable hash split on the cluster
     "q128_leakage_safe_split" -> {
       val cuts = Sampling.splitCuts(
