@@ -2184,6 +2184,26 @@ object SparkEntry {
       .orderBy("cluster", "store_id", "batch_id")
   }
 
+  /** PQ-ADC retrieval ([[Similarity.pqTopK]]): product quantization
+    * over the fixture embeddings — 4 subspaces × 16-code integer
+    * codebooks (a stored vector is 4 codes: 64× under f32), queries
+    * score every corpus vector by summing 4 exact-integer lookup
+    * distances. Ranks are pure integer comparisons, so the oracle —
+    * four namespaced k-means training chains + codes + lookup tables
+    * + ADC ranking — replays with no rounding convention at all. */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.pqTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", dim = 64, m = PqM, codebookK = PqCodebookK,
+        iters = PqIters, k = PqK)
+      .orderBy("query_id", "rank")
+  }
+
+  private val PqM = 4
+  private val PqCodebookK = 16
+  private val PqIters = 2
+  private val PqK = 5
+
   /** Media semantic dedup — the multimodal arm composed with the
     * SemDeDup arm: blobs → one-pass deterministic features
     * ([[graft.operators.Multimodal.mediaEmbeddings]], q88's store
@@ -2345,6 +2365,7 @@ object SparkEntry {
     "q127_semstore_probe" -> q127,
     "q128_leakage_safe_split" -> q128,
     "q129_media_semdedup" -> q129,
+    "q130_pq_adc" -> q130,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -2862,56 +2883,62 @@ object SparkEntry {
   private def kmeansOracleCtes(k: Int, iters: Int,
                                trainPred: String = "TRUE",
                                srcSql: String =
-                                 "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"): String = {
+                                 "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+                               p: String = "",
+                               lead: String = "WITH "): String = {
+    // `p` namespaces every CTE (the q120 BPE-chain discipline) so
+    // several independent chains — e.g. one per PQ subspace — can
+    // train in one statement; `lead` lets non-first chains continue
+    // an existing WITH list.
     val header =
-      s"""WITH e AS ($srcSql),
-         |sc AS (SELECT vec_id, v,
+      s"""$lead${p}e AS ($srcSql),
+         |${p}sc AS (SELECT vec_id, v,
          |         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS s
-         |       FROM e),
-         |qzall AS (SELECT vec_id,
+         |       FROM ${p}e),
+         |${p}qzall AS (SELECT vec_id,
          |         CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
          |              ELSE list_transform(v, x -> floor(x * 127.0 / s + 0.5))
          |         END AS qv
-         |       FROM sc),
-         |vzall AS (SELECT vec_id, unnest(qv) AS val,
+         |       FROM ${p}sc),
+         |${p}vzall AS (SELECT vec_id, unnest(qv) AS val,
          |              generate_subscripts(qv, 1) AS pos
-         |       FROM qzall),
-         |qz AS (SELECT * FROM qzall WHERE $trainPred),
-         |vz AS (SELECT vec_id, unnest(qv) AS val,
+         |       FROM ${p}qzall),
+         |${p}qz AS (SELECT * FROM ${p}qzall WHERE $trainPred),
+         |${p}vz AS (SELECT vec_id, unnest(qv) AS val,
          |              generate_subscripts(qv, 1) AS pos
-         |       FROM qz),
-         |c0 AS (SELECT i.cid, z.pos, z.val
+         |       FROM ${p}qz),
+         |${p}c0 AS (SELECT i.cid, z.pos, z.val
          |       FROM (SELECT vec_id,
          |               row_number() OVER (ORDER BY vec_id) - 1 AS cid
-         |             FROM (SELECT vec_id FROM qz ORDER BY vec_id LIMIT $k)) i
-         |       JOIN vz z USING (vec_id)),
+         |             FROM (SELECT vec_id FROM ${p}qz ORDER BY vec_id LIMIT $k)) i
+         |       JOIN ${p}vz z USING (vec_id)),
          |""".stripMargin
     val steps = (1 to iters).map { i =>
-      s"""d$i AS (SELECT v.vec_id, c.cid,
+      s"""${p}d$i AS (SELECT v.vec_id, c.cid,
          |         sum((v.val - c.val) * (v.val - c.val)) AS dist
-         |       FROM vz v JOIN c${i - 1} c USING (pos) GROUP BY 1, 2),
-         |a$i AS (SELECT vec_id, cid FROM (
+         |       FROM ${p}vz v JOIN ${p}c${i - 1} c USING (pos) GROUP BY 1, 2),
+         |${p}a$i AS (SELECT vec_id, cid FROM (
          |         SELECT vec_id, cid,
          |           row_number() OVER (PARTITION BY vec_id
          |                              ORDER BY dist, cid) AS rn
-         |         FROM d$i) WHERE rn = 1),
-         |m$i AS (SELECT a.cid, v.pos,
+         |         FROM ${p}d$i) WHERE rn = 1),
+         |${p}m$i AS (SELECT a.cid, v.pos,
          |          floor(sum(v.val) / count(*)) AS val
-         |        FROM a$i a JOIN vz v USING (vec_id) GROUP BY 1, 2),
-         |c$i AS (SELECT c.cid, c.pos, coalesce(m.val, c.val) AS val
-         |        FROM c${i - 1} c
-         |        LEFT JOIN m$i m ON m.cid = c.cid AND m.pos = c.pos),
+         |        FROM ${p}a$i a JOIN ${p}vz v USING (vec_id) GROUP BY 1, 2),
+         |${p}c$i AS (SELECT c.cid, c.pos, coalesce(m.val, c.val) AS val
+         |        FROM ${p}c${i - 1} c
+         |        LEFT JOIN ${p}m$i m ON m.cid = c.cid AND m.pos = c.pos),
          |""".stripMargin
     }.mkString
     val footer =
-      s"""f AS (SELECT v.vec_id, c.cid,
+      s"""${p}f AS (SELECT v.vec_id, c.cid,
          |        CAST(sum((v.val - c.val) * (v.val - c.val)) AS BIGINT) AS dist
-         |      FROM vz v JOIN c$iters c USING (pos) GROUP BY 1, 2),
-         |fa AS (SELECT vec_id, cid::INTEGER AS cluster, dist FROM (
+         |      FROM ${p}vz v JOIN ${p}c$iters c USING (pos) GROUP BY 1, 2),
+         |${p}fa AS (SELECT vec_id, cid::INTEGER AS cluster, dist FROM (
          |         SELECT vec_id, cid, dist,
          |           row_number() OVER (PARTITION BY vec_id
          |                              ORDER BY dist, cid) AS rn
-         |         FROM f) WHERE rn = 1)
+         |         FROM ${p}f) WHERE rn = 1)
          |""".stripMargin
     header + steps + footer
   }
@@ -2955,6 +2982,60 @@ object SparkEntry {
       |  CASE WHEN da < db THEN id_a WHEN db < da THEN id_b
       |       ELSE greatest(id_a, id_b) END AS drop_id
       |FROM sd ORDER BY cluster, id_a, id_b""".stripMargin
+
+  /** q130 oracle: the base int8 quantization, then one NAMESPACED
+    * k-means chain per PQ subspace over the sliced quantized vectors
+    * (each chain re-quantizes its slice exactly as
+    * [[graft.operators.Clustering.kmeansQuantized]] does), then codes
+    * (= each chain's final assignment), per-query lookup tables of
+    * exact integer subspace distances, and the ADC ranking. */
+  private def pqOracleSql(m: Int, codebookK: Int, iters: Int, dim: Int,
+                          k: Int, queryPred: String): String = {
+    val subDim = dim / m
+    val base =
+      """WITH be AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bsc AS (SELECT vec_id, v,
+        |         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS s
+        |       FROM be),
+        |bqzall AS (SELECT vec_id,
+        |         CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> floor(x * 127.0 / s + 0.5))
+        |         END AS qv
+        |       FROM bsc),
+        |""".stripMargin
+    val chains = (0 until m).map { s =>
+      kmeansOracleCtes(codebookK, iters,
+        srcSql = s"SELECT vec_id, qv[${s * subDim + 1}:${(s + 1) * subDim}] AS v FROM bqzall",
+        p = s"s${s}_", lead = if (s == 0) "" else ", ")
+    }.mkString
+    val lds = (0 until m).map { s =>
+      s""", s${s}ld AS (SELECT v.vec_id AS query_id, c.cid AS code,
+         |         CAST(sum((v.val - c.val) * (v.val - c.val)) AS BIGINT) AS d
+         |       FROM s${s}_vzall v JOIN s${s}_c$iters c USING (pos)
+         |       WHERE $queryPred
+         |       GROUP BY 1, 2)
+         |""".stripMargin
+    }.mkString
+    val codesUnion = (0 until m)
+      .map(s => s"SELECT $s AS s, vec_id, cluster AS code FROM s${s}_fa")
+      .mkString(" UNION ALL ")
+    val ldUnion = (0 until m)
+      .map(s => s"SELECT $s AS s, query_id, code, d FROM s${s}ld")
+      .mkString(" UNION ALL ")
+    base + chains + lds +
+      s""", codes AS ($codesUnion),
+         |ld AS ($ldUnion),
+         |adc AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+         |          CAST(sum(l.d) AS BIGINT) AS adc_dist
+         |        FROM ld l JOIN codes c ON c.s = l.s AND c.code = l.code
+         |        WHERE c.vec_id != l.query_id GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, adc_dist,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY adc_dist, neighbor_id) AS rank
+         |      FROM adc)
+         |SELECT query_id, rank, neighbor_id, adc_dist
+         |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 
   /** q126 oracle: the fine k-means chain (ending at c`iters`/fa), then
     * the DRIVER-side coarse Lloyd replayed with the SAME CTE shapes —
@@ -3616,6 +3697,10 @@ object SparkEntry {
         |ORDER BY rt.source""".stripMargin,
     // q100: the bigram LM replayed — same token stream, same add-one
     // conditional, same rounded-ln / decimal-sum discipline as q85
+    // q130: four namespaced subspace k-means chains + ADC ranking
+    "q130_pq_adc" ->
+      pqOracleSql(PqM, PqCodebookK, PqIters, dim = 64, k = PqK,
+        queryPred = "v.vec_id % 50 = 0"),
     // q129: q88's deterministic blob-feature chain as the k-means
     // source, then the shared SemDeDup tail — the whole multimodal ×
     // semantic-dedup composition replayed

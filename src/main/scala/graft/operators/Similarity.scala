@@ -332,6 +332,83 @@ object Similarity {
     probeIvfIndex(buildIvfIndex(corpus, idCol, vecCol, nCentroids, iters),
       queries, idCol, vecCol, k, nProbe)
 
+  /** Product-quantization ANN with asymmetric distance computation
+    * (ADC) — the memory-bound trillion-vector tier the int8 arm (q72)
+    * stops short of: int8 shrinks an f32 store 4×, PQ shrinks it
+    * dim·4/m× (m=4 codes for a dim-64 vector is 64× under f32),
+    * because a stored vector becomes m CODEBOOK CODES and scoring
+    * never touches vectors again — each query computes one
+    * m×codebookK lookup table of exact subspace distances, and every
+    * corpus score is m table lookups summed.
+    *
+    * Construction (Jégou et al. 2011, made engine-exact): the corpus
+    * is int8-quantized once, each vector sliced into m subvectors;
+    * per subspace an INTEGER k-means ([[Clustering.kmeansQuantized]] —
+    * which re-quantizes the slice, deterministically) trains the
+    * codebook and its final assignment IS the code. Query subvectors
+    * take the same slice+re-quantize path, so every ADC distance is
+    * an exact integer and the whole construction — training chains,
+    * codes, lookup tables, ranking — replays in the SQL oracle; ranks
+    * need no rounding convention at all.
+    *
+    * Plan shape: m driver-resident codebooks (m·codebookK·subdim
+    * doubles — metadata); the codes table is the only corpus-sized
+    * artifact and nothing wider than (id, s, code) shuffles; the
+    * lookup table broadcasts. Approximation error comes from coarse
+    * codebooks (recall audited in SimilaritySpec against the exact
+    * quantized-space L2 ranking); the production recipe re-ranks an
+    * ADC shortlist exactly, which is [[quantizedTopK]]'s discipline
+    * composed on top. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, dim: Int, m: Int, codebookK: Int,
+             iters: Int, k: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(codebookK >= 1 && k >= 1 && iters >= 0, "bad PQ sizing")
+    ArrayMath.register(corpus.sparkSession)
+    val subDim = dim / m
+    val qv = corpus.select(col(idCol).as("__id"),
+        ArrayMath.int8Quantize(col(vecCol)).as("__qv"))
+      .where(col("__qv").isNotNull)
+    qv.persist()
+    try {
+      val trained = (0 until m).map { s =>
+        val sub = qv.select(col("__id"),
+          slice(col("__qv"), s * subDim + 1, subDim).as("__sv"))
+        val (assign, cents) = Clustering.kmeansQuantized(
+          sub, "__id", "__sv", codebookK, iters)
+        (s, assign.select(lit(s).as("__s"), col("id").as("__nid"),
+          col("cluster").as("__code")), cents)
+      }
+      val codes = trained.map(_._2).reduce(_ unionByName _)
+      val qfull = queries.select(col(idCol).as("query_id"),
+          ArrayMath.int8Quantize(col(vecCol)).as("__qv"))
+        .where(col("__qv").isNotNull)
+      val lookup = trained.map { case (s, _, cents) =>
+        val sliceQ = ArrayMath.int8Quantize(
+          slice(col("__qv"), s * subDim + 1, subDim))
+        val entries = cents.map { case (code, cent) =>
+          struct(lit(code).as("code"),
+            ArrayMath.squaredL2(sliceQ, typedlit(cent.toSeq))
+              .cast("long").as("d"))
+        }
+        qfull.select(col("query_id"), lit(s).as("__s"),
+            explode(array(entries: _*)).as("__e"))
+          .select(col("query_id"), col("__s"),
+            col("__e.code").as("__code"), col("__e.d").as("__d"))
+      }.reduce(_ unionByName _)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_dist").asc, col("neighbor_id"))
+      codes.join(broadcast(lookup), Seq("__s", "__code"))
+        .filter(col("__nid") =!= col("query_id"))
+        .groupBy(col("query_id"), col("__nid").as("neighbor_id"))
+        .agg(sum(col("__d")).as("adc_dist"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("adc_dist"))
+    } finally qv.unpersist(blocking = false)
+  }
+
   /** All near-duplicate pairs by embedding cosine ≥ threshold — the
     * embedding-space analogue of TextOps.minhashDedupPairs, in the
     * banded multi-table form (like q11's MinHash banding): `nTables`

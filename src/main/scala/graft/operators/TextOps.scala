@@ -1576,9 +1576,12 @@ object TextOps {
                      labelCol: String, textCol: String): DataFrame = {
     val tt = train.select(col(labelCol).as("__lab"),
       explode(filter(tokens(col(textCol)), w => length(w) > 0)).as("__tok"))
+    // ONE pass over the exploded tokens: per-label totals and the
+    // vocabulary size both derive from the (label, token) counts, so
+    // the explode — the data-sized intermediate — is never re-scanned
     val cwt = tt.groupBy("__lab", "__tok").agg(count(lit(1)).as("__cwt"))
-    val ct = tt.groupBy("__lab").agg(count(lit(1)).as("__ct"))
-    val vocab = tt.agg(countDistinct(col("__tok")).as("__v"))
+    val ct = cwt.groupBy("__lab").agg(sum("__cwt").as("__ct"))
+    val vocab = cwt.agg(countDistinct(col("__tok")).as("__v"))
     val nlab = train.groupBy(col(labelCol).as("__lab"))
       .agg(count(lit(1)).as("__nl"))
     val ntr = train.agg(count(lit(1)).as("__n"))
