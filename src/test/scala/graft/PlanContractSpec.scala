@@ -505,6 +505,20 @@ class PlanContractSpec extends SparkSpec {
       s"native dot kernel missing from the pair filter:\n$plan")
   }
 
+  test("q130 pq-adc: scoring never touches vectors — codes join a " +
+       "broadcast lookup, rank limit pushed, no cartesian") {
+    val plan = physical(SparkEntry.queries("q130_pq_adc")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"ADC went cartesian:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"per-query lookup tables not broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k rank limit not pushed into the window:\n$plan")
+    // the scoring subtree must not re-read the embedding column: the
+    // only parquet scans feed the broadcast lookup (query slices)
+    assert(!plan.contains("squared_l2") || plan.contains("BroadcastExchange"),
+      "exact kernels outside the broadcast side")
+  }
+
   test("q117 bpe tokens: one codegen'd call per row — no explode, no " +
        "exchange below the presentation sort") {
     val plan = physical(SparkEntry.queries("q117_bpe_tokens")(spark, dir))
