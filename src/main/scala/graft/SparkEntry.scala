@@ -2203,6 +2203,21 @@ object SparkEntry {
   private val PqCodebookK = 16
   private val PqIters = 2
   private val PqK = 5
+  private val PqShortlist = 25
+
+  /** PQ shortlist + exact rerank ([[Similarity.pqTopKReranked]]):
+    * the production PQ recipe — ADC names 25 candidates from the
+    * codes table, the exact integer L2 over the full int8 vectors of
+    * just those candidates decides the final top-5; `q_rank` shows
+    * how much the exact pass reordered. The oracle replays chains,
+    * shortlist cut and rerank. */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.pqTopKReranked(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", dim = 64, m = PqM, codebookK = PqCodebookK,
+        iters = PqIters, k = PqK, shortlist = PqShortlist)
+      .orderBy("query_id", "rank")
+  }
 
   /** Media semantic dedup — the multimodal arm composed with the
     * SemDeDup arm: blobs → one-pass deterministic features
@@ -2366,6 +2381,7 @@ object SparkEntry {
     "q128_leakage_safe_split" -> q128,
     "q129_media_semdedup" -> q129,
     "q130_pq_adc" -> q130,
+    "q131_pq_rerank" -> q131,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -2990,7 +3006,48 @@ object SparkEntry {
     * (= each chain's final assignment), per-query lookup tables of
     * exact integer subspace distances, and the ADC ranking. */
   private def pqOracleSql(m: Int, codebookK: Int, iters: Int, dim: Int,
-                          k: Int, queryPred: String): String = {
+                          k: Int, queryPred: String): String =
+    pqChainsCtes(m, codebookK, iters, dim, queryPred) +
+      s""", r AS (SELECT query_id, neighbor_id, adc_dist,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY adc_dist, neighbor_id) AS rank
+         |      FROM adc)
+         |SELECT query_id, rank, neighbor_id, adc_dist
+         |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** q131 oracle: the PQ chains + ADC ranking cut at `shortlist`,
+    * then the exact full-space integer L2 rerank of just those
+    * candidates — the composition, replayed. */
+  private def pqRerankOracleSql(m: Int, codebookK: Int, iters: Int,
+                                dim: Int, k: Int, shortlist: Int,
+                                queryPred: String): String =
+    pqChainsCtes(m, codebookK, iters, dim, queryPred) +
+      s""", r AS (SELECT query_id, neighbor_id, adc_dist,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY adc_dist, neighbor_id) AS rank
+         |      FROM adc),
+         |short AS (SELECT query_id, neighbor_id, rank AS q_rank
+         |          FROM r WHERE rank <= $shortlist),
+         |fdr AS (SELECT s.query_id, s.neighbor_id, s.q_rank,
+         |          CAST(sum((vq.val - vn.val) * (vq.val - vn.val)) AS BIGINT)
+         |            AS l2_dist
+         |        FROM short s
+         |        JOIN bvzall vq ON vq.vec_id = s.query_id
+         |        JOIN bvzall vn ON vn.vec_id = s.neighbor_id
+         |                      AND vn.pos = vq.pos
+         |        GROUP BY 1, 2, 3),
+         |rr AS (SELECT query_id, neighbor_id, l2_dist, q_rank,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY l2_dist, neighbor_id) AS rank
+         |       FROM fdr)
+         |SELECT query_id, rank, neighbor_id, l2_dist, q_rank
+         |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Shared PQ CTE block ending at `adc(query_id, neighbor_id,
+    * adc_dist)`; also exposes `bvzall` (the full-space quantized
+    * components) for the rerank tail. */
+  private def pqChainsCtes(m: Int, codebookK: Int, iters: Int, dim: Int,
+                           queryPred: String): String = {
     val subDim = dim / m
     val base =
       """WITH be AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3002,6 +3059,9 @@ object SparkEntry {
         |              ELSE list_transform(v, x -> floor(x * 127.0 / s + 0.5))
         |         END AS qv
         |       FROM bsc),
+        |bvzall AS (SELECT vec_id, unnest(qv) AS val,
+        |              generate_subscripts(qv, 1) AS pos
+        |       FROM bqzall),
         |""".stripMargin
     val chains = (0 until m).map { s =>
       kmeansOracleCtes(codebookK, iters,
@@ -3028,13 +3088,8 @@ object SparkEntry {
          |adc AS (SELECT l.query_id, c.vec_id AS neighbor_id,
          |          CAST(sum(l.d) AS BIGINT) AS adc_dist
          |        FROM ld l JOIN codes c ON c.s = l.s AND c.code = l.code
-         |        WHERE c.vec_id != l.query_id GROUP BY 1, 2),
-         |r AS (SELECT query_id, neighbor_id, adc_dist,
-         |        row_number() OVER (PARTITION BY query_id
-         |                           ORDER BY adc_dist, neighbor_id) AS rank
-         |      FROM adc)
-         |SELECT query_id, rank, neighbor_id, adc_dist
-         |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+         |        WHERE c.vec_id != l.query_id GROUP BY 1, 2)
+         |""".stripMargin
   }
 
   /** q126 oracle: the fine k-means chain (ending at c`iters`/fa), then
@@ -3701,6 +3756,10 @@ object SparkEntry {
     "q130_pq_adc" ->
       pqOracleSql(PqM, PqCodebookK, PqIters, dim = 64, k = PqK,
         queryPred = "v.vec_id % 50 = 0"),
+    // q131: the chains + shortlist cut + exact full-space rerank
+    "q131_pq_rerank" ->
+      pqRerankOracleSql(PqM, PqCodebookK, PqIters, dim = 64, k = PqK,
+        shortlist = PqShortlist, queryPred = "v.vec_id % 50 = 0"),
     // q129: q88's deterministic blob-feature chain as the k-means
     // source, then the shared SemDeDup tail — the whole multimodal ×
     // semantic-dedup composition replayed

@@ -409,6 +409,42 @@ object Similarity {
     } finally qv.unpersist(blocking = false)
   }
 
+  /** [[pqTopK]] composed with an EXACT full-space rerank — the
+    * production PQ recipe (and the reason fixture-recall limits of
+    * raw ADC don't bound the composition): ADC's job is only to name
+    * a `shortlist` of candidates from the codes table; the final
+    * order comes from exact integer L2 over the full int8 vectors of
+    * just those candidates. Per query the rerank touches `shortlist`
+    * vectors instead of the corpus — the [[quantizedTopK]] economics
+    * with PQ as the shortlister. `q_rank` (the ADC rank) rides along
+    * as the visible evidence of how much the exact pass reordered.
+    * Law: an exhaustive shortlist makes the output the exact
+    * quantized-space L2 ranking (SimilaritySpec). */
+  def pqTopKReranked(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, dim: Int, m: Int, codebookK: Int,
+                     iters: Int, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
+    val short = pqTopK(corpus, queries, idCol, vecCol, dim, m, codebookK,
+        iters, shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("q_rank"))
+    val vn = corpus.select(col(idCol).as("neighbor_id"),
+        ArrayMath.int8Quantize(col(vecCol)).as("__vn"))
+      .where(col("__vn").isNotNull)
+    val vq = queries.select(col(idCol).as("query_id"),
+        ArrayMath.int8Quantize(col(vecCol)).as("__vq"))
+      .where(col("__vq").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_dist").asc, col("neighbor_id"))
+    vn.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(vq), Seq("query_id"))
+      .withColumn("l2_dist",
+        ArrayMath.squaredL2(col("__vq"), col("__vn")).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("l2_dist"), col("q_rank"))
+  }
+
   /** All near-duplicate pairs by embedding cosine ≥ threshold — the
     * embedding-space analogue of TextOps.minhashDedupPairs, in the
     * banded multi-table form (like q11's MinHash banding): `nTables`

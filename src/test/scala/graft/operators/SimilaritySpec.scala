@@ -437,6 +437,38 @@ class SimilaritySpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
   }
 
+  test("pqTopKReranked with an exhaustive shortlist ≡ exact " +
+       "full-space quantized L2 top-k (law)") {
+    // with every candidate shortlisted, ADC's ordering is irrelevant:
+    // the exact rerank must reproduce the brute-force ranking
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 80)
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val got = Similarity.pqTopKReranked(e, q, "vec_id", "embedding",
+        dim = 64, m = 4, codebookK = 8, iters = 2, k = 5, shortlist = 79)
+      .select("query_id", "rank", "neighbor_id", "l2_dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    ArrayMath.register(spark)
+    val qv = e.select(col("vec_id"),
+      ArrayMath.int8Quantize(col("embedding")).as("qv"))
+    val a = qv.select(col("vec_id").as("query_id"), col("qv").as("qa"))
+      .filter(col("query_id") % 10 === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("d").asc, col("neighbor_id"))
+    val want = qv.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"))
+      .crossJoin(broadcast(a))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("d", ArrayMath.squaredL2(col("qa"), col("qb")).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want, "exhaustive-shortlist rerank drifted from exact L2")
+  }
+
   test("pqTopK degeneracy law: codebookK = n with iters = 0 ranks " +
        "exactly like brute-force L2 in the re-quantized sliced space") {
     // with one codebook entry per vector and no Lloyd updates, every
