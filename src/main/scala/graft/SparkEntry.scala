@@ -2219,6 +2219,31 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Persisted PQ index lifecycle ([[Similarity.buildPqIndex]] →
+    * append → probe): codebooks train on the vec_id%4≤1 slice only,
+    * the rest of the corpus is ENCODED against the frozen codebooks
+    * and appended (the q83 IVF discipline at PQ's 64× compression),
+    * then ADC serves from the stored codes — the probe plan touches
+    * no corpus vector at all. Oracle: the four chains train under the
+    * same predicate, codes come from frozen ROUTING of every row, ADC
+    * ranks as in q130. */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q132" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-pqidx-$tag"
+    val e = Tables.embeddings(s, dir)
+    if (!new java.io.File(path).exists()) {
+      Similarity.buildPqIndex(e.filter(col("vec_id") % 4 <= 1),
+        "vec_id", "embedding", dim = 64, m = PqM,
+        codebookK = PqCodebookK, iters = PqIters, path)
+      Similarity.appendToPqIndex(s, path, e.filter(col("vec_id") % 4 >= 2),
+        "vec_id", "embedding", dim = 64)
+    }
+    Similarity.probePqIndex(s, path, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", dim = 64, k = PqK)
+      .orderBy("query_id", "rank")
+  }
+
   /** Media semantic dedup — the multimodal arm composed with the
     * SemDeDup arm: blobs → one-pass deterministic features
     * ([[graft.operators.Multimodal.mediaEmbeddings]], q88's store
@@ -2382,6 +2407,7 @@ object SparkEntry {
     "q129_media_semdedup" -> q129,
     "q130_pq_adc" -> q130,
     "q131_pq_rerank" -> q131,
+    "q132_pq_index" -> q132,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -3045,9 +3071,15 @@ object SparkEntry {
 
   /** Shared PQ CTE block ending at `adc(query_id, neighbor_id,
     * adc_dist)`; also exposes `bvzall` (the full-space quantized
-    * components) for the rerank tail. */
+    * components) for the rerank tail. With `codesFromRouting` the
+    * codes come from FROZEN routing of every row against the final
+    * codebooks (the q132 lifecycle: training saw only `trainPred`
+    * rows, appended rows were encoded after the fact) — identical to
+    * the training assignments when trainPred is TRUE. */
   private def pqChainsCtes(m: Int, codebookK: Int, iters: Int, dim: Int,
-                           queryPred: String): String = {
+                           queryPred: String,
+                           trainPred: String = "TRUE",
+                           codesFromRouting: Boolean = false): String = {
     val subDim = dim / m
     val base =
       """WITH be AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3064,7 +3096,7 @@ object SparkEntry {
         |       FROM bqzall),
         |""".stripMargin
     val chains = (0 until m).map { s =>
-      kmeansOracleCtes(codebookK, iters,
+      kmeansOracleCtes(codebookK, iters, trainPred,
         srcSql = s"SELECT vec_id, qv[${s * subDim + 1}:${(s + 1) * subDim}] AS v FROM bqzall",
         p = s"s${s}_", lead = if (s == 0) "" else ", ")
     }.mkString
@@ -3076,13 +3108,29 @@ object SparkEntry {
          |       GROUP BY 1, 2)
          |""".stripMargin
     }.mkString
-    val codesUnion = (0 until m)
-      .map(s => s"SELECT $s AS s, vec_id, cluster AS code FROM s${s}_fa")
-      .mkString(" UNION ALL ")
+    val routes = if (!codesFromRouting) "" else (0 until m).map { s =>
+      s""", s${s}rt AS (SELECT v.vec_id, c.cid,
+         |         sum((v.val - c.val) * (v.val - c.val)) AS dist
+         |       FROM s${s}_vzall v JOIN s${s}_c$iters c USING (pos)
+         |       GROUP BY 1, 2),
+         |s${s}rc AS (SELECT vec_id, cid AS code FROM (
+         |         SELECT vec_id, cid, dist,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY dist, cid) AS rn
+         |         FROM s${s}rt) WHERE rn = 1)
+         |""".stripMargin
+    }.mkString
+    val codesUnion =
+      if (codesFromRouting)
+        (0 until m).map(s => s"SELECT $s AS s, vec_id, code FROM s${s}rc")
+          .mkString(" UNION ALL ")
+      else
+        (0 until m).map(s => s"SELECT $s AS s, vec_id, cluster AS code FROM s${s}_fa")
+          .mkString(" UNION ALL ")
     val ldUnion = (0 until m)
       .map(s => s"SELECT $s AS s, query_id, code, d FROM s${s}ld")
       .mkString(" UNION ALL ")
-    base + chains + lds +
+    base + chains + lds + routes +
       s""", codes AS ($codesUnion),
          |ld AS ($ldUnion),
          |adc AS (SELECT l.query_id, c.vec_id AS neighbor_id,
@@ -3760,6 +3808,18 @@ object SparkEntry {
     "q131_pq_rerank" ->
       pqRerankOracleSql(PqM, PqCodebookK, PqIters, dim = 64, k = PqK,
         shortlist = PqShortlist, queryPred = "v.vec_id % 50 = 0"),
+    // q132: chains trained on the build slice, codes from frozen
+    // routing of every row, ADC ranking — the index lifecycle replayed
+    "q132_pq_index" ->
+      (pqChainsCtes(PqM, PqCodebookK, PqIters, dim = 64,
+        queryPred = "v.vec_id % 50 = 0",
+        trainPred = "vec_id % 4 <= 1", codesFromRouting = true) +
+        s""", r AS (SELECT query_id, neighbor_id, adc_dist,
+           |        row_number() OVER (PARTITION BY query_id
+           |                           ORDER BY adc_dist, neighbor_id) AS rank
+           |      FROM adc)
+           |SELECT query_id, rank, neighbor_id, adc_dist
+           |FROM r WHERE rank <= $PqK ORDER BY query_id, rank""".stripMargin),
     // q129: q88's deterministic blob-feature chain as the k-means
     // source, then the shared SemDeDup tail — the whole multimodal ×
     // semantic-dedup composition replayed

@@ -380,33 +380,138 @@ object Similarity {
           col("cluster").as("__code")), cents)
       }
       val codes = trained.map(_._2).reduce(_ unionByName _)
-      val qfull = queries.select(col(idCol).as("query_id"),
-          ArrayMath.int8Quantize(col(vecCol)).as("__qv"))
-        .where(col("__qv").isNotNull)
-      val lookup = trained.map { case (s, _, cents) =>
-        val sliceQ = ArrayMath.int8Quantize(
-          slice(col("__qv"), s * subDim + 1, subDim))
-        val entries = cents.map { case (code, cent) =>
-          struct(lit(code).as("code"),
-            ArrayMath.squaredL2(sliceQ, typedlit(cent.toSeq))
-              .cast("long").as("d"))
-        }
-        qfull.select(col("query_id"), lit(s).as("__s"),
-            explode(array(entries: _*)).as("__e"))
-          .select(col("query_id"), col("__s"),
-            col("__e.code").as("__code"), col("__e.d").as("__d"))
-      }.reduce(_ unionByName _)
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("adc_dist").asc, col("neighbor_id"))
-      codes.join(broadcast(lookup), Seq("__s", "__code"))
-        .filter(col("__nid") =!= col("query_id"))
-        .groupBy(col("query_id"), col("__nid").as("neighbor_id"))
-        .agg(sum(col("__d")).as("adc_dist"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          col("adc_dist"))
+      adcScore(codes,
+        pqLookup(queries, idCol, vecCol, subDim,
+          trained.map { case (s, _, cents) => (s, cents) }), k)
     } finally qv.unpersist(blocking = false)
+  }
+
+  /** Per-query ADC lookup tables: for each subspace, the exact integer
+    * distance from the query's re-quantized slice to every codebook
+    * entry — m·codebookK broadcastable rows per query. */
+  private def pqLookup(queries: DataFrame, idCol: String, vecCol: String,
+                       subDim: Int,
+                       books: Seq[(Int, Seq[(Int, Array[Double])])]): DataFrame = {
+    val qfull = queries.select(col(idCol).as("query_id"),
+        ArrayMath.int8Quantize(col(vecCol)).as("__qv"))
+      .where(col("__qv").isNotNull)
+    books.map { case (s, cents) =>
+      val sliceQ = ArrayMath.int8Quantize(
+        slice(col("__qv"), s * subDim + 1, subDim))
+      val entries = cents.map { case (code, cent) =>
+        struct(lit(code).as("code"),
+          ArrayMath.squaredL2(sliceQ, typedlit(cent.toSeq))
+            .cast("long").as("d"))
+      }
+      qfull.select(col("query_id"), lit(s).as("__s"),
+          explode(array(entries: _*)).as("__e"))
+        .select(col("query_id"), col("__s"),
+          col("__e.code").as("__code"), col("__e.d").as("__d"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The ADC scoring tail shared by [[pqTopK]] and [[probePqIndex]]:
+    * codes ⋈ broadcast lookup, map-side-combined sum, rank-limited
+    * window. `codes` columns: (__nid, __s, __code). */
+  private def adcScore(codes: DataFrame, lookup: DataFrame,
+                       k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    codes.join(broadcast(lookup), Seq("__s", "__code"))
+      .filter(col("__nid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("__nid").as("neighbor_id"))
+      .agg(sum(col("__d")).as("adc_dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_dist"))
+  }
+
+  /** Persist a PQ index — the codebooks (m·codebookK·subdim doubles)
+    * and the codes table, the ONLY corpus-sized artifact (m small ints
+    * per vector: the whole point). The codes are [[pqTopK]]'s training
+    * assignments, so build-then-probe ≡ the one-shot operator (law).
+    * The frozen codebooks make the append law exact: encoding is a
+    * pure per-row function of them. */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, m: Int, codebookK: Int, iters: Int,
+                   path: String): Unit = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val spark = corpus.sparkSession
+    ArrayMath.register(spark)
+    val subDim = dim / m
+    val qv = corpus.select(col(idCol).as("__id"),
+        ArrayMath.int8Quantize(col(vecCol)).as("__qv"))
+      .where(col("__qv").isNotNull)
+    qv.persist()
+    try {
+      import spark.implicits._
+      val trained = (0 until m).map { s =>
+        val sub = qv.select(col("__id"),
+          slice(col("__qv"), s * subDim + 1, subDim).as("__sv"))
+        val (assign, cents) = Clustering.kmeansQuantized(
+          sub, "__id", "__sv", codebookK, iters)
+        (s, assign, cents)
+      }
+      trained.flatMap { case (s, _, cents) =>
+        cents.map { case (cid, v) => (s, cid, v.toSeq) }
+      }.toDF("s", "cid", "cvec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      trained.map { case (s, assign, _) =>
+        assign.select(col("id").as("vec_id"), lit(s).as("s"),
+          col("cluster").as("code"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").partitionBy("s").parquet(s"$path/codes")
+    } finally qv.unpersist(blocking = false)
+  }
+
+  private def readPqCodebooks(s: org.apache.spark.sql.SparkSession,
+                              path: String): Seq[(Int, Seq[(Int, Array[Double])])] =
+    s.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (sub, rows) =>
+        (sub, rows.map(r => (r._2, r._3)).sortBy(_._1).toSeq)
+      }
+
+  /** Encode a batch against the FROZEN codebooks and append its codes —
+    * no retraining, no rewrite of history (the q83 IVF-append
+    * discipline applied to PQ). Law: append(build(A), B) holds the
+    * same code rows as build over A∪B with A's codebooks (encoding is
+    * pure per-row; SimilaritySpec). */
+  def appendToPqIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                      batch: DataFrame, idCol: String, vecCol: String,
+                      dim: Int): Unit = {
+    val books = readPqCodebooks(s, path)
+    val subDim = dim / books.size
+    ArrayMath.register(s)
+    val qv = batch.select(col(idCol).as("__id"),
+        ArrayMath.int8Quantize(col(vecCol)).as("__qv"))
+      .where(col("__qv").isNotNull)
+    books.map { case (sub, cents) =>
+      val sliced = qv.select(col("__id"),
+        slice(col("__qv"), sub * subDim + 1, subDim).as("__sv"))
+      Clustering.assignToCentroids(sliced, "__id", "__sv", cents)
+        .select(col("id").as("vec_id"), lit(sub).as("s"),
+          col("cluster").as("code"))
+    }.reduce(_ unionByName _)
+      .write.mode("append").partitionBy("s").parquet(s"$path/codes")
+  }
+
+  /** ADC top-k against the PERSISTED index: the scoring plan touches
+    * only the stored codes and a broadcast per-query lookup — no
+    * vector but the queries' own is ever read, which is the PQ
+    * serving contract made visible. */
+  def probePqIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, k: Int): DataFrame = {
+    val books = readPqCodebooks(s, path)
+    val subDim = dim / books.size
+    ArrayMath.register(s)
+    val codes = s.read.parquet(s"$path/codes")
+      .select(col("vec_id").as("__nid"), col("s").cast("int").as("__s"),
+        col("code").as("__code"))
+    adcScore(codes, pqLookup(queries, idCol, vecCol, subDim, books), k)
   }
 
   /** [[pqTopK]] composed with an EXACT full-space rerank — the

@@ -437,6 +437,47 @@ class SimilaritySpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
   }
 
+  test("pq index lifecycle: probe(build(corpus)) ≡ one-shot pqTopK; " +
+       "append ≡ frozen-encode union") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 40 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pqidx-spec").toString
+    // law 1: the persisted path reproduces the one-shot operator
+    Similarity.buildPqIndex(e, "vec_id", "embedding",
+      dim = 64, m = 4, codebookK = 8, iters = 2, s"$dir/full")
+    val viaIndex = Similarity.probePqIndex(spark, s"$dir/full", q,
+        "vec_id", "embedding", dim = 64, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val oneShot = Similarity.pqTopK(e, q, "vec_id", "embedding",
+        dim = 64, m = 4, codebookK = 8, iters = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(viaIndex == oneShot, "persisted probe drifted from one-shot PQ")
+    // law 2: appended codes equal frozen-encoding the union
+    val a = e.filter(col("vec_id") % 3 =!= 0)
+    val b = e.filter(col("vec_id") % 3 === 0)
+    Similarity.buildPqIndex(a, "vec_id", "embedding",
+      dim = 64, m = 4, codebookK = 8, iters = 2, s"$dir/ab")
+    Similarity.appendToPqIndex(spark, s"$dir/ab", b,
+      "vec_id", "embedding", dim = 64)
+    def codeRows(p: String) = spark.read.parquet(s"$p/codes")
+      .select(col("vec_id"), col("s").cast("int"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // reference: re-encode A∪B against the SAME frozen books via the
+    // public append path into a fresh codes dir
+    Similarity.buildPqIndex(a, "vec_id", "embedding",
+      dim = 64, m = 4, codebookK = 8, iters = 2, s"$dir/ref")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$dir/ref/codes"))
+    Similarity.appendToPqIndex(spark, s"$dir/ref", e.unionByName(e.limit(0)),
+      "vec_id", "embedding", dim = 64)
+    assert(codeRows(s"$dir/ab") == codeRows(s"$dir/ref"),
+      "append(build(A), B) != frozen-encode(A∪B)")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("pqTopKReranked with an exhaustive shortlist ≡ exact " +
        "full-space quantized L2 top-k (law)") {
     // with every candidate shortlisted, ADC's ordering is irrelevant:
