@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DimDate
-import graft.operators.{Blooms, Cdc, Clustering, Dedup, Events, ExactAgg, Graphs, Incremental, Joins, Layout, Linkage, Multimodal, Packing, Resample, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms, Vocab}
+import graft.operators.{Blooms, Cdc, Clustering, Dedup, Events, ExactAgg, Graphs, Incremental, Joins, Layout, Linkage, Multimodal, Packing, Resample, Retrieval, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms, Vocab}
 import graft.sources.JsonFlatten
 import graft.streaming.EventTimeStreams
 
@@ -2244,6 +2244,30 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Hybrid retrieval ([[Retrieval.rrfFuse]]): the lexical arm (q85's
+    * BM25 over first-five-token queries) and the dense arm (q12's
+    * exact cosine over the aligned embedding rows) fused by
+    * reciprocal rank — scaled-integer contributions, so the fused
+    * score and ranking are exact with no cross-arm calibration.
+    * `lex_rank`/`vec_rank` ride along as the per-arm audit (NULL =
+    * that arm missed the doc). The query set is doc_id ≡ 0 mod 100 on
+    * BOTH arms (doc_id and vec_id are the same key space). */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("qtext"))
+    val lex = TextOps.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val e = Tables.embeddings(s, dir)
+    val vec = Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(Seq("lex" -> lex, "vec" -> vec), k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** Media semantic dedup — the multimodal arm composed with the
     * SemDeDup arm: blobs → one-pass deterministic features
     * ([[graft.operators.Multimodal.mediaEmbeddings]], q88's store
@@ -2408,6 +2432,7 @@ object SparkEntry {
     "q130_pq_adc" -> q130,
     "q131_pq_rerank" -> q131,
     "q132_pq_index" -> q132,
+    "q133_hybrid_rrf" -> q133,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -3308,9 +3333,10 @@ object SparkEntry {
     header + steps + footer
   }
 
-  private val bruteAnnSql =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-      |q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+  private def bruteAnnSqlOver(queryPred: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |q AS (SELECT vec_id, v FROM e WHERE $queryPred),""".stripMargin +
+    """
       |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
       |        round(list_dot_product(q.v, e.v) /
       |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6)
@@ -3323,6 +3349,8 @@ object SparkEntry {
       |SELECT query_id, rank, neighbor_id, cosine
       |FROM r WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
+
+  private val bruteAnnSql = bruteAnnSqlOver("vec_id % 50 = 0")
 
   /** q72 oracle: int8 quantization is floor(x*127/max|x| + 0.5) on
     * doubles — exact integer outputs, so quantized dot/norms are
@@ -3820,6 +3848,26 @@ object SparkEntry {
            |      FROM adc)
            |SELECT query_id, rank, neighbor_id, adc_dist
            |FROM r WHERE rank <= $PqK ORDER BY query_id, rank""".stripMargin),
+    // q133: both arms replayed verbatim (q85's BM25, q12's exact
+    // cosine restricted to the shared query set), then integer RRF
+    "q133_hybrid_rrf" ->
+      s"""WITH lex0 AS (SELECT query_id, doc_id, rank FROM (
+         |$bm25Sql)),
+         |vec0 AS (SELECT query_id, neighbor_id AS doc_id, rank FROM (
+         |${bruteAnnSqlOver("vec_id % 100 = 0")})),
+         |u AS (SELECT 'lex' AS arm, query_id, doc_id, rank FROM lex0
+         |      UNION ALL SELECT 'vec', query_id, doc_id, rank FROM vec0),
+         |f AS (SELECT query_id, doc_id,
+         |        sum(1000000000 // (60 + rank))::BIGINT AS rrf_score,
+         |        max(CASE WHEN arm = 'lex' THEN rank END)::BIGINT AS lex_rank,
+         |        max(CASE WHEN arm = 'vec' THEN rank END)::BIGINT AS vec_rank
+         |      FROM u GROUP BY 1, 2),
+         |fr AS (SELECT query_id, doc_id, rrf_score, lex_rank, vec_rank,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY rrf_score DESC, doc_id) AS rank
+         |       FROM f)
+         |SELECT query_id, rank, doc_id, rrf_score, lex_rank, vec_rank
+         |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // q129: q88's deterministic blob-feature chain as the k-means
     // source, then the shared SemDeDup tail — the whole multimodal ×
     // semantic-dedup composition replayed
