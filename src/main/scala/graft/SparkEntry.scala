@@ -2268,6 +2268,33 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Ranking-quality metrics ([[Retrieval.rankingMetrics]]): q92's
+    * recall audit says WHETHER the exact top-10 came back per arm —
+    * this says WHERE: MRR over the first relevant hit and
+    * micro-averaged binary nDCG@10, for the same three approximate
+    * arms against the same exact ground truth. The DCG discount table
+    * is precomputed scaled integers inlined into both engines (there
+    * is no cross-engine log2 to agree on), so every sum is exact and
+    * only the two final ratios round. */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id",
+        "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val arms = Seq(
+      "lsh" -> Similarity.lshTopK(e, queries, "vec_id", "embedding",
+        k = 10, nPlanes = 4, nTables = 8),
+      "ivf" -> Similarity.ivfTopK(e, queries, "vec_id", "embedding",
+        k = 10, nCentroids = 16, nProbe = 4, iters = 0),
+      "int8" -> Similarity.quantizedTopK(e, queries, "vec_id", "embedding",
+        k = 10, shortlist = 32))
+      .map { case (m, df) =>
+        m -> df.select(col("query_id"), col("neighbor_id"), col("rank"))
+      }
+    Retrieval.rankingMetrics(arms, exact, k = 10)
+  }
+
   /** Media semantic dedup — the multimodal arm composed with the
     * SemDeDup arm: blobs → one-pass deterministic features
     * ([[graft.operators.Multimodal.mediaEmbeddings]], q88's store
@@ -2433,6 +2460,7 @@ object SparkEntry {
     "q131_pq_rerank" -> q131,
     "q132_pq_index" -> q132,
     "q133_hybrid_rrf" -> q133,
+    "q134_retrieval_metrics" -> q134,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -3426,6 +3454,45 @@ object SparkEntry {
        |       round(sum(hit)::DOUBLE / (SELECT denom FROM nq), 6) AS recall_at_10
        |FROM j GROUP BY method ORDER BY method""".stripMargin
 
+  /** q134 oracle: the same three arm replays WITH their ranks, hits
+    * against q12's exact replay, then MRR/nDCG with the discount
+    * constants inlined from [[Retrieval.dcgDiscounts]] — integer sums
+    * throughout, two rounded ratios at the end. */
+  private def retrievalMetricsSql: String = {
+    val discList = graft.operators.Retrieval.dcgDiscounts.take(10)
+      .mkString(", ")
+    val idcg = graft.operators.Retrieval.dcgDiscounts.take(10).sum
+    val scale = graft.operators.Retrieval.DcgScale
+    s"""WITH lshr AS (SELECT query_id, neighbor_id, rank FROM (
+       |${annLshOracle(nPlanes = 4, nTables = 8, k = 10)})),
+       |ivfr AS (SELECT query_id, neighbor_id, rank FROM (
+       |${annIvfOracle(nCentroids = 16, nProbe = 4, k = 10)})),
+       |qzr AS (SELECT query_id, neighbor_id, rank FROM (
+       |$quantAnnSql)),
+       |bf AS (SELECT query_id, neighbor_id FROM (
+       |$bruteAnnSql)),
+       |nqq AS (SELECT count(DISTINCT query_id)::BIGINT AS nq FROM bf),
+       |un AS (SELECT 'lsh' AS method, query_id, neighbor_id, rank FROM lshr
+       |       UNION ALL SELECT 'ivf', query_id, neighbor_id, rank FROM ivfr
+       |       UNION ALL SELECT 'int8', query_id, neighbor_id, rank FROM qzr),
+       |hits AS (SELECT un.method, un.query_id, un.rank
+       |         FROM un JOIN bf USING (query_id, neighbor_id)
+       |         WHERE un.rank <= 10),
+       |pq AS (SELECT method, query_id, min(rank) AS fr,
+       |         sum(list_value($discList)[rank])::BIGINT AS dcg
+       |       FROM hits GROUP BY 1, 2),
+       |m AS (SELECT method, sum($scale // fr)::BIGINT AS sum_rr,
+       |        sum(dcg)::BIGINT AS sum_dcg
+       |      FROM pq GROUP BY 1)
+       |SELECT method, (SELECT nq FROM nqq) AS n_queries, sum_rr,
+       |  round(sum_rr::DOUBLE /
+       |    ((SELECT nq FROM nqq) * $scale)::DOUBLE, 6) AS mrr,
+       |  sum_dcg, ((SELECT nq FROM nqq) * $idcg)::BIGINT AS sum_idcg,
+       |  round(sum_dcg::DOUBLE /
+       |    ((SELECT nq FROM nqq) * $idcg)::DOUBLE, 6) AS ndcg
+       |FROM m ORDER BY method""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // q93: the streaming run's final Complete table must equal the
     // plain batch aggregate over the whole backlog — q25's bucket
@@ -3850,6 +3917,9 @@ object SparkEntry {
            |FROM r WHERE rank <= $PqK ORDER BY query_id, rank""".stripMargin),
     // q133: both arms replayed verbatim (q85's BM25, q12's exact
     // cosine restricted to the shared query set), then integer RRF
+    // q134: arm replays with ranks, hit-joined to the exact replay,
+    // then integer MRR/DCG sums with the inlined discount constants
+    "q134_retrieval_metrics" -> retrievalMetricsSql,
     "q133_hybrid_rrf" ->
       s"""WITH lex0 AS (SELECT query_id, doc_id, rank FROM (
          |$bm25Sql)),

@@ -91,4 +91,72 @@ class RetrievalSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(r.passed, r.status.toString)
   }
+
+  private def rel(rows: (Long, Long)*): DataFrame =
+    rows.toSeq.toDF("query_id", "neighbor_id")
+
+  private def armN(rows: (Long, Long, Long)*): DataFrame =
+    rows.toSeq.toDF("query_id", "neighbor_id", "rank")
+
+  test("rankingMetrics: a perfect arm scores mrr = ndcg = 1.0 and " +
+       "sum_dcg = sum_idcg") {
+    val exact = rel((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+    val perfect = armN((1L, 10L, 1L), (1L, 11L, 2L),
+      (2L, 20L, 1L), (2L, 21L, 2L))
+    val row = Retrieval.rankingMetrics(Seq("p" -> perfect), exact, k = 2)
+      .collect().head
+    assert(row.getAs[Double]("mrr") == 1.0)
+    assert(row.getAs[Double]("ndcg") == 1.0)
+    assert(row.getAs[Long]("sum_dcg") == row.getAs[Long]("sum_idcg"))
+    assert(row.getAs[Long]("n_queries") == 2L)
+  }
+
+  test("rankingMetrics: hand-computed fixture — integer sums, missed " +
+       "query contributes zero, junk at rank 1 halves the query's RR") {
+    val d = Retrieval.dcgDiscounts
+    val exact = rel((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+    // q1: junk doc 99 at rank 1, hits at 2 and 3; q2: missed entirely
+    val a = armN((1L, 99L, 1L), (1L, 10L, 2L), (1L, 11L, 3L))
+    val row = Retrieval.rankingMetrics(Seq("a" -> a), exact, k = 3)
+      .collect().head
+    assert(row.getAs[Long]("sum_rr") == Retrieval.DcgScale / 2)
+    assert(row.getAs[Long]("sum_dcg") == d(1) + d(2)) // disc(2)+disc(3)
+    assert(row.getAs[Long]("sum_idcg") == 2 * (d(0) + d(1) + d(2)))
+    assert(row.getAs[Double]("mrr") ==
+      math.rint(1e6 * (Retrieval.DcgScale / 2).toDouble /
+        (2L * Retrieval.DcgScale).toDouble) / 1e6)
+  }
+
+  test("rankingMetrics law: equals a driver-side reference on random " +
+       "arms (binary-gain DCG over the inlined discount table)") {
+    val k = 5
+    val gen = for {
+      armDocs <- Gen.listOfN(3, Gen.listOfN(k, Gen.choose(0L, 9L))
+        .map(_.distinct))
+      relDocs <- Gen.listOfN(4, Gen.choose(0L, 9L)).map(_.distinct)
+        .suchThat(_.nonEmpty)
+    } yield (armDocs, relDocs)
+    val prop = Prop.forAll(gen) { case (armDocs, relDocs) =>
+      val exact = rel(relDocs.map(d => (1L, d)): _*)
+      val arms = armDocs.zipWithIndex.map { case (docs, i) =>
+        s"m$i" -> armN(docs.zipWithIndex.map {
+          case (dd, r) => (1L, dd, (r + 1).toLong) }: _*)
+      }
+      val got = Retrieval.rankingMetrics(arms, exact, k)
+        .select("method", "sum_rr", "sum_dcg").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val ref = armDocs.zipWithIndex.flatMap { case (docs, i) =>
+        val hits = docs.zipWithIndex.collect {
+          case (dd, r) if relDocs.contains(dd) => r + 1
+        }
+        if (hits.isEmpty) None
+        else Some((s"m$i", Retrieval.DcgScale / hits.min,
+          hits.map(r => Retrieval.dcgDiscounts(r - 1)).sum))
+      }.toSet
+      got == ref
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(r.passed, r.status.toString)
+  }
 }
