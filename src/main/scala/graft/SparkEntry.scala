@@ -380,6 +380,16 @@ object SparkEntry {
         n = 3, threshold = 0.8)
       .orderBy("doc_id")
 
+  /** Soft dedup ([[TextOps.softDedupWeights]]): q31's near-dup
+    * clusters turned into inverse-cluster-size document weights —
+    * keep the duplicates, downweight them to ~one document of mass
+    * per cluster. All-integer (ppm) outputs; the oracle replays the
+    * clustering and the weight arithmetic. */
+  private def q136(s: SparkSession, dir: String): DataFrame =
+    TextOps.softDedupWeights(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .orderBy("doc_id")
+
   /** Distinct aggregation (count distinct + multi-agg). */
   private def q32(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -2204,6 +2214,11 @@ object SparkEntry {
   private val PqIters = 2
   private val PqK = 5
   private val PqShortlist = 25
+  private val IvfPqCoarse = 8
+  private val IvfPqCoarseIters = 1
+  private val IvfPqCodebookK = 8
+  private val IvfPqIters = 1
+  private val IvfPqProbe = 2
 
   /** PQ shortlist + exact rerank ([[Similarity.pqTopKReranked]]):
     * the production PQ recipe — ADC names 25 candidates from the
@@ -2241,6 +2256,25 @@ object SparkEntry {
     }
     Similarity.probePqIndex(s, path, e.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", dim = 64, k = PqK)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ residual retrieval ([[Similarity.ivfPqTopK]]): the coarse
+    * inverted-list quantizer (q97's integer k-means) composed with PQ
+    * codebooks trained on RESIDUALS from each list's centroid — the
+    * faiss-IVFADC serving shape, engine-exact. A query probes its 2
+    * nearest of 8 lists and ADC-scores only those lists' codes; every
+    * distance in the composition is an exact integer, so the oracle
+    * replays the coarse chain, routing, residual derivation, all four
+    * codebook chains, the probes, the lookup tables, and the ranking.
+    * `cid` names the list each neighbor was served from (audit). */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", dim = 64,
+        nCoarse = IvfPqCoarse, coarseIters = IvfPqCoarseIters,
+        m = PqM, codebookK = IvfPqCodebookK, pqIters = IvfPqIters,
+        nProbe = IvfPqProbe, k = PqK)
       .orderBy("query_id", "rank")
   }
 
@@ -2461,6 +2495,8 @@ object SparkEntry {
     "q132_pq_index" -> q132,
     "q133_hybrid_rrf" -> q133,
     "q134_retrieval_metrics" -> q134,
+    "q135_ivfpq" -> q135,
+    "q136_soft_dedup" -> q136,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
@@ -3193,6 +3229,96 @@ object SparkEntry {
          |""".stripMargin
   }
 
+  /** q135 oracle: the coarse k-means chain, every row's residual from
+    * its assigned centroid, one namespaced codebook chain per subspace
+    * over the sliced residuals (each chain re-quantizes, exactly as
+    * the engine does), then the query side — probed lists by exact
+    * integer L2, per-(query, list) residuals re-quantized into lookup
+    * tables — and the ADC ranking over probed-list candidates only.
+    * Every intermediate is an exact integer. */
+  private def ivfPqOracleSql(nCoarse: Int, cIters: Int, m: Int,
+                             codebookK: Int, pqIters: Int, dim: Int,
+                             nProbe: Int, k: Int,
+                             queryPred: String): String = {
+    val subDim = dim / m
+    val coarse = kmeansOracleCtes(nCoarse, cIters, p = "g_")
+    val resid =
+      s""", rr AS (SELECT v.vec_id, v.pos, v.val - c.val AS val
+         |      FROM g_vzall v
+         |      JOIN g_fa a ON a.vec_id = v.vec_id
+         |      JOIN g_c$cIters c ON c.cid = a.cluster AND c.pos = v.pos),
+         |rl AS (SELECT vec_id, list(val ORDER BY pos) AS v
+         |       FROM rr GROUP BY 1)
+         |""".stripMargin
+    val chains = (0 until m).map { s =>
+      kmeansOracleCtes(codebookK, pqIters,
+        srcSql = s"SELECT vec_id, v[${s * subDim + 1}:${(s + 1) * subDim}] AS v FROM rl",
+        p = s"s${s}_", lead = ", ")
+    }.mkString
+    val probes =
+      s""", qp AS (SELECT v.vec_id AS query_id, c.cid,
+         |         sum((v.val - c.val) * (v.val - c.val)) AS dist
+         |       FROM g_vzall v JOIN g_c$cIters c USING (pos)
+         |       WHERE $queryPred GROUP BY 1, 2),
+         |pp AS (SELECT query_id, cid FROM (
+         |         SELECT query_id, cid,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY dist, cid) AS rn
+         |         FROM qp) WHERE rn <= $nProbe),
+         |qr AS (SELECT p.query_id, p.cid, v.pos, v.val - c.val AS val
+         |       FROM pp p
+         |       JOIN g_vzall v ON v.vec_id = p.query_id
+         |       JOIN g_c$cIters c ON c.cid = p.cid AND c.pos = v.pos),
+         |qrl AS (SELECT query_id, cid, list(val ORDER BY pos) AS v
+         |        FROM qr GROUP BY 1, 2)
+         |""".stripMargin
+    val lookups = (0 until m).map { s =>
+      s""", q${s}q AS (SELECT query_id, cid,
+         |         CASE WHEN s = 0 THEN list_transform(sv, x -> 0.0)
+         |              ELSE list_transform(sv, x -> floor(x * 127.0 / s + 0.5))
+         |         END AS qv
+         |       FROM (SELECT query_id, cid,
+         |               v[${s * subDim + 1}:${(s + 1) * subDim}] AS sv,
+         |               list_aggregate(list_transform(
+         |                 v[${s * subDim + 1}:${(s + 1) * subDim}],
+         |                 x -> abs(x)), 'max') AS s
+         |             FROM qrl)),
+         |q${s}v AS (SELECT query_id, cid, unnest(qv) AS val,
+         |              generate_subscripts(qv, 1) AS pos
+         |        FROM q${s}q),
+         |q${s}ld AS (SELECT v.query_id, v.cid, c.cid AS code,
+         |          CAST(sum((v.val - c.val) * (v.val - c.val)) AS BIGINT) AS d
+         |        FROM q${s}v v JOIN s${s}_c$pqIters c USING (pos)
+         |        GROUP BY 1, 2, 3)
+         |""".stripMargin
+    }.mkString
+    val codesUnion = (0 until m)
+      .map(s => s"SELECT $s AS s, vec_id, cluster AS code FROM s${s}_fa")
+      .mkString(" UNION ALL ")
+    val ldUnion = (0 until m)
+      .map(s => s"SELECT $s AS s, query_id, cid, code, d FROM q${s}ld")
+      .mkString(" UNION ALL ")
+    coarse + resid + chains + probes + lookups +
+      s""", codes AS ($codesUnion),
+         |qld AS ($ldUnion),
+         |cand AS (SELECT p.query_id, p.cid, a.vec_id AS neighbor_id
+         |         FROM pp p JOIN g_fa a ON a.cluster = p.cid
+         |         WHERE a.vec_id != p.query_id),
+         |adc AS (SELECT cd.query_id, cd.neighbor_id, cd.cid,
+         |          CAST(sum(l.d) AS BIGINT) AS adc_dist
+         |        FROM cand cd
+         |        JOIN codes c ON c.vec_id = cd.neighbor_id
+         |        JOIN qld l ON l.query_id = cd.query_id AND l.cid = cd.cid
+         |                  AND l.s = c.s AND l.code = c.code
+         |        GROUP BY 1, 2, 3),
+         |res AS (SELECT query_id, neighbor_id, cid::INTEGER AS cid, adc_dist,
+         |          row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY adc_dist, neighbor_id) AS rank
+         |        FROM adc)
+         |SELECT query_id, rank, neighbor_id, adc_dist, cid
+         |FROM res WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q126 oracle: the fine k-means chain (ending at c`iters`/fa), then
     * the DRIVER-side coarse Lloyd replayed with the SAME CTE shapes —
     * the "corpus" is the k fine-centroid rows — then the two-level
@@ -3920,6 +4046,12 @@ object SparkEntry {
     // q134: arm replays with ranks, hit-joined to the exact replay,
     // then integer MRR/DCG sums with the inlined discount constants
     "q134_retrieval_metrics" -> retrievalMetricsSql,
+    // q135: coarse chain + residuals + per-subspace codebook chains +
+    // probed-list ADC — the whole IVF-PQ composition replayed
+    "q135_ivfpq" ->
+      ivfPqOracleSql(IvfPqCoarse, IvfPqCoarseIters, PqM, IvfPqCodebookK,
+        IvfPqIters, dim = 64, nProbe = IvfPqProbe, k = PqK,
+        queryPred = "v.vec_id % 50 = 0"),
     "q133_hybrid_rrf" ->
       s"""WITH lex0 AS (SELECT query_id, doc_id, rank FROM (
          |$bm25Sql)),
@@ -5037,6 +5169,34 @@ object SparkEntry {
          |       coalesce(cc.label, d.doc_id) AS cluster_id,
          |       d.doc_id = coalesce(cc.label, d.doc_id) AS is_keeper
          |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+         |ORDER BY doc_id""".stripMargin,
+    // q136: q31's clustering replay + cluster sizes + the ppm weight
+    // arithmetic — soft dedup is pure integer composition on top
+    "q136_soft_dedup" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |pairs AS (
+         |  SELECT da AS id_a, db AS id_b
+         |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         |e2 AS (SELECT id_a AS s, id_b AS d2 FROM pairs
+         |       UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT DISTINCT s, s FROM e2
+         |  UNION
+         |  SELECT e2.s, r.label FROM e2 JOIN reach r ON e2.d2 = r.id),
+         |cc AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+         |cl AS (SELECT d.doc_id, coalesce(cc.label, d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
+         |cs AS (SELECT cluster_id, count(*)::BIGINT AS dup_count
+         |       FROM cl GROUP BY 1),
+         |tk AS (SELECT doc_id,
+         |         len(string_split(text, ' '))::BIGINT AS ws_tokens
+         |       FROM documents)
+         |SELECT cl.doc_id, cl.cluster_id, cs.dup_count,
+         |  (1000000 // cs.dup_count)::BIGINT AS weight_ppm,
+         |  tk.ws_tokens,
+         |  (tk.ws_tokens * (1000000 // cs.dup_count))::BIGINT AS eff_tokens_ppm
+         |FROM cl JOIN cs USING (cluster_id) JOIN tk USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "q39_range_join" ->
       """WITH probes AS (

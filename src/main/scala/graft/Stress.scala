@@ -16,7 +16,7 @@ import graft.operators.{Graphs, TextOps}
 object Stress {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
-    // "all" (default = text+embed) | "text" | "embed" | "skew" |
+    // "all" (default = text+embed) | "text" | "embed" | "skew" | "pq" |
     // "median" | "media" | "incr" | "purge" | "asof" | "graph" — a mode flag lets one family
     // re-run without repaying the others (the text sweep alone is
     // ~5 min at 40x)
@@ -150,6 +150,35 @@ object Stress {
           ebig, "vec_id", "embedding", threshold = 0.9,
           nPlanes = 4, nTables = 1).count()
       }
+    }
+    }
+
+    if (mode == "pq") {
+    // PQ serving storm: the perturbed-copy vector corpus at factor×,
+    // a fixed 40-query batch asking for top-5. pqTopK ADC-scores every
+    // corpus code (compute term linear in corpus size); ivfPqTopK
+    // probes 2 of 8 lists, cutting the scoring term ~4× while paying
+    // one extra (coarse) training chain — the contrast the SCALE.md
+    // table records. Training chains dominate at small factors; the
+    // scoring gap is what survives at 100 TB.
+    val ebig = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .crossJoin(spark.range(factor).select(col("id").as("copy")))
+      .select((col("vec_id") * factor + col("copy")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> double(x) + 0.003 * (pmod(copy * 31 + i, 7) - 3))")
+          .as("embedding"))
+      .localCheckpoint(true)
+    val queries = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .filter(col("vec_id") % 50 === 0)
+    println(s"[stress] pq corpus: ${ebig.count()} vectors (${factor}x sf0.1)")
+    time("pqTopK(m=4,k8,it1)") {
+      graft.operators.Similarity.pqTopK(ebig, queries, "vec_id",
+        "embedding", dim = 64, m = 4, codebookK = 8, iters = 1,
+        k = 5).count()
+    }
+    time("ivfPqTopK(8 lists/probe 2)") {
+      graft.operators.Similarity.ivfPqTopK(ebig, queries, "vec_id",
+        "embedding", dim = 64, nCoarse = 8, coarseIters = 1, m = 4,
+        codebookK = 8, pqIters = 1, nProbe = 2, k = 5).count()
     }
     }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -512,6 +512,126 @@ object Similarity {
       .select(col("vec_id").as("__nid"), col("s").cast("int").as("__s"),
         col("code").as("__code"))
     adcScore(codes, pqLookup(queries, idCol, vecCol, subDim, books), k)
+  }
+
+  /** IVF-PQ with residual encoding (Jégou et al. 2011, the
+    * billion-to-trillion-vector serving shape faiss calls IVFADC):
+    * a coarse integer k-means partitions the corpus into inverted
+    * lists, each vector is PQ-encoded as its RESIDUAL from its list's
+    * centroid (residuals concentrate near 0, so the same codebook
+    * budget quantizes them far more finely than raw vectors), and a
+    * query probes only its `nProbe` nearest lists — ADC scoring
+    * touches codes of probed lists only, never a corpus vector.
+    *
+    * Engine-exact construction on top of the certified pieces:
+    * the coarse quantizer is [[Clustering.kmeansQuantized]] over the
+    * int8 space (exact integer Lloyd, keepVec so the residual
+    * subtraction is a projection, not a second pass); residual =
+    * qv − centroid is exact integer `zip_with`; each subspace
+    * codebook is another integer k-means over the sliced residuals
+    * (re-quantized per row, the [[pqTopK]] discipline); the query
+    * takes the SAME path per probed list — residual against that
+    * list's centroid, slice, re-quantize, exact integer lookup
+    * table. Every distance is an exact integer, so the full
+    * composition — coarse chain, routing, residuals, m codebook
+    * chains, probes, lookups, ADC — replays in the SQL oracle.
+    *
+    * Plan shape: coarse centroids and codebooks are driver-resident
+    * metadata (nCoarse·dim + m·codebookK·subDim doubles); the codes
+    * table is the only corpus-sized artifact, (id, cid, m codes)
+    * wide; probes and lookup tables broadcast
+    * (|q|·nProbe·(1 + m·codebookK) rows); the ADC aggregate sees
+    * only probed-list candidates — the IVF economics composed with
+    * the PQ memory economics. `cid` rides along in the output naming
+    * the list each neighbor was served from (audit column). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, dim: Int, nCoarse: Int, coarseIters: Int,
+                m: Int, codebookK: Int, pqIters: Int, nProbe: Int,
+                k: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(nCoarse >= 1 && nProbe >= 1 && codebookK >= 1 && k >= 1,
+      "bad IVF-PQ sizing")
+    ArrayMath.register(corpus.sparkSession)
+    val subDim = dim / m
+    // coarse quantizer + per-row residuals (keepVec: one pass)
+    val (coarse, coarseCents) = Clustering.kmeansQuantized(
+      corpus, idCol, vecCol, nCoarse, coarseIters, keepVec = true)
+    def residualFrom(qvCol: Column, cidCol: Column): Column =
+      coarseCents.tail.foldLeft(
+        when(cidCol === coarseCents.head._1,
+          zip_with(qvCol, typedlit(coarseCents.head._2.toSeq),
+            (a, b) => a - b))) { case (acc, (cid, cent)) =>
+        acc.when(cidCol === cid,
+          zip_with(qvCol, typedlit(cent.toSeq), (a, b) => a - b))
+      }
+    val resid = coarse.select(col("id").as("__nid"),
+        col("cluster").as("__cid"),
+        residualFrom(col("qv"), col("cluster")).as("__res"))
+    resid.persist()
+    try {
+      // per-subspace codebooks over the residual slices
+      val trained = (0 until m).map { s =>
+        val sub = resid.select(col("__nid"),
+          slice(col("__res"), s * subDim + 1, subDim).as("__sv"))
+        val (assign, cents) = Clustering.kmeansQuantized(
+          sub, "__nid", "__sv", codebookK, pqIters)
+        (s, assign.select(lit(s).as("__s"), col("id").as("__nid"),
+          col("cluster").as("__code")), cents)
+      }
+      val codes = trained.map(_._2).reduce(_ unionByName _)
+        .join(resid.select(col("__nid"), col("__cid")), Seq("__nid"))
+      // query coarse probes: exact integer L2, top-nProbe lists
+      val qqv = queries.select(col(idCol).as("query_id"),
+          ArrayMath.int8Quantize(col(vecCol)).as("__qv"))
+        .where(col("__qv").isNotNull)
+      val probeEntries = coarseCents.map { case (cid, cent) =>
+        struct(lit(cid).as("c"),
+          ArrayMath.squaredL2(col("__qv"), typedlit(cent.toSeq))
+            .cast("long").as("d"))
+      }
+      val wp = Window.partitionBy(col("query_id"))
+        .orderBy(col("__d").asc, col("__cid"))
+      val probes = qqv
+        .select(col("query_id"), col("__qv"),
+          explode(array(probeEntries: _*)).as("__e"))
+        .select(col("query_id"), col("__qv"),
+          col("__e.c").as("__cid"), col("__e.d").as("__d"))
+        .withColumn("__pr", row_number().over(wp))
+        .filter(col("__pr") <= nProbe)
+        .select(col("query_id"), col("__cid"),
+          residualFrom(col("__qv"), col("__cid")).as("__qres"))
+      // per-(query, probed list) lookup tables over the codebooks
+      val lookup = trained.map { case (s, _, cents) =>
+        val sliceQ = ArrayMath.int8Quantize(
+          slice(col("__qres"), s * subDim + 1, subDim))
+        val entries = cents.map { case (code, cent) =>
+          struct(lit(code).as("code"),
+            ArrayMath.squaredL2(sliceQ, typedlit(cent.toSeq))
+              .cast("long").as("d"))
+        }
+        probes.select(col("query_id"), col("__cid"), lit(s).as("__s"),
+            explode(array(entries: _*)).as("__e"))
+          .select(col("query_id"), col("__cid"), col("__s"),
+            col("__e.code").as("__code"), col("__e.d").as("__d"))
+      }.reduce(_ unionByName _)
+      // ADC over probed-list candidates only
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_dist").asc, col("neighbor_id"))
+      val out = codes
+        .join(broadcast(probes.select(col("query_id"), col("__cid"))),
+          Seq("__cid"))
+        .filter(col("__nid") =!= col("query_id"))
+        .join(broadcast(lookup), Seq("query_id", "__cid", "__s", "__code"))
+        .groupBy(col("query_id"), col("__nid").as("neighbor_id"),
+          col("__cid").as("cid"))
+        .agg(sum(col("__d")).as("adc_dist"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("adc_dist"), col("cid").cast("int"))
+        .localCheckpoint(eager = true)
+      out
+    } finally resid.unpersist(blocking = false)
   }
 
   /** [[pqTopK]] composed with an EXACT full-space rerank — the

@@ -542,6 +542,37 @@ object TextOps {
       .withColumn("is_keeper", col(idCol) === col("cluster_id"))
   }
 
+  /** Soft dedup — duplicate-aware DOWNWEIGHTING instead of removal:
+    * every document survives, weighted by the inverse of its near-dup
+    * cluster size (`weight_ppm = 1e6 DIV dup_count`), so each cluster
+    * contributes roughly one document's worth of mass to a
+    * token-budgeted mix no matter how many copies the crawl found.
+    * The gentler curation arm next to [[dedupClusters]]' hard keeper
+    * choice — the right tool when duplication frequency is itself a
+    * quality signal the mix should not erase entirely. Composes the
+    * certified clustering with [[tokenCounts]]; every output column
+    * is an integer (ppm scaling), so downstream budget arithmetic —
+    * and the oracle — is exact.
+    *
+    * Scale shape: the clustering dominates (and carries its own scale
+    * discipline); on top of it this adds one narrow map-side-combined
+    * aggregate over (doc, cluster) rows and two narrow joins. */
+  def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val cl = dedupClusters(docs, idCol, textCol, n, threshold)
+      .select(col(idCol), col("cluster_id"))
+    val sizes = cl.groupBy("cluster_id")
+      .agg(count(lit(1)).as("dup_count"))
+    val toks = tokenCounts(docs, idCol, textCol)
+      .select(col(idCol), col("ws_tokens"))
+    cl.join(sizes, Seq("cluster_id"))
+      .join(toks, Seq(idCol))
+      .withColumn("weight_ppm", expr("1000000 div dup_count"))
+      .select(col(idCol), col("cluster_id"), col("dup_count"),
+        col("weight_ppm"), col("ws_tokens"),
+        (col("ws_tokens") * col("weight_ppm")).as("eff_tokens_ppm"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** Fingerprint width. 60 (all the independent bits hash60 offers):

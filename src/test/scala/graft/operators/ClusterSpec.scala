@@ -65,4 +65,34 @@ class ClusterSpec extends SparkSpec {
     assert(keepers == clusters)
     assert(out.count() == docs.count()) // every doc classified exactly once
   }
+
+  test("softDedupWeights: every doc kept once, singleton weight is " +
+       "full, per-cluster mass is one floored document") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextOps.softDedupWeights(docs, "doc_id", "text").cache()
+    val n = docs.count()
+    assert(out.count() == n, "soft dedup must keep every document")
+    assert(out.select("doc_id").distinct().count() == n)
+    val rows = out.collect()
+    rows.foreach { r =>
+      val dc = r.getAs[Long]("dup_count")
+      val w = r.getAs[Long]("weight_ppm")
+      assert(w == 1000000L / dc, "weight must be 1e6 div dup_count")
+      assert(r.getAs[Long]("eff_tokens_ppm") ==
+        r.getAs[Long]("ws_tokens") * w)
+    }
+    val singles = rows.filter(_.getAs[Long]("dup_count") == 1L)
+    assert(singles.nonEmpty &&
+      singles.forall(_.getAs[Long]("weight_ppm") == 1000000L))
+    assert(rows.exists(_.getAs[Long]("dup_count") > 1L),
+      "fixture must exercise a real dup cluster")
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (_, rs) =>
+      val dc = rs.head.getAs[Long]("dup_count")
+      val mass = rs.map(_.getAs[Long]("weight_ppm")).sum
+      assert(rs.size == dc, "dup_count must equal the cluster's row count")
+      assert(mass <= 1000000L && mass > 1000000L - dc,
+        s"cluster mass $mass outside the floored-one-document band")
+    }
+    out.unpersist()
+  }
 }

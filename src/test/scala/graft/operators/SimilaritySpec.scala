@@ -582,6 +582,65 @@ class SimilaritySpec extends SparkSpec {
     // is the degeneracy law above, not fixture recall.
   }
 
+  test("ivfPqTopK recovers planted prototypes with exhaustive probes " +
+       "and is repartition-stable") {
+    val rnd = new scala.util.Random(5)
+    val protos = Array.fill(4, 4, 16)(rnd.nextDouble() * 2 - 1)
+    val base = (0 until 120).map { i =>
+      val v = (0 until 4).flatMap(s => protos(s)(rnd.nextInt(4))).toArray
+      (i.toLong, v.map(_.toFloat))
+    }
+    val copies = base.take(30).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+    }
+    val corpus = (base ++ copies).toDF("vec_id", "embedding")
+    val queries = copies.toDF("vec_id", "embedding")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopK(c, queries, "vec_id", "embedding",
+          dim = 64, nCoarse = 4, coarseIters = 2, m = 4, codebookK = 4,
+          pqIters = 2, nProbe = 4, k = 1)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val top1 = run(corpus)
+    val hit = top1.count { case (q, n) => q - 1000L == n }
+    assert(hit >= 27, s"planted-source top-1 recall $hit/30 below 0.9")
+    assert(run(corpus.repartition(9)) == top1, "IVF-PQ not repartition-stable")
+  }
+
+  test("ivfPqTopK structural law: every served neighbor sits in its " +
+       "reported list and that list is among the query's probed lists") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 40 === 0)
+    val res = Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+        dim = 64, nCoarse = 8, coarseIters = 1, m = 4, codebookK = 8,
+        pqIters = 1, nProbe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4)))
+    assert(res.nonEmpty)
+    // the coarse quantizer is deterministic: retraining with the same
+    // params reproduces the operator's internal one exactly
+    val (assignAll, cents) = Clustering.kmeansQuantized(
+      e, "vec_id", "embedding", k = 8, iters = 1)
+    val cidOf = assignAll.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(res.forall { case (_, n, cid) => cidOf(n) == cid },
+      "a neighbor was served from a list it is not assigned to")
+    ArrayMath.register(spark)
+    val qv = q.select(col("vec_id"),
+        ArrayMath.int8Quantize(col("embedding")).as("qv"))
+      .where(col("qv").isNotNull).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def probed(id: Long): Set[Int] = {
+      val v = qv(id)
+      cents.map { case (cid, c) =>
+        var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+        (d, cid)
+      }.sortBy(identity).take(2).map(_._2).toSet
+    }
+    assert(res.forall { case (query, _, cid) => probed(query)(cid) },
+      "a neighbor came from a list the query did not probe")
+  }
+
   test("dot_product kernel: exact fold, float inputs, mismatch/null → null") {
     ArrayMath.register(spark)
     val d = Seq((Array(1.0, 2.0, -3.0), Array(4.0, -5.0, 6.0)))
