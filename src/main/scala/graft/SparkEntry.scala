@@ -390,6 +390,35 @@ object SparkEntry {
         n = 3, threshold = 0.8)
       .orderBy("doc_id")
 
+  private val SoftMixBudgetPpm = 700L * 1000000L
+  private val SoftMixBudgetsPpm: Map[String, Long] =
+    Map("src0" -> 1200L * 1000000L, "src1" -> 0L)
+
+  /** Dedup-weighted budget mix ([[Sampling.budgetTake]] over
+    * [[TextOps.softDedupWeights]]'s effective tokens): q61's
+    * per-source budget prefix take, except each document costs its
+    * DOWNWEIGHTED token mass (ws_tokens · (1e6 DIV dup_count) ppm) —
+    * a page the crawl found ten times spends ~one page of budget no
+    * matter how many of its copies the hash order admits, so the
+    * realized mix matches the intended per-source token spend on the
+    * DEDUPLICATED corpus without dropping a single row up front. Same
+    * two-phase skew-proof take (no source is ever sorted whole); the
+    * weights input is localCheckpoint'd because budgetTake's two
+    * phases re-scan their input and the clustering should price in
+    * once. */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = TextOps.softDedupWeights(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .localCheckpoint(eager = true)
+    Sampling.budgetTake(w, "source", "doc_id", "eff_tokens_ppm",
+        SoftMixBudgetPpm, SoftMixBudgetsPpm, SampleSeed)
+      .select("doc_id", "source", "dup_count", "weight_ppm",
+        "ws_tokens", "eff_tokens_ppm")
+      .orderBy("doc_id")
+  }
+
   /** Distinct aggregation (count distinct + multi-agg). */
   private def q32(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -2497,6 +2526,7 @@ object SparkEntry {
     "q134_retrieval_metrics" -> q134,
     "q135_ivfpq" -> q135,
     "q136_soft_dedup" -> q136,
+    "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
     "q112_robust_outliers" -> q112,
     "q109_cluster_assign" -> q109,
