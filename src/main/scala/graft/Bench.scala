@@ -83,6 +83,22 @@ import scala.jdk.CollectionConverters._
   * sample from voiding 20 clean queries; a contention window shorter
   * than one query window can still slip the flag, but its queries keep
   * every older guard (spread reps, cross-round suspect, rescue).
+  *
+  * Seed bands + clean anchor (round-13, from the round-12
+  * adjudication): committed per-query driver maps end at r09 (three
+  * contended rounds published map-less artifacts), so every query
+  * newer than r09 was BAND-LESS — q93 published 1.6x its warm-local
+  * cost with no flag. Two additions: (1) `BENCH_SEED.json` carries
+  * builder-local warm medians pre-scaled by the documented 1.5-1.7x
+  * host factor and backstops the historical band for queries with no
+  * committed driver measurement (a committed band always wins, so a
+  * stale seed can never override real history); (2) a clean-anchor
+  * pre-pass runs the 20 historically most expensive queries once each
+  * in probe-bracketed windows of 5 at run start, keeps only anchors
+  * whose windows are clean vs the committed prior probe, and publishes
+  * `anchor_total`/`anchor_n` — a minimal-footprint subtotal measured
+  * before the long tail attracts contention, comparable across rounds
+  * even when the full pass later degrades.
   */
 object Bench {
 
@@ -213,91 +229,15 @@ object Bench {
       val ts = Seq.fill(3)(probeOnce()).sorted
       ts(1)
     }
-    val probeStart = probeMedian()
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    // median of successful reps: a query that succeeds on rep 1 but
-    // throws later still reports its successful timings (plus the error),
-    // but is excluded from `total` and flagged in `partial` — see below;
-    // even rep counts average the two middle values instead of biasing
-    // high on the upper-middle element
-    def median(ts: Seq[Double]): Double = {
-      if (ts.isEmpty) return 0.0
-      val s = ts.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val extraReps = 2  // noise-guard budget per query
-    def spreadOf(ts: Seq[Double]) = if (ts.isEmpty) 0.0 else ts.max - ts.min
-    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                nReps: Int): (Seq[Double], Option[String]) = {
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var err: Option[String] = None
-      var r = 0
-      while (r < nReps && err.isEmpty) {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          times += (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
-        r += 1
-      }
-      (times.toSeq, err)
-    }
-    // window sentinel: one probe sample between every winSize queries
-    // (plus the start/end medians as outer boundaries) — localizes
-    // mid-run contention the run-level flag can't see
-    val winSize = 10
-    val interiorProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), qi) =>
-      if (qi > 0 && qi % winSize == 0) interiorProbes += probeOnce()
-      val (t0s, err0) = measure(fn, reps)
-      val times = scala.collection.mutable.ArrayBuffer(t0s: _*)
-      var err = err0
-      // noise guard: spread > median on a non-trivial query means at
-      // least one rep was polluted by transient contention — buy extra
-      // reps so the median can recover before we publish it
-      var extra = 0
-      while (err.isEmpty && extra < extraReps &&
-             median(times.toSeq) > 0.2 &&
-             spreadOf(times.toSeq) > median(times.toSeq)) {
-        val (t1, e1) = measure(fn, 1)
-        times ++= t1
-        err = e1
-        extra += 1
-      }
-      val med = median(times.toSeq)
-      val spread = spreadOf(times.toSeq)
-      val noisy = err.isEmpty && med > 0.2 && spread > med
-      (name, med, spread, err, noisy, times.size)
-    }
-    // Locale.ROOT: under a comma-decimal JVM locale the default-locale
-    // format would emit "1,106" and break the JSON on both stdout and the
-    // file artifact's spread map
-    def fmt(v: Double, dp: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-    // total is comparable across rounds only if every contributing query
-    // ran its full rep budget cleanly: a query that succeeded some reps
-    // then threw reports its reduced-sample median in the per-query map
-    // (flagged in `partial`) but is EXCLUDED from total; a query with no
-    // successful rep appears only in `errors`
-    // previous-round medians for the cross-round suspect guard, plus the
+    // previous-round medians for the cross-round suspect guard, the
     // previous round's calibration probe median for the environment
-    // sentinel; any parse/IO failure degrades to empty (first round,
-    // renamed artifact) — both guards are advisory and must never fail
-    // the bench
+    // sentinel, and the per-query historical clean band; parsed BEFORE
+    // any measurement because the anchor pre-pass below picks its query
+    // set from the band. Any parse/IO failure degrades to empty (first
+    // round, renamed artifact) — every consumer is advisory and must
+    // never fail the bench.
     val (prevMedians: Map[String, Double], prevProbe: Option[Double],
-         histBand: Map[String, Double]) = try {
+         histBand: Map[String, Double], seedBand: Map[String, Double]) = try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
       def numOf(j: JValue): Option[Double] = j match {
@@ -343,9 +283,144 @@ object Bench {
           else a.updatedWith(k)(old => Some(old.fold(v)(math.min(_, v))))
         }
       }
-      (pm, pp, band)
+      // seed band (round-13, from the round-12 adjudication): committed
+      // per-query driver maps end at r09 — contended rounds since then
+      // published map-less artifacts — so every query newer than r09 was
+      // band-less and its inflation invisible (q93: 1.6x unflagged).
+      // BENCH_SEED.json carries builder-local warm medians pre-scaled by
+      // the documented 1.5-1.7x host factor; it backstops ONLY queries
+      // with no committed band (a committed driver measurement always
+      // wins), so a stale seed can never override real history.
+      val seeds = try {
+        val p = Paths.get("BENCH_SEED.json")
+        if (Files.exists(p)) queriesOf(JsonMethods.parse(Files.readString(p)))
+        else Map.empty[String, Double]
+      } catch { case _: Throwable => Map.empty[String, Double] }
+      (pm, pp, band, seeds)
     } catch { case _: Throwable =>
-      (Map.empty[String, Double], None, Map.empty[String, Double]) }
+      (Map.empty[String, Double], None, Map.empty[String, Double],
+        Map.empty[String, Double]) }
+    // prior artifacts may key by full name (file artifact, rounds ≤8) or
+    // by short `qNN` id (stdout-parsed artifacts from round 9 on) — look
+    // up both
+    def priorOf(k: String): Option[Double] =
+      prevMedians.get(k).orElse(prevMedians.get(k.takeWhile(_ != '_')))
+    def bandOf(k: String): Option[Double] = {
+      val hits = Seq(histBand.get(k), histBand.get(k.takeWhile(_ != '_'))).flatten
+      if (hits.nonEmpty) Some(hits.min)
+      else Seq(seedBand.get(k), seedBand.get(k.takeWhile(_ != '_')))
+        .flatten.reduceOption((a, b) => math.min(a, b))
+    }
+    val probeStart = probeMedian()
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // median of successful reps: a query that succeeds on rep 1 but
+    // throws later still reports its successful timings (plus the error),
+    // but is excluded from `total` and flagged in `partial` — see below;
+    // even rep counts average the two middle values instead of biasing
+    // high on the upper-middle element
+    def median(ts: Seq[Double]): Double = {
+      if (ts.isEmpty) return 0.0
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val extraReps = 2  // noise-guard budget per query
+    def spreadOf(ts: Seq[Double]) = if (ts.isEmpty) 0.0 else ts.max - ts.min
+    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                nReps: Int): (Seq[Double], Option[String]) = {
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var err: Option[String] = None
+      var r = 0
+      while (r < nReps && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+        r += 1
+      }
+      (times.toSeq, err)
+    }
+    // Clean-anchor pre-pass (round-13, from the round-12 adjudication):
+    // three consecutive rounds self-flagged environment contention, so
+    // no committed per-query column since r09 is trustworthy. Before
+    // the full pass, the 20 historically most expensive queries (by
+    // clean band, seed-backstopped) run ONCE each, in probe-bracketed
+    // windows of 5; a query's anchor number is kept only when BOTH its
+    // brackets are clean vs the committed prior probe. The artifact
+    // then carries `anchor_total` over however many anchors stayed
+    // clean (`anchor_n`) — a minimal-footprint subtotal measured in the
+    // run's FIRST minutes (before any contention the long tail
+    // attracts) that stays comparable across rounds even when the full
+    // pass later degrades. Single rep by design: the anchor trades
+    // median robustness for a short footprint; its probe brackets are
+    // what make it trustworthy, not rep count.
+    val anchorBudget = 20
+    val anchorNames: Seq[String] = SparkEntry.queries.keys.toSeq
+      .flatMap(n => bandOf(n).map(b => (n, b)))
+      .sortBy(-_._2).take(anchorBudget).map(_._1).sorted
+    val anchorTimes = scala.collection.mutable.Map.empty[String, Double]
+    if (anchorNames.nonEmpty && prevProbe.isDefined) {
+      var lo = probeOnce()
+      anchorNames.grouped(5).foreach { grp =>
+        val timed = grp.map { n =>
+          val (ts, err) = measure(SparkEntry.queries(n), 1)
+          (n, ts.headOption.filter(_ => err.isEmpty))
+        }
+        val hi = probeOnce()
+        if (cleanWindow(lo, hi, prevProbe))
+          timed.foreach { case (n, t) => t.foreach(anchorTimes(n) = _) }
+        lo = hi
+      }
+    }
+    // window sentinel: one probe sample between every winSize queries
+    // (plus the start/end medians as outer boundaries) — localizes
+    // mid-run contention the run-level flag can't see
+    val winSize = 10
+    val interiorProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi > 0 && qi % winSize == 0) interiorProbes += probeOnce()
+      val (t0s, err0) = measure(fn, reps)
+      val times = scala.collection.mutable.ArrayBuffer(t0s: _*)
+      var err = err0
+      // noise guard: spread > median on a non-trivial query means at
+      // least one rep was polluted by transient contention — buy extra
+      // reps so the median can recover before we publish it
+      var extra = 0
+      while (err.isEmpty && extra < extraReps &&
+             median(times.toSeq) > 0.2 &&
+             spreadOf(times.toSeq) > median(times.toSeq)) {
+        val (t1, e1) = measure(fn, 1)
+        times ++= t1
+        err = e1
+        extra += 1
+      }
+      val med = median(times.toSeq)
+      val spread = spreadOf(times.toSeq)
+      val noisy = err.isEmpty && med > 0.2 && spread > med
+      (name, med, spread, err, noisy, times.size)
+    }
+    // Locale.ROOT: under a comma-decimal JVM locale the default-locale
+    // format would emit "1,106" and break the JSON on both stdout and the
+    // file artifact's spread map
+    def fmt(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    // total is comparable across rounds only if every contributing query
+    // ran its full rep budget cleanly: a query that succeeded some reps
+    // then threw reports its reduced-sample median in the per-query map
+    // (flagged in `partial`) but is EXCLUDED from total; a query with no
+    // successful rep appears only in `errors`
     // Second-pass rescue (round-8 postmortem): host-level contention here
     // arrives in multi-minute WINDOWS — one run's suspect list was exactly
     // the alphabetically-contiguous q40..q47, i.e. whatever executed while
@@ -356,15 +431,6 @@ object Bench {
     // passes (contention only ever overestimates, so min-of-medians
     // converges on engine cost). Queries that stay high in both windows
     // are real regressions and keep their suspect flag.
-    // prior artifacts may key by full name (file artifact, rounds ≤8) or
-    // by short `qNN` id (stdout-parsed artifacts from round 9 on) — look
-    // up both
-    def priorOf(k: String): Option[Double] =
-      prevMedians.get(k).orElse(prevMedians.get(k.takeWhile(_ != '_')))
-    def bandOf(k: String): Option[Double] = {
-      val hits = Seq(histBand.get(k), histBand.get(k.takeWhile(_ != '_'))).flatten
-      if (hits.isEmpty) None else Some(hits.min)
-    }
     def suspectsOf(rs: Seq[(String, Double, Double, Option[String], Boolean, Int)]) =
       rs.collect { case (k, med, _, None, _, _)
         if crossRoundSuspect(med, priorOf(k), bandOf(k)) => k }
@@ -501,6 +567,8 @@ object Bench {
         s""""n_failed":$nFailed,""" + noiseFlags +
         s""""suspect":${jarrShort(suspectNames)},"rescued":${jarrShort(rescuedNames.toSeq)},""" +
         s""""window_suspect":${jarrShort(windowSuspectFinal)},""" +
+        s""""anchor_total":${fmt(anchorTimes.values.sum, dp)},""" +
+        s""""anchor_n":${anchorTimes.size},"anchor_of":${anchorNames.size},""" +
         calibJson(if (compact) 2 else 3)
     }
     def stdoutLine(dp: Int, compact: Boolean): String = {
@@ -531,8 +599,11 @@ object Bench {
       .mkString("{", ",", "}")
     val qsFull = qPairs.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val anchorsJson = anchorTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + fmt(v, 4) }
+      .mkString("{", ",", "}")
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"spread":$spreads,"errors":$errs,"rep_counts":$repCounts,"n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)},"suspect":${jarr(suspectNames)},"rescued":${jarr(rescuedNames.toSeq)},"window_suspect":${jarr(windowSuspectFinal)},${calibJson(4)},"sf":${jstr(sfDirOrig)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"spread":$spreads,"errors":$errs,"rep_counts":$repCounts,"n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)},"suspect":${jarr(suspectNames)},"rescued":${jarr(rescuedNames.toSeq)},"window_suspect":${jarr(windowSuspectFinal)},"anchor_total":${fmt(anchorTimes.values.sum, 4)},"anchor_n":${anchorTimes.size},"anchor_of":${anchorNames.size},"anchors":$anchorsJson,${calibJson(4)},"sf":${jstr(sfDirOrig)}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(outPath), fileJson + "\n")
     spark.stop()

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.DimDate
 import graft.operators.{Blooms, Cdc, Clustering, Dedup, Events, ExactAgg, Graphs, Incremental, Joins, Layout, Linkage, Multimodal, Packing, Resample, Retrieval, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms, Vocab}
 import graft.sources.JsonFlatten
-import graft.streaming.EventTimeStreams
+import graft.streaming.{EventTimeStreams, SemStream}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -416,6 +416,83 @@ object SparkEntry {
         SoftMixBudgetPpm, SoftMixBudgetsPpm, SampleSeed)
       .select("doc_id", "source", "dup_count", "weight_ppm",
         "ws_tokens", "eff_tokens_ppm")
+      .orderBy("doc_id")
+  }
+
+  /** Closed-loop curation — the WHOLE training-data pipeline as one
+    * certified query, each stage an operator this library already
+    * serves on its own:
+    *
+    *   crawl (embedded docs, doc_id % 10 ≠ 7 — the %10=7 slice is the
+    *     held-out benchmark that must never enter the corpus)
+    *   → exact dedup ([[TextOps.exactDedup]]: min-id keeper per
+    *     normalized text)
+    *   → ONE frozen semantic model (q97's integer k-means over the
+    *     survivors' embeddings) serving every semantic stage — the
+    *     production discipline: train once, serve everywhere
+    *   → SemDeDup ([[Similarity.semPairsWithin]] over that model's own
+    *     assignment: capped within-cluster integer pairs, drop the
+    *     prototype)
+    *   → benchmark decontamination ([[Similarity.semPairsAcross]]:
+    *     the benchmark frozen-routed through the SAME centroids, probed
+    *     against the surviving members — q124's pair decision)
+    *   → quality filter (q122's NB classifier trained on the surviving
+    *     corpus's doc_id % 4 ≠ 3 slice, scored over ALL survivors; keep
+    *     docs whose prediction agrees with the label — the CCNet shape)
+    *   → BPE-budget mix (q116's 32-merge model trained on the curated
+    *     corpus, q118's per-source budget take in learned-BPE tokens)
+    *   → leakage-safe split (q128: whole clusters of the one model →
+    *     train/val/test, so near-duplicates can never straddle splits).
+    *
+    * The oracle replays every stage in one statement — dedup keepers,
+    * the k-means chain, both pair tails, the NB model, the unrolled
+    * BPE chain, the budget window and the split cuts — so the loop is
+    * certified END TO END, not stage by stage. Output: one row per
+    * curated document with its full lineage. */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val e = Tables.embeddings(s, dir)
+    val crawl = d.join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+      .filter(col("doc_id") % 10 =!= 7)
+    val d1 = TextOps.exactDedup(crawl, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"))
+    val e1 = e.join(d1.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(eager = true) // one model, five consumers
+    val (assign, cents) = Clustering.kmeansQuantized(e1, "vec_id",
+      "embedding", KmeansK, KmeansIters, keepVec = true)
+    val sdrop = Similarity
+      .semPairsWithin(assign, SemThrNum, SemThrDen, SemCap, SampleSeed)
+      .select(col("drop_id").as("doc_id")).distinct()
+    val d2 = d1.join(sdrop, Seq("doc_id"), "left_anti")
+    val members = assign.join(d2.select(col("doc_id").as("id")), Seq("id"))
+    val bench = Clustering.assignToCentroidsKeepVec(
+      e.filter(col("vec_id") % 10 === 7), "vec_id", "embedding", cents)
+    val contaminated = Similarity
+      .semPairsAcross(members, bench, SemThrNum, SemThrDen, SemCap,
+        SampleSeed)
+      .select(col("store_id").as("doc_id")).distinct()
+    val docs3 = d.join(d2.join(contaminated, Seq("doc_id"), "left_anti"),
+        Seq("doc_id"))
+      .localCheckpoint(eager = true) // NB + BPE both re-scan this corpus
+    val pred = TextOps.nbTrainPredict(docs3.filter(col("doc_id") % 4 =!= 3),
+      docs3, "doc_id", "lang", "text")
+    val d4 = docs3.join(pred, Seq("doc_id"))
+      .filter(col("pred") === col("lang"))
+      .select("doc_id", "source", "lang", "text")
+      .localCheckpoint(eager = true) // the BPE model trains + encodes it
+    val merges = TextOps.bpeLearnMerges(d4, "text", BpeMerges, BpeMaxWords)
+    val counted = TextOps.bpeTokenCounts(d4, "doc_id", "text", merges)
+      .join(d4.select("doc_id", "source", "lang"), Seq("doc_id"))
+    val d5 = Sampling.budgetTake(counted, "source", "doc_id", "bpe_tokens",
+      BpeMixDefaultBudget, BpeMixBudgets, SampleSeed)
+    val split = Sampling.splitAssign(
+      assign.select(col("id").as("doc_id"), col("cluster")), "cluster",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), SampleSeed)
+    d5.join(split.select("doc_id", "cluster", "split"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("cluster").cast("int").as("cluster"), col("split"),
+        col("bpe_tokens"))
       .orderBy("doc_id")
   }
 
@@ -2223,6 +2300,34 @@ object SparkEntry {
       .orderBy("cluster", "store_id", "batch_id")
   }
 
+  /** Stream-store retention fold through the driver gate
+    * ([[SemStream.foldSemStore]]): the q127 lifecycle rebuilt the
+    * STREAM way — seed (b=0) trained on the %4≤1 slice, the %4=2
+    * batch applied as a micro-batch (b=1), then the retention fold
+    * merges all history into one snapshot — and probed with the same
+    * %4=3 batch. The store now holds exactly q127's member CONTENT in
+    * the folded stream layout, so the oracle is LITERALLY q127's
+    * replay: the fold (and the whole stream lifecycle) must be
+    * invisible to every read, certified by hash against DuckDB rather
+    * than only by spec. */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q140" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-semfold-$tag"
+    val e = Tables.embeddings(s, dir)
+    if (!new java.io.File(path).exists()) {
+      SemStream.init(e.filter(col("vec_id") % 4 <= 1),
+        "vec_id", "embedding", k = KmeansK, iters = KmeansIters, path)
+      SemStream.applyBatch(e.filter(col("vec_id") % 4 === 2),
+        "vec_id", "embedding", path, SemThrNum, SemThrDen, SemCap,
+        SampleSeed, batchId = 1L)
+      SemStream.foldSemStore(s, path, upTo = 1L)
+    }
+    Similarity.probeSemStore(s, path, e.filter(col("vec_id") % 4 === 3),
+        "vec_id", "embedding", SemThrNum, SemThrDen, SemCap, SampleSeed)
+      .orderBy("cluster", "store_id", "batch_id")
+  }
+
   /** PQ-ADC retrieval ([[Similarity.pqTopK]]): product quantization
     * over the fixture embeddings — 4 subspaces × 16-code integer
     * codebooks (a stored vector is 4 codes: 64× under f32), queries
@@ -2304,6 +2409,26 @@ object SparkEntry {
         nCoarse = IvfPqCoarse, coarseIters = IvfPqCoarseIters,
         m = PqM, codebookK = IvfPqCodebookK, pqIters = IvfPqIters,
         nProbe = IvfPqProbe, k = PqK)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q135 under the PRODUCTION train/serve split (q132's discipline
+    * uniformly across the index family): the coarse quantizer and all
+    * four residual codebooks train on the vec_id % 4 ≤ 1 slice ONLY;
+    * the whole corpus — held-out rows included — is then frozen-routed
+    * and frozen-encoded through the fixed models, and queries are
+    * served exactly as in q135. This is the shape a 100 TB deployment
+    * actually runs (train once on a sample, encode forever); the
+    * oracle replays the split chains, the frozen routing/encoding of
+    * every row, and the ADC ranking — all exact integers. */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", dim = 64,
+        nCoarse = IvfPqCoarse, coarseIters = IvfPqCoarseIters,
+        m = PqM, codebookK = IvfPqCodebookK, pqIters = IvfPqIters,
+        nProbe = IvfPqProbe, k = PqK,
+        train = Some(e.filter(col("vec_id") % 4 <= 1)))
       .orderBy("query_id", "rank")
   }
 
@@ -2517,6 +2642,7 @@ object SparkEntry {
     "q125_equidepth_hist" -> q125,
     "q126_twolevel_assign" -> q126,
     "q127_semstore_probe" -> q127,
+    "q140_semstream_fold" -> q140,
     "q128_leakage_safe_split" -> q128,
     "q129_media_semdedup" -> q129,
     "q130_pq_adc" -> q130,
@@ -2525,6 +2651,8 @@ object SparkEntry {
     "q133_hybrid_rrf" -> q133,
     "q134_retrieval_metrics" -> q134,
     "q135_ivfpq" -> q135,
+    "q138_ivfpq_split" -> q138,
+    "q139_curation_e2e" -> q139,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -2972,14 +3100,16 @@ object SparkEntry {
     * scan tree exponentially. `prefix` namespaces the CTEs so two
     * models can train in one statement. */
   private def bpeChainCtes(m: Int, w: Int, learnPred: String,
-                           prefix: String): String = {
+                           prefix: String,
+                           srcSql: String =
+                             "SELECT doc_id, text FROM documents"): String = {
     val P = prefix
     val ctes = scala.collection.mutable.ArrayBuffer(
       s"""${P}av AS MATERIALIZED (SELECT DISTINCT word FROM
-        |  (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  (SELECT unnest(string_split(text, ' ')) AS word FROM ($srcSql))
         |  WHERE len(word) > 0)""".stripMargin,
       s"""${P}wf AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM
-        |  (SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |  (SELECT unnest(string_split(text, ' ')) AS word FROM ($srcSql)
         |   WHERE $learnPred)
         |  WHERE len(word) > 0 GROUP BY 1)""".stripMargin,
       s"${P}dict AS MATERIALIZED (SELECT word, freq FROM ${P}wf ORDER BY freq DESC, word LIMIT $w)",
@@ -3269,21 +3399,51 @@ object SparkEntry {
   private def ivfPqOracleSql(nCoarse: Int, cIters: Int, m: Int,
                              codebookK: Int, pqIters: Int, dim: Int,
                              nProbe: Int, k: Int,
-                             queryPred: String): String = {
+                             queryPred: String,
+                             trainPred: String = "TRUE"): String = {
     val subDim = dim / m
-    val coarse = kmeansOracleCtes(nCoarse, cIters, p = "g_")
+    // trainPred != TRUE (the q138 split): the coarse chain and every
+    // codebook chain train on the predicate's rows only, and ALL rows
+    // are then frozen-routed/encoded against the final centroids —
+    // the same argmin CTE shape the chains' own footer uses, applied
+    // to vzall instead of vz (the q132 codesFromRouting discipline)
+    val split = trainPred != "TRUE"
+    val coarse = kmeansOracleCtes(nCoarse, cIters, trainPred, p = "g_")
+    val routeAll = if (!split) "" else
+      s""", g_rf AS (SELECT v.vec_id, c.cid,
+         |        CAST(sum((v.val - c.val) * (v.val - c.val)) AS BIGINT) AS dist
+         |      FROM g_vzall v JOIN g_c$cIters c USING (pos) GROUP BY 1, 2),
+         |g_ra AS (SELECT vec_id, cid::INTEGER AS cluster, dist FROM (
+         |         SELECT vec_id, cid, dist,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY dist, cid) AS rn
+         |         FROM g_rf) WHERE rn = 1)
+         |""".stripMargin
+    val gAssign = if (split) "g_ra" else "g_fa"
     val resid =
       s""", rr AS (SELECT v.vec_id, v.pos, v.val - c.val AS val
          |      FROM g_vzall v
-         |      JOIN g_fa a ON a.vec_id = v.vec_id
+         |      JOIN $gAssign a ON a.vec_id = v.vec_id
          |      JOIN g_c$cIters c ON c.cid = a.cluster AND c.pos = v.pos),
          |rl AS (SELECT vec_id, list(val ORDER BY pos) AS v
          |       FROM rr GROUP BY 1)
          |""".stripMargin
     val chains = (0 until m).map { s =>
-      kmeansOracleCtes(codebookK, pqIters,
+      kmeansOracleCtes(codebookK, pqIters, trainPred,
         srcSql = s"SELECT vec_id, v[${s * subDim + 1}:${(s + 1) * subDim}] AS v FROM rl",
         p = s"s${s}_", lead = ", ")
+    }.mkString
+    val subRoutes = if (!split) "" else (0 until m).map { s =>
+      s""", s${s}rt AS (SELECT v.vec_id, c.cid,
+         |         sum((v.val - c.val) * (v.val - c.val)) AS dist
+         |       FROM s${s}_vzall v JOIN s${s}_c$pqIters c USING (pos)
+         |       GROUP BY 1, 2),
+         |s${s}rc AS (SELECT vec_id, cid AS code FROM (
+         |         SELECT vec_id, cid, dist,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY dist, cid) AS rn
+         |         FROM s${s}rt) WHERE rn = 1)
+         |""".stripMargin
     }.mkString
     val probes =
       s""", qp AS (SELECT v.vec_id AS query_id, c.cid,
@@ -3322,17 +3482,22 @@ object SparkEntry {
          |        GROUP BY 1, 2, 3)
          |""".stripMargin
     }.mkString
-    val codesUnion = (0 until m)
-      .map(s => s"SELECT $s AS s, vec_id, cluster AS code FROM s${s}_fa")
-      .mkString(" UNION ALL ")
+    val codesUnion =
+      if (split)
+        (0 until m).map(s => s"SELECT $s AS s, vec_id, code FROM s${s}rc")
+          .mkString(" UNION ALL ")
+      else
+        (0 until m)
+          .map(s => s"SELECT $s AS s, vec_id, cluster AS code FROM s${s}_fa")
+          .mkString(" UNION ALL ")
     val ldUnion = (0 until m)
       .map(s => s"SELECT $s AS s, query_id, cid, code, d FROM q${s}ld")
       .mkString(" UNION ALL ")
-    coarse + resid + chains + probes + lookups +
+    coarse + routeAll + resid + chains + subRoutes + probes + lookups +
       s""", codes AS ($codesUnion),
          |qld AS ($ldUnion),
          |cand AS (SELECT p.query_id, p.cid, a.vec_id AS neighbor_id
-         |         FROM pp p JOIN g_fa a ON a.cluster = p.cid
+         |         FROM pp p JOIN $gAssign a ON a.cluster = p.cid
          |         WHERE a.vec_id != p.query_id),
          |adc AS (SELECT cd.query_id, cd.neighbor_id, cd.cid,
          |          CAST(sum(l.d) AS BIGINT) AS adc_dist
@@ -3348,6 +3513,253 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id, adc_dist, cid
          |FROM res WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  /** q139 oracle: the ENTIRE curation loop in one statement. Stage by
+    * stage: exact-dedup keepers (q09's normalization), the shared
+    * k-means chain over the keepers' embeddings (srcSql joins the
+    * keeper CTE), the SemDeDup pair tail (q121's shapes, w-prefixed),
+    * frozen routing of the benchmark + the cross-corpus pair tail
+    * (q124's shapes, b/x-prefixed), the NB classifier replay (q122's
+    * chain verbatim over the surviving corpus), the unrolled BPE chain
+    * trained on the curated corpus (z-prefixed, srcSql-parameterized),
+    * the per-source budget window (q118's tail) and the cluster-hash
+    * split cuts (q128). Every stage's input is the previous stage's
+    * CTE — the loop replays END TO END, not stage by stage. */
+  private def curationE2eOracleSql: String = {
+    val cuts = Sampling.splitCuts(
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // hub CTEs are MATERIALIZED (the bpeChainCtes discipline): DuckDB
+    // inlines plain CTEs per reference, and this statement references
+    // its hubs dozens of times — inlining multiplied the parquet scans
+    // past the fd limit before it multiplied the runtime
+    val head =
+      s"""WITH crawl0 AS MATERIALIZED (
+         |  SELECT d.doc_id, d.source, d.lang, d.text
+         |  FROM documents d JOIN embeddings emb ON emb.vec_id = d.doc_id
+         |  WHERE d.doc_id % 10 != 7),
+         |keep1 AS MATERIALIZED (
+         |  SELECT min(doc_id) AS doc_id FROM (
+         |    SELECT doc_id,
+         |      md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS h
+         |    FROM crawl0) GROUP BY h)""".stripMargin
+    val chain = kmeansOracleCtes(KmeansK, KmeansIters,
+      srcSql = "SELECT e2.vec_id, e2.embedding::DOUBLE[] AS v " +
+        "FROM embeddings e2 JOIN keep1 ON keep1.doc_id = e2.vec_id",
+      lead = ", ")
+    val semDedup =
+      s""", mvz AS MATERIALIZED (SELECT vec_id, val, pos FROM vzall),
+         |mfa AS MATERIALIZED (SELECT vec_id, cluster, dist FROM fa),
+         |wrk AS (SELECT vec_id, cluster, dist,
+         |         row_number() OVER (PARTITION BY cluster
+         |           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+         |                    vec_id) AS rn
+         |       FROM mfa),
+         |wcap AS (SELECT vec_id, cluster, dist FROM wrk WHERE rn <= $SemCap),
+         |wnm AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
+         |       FROM mvz v JOIN wcap c USING (vec_id) GROUP BY 1),
+         |wpr AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+         |         a.dist AS da, b.dist AS db
+         |       FROM wcap a JOIN wcap b
+         |         ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         |wdt AS (SELECT p.id_a, p.id_b, p.da, p.db,
+         |         CAST(sum(va.val * vb.val) AS BIGINT) AS dot
+         |       FROM wpr p
+         |       JOIN mvz va ON va.vec_id = p.id_a
+         |       JOIN mvz vb ON vb.vec_id = p.id_b AND vb.pos = va.pos
+         |       GROUP BY 1, 2, 3, 4),
+         |wdrop AS (SELECT DISTINCT
+         |         CASE WHEN d.da < d.db THEN d.id_a
+         |              WHEN d.db < d.da THEN d.id_b
+         |              ELSE greatest(d.id_a, d.id_b) END AS doc_id
+         |       FROM wdt d JOIN wnm na ON na.vec_id = d.id_a
+         |                 JOIN wnm nb ON nb.vec_id = d.id_b
+         |       WHERE d.dot > 0
+         |         AND d.dot * d.dot * $SemThrDen >= $SemThrNum * na.n2 * nb.n2),
+         |keep2 AS MATERIALIZED (SELECT doc_id FROM keep1
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM wdrop))
+         |""".stripMargin
+    val decontaminate =
+      s""", bqv AS MATERIALIZED (SELECT vec_id,
+         |         CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+         |              ELSE list_transform(v, x -> floor(x * 127.0 / s + 0.5))
+         |         END AS qv
+         |       FROM (SELECT vec_id, v,
+         |               list_aggregate(list_transform(v, x -> abs(x)), 'max') AS s
+         |             FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+         |                   FROM embeddings WHERE vec_id % 10 = 7))),
+         |bvv AS MATERIALIZED (SELECT vec_id, unnest(qv) AS val,
+         |              generate_subscripts(qv, 1) AS pos FROM bqv),
+         |bdd AS (SELECT v.vec_id, c.cid,
+         |         sum((v.val - c.val) * (v.val - c.val)) AS dist
+         |       FROM bvv v JOIN c$KmeansIters c USING (pos) GROUP BY 1, 2),
+         |bba AS (SELECT vec_id, cid::INTEGER AS cluster FROM (
+         |         SELECT vec_id, cid, dist,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY dist, cid) AS rn
+         |         FROM bdd) WHERE rn = 1),
+         |xcapm AS (SELECT vec_id, cluster FROM (
+         |         SELECT vec_id, cluster,
+         |           row_number() OVER (PARTITION BY cluster
+         |             ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+         |                      vec_id) AS rn
+         |         FROM mfa WHERE vec_id IN (SELECT doc_id FROM keep2))
+         |         WHERE rn <= $SemCap),
+         |xcapb AS (SELECT vec_id, cluster FROM (
+         |         SELECT vec_id, cluster,
+         |           row_number() OVER (PARTITION BY cluster
+         |             ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+         |                      vec_id) AS rn
+         |         FROM bba) WHERE rn <= $SemCap),
+         |xnm AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
+         |       FROM mvz v JOIN xcapm c USING (vec_id) GROUP BY 1),
+         |xbn AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
+         |       FROM bvv v JOIN xcapb c USING (vec_id) GROUP BY 1),
+         |xdt AS (SELECT p.corpus_id, p.bench_id,
+         |         CAST(sum(va.val * vb2.val) AS BIGINT) AS dot
+         |       FROM (SELECT a.vec_id AS corpus_id, b.vec_id AS bench_id
+         |             FROM xcapm a JOIN xcapb b ON a.cluster = b.cluster) p
+         |       JOIN mvz va ON va.vec_id = p.corpus_id
+         |       JOIN bvv vb2 ON vb2.vec_id = p.bench_id AND vb2.pos = va.pos
+         |       GROUP BY 1, 2),
+         |xhit AS (SELECT DISTINCT d.corpus_id AS doc_id
+         |       FROM xdt d JOIN xnm na ON na.vec_id = d.corpus_id
+         |                 JOIN xbn nb ON nb.vec_id = d.bench_id
+         |       WHERE d.dot > 0
+         |         AND d.dot * d.dot * $SemThrDen >= $SemThrNum * na.n2 * nb.n2),
+         |keep3 AS MATERIALIZED (SELECT doc_id FROM keep2
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM xhit)),
+         |doc3 AS MATERIALIZED (SELECT c.* FROM crawl0 c JOIN keep3 USING (doc_id))
+         |""".stripMargin
+    val quality =
+      """, tr AS (SELECT lang, text FROM doc3 WHERE doc_id % 4 != 3),
+        |te AS (SELECT doc_id, lang, text FROM doc3),
+        |tt AS MATERIALIZED (SELECT lang AS lab, unnest(list_filter(string_split(text, ' '),
+        |         t -> len(t) > 0)) AS tok FROM tr),
+        |cwt AS (SELECT lab, tok, count(*) AS c FROM tt GROUP BY 1, 2),
+        |ct AS (SELECT lab, count(*) AS c FROM tt GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM tt),
+        |nlab AS (SELECT lang AS lab, count(*) AS nl FROM tr GROUP BY 1),
+        |ntr AS (SELECT count(*) AS n FROM tr),
+        |cls AS (SELECT ct.lab, ct.c AS ctc, vocab.v,
+        |          CAST(round(ln(nlab.nl::DOUBLE / ntr.n), 6) AS DECIMAL(18,6)) AS prior,
+        |          CAST(round(ln(1.0 / (ct.c + vocab.v)), 6) AS DECIMAL(18,6)) AS floor_lp
+        |        FROM ct JOIN nlab USING (lab), vocab, ntr),
+        |model AS (SELECT cwt.lab, cwt.tok,
+        |            CAST(round(ln((cwt.c + 1)::DOUBLE / (cls.ctc + cls.v)), 6)
+        |              AS DECIMAL(18,6)) AS lp
+        |          FROM cwt JOIN cls USING (lab)),
+        |toks AS MATERIALIZED (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |           t -> len(t) > 0)) AS tok FROM te),
+        |perdoc AS (SELECT t.doc_id, c.lab,
+        |             CAST(sum(coalesce(m.lp, c.floor_lp)) AS DECIMAL(28,6)) AS s
+        |           FROM toks t CROSS JOIN cls c
+        |           LEFT JOIN model m ON m.lab = c.lab AND m.tok = t.tok
+        |           GROUP BY 1, 2),
+        |scored AS (SELECT p.doc_id, p.lab,
+        |             CAST(p.s + c.prior AS DECIMAL(28,6)) AS score
+        |           FROM perdoc p JOIN cls c USING (lab)),
+        |pred AS (SELECT doc_id, lab AS pred FROM (
+        |           SELECT doc_id, lab, score,
+        |             row_number() OVER (PARTITION BY doc_id
+        |               ORDER BY score DESC, lab ASC) AS rn
+        |           FROM scored) WHERE rn = 1),
+        |doc4 AS MATERIALIZED (SELECT t.doc_id, c.source, c.lang, c.text
+        |         FROM te t JOIN pred p USING (doc_id)
+        |         JOIN crawl0 c ON c.doc_id = t.doc_id
+        |         WHERE p.pred = t.lang)
+        |""".stripMargin
+    val bpe = ", " + bpeChainCtes(BpeMerges, BpeMaxWords, "TRUE", "z",
+      srcSql = "SELECT doc_id, text FROM doc4")
+    val mix =
+      s""", zwtok AS MATERIALIZED (
+         |  SELECT word, count(*)::BIGINT AS n FROM zs$BpeMerges GROUP BY word),
+         |zdocw AS (SELECT doc_id, word FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM doc4)
+         |  WHERE len(word) > 0),
+         |zdcnt AS (SELECT d.doc_id, sum(w.n)::BIGINT AS bpe_tokens
+         |          FROM zdocw d JOIN zwtok w USING (word) GROUP BY 1),
+         |zt AS (SELECT doc.doc_id, doc.source, doc.lang,
+         |        coalesce(zdcnt.bpe_tokens, 0)::BIGINT AS bpe_tokens,
+         |        ('0x' || substr(md5(doc.doc_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT AS h
+         |      FROM doc4 doc LEFT JOIN zdcnt USING (doc_id)),
+         |zcum AS (SELECT *, SUM(bpe_tokens) OVER (PARTITION BY source
+         |          ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM zt),
+         |mix5 AS (SELECT doc_id, source, lang, bpe_tokens FROM zcum
+         |  WHERE cum <= CASE source WHEN 'src0' THEN ${BpeMixBudgets("src0")}
+         |                           WHEN 'src1' THEN ${BpeMixBudgets("src1")}
+         |                           ELSE $BpeMixDefaultBudget END),
+         |spl AS (SELECT vec_id AS doc_id, cluster,
+         |        CASE WHEN h < ${cuts(0)} THEN 'train'
+         |             WHEN h < ${cuts(1)} THEN 'val'
+         |             ELSE 'test' END AS split
+         |        FROM (SELECT vec_id, cluster,
+         |                ('0x' || substr(md5(cluster::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT AS h
+         |              FROM mfa))
+         |SELECT m.doc_id, m.source, m.lang, spl.cluster, spl.split,
+         |       m.bpe_tokens
+         |FROM mix5 m JOIN spl USING (doc_id)
+         |ORDER BY m.doc_id""".stripMargin
+    head + chain + semDedup + decontaminate + quality + bpe + mix
+  }
+
+  /** The sem-store probe replay shared by q127 (batch-layout build+append)
+    * and q140 (stream-layout build+fold): train on the build slice
+    * only, route members (%4 != 3) and the probe batch (%4 = 3)
+    * through the frozen centroids, cap both sides, integer pair
+    * decision. The two stores hold identical member CONTENT in
+    * different layouts, so one replay certifies both lifecycles —
+    * and the fold, which must be invisible to every read. */
+  private lazy val semStoreProbeOracleSql: String =
+    (kmeansOracleCtes(KmeansK, KmeansIters, "vec_id % 4 <= 1") +
+      s""", vmem AS (SELECT vec_id, val, pos FROM vzall WHERE vec_id % 4 != 3),
+          |dm AS (SELECT v.vec_id, c.cid,
+          |         sum((v.val - c.val) * (v.val - c.val)) AS dist
+          |       FROM vmem v JOIN c$KmeansIters c USING (pos) GROUP BY 1, 2),
+          |am AS (SELECT vec_id, cid::INTEGER AS cluster FROM (
+          |         SELECT vec_id, cid, dist,
+          |           row_number() OVER (PARTITION BY vec_id
+          |                              ORDER BY dist, cid) AS rn
+          |         FROM dm) WHERE rn = 1),
+          |vbt AS (SELECT vec_id, val, pos FROM vzall WHERE vec_id % 4 = 3),
+          |dbt AS (SELECT v.vec_id, c.cid,
+          |          sum((v.val - c.val) * (v.val - c.val)) AS dist
+          |        FROM vbt v JOIN c$KmeansIters c USING (pos) GROUP BY 1, 2),
+          |abt AS (SELECT vec_id, cid::INTEGER AS cluster FROM (
+          |          SELECT vec_id, cid, dist,
+          |            row_number() OVER (PARTITION BY vec_id
+          |                               ORDER BY dist, cid) AS rn
+          |          FROM dbt) WHERE rn = 1),
+          |capm AS (SELECT vec_id, cluster FROM (
+          |         SELECT vec_id, cluster,
+          |           row_number() OVER (PARTITION BY cluster
+          |             ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+          |                      vec_id) AS rn
+          |         FROM am) WHERE rn <= $SemCap),
+          |capb AS (SELECT vec_id, cluster FROM (
+          |         SELECT vec_id, cluster,
+          |           row_number() OVER (PARTITION BY cluster
+          |             ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+          |                      vec_id) AS rn
+          |         FROM abt) WHERE rn <= $SemCap),
+          |nm AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
+          |       FROM vzall v GROUP BY 1),
+          |pr AS (SELECT a.cluster, a.vec_id AS store_id, b.vec_id AS batch_id
+          |       FROM capm a JOIN capb b ON a.cluster = b.cluster),
+          |dt AS (SELECT p.cluster, p.store_id, p.batch_id,
+          |         CAST(sum(va.val * vb2.val) AS BIGINT) AS dot
+          |       FROM pr p
+          |       JOIN vzall va ON va.vec_id = p.store_id
+          |       JOIN vzall vb2 ON vb2.vec_id = p.batch_id AND vb2.pos = va.pos
+          |       GROUP BY 1, 2, 3),
+          |sd AS (SELECT d.cluster, d.store_id, d.batch_id, d.dot,
+          |         na.n2 AS na, nb.n2 AS nb
+          |       FROM dt d JOIN nm na ON na.vec_id = d.store_id
+          |                 JOIN nm nb ON nb.vec_id = d.batch_id
+          |       WHERE d.dot > 0
+          |         AND d.dot * d.dot * $SemThrDen >= $SemThrNum * na.n2 * nb.n2)
+          |SELECT cluster, store_id, batch_id,
+          |  round(dot / sqrt((na * nb)::DOUBLE), 6) AS cosine
+          |FROM sd ORDER BY cluster, store_id, batch_id""".stripMargin)
 
   /** q126 oracle: the fine k-means chain (ending at c`iters`/fa), then
     * the DRIVER-side coarse Lloyd replayed with the SAME CTE shapes —
@@ -4082,6 +4494,18 @@ object SparkEntry {
       ivfPqOracleSql(IvfPqCoarse, IvfPqCoarseIters, PqM, IvfPqCodebookK,
         IvfPqIters, dim = 64, nProbe = IvfPqProbe, k = PqK,
         queryPred = "v.vec_id % 50 = 0"),
+    // q138: the same composition with every chain trained on the
+    // vec_id % 4 <= 1 slice and ALL rows frozen-routed/encoded against
+    // the final centroids (the q132 codesFromRouting CTE shapes)
+    "q138_ivfpq_split" ->
+      ivfPqOracleSql(IvfPqCoarse, IvfPqCoarseIters, PqM, IvfPqCodebookK,
+        IvfPqIters, dim = 64, nProbe = IvfPqProbe, k = PqK,
+        queryPred = "v.vec_id % 50 = 0",
+        trainPred = "vec_id % 4 <= 1"),
+    // q139: the whole curation loop — dedup keepers → one k-means
+    // chain → SemDeDup tail → frozen-routed decontamination tail →
+    // NB replay → unrolled BPE chain → budget window → split cuts
+    "q139_curation_e2e" -> curationE2eOracleSql,
     "q133_hybrid_rrf" ->
       s"""WITH lex0 AS (SELECT query_id, doc_id, rank FROM (
          |$bm25Sql)),
@@ -4131,57 +4555,11 @@ object SparkEntry {
     // q127: train on the build slice only, route members (%4 != 3) and
     // the probe batch (%4 = 3) through the frozen centroids, cap both
     // sides, integer pair decision — the store lifecycle replayed
-    "q127_semstore_probe" ->
-      (kmeansOracleCtes(KmeansK, KmeansIters, "vec_id % 4 <= 1") +
-        s""", vmem AS (SELECT vec_id, val, pos FROM vzall WHERE vec_id % 4 != 3),
-          |dm AS (SELECT v.vec_id, c.cid,
-          |         sum((v.val - c.val) * (v.val - c.val)) AS dist
-          |       FROM vmem v JOIN c$KmeansIters c USING (pos) GROUP BY 1, 2),
-          |am AS (SELECT vec_id, cid::INTEGER AS cluster FROM (
-          |         SELECT vec_id, cid, dist,
-          |           row_number() OVER (PARTITION BY vec_id
-          |                              ORDER BY dist, cid) AS rn
-          |         FROM dm) WHERE rn = 1),
-          |vbt AS (SELECT vec_id, val, pos FROM vzall WHERE vec_id % 4 = 3),
-          |dbt AS (SELECT v.vec_id, c.cid,
-          |          sum((v.val - c.val) * (v.val - c.val)) AS dist
-          |        FROM vbt v JOIN c$KmeansIters c USING (pos) GROUP BY 1, 2),
-          |abt AS (SELECT vec_id, cid::INTEGER AS cluster FROM (
-          |          SELECT vec_id, cid, dist,
-          |            row_number() OVER (PARTITION BY vec_id
-          |                               ORDER BY dist, cid) AS rn
-          |          FROM dbt) WHERE rn = 1),
-          |capm AS (SELECT vec_id, cluster FROM (
-          |         SELECT vec_id, cluster,
-          |           row_number() OVER (PARTITION BY cluster
-          |             ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
-          |                      vec_id) AS rn
-          |         FROM am) WHERE rn <= $SemCap),
-          |capb AS (SELECT vec_id, cluster FROM (
-          |         SELECT vec_id, cluster,
-          |           row_number() OVER (PARTITION BY cluster
-          |             ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
-          |                      vec_id) AS rn
-          |         FROM abt) WHERE rn <= $SemCap),
-          |nm AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
-          |       FROM vzall v GROUP BY 1),
-          |pr AS (SELECT a.cluster, a.vec_id AS store_id, b.vec_id AS batch_id
-          |       FROM capm a JOIN capb b ON a.cluster = b.cluster),
-          |dt AS (SELECT p.cluster, p.store_id, p.batch_id,
-          |         CAST(sum(va.val * vb2.val) AS BIGINT) AS dot
-          |       FROM pr p
-          |       JOIN vzall va ON va.vec_id = p.store_id
-          |       JOIN vzall vb2 ON vb2.vec_id = p.batch_id AND vb2.pos = va.pos
-          |       GROUP BY 1, 2, 3),
-          |sd AS (SELECT d.cluster, d.store_id, d.batch_id, d.dot,
-          |         na.n2 AS na, nb.n2 AS nb
-          |       FROM dt d JOIN nm na ON na.vec_id = d.store_id
-          |                 JOIN nm nb ON nb.vec_id = d.batch_id
-          |       WHERE d.dot > 0
-          |         AND d.dot * d.dot * $SemThrDen >= $SemThrNum * na.n2 * nb.n2)
-          |SELECT cluster, store_id, batch_id,
-          |  round(dot / sqrt((na * nb)::DOUBLE), 6) AS cosine
-          |FROM sd ORDER BY cluster, store_id, batch_id""".stripMargin),
+    "q127_semstore_probe" -> semStoreProbeOracleSql,
+    // q140: the SAME replay — the stream-layout store (seed b=0,
+    // batch b=1) folded to one snapshot serves the probe identically
+    // to q127's batch-layout build+append; the fold is pure layout
+    "q140_semstream_fold" -> semStoreProbeOracleSql,
     // q126: both k-means chains + two-level routing + agreement audit
     "q126_twolevel_assign" ->
       twoLevelOracleSql(KmeansK, KmeansIters,
@@ -5227,6 +5605,46 @@ object SparkEntry {
          |  tk.ws_tokens,
          |  (tk.ws_tokens * (1000000 // cs.dup_count))::BIGINT AS eff_tokens_ppm
          |FROM cl JOIN cs USING (cluster_id) JOIN tk USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // q137: q136's weights CTE chain composed with q61's prefix-take in
+    // (hash, doc_id) order, the running total now summing eff_tokens_ppm
+    // — the budget is spent in DEDUPLICATED token mass
+    "q137_soft_mix" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |pairs AS (
+         |  SELECT da AS id_a, db AS id_b
+         |  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         |e2 AS (SELECT id_a AS s, id_b AS d2 FROM pairs
+         |       UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT DISTINCT s, s FROM e2
+         |  UNION
+         |  SELECT e2.s, r.label FROM e2 JOIN reach r ON e2.d2 = r.id),
+         |cc AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+         |cl AS (SELECT d.doc_id, coalesce(cc.label, d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
+         |cs AS (SELECT cluster_id, count(*)::BIGINT AS dup_count
+         |       FROM cl GROUP BY 1),
+         |tk AS (SELECT doc_id,
+         |         len(string_split(text, ' '))::BIGINT AS ws_tokens
+         |       FROM documents),
+         |w AS (
+         |  SELECT cl.doc_id, d.source, cs.dup_count,
+         |    (1000000 // cs.dup_count)::BIGINT AS weight_ppm,
+         |    tk.ws_tokens,
+         |    (tk.ws_tokens * (1000000 // cs.dup_count))::BIGINT AS eff_tokens_ppm,
+         |    ('0x' || substr(md5(cl.doc_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT AS h
+         |  FROM cl JOIN cs USING (cluster_id) JOIN tk USING (doc_id)
+         |  JOIN documents d ON d.doc_id = cl.doc_id),
+         |c AS (
+         |  SELECT *, SUM(eff_tokens_ppm) OVER (PARTITION BY source ORDER BY h, doc_id
+         |           ROWS UNBOUNDED PRECEDING) AS cum FROM w)
+         |SELECT doc_id, source, dup_count, weight_ppm, ws_tokens, eff_tokens_ppm
+         |FROM c
+         |WHERE cum <= CASE source WHEN 'src0' THEN ${SoftMixBudgetsPpm("src0")}
+         |                         WHEN 'src1' THEN ${SoftMixBudgetsPpm("src1")}
+         |                         ELSE $SoftMixBudgetPpm END
          |ORDER BY doc_id""".stripMargin,
     "q39_range_join" ->
       """WITH probes AS (

@@ -683,6 +683,100 @@ object Stress {
       Graphs.labelPropagation(gedges, iters = 3).count()
     }
     }
+
+    if (mode == "bpe") {
+    // production-merge-count storm: the q116 oracle runs 32 merges; a
+    // real tokenizer runs 32k over a ~100k-word dictionary. The
+    // testdata vocabulary is 31 words, so the dict here is synthetic:
+    // 100k distinct Zipf-weighted pseudo-words built from a shared
+    // syllable inventory (so merges find real structure). The claim
+    // under test: the incremental trainer (delta counts + inverted
+    // index + heap) holds the driver loop comfortably under the
+    // interactive bound at 32k merges, where the full-recount
+    // reference is O(merges·dict·len) and visibly cannot.
+    import graft.functions.Bpe
+    val syll = Array("an", "er", "in", "on", "at", "en", "es", "or",
+      "te", "ti", "al", "le", "re", "se", "de", "ra", "ro", "ne",
+      "li", "la", "ta", "to", "co", "ma", "qu", "ex", "ion", "ing")
+    def word(i: Int): String = {
+      val sb = new StringBuilder
+      var h = scala.util.hashing.MurmurHash3.stringHash("w" + i)
+      val n = 2 + math.floorMod(h, 4)
+      var j = 0
+      while (j < n) {
+        h = scala.util.hashing.MurmurHash3.stringHash(i + "/" + j)
+        sb ++= syll(math.floorMod(h, syll.length))
+        j += 1
+      }
+      sb.append(('a' + math.floorMod(i, 26)).toChar) // distinctness salt
+      sb.toString + (i / 26)
+    }
+    val nWords = 100000
+    val dict = (0 until nWords)
+      .map(i => (word(i), math.max(1L, 10000000L / (i + 1L)))).toArray
+    require(dict.map(_._1).distinct.length == nWords, "dict collision")
+    println(s"[stress] bpe dict: $nWords words, " +
+      s"max merges bound ${dict.map(_._1.length - 1L).sum}")
+    time("learnReference(1000)") {
+      Bpe.learnReference(dict, 1000).length.toLong
+    }
+    for (m <- Seq(1000, 8000, 32000)) {
+      time(s"learn($m) incremental") { Bpe.learn(dict, m).length.toLong }
+    }
+    }
+
+    if (mode == "semfold") {
+    // sem-store history storm: a 15-minute dedup cadence is 96
+    // batches/day and each batch adds b=<id> partition levels to
+    // members AND pairs — foldSemStore is the retention move. Build
+    // `factor` stream batches, measure a fresh batch's probe and the
+    // file count, fold everything into one base snapshot, re-measure:
+    // probe results must be IDENTICAL (asserted), files collapse.
+    import graft.operators.Similarity
+    import graft.streaming.SemStream
+    val nb = math.max(4, factor)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-stress-semfold-$nb"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val nBase = 2000L
+    val ecorp = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .crossJoin(spark.range(factor).select(col("id").as("__rep")))
+      .select((col("vec_id") + col("__rep") * nBase).as("vec_id"),
+        col("embedding"))
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    SemStream.init(ecorp.filter(pmod(col("vec_id"), lit(nb + 1)) === 0),
+      "vec_id", "embedding", k = 16, iters = 2, path)
+    (1 to nb).foreach { b =>
+      SemStream.applyBatch(
+        ecorp.filter(pmod(col("vec_id"), lit(nb + 1)) === b),
+        "vec_id", "embedding", path, 49L, 400L, 48L, "graft", b.toLong)
+    }
+    println(f"[stress] built seed + $nb sem batches " +
+      f"(${ecorp.count()} vectors) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    def fileCount(): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(java.nio.file.Files.isRegularFile(_)).toLong
+      } finally s.close()
+    }
+    val probeBatch = ecorp.filter(col("vec_id") % 97 === 0)
+      .limit(200).localCheckpoint(true)
+    def probe() = Similarity.probeSemStore(spark, path, probeBatch,
+        "vec_id", "embedding", 49L, 400L, 48L, "graft")
+      .collect().map(_.toString).sorted.toSeq
+    println(s"[stress] files pre-fold: ${fileCount()}")
+    var pre: Seq[String] = Seq.empty
+    time("probe 200 vecs (pre-fold)") { pre = probe(); pre.size.toLong }
+    time(s"foldSemStore(upTo=$nb)") {
+      SemStream.foldSemStore(spark, path, upTo = nb.toLong); 1L
+    }
+    println(s"[stress] files post-fold: ${fileCount()}")
+    time("probe 200 vecs (post-fold)") {
+      val post = probe()
+      require(post == pre, "fold changed the probe")
+      post.size.toLong
+    }
+    }
     spark.stop()
   }
 }

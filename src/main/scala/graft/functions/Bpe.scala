@@ -52,8 +52,104 @@ object Bpe {
     * Requires enough adjacent pairs to perform every requested merge
     * (a corpus so small it runs dry deserves a loud error, not a
     * silently shorter model — the oracle unrolls exactly this many
-    * steps). */
+    * steps).
+    *
+    * Incremental trainer (round-13): the naive loop recounts EVERY
+    * pair over the whole dictionary each merge — O(merges·dict·len),
+    * fine at the oracle's 32 merges, hopeless at a production
+    * tokenizer's 32k (measured ≫ minutes over the 100k-word cap). This
+    * implementation is the classic delta form of the SAME algorithm:
+    * pair counts live in a map kept current by per-word deltas (only
+    * words CONTAINING the chosen pair change at each step — Zipf makes
+    * that a tiny fraction of the dict), an inverted pair→word-ids
+    * index finds them without scanning, and the argmax comes from an
+    * ordered set keyed (count DESC, left ASC, right ASC) — the exact
+    * tie order the naive loop's minBy applied. Each merge costs
+    * O(Σ len(touched words) · log #pairs) instead of O(dict·len).
+    * Output is BIT-IDENTICAL to [[learnReference]] (law in BpeSpec);
+    * the SQL oracles are unchanged. */
   def learn(dict: Array[(String, Long)], numMerges: Int): Array[(String, String)] = {
+    require(numMerges >= 1, s"numMerges=$numMerges must be >= 1")
+    val syms = dict.map { case (w, _) =>
+      mutable.ArrayBuffer.from[String](w.toCharArray.map(_.toString))
+    }
+    val freqs = dict.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // count DESC, then (left, right) lexicographic ASC — minBy's order
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(b._1, a._1)
+        if (c != 0) c
+        else {
+          val l = a._2.compareTo(b._2)
+          if (l != 0) l else a._3.compareTo(b._3)
+        }
+      }
+    }
+    val heap = mutable.TreeSet.empty[(Long, String, String)](ord)
+    def bump(p: (String, String), delta: Long, wordIdx: Int,
+             member: Boolean): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      val now = old + delta
+      if (old != 0L) heap.remove((old, p._1, p._2))
+      if (now != 0L) { counts(p) = now; heap.add((now, p._1, p._2)) }
+      else counts.remove(p)
+      val set = occ.getOrElseUpdate(p, mutable.BitSet.empty)
+      if (member) set.add(wordIdx)
+      else if (set.remove(wordIdx) && set.isEmpty) occ.remove(p)
+    }
+    def pairsOf(s: mutable.ArrayBuffer[String]): Seq[((String, String), Long)] = {
+      // overlapping adjacency with multiplicity: "aaa" carries (a,a) ×2
+      val m = mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        m(p) = m.getOrElse(p, 0L) + 1L
+        i += 1
+      }
+      m.toSeq
+    }
+    var w = 0
+    while (w < syms.length) {
+      pairsOf(syms(w)).foreach { case (p, mult) =>
+        bump(p, mult * freqs(w), w, member = true)
+      }
+      w += 1
+    }
+    val out = mutable.ArrayBuffer.empty[(String, String)]
+    for (r <- 0 until numMerges) {
+      require(counts.nonEmpty,
+        s"corpus ran out of adjacent pairs at merge $r of $numMerges")
+      val (_, l, rr) = heap.head
+      val best = (l, rr)
+      out += best
+      // only words holding the pair change; snapshot the index entry —
+      // bump() mutates it as the word's membership is rebuilt
+      val touched = occ.get(best).map(_.toArray).getOrElse(Array.empty)
+      var t = 0
+      while (t < touched.length) {
+        val wi = touched(t)
+        val f = freqs(wi)
+        pairsOf(syms(wi)).foreach { case (p, mult) =>
+          bump(p, -mult * f, wi, member = false)
+        }
+        syms(wi) = applyMerge(syms(wi), best._1, best._2)
+        pairsOf(syms(wi)).foreach { case (p, mult) =>
+          bump(p, mult * f, wi, member = true)
+        }
+        t += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** The pre-round-13 trainer, kept VERBATIM as the executable
+    * specification [[learn]] is law-checked against (BpeSpec): full
+    * recount every merge, argmax by max-count then lexicographic
+    * minBy. O(merges·dict·len) — reference only. */
+  private[graft] def learnReference(dict: Array[(String, Long)],
+                                    numMerges: Int): Array[(String, String)] = {
     require(numMerges >= 1, s"numMerges=$numMerges must be >= 1")
     val words = dict.map { case (w, f) =>
       (w.toCharArray.map(_.toString), f)

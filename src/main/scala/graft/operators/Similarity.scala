@@ -544,18 +544,37 @@ object Similarity {
     * only probed-list candidates — the IVF economics composed with
     * the PQ memory economics. `cid` rides along in the output naming
     * the list each neighbor was served from (audit column). */
+  /** `train`: the production train/serve split (the q132 discipline
+    * applied to the whole IVF-PQ family) — when given, the coarse
+    * quantizer AND every per-subspace codebook train on `train`'s rows
+    * ONLY, and the full corpus is then FROZEN-routed / frozen-encoded
+    * through the fixed models (train once, encode forever). Routing
+    * and encoding are pure per-row argmins over the final centroids,
+    * so passing `train = Some(corpus)` is bit-identical to no split
+    * (law in SimilaritySpec) — the split changes what the models SAW,
+    * never how rows are served. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, dim: Int, nCoarse: Int, coarseIters: Int,
                 m: Int, codebookK: Int, pqIters: Int, nProbe: Int,
-                k: Int): DataFrame = {
+                k: Int, train: Option[DataFrame] = None): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     require(nCoarse >= 1 && nProbe >= 1 && codebookK >= 1 && k >= 1,
       "bad IVF-PQ sizing")
     ArrayMath.register(corpus.sparkSession)
     val subDim = dim / m
-    // coarse quantizer + per-row residuals (keepVec: one pass)
-    val (coarse, coarseCents) = Clustering.kmeansQuantized(
-      corpus, idCol, vecCol, nCoarse, coarseIters, keepVec = true)
+    // coarse quantizer + per-row residuals. No split: the training
+    // loop's own final assignment IS the routing (keepVec: one pass).
+    // Split: train the model on the slice, frozen-route the corpus.
+    val (coarse, coarseCents) = train match {
+      case None =>
+        Clustering.kmeansQuantized(corpus, idCol, vecCol, nCoarse,
+          coarseIters, keepVec = true)
+      case Some(t) =>
+        val (_, cents) = Clustering.kmeansQuantized(t, idCol, vecCol,
+          nCoarse, coarseIters)
+        (Clustering.assignToCentroidsKeepVec(corpus, idCol, vecCol, cents),
+          cents)
+    }
     def residualFrom(qvCol: Column, cidCol: Column): Column =
       coarseCents.tail.foldLeft(
         when(cidCol === coarseCents.head._1,
@@ -569,14 +588,28 @@ object Similarity {
         residualFrom(col("qv"), col("cluster")).as("__res"))
     resid.persist()
     try {
-      // per-subspace codebooks over the residual slices
+      // per-subspace codebooks over the residual slices; under the
+      // split, codebooks see only the train rows' residuals (slim
+      // id-only semi-join) and every row is frozen-encoded after
+      val trainIds = train.map(_.select(col(idCol).as("__nid")))
       val trained = (0 until m).map { s =>
         val sub = resid.select(col("__nid"),
           slice(col("__res"), s * subDim + 1, subDim).as("__sv"))
-        val (assign, cents) = Clustering.kmeansQuantized(
-          sub, "__nid", "__sv", codebookK, pqIters)
-        (s, assign.select(lit(s).as("__s"), col("id").as("__nid"),
-          col("cluster").as("__code")), cents)
+        trainIds match {
+          case None =>
+            val (assign, cents) = Clustering.kmeansQuantized(
+              sub, "__nid", "__sv", codebookK, pqIters)
+            (s, assign.select(lit(s).as("__s"), col("id").as("__nid"),
+              col("cluster").as("__code")), cents)
+          case Some(ids) =>
+            val (_, cents) = Clustering.kmeansQuantized(
+              sub.join(ids, Seq("__nid"), "left_semi"),
+              "__nid", "__sv", codebookK, pqIters)
+            val assign = Clustering.assignToCentroids(sub, "__nid", "__sv",
+              cents)
+            (s, assign.select(lit(s).as("__s"), col("id").as("__nid"),
+              col("cluster").as("__code")), cents)
+        }
       }
       val codes = trained.map(_._2).reduce(_ unionByName _)
         .join(resid.select(col("__nid"), col("__cid")), Seq("__nid"))
@@ -765,17 +798,60 @@ object Similarity {
     * observable as assignment−capped. The self-join is an equi-join on
     * cluster id — k keys, so k must scale with the corpus exactly as
     * the paper prescribes; nothing wider than (id, dist, qv) shuffles. */
+  /** Overflow fence for the integer pair decision. Both sides of
+    * dot²·thrDen ≥ thrNum·‖a‖²·‖b‖² are evaluated in Long; with int8
+    * quantization, |dot| and ‖·‖² are each ≤ dim·127², so the worst
+    * operand is (dim·127²)²·max(thrNum, thrDen). Spark's non-ANSI Long
+    * arithmetic WRAPS silently past 2^63−1 — wrong keep/drop decisions
+    * while the DuckDB oracle (HUGEINT) stays right — so fail loudly at
+    * entry. Peeks one row for the dimension (a metadata-scale job; the
+    * empty input trivially fits). The safe envelope in practice:
+    * dim ≤ 1000 with thrDen ≤ 3·10⁴, or any (dim, thr) with
+    * (dim·127²)²·max(thrNum, thrDen) ≤ 2^63−1. */
+  private[operators] def requirePairDecisionFits(
+      vecs: DataFrame, vecCol: String, thrNum: Long, thrDen: Long): Unit = {
+    val first = vecs.select(col(vecCol)).limit(1).collect()
+    if (first.nonEmpty && !first(0).isNullAt(0)) {
+      val dim = first(0).getSeq[Any](0).size
+      val m = BigInt(dim) * BigInt(127L * 127L)
+      val worst = m * m * BigInt(math.max(thrNum, thrDen))
+      require(worst <= BigInt(Long.MaxValue),
+        s"integer pair decision would overflow Long: dim=$dim with " +
+          s"threshold rational $thrNum/$thrDen gives a worst operand " +
+          s"(dim·127²)²·max(thrNum,thrDen) = $worst > 2^63−1, and Spark's " +
+          s"non-ANSI Long math wraps silently — reduce the rational's " +
+          s"denominator (the same threshold at lower precision) or the " +
+          s"dimension")
+    }
+  }
+
   def semDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int, thrNum: Long, thrDen: Long,
                     clusterCap: Long, seed: String = "graft"): DataFrame = {
     require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen,
       s"threshold² = $thrNum/$thrDen must be a rational in [0, 1]")
     require(clusterCap > 1, s"clusterCap=$clusterCap: need at least a pair")
+    requirePairDecisionFits(corpus, vecCol, thrNum, thrDen)
     // keepVec: the training loop's own final assignment already has the
     // quantized vectors — re-routing the corpus would repeat the
     // O(n·k·dim) assignment, the dominant cost at SemDeDup's k ∝ n
     val (av, _) = Clustering.kmeansQuantized(corpus, idCol, vecCol, k, iters,
       keepVec = true)
+    semPairsWithin(av, thrNum, thrDen, clusterCap, seed)
+  }
+
+  /** [[semDedupPairs]]'s pair tail over an assignment that ALREADY
+    * carries quantized vectors (columns id, cluster, dist, qv — the
+    * [[Clustering.kmeansQuantized]] keepVec shape): cap per cluster,
+    * decide every within-cluster pair with the integer threshold, name
+    * the droppable prototype. Exposed so a composition that trains ONE
+    * model and serves several stages (the q139 closed loop) doesn't
+    * re-cluster per stage. */
+  def semPairsWithin(av: DataFrame, thrNum: Long, thrDen: Long,
+                     clusterCap: Long, seed: String = "graft"): DataFrame = {
+    require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen,
+      s"threshold² = $thrNum/$thrDen must be a rational in [0, 1]")
+    require(clusterCap > 1, s"clusterCap=$clusterCap: need at least a pair")
     val capped = Sampling.stratumCap(av, "cluster", "id", clusterCap, seed = seed)
       .withColumn("__n2", ArrayMath.dotProduct(col("qv"), col("qv")).cast("long"))
     val a = capped.select(col("cluster"), col("id").as("id_a"),
@@ -795,6 +871,35 @@ object Similarity {
         when(col("__da") < col("__db"), col("id_a"))
           .when(col("__db") < col("__da"), col("id_b"))
           .otherwise(greatest(col("id_a"), col("id_b"))).as("drop_id"))
+  }
+
+  /** The cross-corpus pair tail shared by [[probeSemStore]] and
+    * [[semContaminationPairs]]: both sides (columns id, cluster, qv)
+    * capped per cluster (smallest-(hash, id), two-phase), every
+    * within-cluster A×B pair decided by the integer threshold.
+    * Output: (cluster, store_id, batch_id, cosine). */
+  def semPairsAcross(members: DataFrame, probes: DataFrame,
+                     thrNum: Long, thrDen: Long, clusterCap: Long,
+                     seed: String = "graft"): DataFrame = {
+    require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen,
+      s"threshold² = $thrNum/$thrDen must be a rational in [0, 1]")
+    def capSide(av: DataFrame) = Sampling.stratumCap(
+        av, "cluster", "id", clusterCap, seed = seed)
+      .withColumn("__n2",
+        ArrayMath.dotProduct(col("qv"), col("qv")).cast("long"))
+    val a = capSide(members).select(col("cluster"),
+      col("id").as("store_id"), col("qv").as("__qa"), col("__n2").as("__na"))
+    val b = capSide(probes).select(col("cluster"),
+      col("id").as("batch_id"), col("qv").as("__qb"), col("__n2").as("__nb"))
+    val dot = ArrayMath.dotProduct(col("__qa"), col("__qb")).cast("long")
+    a.join(b, Seq("cluster"))
+      .withColumn("__dot", dot)
+      .filter(col("__dot") > 0 &&
+        col("__dot") * col("__dot") * lit(thrDen) >=
+          lit(thrNum) * col("__na") * col("__nb"))
+      .select(col("cluster"), col("store_id"), col("batch_id"),
+        round(col("__dot").cast("double") /
+          sqrt((col("__na") * col("__nb")).cast("double")), 6).as("cosine"))
   }
 
   /** Semantic benchmark decontamination — [[semDedupPairs]]'s cluster
@@ -820,6 +925,7 @@ object Similarity {
     require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen,
       s"threshold² = $thrNum/$thrDen must be a rational in [0, 1]")
     require(clusterCap >= 1, s"clusterCap=$clusterCap must be positive")
+    requirePairDecisionFits(corpus, vecCol, thrNum, thrDen)
     // corpus side reuses the training loop's own final assignment
     // (keepVec); only the benchmark pays a frozen-routing pass
     val (avCorpus, cents) = Clustering.kmeansQuantized(corpus, idCol, vecCol,
@@ -917,15 +1023,30 @@ object Similarity {
     * (store × batch) pair with the integer threshold. Equivalent by
     * construction to the direct frozen-centroid composition over the
     * store's source corpus (law in SimilaritySpec) — the store buys
-    * not re-routing history, not different answers. */
+    * not re-routing history, not different answers.
+    *
+    * `batchCut`: for stream-layout stores (members partitioned by
+    * `b=<batchId>`), probe only members with b < batchCut. This is the
+    * redelivery fence SemStream needs: a crashed attempt may have
+    * landed its own `b=batchId` member rows before the commit marker,
+    * and an unfenced re-probe would then pair the batch against itself
+    * (self-pairs at cosine 1), breaking the "pairs see exactly the
+    * prior members" law. Batch-layout stores have no `b` column — leave
+    * batchCut empty there. */
   def probeSemStore(s: org.apache.spark.sql.SparkSession, path: String,
                     batch: DataFrame, idCol: String, vecCol: String,
                     thrNum: Long, thrDen: Long, clusterCap: Long,
-                    seed: String = "graft"): DataFrame = {
+                    seed: String = "graft",
+                    batchCut: Option[Long] = None): DataFrame = {
     require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen,
       s"threshold² = $thrNum/$thrDen must be a rational in [0, 1]")
+    requirePairDecisionFits(batch, vecCol, thrNum, thrDen)
     val cents = readSemCents(s, path)
-    val members = s.read.parquet(s"$path/members")
+    val raw = s.read.parquet(s"$path/members")
+    // partition columns read back as Integer — cast, don't assume Long
+    val fenced = batchCut.fold(raw)(c =>
+      raw.filter(col("b").cast("long") < lit(c)))
+    val members = fenced
       .select(col("id"), col("cluster").cast("int").as("cluster"),
         col("dist"), col("qv"))
     def capSide(av: DataFrame) = Sampling.stratumCap(

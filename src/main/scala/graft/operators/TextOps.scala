@@ -1136,6 +1136,7 @@ object TextOps {
     * fold already absorbed. */
   def foldPostingIndexVersions(s: org.apache.spark.sql.SparkSession,
                                path: String, upTo: Long): Unit = {
+    requireVersionedStatsLayout(s, path)
     val bs = s.read.parquet(s"$path/stats")
       .select(col("b").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -1200,6 +1201,33 @@ object TextOps {
       "overwrite", Some(batch), idempotent = true)
   }
 
+  /** Layout fence: versioned stats are partitionBy("b") DIRECTORIES;
+    * the round-11 layout wrote `b` as a plain data column — bare
+    * parquet files at the stats root. Adding `b=N/` directories next
+    * to bare files produces a mixed root Spark partition discovery
+    * either fails on or reads inconsistently (the bare files lose
+    * their `b`), so an append or fold over a legacy store must fail
+    * LOUDLY with a rebuild message, not corrupt silently. (A
+    * same-layout store passes untouched — `b=` dirs and `_SUCCESS`
+    * markers are fine.) */
+  private def requireVersionedStatsLayout(
+      s: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(root)) {
+      val bare = fs.listStatus(root).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      require(bare.isEmpty,
+        s"$path/stats holds bare data files (${bare.head.getPath.getName}" +
+          s"…) — the legacy layout that stored `b` as a data column. " +
+          "Appending or folding would mix layouts under one root and " +
+          "break partition discovery; rebuild the store from its source " +
+          "batches with writePostingIndexVersioned starting at batch=0")
+    }
+  }
+
   /** One batch's index contribution, shared by build (= first batch,
     * overwrite), append and idempotent upsert so the paths cannot
     * drift. Versioned stats are PARTITIONED by `b` (one directory per
@@ -1214,6 +1242,9 @@ object TextOps {
     require(parts >= 1, s"parts=$parts must be >= 1")
     require(!idempotent || version.isDefined,
       "idempotent writes need the versioned layout (the batch IS the replace key)")
+    // only non-initial versioned writes can meet a pre-existing root
+    if (version.isDefined && (mode == "append" || idempotent))
+      requireVersionedStatsLayout(docs.sparkSession, path)
     val d = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
     val post = d
       .select(col("doc_id"), size(col("__w")).cast("double").as("dl"),

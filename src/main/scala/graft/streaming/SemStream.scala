@@ -72,12 +72,19 @@ object SemStream {
   }
 
   /** Apply one micro-batch: skip if committed; else probe the batch
-    * against the CURRENT members (pairs → `pairs/b=`), route it and
-    * add its member rows (`members/b=`), both idempotent dynamic
-    * overwrites, then the marker. Within-batch duplicates are not
-    * paired (they arrive together); the upstream keep-first guard is
-    * the usual answer, same contract as IndexStream. Empty batches
-    * commit their marker only. */
+    * against the members of batches BEFORE it (`batchCut = batchId` —
+    * pairs → `pairs/b=`), route it and add its member rows
+    * (`members/b=`), both idempotent dynamic overwrites, then the
+    * marker. The batch cut is the redelivery fence: a crashed attempt
+    * may have landed its own `b=batchId` member rows before the
+    * marker, and an unfenced re-probe would pair the batch against
+    * itself (self-pairs at cosine 1) — with the cut, the re-probe sees
+    * exactly the prior members and rewrites `pairs/b=` with identical
+    * content (law in SemStreamSpec, including the marker-missing
+    * crash window). Within-batch duplicates are not paired (they
+    * arrive together); the upstream keep-first guard is the usual
+    * answer, same contract as IndexStream. Empty batches commit their
+    * marker only. */
   def applyBatch(batch: DataFrame, idCol: String, vecCol: String,
                  path: String, thrNum: Long, thrDen: Long,
                  clusterCap: Long, seed: String, batchId: Long): Unit = {
@@ -86,7 +93,7 @@ object SemStream {
     if (committed(s, path, batchId)) return
     if (!batch.isEmpty) {
       Similarity.probeSemStore(s, path, batch, idCol, vecCol,
-          thrNum, thrDen, clusterCap, seed)
+          thrNum, thrDen, clusterCap, seed, batchCut = Some(batchId))
         .withColumn("b", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -99,6 +106,71 @@ object SemStream {
         .partitionBy("b", "cluster").parquet(s"$path/members")
     }
     markCommitted(s, path, batchId)
+  }
+
+  /** Retention fold for the stream-maintained sem store — the q115
+    * lifecycle move ported to the (b, cluster) layout: merge every
+    * members/pairs batch `b ≤ upTo` into ONE base snapshot labeled
+    * `b = upTo`, leaving batches `> upTo` untouched. Batches hold
+    * doc-disjoint rows routed through the SAME frozen centroids, so
+    * folding is a pure relabel-union — no recompute, no re-route — and
+    * every read that doesn't cut below the fold point is IDENTICAL
+    * before and after (law in SemStreamSpec): the un-cut
+    * [[Similarity.probeSemStore]], and any `batchCut > upTo`. History
+    * BELOW the fold point is forfeited by contract (a cut ≤ upTo sees
+    * only batches that escaped folding), same retention semantics as
+    * the posting-index fold.
+    *
+    * The fold keeps the `b=` level (members fold INTO `b=upTo/
+    * cluster=…`) rather than dropping to the batch store's bare
+    * cluster-first layout: later stream batches keep writing
+    * `b=<id>/…` next to it, and mixing a bare layout with partitioned
+    * directories under one root is exactly the corruption the posting
+    * store's legacy-layout fence exists to refuse. Committed-batch
+    * markers are KEPT for folded batches — they fence a redelivering
+    * producer from re-applying a batch the fold already absorbed.
+    *
+    * Crash recovery is exact here, BETTER than the posting fold's
+    * double-count window: a failure between the overwrite and the
+    * stale-dir delete leaves the folded rows present twice (under
+    * `b=upTo` and under their stale dirs), but members dedupe by `id`
+    * and pairs by their full row — both unique keys whose payloads are
+    * deterministic — so the re-run converges to the clean fold
+    * bit-for-bit instead of summing duplicates. */
+  def foldSemStore(s: SparkSession, path: String, upTo: Long): Unit = {
+    val hconf = s.sessionState.newHadoopConf()
+    def artifact(sub: String): Option[org.apache.hadoop.fs.Path] = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (p.getFileSystem(hconf).exists(p)) Some(p) else None
+    }
+    def batchesOf(sub: String): Seq[Long] = artifact(sub).toSeq.flatMap { p =>
+      p.getFileSystem(hconf).listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("b="))
+        .map(_.getPath.getName.stripPrefix("b=").toLong)
+    }
+    def deleteBelow(sub: String): Unit = artifact(sub).foreach { p =>
+      val fs = p.getFileSystem(hconf)
+      fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("b="))
+        .filter(_.getPath.getName.stripPrefix("b=").toLong < upTo)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    def fold(sub: String, parts: Seq[String], dedupKeys: Seq[String],
+             shuffleKey: Option[String]): Unit =
+      if (batchesOf(sub).count(_ <= upTo) > 1) {
+        val read = s.read.parquet(s"$path/$sub")
+          .filter(col("b").cast("long") <= upTo).drop("b")
+          .dropDuplicates(dedupKeys) // exact: crash-rerun sees each row twice
+          .withColumn("b", lit(upTo))
+        val merged = shuffleKey.fold(read)(k => read.repartition(col(k)))
+          .localCheckpoint() // materialize BEFORE touching source dirs
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(parts: _*).parquet(s"$path/$sub")
+        deleteBelow(sub)
+      }
+    fold("members", Seq("b", "cluster"), Seq("id"), Some("cluster"))
+    fold("pairs", Seq("b"), Seq("cluster", "store_id", "batch_id"), None)
   }
 
   /** Start the maintenance query over a vector stream. `batchIdOffset`

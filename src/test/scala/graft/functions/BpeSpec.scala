@@ -94,4 +94,38 @@ class BpeSpec extends SparkSpec {
         s"merge $i ($l,$r) references a symbol produced at a later step")
     }
   }
+
+  test("incremental trainer ≡ the full-recount reference, merge for " +
+       "merge (real dict + adversarial tie/overlap dicts)") {
+    // the production-scale trainer (delta counts + inverted index +
+    // ordered heap) must be BIT-identical to the naive executable
+    // spec it replaced — including argmax ties and the overlapping
+    // (a,a)-style adjacency — or the unrolled SQL oracles break
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dict = d
+      .select(explode(split(col("text"), " ", -1)).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(2000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for (m <- Seq(1, 8, 64)) {
+      assert(Bpe.learn(dict, m).toSeq == Bpe.learnReference(dict, m).toSeq,
+        s"trainers diverged at numMerges=$m")
+    }
+    // run-dry parity: this tiny dict merges to completion well before
+    // 10k steps — both trainers must refuse at the SAME merge index
+    // (a delta-bookkeeping leak would dry the fast trainer early)
+    val eFast = intercept[IllegalArgumentException](Bpe.learn(dict, 10000))
+    val eRef = intercept[IllegalArgumentException](
+      Bpe.learnReference(dict, 10000))
+    assert(eFast.getMessage == eRef.getMessage,
+      s"run-dry diverged: '${eFast.getMessage}' vs '${eRef.getMessage}'")
+    val adversarial = Array(("aaaa", 3L), ("aaa", 2L), ("ba", 2L),
+      ("ca", 2L), ("abab", 1L), ("aabb", 1L))
+    for (m <- 1 to 6) {
+      assert(Bpe.learn(adversarial, m).toSeq ==
+        Bpe.learnReference(adversarial, m).toSeq,
+        s"trainers diverged on the adversarial dict at numMerges=$m")
+    }
+  }
 }

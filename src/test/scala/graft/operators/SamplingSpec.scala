@@ -231,6 +231,45 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(big) && big.size > small.size)
   }
 
+  test("soft-mix composition: a cluster of N duplicates spends one " +
+       "document of budget; naive pricing lets duplicates eat it") {
+    // 40 distinct 5-token docs with disjoint shingles (so the only
+    // near-dup pairs are exact copies); the dup corpus holds each doc
+    // 4×. Costs are uniform and divide the budget exactly, so the
+    // prefix counts are EXACT, not approximate.
+    def text(i: Long) = (0 until 5).map(j => s"w${i}x$j").mkString(" ")
+    val clean = (1L to 40L).map(i => (i, text(i), "s"))
+      .toDF("doc_id", "text", "source")
+    val dup = (1L to 160L).map(i => (i, text((i - 1) % 40 + 1), "s"))
+      .toDF("doc_id", "text", "source")
+    val budget = 12L * 5L * 1000000L // 12 documents of effective mass
+    def softMix(docs: org.apache.spark.sql.DataFrame) = {
+      val w = TextOps.softDedupWeights(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source"), col("text")),
+          Seq("doc_id"))
+      Sampling.budgetTake(w, "source", "doc_id", "eff_tokens_ppm", budget)
+    }
+    val cleanKept = softMix(clean)
+    val dupKept = softMix(dup)
+    // same budget admits the same EFFECTIVE mass: 12 clean docs ≡ 48
+    // quarter-weight duplicates — duplication doesn't eat the budget
+    assert(cleanKept.count() == 12L)
+    assert(dupKept.count() == 48L)
+    val dupEff = dupKept.agg(sum("eff_tokens_ppm")).head.getLong(0)
+    assert(dupEff == budget, s"effective spend $dupEff != budget $budget")
+    // naive pricing (raw tokens, no weights): the dup corpus admits
+    // only 12 ROWS — each copy costs a full document, so the realized
+    // unique coverage collapses versus the soft mix's ≥ 12 clusters
+    val naive = Sampling.budgetTake(
+      dup.withColumn("tok_ppm", lit(5L * 1000000L)),
+      "source", "doc_id", "tok_ppm", budget)
+    assert(naive.count() == 12L)
+    val softDistinct = dupKept.select("text").distinct().count()
+    val naiveDistinct = naive.select("text").distinct().count()
+    assert(softDistinct >= 12L && softDistinct >= naiveDistinct,
+      s"soft=$softDistinct naive=$naiveDistinct unique docs")
+  }
+
   test("shufflePositions is the exact permutation of the hash order") {
     val d = (1L to 2357L).map(i => (i, s"p$i")).toDF("id", "payload")
     val out = Sampling.shufflePositions(d, "id", "seed1")

@@ -713,4 +713,42 @@ class SimilaritySpec extends SparkSpec {
       assert(members <= cap, s"cluster $c paired $members members > cap $cap")
     }
   }
+
+  test("ivfPqTopK split degeneracy: train = the whole corpus ≡ no " +
+       "split (frozen routing/encoding IS the serve path)") {
+    // the split changes what the models SAW, never how rows are
+    // served: with train = corpus the frozen-route/frozen-encode path
+    // must be bit-identical to the training loop's own assignments
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    def run(t: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.ivfPqTopK(e, q, "vec_id", "embedding", dim = 64,
+          nCoarse = 8, coarseIters = 1, m = 4, codebookK = 8, pqIters = 1,
+          nProbe = 2, k = 5, train = t)
+        .collect().map(_.toString).sorted.toSeq
+    val noSplit = run(None)
+    assert(noSplit.nonEmpty)
+    assert(run(Some(e)) == noSplit, "train=corpus diverged from no-split")
+  }
+
+  test("integer pair decision refuses (dim, threshold) combinations " +
+       "that would wrap Long") {
+    // dot ≤ dim·127², so dot²·thrDen crosses 2^63−1 near dim ~1000 with
+    // thrDen ~3e4; Spark's non-ANSI Long math would wrap SILENTLY into
+    // wrong keep/drop decisions while the DuckDB oracle (HUGEINT) stays
+    // right. The fence must throw at entry, not truncate at runtime.
+    val wide = Seq((0L, Array.fill(256)(1.0f)), (1L, Array.fill(256)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedupPairs(wide, "vec_id", "embedding",
+        k = 1, iters = 0, thrNum = 999999L, thrDen = 1000000L,
+        clusterCap = 32L)
+    }
+    assert(e.getMessage.contains("overflow"), e.getMessage)
+    // the same threshold expressed at lower precision fits fine
+    val ok = Similarity.semDedupPairs(wide, "vec_id", "embedding",
+      k = 1, iters = 0, thrNum = 99L, thrDen = 100L, clusterCap = 32L)
+    assert(ok.count() == 1L) // the two identical vectors pair up
+  }
 }

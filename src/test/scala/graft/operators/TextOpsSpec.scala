@@ -505,6 +505,34 @@ class TextOpsSpec extends SparkSpec {
     assert(keepCuts.map(read) == before, "re-fold drifted a read")
   }
 
+  test("legacy stats layout (b as a data column) fails appends and " +
+       "folds loudly instead of mixing layouts") {
+    // the round-11 layout wrote stats as bare parquet files at the
+    // stats root with `b` as a data column; appending b=N/ directories
+    // next to them breaks partition discovery — the store must refuse
+    val docs = Seq((1L, "apple banana kiwi")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-postidx-legacy-spec").toString
+    TextOps.writePostingIndexVersioned(docs, "doc_id", "text", tmp, 4, 0L)
+    // forge the legacy shape: flatten stats' b=0 partition into bare
+    // files carrying b as a data column
+    val legacy = spark.read.parquet(s"$tmp/stats")
+      .withColumn("b", col("b").cast("long")).localCheckpoint()
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$tmp/stats"))
+    legacy.coalesce(1).write.parquet(s"$tmp/stats")
+    val more = Seq((2L, "banana cherry plum")).toDF("doc_id", "text")
+    val eAppend = intercept[IllegalArgumentException] {
+      TextOps.writePostingIndexVersioned(more, "doc_id", "text", tmp, 4, 1L)
+    }
+    assert(eAppend.getMessage.contains("legacy layout"), eAppend.getMessage)
+    val eFold = intercept[IllegalArgumentException] {
+      TextOps.foldPostingIndexVersions(spark, tmp, upTo = 1L)
+    }
+    assert(eFold.getMessage.contains("legacy layout"), eFold.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("pruned store with an empty batch reads nothing and yields nothing") {
     val corpus = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
     val tmp = java.nio.file.Files
