@@ -93,12 +93,16 @@ import scala.jdk.CollectionConverters._
   * host factor and backstops the historical band for queries with no
   * committed driver measurement (a committed band always wins, so a
   * stale seed can never override real history); (2) a clean-anchor
-  * pre-pass runs the 20 historically most expensive queries once each
-  * in probe-bracketed windows of 5 at run start, keeps only anchors
-  * whose windows are clean vs the committed prior probe, and publishes
-  * `anchor_total`/`anchor_n` — a minimal-footprint subtotal measured
-  * before the long tail attracts contention, comparable across rounds
-  * even when the full pass later degrades.
+  * pass runs the 20 historically most expensive queries once each,
+  * WARM, right after the main pass, in probe-bracketed windows of 5,
+  * keeps only anchors whose brackets sit within 2x the run's own best
+  * probe (floored by the committed prior), and publishes
+  * `anchor_total`/`anchor_n` — a minimal-footprint warm subtotal
+  * comparable across rounds even when the full pass degrades. (It ran
+  * at run START in its first cut; the first measured run showed the
+  * opening minutes are the WORST window — JIT/page-cache settling
+  * inflated early probes 4-7x over the end probe and every anchor
+  * failed its own brackets.)
   */
 object Bench {
 
@@ -229,6 +233,13 @@ object Bench {
       val ts = Seq.fill(3)(probeOnce()).sorted
       ts(1)
     }
+    // single-sample probes taken right after query work read
+    // systematically high — the FIRST canned-compute job after a heavy
+    // query pays executor-pool wakeup + GC debt (measured 0.2-0.35 s
+    // mid-run vs 0.05 s for a median-of-3 moments later), which made
+    // every single-bracket comparison against a median-derived floor
+    // fail. min-of-2 absorbs the wakeup sample at ~0.1 s extra cost.
+    def probeSample(): Double = math.min(probeOnce(), probeOnce())
     // previous-round medians for the cross-round suspect guard, the
     // previous round's calibration probe median for the environment
     // sentinel, and the per-query historical clean band; parsed BEFORE
@@ -352,45 +363,13 @@ object Bench {
       }
       (times.toSeq, err)
     }
-    // Clean-anchor pre-pass (round-13, from the round-12 adjudication):
-    // three consecutive rounds self-flagged environment contention, so
-    // no committed per-query column since r09 is trustworthy. Before
-    // the full pass, the 20 historically most expensive queries (by
-    // clean band, seed-backstopped) run ONCE each, in probe-bracketed
-    // windows of 5; a query's anchor number is kept only when BOTH its
-    // brackets are clean vs the committed prior probe. The artifact
-    // then carries `anchor_total` over however many anchors stayed
-    // clean (`anchor_n`) — a minimal-footprint subtotal measured in the
-    // run's FIRST minutes (before any contention the long tail
-    // attracts) that stays comparable across rounds even when the full
-    // pass later degrades. Single rep by design: the anchor trades
-    // median robustness for a short footprint; its probe brackets are
-    // what make it trustworthy, not rep count.
-    val anchorBudget = 20
-    val anchorNames: Seq[String] = SparkEntry.queries.keys.toSeq
-      .flatMap(n => bandOf(n).map(b => (n, b)))
-      .sortBy(-_._2).take(anchorBudget).map(_._1).sorted
-    val anchorTimes = scala.collection.mutable.Map.empty[String, Double]
-    if (anchorNames.nonEmpty && prevProbe.isDefined) {
-      var lo = probeOnce()
-      anchorNames.grouped(5).foreach { grp =>
-        val timed = grp.map { n =>
-          val (ts, err) = measure(SparkEntry.queries(n), 1)
-          (n, ts.headOption.filter(_ => err.isEmpty))
-        }
-        val hi = probeOnce()
-        if (cleanWindow(lo, hi, prevProbe))
-          timed.foreach { case (n, t) => t.foreach(anchorTimes(n) = _) }
-        lo = hi
-      }
-    }
     // window sentinel: one probe sample between every winSize queries
     // (plus the start/end medians as outer boundaries) — localizes
     // mid-run contention the run-level flag can't see
     val winSize = 10
     val interiorProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), qi) =>
-      if (qi > 0 && qi % winSize == 0) interiorProbes += probeOnce()
+      if (qi > 0 && qi % winSize == 0) interiorProbes += probeSample()
       val (t0s, err0) = measure(fn, reps)
       val times = scala.collection.mutable.ArrayBuffer(t0s: _*)
       var err = err0
@@ -439,6 +418,43 @@ object Bench {
     // sentinel has already bracketed
     val probeEnd = probeMedian()
     val probes = (probeStart +: interiorProbes :+ probeEnd).toIndexedSeq
+    // Clean-anchor pass (round-13, from the round-12 adjudication):
+    // three consecutive rounds self-flagged environment contention, so
+    // no committed per-query column since r09 is trustworthy. The 20
+    // historically most expensive queries (by clean band,
+    // seed-backstopped) run ONCE more, warm, in probe-bracketed
+    // windows of 5; a query's anchor is kept only when BOTH its
+    // brackets sit within 2x the RUN'S OWN BEST probe (floored by the
+    // committed prior when one exists) — a stationarity test against
+    // the cleanest state this host has shown, not a stale prior. The
+    // pass runs AFTER the main pass deliberately: the first measured
+    // run showed the run's opening minutes are the WORST window (JIT/
+    // page-cache settling inflated the early probes 4-7x over the end
+    // probe), so anchors measured there failed their own brackets.
+    // `anchor_total` over `anchor_n` clean anchors is the
+    // minimal-footprint warm subtotal a reader can compare across
+    // rounds even when the full pass degrades. Single rep by design:
+    // the probe brackets are what make it trustworthy, not rep count.
+    val anchorBudget = 20
+    val anchorNames: Seq[String] = SparkEntry.queries.keys.toSeq
+      .flatMap(n => bandOf(n).map(b => (n, b)))
+      .sortBy(-_._2).take(anchorBudget).map(_._1).sorted
+    val anchorTimes = scala.collection.mutable.Map.empty[String, Double]
+    locally {
+      val probeFloor = (probes ++ prevProbe).min
+      val floorOpt = Some(probeFloor).filter(_ > 0.0)
+      var lo = probeSample()
+      anchorNames.grouped(5).foreach { grp =>
+        val timed = grp.map { n =>
+          val (ts, err) = measure(SparkEntry.queries(n), 1)
+          (n, ts.headOption.filter(_ => err.isEmpty))
+        }
+        val hi = probeSample()
+        if (cleanWindow(lo, hi, floorOpt))
+          timed.foreach { case (n, t) => t.foreach(anchorTimes(n) = _) }
+        lo = hi
+      }
+    }
     val winSuspectIdx =
       windowSuspects(firstPass.size, winSize, probes, prevProbe)
     val winSuspectNames =
@@ -488,9 +504,9 @@ object Bench {
           }
           // the previous attempt's closing probe doubles as this
           // attempt's opening bracket (they are the same moment)
-          val lo = lastHi.getOrElse(probeOnce())
+          val lo = lastHi.getOrElse(probeSample())
           val (ts, e2) = measure(SparkEntry.queries(name), reps)
-          val hi = probeOnce()
+          val hi = probeSample()
           lastHi = Some(hi)
           if (e2.nonEmpty || ts.isEmpty) done = true
           else {

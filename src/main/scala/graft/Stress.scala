@@ -725,6 +725,119 @@ object Stress {
     }
     }
 
+    if (mode == "bpeapply") {
+    // serve-path storm: ENCODING under a production 32k-merge model.
+    // The memo only covers repeated words; a hapax-heavy corpus (every
+    // word unique — the worst case the Zipf memo can't touch) exposes
+    // the raw per-word encode cost. rank-order apply is O(merges·len)
+    // per word — at 32k merges that is ~3 orders beyond the priority
+    // encode's O(len²) rank-map loop the BpeModel now uses.
+    import graft.functions.Bpe
+    val syll = Array("an", "er", "in", "on", "at", "en", "es", "or",
+      "te", "ti", "al", "le", "re", "se", "de", "ra", "ro", "ne",
+      "li", "la", "ta", "to", "co", "ma", "qu", "ex", "ion", "ing")
+    def word(i: Int): String = {
+      val sb = new StringBuilder
+      var h = scala.util.hashing.MurmurHash3.stringHash("w" + i)
+      val n = 2 + math.floorMod(h, 4)
+      var j = 0
+      while (j < n) {
+        h = scala.util.hashing.MurmurHash3.stringHash(i + "/" + j)
+        sb ++= syll(math.floorMod(h, syll.length))
+        j += 1
+      }
+      sb.toString
+    }
+    val dict = (0 until 100000)
+      .map(i => (word(i) + ('a' + math.floorMod(i, 26)).toChar + (i / 26),
+        math.max(1L, 10000000L / (i + 1L)))).toArray
+    val merges = time("learn(32000)") {
+      val m = Bpe.learn(dict, 32000); m.length.toLong; m
+    }
+    val rankOf = merges.iterator.zipWithIndex.map { case (p, i) => (p, i) }.toMap
+    // factor × 10k hapax words (fresh spellings — never in the dict,
+    // so nothing is memoizable), encoded once per path on the driver:
+    // the per-word cost is what a map stage pays per tail word
+    val hapax = (0 until 10000 * factor.toInt)
+      .map(i => word(i * 7 + 3) + "x" + i).toArray
+    val nPrio = time(s"priority encode (${hapax.length} hapax words)") {
+      var n = 0L; hapax.foreach(w => n += Bpe.encodeWordPriority(w, rankOf, merges).length); n
+    }
+    val nRank = time(s"rank-order encode (${hapax.length} hapax words)") {
+      var n = 0L; hapax.foreach(w => n += Bpe.encodeWord(w, merges).length); n
+    }
+    require(nPrio == nRank, s"encoders disagree: $nPrio vs $nRank")
+    }
+
+    if (mode == "curation") {
+    // closed-loop curation storm: the q139 composition over a factor×
+    // corpus (documents AND embeddings replicated with shifted ids;
+    // text perturbed by a copy tag so replicas are NEAR-dups — every
+    // stage keeps real work; embeddings perturbed like the graph
+    // storm). The claim: the chain's cost is the SUM of its certified
+    // stages' linear shapes — no stage multiplies another (each stage
+    // consumes only the previous stage's id set), so factor× corpus ⇒
+    // ~factor× wall-clock, never a cross-stage product.
+    import graft.operators.{Clustering, Sampling, Similarity, TextOps}
+    val nBase = 2000L
+    val bigDocs = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select("doc_id", "source", "lang", "text")
+      .crossJoin(spark.range(factor).select(col("id").as("copy")))
+      .select((col("doc_id") + col("copy") * 10000L).as("doc_id"),
+        col("source"), col("lang"),
+        concat(col("text"), lit(" copytag"), col("copy")).as("text"))
+      .localCheckpoint(true)
+    val bigEmb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .crossJoin(spark.range(factor).select(col("id").as("copy")))
+      .select((col("vec_id") + col("copy") * 10000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "double(x) + 0.003 * (pmod(copy * 31 + i, 7) - 3))")
+          .as("embedding"))
+      .localCheckpoint(true)
+    println(s"[stress] curation corpus: ${bigDocs.count()} docs, " +
+      s"${bigEmb.count()} vectors (${factor}x sf0.1)")
+    val k = math.max(8L, nBase * factor / 256L).toInt
+    time(s"curation e2e (k=$k)") {
+      val crawl = bigDocs
+        .join(bigEmb.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+        .filter(col("doc_id") % 10 =!= 7)
+      val d1 = TextOps.exactDedup(crawl, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"))
+      val e1 = bigEmb
+        .join(d1.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+        .localCheckpoint(true)
+      val (assign, cents) = Clustering.kmeansQuantized(e1, "vec_id",
+        "embedding", k, 3, keepVec = true)
+      val sdrop = Similarity.semPairsWithin(assign, 49L, 400L, 48L, "graft")
+        .select(col("drop_id").as("doc_id")).distinct()
+      val d2 = d1.join(sdrop, Seq("doc_id"), "left_anti")
+      val members = assign.join(d2.select(col("doc_id").as("id")), Seq("id"))
+      val bench = Clustering.assignToCentroidsKeepVec(
+        bigEmb.filter(col("vec_id") % 10 === 7), "vec_id", "embedding", cents)
+      val contaminated = Similarity
+        .semPairsAcross(members, bench, 49L, 400L, 48L, "graft")
+        .select(col("store_id").as("doc_id")).distinct()
+      val docs3 = bigDocs
+        .join(d2.join(contaminated, Seq("doc_id"), "left_anti"), Seq("doc_id"))
+        .localCheckpoint(true)
+      val pred = TextOps.nbTrainPredict(docs3.filter(col("doc_id") % 4 =!= 3),
+        docs3, "doc_id", "lang", "text")
+      val d4 = docs3.join(pred, Seq("doc_id"))
+        .filter(col("pred") === col("lang"))
+        .select("doc_id", "source", "lang", "text")
+        .localCheckpoint(true)
+      val merges = TextOps.bpeLearnMerges(d4, "text", 32, 100000)
+      val counted = TextOps.bpeTokenCounts(d4, "doc_id", "text", merges)
+        .join(d4.select("doc_id", "source"), Seq("doc_id"))
+      val d5 = Sampling.budgetTake(counted, "source", "doc_id", "bpe_tokens",
+        2400L * factor, Map("src0" -> 15000L * factor, "src1" -> 0L), "graft")
+      val split = Sampling.splitAssign(
+        assign.select(col("id").as("doc_id"), col("cluster")), "cluster",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "graft")
+      d5.join(split.select("doc_id", "split"), Seq("doc_id")).count()
+    }
+    }
+
     if (mode == "semfold") {
     // sem-store history storm: a 15-minute dedup cadence is 96
     // batches/day and each batch adds b=<id> partition levels to
