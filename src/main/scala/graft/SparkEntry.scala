@@ -2328,6 +2328,72 @@ object SparkEntry {
       .orderBy("cluster", "store_id", "batch_id")
   }
 
+  /** Stream-stream interval join through the REAL streaming engine
+    * ([[graft.streaming.EventTimeStreams.runAttributionBacklog]]):
+    * view→purchase attribution — every purchase paired with the same
+    * user's views from the preceding 4 hours — run as two watermarked
+    * `readStream` file sources over an 8-file backlog, interval-joined
+    * in Append mode under `Trigger.AvailableNow`. The q93 discipline
+    * extended from stateful aggregation to stateful JOIN state: with
+    * lateness covering the backlog span, whatever micro-batch
+    * boundaries the file listing produces, the appended result equals
+    * the batch interval self-join bit-for-bit — which is exactly what
+    * the oracle replays (DuckDB side at native µs, Spark side on the
+    * loader's ns DIV 1000, equal by the events-ts convention). */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q141" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val backlog = s"${System.getProperty("java.io.tmpdir")}/graft-attr-backlog-$tag"
+    if (!new java.io.File(backlog).exists()) {
+      Tables.events(s, dir)
+        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+        .select("event_id", "event_time", "user_id", "event_type", "value")
+        .repartition(8)
+        .write.mode("overwrite").parquet(backlog)
+    }
+    val sinkName = s"q141_sink_${tag}_${Q141Runs.incrementAndGet()}"
+    EventTimeStreams.runAttributionBacklog(s, backlog, "event_time",
+        horizon = "4 hours", lateness = "600 days",
+        filesPerBatch = 2, queryName = sinkName)
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("view_ts")).as("view_ts_us"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+        col("purchase_value"))
+      .orderBy("view_id", "purchase_id")
+  }
+  private val Q141Runs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** DSIR importance resampling ([[Sampling.dsirSample]]): src0/src1
+    * play the target domain, every other source is the raw pool, and
+    * the 50 winners are drawn Gumbel-top-k proportional to their
+    * hashed-unigram importance weight — the data-selection recipe for
+    * "make the pretraining mix look like the domain I care about".
+    * Audit columns carry the whole chain (token count, decimal score,
+    * Gumbel, key); the oracle replays bucket LMs, rounded-ln weights,
+    * decimal sums and the keyed order. */
+  private def q142(s: SparkSession, dir: String): DataFrame =
+    Sampling.dsirSample(Tables.documents(s, dir),
+        "doc_id", "source", "text",
+        targetPred = col("source").isin("src0", "src1"),
+        buckets = 256, k = 50, seed = SampleSeed)
+      .orderBy("rank")
+
+  /** DSIR with the production train/serve split ([[Sampling.dsirSample]]
+    * `trainPred`): both bucket LMs estimate from the doc_id % 4 ≤ 2
+    * slice only — train once on a sample — and EVERY pool document,
+    * the held-out quarter included, is scored through the frozen
+    * weight table (a bucket the train slice never hit scores at the
+    * zero-count smoothed weight). The q109/q138 frozen-model
+    * discipline applied to data selection; the oracle replays the
+    * sliced LMs, the full-spine weight table and the frozen scoring. */
+  private def q143(s: SparkSession, dir: String): DataFrame =
+    Sampling.dsirSample(Tables.documents(s, dir),
+        "doc_id", "source", "text",
+        targetPred = col("source").isin("src0", "src1"),
+        buckets = 256, k = 50, seed = SampleSeed,
+        trainPred = pmod(col("doc_id"), lit(4)) <= 2)
+      .orderBy("rank")
+
   /** PQ-ADC retrieval ([[Similarity.pqTopK]]): product quantization
     * over the fixture embeddings — 4 subspaces × 16-code integer
     * codebooks (a stored vector is 4 codes: 64× under f32), queries
@@ -2653,6 +2719,9 @@ object SparkEntry {
     "q135_ivfpq" -> q135,
     "q138_ivfpq_split" -> q138,
     "q139_curation_e2e" -> q139,
+    "q141_stream_join" -> q141,
+    "q142_dsir_sample" -> q142,
+    "q143_dsir_split" -> q143,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -4524,6 +4593,110 @@ object SparkEntry {
          |       FROM f)
          |SELECT query_id, rank, doc_id, rrf_score, lex_rank, vec_rank
          |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // q141: the batch interval self-join the streamed Append result
+    // must equal bit-for-bit — all comparisons at µs (Spark runs on
+    // the loader's ns DIV 1000, DuckDB on native epoch_us; identical
+    // by the events-ts convention), 4 h = 14 400 000 000 µs
+    "q141_stream_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |       v.user_id,
+        |       epoch_us(v.ts) AS view_ts_us,
+        |       epoch_us(p.ts) AS purchase_ts_us,
+        |       p.value AS purchase_value
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) > epoch_us(v.ts)
+        | AND epoch_us(p.ts) <= epoch_us(v.ts) + 14400000000
+        |ORDER BY view_id, purchase_id""".stripMargin,
+    // q142: the DSIR chain replayed — hashed-bucket unigram LMs
+    // (portable md5 mod 256), add-one smoothing, round-6 ln weights
+    // differenced as DECIMAL, per-doc decimal sums, 6-digit-folded
+    // Gumbel keys, (key, id)-ordered top-50 over non-target docs
+    "q142_dsir_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             source IN ('src0', 'src1') AS tgt,
+        |             list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+        |           FROM documents),
+        |tok AS (SELECT doc_id, tgt,
+        |          ('0x' || substr(md5(tok || 'graft-mix'), 1, 15))::BIGINT % 256 AS b
+        |        FROM (SELECT doc_id, tgt, unnest(w) AS tok FROM d)),
+        |cr AS (SELECT b, count(*) AS cr FROM tok GROUP BY 1),
+        |ct AS (SELECT b, count(*) AS ct FROM tok WHERE tgt GROUP BY 1),
+        |tot AS (SELECT count(*) AS nr,
+        |          count(CASE WHEN tgt THEN 1 END) AS nt FROM tok),
+        |lw AS (SELECT cr.b,
+        |         CAST(round(ln((coalesce(ct.ct, 0) + 1)::DOUBLE / (tot.nt + 256)), 6)
+        |              AS DECIMAL(18,6))
+        |       - CAST(round(ln((cr.cr + 1)::DOUBLE / (tot.nr + 256)), 6)
+        |              AS DECIMAL(18,6)) AS lw
+        |       FROM cr LEFT JOIN ct ON cr.b = ct.b, tot),
+        |sc AS (SELECT t.doc_id, count(*)::BIGINT AS ntok,
+        |         CAST(sum(lw.lw) AS DECIMAL(28,6)) AS score
+        |       FROM tok t JOIN lw ON t.b = lw.b GROUP BY 1),
+        |cand AS (SELECT d.doc_id, d.source,
+        |           coalesce(sc.ntok, 0) AS n_tokens,
+        |           coalesce(sc.score, CAST(0 AS DECIMAL(28,6))) AS score,
+        |           CAST(-round(ln(-round(ln(
+        |             ((('0x' || substr(md5(d.doc_id::VARCHAR || 'graft-mix|g'), 1, 15))::BIGINT
+        |               % 1000000)::DOUBLE + 0.5) / 1000000.0), 6)), 6)
+        |             AS DECIMAL(18,6)) AS gumbel
+        |         FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |         WHERE NOT d.tgt),
+        |keyed AS (SELECT *, CAST(score + gumbel AS DECIMAL(29,6)) AS skey
+        |          FROM cand),
+        |ranked AS (SELECT *, row_number() OVER (ORDER BY skey DESC, doc_id)
+        |             AS rank FROM keyed)
+        |SELECT rank, doc_id, source, n_tokens,
+        |       CAST(CAST(score AS VARCHAR) AS DOUBLE) AS score,
+        |       CAST(CAST(gumbel AS VARCHAR) AS DOUBLE) AS gumbel,
+        |       CAST(CAST(skey AS VARCHAR) AS DOUBLE) AS sample_key
+        |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // q143: q142 with both LMs estimated on the doc_id % 4 <= 2 slice
+    // and every pool doc frozen-scored through the full 256-bucket
+    // spine (zero-count smoothing for buckets the slice never hit)
+    "q143_dsir_split" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             source IN ('src0', 'src1') AS tgt,
+        |             doc_id % 4 <= 2 AS train,
+        |             list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+        |           FROM documents),
+        |tok AS (SELECT doc_id, tgt, train,
+        |          ('0x' || substr(md5(tok || 'graft-mix'), 1, 15))::BIGINT % 256 AS b
+        |        FROM (SELECT doc_id, tgt, train, unnest(w) AS tok FROM d)),
+        |cr AS (SELECT b, count(*) AS cr FROM tok WHERE train GROUP BY 1),
+        |ct AS (SELECT b, count(*) AS ct FROM tok WHERE train AND tgt GROUP BY 1),
+        |tot AS (SELECT count(*) AS nr,
+        |          count(CASE WHEN tgt THEN 1 END) AS nt FROM tok WHERE train),
+        |spine AS (SELECT unnest(generate_series(0, 255))::BIGINT AS b),
+        |lw AS (SELECT spine.b,
+        |         CAST(round(ln((coalesce(ct.ct, 0) + 1)::DOUBLE / (tot.nt + 256)), 6)
+        |              AS DECIMAL(18,6))
+        |       - CAST(round(ln((coalesce(cr.cr, 0) + 1)::DOUBLE / (tot.nr + 256)), 6)
+        |              AS DECIMAL(18,6)) AS lw
+        |       FROM spine LEFT JOIN cr ON spine.b = cr.b
+        |                  LEFT JOIN ct ON spine.b = ct.b, tot),
+        |sc AS (SELECT t.doc_id, count(*)::BIGINT AS ntok,
+        |         CAST(sum(lw.lw) AS DECIMAL(28,6)) AS score
+        |       FROM tok t JOIN lw ON t.b = lw.b GROUP BY 1),
+        |cand AS (SELECT d.doc_id, d.source,
+        |           coalesce(sc.ntok, 0) AS n_tokens,
+        |           coalesce(sc.score, CAST(0 AS DECIMAL(28,6))) AS score,
+        |           CAST(-round(ln(-round(ln(
+        |             ((('0x' || substr(md5(d.doc_id::VARCHAR || 'graft-mix|g'), 1, 15))::BIGINT
+        |               % 1000000)::DOUBLE + 0.5) / 1000000.0), 6)), 6)
+        |             AS DECIMAL(18,6)) AS gumbel
+        |         FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |         WHERE NOT d.tgt),
+        |keyed AS (SELECT *, CAST(score + gumbel AS DECIMAL(29,6)) AS skey
+        |          FROM cand),
+        |ranked AS (SELECT *, row_number() OVER (ORDER BY skey DESC, doc_id)
+        |             AS rank FROM keyed)
+        |SELECT rank, doc_id, source, n_tokens,
+        |       CAST(CAST(score AS VARCHAR) AS DOUBLE) AS score,
+        |       CAST(CAST(gumbel AS VARCHAR) AS DOUBLE) AS gumbel,
+        |       CAST(CAST(skey AS VARCHAR) AS DOUBLE) AS sample_key
+        |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin,
     // q129: q88's deterministic blob-feature chain as the k-means
     // source, then the shared SemDeDup tail — the whole multimodal ×
     // semantic-dedup composition replayed

@@ -751,8 +751,9 @@ object Stress {
     val dict = (0 until 100000)
       .map(i => (word(i) + ('a' + math.floorMod(i, 26)).toChar + (i / 26),
         math.max(1L, 10000000L / (i + 1L)))).toArray
-    val merges = time("learn(32000)") {
-      val m = Bpe.learn(dict, 32000); m.length.toLong; m
+    var merges: Array[(String, String)] = Array.empty
+    time("learn(32000)") {
+      merges = Bpe.learn(dict, 32000); merges.length.toLong
     }
     val rankOf = merges.iterator.zipWithIndex.map { case (p, i) => (p, i) }.toMap
     // factor × 10k hapax words (fresh spellings — never in the dict,

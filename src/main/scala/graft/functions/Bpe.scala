@@ -207,6 +207,46 @@ object Bpe {
     syms.toArray
   }
 
+  /** Priority encode: the merge-count-INDEPENDENT form of
+    * [[encodeWord]]. Instead of one pass per merge rank (O(merges ·
+    * len) per word — ruinous for hapax-heavy corpora under a
+    * production 32k-merge model, where the memo can't help), scan the
+    * word's adjacent pairs for the lowest-ranked one present, apply
+    * that single merge left-to-right, repeat until no pair is a merge:
+    * each round removes a symbol, so the cost is O(len²) rank-map
+    * probes regardless of model size.
+    *
+    * Equal to [[encodeWord]] for merge lists produced by [[learn]]
+    * (BpeSpec law): merge i's pair only mentions symbols produced by
+    * merges < i, so (a) fully applying the lowest present rank can
+    * only create pairs of HIGHER rank — the minimum present rank is
+    * non-decreasing, visiting exactly the ranks the pass-per-rank form
+    * applies non-trivially, and (b) one left-to-right pass removes
+    * every occurrence of its pair (a merged symbol never reproduces
+    * its own halves). For an arbitrary hand-built merge list the two
+    * can differ, which is why the trainer is the only model source. */
+  def encodeWordPriority(word: String,
+                         rankOf: collection.Map[(String, String), Int],
+                         merges: Array[(String, String)]): Array[String] = {
+    var syms = mutable.ArrayBuffer.from[String](word.toCharArray.map(_.toString))
+    var continue = syms.length > 1
+    while (continue) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = rankOf.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) continue = false
+      else {
+        syms = applyMerge(syms, merges(best)._1, merges(best)._2)
+        continue = syms.length > 1
+      }
+    }
+    syms.toArray
+  }
+
   /** decode ∘ encode = identity (merges only concatenate). */
   def decode(tokens: Array[String]): String = tokens.mkString
 }
@@ -220,12 +260,20 @@ object Bpe {
 final class BpeModel(val merges: Array[(String, String)]) extends Serializable {
   @transient private lazy val memo =
     new ConcurrentHashMap[String, java.lang.Long]()
+  // pair → rank, built once per executor: the priority encode's probe
+  // structure. The memo covers the Zipf head; the rank map is what
+  // keeps the TAIL (hapax words, where a memo can never hit) at
+  // O(len²) instead of O(merges · len) per word — at a production 32k
+  // merges that is the difference between a scan-speed map stage and
+  // one three orders of magnitude slower (storm in docs/SCALE.md).
+  @transient private lazy val rankOf: Map[(String, String), Int] =
+    merges.iterator.zipWithIndex.map { case (p, i) => (p, i) }.toMap
   private val CacheCap = 1 << 16
 
   def wordTokenCount(w: String): Long = {
     val hit = memo.get(w)
     if (hit != null) return hit.longValue()
-    val n = Bpe.encodeWord(w, merges).length.toLong
+    val n = Bpe.encodeWordPriority(w, rankOf, merges).length.toLong
     if (memo.size < CacheCap) memo.put(w, n)
     n
   }

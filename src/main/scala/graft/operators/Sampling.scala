@@ -438,4 +438,110 @@ object Sampling {
       .where(hashKey(col(idCol), seed) < col("sample_thresh"))
       .drop("__src")
   }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" — the
+    * public recipe): pick from the general pool the `k` documents
+    * whose hashed-unigram distribution looks most target-like,
+    * sampled PROPORTIONALLY to the importance weight rather than
+    * top-k by it (top-k alone collapses onto near-clones of the
+    * target; the Gumbel perturbation is what preserves diversity).
+    *
+    * Derivation, every step engine-exact so the oracle replays it:
+    *  - feature: each token hashes to one of `buckets` buckets via
+    *    the portable salted md5 ([[hashKey]] mod buckets) — the
+    *    "hashed n-gram" trick that caps model size regardless of
+    *    vocabulary (the 100 TB boundedness guarantee: the weight
+    *    table is `buckets` rows, broadcastable, while a raw-vocab
+    *    model grows with the corpus);
+    *  - two add-one-smoothed unigram LMs over buckets: the target
+    *    slice (`targetPred`) vs the WHOLE corpus as the raw pool;
+    *    per-bucket log-importance = round-6 ln of each probability,
+    *    differenced as DECIMAL (q100's rounded-ln discipline);
+    *  - per-doc score = decimal sum of its tokens' bucket weights
+    *    (occurrence-weighted, so the same estimator as the paper's
+    *    product of unigram ratios, in log space);
+    *  - Gumbel top-k: sampling without replacement proportional to
+    *    exp(score) ≡ taking the k largest (score + gᵢ) with
+    *    gᵢ = −ln(−ln uᵢ) — uᵢ the doc's portable hash folded to 6
+    *    digits, both lns round-6, so the key is a DECIMAL with a
+    *    total (key, id) order both engines agree on. The log-space
+    *    form never materializes exp(score): weights spanning
+    *    hundreds of nats cost nothing.
+    *
+    * Scale shape: two token-level aggregates (map-side combinable),
+    * one broadcast join of the `buckets`-row weight table back onto
+    * the token stream, one per-doc aggregate, and a k-row global
+    * top-k (sort+limit pushdown) — no shuffle keyed on anything
+    * wider than (bucket) and (doc). Candidates are the non-target
+    * docs; token-less docs stay candidates at score 0. */
+  def dsirSample(docs: DataFrame, idCol: String, srcCol: String,
+                 textCol: String, targetPred: Column, buckets: Int,
+                 k: Int, seed: String = "graft",
+                 trainPred: Column = lit(true)): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    require(k >= 1, s"k=$k must be >= 1")
+    val t = docs.select(col(idCol).as("__id"), col(srcCol).as("__src"),
+      targetPred.as("__tgt"), trainPred.as("__train"),
+      filter(TextOps.tokens(col(textCol)), w => length(w) > 0).as("__w"))
+    val tok = t.select(col("__id"), col("__tgt"), col("__train"),
+        explode(col("__w")).as("__tok"))
+      .withColumn("__b", pmod(hashKey(col("__tok"), seed), lit(buckets.toLong)))
+    // `trainPred` is the production train/serve split (the q109/q138
+    // frozen-model discipline): BOTH bucket LMs estimate from the
+    // train slice only, then every candidate — held-out rows included
+    // — is scored through the frozen weight table. trainPred=true (the
+    // default) degenerates to training on everything, bit-for-bit
+    // (SamplingSpec law).
+    val trainTok = tok.filter(col("__train"))
+    val cr = trainTok.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val ct = trainTok.filter(col("__tgt")).groupBy("__b")
+      .agg(count(lit(1)).as("__ct"))
+    val tot = trainTok.agg(count(lit(1)).as("__nr"),
+      count(when(col("__tgt"), 1)).as("__nt"))
+    // full bucket spine: a bucket no train token ever hit still gets
+    // the zero-count smoothed weight, so a held-out doc's unseen
+    // vocabulary scores as "never seen in either LM" rather than
+    // silently dropping out of its sum
+    val spine = docs.sparkSession.range(buckets).select(col("id").as("__b"))
+    val lw = spine.join(cr, Seq("__b"), "left").join(ct, Seq("__b"), "left")
+      .na.fill(0L, Seq("__cr", "__ct"))
+      .crossJoin(broadcast(tot))
+      .select(col("__b"),
+        (round(log((col("__ct") + 1).cast("double") /
+            (col("__nt") + lit(buckets.toLong))), 6).cast("decimal(18,6)")
+          - round(log((col("__cr") + 1).cast("double") /
+            (col("__nr") + lit(buckets.toLong))), 6).cast("decimal(18,6)"))
+          .as("__lw"))
+    val perDoc = tok.join(broadcast(lw), Seq("__b"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("__ntok"),
+        sum(col("__lw")).cast("decimal(28,6)").as("__score"))
+    // u folded to 6 digits: (h mod 10^6 + 0.5)/10^6 keeps every
+    // intermediate exactly representable in double on both engines
+    // (h itself exceeds double's 53-bit exact range) and keeps u
+    // strictly inside (0,1) so neither ln can hit ±Inf
+    val u = (pmod(hashKey(col("__id"), seed + "|g"), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    val gumbel = (-round(log(-round(log(u), 6)), 6)).cast("decimal(18,6)")
+    val ranked = t.select(col("__id"), col("__src"), col("__tgt"))
+      .join(perDoc, Seq("__id"), "left")
+      .na.fill(0L, Seq("__ntok"))
+      .withColumn("__score",
+        coalesce(col("__score"), lit(0).cast("decimal(28,6)")))
+      .filter(!col("__tgt"))
+      .withColumn("__g", gumbel)
+      .withColumn("__key", (col("__score") + col("__g")).cast("decimal(29,6)"))
+      .orderBy(col("__key").desc, col("__id"))
+      .limit(k)
+    // bounded k-row window (the prioritySample idiom)
+    ranked
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("__key").desc, col("__id"))))
+      .select(col("rank"), col("__id").as(idCol), col("__src").as(srcCol),
+        col("__ntok").as("n_tokens"),
+        col("__score").cast("double").as("score"),
+        col("__g").cast("double").as("gumbel"),
+        col("__key").cast("double").as("sample_key"))
+  }
 }

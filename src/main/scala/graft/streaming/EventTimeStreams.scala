@@ -87,6 +87,81 @@ object EventTimeStreams {
     s.table(queryName)
   }
 
+  /** Stream-stream event-time interval join (view→purchase
+    * attribution): each purchase pairs with every earlier view by the
+    * same user within `horizon` — strictly after the view, at most
+    * `horizon` later. The reference's cron shape can only express this
+    * as a periodic full self-join of the events table; Structured
+    * Streaming holds BOTH sides as watermark-bounded state and emits a
+    * match the micro-batch its second half arrives, so steady-state
+    * cost is O(new events × matched state), never O(table²).
+    *
+    * The time-range predicate is what makes the state bounded: with
+    * watermarks on both inputs Spark derives that a buffered view is
+    * dead once the purchase-side watermark passes `view_ts + horizon`
+    * (and a buffered purchase once the view-side watermark passes its
+    * own ts) and evicts it — the join condition doubles as the state
+    * retention policy. Inner join ⇒ Append output; every match is
+    * emitted exactly once.
+    *
+    * Inputs must each carry an `event_id`, `user_id`, `tsCol` and
+    * `value`; output columns are renamed to the view_/purchase_ sides
+    * so the joined row is self-describing (and hashable by the driver
+    * oracle against the batch interval join, which is the law: over a
+    * finite backlog with lateness covering its span, streamed ≡ batch
+    * exactly — same discipline as [[tumblingCounts]]/q93). */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+                      tsCol: String, horizon: String,
+                      lateness: String): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col(tsCol).as("view_ts"))
+      .withWatermark("view_ts", lateness)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col(tsCol).as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", lateness)
+    v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") > col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        col("view_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
+  /** Drive [[attributionJoin]] through the REAL streaming engine over
+    * a parquet backlog: two independent `readStream` file sources over
+    * the same directory (each side filters its own event type),
+    * watermarked interval join, `Trigger.AvailableNow` in Append mode
+    * to a memory sink. Same certification-vs-production split as
+    * [[runTumblingBacklog]]: the harness passes a `lateness` covering
+    * the whole backlog span so no file-listing order can make a row
+    * late (streamed ≡ batch holds bit-exact for the driver oracle);
+    * a production deployment uses a tight lateness and accepts the
+    * documented drop-after-watermark semantics in exchange for state
+    * that stays O(horizon × rate) forever. The join plan — the part
+    * that matters at 100 TB — is identical in both shapes. */
+  def runAttributionBacklog(s: SparkSession, backlogDir: String,
+                            tsCol: String, horizon: String,
+                            lateness: String, filesPerBatch: Int,
+                            queryName: String): DataFrame = {
+    val schema = s.read.parquet(backlogDir).schema
+    def side(eventType: String): DataFrame =
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", filesPerBatch)
+        .parquet(backlogDir)
+        .filter(col("event_type") === eventType)
+    val q = attributionJoin(side("view"), side("purchase"),
+        tsCol, horizon, lateness)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(queryName)
+  }
+
   /** Gap-based sessionization on an unbounded stream: Spark's native
     * `session_window` merges events per user into sessions that close
     * after `gap` of event-time silence; the watermark both bounds state

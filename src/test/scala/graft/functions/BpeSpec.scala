@@ -95,6 +95,28 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("priority encode ≡ rank-order encode on trained models " +
+       "(corpus, OOV and adversarial-repetition words)") {
+    // the serve-path encoder (lowest-present-rank loop, merge-count-
+    // independent) against the executable spec (one pass per rank) —
+    // the equality the BpeModel expression relies on at 32k merges
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    for (m <- Seq(4, 32)) {
+      val merges = TextOps.bpeLearnMerges(d, "text", m)
+      val rankOf = merges.iterator.zipWithIndex.map { case (p, i) => (p, i) }.toMap
+      val words = d.select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0).distinct()
+        .collect().map(_.getString(0))
+      val oov = Seq("zzz", "a", "aaaa", "aaaaaaa", "ababab", "abcabcabc",
+        words.take(20).mkString("") /* one pathological long word */)
+      (words ++ oov).foreach { w =>
+        assert(Bpe.encodeWordPriority(w, rankOf, merges).toSeq ==
+          Bpe.encodeWord(w, merges).toSeq,
+          s"priority ≠ rank-order for '$w' at numMerges=$m")
+      }
+    }
+  }
+
   test("incremental trainer ≡ the full-recount reference, merge for " +
        "merge (real dict + adversarial tie/overlap dicts)") {
     // the production-scale trainer (delta counts + inverted index +

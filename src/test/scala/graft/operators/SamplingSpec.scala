@@ -434,6 +434,75 @@ class SamplingSpec extends SparkSpec {
     assert(a.sameElements(b), "sample changed under repartitioning")
   }
 
+  test("dsirSample: target docs are never candidates, ranks are " +
+       "contiguous, k caps the draw, deterministic and " +
+       "repartition-stable") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.dsirSample(df, "doc_id", "source", "text",
+        col("source").isin("src0", "src1"), buckets = 64, k = 25)
+    val out = run(d).collect()
+    assert(out.length == 25)
+    assert(out.map(_.getInt(0)).toSeq == (1 to 25))
+    assert(out.forall(r => r.getString(2) != "src0" && r.getString(2) != "src1"))
+    val again = run(d.repartition(13)).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "sample changed under repartitioning / re-run")
+  }
+
+  test("dsirSample prefers target-like documents: a wide score gap " +
+       "beats every possible Gumbel perturbation") {
+    // target speaks vocabulary A; the pool splits into A-speakers and
+    // B-speakers. 400 A-tokens per doc build a score gap of hundreds
+    // of nats, while the Gumbel key perturbation is bounded by
+    // (-ln(-ln u)) over u ∈ (5e-7, 1-5e-7) ⊂ (-2.7, 14.6) — so every
+    // A-speaking pool doc MUST outrank every B-speaking one.
+    val aText = Seq.fill(400)("alpha beta gamma").mkString(" ")
+    val bText = Seq.fill(400)("omega psi chi").mkString(" ")
+    val docs = ((1L to 5L).map(i => (i, "target", aText)) ++
+      (11L to 20L).map(i => (i, "poolA", aText)) ++
+      (21L to 30L).map(i => (i, "poolB", bText)))
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.dsirSample(docs, "doc_id", "source", "text",
+      col("source") === "target", buckets = 32, k = 20).collect()
+    assert(got.length == 20, "pool has exactly 20 candidates")
+    val (top10, bottom10) = got.sortBy(_.getInt(0)).splitAt(10)
+    assert(top10.forall(_.getString(2) == "poolA"),
+      s"top half must be A-speakers: ${top10.map(_.getString(2)).toSeq}")
+    assert(bottom10.forall(_.getString(2) == "poolB"))
+  }
+
+  test("dsirSample split degeneracy: trainPred = everything ≡ no split, " +
+       "bit-for-bit; unseen-vocabulary docs score through the spine") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val base = Sampling.dsirSample(d, "doc_id", "source", "text",
+      col("source").isin("src0", "src1"), buckets = 64, k = 25)
+      .collect().map(_.toString).toSeq
+    val degen = Sampling.dsirSample(d, "doc_id", "source", "text",
+      col("source").isin("src0", "src1"), buckets = 64, k = 25,
+      trainPred = lit(true))
+      .collect().map(_.toString).toSeq
+    assert(base == degen, "explicit all-train differs from the default")
+    // a pool doc whose vocabulary the train slice never saw still gets
+    // a full score via the bucket spine's zero-count smoothed weights
+    // (an observed-buckets-only weight table would drop its tokens)
+    val docs = ((1L to 4L).map(i => (i * 2, "t", "alpha beta")) ++
+      Seq((10L, "pool", "foo bar foo qux"),   // in the train slice
+        (101L, "pool", "qwxyzzq jjqqkk")))    // train slice: doc_id % 2 = 0
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.dsirSample(docs, "doc_id", "source", "text",
+      col("source") === "t", buckets = 16, k = 5,
+      trainPred = pmod(col("doc_id"), lit(2)) === 0).collect()
+    assert(got.length == 2)
+    val unseen = got.find(_.getLong(1) == 101L).get
+    assert(unseen.getLong(3) == 2L, "both unseen tokens must count")
+    // its buckets carry the zero-count weight ln((nr+B)/(nt+B)) =
+    // ln(28/24) per token — nonzero because the train slice's raw
+    // pool is bigger than its target slice
+    assert(math.abs(unseen.getDouble(4)) > 0.0,
+      "unseen-vocab doc must carry the smoothed (nonzero) score")
+  }
+
   test("prioritySample subset-sum estimates are unbiased across seeds " +
        "(Duffield–Lund–Thorup estimator sweep)") {
     // fixed seed list → deterministic test; the MEAN total-weight

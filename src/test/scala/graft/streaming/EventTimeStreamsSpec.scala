@@ -14,6 +14,8 @@ class EventTimeStreamsSpec extends SparkSpec {
 
   case class Ev(event_time: Timestamp, event_type: String, value: Double, key: Long)
   case class E(user_id: Long, event_time: Timestamp)
+  case class Raw(event_id: Long, user_id: Long, event_time: Timestamp,
+                 value: Double)
 
   test("tumbling 15-minute windows aggregate by event time across batches") {
     implicit val ctx = spark.sqlContext
@@ -127,6 +129,74 @@ class EventTimeStreamsSpec extends SparkSpec {
       s"streamed ${streamed.size} windows vs batch ${batch.size}; " +
         s"only-streamed=${(streamed -- batch).take(3)} " +
         s"only-batch=${(batch -- streamed).take(3)}")
+  }
+
+  test("attributionJoin boundary semantics: strictly after the view, " +
+       "inclusive at view + horizon (MemoryStream)") {
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[Raw]
+    val purchases = MemoryStream[Raw]
+    val q = EventTimeStreams.attributionJoin(
+        views.toDF(), purchases.toDF(), "event_time",
+        horizon = "1 hour", lateness = "1 day")
+      .writeStream.format("memory").queryName("attr_bounds")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      views.addData(Raw(1, 7, t(10, 0), 0.0))
+      purchases.addData(
+        Raw(100, 7, t(10, 0), 1.0),  // == view ts: NOT strictly after
+        Raw(101, 7, t(10, 1), 2.0),  // inside
+        Raw(102, 7, t(11, 0), 3.0),  // == view + horizon: inclusive
+        Raw(103, 7, t(11, 1), 4.0),  // past the horizon
+        Raw(104, 8, t(10, 1), 5.0))  // other user
+      q.processAllAvailable()
+      val matched = spark.table("attr_bounds")
+        .select("purchase_id").collect().map(_.getLong(0)).toSet
+      assert(matched == Set(101L, 102L),
+        s"expected {101, 102}, got $matched")
+    } finally q.stop()
+  }
+
+  test("runAttributionBacklog ≡ batch interval self-join, invariant to " +
+       "micro-batch boundaries (streamed-batch law through the real engine)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val backlog = java.nio.file.Files
+      .createTempDirectory("graft-attr-law").toString
+    graft.Tables.events(spark, dir)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .select("event_id", "event_time", "user_id", "event_type", "value")
+      .repartition(4)
+      .write.mode("overwrite").parquet(backlog)
+    def streamedRun(filesPerBatch: Int, name: String): Set[(Long, Long)] =
+      EventTimeStreams.runAttributionBacklog(spark, backlog, "event_time",
+          horizon = "4 hours", lateness = "600 days",
+          filesPerBatch = filesPerBatch, queryName = name)
+        .select("view_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val onePerBatch = streamedRun(1, "attr_law_1")
+    val threePerBatch = streamedRun(3, "attr_law_3")
+    val ev = spark.read.parquet(backlog)
+    val batch = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("event_time").as("view_ts"))
+      .join(ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user_id"),
+            col("event_time").as("purchase_ts")),
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") > col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 4 hours"))
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture produced no attribution pairs")
+    assert(onePerBatch == batch,
+      s"streamed ${onePerBatch.size} pairs vs batch ${batch.size}; " +
+        s"only-streamed=${(onePerBatch -- batch).take(3)} " +
+        s"only-batch=${(batch -- onePerBatch).take(3)}")
+    assert(threePerBatch == batch,
+      "micro-batch boundary changed the appended result")
   }
 
   test("session_window sessionization merges runs and splits on gaps") {
