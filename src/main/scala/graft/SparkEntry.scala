@@ -2394,6 +2394,32 @@ object SparkEntry {
         trainPred = pmod(col("doc_id"), lit(4)) <= 2)
       .orderBy("rank")
 
+  /** Persisted DSIR model + batch serving ([[Sampling.writeDsirWeights]]
+    * / [[Sampling.scoreDsirBatch]]): q143's weight table trained once
+    * on the doc_id % 4 ≤ 2 slice and written as a 256-row parquet
+    * artifact, then the UNSEEN %4 = 3 batch scored against the stored
+    * model — no target labels, no training corpus on the serve side,
+    * the q83/q132 artifact discipline applied to data selection. The
+    * oracle replays the sliced LMs and frozen-scores exactly the
+    * serving batch. */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q144" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-dsirstore-$tag"
+    val d = Tables.documents(s, dir)
+    if (!new java.io.File(path).exists()) {
+      Sampling.writeDsirWeights(
+        d.filter(pmod(col("doc_id"), lit(4)) <= 2), "doc_id", "text",
+        targetPred = col("source").isin("src0", "src1"),
+        buckets = 256, path = path, seed = SampleSeed)
+    }
+    Sampling.scoreDsirBatch(s, path,
+        d.filter(pmod(col("doc_id"), lit(4)) === 3 &&
+          !col("source").isin("src0", "src1")),
+        "doc_id", "source", "text", k = 20, seed = SampleSeed)
+      .orderBy("rank")
+  }
+
   /** PQ-ADC retrieval ([[Similarity.pqTopK]]): product quantization
     * over the fixture embeddings — 4 subspaces × 16-code integer
     * codebooks (a stored vector is 4 codes: 64× under f32), queries
@@ -2722,6 +2748,7 @@ object SparkEntry {
     "q141_stream_join" -> q141,
     "q142_dsir_sample" -> q142,
     "q143_dsir_split" -> q143,
+    "q144_dsir_store" -> q144,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -4697,6 +4724,52 @@ object SparkEntry {
         |       CAST(CAST(gumbel AS VARCHAR) AS DOUBLE) AS gumbel,
         |       CAST(CAST(skey AS VARCHAR) AS DOUBLE) AS sample_key
         |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // q144: q143's sliced LMs (train = doc_id % 4 <= 2) serving the
+    // UNSEEN %4 = 3 batch from the stored weight table — per-doc
+    // scores are identical to q143's, so the replay just restricts
+    // the candidates to the serving batch and takes top-20
+    "q144_dsir_store" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             source IN ('src0', 'src1') AS tgt,
+        |             doc_id % 4 <= 2 AS train,
+        |             list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+        |           FROM documents),
+        |tok AS (SELECT doc_id, tgt, train,
+        |          ('0x' || substr(md5(tok || 'graft-mix'), 1, 15))::BIGINT % 256 AS b
+        |        FROM (SELECT doc_id, tgt, train, unnest(w) AS tok FROM d)),
+        |cr AS (SELECT b, count(*) AS cr FROM tok WHERE train GROUP BY 1),
+        |ct AS (SELECT b, count(*) AS ct FROM tok WHERE train AND tgt GROUP BY 1),
+        |tot AS (SELECT count(*) AS nr,
+        |          count(CASE WHEN tgt THEN 1 END) AS nt FROM tok WHERE train),
+        |spine AS (SELECT unnest(generate_series(0, 255))::BIGINT AS b),
+        |lw AS (SELECT spine.b,
+        |         CAST(round(ln((coalesce(ct.ct, 0) + 1)::DOUBLE / (tot.nt + 256)), 6)
+        |              AS DECIMAL(18,6))
+        |       - CAST(round(ln((coalesce(cr.cr, 0) + 1)::DOUBLE / (tot.nr + 256)), 6)
+        |              AS DECIMAL(18,6)) AS lw
+        |       FROM spine LEFT JOIN cr ON spine.b = cr.b
+        |                  LEFT JOIN ct ON spine.b = ct.b, tot),
+        |sc AS (SELECT t.doc_id, count(*)::BIGINT AS ntok,
+        |         CAST(sum(lw.lw) AS DECIMAL(28,6)) AS score
+        |       FROM tok t JOIN lw ON t.b = lw.b GROUP BY 1),
+        |cand AS (SELECT d.doc_id, d.source,
+        |           coalesce(sc.ntok, 0) AS n_tokens,
+        |           coalesce(sc.score, CAST(0 AS DECIMAL(28,6))) AS score,
+        |           CAST(-round(ln(-round(ln(
+        |             ((('0x' || substr(md5(d.doc_id::VARCHAR || 'graft-mix|g'), 1, 15))::BIGINT
+        |               % 1000000)::DOUBLE + 0.5) / 1000000.0), 6)), 6)
+        |             AS DECIMAL(18,6)) AS gumbel
+        |         FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |         WHERE NOT d.tgt AND d.doc_id % 4 = 3),
+        |keyed AS (SELECT *, CAST(score + gumbel AS DECIMAL(29,6)) AS skey
+        |          FROM cand),
+        |ranked AS (SELECT *, row_number() OVER (ORDER BY skey DESC, doc_id)
+        |             AS rank FROM keyed)
+        |SELECT rank, doc_id, source, n_tokens,
+        |       CAST(CAST(score AS VARCHAR) AS DOUBLE) AS score,
+        |       CAST(CAST(gumbel AS VARCHAR) AS DOUBLE) AS gumbel,
+        |       CAST(CAST(skey AS VARCHAR) AS DOUBLE) AS sample_key
+        |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // q129: q88's deterministic blob-feature chain as the k-means
     // source, then the shared SemDeDup tail — the whole multimodal ×
     // semantic-dedup composition replayed

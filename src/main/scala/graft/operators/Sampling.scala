@@ -479,32 +479,41 @@ object Sampling {
                  textCol: String, targetPred: Column, buckets: Int,
                  k: Int, seed: String = "graft",
                  trainPred: Column = lit(true)): DataFrame = {
-    require(buckets >= 2, s"buckets=$buckets must be >= 2")
-    require(k >= 1, s"k=$k must be >= 1")
-    val t = docs.select(col(idCol).as("__id"), col(srcCol).as("__src"),
-      targetPred.as("__tgt"), trainPred.as("__train"),
-      filter(TextOps.tokens(col(textCol)), w => length(w) > 0).as("__w"))
-    val tok = t.select(col("__id"), col("__tgt"), col("__train"),
-        explode(col("__w")).as("__tok"))
-      .withColumn("__b", pmod(hashKey(col("__tok"), seed), lit(buckets.toLong)))
     // `trainPred` is the production train/serve split (the q109/q138
     // frozen-model discipline): BOTH bucket LMs estimate from the
     // train slice only, then every candidate — held-out rows included
     // — is scored through the frozen weight table. trainPred=true (the
     // default) degenerates to training on everything, bit-for-bit
     // (SamplingSpec law).
-    val trainTok = tok.filter(col("__train"))
-    val cr = trainTok.groupBy("__b").agg(count(lit(1)).as("__cr"))
-    val ct = trainTok.filter(col("__tgt")).groupBy("__b")
+    val lw = dsirWeights(docs.filter(trainPred), idCol, textCol,
+      targetPred, buckets, seed)
+    val scored = dsirScore(docs.filter(!targetPred), idCol, srcCol,
+      textCol, lw, buckets, seed)
+    dsirTake(scored, idCol, srcCol, k, seed)
+  }
+
+  /** The frozen DSIR model: the full-spine (bucket, log-importance-
+    * weight) table estimated from `docs` — pass the TRAIN slice; the
+    * target/raw split inside it is `targetPred`. `buckets` rows
+    * total, whatever the vocabulary (a bucket no train token ever
+    * hit carries the zero-count smoothed weight, so a serving doc's
+    * unseen vocabulary scores as "never seen in either LM" rather
+    * than silently dropping out of its sum). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int,
+                  seed: String = "graft"): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    val tok = docs.select(targetPred.as("__tgt"),
+        filter(TextOps.tokens(col(textCol)), w => length(w) > 0).as("__w"))
+      .select(col("__tgt"), explode(col("__w")).as("__tok"))
+      .withColumn("__b", pmod(hashKey(col("__tok"), seed), lit(buckets.toLong)))
+    val cr = tok.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val ct = tok.filter(col("__tgt")).groupBy("__b")
       .agg(count(lit(1)).as("__ct"))
-    val tot = trainTok.agg(count(lit(1)).as("__nr"),
+    val tot = tok.agg(count(lit(1)).as("__nr"),
       count(when(col("__tgt"), 1)).as("__nt"))
-    // full bucket spine: a bucket no train token ever hit still gets
-    // the zero-count smoothed weight, so a held-out doc's unseen
-    // vocabulary scores as "never seen in either LM" rather than
-    // silently dropping out of its sum
     val spine = docs.sparkSession.range(buckets).select(col("id").as("__b"))
-    val lw = spine.join(cr, Seq("__b"), "left").join(ct, Seq("__b"), "left")
+    spine.join(cr, Seq("__b"), "left").join(ct, Seq("__b"), "left")
       .na.fill(0L, Seq("__cr", "__ct"))
       .crossJoin(broadcast(tot))
       .select(col("__b"),
@@ -513,10 +522,35 @@ object Sampling {
           - round(log((col("__cr") + 1).cast("double") /
             (col("__nr") + lit(buckets.toLong))), 6).cast("decimal(18,6)"))
           .as("__lw"))
-    val perDoc = tok.join(broadcast(lw), Seq("__b"))
+  }
+
+  /** Frozen scoring: every `docs` row through the weight table — no
+    * target/train knowledge on this side, pure serving. Returns
+    * (__id, __src, __ntok, __score); token-less docs score 0. */
+  private def dsirScore(docs: DataFrame, idCol: String, srcCol: String,
+                        textCol: String, lw: DataFrame, buckets: Int,
+                        seed: String): DataFrame = {
+    val t = docs.select(col(idCol).as("__id"), col(srcCol).as("__src"),
+      filter(TextOps.tokens(col(textCol)), w => length(w) > 0).as("__w"))
+    val perDoc = t
+      .select(col("__id"), explode(col("__w")).as("__tok"))
+      .withColumn("__b", pmod(hashKey(col("__tok"), seed), lit(buckets.toLong)))
+      .join(broadcast(lw), Seq("__b"))
       .groupBy("__id")
       .agg(count(lit(1)).as("__ntok"),
         sum(col("__lw")).cast("decimal(28,6)").as("__score"))
+    t.select(col("__id"), col("__src"))
+      .join(perDoc, Seq("__id"), "left")
+      .na.fill(0L, Seq("__ntok"))
+      .withColumn("__score",
+        coalesce(col("__score"), lit(0).cast("decimal(28,6)")))
+  }
+
+  /** Gumbel top-k over frozen scores: sampling without replacement
+    * proportional to exp(score), in log space. */
+  private def dsirTake(scored: DataFrame, idCol: String, srcCol: String,
+                       k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
     // u folded to 6 digits: (h mod 10^6 + 0.5)/10^6 keeps every
     // intermediate exactly representable in double on both engines
     // (h itself exceeds double's 53-bit exact range) and keeps u
@@ -524,18 +558,12 @@ object Sampling {
     val u = (pmod(hashKey(col("__id"), seed + "|g"), lit(1000000L))
       .cast("double") + lit(0.5)) / lit(1000000.0)
     val gumbel = (-round(log(-round(log(u), 6)), 6)).cast("decimal(18,6)")
-    val ranked = t.select(col("__id"), col("__src"), col("__tgt"))
-      .join(perDoc, Seq("__id"), "left")
-      .na.fill(0L, Seq("__ntok"))
-      .withColumn("__score",
-        coalesce(col("__score"), lit(0).cast("decimal(28,6)")))
-      .filter(!col("__tgt"))
+    scored
       .withColumn("__g", gumbel)
       .withColumn("__key", (col("__score") + col("__g")).cast("decimal(29,6)"))
       .orderBy(col("__key").desc, col("__id"))
       .limit(k)
-    // bounded k-row window (the prioritySample idiom)
-    ranked
+      // bounded k-row window (the prioritySample idiom)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("__key").desc, col("__id"))))
       .select(col("rank"), col("__id").as(idCol), col("__src").as(srcCol),
@@ -543,5 +571,32 @@ object Sampling {
         col("__score").cast("double").as("score"),
         col("__g").cast("double").as("gumbel"),
         col("__key").cast("double").as("sample_key"))
+  }
+
+  /** Persist the frozen DSIR model ([[dsirWeights]] of the given docs
+    * — pass the train slice) as a parquet artifact: `buckets` rows,
+    * one file — the centroid-table class of model state. Train once,
+    * score batches forever ([[scoreDsirBatch]]). */
+  def writeDsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                       targetPred: Column, buckets: Int, path: String,
+                       seed: String = "graft"): Unit =
+    dsirWeights(docs, idCol, textCol, targetPred, buckets, seed)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/weights")
+
+  /** Score a NEW batch against a persisted DSIR model and draw its
+    * Gumbel top-k — the serve path: no target labels, no training
+    * corpus, just the `buckets`-row weight table read back and
+    * broadcast. Bucket count comes from the artifact itself, so a
+    * serving job cannot mis-hash against a model trained at a
+    * different width. */
+  def scoreDsirBatch(s: org.apache.spark.sql.SparkSession, path: String,
+                     batch: DataFrame, idCol: String, srcCol: String,
+                     textCol: String, k: Int,
+                     seed: String = "graft"): DataFrame = {
+    val lw = s.read.parquet(s"$path/weights")
+    val buckets = lw.count().toInt // model-sized: bounded driver read
+    dsirTake(dsirScore(batch, idCol, srcCol, textCol, lw, buckets, seed),
+      idCol, srcCol, k, seed)
   }
 }

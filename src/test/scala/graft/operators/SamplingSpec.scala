@@ -503,6 +503,26 @@ class SamplingSpec extends SparkSpec {
       "unseen-vocab doc must carry the smoothed (nonzero) score")
   }
 
+  test("DSIR store roundtrip: scoreDsirBatch over the stored model ≡ " +
+       "dsirSample, bit-for-bit; the artifact is exactly buckets rows") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val tgt = col("source").isin("src0", "src1")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-dsir-rt").toString
+    Sampling.writeDsirWeights(d, "doc_id", "text", tgt,
+      buckets = 64, path = path)
+    assert(spark.read.parquet(s"$path/weights").count() == 64,
+      "weight artifact must be exactly the bucket spine")
+    val served = Sampling.scoreDsirBatch(spark, path, d.filter(!tgt),
+        "doc_id", "source", "text", k = 25)
+      .collect().map(_.toString).toSeq
+    val direct = Sampling.dsirSample(d, "doc_id", "source", "text", tgt,
+        buckets = 64, k = 25)
+      .collect().map(_.toString).toSeq
+    assert(served == direct,
+      "serving from the parquet model diverged from the one-shot path")
+  }
+
   test("prioritySample subset-sum estimates are unbiased across seeds " +
        "(Duffield–Lund–Thorup estimator sweep)") {
     // fixed seed list → deterministic test; the MEAN total-weight
