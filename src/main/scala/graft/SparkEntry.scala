@@ -2420,6 +2420,18 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  /** Shuffle-skew audit ([[Stats.skewAudit]]): the pre-flight check a
+    * pipeline runs BEFORE keying a 100 TB join or aggregation — the 20
+    * heaviest `user_id`s in the event stream with their corpus share
+    * and the projected load of the 32-way hash-partitioner bucket each
+    * lands in. `key_share_ppm` is the salting decision (q64),
+    * `bucket_share_ppm` vs the uniform 31,250 line is the projected
+    * partition imbalance, `hot_fraction_ppm` separates hot-key buckets
+    * from collision-crowded ones. */
+  private def q145(s: SparkSession, dir: String): DataFrame =
+    Stats.skewAudit(Tables.events(s, dir), "user_id", parts = 32, k = 20)
+      .orderBy("rank")
+
   /** PQ-ADC retrieval ([[Similarity.pqTopK]]): product quantization
     * over the fixture embeddings — 4 subspaces × 16-code integer
     * codebooks (a stored vector is 4 codes: 64× under f32), queries
@@ -2749,6 +2761,7 @@ object SparkEntry {
     "q142_dsir_sample" -> q142,
     "q143_dsir_split" -> q143,
     "q144_dsir_store" -> q144,
+    "q145_skew_audit" -> q145,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -4770,6 +4783,24 @@ object SparkEntry {
         |       CAST(CAST(gumbel AS VARCHAR) AS DOUBLE) AS gumbel,
         |       CAST(CAST(skey AS VARCHAR) AS DOUBLE) AS sample_key
         |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // q145: key counts, portable-hash bucket assignment, parts-row
+    // bucket rollup, top-20 keys, floor-div ppm shares — all BIGINT
+    "q145_skew_audit" ->
+      """WITH kc AS (SELECT user_id::VARCHAR AS key, count(*) AS key_rows
+        |            FROM events GROUP BY 1),
+        |kb AS (SELECT *, ('0x' || substr(md5(key || 'graft'), 1, 15))::BIGINT
+        |                 % 32 AS bucket FROM kc),
+        |b AS (SELECT bucket, sum(key_rows)::BIGINT AS bucket_rows,
+        |        count(*) AS bucket_keys FROM kb GROUP BY 1),
+        |tot AS (SELECT sum(key_rows)::BIGINT AS total FROM kc),
+        |top AS (SELECT * FROM kb ORDER BY key_rows DESC, key LIMIT 20)
+        |SELECT row_number() OVER (ORDER BY key_rows DESC, key) AS rank,
+        |  key, key_rows,
+        |  (key_rows * 1000000 // total)::BIGINT AS key_share_ppm,
+        |  bucket, bucket_rows, bucket_keys,
+        |  (bucket_rows * 1000000 // total)::BIGINT AS bucket_share_ppm,
+        |  (key_rows * 1000000 // bucket_rows)::BIGINT AS hot_fraction_ppm
+        |FROM top JOIN b USING (bucket), tot ORDER BY rank""".stripMargin,
     // q129: q88's deterministic blob-feature chain as the k-means
     // source, then the shared SemDeDup tail — the whole multimodal ×
     // semantic-dedup composition replayed

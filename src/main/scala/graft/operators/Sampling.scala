@@ -565,7 +565,8 @@ object Sampling {
       .limit(k)
       // bounded k-row window (the prioritySample idiom)
       .withColumn("rank",
-        row_number().over(Window.orderBy(col("__key").desc, col("__id"))))
+        row_number().over(Window.orderBy(col("__key").desc, col("__id")))
+          .cast("long"))
       .select(col("rank"), col("__id").as(idCol), col("__src").as(srcCol),
         col("__ntok").as("n_tokens"),
         col("__score").cast("double").as("score"),

@@ -470,4 +470,54 @@ object Stats {
         (abs(col("__p50a") - col("__p50")) <=
           abs(col("__p50")) * tol + lit(1e-9)).as("p50_ok"))
   }
+
+  /** Shuffle-skew audit for a prospective join/aggregation key: BEFORE
+    * keying a 100 TB shuffle on `keyCol`, measure what that shuffle
+    * would do — the `k` heaviest keys with their corpus share, and for
+    * each the projected load of the shuffle bucket it lands in under a
+    * `parts`-way hash partitioner. Bucketing uses the portable
+    * [[Sampling.hashKey]] so the oracle replays bucket assignment
+    * exactly; Spark's own Murmur3 partitioner differs in WHICH bucket
+    * a key hits, never in the skew statistics the audit surfaces.
+    * All-integer outputs (ppm shares via floor `DIV`): `key_share_ppm`
+    * decides salting (the q64 knob), `bucket_share_ppm` against the
+    * uniform 10^6/parts line is the projected partition imbalance, and
+    * `hot_fraction_ppm` (this key's share of its own bucket) says
+    * whether a hot bucket is hot because of this key (salt it) or
+    * because of key collisions (raise `parts`).
+    *
+    * Scale shape: one map-side-combinable count per key (the very
+    * aggregate the audited shuffle would run), a `parts`-row bucket
+    * rollup FROM the key counts (never from raw rows), a k-row top-k
+    * (per-partition heap, k rows to the driver side of the plan), and
+    * broadcasts of the two bounded tables back onto it. Nothing wider
+    * than the key-count table ever shuffles, and the raw rows are
+    * scanned exactly once. */
+  def skewAudit(df: DataFrame, keyCol: String, parts: Int, k: Int,
+                seed: String = "graft"): DataFrame = {
+    require(parts >= 1, s"parts=$parts must be >= 1")
+    require(k >= 1, s"k=$k must be >= 1")
+    val keyed = df.select(col(keyCol).cast("string").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("key_rows"))
+      .withColumn("bucket",
+        pmod(Sampling.hashKey(col("key"), seed), lit(parts.toLong)))
+    val buckets = keyed.groupBy("bucket")
+      .agg(sum("key_rows").as("bucket_rows"),
+        count(lit(1)).as("bucket_keys"))
+    val total = keyed.agg(sum("key_rows").as("__total"))
+    keyed
+      .orderBy(col("key_rows").desc, col("key"))
+      .limit(k)
+      .join(broadcast(buckets), Seq("bucket"))
+      .crossJoin(broadcast(total))
+      // bounded k-row window (the prioritySample idiom)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("key_rows").desc, col("key")))
+          .cast("long"))
+      .select(col("rank"), col("key"), col("key_rows"),
+        expr("key_rows * 1000000 DIV __total").as("key_share_ppm"),
+        col("bucket"), col("bucket_rows"), col("bucket_keys"),
+        expr("bucket_rows * 1000000 DIV __total").as("bucket_share_ppm"),
+        expr("key_rows * 1000000 DIV bucket_rows").as("hot_fraction_ppm"))
+  }
 }

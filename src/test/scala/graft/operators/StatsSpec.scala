@@ -274,4 +274,42 @@ class StatsSpec extends SparkSpec {
     assert(got == want)
     assert(got.count(_._1 == "tiny") == 2, "k past group size keeps the whole group")
   }
+
+  test("skewAudit surfaces the hot key with exact ppm shares and " +
+       "consistent bucket bookkeeping") {
+    import spark.implicits._
+    val rows = Seq.fill(100)("a") ++ Seq.fill(60)("b") ++ Seq.fill(40)("c")
+    val out = Stats.skewAudit(rows.toDF("k"), "k", parts = 4, k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+    val hot = out.head
+    assert(hot.getLong(0) == 1L && hot.getLong(2) == 100L)
+    assert(hot.getLong(3) == 500000L) // 100 of 200 rows = half the corpus
+    out.foreach { r =>
+      // a key's rows are inside its bucket's rows, and hot_fraction is
+      // the exact floor-div ratio of the two
+      assert(r.getLong(5) >= r.getLong(2))
+      assert(r.getLong(8) == r.getLong(2) * 1000000L / r.getLong(5))
+      assert(r.getLong(4) >= 0L && r.getLong(4) < 4L)
+    }
+  }
+
+  test("skewAudit with k covering every key accounts for the whole " +
+       "corpus and is repartition-stable") {
+    import spark.implicits._
+    val df = (1 to 64).flatMap(i => Seq.fill(10)(s"k$i")).toDF("k")
+    val out = Stats.skewAudit(df, "k", parts = 8, k = 64)
+      .orderBy("rank").collect()
+    assert(out.length == 64)
+    assert(out.map(_.getLong(2)).sum == 640L, "every key's rows surface")
+    assert(out.map(r => (r.getLong(4), r.getLong(5)))
+      .distinct.map(_._2).sum == 640L,
+      "distinct buckets partition the corpus rows exactly")
+    assert(out.map(r => (r.getLong(4), r.getLong(6)))
+      .distinct.map(_._2).sum == 64L,
+      "distinct buckets partition the key set exactly")
+    val re = Stats.skewAudit(df.repartition(7), "k", parts = 8, k = 64)
+      .orderBy("rank").collect()
+    assert(out.map(_.toString).toSeq == re.map(_.toString).toSeq)
+  }
 }
