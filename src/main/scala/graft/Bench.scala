@@ -263,9 +263,30 @@ object Bench {
       }
       def payloadOf(p: java.nio.file.Path): JValue = {
         val j = JsonMethods.parse(Files.readString(p))
-        (j \ "parsed") match {
+        val payload = (j \ "parsed") match {
           case JNothing | JNull => j
           case wrapped          => wrapped
+        }
+        // map-recovery sidecar (round 14): a driver artifact whose
+        // stdout parse lost the per-query map (round 13: the 145-query
+        // line overflowed every ladder level then in place) can be
+        // paired with BENCH_r{N}_map.json — the raw bench.json the same
+        // run wrote, recovered and committed. Only consulted when the
+        // driver payload itself carries no map, and only trusted when
+        // the totals agree to 0.1 s (same run, not a stray dev file).
+        if (queriesOf(payload).nonEmpty) payload
+        else {
+          val side = Paths.get(
+            p.getFileName.toString.replace(".json", "_map.json"))
+          if (!Files.exists(side)) payload
+          else try {
+            val sj = JsonMethods.parse(Files.readString(side))
+            val tOk = (numOf(payload \ "value"), numOf(sj \ "value")) match {
+              case (Some(a), Some(b)) => math.abs(a - b) < 0.1
+              case _                  => false
+            }
+            if (tOk && queriesOf(sj).nonEmpty) sj else payload
+          } catch { case _: Throwable => payload }
         }
       }
       val allRounds: Seq[java.nio.file.Path] = {
@@ -311,16 +332,23 @@ object Bench {
     } catch { case _: Throwable =>
       (Map.empty[String, Double], None, Map.empty[String, Double],
         Map.empty[String, Double]) }
-    // prior artifacts may key by full name (file artifact, rounds ≤8) or
-    // by short `qNN` id (stdout-parsed artifacts from round 9 on) — look
-    // up both
+    // prior artifacts may key by full name (file artifact, rounds ≤8),
+    // by short `qNN` id (stdout-parsed artifacts from round 9 on), or by
+    // bare numeral `NN` (ultra stdout level from round 14 on) — look up
+    // all three
+    def keyForms(k: String): Seq[String] = {
+      val short = k.takeWhile(_ != '_')
+      val bare = if (short.startsWith("q") && short.drop(1).forall(_.isDigit))
+        Seq(short.drop(1)) else Seq.empty
+      Seq(k, short) ++ bare
+    }
     def priorOf(k: String): Option[Double] =
-      prevMedians.get(k).orElse(prevMedians.get(k.takeWhile(_ != '_')))
+      keyForms(k).flatMap(prevMedians.get).headOption
     def bandOf(k: String): Option[Double] = {
-      val hits = Seq(histBand.get(k), histBand.get(k.takeWhile(_ != '_'))).flatten
+      val hits = keyForms(k).flatMap(histBand.get)
       if (hits.nonEmpty) Some(hits.min)
-      else Seq(seedBand.get(k), seedBand.get(k.takeWhile(_ != '_')))
-        .flatten.reduceOption((a, b) => math.min(a, b))
+      else keyForms(k).flatMap(seedBand.get)
+        .reduceOption((a, b) => math.min(a, b))
     }
     val probeStart = probeMedian()
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -592,16 +620,43 @@ object Bench {
         .mkString("{", ",", "}")
       head(dp, compact) + s""","queries":$qs,"sf":${jstr(sfDirOrig)}}"""
     }
+    // ultra level (round 14): 145 queries overflowed even the
+    // compact-flags 2dp line (the map alone is 1641 chars against a
+    // ~465-char head) and round 13's per-query map survived only in the
+    // untracked bench.json. The ultra line keeps the map — the
+    // artifact's whole point — by shedding everything else: bare
+    // numeric keys ("43", not "q43"; priorOf/bandOf and
+    // bench_history.py re-prefix), every name list becomes a count, and
+    // calibration shrinks to the two scalars the sentinels need.
+    // Measured at 145 queries: ~1.78 KB at 2dp, ~1.63 KB at 1dp.
+    def ultraKey(n: String): String = {
+      val s = stdoutKey(n)
+      if (s.startsWith("q") && s.drop(1).forall(_.isDigit)) s.drop(1) else s
+    }
+    def ultraLine(dp: Int): String = {
+      val qs = qPairs.map { case (k, v) => jstr(ultraKey(k)) + ":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","reps":$reps,""" +
+        s""""n_failed":$nFailed,"n_noisy":${noisyNames.size},"n_partial":${partialNames.size},""" +
+        s""""n_suspect":${suspectNames.size},"n_rescued":${rescuedNames.size},""" +
+        s""""n_window_suspect":${windowSuspectFinal.size},""" +
+        s""""anchor_total":${fmt(anchorTimes.values.sum, dp)},"anchor_n":${anchorTimes.size},""" +
+        s""""anchor_of":${anchorNames.size},""" +
+        s""""calibration":{"probe_median":${fmt(probeBest, dp)},""" +
+        s""""probe_prior":${prevProbe.map(fmt(_, dp)).getOrElse("null")}},""" +
+        s""""environment_suspect":$envSuspect,""" +
+        s""""queries":$qs,"sf":${jstr(sfDirOrig)}}"""
+    }
     // 2000-char driver tail-capture window; leave slack for a stray
     // trailing log line. Fallback ladder (round-11: round 10's 86-query
     // contended run fell past 2dp straight to the no-map fallback and
     // the round's per-query history was lost): full 3dp → full 2dp →
-    // compact-flags 2dp (counts for noisy/partial) → no-map. The
-    // per-query map is the artifact's whole point; it is dropped only
-    // when nothing else fits.
+    // compact-flags 2dp (counts for noisy/partial) → ultra 2dp → ultra
+    // 1dp → no-map. The per-query map is the artifact's whole point; it
+    // is dropped only when nothing else fits.
     val line =
       Seq(stdoutLine(3, compact = false), stdoutLine(2, compact = false),
-          stdoutLine(2, compact = true))
+          stdoutLine(2, compact = true), ultraLine(2), ultraLine(1))
         .find(_.length <= 1900)
         .getOrElse(head(3, compact = true) +
           s""","queries_in":"bench.json","sf":${jstr(sfDirOrig)}}""")

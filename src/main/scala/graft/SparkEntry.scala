@@ -2420,6 +2420,32 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  /** Persisted NB classifier + batch serving ([[TextOps.writeNbModel]]
+    * / [[TextOps.scoreNbBatch]]): q122's multinomial NB trained once on
+    * the doc_id % 4 ≠ 3 split and frozen as its two tables (K-row
+    * classes, vocab·K-row token log-likelihoods), then the held-out
+    * quarter scored from the STORE — no labels, no training corpus on
+    * the serve side. The q144 train-once/score-forever lifecycle for
+    * the quality classifier, and the last chain stage of the closed
+    * curation loop that lacked a frozen artifact. Every stored number
+    * is an exact integer or DECIMAL(18,6) (bit-exact through parquet),
+    * so stored-model serving replays q122's in-query scoring to the
+    * bit and the oracle replays train + serve in one statement —
+    * storage is read-invisible, the q140/q127 reuse discipline. */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q146" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-nbstore-$tag"
+    val d = Tables.documents(s, dir)
+    if (!new java.io.File(path).exists()) {
+      TextOps.writeNbModel(d.filter(col("doc_id") % 4 =!= 3),
+        "lang", "text", path)
+    }
+    TextOps.scoreNbBatch(s, path, d.filter(col("doc_id") % 4 === 3),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Shuffle-skew audit ([[Stats.skewAudit]]): the pre-flight check a
     * pipeline runs BEFORE keying a 100 TB join or aggregation — the 20
     * heaviest `user_id`s in the event stream with their corpus share
@@ -2762,6 +2788,7 @@ object SparkEntry {
     "q143_dsir_split" -> q143,
     "q144_dsir_store" -> q144,
     "q145_skew_audit" -> q145,
+    "q146_nb_store" -> q146,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -3146,6 +3173,47 @@ object SparkEntry {
        |                JOIN e eb ON eb.vec_id = cand.id_b)
        |SELECT id_a, id_b, cosine FROM s WHERE cosine >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Shared by q122 (confusion over the held-out quarter) and q146
+    * (per-doc predictions served from the persisted model): the NB
+    * train + score replay up to the `pred` CTE. One source of truth —
+    * the store between train and serve in q146 is read-invisible, so
+    * both queries replay the identical computation and differ only in
+    * the final SELECT. */
+  private val nbPredCtes: String =
+    """WITH tr AS (SELECT lang, text FROM documents WHERE doc_id % 4 != 3),
+      |te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 3),
+      |tt AS (SELECT lang AS lab, unnest(list_filter(string_split(text, ' '),
+      |         t -> len(t) > 0)) AS tok FROM tr),
+      |cwt AS (SELECT lab, tok, count(*) AS c FROM tt GROUP BY 1, 2),
+      |ct AS (SELECT lab, count(*) AS c FROM tt GROUP BY 1),
+      |vocab AS (SELECT count(DISTINCT tok) AS v FROM tt),
+      |nlab AS (SELECT lang AS lab, count(*) AS nl FROM tr GROUP BY 1),
+      |ntr AS (SELECT count(*) AS n FROM tr),
+      |cls AS (SELECT ct.lab, ct.c AS ctc, vocab.v,
+      |          CAST(round(ln(nlab.nl::DOUBLE / ntr.n), 6) AS DECIMAL(18,6)) AS prior,
+      |          CAST(round(ln(1.0 / (ct.c + vocab.v)), 6) AS DECIMAL(18,6)) AS floor_lp
+      |        FROM ct JOIN nlab USING (lab), vocab, ntr),
+      |model AS (SELECT cwt.lab, cwt.tok,
+      |            CAST(round(ln((cwt.c + 1)::DOUBLE / (cls.ctc + cls.v)), 6)
+      |              AS DECIMAL(18,6)) AS lp
+      |          FROM cwt JOIN cls USING (lab)),
+      |toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |           t -> len(t) > 0)) AS tok FROM te),
+      |perdoc AS (SELECT t.doc_id, c.lab,
+      |             CAST(sum(coalesce(m.lp, c.floor_lp)) AS DECIMAL(28,6)) AS s
+      |           FROM toks t CROSS JOIN cls c
+      |           LEFT JOIN model m ON m.lab = c.lab AND m.tok = t.tok
+      |           GROUP BY 1, 2),
+      |scored AS (SELECT p.doc_id, p.lab,
+      |             CAST(p.s + c.prior AS DECIMAL(28,6)) AS score
+      |           FROM perdoc p JOIN cls c USING (lab)),
+      |pred AS (SELECT doc_id, lab AS pred,
+      |           CAST(CAST(score AS VARCHAR) AS DOUBLE) AS score
+      |         FROM (SELECT doc_id, lab, score,
+      |                 row_number() OVER (PARTITION BY doc_id
+      |                   ORDER BY score DESC, lab ASC) AS rn
+      |               FROM scored) WHERE rn = 1)""".stripMargin
 
   /** Shared by q85 (direct) and q86 (indexed): the full BM25 replay. */
   /** The direct-BM25 replay, optionally over a restricted corpus —
@@ -4897,43 +4965,20 @@ object SparkEntry {
     // likelihoods/floors/priors, DECIMAL sums, exact-decimal argmax
     // with ties to the smaller label; confusion over the held-out split
     "q122_nb_classifier" ->
-      """WITH tr AS (SELECT lang, text FROM documents WHERE doc_id % 4 != 3),
-        |te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 3),
-        |tt AS (SELECT lang AS lab, unnest(list_filter(string_split(text, ' '),
-        |         t -> len(t) > 0)) AS tok FROM tr),
-        |cwt AS (SELECT lab, tok, count(*) AS c FROM tt GROUP BY 1, 2),
-        |ct AS (SELECT lab, count(*) AS c FROM tt GROUP BY 1),
-        |vocab AS (SELECT count(DISTINCT tok) AS v FROM tt),
-        |nlab AS (SELECT lang AS lab, count(*) AS nl FROM tr GROUP BY 1),
-        |ntr AS (SELECT count(*) AS n FROM tr),
-        |cls AS (SELECT ct.lab, ct.c AS ctc, vocab.v,
-        |          CAST(round(ln(nlab.nl::DOUBLE / ntr.n), 6) AS DECIMAL(18,6)) AS prior,
-        |          CAST(round(ln(1.0 / (ct.c + vocab.v)), 6) AS DECIMAL(18,6)) AS floor_lp
-        |        FROM ct JOIN nlab USING (lab), vocab, ntr),
-        |model AS (SELECT cwt.lab, cwt.tok,
-        |            CAST(round(ln((cwt.c + 1)::DOUBLE / (cls.ctc + cls.v)), 6)
-        |              AS DECIMAL(18,6)) AS lp
-        |          FROM cwt JOIN cls USING (lab)),
-        |toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
-        |           t -> len(t) > 0)) AS tok FROM te),
-        |perdoc AS (SELECT t.doc_id, c.lab,
-        |             CAST(sum(coalesce(m.lp, c.floor_lp)) AS DECIMAL(28,6)) AS s
-        |           FROM toks t CROSS JOIN cls c
-        |           LEFT JOIN model m ON m.lab = c.lab AND m.tok = t.tok
-        |           GROUP BY 1, 2),
-        |scored AS (SELECT p.doc_id, p.lab,
-        |             CAST(p.s + c.prior AS DECIMAL(28,6)) AS score
-        |           FROM perdoc p JOIN cls c USING (lab)),
-        |pred AS (SELECT doc_id, lab AS pred,
-        |           CAST(CAST(score AS VARCHAR) AS DOUBLE) AS score
-        |         FROM (SELECT doc_id, lab, score,
-        |                 row_number() OVER (PARTITION BY doc_id
-        |                   ORDER BY score DESC, lab ASC) AS rn
-        |               FROM scored) WHERE rn = 1)
+      (nbPredCtes +
+      """
         |SELECT te.lang, p.pred, count(*)::BIGINT AS n_docs,
         |       min(p.score) AS min_score, max(p.score) AS max_score
         |FROM pred p JOIN te ON te.doc_id = p.doc_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // q146: the SAME training + scoring replay — the parquet model
+    // store between them is read-invisible (every stored number is an
+    // exact integer or DECIMAL(18,6)), the q140/q127 oracle-reuse
+    // discipline applied to the classifier lifecycle
+    "q146_nb_store" ->
+      (nbPredCtes +
+      """
+        |SELECT doc_id, pred, score FROM pred ORDER BY doc_id""".stripMargin),
     "q100_bigram_lm" ->
       """WITH d AS (SELECT doc_id,
         |             list_filter(string_split(text, ' '), t -> len(t) > 0) AS w

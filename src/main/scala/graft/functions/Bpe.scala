@@ -266,8 +266,16 @@ final class BpeModel(val merges: Array[(String, String)]) extends Serializable {
   // O(len²) instead of O(merges · len) per word — at a production 32k
   // merges that is the difference between a scan-speed map stage and
   // one three orders of magnitude slower (storm in docs/SCALE.md).
+  // keep the FIRST rank when a pair appears twice in the merge list
+  // (possible when a later merge recreates a symbol an earlier pair
+  // produced, e.g. 'abc' derivable both as (a,bc) and (ab,c)): plain
+  // .toMap keeps the LAST, which would make encodeWordPriority apply
+  // the pair at the wrong priority and diverge from encodeWord's
+  // first-match-wins scan — the equality the model's laws rely on
   @transient private lazy val rankOf: Map[(String, String), Int] =
-    merges.iterator.zipWithIndex.map { case (p, i) => (p, i) }.toMap
+    merges.iterator.zipWithIndex.foldLeft(Map.empty[(String, String), Int]) {
+      case (m, (p, i)) => if (m.contains(p)) m else m.updated(p, i)
+    }
   private val CacheCap = 1 << 16
 
   def wordTokenCount(w: String): Long = {

@@ -852,6 +852,10 @@ object Similarity {
     require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen,
       s"threshold² = $thrNum/$thrDen must be a rational in [0, 1]")
     require(clusterCap > 1, s"clusterCap=$clusterCap: need at least a pair")
+    // direct callers (q139-style compositions) bypass semDedupPairs'
+    // raw-vector fence — re-check on the quantized column, same bound
+    // (the fence only reads the array's length, so qv works)
+    requirePairDecisionFits(av, "qv", thrNum, thrDen)
     val capped = Sampling.stratumCap(av, "cluster", "id", clusterCap, seed = seed)
       .withColumn("__n2", ArrayMath.dotProduct(col("qv"), col("qv")).cast("long"))
     val a = capped.select(col("cluster"), col("id").as("id_a"),
@@ -883,6 +887,10 @@ object Similarity {
                      seed: String = "graft"): DataFrame = {
     require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen,
       s"threshold² = $thrNum/$thrDen must be a rational in [0, 1]")
+    // both sides' norms bound the decision independently — fence each
+    // on its own quantized dim (direct callers bypass the raw fence)
+    requirePairDecisionFits(members, "qv", thrNum, thrDen)
+    requirePairDecisionFits(probes, "qv", thrNum, thrDen)
     def capSide(av: DataFrame) = Sampling.stratumCap(
         av, "cluster", "id", clusterCap, seed = seed)
       .withColumn("__n2",

@@ -1636,6 +1636,22 @@ object TextOps {
     * log-likelihood as double (DECIMAL cast, engine-exact). */
   def nbTrainPredict(train: DataFrame, test: DataFrame, idCol: String,
                      labelCol: String, textCol: String): DataFrame = {
+    val (classes, model) = nbModelTables(train, labelCol, textCol)
+    nbScoreWith(classes, model, test, idCol, textCol)
+  }
+
+  /** The NB model as its two tables — the train-only half of
+    * [[nbTrainPredict]], split out so the model can be frozen once
+    * ([[writeNbModel]]) and serve batches forever ([[scoreNbBatch]]),
+    * the q144/q132 artifact lifecycle applied to the quality
+    * classifier. `classes` is K rows (lab, ct, v, prior, floor);
+    * `model` is (lab, tok, lp) — vocab·classes rows, the only
+    * data-derived-sized artifact. Every stored number is either an
+    * exact integer or a round-to-6dp DECIMAL(18,6), so the parquet
+    * roundtrip is bit-exact and stored-model serving replays
+    * [[nbTrainPredict]] to the bit (law in TextOpsSpec). */
+  def nbModelTables(train: DataFrame, labelCol: String,
+                    textCol: String): (DataFrame, DataFrame) = {
     val tt = train.select(col(labelCol).as("__lab"),
       explode(filter(tokens(col(textCol)), w => length(w) > 0)).as("__tok"))
     // ONE pass over the exploded tokens: per-label totals and the
@@ -1659,6 +1675,14 @@ object TextOps {
         round(log((col("__cwt") + 1).cast("double")
             / (col("__ct") + col("__v"))), 6)
           .cast("decimal(18,6)").as("__lp"))
+    (classes, model)
+  }
+
+  /** The serve-only half of [[nbTrainPredict]]: score `test` against
+    * the two model tables, wherever they came from (fresh training or
+    * a parquet read-back — the caller's choice is unobservable). */
+  def nbScoreWith(classes: DataFrame, model: DataFrame, test: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
     val toks = test.select(col(idCol).as("__id"),
       explode(filter(tokens(col(textCol)), w => length(w) > 0)).as("__tok"))
     val perDoc = toks
@@ -1678,6 +1702,27 @@ object TextOps {
       .select(col("__id").as(idCol), col("__lab").as("pred"),
         col("__score").cast("double").as("score"))
   }
+
+  /** Freeze the NB model: train once, write the two tables as parquet.
+    * `classes` coalesces to one file (K rows); `model` keeps its write
+    * parallelism (vocab·classes rows can be large at corpus scale). */
+  def writeNbModel(train: DataFrame, labelCol: String, textCol: String,
+                   path: String): Unit = {
+    val (classes, model) = nbModelTables(train, labelCol, textCol)
+    classes.coalesce(1).write.mode("overwrite").parquet(s"$path/classes")
+    model.write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  /** Score a NEW batch against a persisted NB model — the serve path:
+    * no labels, no training corpus, just the two tables read back.
+    * Bit-identical to [[nbTrainPredict]] over the same train split
+    * (roundtrip law in TextOpsSpec): every stored number is an exact
+    * integer or DECIMAL(18,6), both exact through parquet. */
+  def scoreNbBatch(s: org.apache.spark.sql.SparkSession, path: String,
+                   batch: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    nbScoreWith(s.read.parquet(s"$path/classes"),
+      s.read.parquet(s"$path/model"), batch, idCol, textCol)
 
   def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = docs.select(col(idCol).as("__id"),

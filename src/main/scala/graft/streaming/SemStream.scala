@@ -155,6 +155,39 @@ object SemStream {
         .filter(_.getPath.getName.stripPrefix("b=").toLong < upTo)
         .foreach(st => fs.delete(st.getPath, true))
     }
+    // Fold-safety fence (round-14 advice): the fold relabels every
+    // batch b ≤ upTo into b=upTo — if a producer crashed mid-batch
+    // (member rows landed under b=k, marker missing) and the fold ran
+    // before redelivery, the fold would absorb the partial rows into
+    // b=upTo while the KEPT markers no longer fence batch k; the
+    // redelivery then re-applies k (batchCut excludes b=upTo), and the
+    // batch's docs exist under BOTH b=k and b=upTo — duplicate ids,
+    // duplicate probe pairs, effectively-once silently broken. So:
+    // every batch with rows on disk at or below the fold point must
+    // carry its commit marker, and the fold point itself must not sit
+    // above the last committed batch (folding "the future" would
+    // relabel history to a b that later batches' batchCut excludes,
+    // leaving them nothing to probe against). Fail loudly, same
+    // discipline as the posting store's lifecycle fences.
+    val present = (batchesOf("members") ++ batchesOf("pairs"))
+      .distinct.filter(_ <= upTo)
+    val uncommitted = present.filterNot(committed(s, path, _)).sorted
+    require(uncommitted.isEmpty,
+      s"foldSemStore(upTo=$upTo): batch(es) ${uncommitted.mkString(", ")} " +
+        s"have rows under $path but no commit marker — a producer " +
+        "crashed mid-batch; let redelivery complete them before folding")
+    val committedMax: Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/_committed")
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) -1L
+      else fs.listStatus(p).toSeq
+        .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+        .foldLeft(-1L)(math.max)
+    }
+    require(upTo <= committedMax,
+      s"foldSemStore(upTo=$upTo): fold point is above the last committed " +
+        s"batch ($committedMax) — folding ahead of the stream relabels " +
+        "history to a partition future batchCuts exclude")
     def fold(sub: String, parts: Seq[String], dedupKeys: Seq[String],
              shuffleKey: Option[String]): Unit =
       if (batchesOf(sub).count(_ <= upTo) > 1) {

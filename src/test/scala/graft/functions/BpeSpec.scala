@@ -117,6 +117,20 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("BpeModel keeps the FIRST rank for a duplicated merge pair — " +
+       "serve path cannot diverge from rank-order encoding") {
+    // a merge list can mention the same pair twice when a later merge
+    // recreates a symbol an earlier pair produced; .toMap's last-wins
+    // would rank (a,b) at 3 here, so the priority encoder would apply
+    // (b,c) first on "abc" ("a"+"bc", 2 tokens) while rank-order
+    // encoding yields "abc" (1 token) — keep-first restores equality
+    val merges = Array(("a", "b"), ("b", "c"), ("ab", "c"), ("a", "b"))
+    assert(Bpe.encodeWord("abc", merges).toSeq == Seq("abc"))
+    val model = new BpeModel(merges)
+    assert(model.wordTokenCount("abc") == 1L,
+      "last-wins rankOf diverges: merges (b,c) first and emits [a, bc]")
+  }
+
   test("incremental trainer ≡ the full-recount reference, merge for " +
        "merge (real dict + adversarial tie/overlap dicts)") {
     // the production-scale trainer (delta counts + inverted index +

@@ -443,7 +443,7 @@ class SamplingSpec extends SparkSpec {
         col("source").isin("src0", "src1"), buckets = 64, k = 25)
     val out = run(d).collect()
     assert(out.length == 25)
-    assert(out.map(_.getInt(0)).toSeq == (1 to 25))
+    assert(out.map(_.getLong(0)).toSeq == (1L to 25L))
     assert(out.forall(r => r.getString(2) != "src0" && r.getString(2) != "src1"))
     val again = run(d.repartition(13)).collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq,
@@ -466,7 +466,7 @@ class SamplingSpec extends SparkSpec {
     val got = Sampling.dsirSample(docs, "doc_id", "source", "text",
       col("source") === "target", buckets = 32, k = 20).collect()
     assert(got.length == 20, "pool has exactly 20 candidates")
-    val (top10, bottom10) = got.sortBy(_.getInt(0)).splitAt(10)
+    val (top10, bottom10) = got.sortBy(_.getLong(0)).splitAt(10)
     assert(top10.forall(_.getString(2) == "poolA"),
       s"top half must be A-speakers: ${top10.map(_.getString(2)).toSeq}")
     assert(bottom10.forall(_.getString(2) == "poolB"))

@@ -829,4 +829,27 @@ class TextOpsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(run(train) == run(train.repartition(11)))
   }
+
+  test("NB store roundtrip: scoreNbBatch over the persisted model ≡ " +
+       "nbTrainPredict, bit for bit (real corpus)") {
+    // the train-once/score-forever law q146 relies on: every stored
+    // number is an exact integer or DECIMAL(18,6), both bit-exact
+    // through parquet, so a frozen model serves IDENTICAL predictions
+    // — including exact-decimal argmax tie-breaks — to in-query
+    // training. Real sf0.001 corpus so vocab/label shapes are honest.
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val train = d.filter(col("doc_id") % 4 =!= 3)
+    val batch = d.filter(col("doc_id") % 4 === 3)
+    val want = TextOps.nbTrainPredict(train, batch, "doc_id", "lang", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(want.nonEmpty, "roundtrip law vacuous: no predictions")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nbstore").toString
+    TextOps.writeNbModel(train, "lang", "text", s"$dir/model")
+    val got = TextOps.scoreNbBatch(spark, s"$dir/model", batch,
+        "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, "stored-model serving diverged from in-query NB")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

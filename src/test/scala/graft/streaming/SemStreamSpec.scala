@@ -129,6 +129,49 @@ class SemStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("fold fence: refuses an uncommitted batch below the fold point " +
+       "and a fold point above the last committed batch") {
+    // If the fold absorbed a crashed batch's partial rows into b=upTo,
+    // the kept markers would no longer fence its redelivery and the
+    // batch's docs would land TWICE (b=k and b=upTo) — so the fold must
+    // refuse marker-less batches outright, and refuse folding "ahead"
+    // of the last committed batch (relabeling history to a partition
+    // future batchCuts exclude).
+    val e = fixture
+    val seedCorpus = e.filter(col("vec_id") % 3 === 0)
+    val rest = e.filter(col("vec_id") % 3 =!= 0)
+    val b1 = rest.filter(col("vec_id") % 2 === 0)
+    val b2 = rest.filter(col("vec_id") % 2 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semfoldfence").toString
+    val path = s"$dir/store"
+    SemStream.init(seedCorpus, "vec_id", "embedding", k = 4, iters = 2, path)
+    SemStream.applyBatch(b1, "vec_id", "embedding", path,
+      thrNum, thrDen, cap, seed, 1L)
+    SemStream.applyBatch(b2, "vec_id", "embedding", path,
+      thrNum, thrDen, cap, seed, 2L)
+    // crash window: data landed for b=2, marker gone
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_committed/2")
+    marker.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(marker, false)
+    val ex = intercept[IllegalArgumentException] {
+      SemStream.foldSemStore(spark, path, upTo = 2L)
+    }
+    assert(ex.getMessage.contains("no commit marker"), ex.getMessage)
+    // redelivery completes the batch; the fold is legal again —
+    // but never above the last committed id
+    SemStream.applyBatch(b2, "vec_id", "embedding", path,
+      thrNum, thrDen, cap, seed, 2L)
+    val ex2 = intercept[IllegalArgumentException] {
+      SemStream.foldSemStore(spark, path, upTo = 5L)
+    }
+    assert(ex2.getMessage.contains("above the last committed"), ex2.getMessage)
+    val before = memberRows(path)
+    SemStream.foldSemStore(spark, path, upTo = 2L)
+    assert(memberRows(path) == before, "legal fold changed the members")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("retention fold: probes and replay-any-prefix survive the fold; " +
        "stale batch dirs vanish; idempotent") {
     val e = fixture
