@@ -471,15 +471,19 @@ object Bench {
     locally {
       val probeFloor = (probes ++ prevProbe).min
       val floorOpt = Some(probeFloor).filter(_ > 0.0)
+      // per-query brackets (round 14, from the round-13 adjudication):
+      // brackets previously wrapped groups of 5, so one hot query
+      // voided four clean neighbors — r13 kept only 15/20 anchors.
+      // One probe between consecutive anchors closes the follower's
+      // window and opens the next (21 probes ≈ a few seconds at the
+      // ~0.1 s probe cost), and a contended anchor now voids only
+      // itself.
       var lo = probeSample()
-      anchorNames.grouped(5).foreach { grp =>
-        val timed = grp.map { n =>
-          val (ts, err) = measure(SparkEntry.queries(n), 1)
-          (n, ts.headOption.filter(_ => err.isEmpty))
-        }
+      anchorNames.foreach { n =>
+        val (ts, err) = measure(SparkEntry.queries(n), 1)
         val hi = probeSample()
-        if (cleanWindow(lo, hi, floorOpt))
-          timed.foreach { case (n, t) => t.foreach(anchorTimes(n) = _) }
+        if (err.isEmpty && cleanWindow(lo, hi, floorOpt))
+          ts.headOption.foreach(anchorTimes(n) = _)
         lo = hi
       }
     }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DimDate
-import graft.operators.{Blooms, Cdc, Clustering, Dedup, Events, ExactAgg, Graphs, Incremental, Joins, Layout, Linkage, Multimodal, Packing, Resample, Retrieval, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms, Vocab}
+import graft.operators.{Blooms, Cdc, Clustering, Curation, Dedup, Events, ExactAgg, Graphs, Incremental, Joins, Layout, Linkage, Multimodal, Packing, Resample, Retrieval, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms, Vocab}
 import graft.sources.JsonFlatten
 import graft.streaming.{EventTimeStreams, SemStream}
 
@@ -2352,9 +2352,15 @@ object SparkEntry {
         .write.mode("overwrite").parquet(backlog)
     }
     val sinkName = s"q141_sink_${tag}_${Q141Runs.incrementAndGet()}"
+    // filesPerBatch = 8 (was 2, round 14): r13 measured the 4-batch
+    // config at 15.7 s — 10% of the whole bench, all of it checkpoint
+    // round-trips and AvailableNow coordination, none of it join work.
+    // The oracle needs the rows, not the boundaries; micro-batch
+    // boundary invariance is pinned where it belongs, in
+    // EventTimeStreamsSpec (filesPerBatch 1 vs 3 vs the batch join)
     EventTimeStreams.runAttributionBacklog(s, backlog, "event_time",
         horizon = "4 hours", lateness = "600 days",
-        filesPerBatch = 2, queryName = sinkName)
+        filesPerBatch = 8, queryName = sinkName)
       .select(col("view_id"), col("purchase_id"), col("user_id"),
         unix_micros(col("view_ts")).as("view_ts_us"),
         unix_micros(col("purchase_ts")).as("purchase_ts_us"),
@@ -2446,6 +2452,46 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Frozen-artifact incremental curation ([[operators.Curation]]):
+    * q139's closed loop split into train-once / serve-forever — the
+    * history slice (doc_id % 4 ≠ 3) trains EVERY model once (content
+    * hashes, sem-store centroids + members, NB tables, BPE merges,
+    * DSIR weights; each the already-certified artifact from
+    * q127/q146/q144), then the UNSEEN %4 = 3 batch is curated entirely
+    * against the frozen store: exact dedup within-batch and against
+    * history hashes, semantic dedup within-batch and against stored
+    * members under the frozen centroids, frozen-NB quality filter,
+    * frozen-BPE token counts and frozen-DSIR scores as annotations. No
+    * model sees the batch before serving it — q58's replay ≡
+    * full-refresh discipline at the curation level. The oracle replays
+    * artifact training AND batch serving in one statement (storage is
+    * read-invisible); CurationSpec pins the containment law
+    * serve(batch) ⊆ frozen-recurate(history ∪ batch) ∩ batch. */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q147" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-curstore-$tag"
+    val d = Tables.documents(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    if (!new java.io.File(path).exists()) {
+      Curation.writeCurationStore(
+        d.filter(col("doc_id") % 4 =!= 3),
+        e.filter(col("doc_id") % 4 =!= 3),
+        "doc_id", "embedding", "lang", "text",
+        k = KmeansK, iters = KmeansIters,
+        numMerges = BpeMerges, maxWords = BpeMaxWords,
+        dsirTarget = col("source").isin("src0", "src1"),
+        dsirBuckets = 256, path = path, seed = SampleSeed)
+    }
+    Curation.serveBatch(s, path,
+        d.filter(col("doc_id") % 4 === 3),
+        e.filter(col("doc_id") % 4 === 3),
+        "doc_id", "embedding", "lang", "source", "text",
+        SemThrNum, SemThrDen, SemCap, SampleSeed)
+      .orderBy("doc_id")
+  }
+
   /** Shuffle-skew audit ([[Stats.skewAudit]]): the pre-flight check a
     * pipeline runs BEFORE keying a 100 TB join or aggregation — the 20
     * heaviest `user_id`s in the event stream with their corpus share
@@ -2457,6 +2503,38 @@ object SparkEntry {
   private def q145(s: SparkSession, dir: String): DataFrame =
     Stats.skewAudit(Tables.events(s, dir), "user_id", parts = 32, k = 20)
       .orderBy("rank")
+
+  /** Audit→action salted join ([[Shuffles.saltedJoinBySkew]]): q145's
+    * skew audit measures and q64's salting rewrites — this closes the
+    * loop, running the audit's ppm decision rule inline and salting
+    * EXACTLY the keys above threshold (7000 ppm of the event stream):
+    * hot fact rows spread over 8 salts with only the hot dim rows
+    * replicated, cold rows join plain with zero replication. The
+    * fixture exercises every decision regime across the driver's SFs —
+    * all 15 users are hot at sf0.001, a handful at sf0.01, none at
+    * sf0.1 — and the oracle replays audit + decision + join: the join
+    * result must equal the PLAIN join whatever the threshold (the
+    * rewrite is semantics-preserving), and `n_hot_users` replays the
+    * integer ppm decision itself. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("value"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val joined = Shuffles.saltedJoinBySkew(ev, cust, "user_id",
+      salts = 8, thresholdPpm = 7000L)
+    val counts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("__kr"))
+    val hot = counts
+      .crossJoin(broadcast(counts.agg(sum("__kr").as("__tot"))))
+      .filter(col("__kr") * lit(1000000L) >= lit(7000L) * col("__tot"))
+      .select(col("user_id"), lit(1L).as("__hot"))
+    joined.join(broadcast(hot), Seq("user_id"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        countDistinct(when(col("__hot") === 1L, col("user_id")))
+          .as("n_hot_users"))
+      .orderBy("c_mktsegment")
+  }
 
   /** PQ-ADC retrieval ([[Similarity.pqTopK]]): product quantization
     * over the fixture embeddings — 4 subspaces × 16-code integer
@@ -2789,6 +2867,8 @@ object SparkEntry {
     "q144_dsir_store" -> q144,
     "q145_skew_audit" -> q145,
     "q146_nb_store" -> q146,
+    "q147_curation_serve" -> q147,
+    "q148_salted_by_skew" -> q148,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -3180,8 +3260,8 @@ object SparkEntry {
     * the store between train and serve in q146 is read-invisible, so
     * both queries replay the identical computation and differ only in
     * the final SELECT. */
-  private val nbPredCtes: String =
-    """WITH tr AS (SELECT lang, text FROM documents WHERE doc_id % 4 != 3),
+  private val nbPredCtesBody: String =
+    """tr AS (SELECT lang, text FROM documents WHERE doc_id % 4 != 3),
       |te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 3),
       |tt AS (SELECT lang AS lab, unnest(list_filter(string_split(text, ' '),
       |         t -> len(t) > 0)) AS tok FROM tr),
@@ -3214,6 +3294,8 @@ object SparkEntry {
       |                 row_number() OVER (PARTITION BY doc_id
       |                   ORDER BY score DESC, lab ASC) AS rn
       |               FROM scored) WHERE rn = 1)""".stripMargin
+
+  private val nbPredCtes: String = "WITH " + nbPredCtesBody
 
   /** Shared by q85 (direct) and q86 (indexed): the full BM25 replay. */
   /** The direct-BM25 replay, optionally over a restricted corpus —
@@ -3877,6 +3959,154 @@ object SparkEntry {
          |FROM mix5 m JOIN spl USING (doc_id)
          |ORDER BY m.doc_id""".stripMargin
     head + chain + semDedup + decontaminate + quality + bpe + mix
+  }
+
+  /** q147's oracle: frozen-artifact batch curation replayed END TO END
+    * in one statement — every artifact trained on the %4 ≠ 3 history
+    * (k-means chain, NB tables via [[nbPredCtesBody]], BPE chain,
+    * DSIR bucket LMs), every serve stage applied to the %4 = 3 batch
+    * (exact dedup within-batch + against history hashes, within-batch
+    * pair drops, store-probe drops, frozen-NB filter, frozen-BPE
+    * counts, frozen-DSIR scores). The parquet store between train and
+    * serve is read-invisible: integers, strings and DECIMAL(18,6)
+    * only. Hub CTEs materialized (the q139 fd-limit discipline). */
+  private def curationServeOracleSql: String = {
+    val exact =
+      """WITH bx AS (SELECT doc_id,
+        |        md5(regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS h
+        |      FROM documents WHERE doc_id % 4 = 3),
+        |hh AS MATERIALIZED (SELECT DISTINCT
+        |        md5(regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS h
+        |      FROM documents WHERE doc_id % 4 != 3),
+        |bk1 AS (SELECT h, min(doc_id) AS doc_id FROM bx GROUP BY h),
+        |b1 AS MATERIALIZED (SELECT doc_id FROM bk1
+        |      WHERE h NOT IN (SELECT h FROM hh))""".stripMargin
+    val chain = kmeansOracleCtes(KmeansK, KmeansIters,
+      trainPred = "vec_id % 4 != 3", lead = ", ")
+    val semWithin =
+      s""", mvz AS MATERIALIZED (SELECT vec_id, val, pos FROM vzall),
+         |mfa AS MATERIALIZED (SELECT vec_id, cluster, dist FROM fa),
+         |bd AS (SELECT v.vec_id, c.cid,
+         |         CAST(sum((v.val - c.val) * (v.val - c.val)) AS BIGINT) AS dist
+         |       FROM mvz v JOIN c$KmeansIters c USING (pos)
+         |       WHERE v.vec_id IN (SELECT doc_id FROM b1) GROUP BY 1, 2),
+         |ba AS MATERIALIZED (SELECT vec_id, cid::INTEGER AS cluster, dist FROM (
+         |       SELECT vec_id, cid, dist,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY dist, cid) AS rn
+         |       FROM bd) WHERE rn = 1),
+         |wrk AS (SELECT vec_id, cluster, dist,
+         |         row_number() OVER (PARTITION BY cluster
+         |           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+         |                    vec_id) AS rn
+         |       FROM ba),
+         |wcap AS (SELECT vec_id, cluster, dist FROM wrk WHERE rn <= $SemCap),
+         |wnm AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
+         |       FROM mvz v JOIN wcap c USING (vec_id) GROUP BY 1),
+         |wpr AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+         |         a.dist AS da, b.dist AS db
+         |       FROM wcap a JOIN wcap b
+         |         ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         |wdt AS (SELECT p.id_a, p.id_b, p.da, p.db,
+         |         CAST(sum(va.val * vb.val) AS BIGINT) AS dot
+         |       FROM wpr p
+         |       JOIN mvz va ON va.vec_id = p.id_a
+         |       JOIN mvz vb ON vb.vec_id = p.id_b AND vb.pos = va.pos
+         |       GROUP BY 1, 2, 3, 4),
+         |wdrop AS (SELECT DISTINCT
+         |         CASE WHEN d.da < d.db THEN d.id_a
+         |              WHEN d.db < d.da THEN d.id_b
+         |              ELSE greatest(d.id_a, d.id_b) END AS doc_id
+         |       FROM wdt d JOIN wnm na ON na.vec_id = d.id_a
+         |                 JOIN wnm nb ON nb.vec_id = d.id_b
+         |       WHERE d.dot > 0
+         |         AND d.dot * d.dot * $SemThrDen >= $SemThrNum * na.n2 * nb.n2),
+         |b2 AS MATERIALIZED (SELECT doc_id FROM b1
+         |      WHERE doc_id NOT IN (SELECT doc_id FROM wdrop))""".stripMargin
+    val semAcross =
+      s""", capm AS (SELECT vec_id, cluster FROM (
+         |       SELECT vec_id, cluster,
+         |         row_number() OVER (PARTITION BY cluster
+         |           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+         |                    vec_id) AS rn
+         |       FROM mfa) WHERE rn <= $SemCap),
+         |capb AS (SELECT vec_id, cluster FROM (
+         |       SELECT vec_id, cluster,
+         |         row_number() OVER (PARTITION BY cluster
+         |           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+         |                    vec_id) AS rn
+         |       FROM ba WHERE vec_id IN (SELECT doc_id FROM b2))
+         |       WHERE rn <= $SemCap),
+         |xnm AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
+         |       FROM mvz v JOIN capm c USING (vec_id) GROUP BY 1),
+         |xbn AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
+         |       FROM mvz v JOIN capb c USING (vec_id) GROUP BY 1),
+         |xdt AS (SELECT p.store_id, p.batch_id,
+         |         CAST(sum(va.val * vb2.val) AS BIGINT) AS dot
+         |       FROM (SELECT a.vec_id AS store_id, b.vec_id AS batch_id
+         |             FROM capm a JOIN capb b ON a.cluster = b.cluster) p
+         |       JOIN mvz va ON va.vec_id = p.store_id
+         |       JOIN mvz vb2 ON vb2.vec_id = p.batch_id AND vb2.pos = va.pos
+         |       GROUP BY 1, 2),
+         |xdrop AS (SELECT DISTINCT d.batch_id AS doc_id
+         |       FROM xdt d JOIN xnm na ON na.vec_id = d.store_id
+         |                 JOIN xbn nb ON nb.vec_id = d.batch_id
+         |       WHERE d.dot > 0
+         |         AND d.dot * d.dot * $SemThrDen >= $SemThrNum * na.n2 * nb.n2),
+         |b3 AS MATERIALIZED (SELECT doc_id FROM b2
+         |      WHERE doc_id NOT IN (SELECT doc_id FROM xdrop))""".stripMargin
+    val quality = ", " + nbPredCtesBody +
+      """, b4 AS MATERIALIZED (SELECT b.doc_id
+        |      FROM b3 b JOIN pred p USING (doc_id)
+        |      JOIN documents dd ON dd.doc_id = b.doc_id
+        |      WHERE p.pred = dd.lang)""".stripMargin
+    val bpe = ", " +
+      bpeChainCtes(BpeMerges, BpeMaxWords, "doc_id % 4 != 3", "a_") +
+      s""",
+         |awtok AS MATERIALIZED (SELECT word, count(*)::BIGINT AS n
+         |  FROM a_s$BpeMerges GROUP BY 1),
+         |adocw AS (SELECT doc_id, word FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |   FROM documents WHERE doc_id % 4 = 3)
+         |  WHERE len(word) > 0),
+         |acnt AS (SELECT d.doc_id, sum(w.n)::BIGINT AS bpe_tokens
+         |         FROM adocw d JOIN awtok w USING (word) GROUP BY 1)""".stripMargin
+    val dsir =
+      s""", wdd AS (SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+         |        doc_id % 4 != 3 AS train,
+         |        list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+         |      FROM documents),
+         |wtk AS MATERIALIZED (SELECT doc_id, tgt, train,
+         |        ('0x' || substr(md5(tok || '$SampleSeed'), 1, 15))::BIGINT % 256 AS b
+         |      FROM (SELECT doc_id, tgt, train, unnest(w) AS tok FROM wdd)),
+         |wcr AS (SELECT b, count(*) AS cr FROM wtk WHERE train GROUP BY 1),
+         |wct AS (SELECT b, count(*) AS ct FROM wtk WHERE train AND tgt GROUP BY 1),
+         |wtot AS (SELECT count(*) AS nr,
+         |        count(CASE WHEN tgt THEN 1 END) AS nt FROM wtk WHERE train),
+         |wspine AS (SELECT unnest(generate_series(0, 255))::BIGINT AS b),
+         |wlw AS (SELECT wspine.b,
+         |          CAST(round(ln((coalesce(wct.ct, 0) + 1)::DOUBLE / (wtot.nt + 256)), 6)
+         |               AS DECIMAL(18,6))
+         |        - CAST(round(ln((coalesce(wcr.cr, 0) + 1)::DOUBLE / (wtot.nr + 256)), 6)
+         |               AS DECIMAL(18,6)) AS lw
+         |        FROM wspine LEFT JOIN wcr ON wspine.b = wcr.b
+         |                    LEFT JOIN wct ON wspine.b = wct.b, wtot),
+         |wsc AS (SELECT t.doc_id, CAST(sum(wlw.lw) AS DECIMAL(28,6)) AS score
+         |        FROM wtk t JOIN wlw ON t.b = wlw.b
+         |        WHERE NOT t.train GROUP BY 1)""".stripMargin
+    val tail =
+      """
+        |SELECT b.doc_id, dd.source, dd.lang, ba.cluster,
+        |       coalesce(ac.bpe_tokens, 0)::BIGINT AS bpe_tokens,
+        |       CAST(CAST(coalesce(ws.score, CAST(0 AS DECIMAL(28,6)))
+        |                 AS VARCHAR) AS DOUBLE) AS dsir_score
+        |FROM b4 b
+        |JOIN documents dd ON dd.doc_id = b.doc_id
+        |JOIN ba ON ba.vec_id = b.doc_id
+        |LEFT JOIN acnt ac ON ac.doc_id = b.doc_id
+        |LEFT JOIN wsc ws ON ws.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin
+    exact + chain + semWithin + semAcross + quality + bpe + dsir + tail
   }
 
   /** The sem-store probe replay shared by q127 (batch-layout build+append)
@@ -4979,6 +5209,23 @@ object SparkEntry {
       (nbPredCtes +
       """
         |SELECT doc_id, pred, score FROM pred ORDER BY doc_id""".stripMargin),
+    // q147: artifact training on history + frozen batch serving, END
+    // TO END — the store between them is read-invisible
+    "q147_curation_serve" -> curationServeOracleSql,
+    // q148: the PLAIN join certifies the hot-key-only salting rewrite;
+    // n_hot_users replays the integer ppm salting decision itself
+    "q148_salted_by_skew" ->
+      """WITH kc AS (SELECT user_id, count(*) AS kr FROM events GROUP BY 1),
+        |tot AS (SELECT sum(kr) AS t FROM kc),
+        |hot AS (SELECT user_id FROM kc, tot WHERE kr * 1000000 >= 7000 * tot.t)
+        |SELECT c_mktsegment,
+        |       count(*) AS n_events,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |         AS sum_value,
+        |       count(DISTINCT CASE WHEN user_id IN (SELECT user_id FROM hot)
+        |                           THEN user_id END)::BIGINT AS n_hot_users
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q100_bigram_lm" ->
       """WITH d AS (SELECT doc_id,
         |             list_filter(string_split(text, ' '), t -> len(t) > 0) AS w

@@ -214,6 +214,24 @@ object Stress {
       time("join(salted x16)") {
         graft.operators.Shuffles.saltedEquiJoin(fact, dim, "k", 16).count()
       }
+      // audit→action (round 14): the decision rule is one key-count
+      // aggregate + a broadcast of the ≤2 keys above 50%, and only the
+      // HOT dim rows replicate (1 row ×16 vs all 1000 ×16 for the
+      // hand-salted form). Timed twice: end-to-end (audit inline —
+      // the one-shot cost) and with the hot set precomputed (the
+      // production shape: q145's audit runs once per batch window and
+      // every join of the window reuses it) — the latter must track
+      // the hand-salted time.
+      time("join(audit-salted x16, thr 50%)") {
+        graft.operators.Shuffles
+          .saltedJoinBySkew(fact, dim, "k", 16, 500000L).count()
+      }
+      val hotSet = graft.operators.Shuffles
+        .hotKeysByShare(fact, "k", 500000L).localCheckpoint(true)
+      time("join(hot-set reused x16)") {
+        graft.operators.Shuffles
+          .saltedJoinHot(fact, dim, "k", 16, hotSet).count()
+      }
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -890,6 +908,75 @@ object Stress {
       require(post == pre, "fold changed the probe")
       post.size.toLong
     }
+    }
+    if (mode == "attr") {
+    // Stream-join state retention storm — the q141 100 TB claim: with
+    // a TIGHT lateness the interval-join condition doubles as the
+    // retention policy, so join state must PLATEAU at O(horizon ×
+    // rate) however long the stream runs, while the certification
+    // shape (lateness covering the span) evicts nothing and grows
+    // LINEARLY with input. Build a `factor`-day backlog — the sf0.1
+    // event stream replayed `factor` times, each replica shifted past
+    // the last by span + 1 day and written as ONE time-ordered file
+    // (sequential writes ⇒ ascending mtimes ⇒ the file source
+    // delivers replicas in time order) — then run both shapes over
+    // the SAME backlog and print each micro-batch's state rows from
+    // the engine's own StreamingQueryProgress. In-order delivery also
+    // pins the strongest form of the law: tight lateness drops
+    // NOTHING here (late rows require out-of-order arrival), so both
+    // shapes append identical results while only the tight one bounds
+    // its state.
+    import graft.streaming.EventTimeStreams
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "512")
+    val ev = Tables.events(spark, "/root/testdata/sf0.1")
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .select("event_id", "event_time", "user_id", "event_type", "value")
+      .localCheckpoint(true)
+    val b = ev.agg(min(unix_micros(col("event_time"))).as("lo"),
+      max(unix_micros(col("event_time"))).as("hi"),
+      (max("event_id") + 1).as("idoff")).first()
+    val gapUs = (b.getLong(1) - b.getLong(0)) + 86400L * 1000000L
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-attr-storm-$factor"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    (0 until factor).foreach { r =>
+      ev.select((col("event_id") + lit(r * b.getLong(2))).as("event_id"),
+          timestamp_micros(unix_micros(col("event_time")) + lit(r * gapUs))
+            .as("event_time"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).sortWithinPartitions("event_time")
+        .write.mode("append").parquet(dir)
+    }
+    println(s"[stress] backlog: ${factor} replicas x ${ev.count()} events")
+    def run(name: String, lateness: String): (Long, Seq[Long]) = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft-attr-ckpt-$name").toString
+      spark.conf.set("spark.sql.streaming.checkpointLocation", ckpt)
+      val t0 = System.nanoTime()
+      val (df, ms) = EventTimeStreams.runAttributionBacklogMetered(
+        spark, dir, "event_time", horizon = "4 hours",
+        lateness = lateness, filesPerBatch = 1,
+        queryName = s"attr_storm_$name")
+      val out = df.count()
+      val states = ms.sortBy(_.batchId).map(_.stateRows)
+      println(f"[stress] attr/$name%-6s lateness=$lateness%-12s " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.1f s  out=$out " +
+        s"batches=${states.size} stateMax=${if (states.isEmpty) 0L else states.max} " +
+        s"stateLast=${states.lastOption.getOrElse(0L)}")
+      println(s"[stress] attr/$name state rows per batch: " +
+        states.mkString(", "))
+      (out, states)
+    }
+    val (outWide, stWide) = run("wide", "3650 days")
+    val (outTight, stTight) = run("tight", "30 minutes")
+    require(outWide == outTight,
+      s"in-order backlog must lose nothing under tight lateness: " +
+        s"wide=$outWide tight=$outTight")
+    require(stTight.nonEmpty && stWide.nonEmpty &&
+        stTight.max * 2 < stWide.max,
+      s"tight-lateness state did not plateau: tightMax=${stTight.max} " +
+        s"wideMax=${stWide.max}")
+    println(s"[stress] attr: identical output, state bounded " +
+      s"${stTight.max} vs linear ${stWide.max}")
     }
     spark.stop()
   }

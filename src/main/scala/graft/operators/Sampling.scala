@@ -591,6 +591,22 @@ object Sampling {
     * broadcast. Bucket count comes from the artifact itself, so a
     * serving job cannot mis-hash against a model trained at a
     * different width. */
+  /** Frozen per-doc scoring from a persisted model — [[scoreDsirBatch]]
+    * without the top-k draw: every batch doc's (n_tokens, dsir_score)
+    * under the stored weight table, the quality-annotation shape the
+    * curation serve path joins ([[graft.operators.Curation]]). */
+  def scoreDsirBatchAll(s: org.apache.spark.sql.SparkSession, path: String,
+                        batch: DataFrame, idCol: String, srcCol: String,
+                        textCol: String,
+                        seed: String = "graft"): DataFrame = {
+    val lw = s.read.parquet(s"$path/weights")
+    val buckets = lw.count().toInt // model-sized: bounded driver read
+    dsirScore(batch, idCol, srcCol, textCol, lw, buckets, seed)
+      .select(col("__id").as(idCol), col("__src").as(srcCol),
+        col("__ntok").as("n_tokens"),
+        col("__score").cast("double").as("dsir_score"))
+  }
+
   def scoreDsirBatch(s: org.apache.spark.sql.SparkSession, path: String,
                      batch: DataFrame, idCol: String, srcCol: String,
                      textCol: String, k: Int,

@@ -43,6 +43,71 @@ object Shuffles {
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Audit→action skew join: measure, decide, salt ONLY what needs it.
+    * [[graft.operators.Stats.skewAudit]] measures (q145);
+    * [[saltedEquiJoin]] salts everything, paying `salts`× replication
+    * of the WHOLE small side (q64). This closes the loop between them:
+    * the audit's decision rule runs inline — a key is hot when its
+    * fact-side share reaches `thresholdPpm` (exact integer arithmetic,
+    * `key_rows · 10⁶ ≥ thresholdPpm · total`, the same ppm convention
+    * the audit reports) — and the join splits: hot fact rows carry the
+    * per-row salt with only the small side's HOT rows replicated
+    * `salts`×, cold rows join plain under salt 0 with zero
+    * replication. Result ≡ the plain inner equi-join whatever the
+    * threshold (q148's oracle certifies the rewrite; the decision is
+    * made visible by the query's audit column, not by the join rows).
+    *
+    * Scale: the hot set is bounded BY CONSTRUCTION — at most
+    * 10⁶/thresholdPpm keys can each hold that share — so it always
+    * broadcasts; the key-count aggregate is the audit's own map-side
+    * combinable shape; the dim side is scanned once. At a 1% threshold
+    * the replication overhead is ≤ 100·salts dim rows, vs
+    * |dim|·salts for the indiscriminate q64 form. */
+  def saltedJoinBySkew(fact: DataFrame, dim: DataFrame, key: String,
+                       salts: Int, thresholdPpm: Long): DataFrame =
+    saltedJoinHot(fact, dim, key, salts,
+      hotKeysByShare(fact, key, thresholdPpm))
+
+  /** The decision half of [[saltedJoinBySkew]]: keys holding at least
+    * `thresholdPpm` of `fact`'s rows (exact integer ppm — the q145
+    * audit's convention). Bounded by construction: at most
+    * 10⁶/thresholdPpm keys can each hold that share. Split out so a
+    * pipeline pays the one fact-scan audit ONCE and reuses the hot set
+    * across every join of the batch window — the audit artifact is
+    * key-list-sized state, exactly like a q145 report. */
+  def hotKeysByShare(fact: DataFrame, key: String,
+                     thresholdPpm: Long): DataFrame = {
+    require(thresholdPpm >= 1 && thresholdPpm <= 1000000L,
+      s"thresholdPpm=$thresholdPpm must be a ppm share in [1, 1e6]")
+    val counts = fact.groupBy(col(key)).agg(count(lit(1)).as("__kr"))
+    val total = counts.agg(sum("__kr").as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("__kr") * lit(1000000L) >= lit(thresholdPpm) * col("__tot"))
+      .select(col(key))
+  }
+
+  /** The action half: join with exactly `hotKeys` taking the salted
+    * path (fact rows spread over `salts`, dim rows replicated
+    * `salts`×) and every other key joining plain under salt 0.
+    * Result ≡ the plain inner equi-join for ANY hot set — correctness
+    * never depends on the audit being current, only the skew
+    * protection does. */
+  def saltedJoinHot(fact: DataFrame, dim: DataFrame, key: String,
+                    salts: Int, hotKeys: DataFrame): DataFrame = {
+    require(salts > 0, s"salts=$salts must be positive")
+    val hot = hotKeys.select(col(key), lit(true).as("__hot"))
+    val saltedFact = fact.join(broadcast(hot), Seq(key), "left")
+      .withColumn("__salt",
+        when(col("__hot"), rowSalt(fact, salts)).otherwise(lit(0)))
+      .drop("__hot")
+    val saltedDim = dim.join(broadcast(hot), Seq(key), "left")
+      .withColumn("__salt", explode(
+        when(col("__hot"), array((0 until salts).map(lit): _*))
+          .otherwise(array(lit(0)))))
+      .drop("__hot")
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Skew-proof grouped count: two-phase aggregation via salting —
     * partial count per (key, salt), then final rollup per key. The
     * partial agg is map-side combinable so the hot key's traffic is

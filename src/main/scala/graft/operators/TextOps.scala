@@ -765,6 +765,28 @@ object TextOps {
         typedlit(merges.map(p => Seq(p._1, p._2)).toSeq)).as("bpe_tokens"))
   }
 
+  /** Persist an ordered BPE merge list as a (rank, left, right) parquet
+    * table — the merges-as-table artifact a frozen-tokenizer serve path
+    * reads back ([[readBpeMerges]]). Model-sized (numMerges rows, one
+    * file): the centroid-table class of state. */
+  def writeBpeMerges(s: org.apache.spark.sql.SparkSession,
+                     merges: Array[(String, String)], path: String): Unit = {
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }.toSeq
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+  }
+
+  /** Read a persisted merge list back in rank order — bit-identical to
+    * the array [[writeBpeMerges]] stored (strings through parquet are
+    * exact), so frozen-tokenizer encoding replays the training-time
+    * encoder. Model-sized driver read (numMerges rows). */
+  def readBpeMerges(s: org.apache.spark.sql.SparkSession,
+                    path: String): Array[(String, String)] =
+    s.read.parquet(s"$path/merges").orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+
   /** TF-IDF top-k terms per document — the classic keyword/topic signal
     * a training-mix pipeline uses for domain tagging and quality
     * filters. idf = ln(1 + N/df) (smoothed, always positive).

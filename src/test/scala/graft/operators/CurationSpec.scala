@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Frozen-artifact curation laws. The load-bearing one is containment:
+  * serving a new batch against artifacts frozen on history can only be
+  * MORE conservative than recurating the union with the same frozen
+  * models — per-doc stages (NB, BPE, DSIR) are pure functions of the
+  * stored tables, and every dedup cap a batch doc must survive is
+  * easier in the union (more competitors can only push it OUT of a
+  * cap, never in), so every pair the union run examines and the doc
+  * loses, the serve run examines too — plus the serve run drops on
+  * history hits the union run may resolve the other way. */
+class CurationSpec extends SparkSpec {
+
+  private val (thrNum, thrDen, cap, seed) = (49L, 400L, 48L, "graft-mix")
+  private val sf = "/root/testdata/sf0.01"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id").as("doc_id"), col("embedding"))
+
+  // one store serves both tests: the artifacts are frozen by contract,
+  // so sharing them is exactly the production shape
+  private lazy val storePath: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-curation").toString
+    val path = s"$dir/store"
+    Curation.writeCurationStore(
+      docs.filter(col("doc_id") % 4 =!= 3),
+      vecs.filter(col("doc_id") % 4 =!= 3),
+      "doc_id", "embedding", "lang", "text",
+      k = 8, iters = 3, numMerges = 32, maxWords = 100000,
+      dsirTarget = col("source").isin("src0", "src1"),
+      dsirBuckets = 256, path = path, seed = seed)
+    path
+  }
+
+  test("containment law: serve(batch) ⊆ recurate(history ∪ batch) " +
+       "with the same frozen models, restricted to the batch") {
+    val path = storePath
+    val batchDocs = docs.filter(col("doc_id") % 4 === 3)
+    val batchVecs = vecs.filter(col("doc_id") % 4 === 3)
+    val served = Curation.serveBatch(spark, path, batchDocs, batchVecs,
+        "doc_id", "embedding", "lang", "source", "text",
+        thrNum, thrDen, cap, seed)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // frozen-recurate over the union: the same stages, same stored
+    // models, every doc treated symmetrically (no history/batch split)
+    val keepers = TextOps.exactDedup(docs, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"))
+    val cents = Similarity.readSemCents(spark, s"$path/sem")
+    val assign = Clustering.assignToCentroidsKeepVec(
+      vecs.join(keepers, Seq("doc_id")), "doc_id", "embedding", cents)
+    val drop = Similarity
+      .semPairsWithin(assign, thrNum, thrDen, cap, seed)
+      .select(col("drop_id").as("doc_id")).distinct()
+    val kept2docs = docs.join(keepers.join(drop, Seq("doc_id"), "left_anti"),
+      Seq("doc_id"))
+    val recurated = kept2docs
+      .join(TextOps.scoreNbBatch(spark, s"$path/nb", kept2docs,
+        "doc_id", "text"), Seq("doc_id"))
+      .filter(col("pred") === col("lang"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchIds = batchDocs.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(served.nonEmpty, "containment law vacuous: nothing served")
+    assert((batchIds -- served).nonEmpty,
+      "containment law vacuous: serve dropped nothing")
+    val violators = served -- (recurated & batchIds)
+    assert(violators.isEmpty,
+      s"serve kept docs the frozen recurate dropped: " +
+        violators.toSeq.sorted.take(10).mkString(", "))
+  }
+
+  test("serve is deterministic under repartitioning and annotates " +
+       "every survivor with cluster, bpe_tokens and dsir_score") {
+    val path = storePath
+    val batchDocs = docs.filter(col("doc_id") % 4 === 3)
+    val batchVecs = vecs.filter(col("doc_id") % 4 === 3)
+    def run(bd: org.apache.spark.sql.DataFrame) =
+      Curation.serveBatch(spark, path, bd, batchVecs,
+          "doc_id", "embedding", "lang", "source", "text",
+          thrNum, thrDen, cap, seed)
+        .collect().map(_.toString).sorted.toSeq
+    val a = run(batchDocs)
+    assert(a == run(batchDocs.repartition(13)),
+      "serve changed under repartitioning")
+    val out = Curation.serveBatch(spark, path, batchDocs, batchVecs,
+      "doc_id", "embedding", "lang", "source", "text",
+      thrNum, thrDen, cap, seed)
+    assert(out.columns.toSeq == Seq("doc_id", "source", "lang",
+      "cluster", "bpe_tokens", "dsir_score"))
+    assert(out.filter(col("bpe_tokens") <= 0).count() == 0,
+      "a served doc has no BPE tokens — annotation join broke")
+  }
+}

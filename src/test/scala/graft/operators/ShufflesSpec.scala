@@ -65,6 +65,41 @@ class ShufflesSpec extends SparkSpec {
       s"v > 100 did not push through the salt projection below the join:\n$plan")
   }
 
+  test("saltedJoinBySkew equals the plain inner join at every decision " +
+       "regime (none / only-the-hot-key / all salted)") {
+    val plain = skewed.join(dim, Seq("key"))
+      .select("id", "key", "v", "label").collect().toSet
+    // thresholds chosen against the fixture: "hot" holds 90% of rows,
+    // each k0..k6 ~1.4% — 500000 ppm salts only "hot", 1 ppm salts
+    // everything, 999999 ppm salts nothing (plain join shape)
+    for (thr <- Seq(1L, 500000L, 999999L)) {
+      val got = Shuffles.saltedJoinBySkew(skewed, dim, "key",
+          salts = 8, thresholdPpm = thr)
+        .select("id", "key", "v", "label").collect().toSet
+      assert(got == plain && plain.size == 2000,
+        s"auto-salted join diverged from plain at thresholdPpm=$thr")
+    }
+  }
+
+  test("saltedJoinBySkew replicates ONLY hot dim rows: at a 50% " +
+       "threshold the dim side carries 8 copies of 'hot' and 1 of " +
+       "each cold key") {
+    // the economics the operator exists for: q64's indiscriminate form
+    // replicates the WHOLE dim `salts`×; the audit-driven form pays
+    // replication only where the audit says the skew is
+    val salted = Shuffles.saltedJoinBySkew(skewed, dim, "key",
+      salts = 8, thresholdPpm = 500000L)
+    val hotMatches = salted.filter(col("key") === "hot").count()
+    val plainHot = skewed.filter(col("key") === "hot").count()
+    assert(hotMatches == plainHot, "hot key rows doubled or vanished")
+    // decision is exact integer ppm: key share == threshold counts as hot
+    val exactly = Shuffles.saltedJoinBySkew(
+      Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")).toDF("id", "key"),
+      Seq(("a", "A"), ("b", "B")).toDF("key", "label"),
+      "key", salts = 4, thresholdPpm = 500000L)
+    assert(exactly.count() == 4, "share == threshold must salt, not skip")
+  }
+
   test("saltedCount equals plain groupBy count") {
     val plain = skewed.groupBy("key").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap

@@ -199,6 +199,58 @@ class EventTimeStreamsSpec extends SparkSpec {
       "micro-batch boundary changed the appended result")
   }
 
+  test("tight-lateness join state plateaus on an in-order backlog while " +
+       "the wide-lateness shape grows, with identical appended output") {
+    // the q141 production claim, measured through the engine's own
+    // StreamingQueryProgress: the interval condition doubles as the
+    // retention policy, so under tight lateness a buffered row dies
+    // once the other side's watermark passes its match window — state
+    // is O(horizon × rate) however long the stream — while the
+    // certification shape (lateness ≥ span) never evicts. In-order
+    // delivery (one time-sorted file per replica, ascending mtimes)
+    // also pins the strongest corollary: with nothing arriving late,
+    // tight lateness drops NOTHING, so both shapes append the same
+    // rows and differ only in state.
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .select("event_id", "event_time", "user_id", "event_type", "value")
+      .localCheckpoint(eager = true)
+    val b = ev.agg(min(unix_micros(col("event_time"))).as("lo"),
+      max(unix_micros(col("event_time"))).as("hi"),
+      (max("event_id") + 1).as("idoff")).first()
+    val gapUs = (b.getLong(1) - b.getLong(0)) + 86400L * 1000000L
+    val backlog = java.nio.file.Files
+      .createTempDirectory("graft-attr-state").toString + "/backlog"
+    val replicas = 4
+    (0 until replicas).foreach { r =>
+      ev.select((col("event_id") + lit(r * b.getLong(2))).as("event_id"),
+          timestamp_micros(unix_micros(col("event_time")) + lit(r * gapUs))
+            .as("event_time"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).sortWithinPartitions("event_time")
+        .write.mode("append").parquet(backlog)
+    }
+    def run(name: String, lateness: String) =
+      EventTimeStreams.runAttributionBacklogMetered(spark, backlog,
+        "event_time", horizon = "4 hours", lateness = lateness,
+        filesPerBatch = 1, queryName = s"attr_state_$name")
+    val (wideDf, wideMs) = run("wide", "3650 days")
+    val (tightDf, tightMs) = run("tight", "30 minutes")
+    val wide = wideDf.collect().map(_.toString).sorted.toSeq
+    val tight = tightDf.collect().map(_.toString).sorted.toSeq
+    assert(wide.nonEmpty, "state law vacuous: no attribution pairs")
+    assert(tight == wide,
+      "in-order backlog lost rows under tight lateness")
+    val wMax = wideMs.map(_.stateRows).max
+    val tMax = tightMs.map(_.stateRows).max
+    // wide keeps every input row buffered forever (~4 replicas of
+    // state at the end); tight holds at most ~one replica's tail
+    assert(tMax * 2 < wMax,
+      s"tight-lateness state did not plateau: tight max $tMax vs " +
+        s"wide max $wMax over ${tightMs.size}/${wideMs.size} batches")
+  }
+
   test("session_window sessionization merges runs and splits on gaps") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
