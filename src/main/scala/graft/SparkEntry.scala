@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.DimDate
 import graft.operators.{Blooms, Cdc, Clustering, Curation, Dedup, Events, ExactAgg, Graphs, Incremental, Joins, Layout, Linkage, Multimodal, Packing, Resample, Retrieval, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms, Vocab}
 import graft.sources.JsonFlatten
-import graft.streaming.{EventTimeStreams, SemStream}
+import graft.streaming.{CurationStream, EventTimeStreams, SemStream}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2504,6 +2504,48 @@ object SparkEntry {
     Stats.skewAudit(Tables.events(s, dir), "user_id", parts = 32, k = 20)
       .orderBy("rank")
 
+  /** Continuous curation ([[graft.streaming.CurationStream]]): the
+    * q147 serve loop maintained by a crawl stream — each batch is
+    * curated against the store AS IT STOOD (exact + semantic dedup vs
+    * absorbed history, frozen NB/BPE/DSIR), then its survivors are
+    * ABSORBED (routed vectors into the sem members, hashes into the
+    * log) so the next batch dedups against everything curated before
+    * it. Here: artifacts trained on the doc_id % 4 ≤ 1 half, then the
+    * %4 = 2 and %4 = 3 quarters applied as batches 1 and 2; the output
+    * is the store's `curated/b=` rows. The oracle replays the whole
+    * chain — training, batch-1 serve, batch-1 absorption, batch-2
+    * serve against history ∪ batch-1 survivors — in one statement;
+    * CurationStreamSpec drives the REAL readStream path and pins
+    * stream ≡ this sequential loop plus the crash-window redelivery
+    * law (the batchCut fence). */
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q149" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-curstream-$tag"
+    val d = Tables.documents(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    if (!new java.io.File(path).exists()) {
+      CurationStream.init(
+        d.filter(col("doc_id") % 4 <= 1), e.filter(col("doc_id") % 4 <= 1),
+        "doc_id", "embedding", "lang", "text",
+        k = KmeansK, iters = KmeansIters,
+        numMerges = BpeMerges, maxWords = BpeMaxWords,
+        dsirTarget = col("source").isin("src0", "src1"),
+        dsirBuckets = 256, path = path, seed = SampleSeed)
+      Seq((2, 1L), (3, 2L)).foreach { case (m, b) =>
+        CurationStream.applyBatch(
+          d.filter(col("doc_id") % 4 === m), e.filter(col("doc_id") % 4 === m),
+          "doc_id", "embedding", "lang", "source", "text",
+          path, SemThrNum, SemThrDen, SemCap, SampleSeed, batchId = b)
+      }
+    }
+    s.read.parquet(s"$path/curated")
+      .select(col("b").cast("long").as("b"), col("doc_id"), col("source"),
+        col("lang"), col("cluster"), col("bpe_tokens"), col("dsir_score"))
+      .orderBy("b", "doc_id")
+  }
+
   /** Audit→action salted join ([[Shuffles.saltedJoinBySkew]]): q145's
     * skew audit measures and q64's salting rewrites — this closes the
     * loop, running the audit's ppm decision rule inline and salting
@@ -2869,6 +2911,7 @@ object SparkEntry {
     "q146_nb_store" -> q146,
     "q147_curation_serve" -> q147,
     "q148_salted_by_skew" -> q148,
+    "q149_curation_stream" -> q149,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -3260,9 +3303,16 @@ object SparkEntry {
     * the store between train and serve in q146 is read-invisible, so
     * both queries replay the identical computation and differ only in
     * the final SELECT. */
-  private val nbPredCtesBody: String =
-    """tr AS (SELECT lang, text FROM documents WHERE doc_id % 4 != 3),
-      |te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 3),
+  /** The NB train + per-doc-prediction replay as a WITH-list fragment,
+    * parameterized over the train/score slices — shared by q122/q146
+    * (train %4≠3, score the held-out quarter) and the curation-chain
+    * oracles (train on their history slice, score every batch doc;
+    * predictions are per-doc, so consumers restrict by joining
+    * `pred`). */
+  private def nbPredCtesFor(trainPred: String, testPred: String): String =
+    s"""tr AS (SELECT lang, text FROM documents WHERE $trainPred),
+      |te AS (SELECT doc_id, lang, text FROM documents WHERE $testPred),""".stripMargin +
+    """
       |tt AS (SELECT lang AS lab, unnest(list_filter(string_split(text, ' '),
       |         t -> len(t) > 0)) AS tok FROM tr),
       |cwt AS (SELECT lab, tok, count(*) AS c FROM tt GROUP BY 1, 2),
@@ -3294,6 +3344,9 @@ object SparkEntry {
       |                 row_number() OVER (PARTITION BY doc_id
       |                   ORDER BY score DESC, lab ASC) AS rn
       |               FROM scored) WHERE rn = 1)""".stripMargin
+
+  private val nbPredCtesBody: String =
+    nbPredCtesFor("doc_id % 4 != 3", "doc_id % 4 = 3")
 
   private val nbPredCtes: String = "WITH " + nbPredCtesBody
 
@@ -3970,110 +4023,140 @@ object SparkEntry {
     * counts, frozen-DSIR scores). The parquet store between train and
     * serve is read-invisible: integers, strings and DECIMAL(18,6)
     * only. Hub CTEs materialized (the q139 fd-limit discipline). */
-  private def curationServeOracleSql: String = {
-    val exact =
-      """WITH bx AS (SELECT doc_id,
-        |        md5(regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS h
-        |      FROM documents WHERE doc_id % 4 = 3),
-        |hh AS MATERIALIZED (SELECT DISTINCT
-        |        md5(regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS h
-        |      FROM documents WHERE doc_id % 4 != 3),
-        |bk1 AS (SELECT h, min(doc_id) AS doc_id FROM bx GROUP BY h),
-        |b1 AS MATERIALIZED (SELECT doc_id FROM bk1
-        |      WHERE h NOT IN (SELECT h FROM hh))""".stripMargin
+  /** One serve round of the curation-chain oracle: exact dedup
+    * (within-batch keeper, minus `hashSrc`), frozen-centroid routing,
+    * within-batch pair drops, store-probe drops against `memberSrc`,
+    * frozen-NB filter (the shared `pred` CTE). Emits `${p}b4` (the
+    * round's survivors), `${p}ba` (their routing), `${p}sba`
+    * (survivor assignments — the member rows the stream ABSORBS) and
+    * `${p}sh` (survivor hashes), so round r+1 can serve against
+    * history ∪ survivors(≤ r) exactly as the store does. */
+  private def curationRoundCtes(p: String, batchPred: String,
+                                hashSrc: String,
+                                memberSrc: String): String =
+    s""", ${p}bx AS (SELECT doc_id,
+       |        md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS h
+       |      FROM documents WHERE $batchPred),
+       |${p}bk1 AS (SELECT h, min(doc_id) AS doc_id FROM ${p}bx GROUP BY h),
+       |${p}b1 AS MATERIALIZED (SELECT doc_id FROM ${p}bk1
+       |      WHERE h NOT IN ($hashSrc)),
+       |${p}bd AS (SELECT v.vec_id, c.cid,
+       |         CAST(sum((v.val - c.val) * (v.val - c.val)) AS BIGINT) AS dist
+       |       FROM mvz v JOIN c$KmeansIters c USING (pos)
+       |       WHERE v.vec_id IN (SELECT doc_id FROM ${p}b1) GROUP BY 1, 2),
+       |${p}ba AS MATERIALIZED (SELECT vec_id, cid::INTEGER AS cluster, dist FROM (
+       |       SELECT vec_id, cid, dist,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY dist, cid) AS rn
+       |       FROM ${p}bd) WHERE rn = 1),
+       |${p}wrk AS (SELECT vec_id, cluster, dist,
+       |         row_number() OVER (PARTITION BY cluster
+       |           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+       |                    vec_id) AS rn
+       |       FROM ${p}ba),
+       |${p}wcap AS (SELECT vec_id, cluster, dist FROM ${p}wrk WHERE rn <= $SemCap),
+       |${p}wnm AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
+       |       FROM mvz v JOIN ${p}wcap c USING (vec_id) GROUP BY 1),
+       |${p}wpr AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+       |         a.dist AS da, b.dist AS db
+       |       FROM ${p}wcap a JOIN ${p}wcap b
+       |         ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+       |${p}wdt AS (SELECT p.id_a, p.id_b, p.da, p.db,
+       |         CAST(sum(va.val * vb.val) AS BIGINT) AS dot
+       |       FROM ${p}wpr p
+       |       JOIN mvz va ON va.vec_id = p.id_a
+       |       JOIN mvz vb ON vb.vec_id = p.id_b AND vb.pos = va.pos
+       |       GROUP BY 1, 2, 3, 4),
+       |${p}wdrop AS (SELECT DISTINCT
+       |         CASE WHEN d.da < d.db THEN d.id_a
+       |              WHEN d.db < d.da THEN d.id_b
+       |              ELSE greatest(d.id_a, d.id_b) END AS doc_id
+       |       FROM ${p}wdt d JOIN ${p}wnm na ON na.vec_id = d.id_a
+       |                 JOIN ${p}wnm nb ON nb.vec_id = d.id_b
+       |       WHERE d.dot > 0
+       |         AND d.dot * d.dot * $SemThrDen >= $SemThrNum * na.n2 * nb.n2),
+       |${p}b2 AS MATERIALIZED (SELECT doc_id FROM ${p}b1
+       |      WHERE doc_id NOT IN (SELECT doc_id FROM ${p}wdrop)),
+       |${p}capm AS (SELECT vec_id, cluster FROM (
+       |       SELECT vec_id, cluster,
+       |         row_number() OVER (PARTITION BY cluster
+       |           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+       |                    vec_id) AS rn
+       |       FROM ($memberSrc)) WHERE rn <= $SemCap),
+       |${p}capb AS (SELECT vec_id, cluster FROM (
+       |       SELECT vec_id, cluster,
+       |         row_number() OVER (PARTITION BY cluster
+       |           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
+       |                    vec_id) AS rn
+       |       FROM ${p}ba WHERE vec_id IN (SELECT doc_id FROM ${p}b2))
+       |       WHERE rn <= $SemCap),
+       |${p}xnm AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
+       |       FROM mvz v JOIN ${p}capm c USING (vec_id) GROUP BY 1),
+       |${p}xbn AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
+       |       FROM mvz v JOIN ${p}capb c USING (vec_id) GROUP BY 1),
+       |${p}xdt AS (SELECT p.store_id, p.batch_id,
+       |         CAST(sum(va.val * vb2.val) AS BIGINT) AS dot
+       |       FROM (SELECT a.vec_id AS store_id, b.vec_id AS batch_id
+       |             FROM ${p}capm a JOIN ${p}capb b ON a.cluster = b.cluster) p
+       |       JOIN mvz va ON va.vec_id = p.store_id
+       |       JOIN mvz vb2 ON vb2.vec_id = p.batch_id AND vb2.pos = va.pos
+       |       GROUP BY 1, 2),
+       |${p}xdrop AS (SELECT DISTINCT d.batch_id AS doc_id
+       |       FROM ${p}xdt d JOIN ${p}xnm na ON na.vec_id = d.store_id
+       |                 JOIN ${p}xbn nb ON nb.vec_id = d.batch_id
+       |       WHERE d.dot > 0
+       |         AND d.dot * d.dot * $SemThrDen >= $SemThrNum * na.n2 * nb.n2),
+       |${p}b3 AS MATERIALIZED (SELECT doc_id FROM ${p}b2
+       |      WHERE doc_id NOT IN (SELECT doc_id FROM ${p}xdrop)),
+       |${p}b4 AS MATERIALIZED (SELECT b.doc_id
+       |      FROM ${p}b3 b JOIN pred p USING (doc_id)
+       |      JOIN documents dd ON dd.doc_id = b.doc_id
+       |      WHERE p.pred = dd.lang),
+       |${p}sba AS (SELECT vec_id, cluster FROM ${p}ba
+       |      WHERE vec_id IN (SELECT doc_id FROM ${p}b4)),
+       |${p}sh AS (SELECT h FROM ${p}bx
+       |      WHERE doc_id IN (SELECT doc_id FROM ${p}b4))""".stripMargin
+
+  /** The frozen-artifact curation chain replayed END TO END in one
+    * statement, parameterized over the history slice and the batch
+    * sequence: every artifact trains on history (k-means chain, NB
+    * tables, BPE chain, DSIR bucket LMs), then each batch is served
+    * against history ∪ the SURVIVORS of every earlier batch — exactly
+    * what the persisted store accumulates — and the output is the
+    * per-batch survivor rows with their frozen annotations. One round
+    * = q147 (batch store); two rounds = q149 (stream store with
+    * absorption); storage in both is read-invisible (integers, strings
+    * and DECIMAL(18,6) only). Hub CTEs materialized (the q139
+    * fd-limit discipline). */
+  private def curationChainOracleSql(histDocPred: String,
+                                     histVecPred: String,
+                                     testPred: String,
+                                     batchPreds: Seq[String],
+                                     withBatchCol: Boolean): String = {
+    val head =
+      s"""WITH hh AS MATERIALIZED (SELECT DISTINCT
+         |        md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS h
+         |      FROM documents WHERE $histDocPred)""".stripMargin
     val chain = kmeansOracleCtes(KmeansK, KmeansIters,
-      trainPred = "vec_id % 4 != 3", lead = ", ")
-    val semWithin =
-      s""", mvz AS MATERIALIZED (SELECT vec_id, val, pos FROM vzall),
-         |mfa AS MATERIALIZED (SELECT vec_id, cluster, dist FROM fa),
-         |bd AS (SELECT v.vec_id, c.cid,
-         |         CAST(sum((v.val - c.val) * (v.val - c.val)) AS BIGINT) AS dist
-         |       FROM mvz v JOIN c$KmeansIters c USING (pos)
-         |       WHERE v.vec_id IN (SELECT doc_id FROM b1) GROUP BY 1, 2),
-         |ba AS MATERIALIZED (SELECT vec_id, cid::INTEGER AS cluster, dist FROM (
-         |       SELECT vec_id, cid, dist,
-         |         row_number() OVER (PARTITION BY vec_id
-         |                            ORDER BY dist, cid) AS rn
-         |       FROM bd) WHERE rn = 1),
-         |wrk AS (SELECT vec_id, cluster, dist,
-         |         row_number() OVER (PARTITION BY cluster
-         |           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
-         |                    vec_id) AS rn
-         |       FROM ba),
-         |wcap AS (SELECT vec_id, cluster, dist FROM wrk WHERE rn <= $SemCap),
-         |wnm AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
-         |       FROM mvz v JOIN wcap c USING (vec_id) GROUP BY 1),
-         |wpr AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
-         |         a.dist AS da, b.dist AS db
-         |       FROM wcap a JOIN wcap b
-         |         ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
-         |wdt AS (SELECT p.id_a, p.id_b, p.da, p.db,
-         |         CAST(sum(va.val * vb.val) AS BIGINT) AS dot
-         |       FROM wpr p
-         |       JOIN mvz va ON va.vec_id = p.id_a
-         |       JOIN mvz vb ON vb.vec_id = p.id_b AND vb.pos = va.pos
-         |       GROUP BY 1, 2, 3, 4),
-         |wdrop AS (SELECT DISTINCT
-         |         CASE WHEN d.da < d.db THEN d.id_a
-         |              WHEN d.db < d.da THEN d.id_b
-         |              ELSE greatest(d.id_a, d.id_b) END AS doc_id
-         |       FROM wdt d JOIN wnm na ON na.vec_id = d.id_a
-         |                 JOIN wnm nb ON nb.vec_id = d.id_b
-         |       WHERE d.dot > 0
-         |         AND d.dot * d.dot * $SemThrDen >= $SemThrNum * na.n2 * nb.n2),
-         |b2 AS MATERIALIZED (SELECT doc_id FROM b1
-         |      WHERE doc_id NOT IN (SELECT doc_id FROM wdrop))""".stripMargin
-    val semAcross =
-      s""", capm AS (SELECT vec_id, cluster FROM (
-         |       SELECT vec_id, cluster,
-         |         row_number() OVER (PARTITION BY cluster
-         |           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
-         |                    vec_id) AS rn
-         |       FROM mfa) WHERE rn <= $SemCap),
-         |capb AS (SELECT vec_id, cluster FROM (
-         |       SELECT vec_id, cluster,
-         |         row_number() OVER (PARTITION BY cluster
-         |           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '$SampleSeed'), 1, 15))::BIGINT,
-         |                    vec_id) AS rn
-         |       FROM ba WHERE vec_id IN (SELECT doc_id FROM b2))
-         |       WHERE rn <= $SemCap),
-         |xnm AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
-         |       FROM mvz v JOIN capm c USING (vec_id) GROUP BY 1),
-         |xbn AS (SELECT v.vec_id, CAST(sum(v.val * v.val) AS BIGINT) AS n2
-         |       FROM mvz v JOIN capb c USING (vec_id) GROUP BY 1),
-         |xdt AS (SELECT p.store_id, p.batch_id,
-         |         CAST(sum(va.val * vb2.val) AS BIGINT) AS dot
-         |       FROM (SELECT a.vec_id AS store_id, b.vec_id AS batch_id
-         |             FROM capm a JOIN capb b ON a.cluster = b.cluster) p
-         |       JOIN mvz va ON va.vec_id = p.store_id
-         |       JOIN mvz vb2 ON vb2.vec_id = p.batch_id AND vb2.pos = va.pos
-         |       GROUP BY 1, 2),
-         |xdrop AS (SELECT DISTINCT d.batch_id AS doc_id
-         |       FROM xdt d JOIN xnm na ON na.vec_id = d.store_id
-         |                 JOIN xbn nb ON nb.vec_id = d.batch_id
-         |       WHERE d.dot > 0
-         |         AND d.dot * d.dot * $SemThrDen >= $SemThrNum * na.n2 * nb.n2),
-         |b3 AS MATERIALIZED (SELECT doc_id FROM b2
-         |      WHERE doc_id NOT IN (SELECT doc_id FROM xdrop))""".stripMargin
-    val quality = ", " + nbPredCtesBody +
-      """, b4 AS MATERIALIZED (SELECT b.doc_id
-        |      FROM b3 b JOIN pred p USING (doc_id)
-        |      JOIN documents dd ON dd.doc_id = b.doc_id
-        |      WHERE p.pred = dd.lang)""".stripMargin
+      trainPred = histVecPred, lead = ", ")
+    val hubs =
+      """, mvz AS MATERIALIZED (SELECT vec_id, val, pos FROM vzall),
+        |mfa AS MATERIALIZED (SELECT vec_id, cluster, dist FROM fa)""".stripMargin
+    val quality = ", " + nbPredCtesFor(histDocPred, testPred)
     val bpe = ", " +
-      bpeChainCtes(BpeMerges, BpeMaxWords, "doc_id % 4 != 3", "a_") +
+      bpeChainCtes(BpeMerges, BpeMaxWords, histDocPred, "a_") +
       s""",
          |awtok AS MATERIALIZED (SELECT word, count(*)::BIGINT AS n
          |  FROM a_s$BpeMerges GROUP BY 1),
          |adocw AS (SELECT doc_id, word FROM
          |  (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |   FROM documents WHERE doc_id % 4 = 3)
+         |   FROM documents WHERE $testPred)
          |  WHERE len(word) > 0),
          |acnt AS (SELECT d.doc_id, sum(w.n)::BIGINT AS bpe_tokens
          |         FROM adocw d JOIN awtok w USING (word) GROUP BY 1)""".stripMargin
     val dsir =
       s""", wdd AS (SELECT doc_id, source IN ('src0', 'src1') AS tgt,
-         |        doc_id % 4 != 3 AS train,
+         |        $histDocPred AS train,
          |        list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
          |      FROM documents),
          |wtk AS MATERIALIZED (SELECT doc_id, tgt, train,
@@ -4094,20 +4177,52 @@ object SparkEntry {
          |wsc AS (SELECT t.doc_id, CAST(sum(wlw.lw) AS DECIMAL(28,6)) AS score
          |        FROM wtk t JOIN wlw ON t.b = wlw.b
          |        WHERE NOT t.train GROUP BY 1)""".stripMargin
-    val tail =
-      """
-        |SELECT b.doc_id, dd.source, dd.lang, ba.cluster,
-        |       coalesce(ac.bpe_tokens, 0)::BIGINT AS bpe_tokens,
-        |       CAST(CAST(coalesce(ws.score, CAST(0 AS DECIMAL(28,6)))
-        |                 AS VARCHAR) AS DOUBLE) AS dsir_score
-        |FROM b4 b
-        |JOIN documents dd ON dd.doc_id = b.doc_id
-        |JOIN ba ON ba.vec_id = b.doc_id
-        |LEFT JOIN acnt ac ON ac.doc_id = b.doc_id
-        |LEFT JOIN wsc ws ON ws.doc_id = b.doc_id
-        |ORDER BY b.doc_id""".stripMargin
-    exact + chain + semWithin + semAcross + quality + bpe + dsir + tail
+    // each round serves against history ∪ the survivors of every
+    // earlier round — the oracle form of the stream's absorption
+    val prefixes = batchPreds.indices.map(i =>
+      if (batchPreds.size == 1) "" else s"r${i + 1}")
+    val rounds = batchPreds.zipWithIndex.map { case (bp, i) =>
+      val priors = prefixes.take(i)
+      val hashSrc = ("SELECT h FROM hh" +:
+        priors.map(q => s"SELECT h FROM ${q}sh")).mkString(" UNION ALL ")
+      val memberSrc = ("SELECT vec_id, cluster FROM mfa" +:
+        priors.map(q => s"SELECT vec_id, cluster FROM ${q}sba"))
+        .mkString(" UNION ALL ")
+      curationRoundCtes(prefixes(i), bp, hashSrc, memberSrc)
+    }.mkString
+    def roundSelect(p: String, i: Int): String = {
+      val bCol = if (withBatchCol) s"${i + 1}::BIGINT AS b, " else ""
+      s"""SELECT ${bCol}bb.doc_id, dd.source, dd.lang, ${p}ba.cluster,
+         |       coalesce(ac.bpe_tokens, 0)::BIGINT AS bpe_tokens,
+         |       CAST(CAST(coalesce(ws.score, CAST(0 AS DECIMAL(28,6)))
+         |                 AS VARCHAR) AS DOUBLE) AS dsir_score
+         |FROM ${p}b4 bb
+         |JOIN documents dd ON dd.doc_id = bb.doc_id
+         |JOIN ${p}ba ON ${p}ba.vec_id = bb.doc_id
+         |LEFT JOIN acnt ac ON ac.doc_id = bb.doc_id
+         |LEFT JOIN wsc ws ON ws.doc_id = bb.doc_id""".stripMargin
+    }
+    val unioned = prefixes.zipWithIndex
+      .map { case (p, i) => roundSelect(p, i) }
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    // ordinals: the bare names are ambiguous inside a single-select
+    // scope (bb/ac/ws all carry doc_id)
+    val order = if (withBatchCol) "ORDER BY 1, 2" else "ORDER BY 1"
+    head + chain + hubs + quality + bpe + dsir + rounds + unioned + order
   }
+
+  private def curationServeOracleSql: String =
+    curationChainOracleSql(
+      histDocPred = "doc_id % 4 != 3", histVecPred = "vec_id % 4 != 3",
+      testPred = "doc_id % 4 = 3",
+      batchPreds = Seq("doc_id % 4 = 3"), withBatchCol = false)
+
+  private def curationStreamOracleSql: String =
+    curationChainOracleSql(
+      histDocPred = "doc_id % 4 <= 1", histVecPred = "vec_id % 4 <= 1",
+      testPred = "doc_id % 4 >= 2",
+      batchPreds = Seq("doc_id % 4 = 2", "doc_id % 4 = 3"),
+      withBatchCol = true)
 
   /** The sem-store probe replay shared by q127 (batch-layout build+append)
     * and q140 (stream-layout build+fold): train on the build slice
@@ -5212,6 +5327,10 @@ object SparkEntry {
     // q147: artifact training on history + frozen batch serving, END
     // TO END — the store between them is read-invisible
     "q147_curation_serve" -> curationServeOracleSql,
+    // q149: training + batch-1 serve + absorption + batch-2 serve
+    // against history ∪ batch-1 survivors, ONE statement — the stream
+    // store's accumulation replayed (its storage is read-invisible)
+    "q149_curation_stream" -> curationStreamOracleSql,
     // q148: the PLAIN join certifies the hot-key-only salting rewrite;
     // n_hot_users replays the integer ppm salting decision itself
     "q148_salted_by_skew" ->

@@ -81,17 +81,30 @@ object Curation {
 
   /** Curate ONE new batch against the frozen store. Returns the
     * surviving docs annotated with their frozen-model artifacts:
-    * (id, source, label, cluster, bpe_tokens, dsir_score). */
+    * (id, source, label, cluster, bpe_tokens, dsir_score).
+    *
+    * `batchCut`: for stream-maintained stores whose `hashes` and
+    * `sem/members` carry `b=<batchId>` partitions
+    * ([[graft.streaming.CurationStream]]), serve only against batches
+    * `b < batchCut`. This is the redelivery fence: a crashed attempt
+    * may have ABSORBED its own survivors (hashes + member rows under
+    * `b = batchId`) before the commit marker, and an unfenced re-serve
+    * would then exact-drop and near-dup-drop the whole batch against
+    * itself. Batch-layout stores ([[writeCurationStore]]) have no `b`
+    * column — leave batchCut empty there. */
   def serveBatch(s: SparkSession, path: String,
                  batchDocs: DataFrame, batchVecs: DataFrame,
                  idCol: String, vecCol: String, labelCol: String,
                  srcCol: String, textCol: String,
                  thrNum: Long, thrDen: Long, clusterCap: Long,
-                 seed: String = "graft"): DataFrame = {
+                 seed: String = "graft",
+                 batchCut: Option[Long] = None): DataFrame = {
     // 1. exact: within-batch keepers, minus history content
-    val hashes = s.read.parquet(s"$path/hashes")
+    val rawHashes = s.read.parquet(s"$path/hashes")
+    val hashes = batchCut.fold(rawHashes)(c =>
+      rawHashes.filter(col("b").cast("long") < lit(c)))
     val b1 = TextOps.exactDedup(batchDocs, idCol, textCol)
-      .join(hashes, Seq("content_hash"), "left_anti")
+      .join(hashes.select("content_hash"), Seq("content_hash"), "left_anti")
       .select(col("keeper_id").as(idCol))
     // 2. within-batch semantic dedup under the FROZEN centroids.
     // localCheckpoint at the multi-consumer hubs (the q139 discipline):
@@ -112,7 +125,8 @@ object Curation {
     val pdrop = Similarity.probeSemStore(s, s"$path/sem",
         batchVecs.join(b2.select(col(idCol).as("__k")),
           col(idCol) === col("__k")).drop("__k"),
-        idCol, vecCol, thrNum, thrDen, clusterCap, seed)
+        idCol, vecCol, thrNum, thrDen, clusterCap, seed,
+        batchCut = batchCut)
       .select(col("batch_id").as(idCol)).distinct()
     val b3docs = batchDocs.join(b2.join(pdrop, Seq(idCol), "left_anti"),
         Seq(idCol))

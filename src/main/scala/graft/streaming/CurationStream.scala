@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Clustering, Curation, Sampling, Similarity, TextOps}
+
+/** Continuous curation: [[graft.operators.Curation]]'s frozen-artifact
+  * serve loop maintained by a document stream — the production shape of
+  * the whole engine. Each micro-batch is (1) CURATED against the store
+  * as it stood before the batch (exact + semantic dedup vs absorbed
+  * history, frozen-NB quality, frozen-BPE/DSIR annotations — the
+  * certified q147 serve path, batchCut-fenced), then (2) its SURVIVORS
+  * are ABSORBED: their routed vectors join the sem members, their
+  * content hashes join the hash log, and the curated rows land under
+  * `curated/b=<batchId>` — so the next crawl batch dedups against
+  * everything curated before it. The classifier-family models (NB, BPE,
+  * DSIR) stay frozen by contract: retraining is a scheduled offline
+  * move (q146/q144's writers), never a per-batch one, exactly like the
+  * frozen k-means centroids.
+  *
+  * Effectively-once by the IndexStream/SemStream mechanisms: every
+  * batch artifact lives under a `b=<batchId>` partition written with
+  * dynamic partition overwrite, a committed-batch marker makes
+  * redelivery of a completed batch a metadata no-op, and the batchCut
+  * fence makes redelivery of a CRASHED batch (survivors absorbed,
+  * marker missing) serve against exactly the pre-batch store — so the
+  * rewrite is byte-equal instead of the batch deduping against itself
+  * (law in CurationStreamSpec, including the worst-ordered crash).
+  *
+  * Determinism contract: serving is a pure function of the frozen
+  * models and the absorbed prefix, so the stream's `curated/b=k`
+  * equals the SEQUENTIAL serve+absorb loop over the same batches —
+  * HOW the crawl was micro-batched is unobservable (the q58/SemStream
+  * law at the curation level; q149's oracle replays the whole chain).
+  *
+  * Store layout under `path/`:
+  *   sem/      — [[SemStream.init]]'s stream layout: frozen centroids +
+  *               members under (b, cluster)
+  *   hashes/   — content hashes under b= (b=0 seeds the history)
+  *   curated/  — the output: served rows under b=
+  *   nb/ bpe/ dsir/ — the frozen per-doc models
+  *   _committed/<id> — batch markers */
+object CurationStream {
+
+  /** Has `batchId` been fully applied (artifacts + marker)? */
+  def committed(s: SparkSession, path: String, batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_committed/$batchId")
+    p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
+  }
+
+  private def markCommitted(s: SparkSession, path: String,
+                            batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_committed/$batchId")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
+  /** Build the stream-layout curation store: every frozen model trained
+    * on history ONLY, history's members/hashes seeded under b=0.
+    * Batches then start at id 1. */
+  def init(histDocs: DataFrame, histVecs: DataFrame,
+           idCol: String, vecCol: String, labelCol: String,
+           textCol: String, k: Int, iters: Int,
+           numMerges: Int, maxWords: Int,
+           dsirTarget: Column, dsirBuckets: Int,
+           path: String, seed: String = "graft"): Unit = {
+    val s = histDocs.sparkSession
+    SemStream.init(histVecs, idCol, vecCol, k, iters, s"$path/sem")
+    histDocs
+      .select(md5(TextOps.normalizeText(col(textCol))).as("content_hash"))
+      .distinct()
+      .withColumn("b", lit(0L))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$path/hashes")
+    TextOps.writeNbModel(histDocs, labelCol, textCol, s"$path/nb")
+    TextOps.writeBpeMerges(s,
+      TextOps.bpeLearnMerges(histDocs, textCol, numMerges, maxWords),
+      s"$path/bpe")
+    Sampling.writeDsirWeights(histDocs, idCol, textCol, dsirTarget,
+      dsirBuckets, s"$path/dsir", seed)
+    markCommitted(s, path, 0L)
+  }
+
+  /** Apply one micro-batch: skip if committed; else SERVE against the
+    * pre-batch store (batchCut fence), write the curated rows, absorb
+    * the survivors' routed vectors and hashes — all idempotent dynamic
+    * overwrites — then the marker. */
+  def applyBatch(batchDocs: DataFrame, batchVecs: DataFrame,
+                 idCol: String, vecCol: String, labelCol: String,
+                 srcCol: String, textCol: String,
+                 path: String, thrNum: Long, thrDen: Long,
+                 clusterCap: Long, seed: String, batchId: Long): Unit = {
+    val s = batchDocs.sparkSession
+    require(batchId >= 1, s"batchId=$batchId collides with the b=0 seed")
+    if (committed(s, path, batchId)) return
+    if (!batchDocs.isEmpty) {
+      // materialize the serve ONCE: three artifacts derive from it,
+      // and a lazy plan would re-run the whole serve per write
+      val served = Curation.serveBatch(s, path, batchDocs, batchVecs,
+          idCol, vecCol, labelCol, srcCol, textCol,
+          thrNum, thrDen, clusterCap, seed, batchCut = Some(batchId))
+        .localCheckpoint(eager = true)
+      served.withColumn("b", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("b").parquet(s"$path/curated")
+      val survivors = served.select(col(idCol))
+      Clustering.assignToCentroidsKeepVec(
+          batchVecs.join(survivors, Seq(idCol)), idCol, vecCol,
+          Similarity.readSemCents(s, s"$path/sem"))
+        .withColumn("b", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("b", "cluster").parquet(s"$path/sem/members")
+      batchDocs.join(survivors, Seq(idCol))
+        .select(md5(TextOps.normalizeText(col(textCol))).as("content_hash"))
+        .distinct()
+        .withColumn("b", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("b").parquet(s"$path/hashes")
+    }
+    markCommitted(s, path, batchId)
+  }
+
+  /** Start the curation query over a document stream whose rows carry
+    * (idCol, srcCol, labelCol, textCol, vecCol). `batchIdOffset`
+    * shifts foreachBatch's 0-based ids past the b=0 seed. */
+  def maintain(docs: DataFrame, idCol: String, vecCol: String,
+               labelCol: String, srcCol: String, textCol: String,
+               path: String, thrNum: Long, thrDen: Long,
+               clusterCap: Long, seed: String, checkpoint: String,
+               batchIdOffset: Long = 1L): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val b = batch.toDF().localCheckpoint(true)
+        applyBatch(
+          b.select(col(idCol), col(srcCol), col(labelCol), col(textCol)),
+          b.select(col(idCol), col(vecCol)),
+          idCol, vecCol, labelCol, srcCol, textCol,
+          path, thrNum, thrDen, clusterCap, seed, batchId + batchIdOffset)
+      }
+      .start()
+}

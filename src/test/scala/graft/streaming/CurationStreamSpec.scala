@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+case class CrawlDoc(doc_id: Long, source: String, lang: String,
+                    text: String, embedding: Array[Float])
+
+/** Continuous-curation laws. Curation output legitimately DEPENDS on
+  * micro-batch boundaries (within-batch dedup is batch-scoped by
+  * design), so the streamed law is not boundary-invariance but
+  * machinery-invisibility: the real readStream path must equal the
+  * sequential serve+absorb loop over the same batch sequence, batch
+  * for batch — plus the SemStream redelivery discipline (committed
+  * no-op; crash-window redelivery byte-equal via the batchCut fence,
+  * without which a redelivered batch would exact-drop and
+  * near-dup-drop against its own absorbed survivors). */
+class CurationStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val (thrNum, thrDen, cap, seed) = (49L, 400L, 48L, "graft-mix")
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id").as("doc_id"), col("embedding"))
+
+  private def initStore(path: String): Unit =
+    CurationStream.init(
+      docs.filter(col("doc_id") % 4 <= 1),
+      vecs.filter(col("doc_id") % 4 <= 1),
+      "doc_id", "embedding", "lang", "text",
+      k = 8, iters = 2, numMerges = 16, maxWords = 100000,
+      dsirTarget = col("source").isin("src0", "src1"),
+      dsirBuckets = 64, path = path, seed = seed)
+
+  private def applySeq(path: String): Unit =
+    Seq((2, 1L), (3, 2L)).foreach { case (m, b) =>
+      CurationStream.applyBatch(
+        docs.filter(col("doc_id") % 4 === m),
+        vecs.filter(col("doc_id") % 4 === m),
+        "doc_id", "embedding", "lang", "source", "text",
+        path, thrNum, thrDen, cap, seed, batchId = b)
+    }
+
+  private def curated(path: String): Seq[String] = spark.read
+    .parquet(s"$path/curated")
+    .select(col("b").cast("long"), col("doc_id"), col("source"),
+      col("lang"), col("cluster"), col("bpe_tokens"), col("dsir_score"))
+    .collect().map(_.toString).sorted.toSeq
+
+  private def hashRows(path: String): Set[(Long, String)] = spark.read
+    .parquet(s"$path/hashes")
+    .select(col("b").cast("long"), col("content_hash"))
+    .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def memberRows(path: String): Set[(Long, Long, Int)] = spark.read
+    .parquet(s"$path/sem/members")
+    .select(col("b").cast("long"), col("id"), col("cluster").cast("int"))
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("real readStream path ≡ the sequential serve+absorb loop, " +
+       "batch for batch") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-curstream").toString
+    val (seqPath, strPath) = (s"$dir/seq", s"$dir/str")
+    initStore(seqPath); applySeq(seqPath)
+    initStore(strPath)
+    val rows = docs.join(vecs, Seq("doc_id"))
+      .select("doc_id", "source", "lang", "text", "embedding")
+      .as[CrawlDoc].collect()
+    val stream = MemoryStream[CrawlDoc]
+    val q = CurationStream.maintain(stream.toDF(), "doc_id", "embedding",
+      "lang", "source", "text", strPath, thrNum, thrDen, cap, seed,
+      checkpoint = s"$dir/ckpt")
+    stream.addData(rows.filter(_.doc_id % 4 == 2).toSeq)
+    q.processAllAvailable()
+    stream.addData(rows.filter(_.doc_id % 4 == 3).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(curated(strPath).nonEmpty, "stream law vacuous: nothing curated")
+    assert(curated(strPath) == curated(seqPath),
+      "streamed curated rows diverge from the sequential loop")
+    assert(hashRows(strPath) == hashRows(seqPath))
+    assert(memberRows(strPath) == memberRows(seqPath))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("redelivery: committed batch is a no-op; crash-window (artifacts " +
+       "absorbed, marker missing) rewrites byte-equal — the batchCut fence") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-curcrash").toString
+    val path = s"$dir/store"
+    initStore(path); applySeq(path)
+    val (wantCur, wantH, wantM) =
+      (curated(path), hashRows(path), memberRows(path))
+    assert(wantCur.exists(_.startsWith("[2,")),
+      "crash law vacuous: batch 2 curated nothing")
+    def redeliver2(): Unit = CurationStream.applyBatch(
+      docs.filter(col("doc_id") % 4 === 3),
+      vecs.filter(col("doc_id") % 4 === 3),
+      "doc_id", "embedding", "lang", "source", "text",
+      path, thrNum, thrDen, cap, seed, batchId = 2L)
+    // committed: metadata no-op
+    redeliver2()
+    assert(curated(path) == wantCur && hashRows(path) == wantH &&
+      memberRows(path) == wantM, "committed redelivery mutated the store")
+    // crash window: batch 2's survivors are absorbed (hashes + members
+    // under b=2) but the marker is gone — the re-serve must see only
+    // b < 2 (the fence) or it would drop the whole batch against itself
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_committed/2")
+    marker.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(marker, false)
+    assert(!CurationStream.committed(spark, path, 2L))
+    redeliver2()
+    assert(CurationStream.committed(spark, path, 2L))
+    assert(curated(path) == wantCur,
+      "crash-window redelivery changed the curated rows — the batch " +
+        "served against its own absorbed survivors")
+    assert(hashRows(path) == wantH && memberRows(path) == wantM,
+      "crash-window redelivery changed the absorbed artifacts")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+}
