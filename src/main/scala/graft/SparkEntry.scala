@@ -2546,6 +2546,51 @@ object SparkEntry {
       .orderBy("b", "doc_id")
   }
 
+  /** Curation-store retention fold
+    * ([[graft.streaming.CurationStream.foldStore]]): q149's loop with
+    * the q140/q115 lifecycle move applied to the SERVE-PATH artifacts —
+    * after batches 1 (%4 = 2) and 2 (%8 = 3), `sem/members` and
+    * `hashes` history is folded into one b=2 snapshot, then batch 3
+    * (%8 = 7) is served against the FOLDED store. The oracle is the
+    * 3-round curation chain with NO idea a fold happened: folding is a
+    * pure relabel-union deduped on the store's unique keys, and a
+    * later batch's cut (`b < 3`) sees the identical hash set and
+    * member rows either way — read-invisibility certified through the
+    * driver gate, the q140-reuses-q127 discipline at the curation
+    * level. */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q150" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-curfold-$tag"
+    val d = Tables.documents(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    def slice(df: DataFrame, m: Int, r: Int) =
+      df.filter(col("doc_id") % m === r)
+    if (!new java.io.File(path).exists()) {
+      CurationStream.init(
+        d.filter(col("doc_id") % 4 <= 1), e.filter(col("doc_id") % 4 <= 1),
+        "doc_id", "embedding", "lang", "text",
+        k = KmeansK, iters = KmeansIters,
+        numMerges = BpeMerges, maxWords = BpeMaxWords,
+        dsirTarget = col("source").isin("src0", "src1"),
+        dsirBuckets = 256, path = path, seed = SampleSeed)
+      Seq((4, 2, 1L), (8, 3, 2L)).foreach { case (m, r, b) =>
+        CurationStream.applyBatch(slice(d, m, r), slice(e, m, r),
+          "doc_id", "embedding", "lang", "source", "text",
+          path, SemThrNum, SemThrDen, SemCap, SampleSeed, batchId = b)
+      }
+      CurationStream.foldStore(s, path, upTo = 2L)
+      CurationStream.applyBatch(slice(d, 8, 7), slice(e, 8, 7),
+        "doc_id", "embedding", "lang", "source", "text",
+        path, SemThrNum, SemThrDen, SemCap, SampleSeed, batchId = 3L)
+    }
+    s.read.parquet(s"$path/curated")
+      .select(col("b").cast("long").as("b"), col("doc_id"), col("source"),
+        col("lang"), col("cluster"), col("bpe_tokens"), col("dsir_score"))
+      .orderBy("b", "doc_id")
+  }
+
   /** Audit→action salted join ([[Shuffles.saltedJoinBySkew]]): q145's
     * skew audit measures and q64's salting rewrites — this closes the
     * loop, running the audit's ppm decision rule inline and salting
@@ -2912,6 +2957,7 @@ object SparkEntry {
     "q147_curation_serve" -> q147,
     "q148_salted_by_skew" -> q148,
     "q149_curation_stream" -> q149,
+    "q150_curation_fold" -> q150,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -5331,6 +5377,13 @@ object SparkEntry {
     // against history ∪ batch-1 survivors, ONE statement — the stream
     // store's accumulation replayed (its storage is read-invisible)
     "q149_curation_stream" -> curationStreamOracleSql,
+    // q150: the 3-round chain with the fold NOWHERE in it — the fold
+    // between batches 2 and 3 must be invisible to every later serve
+    "q150_curation_fold" -> curationChainOracleSql(
+      histDocPred = "doc_id % 4 <= 1", histVecPred = "vec_id % 4 <= 1",
+      testPred = "doc_id % 4 >= 2",
+      batchPreds = Seq("doc_id % 4 = 2", "doc_id % 8 = 3", "doc_id % 8 = 7"),
+      withBatchCol = true),
     // q148: the PLAIN join certifies the hot-key-only salting rewrite;
     // n_hot_users replays the integer ppm salting decision itself
     "q148_salted_by_skew" ->

@@ -909,6 +909,67 @@ object Stress {
       post.size.toLong
     }
     }
+    if (mode == "curstream") {
+    // Continuous-curation storm: the q149/q150 loop at a day's cadence.
+    // `factor` crawl batches are served+absorbed in sequence against a
+    // growing store (docs AND vectors replicated with perturbed text so
+    // dedup keeps real work), then the serve-path history is folded and
+    // one more batch served — measuring (a) how per-batch serve cost
+    // grows with absorbed history, (b) what the fold collapses (files),
+    // (c) the post-fold serve cost. Serve correctness across the fold
+    // is spec-pinned (CurationStreamSpec) and driver-certified (q150);
+    // this measures the COST story those laws ride on.
+    import graft.streaming.CurationStream
+    val nb = math.max(4, factor)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-stress-curstream-$nb"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val nBase = 5000L
+    val d0 = Tables.documents(spark, "/root/testdata/sf0.1")
+    val e0 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val reps = spark.range((nb + 2) / 4 + 1).select(col("id").as("__rep"))
+    val bigD = d0.crossJoin(reps)
+      .select((col("doc_id") + col("__rep") * nBase).as("doc_id"),
+        col("source"), col("lang"),
+        concat(col("text"), lit(" copytag"), col("__rep")).as("text"))
+      .localCheckpoint(true)
+    val bigE = e0.crossJoin(reps)
+      .select((col("vec_id") + col("__rep") * nBase).as("doc_id"),
+        col("embedding"))
+      .localCheckpoint(true)
+    val mod = nb + 2
+    def dSlice(r: Int) = bigD.filter(pmod(col("doc_id"), lit(mod)) === r)
+    def eSlice(r: Int) = bigE.filter(pmod(col("doc_id"), lit(mod)) === r)
+    println(s"[stress] curation stream: ${bigD.count()} docs, " +
+      s"$nb batches + 1 post-fold")
+    val t0 = System.nanoTime()
+    CurationStream.init(dSlice(0), eSlice(0), "doc_id", "embedding",
+      "lang", "text", k = 16, iters = 2, numMerges = 32,
+      maxWords = 100000, dsirTarget = col("source").isin("src0", "src1"),
+      dsirBuckets = 256, path = path, seed = "graft")
+    println(f"[stress] init (train all artifacts) " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    def applyB(r: Int, b: Long): Unit =
+      CurationStream.applyBatch(dSlice(r), eSlice(r), "doc_id",
+        "embedding", "lang", "source", "text", path,
+        49L, 400L, 48L, "graft", b)
+    (1 to nb).foreach { b =>
+      time(f"serve+absorb batch $b%2d") { applyB(b, b.toLong); 1L }
+    }
+    def fileCount(): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(java.nio.file.Files.isRegularFile(_)).toLong
+      } finally s.close()
+    }
+    println(s"[stress] files pre-fold: ${fileCount()}")
+    time(s"foldStore(upTo=$nb)") {
+      CurationStream.foldStore(spark, path, upTo = nb.toLong); 1L
+    }
+    println(s"[stress] files post-fold: ${fileCount()}")
+    time("serve+absorb post-fold batch") {
+      applyB(nb + 1, nb + 1L); 1L
+    }
+    }
     if (mode == "attr") {
     // Stream-join state retention storm — the q141 100 TB claim: with
     // a TIGHT lateness the interval-join condition doubles as the

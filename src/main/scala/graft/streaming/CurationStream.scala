@@ -125,6 +125,83 @@ object CurationStream {
     markCommitted(s, path, batchId)
   }
 
+  /** Retention fold for the curation store — [[SemStream.foldSemStore]]'s
+    * move applied to the artifacts the SERVE PATH reads: merge every
+    * `sem/members` and `hashes` batch `b ≤ upTo` into one snapshot
+    * labeled `b = upTo`, leaving later batches untouched. Both folds
+    * are pure relabel-unions deduped on their unique key (member `id`,
+    * `content_hash`), so a crash between overwrite and stale-dir
+    * delete re-runs to the clean fold bit-for-bit. `curated/` is NOT
+    * folded: its `b` is the output's batch identity, not probe state —
+    * retention there belongs to the consumer.
+    *
+    * Read-invisibility: [[graft.operators.Curation.serveBatch]] with
+    * `batchCut = c > upTo` sees the same hash set and the same member
+    * rows before and after (the cut keeps `b = upTo`), so serving is
+    * IDENTICAL across the fold — q150 certifies exactly that through
+    * the driver oracle, which replays the 3-batch chain with no idea a
+    * fold happened between batches 2 and 3.
+    *
+    * Fold-safety fence (the foldSemStore discipline): every batch with
+    * rows on disk at or below the fold point must carry its commit
+    * marker — folding a crashed batch's partial absorption would strand
+    * rows under b=upTo that its redelivery then re-absorbs under b=k,
+    * duplicating members — and the fold point must not sit above the
+    * last committed batch. */
+  def foldStore(s: SparkSession, path: String, upTo: Long): Unit = {
+    val hconf = s.sessionState.newHadoopConf()
+    def batchesOf(sub: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("b="))
+        .map(_.getPath.getName.stripPrefix("b=").toLong)
+    }
+    val present = (batchesOf("sem/members") ++ batchesOf("hashes"))
+      .distinct.filter(_ <= upTo)
+    val uncommitted = present.filterNot(committed(s, path, _)).sorted
+    require(uncommitted.isEmpty,
+      s"foldStore(upTo=$upTo): batch(es) ${uncommitted.mkString(", ")} " +
+        s"have rows under $path but no commit marker — a producer " +
+        "crashed mid-batch; let redelivery complete them before folding")
+    val committedMax: Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/_committed")
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) -1L
+      else fs.listStatus(p).toSeq
+        .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+        .foldLeft(-1L)(math.max)
+    }
+    require(upTo <= committedMax,
+      s"foldStore(upTo=$upTo): fold point is above the last committed " +
+        s"batch ($committedMax)")
+    def deleteBelow(sub: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("b="))
+        .filter(_.getPath.getName.stripPrefix("b=").toLong < upTo)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    def fold(sub: String, parts: Seq[String], dedupKeys: Seq[String],
+             shuffleKey: Option[String]): Unit =
+      if (batchesOf(sub).count(_ <= upTo) > 1) {
+        val read = s.read.parquet(s"$path/$sub")
+          .filter(col("b").cast("long") <= upTo).drop("b")
+          .dropDuplicates(dedupKeys) // exact: crash-rerun sees rows twice
+          .withColumn("b", lit(upTo))
+        val merged = shuffleKey.fold(read)(k => read.repartition(col(k)))
+          .localCheckpoint() // materialize BEFORE touching source dirs
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(parts: _*).parquet(s"$path/$sub")
+        deleteBelow(sub)
+      }
+    fold("sem/members", Seq("b", "cluster"), Seq("id"), Some("cluster"))
+    fold("hashes", Seq("b"), Seq("content_hash"), None)
+  }
+
   /** Start the curation query over a document stream whose rows carry
     * (idCol, srcCol, labelCol, textCol, vecCol). `batchIdOffset`
     * shifts foreachBatch's 0-based ids past the b=0 seed. */

@@ -814,4 +814,24 @@ class PlanContractSpec extends SparkSpec {
     assert(exchanges.forall(_.contains("rangepartitioning")),
       s"q97 introduced a non-sort exchange:\n$plan")
   }
+
+  test("saltedJoinBySkew: hot set broadcasts to BOTH sides, join keys " +
+       "carry the salt, never a product") {
+    // the operator's whole scale story: the decision table (≤1e6/thr
+    // keys) must reach fact and dim as a broadcast — a shuffled hot
+    // tag would cost more than the skew it prevents — and the main
+    // join must key on (key, __salt) so the hot key spreads
+    val ev = Tables.events(spark, dir).select("user_id", "value")
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plan = physical(operators.Shuffles.saltedJoinBySkew(
+      ev, cust, "user_id", salts = 8, thresholdPpm = 7000L))
+    assert(!plan.contains("CartesianProduct"),
+      s"auto-salted join planned a product:\n$plan")
+    assert(plan.contains("__salt"),
+      s"salt column missing from the join:\n$plan")
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2,
+      s"hot-key tags did not broadcast to both sides ($bhj BHJ):\n$plan")
+  }
 }

@@ -90,6 +90,55 @@ class CurationStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("foldStore is invisible to later serves, idempotent, and fences " +
+       "uncommitted batches and future fold points") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-curfold").toString
+    val (ctl, fld) = (s"$dir/control", s"$dir/folded")
+    def applyB(path: String, m: Int, r: Int, b: Long): Unit =
+      CurationStream.applyBatch(
+        docs.filter(col("doc_id") % m === r),
+        vecs.filter(col("doc_id") % m === r),
+        "doc_id", "embedding", "lang", "source", "text",
+        path, thrNum, thrDen, cap, seed, batchId = b)
+    Seq(ctl, fld).foreach { p =>
+      initStore(p); applyB(p, 4, 2, 1L); applyB(p, 8, 3, 2L)
+    }
+    CurationStream.foldStore(spark, fld, upTo = 2L)
+    // the serve-path artifacts fold to ONE batch label with identical
+    // content (the b column is layout, not meaning, below the fold)
+    assert(hashRows(fld).map(_._2) == hashRows(ctl).map(_._2))
+    assert(memberRows(fld).map(m => (m._2, m._3)) ==
+      memberRows(ctl).map(m => (m._2, m._3)))
+    assert(hashRows(fld).map(_._1) == Set(2L),
+      s"hash batch dirs after fold: ${hashRows(fld).map(_._1)}")
+    // batch 3 serves IDENTICALLY against the folded and unfolded store
+    applyB(ctl, 8, 7, 3L); applyB(fld, 8, 7, 3L)
+    assert(curated(fld) == curated(ctl),
+      "the fold changed a later batch's serve")
+    assert(curated(fld).exists(_.startsWith("[3,")),
+      "fold law vacuous: batch 3 curated nothing")
+    // idempotent: nothing below the fold point remains to merge
+    CurationStream.foldStore(spark, fld, upTo = 2L)
+    assert(curated(fld) == curated(ctl) &&
+      hashRows(fld).map(_._2) == hashRows(ctl).map(_._2))
+    // fences: a marker-less batch below the fold point refuses; a fold
+    // point above the last committed batch refuses
+    val marker = new org.apache.hadoop.fs.Path(s"$fld/_committed/3")
+    marker.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(marker, false)
+    val ex = intercept[IllegalArgumentException] {
+      CurationStream.foldStore(spark, fld, upTo = 3L)
+    }
+    assert(ex.getMessage.contains("no commit marker"), ex.getMessage)
+    applyB(fld, 8, 7, 3L) // redelivery completes batch 3
+    val ex2 = intercept[IllegalArgumentException] {
+      CurationStream.foldStore(spark, fld, upTo = 9L)
+    }
+    assert(ex2.getMessage.contains("above the last committed"), ex2.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("redelivery: committed batch is a no-op; crash-window (artifacts " +
        "absorbed, marker missing) rewrites byte-equal — the batchCut fence") {
     val dir = java.nio.file.Files
