@@ -138,6 +138,16 @@ object Bench {
                                  prior: Option[Double]): Boolean =
     prior.forall(p => p <= 0.0 || math.max(lo, hi) <= 2.0 * p)
 
+  /** The anchor pass's probe reference: the run's best own probe,
+    * FLOORED by the committed prior — the prior is the host's
+    * demonstrated clean capability, so one abnormally-low sample must
+    * not tighten the anchor bar below it (round 14: a 0.036 s outlier
+    * against a 0.108 s prior set a bar typical clean probes failed and
+    * voided 5/20 anchors on a self-clean run). */
+  private[graft] def anchorFloor(probes: Seq[Double],
+                                 prior: Option[Double]): Double =
+    prior.foldLeft(probes.min)(math.max)
+
   /** Run-level sentinel (round-11, from the round-10 adjudication): the
     * round-9 rule — void the run when even the BETTER boundary probe is
     * >2x prior — missed a run where 8 of 10 interleaved probe windows
@@ -469,7 +479,7 @@ object Bench {
       .sortBy(-_._2).take(anchorBudget).map(_._1).sorted
     val anchorTimes = scala.collection.mutable.Map.empty[String, Double]
     locally {
-      val probeFloor = (probes ++ prevProbe).min
+      val probeFloor = anchorFloor(probes, prevProbe)
       val floorOpt = Some(probeFloor).filter(_ > 0.0)
       // per-query brackets (round 14, from the round-13 adjudication):
       // brackets previously wrapped groups of 5, so one hot query

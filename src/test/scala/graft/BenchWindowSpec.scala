@@ -60,6 +60,18 @@ class BenchWindowSpec extends AnyFunSuite {
     assert(Bench.cleanWindow(9.0, 9.0, Some(0.0)))
   }
 
+  test("anchorFloor: the run's best probe, never BELOW the committed " +
+       "prior — one low outlier cannot tighten the anchor bar") {
+    // round-14 defect: min() across prior and probes let a 0.036 s
+    // outlier set a 0.071 s bar against a 0.108 s prior, voiding 5/20
+    // anchors on a run whose own sentinels said clean
+    assert(Bench.anchorFloor(Seq(0.036, 0.06, 0.12), Some(0.108)) == 0.108)
+    // a genuinely faster host raises the floor through its own probes
+    assert(Bench.anchorFloor(Seq(0.2, 0.25), Some(0.108)) == 0.2)
+    // no prior: the run's own best
+    assert(Bench.anchorFloor(Seq(0.09, 0.05), None) == 0.05)
+  }
+
   test("suspicion and cleanliness are asymmetric by design: a half-hot " +
        "window is neither suspect nor clean") {
     // one hot bracket: windowSuspects does NOT flag (min rule) …
