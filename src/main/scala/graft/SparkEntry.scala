@@ -2607,13 +2607,13 @@ object SparkEntry {
     val ev = Tables.events(s, dir).select(col("user_id"), col("value"))
     val cust = Tables.customer(s, dir)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
-    val joined = Shuffles.saltedJoinBySkew(ev, cust, "user_id",
-      salts = 8, thresholdPpm = 7000L)
-    val counts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("__kr"))
-    val hot = counts
-      .crossJoin(broadcast(counts.agg(sum("__kr").as("__tot"))))
-      .filter(col("__kr") * lit(1000000L) >= lit(7000L) * col("__tot"))
-      .select(col("user_id"), lit(1L).as("__hot"))
+    // the production split: audit ONCE, reuse the hot set for the join
+    // AND the report column (q64's lesson applied to the audit itself)
+    val hotKeys = Shuffles.hotKeysByShare(ev, "user_id", thresholdPpm = 7000L)
+      .localCheckpoint(eager = true)
+    val joined = Shuffles.saltedJoinHot(ev, cust, "user_id",
+      salts = 8, hotKeys = hotKeys)
+    val hot = hotKeys.withColumn("__hot", lit(1L))
     joined.join(broadcast(hot), Seq("user_id"), "left")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
