@@ -2591,6 +2591,40 @@ object SparkEntry {
       .orderBy("b", "doc_id")
   }
 
+  /** Classifier drift — WHEN to retrain the frozen quality model
+    * (q120's tokenizer-drift question asked of the NB classifier, and
+    * the missing piece of the frozen-artifact story: q146/q147/q149
+    * all serve a frozen NB and declare retraining "a scheduled offline
+    * move" — this is the signal that schedules it). Two models score
+    * the WHOLE corpus: the frozen one (trained on the %4 ≠ 3 history,
+    * exactly q146's artifact) and a retrained one (all documents).
+    * Per language: how often they disagree (`drift_bp`, basis points)
+    * and each model's self-consistency against the labeled corpus —
+    * all exact integers, so the oracle replays two namespaced NB
+    * chains and compares predictions row for row. */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val frozen = TextOps.nbTrainPredict(
+        d.filter(col("doc_id") % 4 =!= 3), d, "doc_id", "lang", "text")
+      .select(col("doc_id"), col("pred").as("__pf"))
+    val retrained = TextOps.nbTrainPredict(d, d, "doc_id", "lang", "text")
+      .select(col("doc_id"), col("pred").as("__pr"))
+    d.select(col("doc_id"), col("lang"))
+      .join(frozen, Seq("doc_id"))
+      .join(retrained, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__pf") === col("__pr"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(when(col("__pf") === col("lang"), 1L).otherwise(0L))
+          .as("n_frozen_correct"),
+        sum(when(col("__pr") === col("lang"), 1L).otherwise(0L))
+          .as("n_retrained_correct"))
+      .withColumn("drift_bp",
+        expr("(n_docs - n_agree) * 10000 DIV n_docs"))
+      .orderBy("lang")
+  }
+
   /** Audit→action salted join ([[Shuffles.saltedJoinBySkew]]): q145's
     * skew audit measures and q64's salting rewrites — this closes the
     * loop, running the audit's ppm decision rule inline and salting
@@ -2958,6 +2992,7 @@ object SparkEntry {
     "q148_salted_by_skew" -> q148,
     "q149_curation_stream" -> q149,
     "q150_curation_fold" -> q150,
+    "q151_nb_drift" -> q151,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -3355,41 +3390,41 @@ object SparkEntry {
     * oracles (train on their history slice, score every batch doc;
     * predictions are per-doc, so consumers restrict by joining
     * `pred`). */
-  private def nbPredCtesFor(trainPred: String, testPred: String): String =
-    s"""tr AS (SELECT lang, text FROM documents WHERE $trainPred),
-      |te AS (SELECT doc_id, lang, text FROM documents WHERE $testPred),""".stripMargin +
-    """
-      |tt AS (SELECT lang AS lab, unnest(list_filter(string_split(text, ' '),
-      |         t -> len(t) > 0)) AS tok FROM tr),
-      |cwt AS (SELECT lab, tok, count(*) AS c FROM tt GROUP BY 1, 2),
-      |ct AS (SELECT lab, count(*) AS c FROM tt GROUP BY 1),
-      |vocab AS (SELECT count(DISTINCT tok) AS v FROM tt),
-      |nlab AS (SELECT lang AS lab, count(*) AS nl FROM tr GROUP BY 1),
-      |ntr AS (SELECT count(*) AS n FROM tr),
-      |cls AS (SELECT ct.lab, ct.c AS ctc, vocab.v,
+  private def nbPredCtesFor(trainPred: String, testPred: String,
+                            p: String = ""): String =
+    s"""${p}tr AS (SELECT lang, text FROM documents WHERE $trainPred),
+      |${p}te AS (SELECT doc_id, lang, text FROM documents WHERE $testPred),
+      |${p}tt AS (SELECT lang AS lab, unnest(list_filter(string_split(text, ' '),
+      |         t -> len(t) > 0)) AS tok FROM ${p}tr),
+      |${p}cwt AS (SELECT lab, tok, count(*) AS c FROM ${p}tt GROUP BY 1, 2),
+      |${p}ct AS (SELECT lab, count(*) AS c FROM ${p}tt GROUP BY 1),
+      |${p}vocab AS (SELECT count(DISTINCT tok) AS v FROM ${p}tt),
+      |${p}nlab AS (SELECT lang AS lab, count(*) AS nl FROM ${p}tr GROUP BY 1),
+      |${p}ntr AS (SELECT count(*) AS n FROM ${p}tr),
+      |${p}cls AS (SELECT ct.lab, ct.c AS ctc, vocab.v,
       |          CAST(round(ln(nlab.nl::DOUBLE / ntr.n), 6) AS DECIMAL(18,6)) AS prior,
       |          CAST(round(ln(1.0 / (ct.c + vocab.v)), 6) AS DECIMAL(18,6)) AS floor_lp
-      |        FROM ct JOIN nlab USING (lab), vocab, ntr),
-      |model AS (SELECT cwt.lab, cwt.tok,
+      |        FROM ${p}ct ct JOIN ${p}nlab nlab USING (lab), ${p}vocab vocab, ${p}ntr ntr),
+      |${p}model AS (SELECT cwt.lab, cwt.tok,
       |            CAST(round(ln((cwt.c + 1)::DOUBLE / (cls.ctc + cls.v)), 6)
       |              AS DECIMAL(18,6)) AS lp
-      |          FROM cwt JOIN cls USING (lab)),
-      |toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
-      |           t -> len(t) > 0)) AS tok FROM te),
-      |perdoc AS (SELECT t.doc_id, c.lab,
+      |          FROM ${p}cwt cwt JOIN ${p}cls cls USING (lab)),
+      |${p}toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |           t -> len(t) > 0)) AS tok FROM ${p}te),
+      |${p}perdoc AS (SELECT t.doc_id, c.lab,
       |             CAST(sum(coalesce(m.lp, c.floor_lp)) AS DECIMAL(28,6)) AS s
-      |           FROM toks t CROSS JOIN cls c
-      |           LEFT JOIN model m ON m.lab = c.lab AND m.tok = t.tok
+      |           FROM ${p}toks t CROSS JOIN ${p}cls c
+      |           LEFT JOIN ${p}model m ON m.lab = c.lab AND m.tok = t.tok
       |           GROUP BY 1, 2),
-      |scored AS (SELECT p.doc_id, p.lab,
+      |${p}scored AS (SELECT p.doc_id, p.lab,
       |             CAST(p.s + c.prior AS DECIMAL(28,6)) AS score
-      |           FROM perdoc p JOIN cls c USING (lab)),
-      |pred AS (SELECT doc_id, lab AS pred,
+      |           FROM ${p}perdoc p JOIN ${p}cls c USING (lab)),
+      |${p}pred AS (SELECT doc_id, lab AS pred,
       |           CAST(CAST(score AS VARCHAR) AS DOUBLE) AS score
       |         FROM (SELECT doc_id, lab, score,
       |                 row_number() OVER (PARTITION BY doc_id
       |                   ORDER BY score DESC, lab ASC) AS rn
-      |               FROM scored) WHERE rn = 1)""".stripMargin
+      |               FROM ${p}scored) WHERE rn = 1)""".stripMargin
 
   private val nbPredCtesBody: String =
     nbPredCtesFor("doc_id % 4 != 3", "doc_id % 4 = 3")
@@ -5384,6 +5419,25 @@ object SparkEntry {
       testPred = "doc_id % 4 >= 2",
       batchPreds = Seq("doc_id % 4 = 2", "doc_id % 8 = 3", "doc_id % 8 = 7"),
       withBatchCol = true),
+    // q151: two namespaced NB chains (frozen: trained on %4 != 3;
+    // retrained: all docs), both scoring everything — integer
+    // agreement/accuracy counts and floor-div drift in basis points
+    "q151_nb_drift" -> ("WITH " +
+      nbPredCtesFor("doc_id % 4 != 3", "TRUE", "f_") + ", " +
+      nbPredCtesFor("TRUE", "TRUE", "r_") + """
+      |SELECT d.lang, count(*)::BIGINT AS n_docs,
+      |       sum(CASE WHEN f.pred = r.pred THEN 1 ELSE 0 END)::BIGINT
+      |         AS n_agree,
+      |       sum(CASE WHEN f.pred = d.lang THEN 1 ELSE 0 END)::BIGINT
+      |         AS n_frozen_correct,
+      |       sum(CASE WHEN r.pred = d.lang THEN 1 ELSE 0 END)::BIGINT
+      |         AS n_retrained_correct,
+      |       ((count(*) - sum(CASE WHEN f.pred = r.pred THEN 1 ELSE 0 END))
+      |         * 10000 // count(*))::BIGINT AS drift_bp
+      |FROM documents d
+      |JOIN f_pred f ON f.doc_id = d.doc_id
+      |JOIN r_pred r ON r.doc_id = d.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin),
     // q148: the PLAIN join certifies the hot-key-only salting rewrite;
     // n_hot_users replays the integer ppm salting decision itself
     "q148_salted_by_skew" ->
