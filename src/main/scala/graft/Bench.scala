@@ -286,7 +286,9 @@ object Bench {
         // the totals agree to 0.1 s (same run, not a stray dev file).
         if (queriesOf(payload).nonEmpty) payload
         else {
-          val side = Paths.get(
+          // resolve next to the artifact, not against the process CWD —
+          // SPARK_GRAFT_BENCH_PREV may point outside the repo root
+          val side = p.toAbsolutePath.resolveSibling(
             p.getFileName.toString.replace(".json", "_map.json"))
           if (!Files.exists(side)) payload
           else try {
@@ -650,10 +652,15 @@ object Bench {
     def ultraLine(dp: Int): String = {
       val qs = qPairs.map { case (k, v) => jstr(ultraKey(k)) + ":" + fmt(v, dp) }
         .mkString("{", ",", "}")
+      // suspect/rescued/window_suspect keep their NAME arrays even at
+      // ultra level — they say WHICH published numbers to distrust, and
+      // on a clean run they are [] so they cost ~2 chars each. Only the
+      // purely diagnostic noisy/partial lists shrink to counts.
+      def ultraArr(ns: Seq[String]) = ns.map(n => jstr(ultraKey(n))).mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","reps":$reps,""" +
         s""""n_failed":$nFailed,"n_noisy":${noisyNames.size},"n_partial":${partialNames.size},""" +
-        s""""n_suspect":${suspectNames.size},"n_rescued":${rescuedNames.size},""" +
-        s""""n_window_suspect":${windowSuspectFinal.size},""" +
+        s""""suspect":${ultraArr(suspectNames)},"rescued":${ultraArr(rescuedNames.toSeq)},""" +
+        s""""window_suspect":${ultraArr(windowSuspectFinal)},""" +
         s""""anchor_total":${fmt(anchorTimes.values.sum, dp)},"anchor_n":${anchorTimes.size},""" +
         s""""anchor_of":${anchorNames.size},""" +
         s""""calibration":{"probe_median":${fmt(probeBest, dp)},""" +

@@ -91,11 +91,15 @@ object Shuffles {
     * `salts`×) and every other key joining plain under salt 0.
     * Result ≡ the plain inner equi-join for ANY hot set — correctness
     * never depends on the audit being current, only the skew
-    * protection does. */
+    * protection does. The hot set is deduplicated here (a duplicate
+    * hot key would multiply every matching fact row through the tag
+    * join, breaking the any-hot-set contract; [[hotKeysByShare]] is
+    * distinct by construction but arbitrary callers aren't). */
   def saltedJoinHot(fact: DataFrame, dim: DataFrame, key: String,
                     salts: Int, hotKeys: DataFrame): DataFrame = {
     require(salts > 0, s"salts=$salts must be positive")
-    val hot = hotKeys.select(col(key), lit(true).as("__hot"))
+    val hot = hotKeys.select(col(key)).distinct()
+      .select(col(key), lit(true).as("__hot"))
     val saltedFact = fact.join(broadcast(hot), Seq(key), "left")
       .withColumn("__salt",
         when(col("__hot"), rowSalt(fact, salts)).otherwise(lit(0)))

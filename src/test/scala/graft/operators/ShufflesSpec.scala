@@ -100,6 +100,22 @@ class ShufflesSpec extends SparkSpec {
     assert(exactly.count() == 4, "share == threshold must salt, not skip")
   }
 
+  test("saltedJoinHot honors the any-hot-set contract even for a " +
+       "caller-supplied hot list with duplicates") {
+    // the documented contract is ≡-plain-join for ANY hot set; a
+    // duplicated hot key must not multiply matching fact rows through
+    // the tag join (the operator dedups the hot list internally)
+    val plain = skewed.join(dim, Seq("key"))
+      .select("id", "key", "v", "label").collect().toSet
+    val dupHot = Seq("hot", "hot", "k1", "hot", "k1").toDF("key")
+    val salted = Shuffles.saltedJoinHot(skewed, dim, "key", salts = 8,
+        hotKeys = dupHot)
+      .select("id", "key", "v", "label").collect()
+    assert(salted.length == plain.size,
+      s"duplicate hot keys multiplied rows: ${salted.length} vs ${plain.size}")
+    assert(salted.toSet == plain)
+  }
+
   test("saltedCount equals plain groupBy count") {
     val plain = skewed.groupBy("key").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap

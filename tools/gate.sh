@@ -7,9 +7,14 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Fingerprint covers the build configuration too (build.sbt, project/),
+# not just src/ — a green record must pin the exact build the suite ran
+# under. NUL-delimited so whitespace in a path can never split a name.
 tree_hash() {
-  find src -name '*.scala' -type f | LC_ALL=C sort \
-    | xargs sha256sum | sha256sum | cut -d' ' -f1
+  { find src -name '*.scala' -type f -print0;
+    find project -type f \( -name '*.sbt' -o -name '*.scala' -o -name '*.properties' \) -print0 2>/dev/null;
+    printf 'build.sbt\0'; } \
+    | LC_ALL=C sort -z | xargs -0 sha256sum | sha256sum | cut -d' ' -f1
 }
 
 before=$(tree_hash)
