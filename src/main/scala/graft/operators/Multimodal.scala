@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   *
   * Media lives as opaque `binary` columns beside a typed metadata
   * struct; decode runs as a codegen'd native expression
-  * ([[graft.functions.MediaDecodeExpr]]) so a real codec (JNI/FFI)
-  * would amortize its handle per JVM, not per row. The codecs
-  * themselves are NOT in this container, so the decode kernel is a
-  * clearly-marked deterministic stub — the Spark-side contract (schema,
-  * batching, partitioning) is real and tested, and swapping the stub for
-  * libjpeg/ffmpeg is a one-function change.
+  * ([[graft.functions.MediaDecodeExpr]]) so a codec handle amortizes
+  * per JVM, not per row. The decode kernel is a REAL parser for the
+  * uncompressed public formats (BMP, PCM-WAV — header parse + channel-
+  * plane extraction, golden-pinned in GoldenMediaSpec and oracle-
+  * certified by the q152/q153 roundtrips); payloads in any other
+  * format decode to documented deterministic pseudo-dimensions, the
+  * contract that keeps the driver oracle replayable — a libjpeg/ffmpeg
+  * JNI handle would slot in as one more sniff branch.
   */
 object Multimodal {
 
@@ -38,8 +40,9 @@ object Multimodal {
         .as("meta"))
 
   /** Batch decode through the codegen'd [[graft.functions
-    * .MediaDecodeExpr]] kernel (the codec stub lives in
-    * [[graft.functions.MediaCodec]]): a shuffle-free columnar select
+    * .MediaDecodeExpr]] kernel ([[graft.functions.MediaCodec]]'s real
+    * BMP/PCM-WAV parsers + the opaque-payload fallback): a
+    * shuffle-free columnar select
     * that stays inside whole-stage codegen — no RDD hop, no Row boxing.
     * Rows with null media decode to null and are dropped, like a failed
     * decode would be. */
@@ -90,8 +93,9 @@ object Multimodal {
     * decodes (codegen'd kernel) and embeds each object into a `dim`
     * vector, producing the compact (media_id, emb) store retrieval
     * runs on. The embedding body is integer arithmetic on the decoded
-    * pseudo-dimensions — the same discipline as the decode stub
-    * (MediaDecode.scala): DuckDB reproduces it from file sizes, so the
+    * pseudo-dimensions — the same oracle discipline as the decode
+    * kernel's opaque-payload fallback (MediaDecode.scala): DuckDB
+    * reproduces it from file sizes, so the
     * whole blob→embedding→ANN composition is oracle-certifiable with
     * no codec or model libraries in the container. In production THIS
     * select is where the encoder model runs (ONNX / mapInPandas batch
@@ -148,5 +152,52 @@ object Multimodal {
         aggregate(col("__fs"), lit(0L),
           (acc, f) => acc + f.getField("frame_bytes").cast("long"))
           .as("frame_bytes_total")): _*)
+  }
+
+  /** PCM-WAV encode→decode→plane roundtrip over a media table: wraps
+    * each payload as a mono 8-bit WAV, runs the REAL RIFF/PCM parser
+    * ([[graft.functions.MediaCodec]]) on it, and extracts channel 0.
+    * One shuffle-free codegen'd select — wrap, decode and plane are
+    * columns of the same projection, so the blob is materialized once
+    * per row and only the fixed-width stats + a 32-char hash leave the
+    * scan. This is the oracle-certifiable proof that the decoder is a
+    * real format parser, not byte-length arithmetic: every output
+    * column is a header field the parser had to READ back out of the
+    * encoded file. */
+  def wavRoundtrip(media: DataFrame, sampleRate: Int): DataFrame = {
+    graft.functions.MediaFunctions.register(media.sparkSession)
+    val wav = graft.functions.MediaFunctions.wavWrap(col("media"), sampleRate)
+    media.select(
+        col("media_id"),
+        graft.functions.MediaFunctions.decodeMedia(wav).as("__d"),
+        graft.functions.MediaFunctions.mediaPlane(wav, 0).as("__p"))
+      .select(col("media_id"),
+        col("__d.width").cast("long").as("n_samples"),
+        col("__d.height").cast("long").as("sample_rate"),
+        col("__d.channels").cast("long").as("channels"),
+        col("__d.n_bytes").as("file_bytes"),
+        md5(col("__p")).as("pcm_hash"))
+  }
+
+  /** 8-bpp grayscale BMP encode→decode→plane roundtrip (the image twin
+    * of [[wavRoundtrip]]): wraps each payload as a top-down BMP of the
+    * given width (a positive multiple of 4, so the stride carries no
+    * row padding), parses it back and extracts the single palette-index
+    * plane. The plane is the payload plus a zero tail filling the last
+    * row — callers wanting plane ≡ payload exactly feed payloads whose
+    * length divides `width`. */
+  def bmpRoundtrip(media: DataFrame, width: Int): DataFrame = {
+    graft.functions.MediaFunctions.register(media.sparkSession)
+    val bmp = graft.functions.MediaFunctions.bmpWrap(col("media"), width)
+    media.select(
+        col("media_id"),
+        graft.functions.MediaFunctions.decodeMedia(bmp).as("__d"),
+        graft.functions.MediaFunctions.mediaPlane(bmp, 0).as("__p"))
+      .select(col("media_id"),
+        col("__d.width").cast("long").as("width"),
+        col("__d.height").cast("long").as("height"),
+        col("__d.channels").cast("long").as("channels"),
+        col("__d.n_bytes").as("file_bytes"),
+        md5(col("__p")).as("plane_hash"))
   }
 }
