@@ -1,0 +1,202 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Versioned curation-store epochs: the drift→retrain loop closed.
+  *
+  * q151's drift report says WHEN to retrain the frozen models; this is
+  * HOW the retrained artifacts reach a RUNNING [[CurationStream]]
+  * without stopping it — the reference's create-DAG-refreshes-what-the-
+  * update-DAG-serves contract (mabna_tables_create.py:303 rebuilds the
+  * tables mabna_tables_update.py:383 serves from) lifted to the
+  * curation engine:
+  *
+  *  - an offline retrain builds a COMPLETE new store under
+  *    `root/epochs/e=<n>` ([[CurationStream.init]] — frozen models +
+  *    b=0 seed, commit-marked like any batch);
+  *  - [[publish]] then swaps the serving pointer ATOMICALLY: the
+  *    pointer is the existence of one empty marker file
+  *    `root/_published/<n>`, and a single file create either happened
+  *    or didn't — there is no partially-swapped state a crash can
+  *    expose ([[currentEpoch]] = max published marker);
+  *  - a running [[maintain]] picks the swap up at the NEXT batch
+  *    boundary: each micro-batch reads `currentEpoch` once and PINS its
+  *    choice durably (`root/_epoch_of/<batchId>.<epoch>`, again one
+  *    atomic create) BEFORE serving, so the whole batch — serve,
+  *    curated write, absorption — runs against exactly one epoch's
+  *    store, and a crashed batch's redelivery reuses the pin even if
+  *    the pointer moved in between. Mixed-epoch batches are impossible
+  *    by construction: every artifact write is addressed through the
+  *    pinned epoch's path.
+  *
+  * Laws (CurationStreamSpec): a post-swap batch's curated output is
+  * byte-equal to [[graft.operators.Curation.serveBatch]] against the
+  * freshly-trained store directly; an UNPUBLISHED epoch (the crash-
+  * mid-swap window: store built, marker missing) changes nothing — the
+  * batch serves entirely from the old epoch; redelivery across a swap
+  * honors the pin. The driver oracle (q154) replays pre-swap batch +
+  * retrain + post-swap batch as two independent serve chains.
+  *
+  * Scale: the swap costs one file create regardless of store size; the
+  * old epoch keeps serving until the new one is COMPLETE, so retraining
+  * (hours at 100 TB) never blocks the 15-minute serve cadence, and a
+  * failed retrain leaves an unpublished directory with zero effect on
+  * serving. Old epochs stay readable for audit/rollback until an
+  * explicit [[dropEpoch]]. */
+object CurationEpochs {
+
+  def epochPath(root: String, epoch: Long): String = s"$root/epochs/e=$epoch"
+
+  private def fsOf(s: SparkSession, p: Path) =
+    p.getFileSystem(s.sessionState.newHadoopConf())
+
+  /** Every published epoch, ascending (may include superseded ones —
+    * they remain valid, fully-built stores until dropped). */
+  def publishedEpochs(s: SparkSession, root: String): Seq[Long] = {
+    val p = new Path(s"$root/_published")
+    val fs = fsOf(s, p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .sorted
+  }
+
+  /** The serving epoch: the highest published marker. */
+  def currentEpoch(s: SparkSession, root: String): Long = {
+    val es = publishedEpochs(s, root)
+    require(es.nonEmpty, s"no published epoch under $root — init first")
+    es.last
+  }
+
+  /** The atomic swap: publish `epoch` as the serving version. Refuses
+    * an incomplete store (its b=0 seed must carry the commit marker —
+    * the same fence [[CurationStream.foldStore]] applies to batches).
+    * Idempotent: re-publishing an already-published epoch is a no-op. */
+  def publish(s: SparkSession, root: String, epoch: Long): Unit = {
+    require(CurationStream.committed(s, epochPath(root, epoch), 0L),
+      s"publish(epoch=$epoch): store ${epochPath(root, epoch)} is not " +
+        "complete (b=0 seed has no commit marker) — a half-built epoch " +
+        "must never become the serving version")
+    val p = new Path(s"$root/_published/$epoch")
+    val fs = fsOf(s, p)
+    fs.mkdirs(p.getParent)
+    if (!fs.exists(p)) fs.create(p, false).close()
+  }
+
+  /** Build AND publish an epoch: train every frozen model on the given
+    * history and seed the store ([[CurationStream.init]]), then swap.
+    * Epoch 0 is the bootstrap; later calls are the scheduled offline
+    * retrain (triggered by q151's drift report), typically on history ∪
+    * everything curated since ([[readCurated]]). */
+  def initEpoch(histDocs: DataFrame, histVecs: DataFrame,
+                idCol: String, vecCol: String, labelCol: String,
+                textCol: String, k: Int, iters: Int,
+                numMerges: Int, maxWords: Int,
+                dsirTarget: Column, dsirBuckets: Int,
+                root: String, epoch: Long,
+                seed: String = "graft"): Unit = {
+    CurationStream.init(histDocs, histVecs, idCol, vecCol, labelCol,
+      textCol, k, iters, numMerges, maxWords, dsirTarget, dsirBuckets,
+      epochPath(root, epoch), seed)
+    publish(histDocs.sparkSession, root, epoch)
+  }
+
+  /** The pin a batch recorded, if any (file `<batchId>.<epoch>`). */
+  private def pinnedEpoch(s: SparkSession, root: String,
+                          batchId: Long): Option[Long] = {
+    val p = new Path(s"$root/_epoch_of")
+    val fs = fsOf(s, p)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"$batchId."))
+      .flatMap(n => scala.util.Try(n.drop(s"$batchId.".length).toLong).toOption)
+      .sorted.headOption
+  }
+
+  /** Read-or-record the batch→epoch pin. First attempt reads
+    * `currentEpoch` and records it with one atomic exclusive create;
+    * redelivery (even after a swap) reads the recorded pin back. A
+    * crash BEFORE the pin is harmless — nothing was served, redelivery
+    * re-chooses; a crash AFTER it replays against the same epoch. */
+  private def pinEpoch(s: SparkSession, root: String, batchId: Long): Long =
+    pinnedEpoch(s, root, batchId).getOrElse {
+      val e = currentEpoch(s, root)
+      val p = new Path(s"$root/_epoch_of/$batchId.$e")
+      val fs = fsOf(s, p)
+      fs.mkdirs(p.getParent)
+      try { fs.create(p, false).close(); e }
+      catch { case _: java.io.IOException =>
+        // lost a create race (or the pin landed just before a crash):
+        // the recorded pin wins
+        pinnedEpoch(s, root, batchId).getOrElse(e)
+      }
+    }
+
+  /** Apply one micro-batch against the PINNED epoch's store
+    * ([[CurationStream.applyBatch]] — serve, curated write, absorption,
+    * marker, all under `epochs/e=<pin>`). Returns the epoch served. */
+  def applyBatchEpoch(batchDocs: DataFrame, batchVecs: DataFrame,
+                      idCol: String, vecCol: String, labelCol: String,
+                      srcCol: String, textCol: String,
+                      root: String, thrNum: Long, thrDen: Long,
+                      clusterCap: Long, seed: String, batchId: Long): Long = {
+    val s = batchDocs.sparkSession
+    val e = pinEpoch(s, root, batchId)
+    CurationStream.applyBatch(batchDocs, batchVecs, idCol, vecCol,
+      labelCol, srcCol, textCol, epochPath(root, e), thrNum, thrDen,
+      clusterCap, seed, batchId)
+    e
+  }
+
+  /** The epoch-aware [[CurationStream.maintain]]: same document stream,
+    * same effectively-once contract, but every batch resolves its store
+    * through the published pointer — a [[publish]] while the query runs
+    * takes effect at the next batch boundary with no restart. */
+  def maintain(docs: DataFrame, idCol: String, vecCol: String,
+               labelCol: String, srcCol: String, textCol: String,
+               root: String, thrNum: Long, thrDen: Long,
+               clusterCap: Long, seed: String, checkpoint: String,
+               batchIdOffset: Long = 1L): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val b = batch.toDF().localCheckpoint(true)
+        applyBatchEpoch(
+          b.select(col(idCol), col(srcCol), col(labelCol), col(textCol)),
+          b.select(col(idCol), col(vecCol)),
+          idCol, vecCol, labelCol, srcCol, textCol,
+          root, thrNum, thrDen, clusterCap, seed,
+          batchId + batchIdOffset): Unit
+      }
+      .start()
+
+  /** All curated output across published epochs, each row carrying the
+    * epoch that served it (the verdict's "curated output carries the
+    * serving epoch"). Epochs with no served batches contribute nothing. */
+  def readCurated(s: SparkSession, root: String): DataFrame = {
+    val parts = publishedEpochs(s, root).flatMap { e =>
+      val cur = new Path(s"${epochPath(root, e)}/curated")
+      if (!fsOf(s, cur).exists(cur)) None
+      else Some(s.read.parquet(cur.toString).withColumn("epoch", lit(e)))
+    }
+    require(parts.nonEmpty, s"no curated output under $root yet")
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Retire a superseded epoch: refuse the serving one, delete the
+    * store and the marker. Pins referencing it stay — they are history
+    * (a batch THAT ran against epoch e ran against epoch e). */
+  def dropEpoch(s: SparkSession, root: String, epoch: Long): Unit = {
+    require(epoch != currentEpoch(s, root),
+      s"dropEpoch($epoch): refusing to drop the serving epoch")
+    val store = new Path(epochPath(root, epoch))
+    val marker = new Path(s"$root/_published/$epoch")
+    val fs = fsOf(s, store)
+    fs.delete(store, true)
+    fs.delete(marker, false): Unit
+  }
+}

@@ -139,6 +139,88 @@ class CurationStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("epoch swap: atomic publish, unpublished epoch invisible, " +
+       "post-swap serve ≡ serve against the fresh store, redelivery " +
+       "honors the pin across a swap") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-curepoch").toString
+    val root = s"$dir/root"
+    def initE(epoch: Long, pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+      CurationEpochs.initEpoch(
+        docs.filter(pred(col("doc_id"))), vecs.filter(pred(col("doc_id"))),
+        "doc_id", "embedding", "lang", "text",
+        k = 8, iters = 2, numMerges = 16, maxWords = 100000,
+        dsirTarget = col("source").isin("src0", "src1"),
+        dsirBuckets = 64, root = root, epoch = epoch, seed = seed)
+    def applyE(m: Int, r: Int, b: Long): Long =
+      CurationEpochs.applyBatchEpoch(
+        docs.filter(col("doc_id") % m === r),
+        vecs.filter(col("doc_id") % m === r),
+        "doc_id", "embedding", "lang", "source", "text",
+        root, thrNum, thrDen, cap, seed, batchId = b)
+    initE(0L, _ % 4 <= 1)
+    assert(CurationEpochs.currentEpoch(spark, root) == 0L)
+    assert(applyE(4, 2, 1L) == 0L, "batch 1 must serve from epoch 0")
+    // publishing a half-built epoch must refuse (the atomicity fence)
+    intercept[IllegalArgumentException] {
+      CurationEpochs.publish(spark, root, 7L)
+    }
+    // crash-mid-swap window: epoch 1's store is COMPLETE on disk but
+    // the marker create never happened — the swap is invisible and the
+    // next batch serves entirely from epoch 0
+    CurationStream.init(
+      docs.filter(col("doc_id") % 4 <= 2), vecs.filter(col("doc_id") % 4 <= 2),
+      "doc_id", "embedding", "lang", "text",
+      k = 8, iters = 2, numMerges = 16, maxWords = 100000,
+      dsirTarget = col("source").isin("src0", "src1"),
+      dsirBuckets = 64, path = CurationEpochs.epochPath(root, 1L), seed = seed)
+    assert(CurationEpochs.currentEpoch(spark, root) == 0L,
+      "an unpublished epoch leaked into the serving pointer")
+    assert(applyE(8, 3, 2L) == 0L,
+      "a batch served from an unpublished epoch — mixed-epoch window")
+    // the swap: one marker create; the NEXT batch picks it up
+    CurationEpochs.publish(spark, root, 1L)
+    assert(CurationEpochs.currentEpoch(spark, root) == 1L)
+    assert(applyE(8, 7, 3L) == 1L, "post-swap batch stayed on the old epoch")
+    // post-swap serve ≡ serveBatch against the freshly-trained store
+    // directly (batchCut excludes the batch's own absorption)
+    val direct = graft.operators.Curation.serveBatch(
+        spark, CurationEpochs.epochPath(root, 1L),
+        docs.filter(col("doc_id") % 8 === 7),
+        vecs.filter(col("doc_id") % 8 === 7),
+        "doc_id", "embedding", "lang", "source", "text",
+        thrNum, thrDen, cap, seed, batchCut = Some(3L))
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = spark.read
+      .parquet(s"${CurationEpochs.epochPath(root, 1L)}/curated")
+      .filter(col("b").cast("long") === 3L)
+      .select("doc_id", "source", "lang", "cluster", "bpe_tokens",
+        "dsir_score")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty, "epoch law vacuous: batch 3 curated nothing")
+    assert(streamed == direct,
+      "post-swap serve diverges from serving the fresh store directly")
+    // readCurated carries the serving epoch per row: b=1,2 → epoch 0,
+    // b=3 → epoch 1
+    val epochOfB = CurationEpochs.readCurated(spark, root)
+      .select(col("b").cast("long"), col("epoch"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(epochOfB == Map(1L -> 0L, 2L -> 0L, 3L -> 1L), s"$epochOfB")
+    // redelivery across the swap: batch 2 crashed (marker deleted) and
+    // is redelivered AFTER the pointer moved to epoch 1 — the pin must
+    // keep it on epoch 0 and the rewrite must be byte-equal
+    val e0 = CurationEpochs.epochPath(root, 0L)
+    val want = (curated(e0), hashRows(e0), memberRows(e0))
+    val marker = new org.apache.hadoop.fs.Path(s"$e0/_committed/2")
+    marker.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(marker, false)
+    assert(applyE(8, 3, 2L) == 0L,
+      "redelivery of a pre-swap batch jumped to the new epoch")
+    assert((curated(e0), hashRows(e0), memberRows(e0)) == want,
+      "pinned redelivery across the swap was not byte-equal")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("redelivery: committed batch is a no-op; crash-window (artifacts " +
        "absorbed, marker missing) rewrites byte-equal — the batchCut fence") {
     val dir = java.nio.file.Files
