@@ -70,6 +70,7 @@ object Curation {
       .select(md5(TextOps.normalizeText(col(textCol))).as("content_hash"))
       .distinct()
       .write.mode("overwrite").parquet(s"$path/hashes")
+    writeHashBloom(s, path, coveredUpTo = Long.MaxValue)
     Similarity.writeSemStore(histVecs, idCol, vecCol, k, iters, s"$path/sem")
     TextOps.writeNbModel(histDocs, labelCol, textCol, s"$path/nb")
     TextOps.writeBpeMerges(s,
@@ -77,6 +78,40 @@ object Curation {
       s"$path/bpe")
     Sampling.writeDsirWeights(histDocs, idCol, textCol, dsirTarget,
       dsirBuckets, s"$path/dsir", seed)
+  }
+
+  /** (Re)build the persisted hash-log bloom sketch (`hashbloom/`): one
+    * binary row — Spark's own [[org.apache.spark.sql.catalyst
+    * .expressions.aggregate.BloomFilterAggregate]] over
+    * `xxhash64(content_hash)` for every log row with `b ≤ coveredUpTo`
+    * (the whole log for batch-layout stores, which carry no `b`) — plus
+    * the coverage bound serve needs to split covered from
+    * since-absorbed hashes. Built at store-init and REBUILT at fold
+    * time ([[graft.streaming.CurationStream.foldStore]]); between
+    * rebuilds the artifact goes stale-but-correct, because serve runs
+    * the residual `b > covered_up_to` slice through a plain exact
+    * anti-join. Sizing: exact item count, Spark's default ~3% fpp
+    * (items beyond the conf's bloom cap only raise the fpp — false
+    * positives fall through to the exact join, so correctness never
+    * depends on the sketch). An empty log writes no sketch. */
+  def writeHashBloom(s: SparkSession, path: String,
+                     coveredUpTo: Long): Unit = {
+    val hashes = s.read.parquet(s"$path/hashes")
+    val slice =
+      if (hashes.columns.contains("b"))
+        hashes.filter(col("b").cast("long") <= coveredUpTo)
+      else hashes
+    val n = slice.count()
+    if (n > 0) {
+      Blooms.register(s)
+      slice
+        .agg(call_function("graft_bloom_agg",
+          xxhash64(col("content_hash")), lit(n)).as("bf"))
+        .withColumn("covered_up_to", lit(coveredUpTo))
+        .withColumn("n_items", lit(n))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/hashbloom")
+    }
   }
 
   /** Curate ONE new batch against the frozen store. Returns the
@@ -91,21 +126,94 @@ object Curation {
     * `b = batchId`) before the commit marker, and an unfenced re-serve
     * would then exact-drop and near-dup-drop the whole batch against
     * itself. Batch-layout stores ([[writeCurationStore]]) have no `b`
-    * column — leave batchCut empty there. */
+    * column — leave batchCut empty there.
+    *
+    * Vectorless batch docs are REJECTED (documented contract): a doc
+    * with no non-null `vecCol` row cannot take part in semantic dedup,
+    * so it is dropped by a batch-sized semi join right after stage 1 —
+    * deterministically, like a failed media decode drops at the decode
+    * filter. It still COMPETES in within-batch exact dedup first: the
+    * min-id copy is a content group's representative whether or not it
+    * carries a vector, so a group whose representative is vectorless
+    * is rejected whole (the keeper convention the oracle replays).
+    * Before round 15 such docs flowed through four stages and silently
+    * vanished at the final annotation join; now the rejection is
+    * explicit and early, and callers needing the rejected set can
+    * anti-join the input against the output ids. (`batchVecs` carries
+    * at most one row per id, as everywhere in the sem family.) */
   def serveBatch(s: SparkSession, path: String,
                  batchDocs: DataFrame, batchVecs: DataFrame,
                  idCol: String, vecCol: String, labelCol: String,
                  srcCol: String, textCol: String,
                  thrNum: Long, thrDen: Long, clusterCap: Long,
                  seed: String = "graft",
-                 batchCut: Option[Long] = None): DataFrame = {
-    // 1. exact: within-batch keepers, minus history content
+                 batchCut: Option[Long] = None,
+                 bloomMinItems: Long = 1000000L): DataFrame = {
+    // vectorless docs still COMPETE in within-batch exact dedup (the
+    // min-id copy is the content's representative whether or not it
+    // carries a vector — the oracle's keeper convention); the covered
+    // semi join rejects vectorless KEEPERS right after stage 1
+    val coveredIds = batchVecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol))
+    // 1. exact: within-batch keepers, minus history content. The hash
+    // log is the one corpus-sized serve-side artifact; at 100 TB a
+    // plain anti-join shuffles it against every batch. The persisted
+    // bloom ([[writeHashBloom]], rebuilt at init/fold time) prefilters
+    // the batch — bloom MISSES are definitely fresh (no false
+    // negatives) and skip the join entirely; only the HITS (true dups
+    // + ~3% fp) reach an exact anti-join, whose log side is first
+    // pruned to dup-sized by an IN-PLAN bloom of the hit hashes, so
+    // neither join side is history-sized at the shuffle. Hashes
+    // absorbed after the sketch's fold point (covered_up_to < b <
+    // batchCut) are a residual absorption-sized slice handled by a
+    // plain exact anti-join. Result ≡ the plain anti-join for ANY
+    // sketch state (law in CurationSpec); a missing/unreadable sketch
+    // falls back to the plain join — the bloom is an access-path
+    // choice, never a correctness dependency. SIZE GATE: the sketch's
+    // extra stages cost ~2 s of fixed overhead per serve (measured,
+    // SCALE.md curbloom storm), worth paying only when the log is big
+    // enough that its shuffle dominates — below `bloomMinItems`
+    // (default 1M ≈ tens of MB) the plain join wins and the sketch is
+    // ignored; the storm forces it with bloomMinItems = 0.
     val rawHashes = s.read.parquet(s"$path/hashes")
     val hashes = batchCut.fold(rawHashes)(c =>
       rawHashes.filter(col("b").cast("long") < lit(c)))
-    val b1 = TextOps.exactDedup(batchDocs, idCol, textCol)
-      .join(hashes.select("content_hash"), Seq("content_hash"), "left_anti")
-      .select(col("keeper_id").as(idCol))
+    val keepers = TextOps.exactDedup(batchDocs, idCol, textCol)
+    val bloomArt: Option[(Column, Long)] = {
+      val bp = new org.apache.hadoop.fs.Path(s"$path/hashbloom")
+      if (!bp.getFileSystem(s.sessionState.newHadoopConf()).exists(bp)) None
+      else scala.util.Try { // unreadable (e.g. mid-rebuild crash) → plain
+        val art = s.read.parquet(s"$path/hashbloom")
+        val meta = art.select(col("covered_up_to"), col("n_items")).head()
+        Blooms.register(s)
+        (art.select(col("bf")).scalar(), meta.getLong(0), meta.getLong(1))
+      }.toOption.collect {
+        case (bf, covered, n) if n >= bloomMinItems => (bf, covered)
+      }
+    }
+    val b1kept = bloomArt.fold(
+      keepers.join(hashes.select("content_hash"), Seq("content_hash"),
+        "left_anti")
+    ) { case (bf, covered) =>
+      val hasB = hashes.columns.contains("b")
+      val coveredSlice =
+        if (hasB) hashes.filter(col("b").cast("long") <= covered) else hashes
+      val recentSlice =
+        if (hasB) hashes.filter(col("b").cast("long") > covered)
+        else hashes.limit(0)
+      val might = call_function("graft_might_contain", bf,
+        xxhash64(col("content_hash")))
+      val exactKeep = keepers.where(might)
+        .join(Blooms.bloomPrefilter(coveredSlice.select("content_hash"),
+            keepers.where(might), "content_hash", "content_hash",
+            expectedItems = 1000000L),
+          Seq("content_hash"), "left_anti")
+      keepers.where(not(might)).unionByName(exactKeep)
+        .join(recentSlice.select("content_hash"), Seq("content_hash"),
+          "left_anti")
+    }
+    val b1 = b1kept.select(col("keeper_id").as(idCol))
+      .join(coveredIds, Seq(idCol), "left_semi")
     // 2. within-batch semantic dedup under the FROZEN centroids.
     // localCheckpoint at the multi-consumer hubs (the q139 discipline):
     // the routed assignment feeds the within-batch pairs, the store

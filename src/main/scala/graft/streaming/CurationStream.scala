@@ -74,6 +74,7 @@ object CurationStream {
       .distinct()
       .withColumn("b", lit(0L))
       .write.mode("overwrite").partitionBy("b").parquet(s"$path/hashes")
+    Curation.writeHashBloom(s, path, coveredUpTo = 0L)
     TextOps.writeNbModel(histDocs, labelCol, textCol, s"$path/nb")
     TextOps.writeBpeMerges(s,
       TextOps.bpeLearnMerges(histDocs, textCol, numMerges, maxWords),
@@ -82,6 +83,17 @@ object CurationStream {
       dsirBuckets, s"$path/dsir", seed)
     markCommitted(s, path, 0L)
   }
+
+  /** Crash injection for the curcrash storm (Stress mode "curcrash"):
+    * `-Dgraft.curation.crashAfterCurated=<b>` halts the JVM right after
+    * batch b's curated write, `-Dgraft.curation.crashAfterAbsorb=<b>`
+    * after its full absorption — both BEFORE the commit marker, the two
+    * worst-ordered crash windows redelivery must survive. `halt` (not
+    * exit) so no shutdown hook can tidy the simulated kill. Production
+    * cost: one sys.props read per batch. */
+  private def crashPoint(prop: String, batchId: Long): Unit =
+    if (sys.props.get(prop).exists(_.toLong == batchId))
+      Runtime.getRuntime.halt(137)
 
   /** Apply one micro-batch: skip if committed; else SERVE against the
     * pre-batch store (batchCut fence), write the curated rows, absorb
@@ -106,6 +118,7 @@ object CurationStream {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("b").parquet(s"$path/curated")
+      crashPoint("graft.curation.crashAfterCurated", batchId)
       val survivors = served.select(col(idCol))
       Clustering.assignToCentroidsKeepVec(
           batchVecs.join(survivors, Seq(idCol)), idCol, vecCol,
@@ -122,6 +135,7 @@ object CurationStream {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("b").parquet(s"$path/hashes")
     }
+    crashPoint("graft.curation.crashAfterAbsorb", batchId)
     markCommitted(s, path, batchId)
   }
 
@@ -200,6 +214,12 @@ object CurationStream {
       }
     fold("sem/members", Seq("b", "cluster"), Seq("id"), Some("cluster"))
     fold("hashes", Seq("b"), Seq("content_hash"), None)
+    // rebuild the serve path's hash-log bloom over the folded snapshot
+    // (Curation.writeHashBloom): between rebuilds the sketch is
+    // stale-but-correct — serve runs b > covered_up_to through a plain
+    // exact anti-join — and a crash between the fold and this rebuild
+    // just leaves the previous (still-correct) sketch in place
+    Curation.writeHashBloom(s, path, coveredUpTo = upTo)
   }
 
   /** Start the curation query over a document stream whose rows carry

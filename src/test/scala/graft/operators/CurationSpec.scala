@@ -75,6 +75,39 @@ class CurationSpec extends SparkSpec {
         violators.toSeq.sorted.take(10).mkString(", "))
   }
 
+  test("hash-log bloom is a pure access-path choice: serve with the " +
+       "sketch ≡ serve with it deleted, including history exact-dups") {
+    val path = storePath
+    // a batch that GUARANTEES bloom hits: the %4=3 quarter plus exact
+    // content copies of two history docs under fresh ids — the copies
+    // must drop through the hash anti-join on both access paths
+    val hist2 = docs.filter(col("doc_id").isin(0L, 1L))
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        col("source"), col("lang"), col("text"), col("n_chars"))
+    val batchDocs = docs.filter(col("doc_id") % 4 === 3)
+      .unionByName(hist2)
+    val batchVecs = vecs.filter(col("doc_id") % 4 === 3)
+      .unionByName(vecs.filter(col("doc_id").isin(0L, 1L))
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          col("embedding")))
+    def run() = Curation.serveBatch(spark, path, batchDocs, batchVecs,
+        "doc_id", "embedding", "lang", "source", "text",
+        thrNum, thrDen, cap, seed,
+        bloomMinItems = 0L) // force the sketch past its size gate
+      .collect().map(r => (r.getLong(0), r.toString)).sortBy(_._2).toSeq
+    val bloomDir = new java.io.File(s"$path/hashbloom")
+    assert(bloomDir.exists(), "law vacuous: writeCurationStore wrote no sketch")
+    val withBloom = run()
+    org.apache.commons.io.FileUtils.deleteDirectory(bloomDir)
+    val plain = run()
+    assert(withBloom == plain,
+      "the bloom access path changed the serve result")
+    assert(!plain.exists(_._1 >= 10000000L),
+      "a history exact-dup survived the hash anti-join")
+    // restore the sketch for any later serve against this shared store
+    Curation.writeHashBloom(spark, path, coveredUpTo = Long.MaxValue)
+  }
+
   test("serve is deterministic under repartitioning and annotates " +
        "every survivor with cluster, bpe_tokens and dsir_score") {
     val path = storePath
