@@ -970,6 +970,206 @@ object Stress {
       applyB(nb + 1, nb + 1L); 1L
     }
     }
+    if (mode == "curbloom") {
+    // Hash-log bloom storm — the r15 serve-path claim: with history
+    // ≥20x the batch, the exact-dedup stage must stop moving the hash
+    // log. Seed a store whose hash log is `factor`×5000 DISTINCT
+    // hashes (one init — the log is the artifact under test; how rows
+    // entered it is irrelevant to stage 1), then serve ONE small new
+    // batch twice — with the persisted sketch present and with it
+    // deleted — and report wall time plus ACTUAL shuffle-read bytes
+    // from task metrics. Run at factor ≥ 40 so the log exceeds the
+    // default broadcast threshold: the comparison is then the
+    // default-config plan at both sizes, exactly the regime a
+    // billion-row log lives in (it can never broadcast). Result
+    // equality is law-pinned (CurationSpec); this measures the cost
+    // story: the bloomed path's shuffled bytes must not scale with
+    // the log.
+    import graft.streaming.CurationStream
+    import graft.operators.Curation
+    val nb = math.max(40, factor)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-stress-curbloom-$factor"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val nBase = 5000L
+    val d0 = Tables.documents(spark, "/root/testdata/sf0.1")
+    val e0 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val reps = spark.range(nb + 1).select(col("id").as("__rep"))
+    val bigD = d0.crossJoin(reps)
+      .select((col("doc_id") + col("__rep") * nBase).as("doc_id"),
+        col("source"), col("lang"),
+        concat(col("text"), lit(" copytag"), col("__rep")).as("text"))
+    // the probe batch is SMALL (500 docs, fresh rep nb so its texts
+    // are new): every non-log stage then shuffles KBs, and the
+    // plain-vs-bloom delta IS the log's movement
+    val probeLo = nb * nBase
+    val dProbe = bigD.filter(col("doc_id") >= probeLo &&
+      col("doc_id") < probeLo + 500).localCheckpoint(true)
+    val eProbe = e0.filter(col("vec_id") < 500)
+      .select((col("vec_id") + lit(probeLo)).as("doc_id"), col("embedding"))
+      .localCheckpoint(true)
+    time(s"init (hash log ${nb * nBase} rows + models)") {
+      CurationStream.init(bigD.filter(col("doc_id") < probeLo), e0
+          .select(col("vec_id").as("doc_id"), col("embedding")),
+        "doc_id", "embedding", "lang", "text", k = 16, iters = 2,
+        numMerges = 32, maxWords = 100000,
+        dsirTarget = col("source").isin("src0", "src1"),
+        dsirBuckets = 256, path = path, seed = "graft")
+      nb * nBase
+    }
+    val logRows = spark.read.parquet(s"$path/hashes").count()
+    println(s"[stress] curbloom: hash log $logRows rows " +
+      s"(${logRows / 500}x the 500-doc probe batch)")
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    val meter = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffled.addAndGet(t.taskMetrics.shuffleReadMetrics.totalBytesRead): Unit
+    }
+    def meteredServe(name: String): (Double, Long, Long) = {
+      spark.sparkContext.addSparkListener(meter)
+      shuffled.set(0L)
+      val t0 = System.nanoTime()
+      val rows = Curation.serveBatch(spark, path, dProbe, eProbe,
+        "doc_id", "embedding", "lang", "source", "text",
+        49L, 400L, 48L, "graft", batchCut = Some(1L),
+        bloomMinItems = 0L).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // storm-grade settle for the async listener bus
+      spark.sparkContext.removeSparkListener(meter)
+      val bytes = shuffled.get()
+      println(f"[stress] curbloom serve/$name%-6s $secs%6.1f s  " +
+        f"shuffleRead=${bytes / 1048576.0}%9.2f MiB  ($rows rows)")
+      (secs, bytes, rows)
+    }
+    meteredServe("warmup") // order-bias guard: first serve pays model
+                           // reads + codegen for BOTH paths' shared tail
+    val (_, bytesBloom, rowsBloom) = meteredServe("bloom")
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$path/hashbloom"))
+    val (_, bytesPlain, rowsPlain) = meteredServe("plain")
+    require(rowsBloom == rowsPlain,
+      s"bloom path changed the serve: $rowsBloom vs $rowsPlain rows")
+    println(f"[stress] curbloom: shuffle-read drop " +
+      f"${bytesPlain / math.max(bytesBloom, 1L).toDouble}%.1fx " +
+      f"(plain ${bytesPlain / 1048576.0}%.2f MiB -> bloom " +
+      f"${bytesBloom / 1048576.0}%.2f MiB)")
+    }
+    if (mode == "curcrash") {
+    // Crash-kill storm for the REAL CurationStream.maintain query (r15
+    // verdict #7): the redelivery laws are spec-pinned at spec scale by
+    // calling applyBatch directly — this kills the ACTUAL JVM running
+    // the foreachBatch query at the two worst-ordered points (after the
+    // curated write; after absorption, both before the marker), restarts
+    // from the checkpoint, and asserts the final store converges to the
+    // sequential no-crash control row for row. Child JVMs are forked
+    // with the parent's own classpath and JVM flags; the poison is a
+    // sysprop read at CurationStream's documented crash-injection
+    // points; kill = Runtime.halt(137), so no shutdown hook can tidy up.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.CurationStream
+    val nb = math.max(6, factor / 4)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-stress-curcrash-$factor"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (input, store, ctl, ckpt) =
+      (s"$root/input", s"$root/store", s"$root/control", s"$root/ckpt")
+    val nBase = 5000L
+    val d0 = Tables.documents(spark, "/root/testdata/sf0.1")
+    val e0 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val reps = spark.range(nb + 1).select(col("id").as("__rep"))
+    val bigD = d0.crossJoin(reps)
+      .select((col("doc_id") + col("__rep") * nBase).as("doc_id"),
+        col("source"), col("lang"),
+        concat(col("text"), lit(" copytag"), col("__rep")).as("text"))
+      .localCheckpoint(true)
+    val bigE = e0.crossJoin(reps)
+      .select((col("vec_id") + col("__rep") * nBase).as("doc_id"),
+        col("embedding"))
+      .localCheckpoint(true)
+    def dRep(r: Int) = bigD.filter(col("doc_id") >= r * nBase &&
+      col("doc_id") < (r + 1) * nBase)
+    def eRep(r: Int) = bigE.filter(col("doc_id") >= r * nBase &&
+      col("doc_id") < (r + 1) * nBase)
+    // one parquet file per batch, written sequentially (ascending
+    // mtimes ⇒ the file source delivers them in order, one per trigger)
+    (1 to nb).foreach { r =>
+      dRep(r).join(eRep(r), Seq("doc_id"))
+        .select("doc_id", "source", "lang", "text", "embedding")
+        .coalesce(1).write.mode("append").parquet(input)
+    }
+    // no-crash control: the sequential serve+absorb loop
+    def initStore(p: String): Unit =
+      CurationStream.init(dRep(0), eRep(0), "doc_id", "embedding",
+        "lang", "text", k = 16, iters = 2, numMerges = 32,
+        maxWords = 100000, dsirTarget = col("source").isin("src0", "src1"),
+        dsirBuckets = 256, path = p, seed = "graft")
+    initStore(ctl)
+    (1 to nb).foreach { b =>
+      CurationStream.applyBatch(dRep(b), eRep(b), "doc_id", "embedding",
+        "lang", "source", "text", ctl, 49L, 400L, 48L, "graft", b.toLong)
+    }
+    initStore(store)
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
+      .asScala.toSeq
+    def runChild(poison: Option[(String, Long)]): Int = {
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        poison.toSeq.map { case (p, b) => s"-D$p=$b" } ++
+        Seq("-cp", System.getProperty("java.class.path"),
+          "graft.Stress", factor.toString, "curcrash-child",
+          input, store, ckpt)
+      val pb = new ProcessBuilder(cmd: _*).inheritIO()
+      pb.start().waitFor()
+    }
+    // kills straddle the run: early, middle, late; both crash points
+    val kills = Seq(
+      ("graft.curation.crashAfterCurated", 2L),
+      ("graft.curation.crashAfterAbsorb", (nb / 2).toLong),
+      ("graft.curation.crashAfterAbsorb", (nb - 1).toLong))
+    kills.foreach { case (p, b) =>
+      val rc = runChild(Some(p -> b))
+      println(s"[stress] curcrash: killed child at $p=$b (exit $rc)")
+      require(rc == 137, s"poisoned child exited $rc, expected halt 137")
+    }
+    val rcFinal = runChild(None)
+    require(rcFinal == 0, s"clean child exited $rcFinal")
+    // convergence: every artifact the serve path and the consumer read
+    // must equal the no-crash control row for row
+    def rowsOf(p: String, sub: String, cols: Seq[String]): Set[String] =
+      spark.read.parquet(s"$p/$sub")
+        .selectExpr(cols: _*).collect().map(_.toString).toSet
+    val diffs = Seq(
+      "curated" -> Seq("CAST(b AS LONG)", "doc_id", "source", "lang",
+        "cluster", "bpe_tokens", "dsir_score"),
+      "hashes" -> Seq("CAST(b AS LONG)", "content_hash"),
+      "sem/members" -> Seq("CAST(b AS LONG)", "id", "CAST(cluster AS INT)"))
+      .map { case (sub, cols) =>
+        val (a, c) = (rowsOf(store, sub, cols), rowsOf(ctl, sub, cols))
+        val d = (a diff c).size + (c diff a).size
+        println(s"[stress] curcrash: $sub rows stream=${a.size} " +
+          s"control=${c.size} diffed=$d")
+        d
+      }.sum
+    require(diffs == 0, s"crash-recovered store diverged: $diffs rows differ")
+    println(s"[stress] curcrash: ${kills.size} kills / ${kills.size} " +
+      s"recoveries / rows diffed = 0 over $nb batches")
+    }
+    if (mode == "curcrash-child") {
+    // child half of the curcrash storm: runs the REAL maintain query
+    // over the file-source backlog until drained (or until the poison
+    // sysprop halts the JVM mid-batch), then exits 0
+    import graft.streaming.CurationStream
+    val Seq(input, store, ckpt) = args.slice(2, 5).toSeq
+    val schema = spark.read.parquet(input).schema
+    val docsStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(input)
+    val q = CurationStream.maintain(docsStream, "doc_id", "embedding",
+      "lang", "source", "text", store, 49L, 400L, 48L, "graft",
+      checkpoint = ckpt)
+    q.processAllAvailable()
+    q.stop()
+    }
     if (mode == "attr") {
     // Stream-join state retention storm — the q141 100 TB claim: with
     // a TIGHT lateness the interval-join condition doubles as the

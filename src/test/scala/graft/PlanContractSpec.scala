@@ -834,4 +834,78 @@ class PlanContractSpec extends SparkSpec {
     assert(bhj >= 2,
       s"hot-key tags did not broadcast to both sides ($bhj BHJ):\n$plan")
   }
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val olds = pairs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption
+    }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach { case (k, o) =>
+      o.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  /** The finalized adaptive plan ONLY (the full string appends an
+    * "== Initial Plan ==" section whose pre-replanning nodes would
+    * double-count joins). */
+  private def finalAdaptivePlan(df: DataFrame): String = {
+    val s = df.queryExecution.executedPlan.toString
+    s.split("== Initial Plan ==").head
+  }
+
+  test("saltedJoinBySkew under AQE adversity: hot-tag broadcasts survive " +
+       "adaptive execution with a tiny auto-broadcast threshold") {
+    // the hot set must broadcast because the OPERATOR says so (explicit
+    // broadcast() hints), not because the session's threshold happens to
+    // be generous — AQE + a 1 KB threshold is the hostile configuration
+    // that would expose a size-based accident. (hotKeysByShare's one-row
+    // total legitimately plans as a broadcast nested-loop CROSS with a
+    // scalar side — same as the non-AQE contract above — so the
+    // degeneracy check is CartesianProduct, not BNLJ.)
+    val ev = Tables.events(spark, dir).select("user_id", "value")
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    withConf("spark.sql.adaptive.enabled" -> "true",
+             "spark.sql.autoBroadcastJoinThreshold" -> "1KB") {
+      val df = operators.Shuffles.saltedJoinBySkew(
+        ev, cust, "user_id", salts = 8, thresholdPpm = 7000L)
+      df.collect() // finalize the adaptive plan
+      val plan = finalAdaptivePlan(df)
+      assert(plan.contains("AdaptiveSparkPlan"), s"AQE not engaged:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"salted join degenerated under AQE:\n$plan")
+      assert(plan.contains("__salt"),
+        s"salt column missing from the adaptive plan:\n$plan")
+      val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+      assert(bhj >= 2,
+        s"hot-key tags lost their broadcast under AQE ($bhj BHJ):\n$plan")
+    }
+  }
+
+  test("saltedJoinHot cold path under AQE: an empty hot set degrades to " +
+       "the plain join — tag joins eliminated, one real join, same rows") {
+    val ev = Tables.events(spark, dir).select("user_id", "value")
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val noHot = ev.select("user_id").filter(lit(false))
+    withConf("spark.sql.adaptive.enabled" -> "true") {
+      val df = operators.Shuffles.saltedJoinHot(
+        ev, cust, "user_id", salts = 8, hotKeys = noHot)
+      val got = df.collect().map(_.toString).sorted.toSeq
+      val want = ev.join(cust, Seq("user_id"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want, "cold salted join diverged from the plain join")
+      val plan = finalAdaptivePlan(df)
+      // AQE's empty-relation propagation must erase both hot-tag joins
+      // (left outer against an empty broadcast side), leaving exactly
+      // the fact⋈dim equi-join — zero replication, zero extra work
+      val joins = plan.linesIterator
+        .count(l => l.contains("Join") && !l.contains("ReusedExchange"))
+      assert(joins == 1,
+        s"cold path kept ${joins} joins — empty hot-tag joins survived:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"cold salted join planned a product:\n$plan")
+    }
+  }
 }
