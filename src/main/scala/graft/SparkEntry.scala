@@ -2468,14 +2468,17 @@ object SparkEntry {
     * artifact training AND batch serving in one statement (storage is
     * read-invisible); CurationSpec pins the containment law
     * serve(batch) ⊆ frozen-recurate(history ∪ batch) ∩ batch. */
-  private def q147(s: SparkSession, dir: String): DataFrame = {
+  /** The q147/q155 shared frozen store (built once per JVM — sharing is
+    * the production contract: artifacts are frozen, every consumer reads
+    * the same ones). */
+  private def q147Store(s: SparkSession, dir: String): String = {
     val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
       "q147" + dir + s.sparkContext.applicationId)) % 1000000).toString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-curstore-$tag"
-    val d = Tables.documents(s, dir)
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id").as("doc_id"), col("embedding"))
     if (!new java.io.File(path).exists()) {
+      val d = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
       Curation.writeCurationStore(
         d.filter(col("doc_id") % 4 =!= 3),
         e.filter(col("doc_id") % 4 =!= 3),
@@ -2485,10 +2488,42 @@ object SparkEntry {
         dsirTarget = col("source").isin("src0", "src1"),
         dsirBuckets = 256, path = path, seed = SampleSeed)
     }
+    path
+  }
+
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val path = q147Store(s, dir)
+    val d = Tables.documents(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
     Curation.serveBatch(s, path,
         d.filter(col("doc_id") % 4 === 3),
         e.filter(col("doc_id") % 4 === 3),
         "doc_id", "embedding", "lang", "source", "text",
+        SemThrNum, SemThrDen, SemCap, SampleSeed)
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc curation audit ([[Curation.auditBatch]]): q147's serve
+    * with the question inverted — not "which docs survived" but "what
+    * happened to EVERY doc", each labeled with the first stage that
+    * dropped it (exact dup in batch / in history, vectorless, near-dup
+    * in batch / of a stored member, quality) or 'survived'. The
+    * dedup/quality reason on record a production crawl producer gets
+    * back; the oracle re-reads the SAME chain CTEs as q147 and replays
+    * the CASE, so the two queries certify the serve path and its audit
+    * against one derivation. At sf0.1, where 3/5 of docs carry no
+    * embedding by fixture design, the vectorless arm is exercised at
+    * scale. */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val path = q147Store(s, dir)
+    val d = Tables.documents(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    Curation.auditBatch(s, path,
+        d.filter(col("doc_id") % 4 === 3),
+        e.filter(col("doc_id") % 4 === 3),
+        "doc_id", "embedding", "lang", "text",
         SemThrNum, SemThrDen, SemCap, SampleSeed)
       .orderBy("doc_id")
   }
@@ -3110,6 +3145,7 @@ object SparkEntry {
     "q152_wav_roundtrip" -> q152,
     "q153_bmp_roundtrip" -> q153,
     "q154_epoch_swap" -> q154,
+    "q155_curation_audit" -> q155,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -4326,12 +4362,15 @@ object SparkEntry {
     * absorption); storage in both is read-invisible (integers, strings
     * and DECIMAL(18,6) only). Hub CTEs materialized (the q139
     * fd-limit discipline). */
-  private def curationChainOracleSql(histDocPred: String,
-                                     histVecPred: String,
-                                     testPred: String,
-                                     batchPreds: Seq[String],
-                                     withBatchCol: Boolean,
-                                     withOrder: Boolean = true): String = {
+  /** The curation chain's WITH body (training + per-round serve CTEs)
+    * and the round prefixes — shared by the survivor-rows tail
+    * ([[curationChainOracleSql]]) and the q155 audit tail, which reads
+    * the SAME stage CTEs but labels every batch doc instead of
+    * selecting the survivors. */
+  private def curationChainBody(histDocPred: String,
+                                histVecPred: String,
+                                testPred: String,
+                                batchPreds: Seq[String]): (String, Seq[String]) = {
     val head =
       s"""WITH hh AS MATERIALIZED (SELECT DISTINCT
          |        md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS h
@@ -4389,6 +4428,17 @@ object SparkEntry {
         .mkString(" UNION ALL ")
       curationRoundCtes(prefixes(i), bp, hashSrc, memberSrc)
     }.mkString
+    (head + chain + hubs + quality + bpe + dsir + rounds, prefixes)
+  }
+
+  private def curationChainOracleSql(histDocPred: String,
+                                     histVecPred: String,
+                                     testPred: String,
+                                     batchPreds: Seq[String],
+                                     withBatchCol: Boolean,
+                                     withOrder: Boolean = true): String = {
+    val (body, prefixes) = curationChainBody(
+      histDocPred, histVecPred, testPred, batchPreds)
     def roundSelect(p: String, i: Int): String = {
       val bCol = if (withBatchCol) s"${i + 1}::BIGINT AS b, " else ""
       s"""SELECT ${bCol}bb.doc_id, dd.source, dd.lang, ${p}ba.cluster,
@@ -4412,7 +4462,40 @@ object SparkEntry {
       if (!withOrder) ""
       else if (withBatchCol) "ORDER BY 1, 2"
       else "ORDER BY 1"
-    head + chain + hubs + quality + bpe + dsir + rounds + unioned + order
+    body + unioned + order
+  }
+
+  /** q155: the single-round chain's stage CTEs re-read as a per-doc
+    * disposition — every batch doc labeled with the FIRST stage that
+    * dropped it (mirrors [[operators.Curation.auditBatch]]'s CASE
+    * order exactly; `bk1` = keeper of each hash group, `b1` = keepers
+    * surviving the history hash set, `wdrop`/`xdrop` = within-batch /
+    * history semantic drops, `pred` = the frozen-NB prediction). */
+  private def curationAuditOracleSql: String = {
+    val (body, _) = curationChainBody(
+      histDocPred = "doc_id % 4 != 3", histVecPred = "vec_id % 4 != 3",
+      testPred = "doc_id % 4 = 3", batchPreds = Seq("doc_id % 4 = 3"))
+    body + """
+      |SELECT d.doc_id,
+      |       CASE
+      |         WHEN k.doc_id IS NULL THEN 'exact_dup_batch'
+      |         WHEN b1.doc_id IS NULL THEN 'exact_dup_history'
+      |         WHEN ev.vec_id IS NULL THEN 'vectorless'
+      |         WHEN wd.doc_id IS NOT NULL THEN 'near_dup_batch'
+      |         WHEN xd.doc_id IS NOT NULL THEN 'near_dup_history'
+      |         WHEN p.pred <> d.lang THEN 'quality'
+      |         ELSE 'survived'
+      |       END AS verdict
+      |FROM documents d
+      |LEFT JOIN bk1 k ON k.doc_id = d.doc_id
+      |LEFT JOIN b1 ON b1.doc_id = d.doc_id
+      |LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) ev
+      |  ON ev.vec_id = d.doc_id
+      |LEFT JOIN wdrop wd ON wd.doc_id = d.doc_id
+      |LEFT JOIN xdrop xd ON xd.doc_id = d.doc_id
+      |LEFT JOIN pred p ON p.doc_id = d.doc_id
+      |WHERE d.doc_id % 4 = 3
+      |ORDER BY 1""".stripMargin
   }
 
   private def curationServeOracleSql: String =
@@ -5582,6 +5665,9 @@ object SparkEntry {
          |FROM ($chain1) c1
          |ORDER BY 1, 3""".stripMargin
     },
+    // q155: same chain CTEs as q147, audit tail — per-doc first-
+    // failing-stage disposition replayed through one derivation
+    "q155_curation_audit" -> curationAuditOracleSql,
     // q152: every column is a WAV header field the real RIFF parser had
     // to read back out of the encoded file; the channel-0 plane of a
     // PCM-8 mono WAV is the payload verbatim, so its md5 is md5(text)

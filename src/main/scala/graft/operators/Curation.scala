@@ -257,4 +257,84 @@ object Curation {
       .select(col(idCol), col(srcCol), col(labelCol), col("cluster"),
         col("bpe_tokens"), col("dsir_score"))
   }
+
+  /** Per-doc serve AUDIT: every batch doc labeled with the FIRST stage
+    * that dropped it — the "why was my doc rejected" answer a
+    * production curation pipeline owes its producers (the round-14
+    * advice found vectorless docs vanishing with "no dedup or quality
+    * reason on record"; this is the record). Verdicts, in the serve
+    * path's stage order:
+    *
+    *   exact_dup_batch    — another batch doc with the same normalized
+    *                        content is the keeper (min id wins)
+    *   exact_dup_history  — the content hash is already in the log
+    *   vectorless         — no non-null embedding row (see
+    *                        [[serveBatch]]'s rejection contract)
+    *   near_dup_batch     — within-batch semantic dedup dropped it
+    *   near_dup_history   — near-dup of a stored member (store wins)
+    *   quality            — frozen-NB prediction ≠ its label
+    *   survived           — in [[serveBatch]]'s output
+    *
+    * Composes the SAME frozen-model primitives in the same order and
+    * with the same parameters as [[serveBatch]] (the hash check uses
+    * the plain anti-join — the bloom is an access path, not a
+    * semantics); CurationSpec pins the lockstep law `survived` ≡
+    * serveBatch ids, and the q155 oracle hash-pins every verdict.
+    * Cost: the serve chain once, plus batch-sized labeling joins —
+    * nothing history-sized beyond what serve itself reads. */
+  def auditBatch(s: SparkSession, path: String,
+                 batchDocs: DataFrame, batchVecs: DataFrame,
+                 idCol: String, vecCol: String, labelCol: String,
+                 textCol: String,
+                 thrNum: Long, thrDen: Long, clusterCap: Long,
+                 seed: String = "graft",
+                 batchCut: Option[Long] = None): DataFrame = {
+    val rawHashes = s.read.parquet(s"$path/hashes")
+    val hashes = batchCut.fold(rawHashes)(c =>
+      rawHashes.filter(col("b").cast("long") < lit(c)))
+    val keepers = TextOps.exactDedup(batchDocs, idCol, textCol)
+    val keeperIds = keepers.select(col("keeper_id").as(idCol))
+    val hashOk = keepers
+      .join(hashes.select("content_hash"), Seq("content_hash"), "left_anti")
+      .select(col("keeper_id").as(idCol))
+    val coveredIds = batchVecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol))
+    val b1 = hashOk.join(coveredIds, Seq(idCol), "left_semi")
+    val assign = Clustering.assignToCentroidsKeepVec(
+        batchVecs.join(b1.select(col(idCol).as("__k")),
+          col(idCol) === col("__k")).drop("__k"),
+        idCol, vecCol, Similarity.readSemCents(s, s"$path/sem"))
+      .localCheckpoint(eager = true)
+    val wdrop = Similarity
+      .semPairsWithin(assign, thrNum, thrDen, clusterCap, seed)
+      .select(col("drop_id").as(idCol)).distinct()
+    val b2 = b1.join(wdrop, Seq(idCol), "left_anti")
+    val pdrop = Similarity.probeSemStore(s, s"$path/sem",
+        batchVecs.join(b2.select(col(idCol).as("__k")),
+          col(idCol) === col("__k")).drop("__k"),
+        idCol, vecCol, thrNum, thrDen, clusterCap, seed,
+        batchCut = batchCut)
+      .select(col("batch_id").as(idCol)).distinct()
+    val b3docs = batchDocs
+      .join(b2.join(pdrop, Seq(idCol), "left_anti"), Seq(idCol))
+    val pred = TextOps.scoreNbBatch(s, s"$path/nb", b3docs, idCol, textCol)
+    def tag(ids: DataFrame, name: String) =
+      ids.select(col(idCol), lit(true).as(name))
+    batchDocs.select(col(idCol), col(labelCol))
+      .join(tag(keeperIds, "__keeper"), Seq(idCol), "left")
+      .join(tag(hashOk, "__hashok"), Seq(idCol), "left")
+      .join(tag(coveredIds, "__cov"), Seq(idCol), "left")
+      .join(tag(wdrop, "__wd"), Seq(idCol), "left")
+      .join(tag(pdrop, "__pd"), Seq(idCol), "left")
+      .join(pred, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__keeper").isNull, lit("exact_dup_batch"))
+          .when(col("__hashok").isNull, lit("exact_dup_history"))
+          .when(col("__cov").isNull, lit("vectorless"))
+          .when(col("__wd").isNotNull, lit("near_dup_batch"))
+          .when(col("__pd").isNotNull, lit("near_dup_history"))
+          .when(col("pred") =!= col(labelCol), lit("quality"))
+          .otherwise(lit("survived"))
+          .as("verdict"))
+  }
 }

@@ -108,6 +108,57 @@ class CurationSpec extends SparkSpec {
     Curation.writeHashBloom(spark, path, coveredUpTo = Long.MaxValue)
   }
 
+  test("auditBatch labels every batch doc with its first-failing stage, " +
+       "in lockstep with serveBatch — crafted docs hit every verdict") {
+    val path = storePath
+    // craft a batch that exercises every arm: the %4=3 quarter plus
+    //  - 10000000+0: exact content copy of history doc 0 → exact_dup_history
+    //  - 20000001/20000002: two copies of one new text; 20000001 keeps,
+    //    20000002 → exact_dup_batch
+    //  - 30000003: fresh text with NO embedding row → vectorless
+    val hist0 = docs.filter(col("doc_id") === 0L)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        col("source"), col("lang"), col("text"), col("n_chars"))
+    import spark.implicits._
+    val crafted = Seq(
+      (20000001L, "srcX", "en", "a crafted duplicate pair text", 29L),
+      (20000002L, "srcX", "en", "a crafted duplicate pair text", 29L),
+      (30000003L, "srcX", "en", "a crafted vectorless document", 29L))
+      .toDF("doc_id", "source", "lang", "text", "n_chars")
+    val batchDocs = docs.filter(col("doc_id") % 4 === 3)
+      .unionByName(hist0).unionByName(crafted)
+    val batchVecs = vecs.filter(col("doc_id") % 4 === 3)
+      .unionByName(vecs.filter(col("doc_id") === 0L)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          col("embedding")))
+      .unionByName(vecs.filter(col("doc_id") === 1L)
+        .select(lit(20000001L).as("doc_id"), col("embedding")))
+      .unionByName(vecs.filter(col("doc_id") === 2L)
+        .select(lit(20000002L).as("doc_id"), col("embedding")))
+    val audit = Curation.auditBatch(spark, path, batchDocs, batchVecs,
+        "doc_id", "embedding", "lang", "text", thrNum, thrDen, cap, seed)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(audit.size == batchDocs.count(),
+      "audit must label EVERY batch doc exactly once")
+    assert(audit(10000000L) == "exact_dup_history", audit(10000000L))
+    assert(audit(20000002L) == "exact_dup_batch", audit(20000002L))
+    assert(audit(30000003L) == "vectorless", audit(30000003L))
+    // 20000001 keeps its pair's hash but carries history doc 1's EXACT
+    // vector — a stored member — so the store must win: near_dup_history
+    assert(audit(20000001L) == "near_dup_history", audit(20000001L))
+    val byVerdict = audit.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(Set("near_dup_batch", "near_dup_history", "quality")
+        .exists(byVerdict.contains),
+      s"audit law weak: only trivial verdicts present ($byVerdict)")
+    // lockstep: 'survived' is exactly serveBatch's output id set
+    val served = Curation.serveBatch(spark, path, batchDocs, batchVecs,
+        "doc_id", "embedding", "lang", "source", "text",
+        thrNum, thrDen, cap, seed)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(audit.collect { case (id, "survived") => id }.toSet == served,
+      "audit 'survived' diverged from serveBatch's output")
+  }
+
   test("serve is deterministic under repartitioning and annotates " +
        "every survivor with cluster, bpe_tokens and dsir_score") {
     val path = storePath
