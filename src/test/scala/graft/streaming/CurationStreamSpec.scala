@@ -221,6 +221,60 @@ class CurationStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("epoch swap against a LIVE maintain query: a publish between " +
+       "micro-batches takes effect at the next batch boundary, no restart") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-curepochlive").toString
+    val root = s"$dir/root"
+    CurationEpochs.initEpoch(
+      docs.filter(col("doc_id") % 4 <= 1), vecs.filter(col("doc_id") % 4 <= 1),
+      "doc_id", "embedding", "lang", "text",
+      k = 8, iters = 2, numMerges = 16, maxWords = 100000,
+      dsirTarget = col("source").isin("src0", "src1"),
+      dsirBuckets = 64, root = root, epoch = 0L, seed = seed)
+    val rows = docs.join(vecs, Seq("doc_id"))
+      .select("doc_id", "source", "lang", "text", "embedding")
+      .as[CrawlDoc].collect()
+    val stream = MemoryStream[CrawlDoc]
+    val q = CurationEpochs.maintain(stream.toDF(), "doc_id", "embedding",
+      "lang", "source", "text", root, thrNum, thrDen, cap, seed,
+      checkpoint = s"$dir/ckpt")
+    stream.addData(rows.filter(_.doc_id % 8 == 2).toSeq)
+    q.processAllAvailable() // batch 1 → epoch 0
+    // the retrain + swap happen while the query RUNS — no restart
+    CurationEpochs.initEpoch(
+      docs.filter(col("doc_id") % 4 <= 2), vecs.filter(col("doc_id") % 4 <= 2),
+      "doc_id", "embedding", "lang", "text",
+      k = 8, iters = 2, numMerges = 16, maxWords = 100000,
+      dsirTarget = col("source").isin("src0", "src1"),
+      dsirBuckets = 64, root = root, epoch = 1L, seed = seed)
+    stream.addData(rows.filter(_.doc_id % 8 == 3).toSeq)
+    q.processAllAvailable() // batch 2 → epoch 1
+    q.stop()
+    val epochOfB = CurationEpochs.readCurated(spark, root)
+      .select(col("b").cast("long"), col("epoch"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(epochOfB == Map(1L -> 0L, 2L -> 1L),
+      s"live swap not picked up at the batch boundary: $epochOfB")
+    // and the post-swap batch equals serving the fresh store directly
+    val direct = graft.operators.Curation.serveBatch(
+        spark, CurationEpochs.epochPath(root, 1L),
+        docs.filter(col("doc_id") % 8 === 3),
+        vecs.filter(col("doc_id") % 8 === 3),
+        "doc_id", "embedding", "lang", "source", "text",
+        thrNum, thrDen, cap, seed, batchCut = Some(2L))
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = spark.read
+      .parquet(s"${CurationEpochs.epochPath(root, 1L)}/curated")
+      .select("doc_id", "source", "lang", "cluster", "bpe_tokens",
+        "dsir_score")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == direct,
+      "live post-swap batch diverges from serving the fresh store")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("redelivery: committed batch is a no-op; crash-window (artifacts " +
        "absorbed, marker missing) rewrites byte-equal — the batchCut fence") {
     val dir = java.nio.file.Files
