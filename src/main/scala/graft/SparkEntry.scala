@@ -2744,6 +2744,49 @@ object SparkEntry {
       .orderBy("epoch", "doc_id")
   }
 
+  /** Drift-gated retrain ([[CurationEpochs.retrainIfDrifted]]): the
+    * signal→action wiring — q151 reports drift, q154 swaps epochs, this
+    * is the scheduler tick that CONSUMES the report and decides. Two
+    * gates run against the epoch-0 store (trained on %4 ≤ 1) with the
+    * grown %4 ≤ 2 corpus: one at an unreachable threshold (10001 bp —
+    * drift is ≤ 10000 by construction, so it can never publish) and one
+    * at 1 bp (publishes iff the models disagree at all). The output is
+    * the gate's append-only decision log; the oracle replays the drift
+    * (two namespaced NB chains, exact-integer agreement, floor-div bp)
+    * AND the decision CASE, so a gate that lied about its own signal or
+    * its action would hash-mismatch. */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q156" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-curgate-$tag"
+    val d = Tables.documents(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    if (!new java.io.File(root).exists()) {
+      CurationEpochs.initEpoch(
+        d.filter(col("doc_id") % 4 <= 1), e.filter(col("doc_id") % 4 <= 1),
+        "doc_id", "embedding", "lang", "text",
+        k = KmeansK, iters = KmeansIters,
+        numMerges = BpeMerges, maxWords = BpeMaxWords,
+        dsirTarget = col("source").isin("src0", "src1"),
+        dsirBuckets = 256, root = root, epoch = 0L, seed = SampleSeed)
+      Seq((10001L, 1L), (1L, 2L)).foreach { case (thr, seq) =>
+        CurationEpochs.retrainIfDrifted(
+          d.filter(col("doc_id") % 4 <= 2), e.filter(col("doc_id") % 4 <= 2),
+          "doc_id", "embedding", "lang", "text",
+          k = KmeansK, iters = KmeansIters,
+          numMerges = BpeMerges, maxWords = BpeMaxWords,
+          dsirTarget = col("source").isin("src0", "src1"),
+          dsirBuckets = 256, root = root, newEpoch = 1L,
+          thresholdBp = thr, gateSeq = seq, seed = SampleSeed)
+      }
+    }
+    s.read.parquet(s"$root/_gate")
+      .select("gate_seq", "threshold_bp", "drift_bp", "published",
+        "serving_epoch")
+      .orderBy("gate_seq")
+  }
+
   /** Real-codec certification, audio: wrap each document's bytes as a
     * PCM-8 mono WAV and read every header field back through the REAL
     * RIFF parser ([[Multimodal.wavRoundtrip]]) — frames, sample rate,
@@ -3146,6 +3189,7 @@ object SparkEntry {
     "q153_bmp_roundtrip" -> q153,
     "q154_epoch_swap" -> q154,
     "q155_curation_audit" -> q155,
+    "q156_drift_gate" -> q156,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -5665,6 +5709,28 @@ object SparkEntry {
          |FROM ($chain1) c1
          |ORDER BY 1, 3""".stripMargin
     },
+    // q156: the drift signal (two namespaced NB chains — frozen on the
+    // epoch-0 history, candidate on the grown corpus, both scoring the
+    // corpus; exact-integer agreement, floor-div basis points) AND the
+    // two gate decisions replayed as CASE — 10001 bp is unreachable by
+    // construction, 1 bp publishes iff any disagreement exists
+    "q156_drift_gate" -> ("WITH " +
+      nbPredCtesFor("doc_id % 4 <= 1", "doc_id % 4 <= 2", "f_") + ", " +
+      nbPredCtesFor("doc_id % 4 <= 2", "doc_id % 4 <= 2", "r_") + """,
+      |gd AS (SELECT ((count(*) - sum(CASE WHEN f.pred = r.pred THEN 1 ELSE 0 END))
+      |               * 10000 // count(*))::BIGINT AS drift_bp
+      |       FROM f_pred f JOIN r_pred r USING (doc_id))
+      |SELECT 1::BIGINT AS gate_seq, 10001::BIGINT AS threshold_bp,
+      |       gd.drift_bp,
+      |       (CASE WHEN gd.drift_bp >= 10001 THEN 1 ELSE 0 END)::BIGINT AS published,
+      |       (CASE WHEN gd.drift_bp >= 10001 THEN 1 ELSE 0 END)::BIGINT AS serving_epoch
+      |FROM gd
+      |UNION ALL
+      |SELECT 2::BIGINT, 1::BIGINT, gd.drift_bp,
+      |       (CASE WHEN gd.drift_bp >= 1 THEN 1 ELSE 0 END)::BIGINT,
+      |       (CASE WHEN gd.drift_bp >= 1 THEN 1 ELSE 0 END)::BIGINT
+      |FROM gd
+      |ORDER BY 1""".stripMargin),
     // q155: same chain CTEs as q147, audit tail — per-doc first-
     // failing-stage disposition replayed through one derivation
     "q155_curation_audit" -> curationAuditOracleSql,

@@ -187,6 +187,57 @@ object CurationEpochs {
     parts.reduce(_.unionByName(_))
   }
 
+  /** Drift-gated retrain: q151's signal CONSUMED — the scheduled
+    * offline move run end to end. Scores `corpusDocs` twice — through
+    * the SERVING epoch's stored NB (the frozen artifact, bit-identical
+    * to in-query training by the q146 roundtrip law) and through a
+    * candidate retrained on the corpus itself — and takes the
+    * exact-integer disagreement in basis points as the drift. If
+    * `drift ≥ thresholdBp`, a COMPLETE new epoch trains on the corpus
+    * and publishes (the atomic swap); below threshold nothing changes.
+    * Either way the decision lands in `root/_gate` — the append-only
+    * audit trail of every retrain decision: (gate_seq, threshold_bp,
+    * drift_bp, published 0/1, serving_epoch after the gate). All-integer
+    * arithmetic end to end, so the driver oracle replays both the
+    * signal and the decision (q156). `gateSeq` is the caller's
+    * scheduler tick — the log is a log, a re-run gate appends. */
+  def retrainIfDrifted(corpusDocs: DataFrame, corpusVecs: DataFrame,
+                       idCol: String, vecCol: String, labelCol: String,
+                       textCol: String, k: Int, iters: Int,
+                       numMerges: Int, maxWords: Int,
+                       dsirTarget: Column, dsirBuckets: Int,
+                       root: String, newEpoch: Long, thresholdBp: Long,
+                       gateSeq: Long, seed: String = "graft"): (Long, Boolean) = {
+    val s = corpusDocs.sparkSession
+    val cur = currentEpoch(s, root)
+    val frozen = graft.operators.TextOps.scoreNbBatch(s,
+        s"${epochPath(root, cur)}/nb", corpusDocs, idCol, textCol)
+      .select(col(idCol), col("pred").as("__pf"))
+    val cand = graft.operators.TextOps.nbTrainPredict(
+        corpusDocs, corpusDocs, idCol, labelCol, textCol)
+      .select(col(idCol), col("pred").as("__pr"))
+    val row = frozen.join(cand, Seq(idCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__pf") === col("__pr"), 1L).otherwise(0L)).as("agree"))
+      .head()
+    val (n, agree) = (row.getLong(0), row.getLong(1))
+    require(n > 0, "retrainIfDrifted: drift gate over an empty corpus")
+    val drift = (n - agree) * 10000L / n
+    val published = drift >= thresholdBp
+    if (published)
+      initEpoch(corpusDocs, corpusVecs, idCol, vecCol, labelCol, textCol,
+        k, iters, numMerges, maxWords, dsirTarget, dsirBuckets,
+        root, newEpoch, seed)
+    s.range(1).select(
+        lit(gateSeq).as("gate_seq"),
+        lit(thresholdBp).as("threshold_bp"),
+        lit(drift).as("drift_bp"),
+        lit(if (published) 1L else 0L).as("published"),
+        lit(if (published) newEpoch else cur).as("serving_epoch"))
+      .write.mode("append").parquet(s"$root/_gate")
+    (drift, published)
+  }
+
   /** Retire a superseded epoch: refuse the serving one, delete the
     * store and the marker. Pins referencing it stay — they are history
     * (a batch THAT ran against epoch e ran against epoch e). */

@@ -221,6 +221,48 @@ class CurationStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("drift-gated retrain: below threshold is a no-op with the " +
+       "decision on record; at threshold it publishes the new epoch") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-curgate").toString
+    val root = s"$dir/root"
+    CurationEpochs.initEpoch(
+      docs.filter(col("doc_id") % 4 <= 1), vecs.filter(col("doc_id") % 4 <= 1),
+      "doc_id", "embedding", "lang", "text",
+      k = 8, iters = 2, numMerges = 16, maxWords = 100000,
+      dsirTarget = col("source").isin("src0", "src1"),
+      dsirBuckets = 64, root = root, epoch = 0L, seed = seed)
+    def gate(thr: Long, seq: Long): (Long, Boolean) =
+      CurationEpochs.retrainIfDrifted(
+        docs.filter(col("doc_id") % 4 <= 2), vecs.filter(col("doc_id") % 4 <= 2),
+        "doc_id", "embedding", "lang", "text",
+        k = 8, iters = 2, numMerges = 16, maxWords = 100000,
+        dsirTarget = col("source").isin("src0", "src1"),
+        dsirBuckets = 64, root = root, newEpoch = 1L,
+        thresholdBp = thr, gateSeq = seq, seed = seed)
+    // 10001 bp is unreachable (drift ≤ 10000 by construction): no-op
+    val (d1, p1) = gate(10001L, 1L)
+    assert(!p1 && d1 >= 0 && d1 <= 10000)
+    assert(CurationEpochs.currentEpoch(spark, root) == 0L,
+      "a below-threshold gate moved the serving pointer")
+    assert(!new java.io.File(CurationEpochs.epochPath(root, 1L)).exists(),
+      "a below-threshold gate built a store")
+    // threshold 0 always publishes; the signal is identical both times
+    val (d2, p2) = gate(0L, 2L)
+    assert(p2 && d2 == d1, s"gate signal not deterministic: $d1 vs $d2")
+    assert(CurationEpochs.currentEpoch(spark, root) == 1L,
+      "an at-threshold gate did not publish")
+    // the decision log carries both ticks verbatim
+    val log = spark.read.parquet(s"$root/_gate")
+      .select("gate_seq", "threshold_bp", "drift_bp", "published",
+        "serving_epoch")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(log == Set((1L, 10001L, d1, 0L, 0L), (2L, 0L, d1, 1L, 1L)),
+      s"decision log diverged: $log")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("epoch swap against a LIVE maintain query: a publish between " +
        "micro-batches takes effect at the next batch boundary, no restart") {
     implicit val ctx = spark.sqlContext
