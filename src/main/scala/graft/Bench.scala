@@ -190,6 +190,35 @@ object Bench {
       prevRound.exists(p => p > 0.0 && med > 1.5 * p) ||
       histBand.exists(b => b > 0.0 && med > 2.0 * b))
 
+  /** The map-recovery sidecars an artifact with no per-query map may be
+    * paired with, in trust order: its committed `BENCH_r{N}_map.json`
+    * twin (the round-13/15 manual-recovery convention), then the
+    * standing `BENCH_rNEXT_map.json` that every run now leaves behind
+    * unconditionally (round-16: the 2000-char stdout tail window has
+    * orphaned two rounds' per-query maps — r10 and r15 — and the
+    * gitignored bench.json is overwritten by the next run; this file is
+    * NOT gitignored, so a round-end commit preserves it). Pure for
+    * BenchWindowSpec. */
+  private[graft] def sidecarCandidates(
+      artifact: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val abs = artifact.toAbsolutePath
+    Seq(
+      abs.resolveSibling(
+        abs.getFileName.toString.replace(".json", "_map.json")),
+      abs.resolveSibling("BENCH_rNEXT_map.json"))
+  }
+
+  /** A sidecar is trusted only when its total agrees with the driver
+    * artifact's to 0.1 s — same run, not a stray dev file (the standing
+    * BENCH_rNEXT_map.json in particular may be a later local run's).
+    * Pure for BenchWindowSpec. */
+  private[graft] def sidecarTotalsAgree(artifactTotal: Option[Double],
+                                        sidecarTotal: Option[Double]): Boolean =
+    (artifactTotal, sidecarTotal) match {
+      case (Some(a), Some(b)) => math.abs(a - b) < 0.1
+      case _                  => false
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDirOrig = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Pin the input in RAM for the measured runs: the bench's contract is
@@ -277,29 +306,27 @@ object Bench {
           case JNothing | JNull => j
           case wrapped          => wrapped
         }
-        // map-recovery sidecar (round 14): a driver artifact whose
-        // stdout parse lost the per-query map (round 13: the 145-query
-        // line overflowed every ladder level then in place) can be
-        // paired with BENCH_r{N}_map.json — the raw bench.json the same
-        // run wrote, recovered and committed. Only consulted when the
-        // driver payload itself carries no map, and only trusted when
-        // the totals agree to 0.1 s (same run, not a stray dev file).
+        // map-recovery sidecars (round 14, widened round 16): a driver
+        // artifact whose stdout parse lost the per-query map (round 13:
+        // the 145-query line overflowed every ladder level then in
+        // place; round 15: recurrence at 156 queries) can be paired
+        // with a committed BENCH_r{N}_map.json twin or the standing
+        // BENCH_rNEXT_map.json every run now writes ([[sidecarCandidates]]).
+        // Only consulted when the driver payload itself carries no map,
+        // and only trusted when the totals agree to 0.1 s (same run,
+        // not a stray dev file). Candidates resolve next to the
+        // artifact, not the process CWD — SPARK_GRAFT_BENCH_PREV may
+        // point outside the repo root.
         if (queriesOf(payload).nonEmpty) payload
-        else {
-          // resolve next to the artifact, not against the process CWD —
-          // SPARK_GRAFT_BENCH_PREV may point outside the repo root
-          val side = p.toAbsolutePath.resolveSibling(
-            p.getFileName.toString.replace(".json", "_map.json"))
-          if (!Files.exists(side)) payload
+        else sidecarCandidates(p).iterator.flatMap { side =>
+          if (!Files.exists(side)) None
           else try {
             val sj = JsonMethods.parse(Files.readString(side))
-            val tOk = (numOf(payload \ "value"), numOf(sj \ "value")) match {
-              case (Some(a), Some(b)) => math.abs(a - b) < 0.1
-              case _                  => false
-            }
-            if (tOk && queriesOf(sj).nonEmpty) sj else payload
-          } catch { case _: Throwable => payload }
-        }
+            val tOk = sidecarTotalsAgree(
+              numOf(payload \ "value"), numOf(sj \ "value"))
+            if (tOk && queriesOf(sj).nonEmpty) Some(sj) else None
+          } catch { case _: Throwable => None }
+        }.nextOption().getOrElse(payload)
       }
       val allRounds: Seq[java.nio.file.Path] = {
         val rx = raw"BENCH_r0*(\d+)\.json".r
@@ -698,6 +725,17 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"spread":$spreads,"errors":$errs,"rep_counts":$repCounts,"n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)},"suspect":${jarr(suspectNames)},"rescued":${jarr(rescuedNames.toSeq)},"window_suspect":${jarr(windowSuspectFinal)},"anchor_total":${fmt(anchorTimes.values.sum, 4)},"anchor_n":${anchorTimes.size},"anchor_of":${anchorNames.size},"anchors":$anchorsJson,${calibJson(4)},"sf":${jstr(sfDirOrig)}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(outPath), fileJson + "\n")
+    // the UNCONDITIONAL map sidecar (round-16, r15 verdict #1): the
+    // stdout tail window has orphaned two rounds' per-query maps (r10,
+    // r15) and bench.json is both gitignored and overwritten by the
+    // next run. This twin is not gitignored — a round-end commit
+    // preserves it — and the prev-artifact parse above pairs it with a
+    // map-less driver artifact by total (±0.1 s). Best-effort: the
+    // sidecar must never fail the bench.
+    try Files.writeString(
+      Paths.get(outPath).toAbsolutePath.resolveSibling("BENCH_rNEXT_map.json"),
+      fileJson + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
     // last line of output, after Spark's shutdown logging is done
     println(line)

@@ -2812,7 +2812,12 @@ object SparkEntry {
     Multimodal.bmpRoundtrip(
         Multimodal.asMediaTable(
           Tables.documents(s, dir)
-            .filter(length(col("text")) % 4 === 0 && length(col("text")) > 0),
+            // BYTE length (octet_length = UTF-8 bytes), not characters:
+            // asMediaTable encodes text as UTF-8 and bmpWrapGray8 pads
+            // rows on BYTES, so a char-based filter desyncs from the
+            // padding on any non-ASCII doc (round-15 advice)
+            .filter(octet_length(col("text")) % 4 === 0 &&
+              octet_length(col("text")) > 0),
           "doc_id", "text", "image"),
         width = 4)
       .orderBy("media_id")
@@ -5736,26 +5741,33 @@ object SparkEntry {
     "q155_curation_audit" -> curationAuditOracleSql,
     // q152: every column is a WAV header field the real RIFF parser had
     // to read back out of the encoded file; the channel-0 plane of a
-    // PCM-8 mono WAV is the payload verbatim, so its md5 is md5(text)
+    // PCM-8 mono WAV is the payload verbatim, so its md5 is md5(text).
+    // BYTE lengths throughout (octet_length over the UTF-8 encoding):
+    // asMediaTable encodes text as UTF-8, so char-based length() would
+    // break on any non-ASCII doc (round-15 advice; the n_bytes
+    // convention everywhere else in the media family)
     "q152_wav_roundtrip" ->
       """SELECT doc_id AS media_id,
-        |       length(text)::BIGINT AS n_samples,
+        |       octet_length(encode(text))::BIGINT AS n_samples,
         |       16000::BIGINT AS sample_rate,
         |       1::BIGINT AS channels,
-        |       (44 + length(text) + (length(text) % 2))::BIGINT AS file_bytes,
+        |       (44 + octet_length(encode(text))
+        |           + (octet_length(encode(text)) % 2))::BIGINT AS file_bytes,
         |       md5(text) AS pcm_hash
         |FROM documents ORDER BY media_id""".stripMargin,
     // q153: BMP twin — width-4 top-down grayscale DIB (1078-byte
-    // header+palette), length%4=0 docs so the plane is the text exactly
+    // header+palette), byte-length%4=0 docs so the plane is the text's
+    // UTF-8 bytes exactly (matching the Spark filter's octet_length)
     "q153_bmp_roundtrip" ->
       """SELECT doc_id AS media_id,
         |       4::BIGINT AS width,
-        |       (length(text) // 4)::BIGINT AS height,
+        |       (octet_length(encode(text)) // 4)::BIGINT AS height,
         |       1::BIGINT AS channels,
-        |       (1078 + length(text))::BIGINT AS file_bytes,
+        |       (1078 + octet_length(encode(text)))::BIGINT AS file_bytes,
         |       md5(text) AS plane_hash
         |FROM documents
-        |WHERE length(text) % 4 = 0 AND length(text) > 0
+        |WHERE octet_length(encode(text)) % 4 = 0
+        |  AND octet_length(encode(text)) > 0
         |ORDER BY media_id""".stripMargin,
     // q148: the PLAIN join certifies the hot-key-only salting rewrite;
     // n_hot_users replays the integer ppm salting decision itself

@@ -114,6 +114,71 @@ object Curation {
     }
   }
 
+  /** The history hash log, cut to batches `b < batchCut` for
+    * stream-layout stores (the redelivery fence); batch-layout stores
+    * carry no `b` and take the whole log. */
+  private def cutHashes(s: SparkSession, path: String,
+                        batchCut: Option[Long]): DataFrame = {
+    val raw = s.read.parquet(s"$path/hashes")
+    batchCut.fold(raw)(c => raw.filter(col("b").cast("long") < lit(c)))
+  }
+
+  /** The persisted hash-log bloom ([[writeHashBloom]]) as an in-plan
+    * scalar + its coverage bound — None when absent, unreadable (e.g. a
+    * mid-rebuild crash; the caller falls back to the plain join) or
+    * smaller than `bloomMinItems` (below which the sketch's fixed
+    * overhead costs more than the shuffle it saves). */
+  private def readBloomArt(s: SparkSession, path: String,
+                           bloomMinItems: Long): Option[(Column, Long)] = {
+    val bp = new org.apache.hadoop.fs.Path(s"$path/hashbloom")
+    if (!bp.getFileSystem(s.sessionState.newHadoopConf()).exists(bp)) None
+    else scala.util.Try {
+      val art = s.read.parquet(s"$path/hashbloom")
+      val meta = art.select(col("covered_up_to"), col("n_items")).head()
+      Blooms.register(s)
+      (art.select(col("bf")).scalar(), meta.getLong(0), meta.getLong(1))
+    }.toOption.collect {
+      case (bf, covered, n) if n >= bloomMinItems => (bf, covered)
+    }
+  }
+
+  /** Stage 1's history check, SHARED by [[serveBatch]] and
+    * [[auditBatch]] (round-15 verdict: the audit must never re-shuffle
+    * the log the serve path no longer touches): the within-batch
+    * keepers that are FRESH against the (cut) history hash log. With a
+    * bloom artifact, bloom MISSES are definitely fresh (no false
+    * negatives) and skip the join; only the HITS reach an exact
+    * anti-join whose log side is first pruned to dup-sized by an
+    * in-plan bloom of the hit hashes; hashes absorbed after the
+    * sketch's fold point (`b > covered`) are a residual
+    * absorption-sized plain anti-join. Result ≡ the plain anti-join for
+    * ANY sketch state (law in CurationSpec). Callers localCheckpoint
+    * `keepers` when passing a bloom artifact — it is consumed three
+    * times here. */
+  private def hashFreshKeepers(keepers: DataFrame, hashes: DataFrame,
+                               bloomArt: Option[(Column, Long)]): DataFrame =
+    bloomArt.fold(
+      keepers.join(hashes.select("content_hash"), Seq("content_hash"),
+        "left_anti")
+    ) { case (bf, covered) =>
+      val hasB = hashes.columns.contains("b")
+      val coveredSlice =
+        if (hasB) hashes.filter(col("b").cast("long") <= covered) else hashes
+      val recentSlice =
+        if (hasB) hashes.filter(col("b").cast("long") > covered)
+        else hashes.limit(0)
+      val might = call_function("graft_might_contain", bf,
+        xxhash64(col("content_hash")))
+      val exactKeep = keepers.where(might)
+        .join(Blooms.bloomPrefilter(coveredSlice.select("content_hash"),
+            keepers.where(might), "content_hash", "content_hash",
+            expectedItems = 1000000L),
+          Seq("content_hash"), "left_anti")
+      keepers.where(not(might)).unionByName(exactKeep)
+        .join(recentSlice.select("content_hash"), Seq("content_hash"),
+          "left_anti")
+    }
+
   /** Curate ONE new batch against the frozen store. Returns the
     * surviving docs annotated with their frozen-model artifacts:
     * (id, source, label, cluster, bpe_tokens, dsir_score).
@@ -175,43 +240,17 @@ object Curation {
     // enough that its shuffle dominates — below `bloomMinItems`
     // (default 1M ≈ tens of MB) the plain join wins and the sketch is
     // ignored; the storm forces it with bloomMinItems = 0.
-    val rawHashes = s.read.parquet(s"$path/hashes")
-    val hashes = batchCut.fold(rawHashes)(c =>
-      rawHashes.filter(col("b").cast("long") < lit(c)))
-    val keepers = TextOps.exactDedup(batchDocs, idCol, textCol)
-    val bloomArt: Option[(Column, Long)] = {
-      val bp = new org.apache.hadoop.fs.Path(s"$path/hashbloom")
-      if (!bp.getFileSystem(s.sessionState.newHadoopConf()).exists(bp)) None
-      else scala.util.Try { // unreadable (e.g. mid-rebuild crash) → plain
-        val art = s.read.parquet(s"$path/hashbloom")
-        val meta = art.select(col("covered_up_to"), col("n_items")).head()
-        Blooms.register(s)
-        (art.select(col("bf")).scalar(), meta.getLong(0), meta.getLong(1))
-      }.toOption.collect {
-        case (bf, covered, n) if n >= bloomMinItems => (bf, covered)
-      }
-    }
-    val b1kept = bloomArt.fold(
-      keepers.join(hashes.select("content_hash"), Seq("content_hash"),
-        "left_anti")
-    ) { case (bf, covered) =>
-      val hasB = hashes.columns.contains("b")
-      val coveredSlice =
-        if (hasB) hashes.filter(col("b").cast("long") <= covered) else hashes
-      val recentSlice =
-        if (hasB) hashes.filter(col("b").cast("long") > covered)
-        else hashes.limit(0)
-      val might = call_function("graft_might_contain", bf,
-        xxhash64(col("content_hash")))
-      val exactKeep = keepers.where(might)
-        .join(Blooms.bloomPrefilter(coveredSlice.select("content_hash"),
-            keepers.where(might), "content_hash", "content_hash",
-            expectedItems = 1000000L),
-          Seq("content_hash"), "left_anti")
-      keepers.where(not(might)).unionByName(exactKeep)
-        .join(recentSlice.select("content_hash"), Seq("content_hash"),
-          "left_anti")
-    }
+    val hashes = cutHashes(s, path, batchCut)
+    val bloomArt = readBloomArt(s, path, bloomMinItems)
+    // the bloom split consumes the exactDedup hub three times (the
+    // might/not-might splits plus the prefilter probe) — cut it ONCE
+    // (the q139 localCheckpoint-hub discipline; round-15 advice found
+    // the batch aggregation recomputed per consumer)
+    val keepers0 = TextOps.exactDedup(batchDocs, idCol, textCol)
+    val keepers =
+      if (bloomArt.isDefined) keepers0.localCheckpoint(eager = true)
+      else keepers0
+    val b1kept = hashFreshKeepers(keepers, hashes, bloomArt)
     val b1 = b1kept.select(col("keeper_id").as(idCol))
       .join(coveredIds, Seq(idCol), "left_semi")
     // 2. within-batch semantic dedup under the FROZEN centroids.
@@ -275,27 +314,35 @@ object Curation {
     *   quality            — frozen-NB prediction ≠ its label
     *   survived           — in [[serveBatch]]'s output
     *
-    * Composes the SAME frozen-model primitives in the same order and
-    * with the same parameters as [[serveBatch]] (the hash check uses
-    * the plain anti-join — the bloom is an access path, not a
-    * semantics); CurationSpec pins the lockstep law `survived` ≡
-    * serveBatch ids, and the q155 oracle hash-pins every verdict.
-    * Cost: the serve chain once, plus batch-sized labeling joins —
-    * nothing history-sized beyond what serve itself reads. */
+    * Composes the SAME frozen-model primitives in the same order, with
+    * the same parameters AND through the same access paths as
+    * [[serveBatch]]: the history-hash check is the shared
+    * [[hashFreshKeepers]] bloom split (round-15's verdict found the
+    * audit re-shuffling the full hash log the serve path no longer
+    * touches — a per-batch audit cadence put the scale-killer right
+    * back on the 15-minute path; verdicts are unchanged by the ≡-plain
+    * law, since bloom misses are `exact_dup_history`-false by
+    * no-false-negatives). CurationSpec pins the lockstep law
+    * `survived` ≡ serveBatch ids, and the q155 oracle hash-pins every
+    * verdict. Cost: the serve chain once, plus batch-sized labeling
+    * joins — nothing history-sized beyond what serve itself reads, now
+    * including the hash check. */
   def auditBatch(s: SparkSession, path: String,
                  batchDocs: DataFrame, batchVecs: DataFrame,
                  idCol: String, vecCol: String, labelCol: String,
                  textCol: String,
                  thrNum: Long, thrDen: Long, clusterCap: Long,
                  seed: String = "graft",
-                 batchCut: Option[Long] = None): DataFrame = {
-    val rawHashes = s.read.parquet(s"$path/hashes")
-    val hashes = batchCut.fold(rawHashes)(c =>
-      rawHashes.filter(col("b").cast("long") < lit(c)))
+                 batchCut: Option[Long] = None,
+                 bloomMinItems: Long = 1000000L): DataFrame = {
+    val hashes = cutHashes(s, path, batchCut)
+    val bloomArt = readBloomArt(s, path, bloomMinItems)
+    // the audit always has 2+ consumers of the exactDedup hub (the
+    // keeper labeling join + the hash check) — cut it once
     val keepers = TextOps.exactDedup(batchDocs, idCol, textCol)
+      .localCheckpoint(eager = true)
     val keeperIds = keepers.select(col("keeper_id").as(idCol))
-    val hashOk = keepers
-      .join(hashes.select("content_hash"), Seq("content_hash"), "left_anti")
+    val hashOk = hashFreshKeepers(keepers, hashes, bloomArt)
       .select(col("keeper_id").as(idCol))
     val coveredIds = batchVecs.filter(col(vecCol).isNotNull)
       .select(col(idCol))

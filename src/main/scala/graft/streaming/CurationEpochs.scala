@@ -129,10 +129,15 @@ object CurationEpochs {
       val fs = fsOf(s, p)
       fs.mkdirs(p.getParent)
       try { fs.create(p, false).close(); e }
-      catch { case _: java.io.IOException =>
-        // lost a create race (or the pin landed just before a crash):
-        // the recorded pin wins
-        pinnedEpoch(s, root, batchId).getOrElse(e)
+      catch { case ex: java.io.IOException =>
+        // an exclusive-create failure is a LOST RACE only if a pin now
+        // exists — then the recorded pin wins. Any other IOException
+        // (transient FS error, no durable pin) must PROPAGATE: serving
+        // unpinned would let a crash + swap + redelivery re-choose a
+        // newer epoch, violating the pin-across-swap law and stranding
+        // the first attempt's absorption in the old epoch's store
+        // (round-15 advice)
+        pinnedEpoch(s, root, batchId).getOrElse(throw ex)
       }
     }
 
@@ -209,6 +214,7 @@ object CurationEpochs {
                        root: String, newEpoch: Long, thresholdBp: Long,
                        gateSeq: Long, seed: String = "graft"): (Long, Boolean) = {
     val s = corpusDocs.sparkSession
+    reconcileGate(s, root)
     val cur = currentEpoch(s, root)
     val frozen = graft.operators.TextOps.scoreNbBatch(s,
         s"${epochPath(root, cur)}/nb", corpusDocs, idCol, textCol)
@@ -224,10 +230,21 @@ object CurationEpochs {
     require(n > 0, "retrainIfDrifted: drift gate over an empty corpus")
     val drift = (n - agree) * 10000L / n
     val published = drift >= thresholdBp
-    if (published)
-      initEpoch(corpusDocs, corpusVecs, idCol, vecCol, labelCol, textCol,
-        k, iters, numMerges, maxWords, dsirTarget, dsirBuckets,
-        root, newEpoch, seed)
+    // ordering is the crash contract (round-15 advice): (1) build the
+    // COMPLETE new store — unpublished, so invisible to serving; (2)
+    // append the decision row; (3) swap. A crash after (1) re-runs the
+    // whole gate next tick (init is pure overwrite — idempotent); a
+    // crash between (2) and (3) leaves a logged publish with an unmoved
+    // pointer, which the NEXT gate's [[reconcileGate]] completes before
+    // reading `currentEpoch` — so a published epoch can never be
+    // missing from the audit log, and a logged publish is completed at
+    // the latest one tick later while the old epoch keeps serving.
+    if (published) {
+      CurationStream.init(corpusDocs, corpusVecs, idCol, vecCol, labelCol,
+        textCol, k, iters, numMerges, maxWords, dsirTarget, dsirBuckets,
+        epochPath(root, newEpoch), seed)
+      crashPoint("graft.epochs.crashAfterBuild", gateSeq)
+    }
     s.range(1).select(
         lit(gateSeq).as("gate_seq"),
         lit(thresholdBp).as("threshold_bp"),
@@ -235,7 +252,42 @@ object CurationEpochs {
         lit(if (published) 1L else 0L).as("published"),
         lit(if (published) newEpoch else cur).as("serving_epoch"))
       .write.mode("append").parquet(s"$root/_gate")
+    if (published) {
+      crashPoint("graft.epochs.crashAfterGate", gateSeq)
+      publish(s, root, newEpoch)
+    }
     (drift, published)
+  }
+
+  /** Crash injection for the epoch-swap storm (Stress mode "gatecrash"):
+    * `-Dgraft.epochs.crashAfterBuild=<gateSeq>` halts right after the
+    * candidate store is built (pre-log, pre-swap),
+    * `-Dgraft.epochs.crashAfterGate=<gateSeq>` after the decision row
+    * lands but BEFORE the pointer moves — the two worst-ordered windows
+    * the gate ordering must survive. halt (not exit) so no shutdown
+    * hook tidies the simulated kill. */
+  private def crashPoint(prop: String, gateSeq: Long): Unit =
+    if (sys.props.get(prop).exists(_.toLong == gateSeq))
+      Runtime.getRuntime.halt(137)
+
+  /** Heal the logged-but-unswapped crash window: any `_gate` row with
+    * `published = 1` whose epoch has a COMPLETE store (b=0 seed commit
+    * marker) but no published marker gets its [[publish]] completed —
+    * idempotent, one marker create per healed epoch. Run at the top of
+    * every gate tick; safe to call any time (the gate log is
+    * decisions-sized, so the collect is bounded by ticks, not data). */
+  def reconcileGate(s: SparkSession, root: String): Unit = {
+    val p = new Path(s"$root/_gate")
+    if (!fsOf(s, p).exists(p)) return
+    val logged = s.read.parquet(s"$root/_gate")
+      .filter(col("published") === 1L)
+      .select(col("serving_epoch")).distinct()
+      .collect().map(_.getLong(0))
+    val already = publishedEpochs(s, root).toSet
+    logged.filterNot(already).sorted.foreach { e =>
+      if (CurationStream.committed(s, epochPath(root, e), 0L))
+        publish(s, root, e)
+    }
   }
 
   /** Retire a superseded epoch: refuse the serving one, delete the

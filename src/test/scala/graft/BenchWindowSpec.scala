@@ -143,4 +143,32 @@ class BenchWindowSpec extends AnyFunSuite {
       "zero priors cannot divide a flag into existence")
     assert(!Bench.crossRoundSuspect(5.0, None, None))
   }
+
+  // ---- map-recovery sidecars (round 16: the stdout tail window has ----
+  // ---- orphaned two rounds' per-query maps; recovery must be plural ----
+
+  test("sidecar candidates: committed _map twin first, then the " +
+       "standing BENCH_rNEXT_map, both next to the artifact") {
+    val p = java.nio.file.Paths.get("/some/dir/BENCH_r15.json")
+    val got = Bench.sidecarCandidates(p)
+    assert(got == Seq(
+      java.nio.file.Paths.get("/some/dir/BENCH_r15_map.json"),
+      java.nio.file.Paths.get("/some/dir/BENCH_rNEXT_map.json")))
+  }
+
+  test("sidecar resolution follows the artifact's directory, not the CWD") {
+    // SPARK_GRAFT_BENCH_PREV may point outside the repo root
+    val p = java.nio.file.Paths.get("BENCH_r09.json")
+    assert(Bench.sidecarCandidates(p)
+      .forall(_.getParent == p.toAbsolutePath.getParent))
+  }
+
+  test("a sidecar is trusted only on a 0.1 s total match") {
+    assert(Bench.sidecarTotalsAgree(Some(179.879), Some(179.88)))
+    assert(!Bench.sidecarTotalsAgree(Some(179.879), Some(156.7)),
+      "a later local run's standing sidecar must not pair")
+    assert(!Bench.sidecarTotalsAgree(None, Some(179.88)),
+      "an artifact with no total cannot vouch for any sidecar")
+    assert(!Bench.sidecarTotalsAgree(Some(179.88), None))
+  }
 }
