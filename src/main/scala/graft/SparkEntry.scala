@@ -2744,6 +2744,68 @@ object SparkEntry {
       .orderBy("epoch", "doc_id")
   }
 
+  /** Epoch retention ([[CurationEpochs.foldEpochs]]): q154's versioned
+    * loop run long enough that retention matters — three epochs each
+    * serve one batch (epoch 0 on the %4 ≤ 1 history serves %4 = 2;
+    * epoch 1, retrained on %4 ≤ 2, serves %8 = 3; epoch 2, retrained on
+    * %8 ≠ 7, is published), then the chain is FOLDED to the serving
+    * epoch + 1 (epoch 0's curated output compacts into the consolidated
+    * archive and its full store is deleted) and the final batch
+    * (%8 = 7) is served fresh per evaluation against epoch 2. The
+    * oracle replays the three serve chains with NO idea a fold
+    * happened: [[CurationEpochs.readCurated]] must return the archived
+    * epoch's rows bit-identically from the archive — the q150
+    * read-invisibility discipline applied to the epoch chain (round-15
+    * verdict #5: unbounded epoch lists and superseded stores were the
+    * last unbounded growth on the serve side). */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q158" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-curefold-$tag"
+    val d = Tables.documents(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    def epochOn(docPred: org.apache.spark.sql.Column,
+                vecPred: org.apache.spark.sql.Column, epoch: Long): Unit =
+      CurationEpochs.initEpoch(
+        d.filter(docPred), e.filter(vecPred),
+        "doc_id", "embedding", "lang", "text",
+        k = KmeansK, iters = KmeansIters,
+        numMerges = BpeMerges, maxWords = BpeMaxWords,
+        dsirTarget = col("source").isin("src0", "src1"),
+        dsirBuckets = 256, root = root, epoch = epoch, seed = SampleSeed)
+    if (!new java.io.File(root).exists()) {
+      epochOn(col("doc_id") % 4 <= 1, col("doc_id") % 4 <= 1, 0L)
+      CurationEpochs.applyBatchEpoch(
+        d.filter(col("doc_id") % 4 === 2), e.filter(col("doc_id") % 4 === 2),
+        "doc_id", "embedding", "lang", "source", "text",
+        root, SemThrNum, SemThrDen, SemCap, SampleSeed, batchId = 1L)
+      epochOn(col("doc_id") % 4 <= 2, col("doc_id") % 4 <= 2, 1L)
+      CurationEpochs.applyBatchEpoch(
+        d.filter(col("doc_id") % 8 === 3), e.filter(col("doc_id") % 8 === 3),
+        "doc_id", "embedding", "lang", "source", "text",
+        root, SemThrNum, SemThrDen, SemCap, SampleSeed, batchId = 2L)
+      epochOn(col("doc_id") % 8 =!= 7, col("doc_id") % 8 =!= 7, 2L)
+      CurationEpochs.foldEpochs(s, root, keep = 2)
+    }
+    // bench honesty (the q149/q154 shape): the final batch is SERVED
+    // FRESH per evaluation against the post-fold serving epoch — the
+    // measured body is the serve path over a folded epoch chain
+    val served = Curation.serveBatch(s, CurationEpochs.epochPath(root, 2L),
+        d.filter(col("doc_id") % 8 === 7), e.filter(col("doc_id") % 8 === 7),
+        "doc_id", "embedding", "lang", "source", "text",
+        SemThrNum, SemThrDen, SemCap, SampleSeed, batchCut = Some(3L))
+      .withColumn("epoch", lit(2L)).withColumn("b", lit(3L))
+    CurationEpochs.readCurated(s, root)
+      .select(col("epoch"), col("b").cast("long").as("b"), col("doc_id"),
+        col("source"), col("lang"), col("cluster"), col("bpe_tokens"),
+        col("dsir_score"))
+      .unionByName(served.select(col("epoch"), col("b"), col("doc_id"),
+        col("source"), col("lang"), col("cluster"), col("bpe_tokens"),
+        col("dsir_score")))
+      .orderBy("epoch", "doc_id")
+  }
+
   /** Drift-gated retrain ([[CurationEpochs.retrainIfDrifted]]): the
     * signal→action wiring — q151 reports drift, q154 swaps epochs, this
     * is the scheduler tick that CONSUMES the report and decides. Two
@@ -2755,7 +2817,10 @@ object SparkEntry {
     * (two namespaced NB chains, exact-integer agreement, floor-div bp)
     * AND the decision CASE, so a gate that lied about its own signal or
     * its action would hash-mismatch. */
-  private def q156(s: SparkSession, dir: String): DataFrame = {
+  /** The q156/q157 shared gate root (built once per JVM, the q147Store
+    * convention): epoch 0 trained on the %4 ≤ 1 history, then the two
+    * gates run against the grown %4 ≤ 2 corpus. */
+  private def q156Root(s: SparkSession, dir: String): String = {
     val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
       "q156" + dir + s.sparkContext.applicationId)) % 1000000).toString
     val root = s"${System.getProperty("java.io.tmpdir")}/graft-curgate-$tag"
@@ -2781,10 +2846,34 @@ object SparkEntry {
           thresholdBp = thr, gateSeq = seq, seed = SampleSeed)
       }
     }
+    root
+  }
+
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val root = q156Root(s, dir)
     s.read.parquet(s"$root/_gate")
       .select("gate_seq", "threshold_bp", "drift_bp", "published",
         "serving_epoch")
       .orderBy("gate_seq")
+  }
+
+  /** The drift gate's SIGNAL path, replay-only
+    * ([[CurationEpochs.driftSignal]]): the grown %4 ≤ 2 corpus scored
+    * through epoch 0's STORED NB and through a candidate retrained on
+    * the corpus, reduced to the exact-integer disagreement row the gate
+    * decides on. q156's measured body is a once-per-JVM log read-back
+    * (a published gate mutates state — re-gating per rep would measure
+    * a different question), which left the gate's expensive part — two
+    * full scoring passes — without a band (round-15 verdict #4); this
+    * query IS that part, idempotent per rep, so the bench bands it.
+    * [[CurationEpochs.retrainIfDrifted]] consumes exactly this row,
+    * and the oracle replays both NB chains. */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val root = q156Root(s, dir)
+    CurationEpochs.driftSignal(s,
+      s"${CurationEpochs.epochPath(root, 0L)}/nb",
+      Tables.documents(s, dir).filter(col("doc_id") % 4 <= 2),
+      "doc_id", "lang", "text")
   }
 
   /** Real-codec certification, audio: wrap each document's bytes as a
@@ -3195,6 +3284,8 @@ object SparkEntry {
     "q154_epoch_swap" -> q154,
     "q155_curation_audit" -> q155,
     "q156_drift_gate" -> q156,
+    "q157_drift_signal" -> q157,
+    "q158_epoch_fold" -> q158,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -5736,6 +5827,36 @@ object SparkEntry {
       |       (CASE WHEN gd.drift_bp >= 1 THEN 1 ELSE 0 END)::BIGINT
       |FROM gd
       |ORDER BY 1""".stripMargin),
+    // q158: three independent serve chains (the q154 pattern, one per
+    // epoch) — the fold between epochs 2 and 3 must be invisible, so
+    // the oracle replays the chain with no idea the archived epoch's
+    // rows now come from the consolidated archive
+    "q158_epoch_fold" -> {
+      val chains = Seq(
+        (0L, 1L, "doc_id % 4 <= 1", "vec_id % 4 <= 1", "doc_id % 4 = 2"),
+        (1L, 2L, "doc_id % 4 <= 2", "vec_id % 4 <= 2", "doc_id % 8 = 3"),
+        (2L, 3L, "doc_id % 8 != 7", "vec_id % 8 != 7", "doc_id % 8 = 7"))
+        .map { case (ep, b, hd, hv, bp) =>
+          val c = curationChainOracleSql(
+            histDocPred = hd, histVecPred = hv, testPred = bp,
+            batchPreds = Seq(bp), withBatchCol = false, withOrder = false)
+          s"""SELECT $ep::BIGINT AS epoch, $b::BIGINT AS b, c$ep.*
+             |FROM ($c) c$ep""".stripMargin
+        }
+      chains.mkString("", "\nUNION ALL\n", "\nORDER BY 1, 3")
+    },
+    // q157: the gate's signal path alone — the same two namespaced NB
+    // chains as q156, reduced to the one decision row (exact-integer
+    // agreement, floor-div basis points)
+    "q157_drift_signal" -> ("WITH " +
+      nbPredCtesFor("doc_id % 4 <= 1", "doc_id % 4 <= 2", "f_") + ", " +
+      nbPredCtesFor("doc_id % 4 <= 2", "doc_id % 4 <= 2", "r_") + """
+      |SELECT count(*)::BIGINT AS n_docs,
+      |       sum(CASE WHEN f.pred = r.pred THEN 1 ELSE 0 END)::BIGINT
+      |         AS n_agree,
+      |       ((count(*) - sum(CASE WHEN f.pred = r.pred THEN 1 ELSE 0 END))
+      |        * 10000 // count(*))::BIGINT AS drift_bp
+      |FROM f_pred f JOIN r_pred r USING (doc_id)""".stripMargin),
     // q155: same chain CTEs as q147, audit tail — per-doc first-
     // failing-stage disposition replayed through one derivation
     "q155_curation_audit" -> curationAuditOracleSql,

@@ -179,17 +179,92 @@ object CurationEpochs {
       }
       .start()
 
-  /** All curated output across published epochs, each row carrying the
-    * epoch that served it (the verdict's "curated output carries the
-    * serving epoch"). Epochs with no served batches contribute nothing. */
+  /** Epochs whose curated output has been compacted into
+    * `curated_archive/` and whose stores are retired (or mid-retirement
+    * — the marker is created BEFORE the store drop). */
+  def archivedEpochs(s: SparkSession, root: String): Seq[Long] = {
+    val p = new Path(s"$root/_archived")
+    val fs = fsOf(s, p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .sorted
+  }
+
+  /** All curated output across epochs, each row carrying the epoch that
+    * served it (the verdict's "curated output carries the serving
+    * epoch"): live epochs read from their stores, archived ones from
+    * the consolidated `curated_archive/` — [[foldEpochs]] is INVISIBLE
+    * here (law in CurationStreamSpec). The archive is read only for
+    * MARKED epochs (partition pruning on `epoch`), so a crash
+    * mid-archive-write — partition present, marker absent — never
+    * double-counts: the live copy is still the one read. Epochs with no
+    * served batches contribute nothing. */
   def readCurated(s: SparkSession, root: String): DataFrame = {
-    val parts = publishedEpochs(s, root).flatMap { e =>
-      val cur = new Path(s"${epochPath(root, e)}/curated")
-      if (!fsOf(s, cur).exists(cur)) None
-      else Some(s.read.parquet(cur.toString).withColumn("epoch", lit(e)))
-    }
+    val archived = archivedEpochs(s, root)
+    val liveParts = publishedEpochs(s, root)
+      .filterNot(archived.toSet).flatMap { e =>
+        val cur = new Path(s"${epochPath(root, e)}/curated")
+        if (!fsOf(s, cur).exists(cur)) None
+        else Some(s.read.parquet(cur.toString).withColumn("epoch", lit(e)))
+      }
+    val arch = new Path(s"$root/curated_archive")
+    val archPart =
+      if (archived.isEmpty || !fsOf(s, arch).exists(arch)) None
+      else Some(s.read.parquet(arch.toString)
+        .filter(col("epoch").cast("long").isin(archived: _*))
+        .withColumn("epoch", col("epoch").cast("long")))
+    val parts = liveParts ++ archPart
     require(parts.nonEmpty, s"no curated output under $root yet")
     parts.reduce(_.unionByName(_))
+  }
+
+  /** Epoch retention — the [[graft.streaming.CurationStream.foldStore]]
+    * move applied to the EPOCH chain (round-15 verdict #5: without it
+    * the published-epoch list, the [[readCurated]] union's file count,
+    * and the superseded stores' disk footprint all grow without bound
+    * at a 100 TB retrain cadence). Keeps the serving epoch plus the
+    * `keep - 1` most recent others; every older published epoch is
+    * retired in three idempotent steps, oldest first:
+    *
+    *   1. its curated output is compacted into the consolidated
+    *      `curated_archive/` (partitioned by epoch, dynamic overwrite —
+    *      a re-run rewrites the partition byte-identically);
+    *   2. one atomic `_archived/<e>` marker create flips reads to the
+    *      archive;
+    *   3. [[dropEpoch]] deletes the full store and published marker.
+    *
+    * Crash windows: before the marker, the live store is still the copy
+    * [[readCurated]] serves (the partial archive partition is invisible
+    * — unmarked epochs are pruned out) and a re-run redoes step 1;
+    * between marker and drop, the archive is already authoritative and
+    * a re-run completes the delete. Serving batches are untouched: the
+    * serving epoch can never be retired, and retired epochs' pins stay
+    * as history. Callers must not fold while a redelivery against a
+    * to-be-retired epoch is in flight — the same in-flight fence
+    * [[CurationStream.foldStore]] documents for batches. */
+  def foldEpochs(s: SparkSession, root: String, keep: Int): Unit = {
+    require(keep >= 1, s"foldEpochs(keep=$keep): must keep the serving epoch")
+    val published = publishedEpochs(s, root)
+    val retire = published.dropRight(keep)
+    val serving = currentEpoch(s, root)
+    retire.foreach { e =>
+      require(e != serving, s"foldEpochs: refusing to retire serving epoch $e")
+      val cur = new Path(s"${epochPath(root, e)}/curated")
+      if (fsOf(s, cur).exists(cur)) {
+        s.read.parquet(cur.toString)
+          .withColumn("epoch", lit(e))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch")
+          .parquet(s"$root/curated_archive")
+      }
+      val m = new Path(s"$root/_archived/$e")
+      val fs = fsOf(s, m)
+      fs.mkdirs(m.getParent)
+      if (!fs.exists(m)) fs.create(m, false).close()
+      dropEpoch(s, root, e)
+    }
   }
 
   /** Drift-gated retrain: q151's signal CONSUMED — the scheduled
@@ -216,19 +291,10 @@ object CurationEpochs {
     val s = corpusDocs.sparkSession
     reconcileGate(s, root)
     val cur = currentEpoch(s, root)
-    val frozen = graft.operators.TextOps.scoreNbBatch(s,
-        s"${epochPath(root, cur)}/nb", corpusDocs, idCol, textCol)
-      .select(col(idCol), col("pred").as("__pf"))
-    val cand = graft.operators.TextOps.nbTrainPredict(
-        corpusDocs, corpusDocs, idCol, labelCol, textCol)
-      .select(col(idCol), col("pred").as("__pr"))
-    val row = frozen.join(cand, Seq(idCol))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("__pf") === col("__pr"), 1L).otherwise(0L)).as("agree"))
-      .head()
-    val (n, agree) = (row.getLong(0), row.getLong(1))
+    val row = driftSignal(s, s"${epochPath(root, cur)}/nb", corpusDocs,
+      idCol, labelCol, textCol).head()
+    val (n, drift) = (row.getLong(0), row.getLong(2))
     require(n > 0, "retrainIfDrifted: drift gate over an empty corpus")
-    val drift = (n - agree) * 10000L / n
     val published = drift >= thresholdBp
     // ordering is the crash contract (round-15 advice): (1) build the
     // COMPLETE new store — unpublished, so invisible to serving; (2)
@@ -257,6 +323,34 @@ object CurationEpochs {
       publish(s, root, newEpoch)
     }
     (drift, published)
+  }
+
+  /** The drift SIGNAL alone, replay-only: `corpusDocs` scored twice —
+    * through the stored NB at `nbPath` (the frozen artifact,
+    * bit-identical to in-query training by the q146 roundtrip law) and
+    * through a candidate retrained on the corpus itself — reduced to
+    * one row (n_docs, n_agree, drift_bp; floor-div basis points, exact
+    * integers end to end). Publishes nothing, mutates nothing —
+    * idempotent per evaluation, so the bench can band the EXPENSIVE
+    * part of the gate (the two full scoring passes) that q156's
+    * once-per-JVM log read-back cannot see (round-15 verdict #4).
+    * [[retrainIfDrifted]] consumes exactly this row, so q157's band
+    * and q156's decision log certify one derivation. */
+  def driftSignal(s: SparkSession, nbPath: String, corpusDocs: DataFrame,
+                  idCol: String, labelCol: String,
+                  textCol: String): DataFrame = {
+    val frozen = graft.operators.TextOps
+      .scoreNbBatch(s, nbPath, corpusDocs, idCol, textCol)
+      .select(col(idCol), col("pred").as("__pf"))
+    val cand = graft.operators.TextOps.nbTrainPredict(
+        corpusDocs, corpusDocs, idCol, labelCol, textCol)
+      .select(col(idCol), col("pred").as("__pr"))
+    frozen.join(cand, Seq(idCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__pf") === col("__pr"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("drift_bp",
+        expr("(n_docs - n_agree) * 10000 DIV n_docs"))
   }
 
   /** Crash injection for the epoch-swap storm (Stress mode "gatecrash"):

@@ -263,6 +263,100 @@ class CurationStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("foldEpochs is invisible through readCurated, survives both " +
+       "crash windows, refuses the serving epoch, and is idempotent") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-curefold").toString
+    val root = s"$dir/root"
+    def initE(epoch: Long, pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+      CurationEpochs.initEpoch(
+        docs.filter(pred(col("doc_id"))), vecs.filter(pred(col("doc_id"))),
+        "doc_id", "embedding", "lang", "text",
+        k = 8, iters = 2, numMerges = 16, maxWords = 100000,
+        dsirTarget = col("source").isin("src0", "src1"),
+        dsirBuckets = 64, root = root, epoch = epoch, seed = seed)
+    def applyE(m: Int, r: Int, b: Long): Long =
+      CurationEpochs.applyBatchEpoch(
+        docs.filter(col("doc_id") % m === r),
+        vecs.filter(col("doc_id") % m === r),
+        "doc_id", "embedding", "lang", "source", "text",
+        root, thrNum, thrDen, cap, seed, batchId = b)
+    initE(0L, _ % 4 <= 1); assert(applyE(4, 2, 1L) == 0L)
+    initE(1L, _ % 4 <= 2); assert(applyE(8, 3, 2L) == 1L)
+    initE(2L, _ % 8 =!= 7)
+    def snap() = CurationEpochs.readCurated(spark, root)
+      .select(col("epoch").cast("long"), col("b").cast("long"),
+        col("doc_id"), col("source"), col("lang"), col("cluster"),
+        col("bpe_tokens"), col("dsir_score"))
+      .collect().map(_.toString).sorted.toSeq
+    val before = snap()
+    assert(before.nonEmpty, "fold law vacuous: nothing curated")
+    // crash window A (mid-archive-write, marker absent): a partial
+    // epoch-0 partition in the archive must be invisible — the live
+    // store is still the copy readCurated serves, exactly once
+    spark.read.parquet(s"${CurationEpochs.epochPath(root, 0L)}/curated")
+      .limit(1).withColumn("epoch", lit(0L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(s"$root/curated_archive")
+    assert(snap() == before,
+      "an unmarked (crash-window) archive partition leaked into reads")
+    // keep must cover the serving epoch
+    intercept[IllegalArgumentException] {
+      CurationEpochs.foldEpochs(spark, root, keep = 0)
+    }
+    // the fold: retire epoch 0 (keep serving + 1); the re-run of the
+    // crashed step 1 overwrites the partial partition byte-identically
+    CurationEpochs.foldEpochs(spark, root, keep = 2)
+    assert(snap() == before, "foldEpochs changed what readCurated returns")
+    assert(!new java.io.File(CurationEpochs.epochPath(root, 0L)).exists(),
+      "retired epoch's store not deleted")
+    assert(CurationEpochs.publishedEpochs(spark, root) == Seq(1L, 2L))
+    assert(CurationEpochs.archivedEpochs(spark, root) == Seq(0L))
+    assert(CurationEpochs.currentEpoch(spark, root) == 2L)
+    // crash window B (marker created, store drop lost): re-marking is a
+    // no-op and the fold is idempotent — a second fold with the same
+    // keep retires nothing further and reads are unchanged
+    CurationEpochs.foldEpochs(spark, root, keep = 2)
+    assert(snap() == before, "re-folding was not a read no-op")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("gate crash window: a logged publish with an unmoved pointer " +
+       "keeps the old epoch serving and is completed by reconcileGate") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-gaterec").toString
+    val root = s"$dir/root"
+    CurationEpochs.initEpoch(
+      docs.filter(col("doc_id") % 4 <= 1), vecs.filter(col("doc_id") % 4 <= 1),
+      "doc_id", "embedding", "lang", "text",
+      k = 8, iters = 2, numMerges = 16, maxWords = 100000,
+      dsirTarget = col("source").isin("src0", "src1"),
+      dsirBuckets = 64, root = root, epoch = 0L, seed = seed)
+    // simulate the crash-after-gate-append window: candidate store
+    // COMPLETE, decision row in the log, marker create never ran
+    CurationStream.init(
+      docs.filter(col("doc_id") % 4 <= 2), vecs.filter(col("doc_id") % 4 <= 2),
+      "doc_id", "embedding", "lang", "text",
+      k = 8, iters = 2, numMerges = 16, maxWords = 100000,
+      dsirTarget = col("source").isin("src0", "src1"),
+      dsirBuckets = 64, path = CurationEpochs.epochPath(root, 1L), seed = seed)
+    spark.range(1).select(
+        lit(1L).as("gate_seq"), lit(0L).as("threshold_bp"),
+        lit(5L).as("drift_bp"), lit(1L).as("published"),
+        lit(1L).as("serving_epoch"))
+      .write.mode("append").parquet(s"$root/_gate")
+    assert(CurationEpochs.currentEpoch(spark, root) == 0L,
+      "the crash window itself must leave the old epoch serving")
+    CurationEpochs.reconcileGate(spark, root)
+    assert(CurationEpochs.currentEpoch(spark, root) == 1L,
+      "reconcileGate did not complete the logged publish")
+    // idempotent: a second reconcile (and one with nothing pending)
+    // changes nothing
+    CurationEpochs.reconcileGate(spark, root)
+    assert(CurationEpochs.publishedEpochs(spark, root) == Seq(0L, 1L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("epoch swap against a LIVE maintain query: a publish between " +
        "micro-batches takes effect at the next batch boundary, no restart") {
     implicit val ctx = spark.sqlContext
