@@ -2514,7 +2514,11 @@ object SparkEntry {
     * the CASE, so the two queries certify the serve path and its audit
     * against one derivation. At sf0.1, where 3/5 of docs carry no
     * embedding by fixture design, the vectorless arm is exercised at
-    * scale. */
+    * scale. Round 16: audits with the LEXICAL LANE on
+    * ([[Curation.serveBatch]] lexicalLane) — a vectorless keeper is no
+    * longer a terminal 'vectorless' verdict but 'quality' or
+    * 'vectorless_curated' depending on the frozen-NB filter, matching
+    * the lane-on serve (q159). */
   private def q155(s: SparkSession, dir: String): DataFrame = {
     val path = q147Store(s, dir)
     val d = Tables.documents(s, dir)
@@ -2524,7 +2528,35 @@ object SparkEntry {
         d.filter(col("doc_id") % 4 === 3),
         e.filter(col("doc_id") % 4 === 3),
         "doc_id", "embedding", "lang", "text",
-        SemThrNum, SemThrDen, SemCap, SampleSeed)
+        SemThrNum, SemThrDen, SemCap, SampleSeed,
+        lexicalLane = true)
+      .orderBy("doc_id")
+  }
+
+  /** Lexical-lane serve ([[Curation.serveBatch]] lexicalLane = true):
+    * q147's batch with the vectorless keepers CURATED instead of
+    * rejected — a real crawl pipeline still owes the docs its embedder
+    * has not reached the stages that need no vector (exact dedup incl.
+    * the bloom-split history check, frozen-NB quality, frozen-BPE/DSIR
+    * annotation); they emerge with `cluster = null` while the vectored
+    * lane's rows are byte-identical to q147's. The batch's vectors are
+    * restricted to `doc_id % 8 = 3` — at sf0.01 every fixture doc
+    * carries a vector, so without modeling an embedder that has only
+    * reached half the batch the lane would be vacuous at the driver's
+    * correctness SF (at sf0.1 the fixture itself leaves 3/5 of docs
+    * vectorless). The oracle replays the union: the full q147 chain on
+    * the vectored lane plus the 3-stage chain on the vectorless one. */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val path = q147Store(s, dir)
+    val d = Tables.documents(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    Curation.serveBatch(s, path,
+        d.filter(col("doc_id") % 4 === 3),
+        e.filter(col("doc_id") % 8 === 3),
+        "doc_id", "embedding", "lang", "source", "text",
+        SemThrNum, SemThrDen, SemCap, SampleSeed,
+        lexicalLane = true)
       .orderBy("doc_id")
   }
 
@@ -3286,6 +3318,7 @@ object SparkEntry {
     "q156_drift_gate" -> q156,
     "q157_drift_signal" -> q157,
     "q158_epoch_fold" -> q158,
+    "q159_lexical_lane" -> q159,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -4407,7 +4440,8 @@ object SparkEntry {
     * history ∪ survivors(≤ r) exactly as the store does. */
   private def curationRoundCtes(p: String, batchPred: String,
                                 hashSrc: String,
-                                memberSrc: String): String =
+                                memberSrc: String,
+                                batchVecPred: String = "TRUE"): String =
     s""", ${p}bx AS (SELECT doc_id,
        |        md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS h
        |      FROM documents WHERE $batchPred),
@@ -4417,7 +4451,8 @@ object SparkEntry {
        |${p}bd AS (SELECT v.vec_id, c.cid,
        |         CAST(sum((v.val - c.val) * (v.val - c.val)) AS BIGINT) AS dist
        |       FROM mvz v JOIN c$KmeansIters c USING (pos)
-       |       WHERE v.vec_id IN (SELECT doc_id FROM ${p}b1) GROUP BY 1, 2),
+       |       WHERE v.vec_id IN (SELECT doc_id FROM ${p}b1)
+       |         AND ($batchVecPred) GROUP BY 1, 2),
        |${p}ba AS MATERIALIZED (SELECT vec_id, cid::INTEGER AS cluster, dist FROM (
        |       SELECT vec_id, cid, dist,
        |         row_number() OVER (PARTITION BY vec_id
@@ -4510,7 +4545,9 @@ object SparkEntry {
   private def curationChainBody(histDocPred: String,
                                 histVecPred: String,
                                 testPred: String,
-                                batchPreds: Seq[String]): (String, Seq[String]) = {
+                                batchPreds: Seq[String],
+                                batchVecPreds: Seq[String] = Seq.empty)
+      : (String, Seq[String]) = {
     val head =
       s"""WITH hh AS MATERIALIZED (SELECT DISTINCT
          |        md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS h
@@ -4566,7 +4603,8 @@ object SparkEntry {
       val memberSrc = ("SELECT vec_id, cluster FROM mfa" +:
         priors.map(q => s"SELECT vec_id, cluster FROM ${q}sba"))
         .mkString(" UNION ALL ")
-      curationRoundCtes(prefixes(i), bp, hashSrc, memberSrc)
+      curationRoundCtes(prefixes(i), bp, hashSrc, memberSrc,
+        batchVecPreds.lift(i).getOrElse("TRUE"))
     }.mkString
     (head + chain + hubs + quality + bpe + dsir + rounds, prefixes)
   }
@@ -4615,12 +4653,16 @@ object SparkEntry {
     val (body, _) = curationChainBody(
       histDocPred = "doc_id % 4 != 3", histVecPred = "vec_id % 4 != 3",
       testPred = "doc_id % 4 = 3", batchPreds = Seq("doc_id % 4 = 3"))
+    // the vectorless arm replays the LEXICAL LANE (q159): a vectorless
+    // keeper is judged by the frozen-NB filter instead of rejected
     body + """
       |SELECT d.doc_id,
       |       CASE
       |         WHEN k.doc_id IS NULL THEN 'exact_dup_batch'
       |         WHEN b1.doc_id IS NULL THEN 'exact_dup_history'
-      |         WHEN ev.vec_id IS NULL THEN 'vectorless'
+      |         WHEN ev.vec_id IS NULL THEN
+      |           CASE WHEN p.pred <> d.lang THEN 'quality'
+      |                ELSE 'vectorless_curated' END
       |         WHEN wd.doc_id IS NOT NULL THEN 'near_dup_batch'
       |         WHEN xd.doc_id IS NOT NULL THEN 'near_dup_history'
       |         WHEN p.pred <> d.lang THEN 'quality'
@@ -4643,6 +4685,46 @@ object SparkEntry {
       histDocPred = "doc_id % 4 != 3", histVecPred = "vec_id % 4 != 3",
       testPred = "doc_id % 4 = 3",
       batchPreds = Seq("doc_id % 4 = 3"), withBatchCol = false)
+
+  /** q159: the q147 chain's CTEs with BOTH lanes selected. The chain's
+    * `b4` naturally contains the lexical survivors already — a
+    * vectorless keeper passes `wdrop`/`xdrop` vacuously (no vector, no
+    * pair) and is judged by the same `pred` filter — so the vectored
+    * lane is `b4 ⋈ ba` (the routing join that used to silently drop
+    * vectorless docs) and the lexical lane is `b4 ∖ ba` with a null
+    * cluster: exactly [[operators.Curation.serveBatch]]'s
+    * lexicalLane = true union. */
+  private def curationLexicalOracleSql: String = {
+    // the batch's vectors are restricted to vec_id % 8 = 3 (the Spark
+    // entry's batchVecs filter): at sf0.01 every doc carries a fixture
+    // vector, so the lane would be vacuous without modeling an embedder
+    // that has only reached half the batch
+    val (body, _) = curationChainBody(
+      histDocPred = "doc_id % 4 != 3", histVecPred = "vec_id % 4 != 3",
+      testPred = "doc_id % 4 = 3", batchPreds = Seq("doc_id % 4 = 3"),
+      batchVecPreds = Seq("v.vec_id % 8 = 3"))
+    body + """
+      |SELECT bb.doc_id, dd.source, dd.lang, ba.cluster,
+      |       coalesce(ac.bpe_tokens, 0)::BIGINT AS bpe_tokens,
+      |       CAST(CAST(coalesce(ws.score, CAST(0 AS DECIMAL(28,6)))
+      |                 AS VARCHAR) AS DOUBLE) AS dsir_score
+      |FROM b4 bb
+      |JOIN documents dd ON dd.doc_id = bb.doc_id
+      |JOIN ba ON ba.vec_id = bb.doc_id
+      |LEFT JOIN acnt ac ON ac.doc_id = bb.doc_id
+      |LEFT JOIN wsc ws ON ws.doc_id = bb.doc_id
+      |UNION ALL
+      |SELECT bb.doc_id, dd.source, dd.lang, NULL::INTEGER AS cluster,
+      |       coalesce(ac.bpe_tokens, 0)::BIGINT AS bpe_tokens,
+      |       CAST(CAST(coalesce(ws.score, CAST(0 AS DECIMAL(28,6)))
+      |                 AS VARCHAR) AS DOUBLE) AS dsir_score
+      |FROM b4 bb
+      |JOIN documents dd ON dd.doc_id = bb.doc_id
+      |LEFT JOIN acnt ac ON ac.doc_id = bb.doc_id
+      |LEFT JOIN wsc ws ON ws.doc_id = bb.doc_id
+      |WHERE bb.doc_id NOT IN (SELECT vec_id FROM ba)
+      |ORDER BY 1""".stripMargin
+  }
 
   private def curationStreamOracleSql: String =
     curationChainOracleSql(
@@ -5845,6 +5927,10 @@ object SparkEntry {
         }
       chains.mkString("", "\nUNION ALL\n", "\nORDER BY 1, 3")
     },
+    // q159: the q147 chain with BOTH lanes selected — full chain on
+    // the vectored lane, 3-stage lexical chain (null cluster) on the
+    // vectorless one
+    "q159_lexical_lane" -> curationLexicalOracleSql,
     // q157: the gate's signal path alone — the same two namespaced NB
     // chains as q156, reduced to the one decision row (exact-integer
     // agreement, floor-div basis points)

@@ -193,19 +193,33 @@ object Curation {
     * itself. Batch-layout stores ([[writeCurationStore]]) have no `b`
     * column — leave batchCut empty there.
     *
-    * Vectorless batch docs are REJECTED (documented contract): a doc
-    * with no non-null `vecCol` row cannot take part in semantic dedup,
-    * so it is dropped by a batch-sized semi join right after stage 1 —
-    * deterministically, like a failed media decode drops at the decode
-    * filter. It still COMPETES in within-batch exact dedup first: the
-    * min-id copy is a content group's representative whether or not it
-    * carries a vector, so a group whose representative is vectorless
-    * is rejected whole (the keeper convention the oracle replays).
-    * Before round 15 such docs flowed through four stages and silently
-    * vanished at the final annotation join; now the rejection is
-    * explicit and early, and callers needing the rejected set can
-    * anti-join the input against the output ids. (`batchVecs` carries
-    * at most one row per id, as everywhere in the sem family.) */
+    * Vectorless batch docs are REJECTED by default (documented
+    * contract): a doc with no non-null `vecCol` row cannot take part in
+    * semantic dedup, so it is dropped by a batch-sized semi join right
+    * after stage 1 — deterministically, like a failed media decode
+    * drops at the decode filter. It still COMPETES in within-batch
+    * exact dedup first: the min-id copy is a content group's
+    * representative whether or not it carries a vector, so a group
+    * whose representative is vectorless is rejected whole (the keeper
+    * convention the oracle replays). Before round 15 such docs flowed
+    * through four stages and silently vanished at the final annotation
+    * join; now the rejection is explicit and early, and callers needing
+    * the rejected set can anti-join the input against the output ids.
+    * (`batchVecs` carries at most one row per id, as everywhere in the
+    * sem family.)
+    *
+    * `lexicalLane = true` (round-15 verdict #7) opts vectorless keepers
+    * into a LEXICAL lane instead: a real crawl pipeline still curates
+    * the docs its embedder has not reached through every stage that
+    * needs no vector. The lane runs stages 1, 4 and 5 only (exact
+    * dedup incl. the shared bloom-split history check, frozen-NB
+    * quality, frozen-BPE/DSIR annotation) and emits `cluster = null`;
+    * the vectored lane's plan is byte-identical to the default path
+    * (law in CurationSpec: lane-on restricted to vectored ids ≡
+    * lane-off, and the lexical rows ≡ the hand-composed 3-stage
+    * chain). Lane cost is batch-sized: one extra NB/BPE/DSIR pass over
+    * the vectorless slice against the same broadcast model tables —
+    * nothing history-sized is re-read. */
   def serveBatch(s: SparkSession, path: String,
                  batchDocs: DataFrame, batchVecs: DataFrame,
                  idCol: String, vecCol: String, labelCol: String,
@@ -213,7 +227,8 @@ object Curation {
                  thrNum: Long, thrDen: Long, clusterCap: Long,
                  seed: String = "graft",
                  batchCut: Option[Long] = None,
-                 bloomMinItems: Long = 1000000L): DataFrame = {
+                 bloomMinItems: Long = 1000000L,
+                 lexicalLane: Boolean = false): DataFrame = {
     // vectorless docs still COMPETE in within-batch exact dedup (the
     // min-id copy is the content's representative whether or not it
     // carries a vector — the oracle's keeper convention); the covered
@@ -250,7 +265,11 @@ object Curation {
     val keepers =
       if (bloomArt.isDefined) keepers0.localCheckpoint(eager = true)
       else keepers0
-    val b1kept = hashFreshKeepers(keepers, hashes, bloomArt)
+    // with the lexical lane on, the hash-fresh keepers feed BOTH lanes
+    // (vectored semi + vectorless anti) — cut the hub once
+    val b1kept0 = hashFreshKeepers(keepers, hashes, bloomArt)
+    val b1kept =
+      if (lexicalLane) b1kept0.localCheckpoint(eager = true) else b1kept0
     val b1 = b1kept.select(col("keeper_id").as(idCol))
       .join(coveredIds, Seq(idCol), "left_semi")
     // 2. within-batch semantic dedup under the FROZEN centroids.
@@ -289,12 +308,39 @@ object Curation {
     val counted = TextOps.bpeTokenCounts(b4, idCol, textCol, merges)
     val scored = Sampling.scoreDsirBatchAll(s, s"$path/dsir", b4,
       idCol, srcCol, textCol, seed)
-    b4.join(counted, Seq(idCol))
+    val vectored = b4.join(counted, Seq(idCol))
       .join(scored.select(col(idCol), col("dsir_score")), Seq(idCol))
       .join(assign.select(col("id").as(idCol),
         col("cluster").cast("int").as("cluster")), Seq(idCol))
       .select(col(idCol), col(srcCol), col(labelCol), col("cluster"),
         col("bpe_tokens"), col("dsir_score"))
+    if (!lexicalLane) vectored
+    else {
+      // lexical lane: hash-fresh keepers with NO vector run stages
+      // 4 + 5 only (no cluster to route, no pairs to lose) and carry a
+      // null cluster — the frozen models are the same broadcast tables
+      // the vectored lane reads, so the lane adds batch-sized work only
+      val lexDocs = batchDocs
+        .join(b1kept.select(col("keeper_id").as(idCol))
+          .join(coveredIds, Seq(idCol), "left_anti"), Seq(idCol))
+        .localCheckpoint(eager = true) // NB scoring + survivor join
+      val lpred = TextOps.scoreNbBatch(s, s"$path/nb", lexDocs,
+        idCol, textCol)
+      val l4 = lexDocs.join(lpred, Seq(idCol))
+        .filter(col("pred") === col(labelCol))
+        .select(idCol, srcCol, labelCol, textCol)
+        .localCheckpoint(eager = true) // BPE counts + DSIR score
+      val lexical = l4
+        .join(TextOps.bpeTokenCounts(l4, idCol, textCol, merges),
+          Seq(idCol))
+        .join(Sampling.scoreDsirBatchAll(s, s"$path/dsir", l4,
+            idCol, srcCol, textCol, seed)
+          .select(col(idCol), col("dsir_score")), Seq(idCol))
+        .select(col(idCol), col(srcCol), col(labelCol),
+          lit(null).cast("int").as("cluster"),
+          col("bpe_tokens"), col("dsir_score"))
+      vectored.unionByName(lexical)
+    }
   }
 
   /** Per-doc serve AUDIT: every batch doc labeled with the FIRST stage
@@ -308,11 +354,17 @@ object Curation {
     *                        content is the keeper (min id wins)
     *   exact_dup_history  — the content hash is already in the log
     *   vectorless         — no non-null embedding row (see
-    *                        [[serveBatch]]'s rejection contract)
+    *                        [[serveBatch]]'s rejection contract;
+    *                        lexicalLane = false only)
     *   near_dup_batch     — within-batch semantic dedup dropped it
     *   near_dup_history   — near-dup of a stored member (store wins)
-    *   quality            — frozen-NB prediction ≠ its label
+    *   quality            — frozen-NB prediction ≠ its label (with the
+    *                        lane on, vectorless keepers reach this too)
     *   survived           — in [[serveBatch]]'s output
+    *   vectorless_curated — lexicalLane = true only: a vectorless
+    *                        keeper that passed stages 1, 4 and 5 — in
+    *                        the lane-on serve's output with
+    *                        cluster = null
     *
     * Composes the SAME frozen-model primitives in the same order, with
     * the same parameters AND through the same access paths as
@@ -334,7 +386,8 @@ object Curation {
                  thrNum: Long, thrDen: Long, clusterCap: Long,
                  seed: String = "graft",
                  batchCut: Option[Long] = None,
-                 bloomMinItems: Long = 1000000L): DataFrame = {
+                 bloomMinItems: Long = 1000000L,
+                 lexicalLane: Boolean = false): DataFrame = {
     val hashes = cutHashes(s, path, batchCut)
     val bloomArt = readBloomArt(s, path, bloomMinItems)
     // the audit always has 2+ consumers of the exactDedup hub (the
@@ -342,8 +395,11 @@ object Curation {
     val keepers = TextOps.exactDedup(batchDocs, idCol, textCol)
       .localCheckpoint(eager = true)
     val keeperIds = keepers.select(col("keeper_id").as(idCol))
+    // 2 consumers always (labeling join + covered split), 3 with the
+    // lane on (the NB score slice) — cut the bloom-split plan once
     val hashOk = hashFreshKeepers(keepers, hashes, bloomArt)
       .select(col("keeper_id").as(idCol))
+      .localCheckpoint(eager = true)
     val coveredIds = batchVecs.filter(col(vecCol).isNotNull)
       .select(col(idCol))
     val b1 = hashOk.join(coveredIds, Seq(idCol), "left_semi")
@@ -364,7 +420,20 @@ object Curation {
       .select(col("batch_id").as(idCol)).distinct()
     val b3docs = batchDocs
       .join(b2.join(pdrop, Seq(idCol), "left_anti"), Seq(idCol))
-    val pred = TextOps.scoreNbBatch(s, s"$path/nb", b3docs, idCol, textCol)
+    // with the lane on, vectorless keepers reach the NB filter too —
+    // score them in the same pass (scoreNbBatch is per-doc pure, so the
+    // union leaves every covered doc's prediction unchanged)
+    val scoreDocs =
+      if (!lexicalLane) b3docs
+      else b3docs.unionByName(batchDocs.join(
+        hashOk.join(coveredIds, Seq(idCol), "left_anti"), Seq(idCol)))
+    val pred = TextOps.scoreNbBatch(s, s"$path/nb", scoreDocs,
+      idCol, textCol)
+    val vectorlessVerdict: Column =
+      if (lexicalLane)
+        when(col("pred") =!= col(labelCol), lit("quality"))
+          .otherwise(lit("vectorless_curated"))
+      else lit("vectorless")
     def tag(ids: DataFrame, name: String) =
       ids.select(col(idCol), lit(true).as(name))
     batchDocs.select(col(idCol), col(labelCol))
@@ -377,7 +446,7 @@ object Curation {
       .select(col(idCol),
         when(col("__keeper").isNull, lit("exact_dup_batch"))
           .when(col("__hashok").isNull, lit("exact_dup_history"))
-          .when(col("__cov").isNull, lit("vectorless"))
+          .when(col("__cov").isNull, vectorlessVerdict)
           .when(col("__wd").isNotNull, lit("near_dup_batch"))
           .when(col("__pd").isNotNull, lit("near_dup_history"))
           .when(col("pred") =!= col(labelCol), lit("quality"))

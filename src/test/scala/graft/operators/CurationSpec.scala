@@ -159,6 +159,62 @@ class CurationSpec extends SparkSpec {
       "audit 'survived' diverged from serveBatch's output")
   }
 
+  test("lexical lane law: lane-on ≡ lane-off on the vectored lane ∪ " +
+       "the hand-composed 3-stage chain (null cluster) on the other") {
+    val path = storePath
+    val batchDocs = docs.filter(col("doc_id") % 4 === 3)
+    // every sf0.01 fixture doc carries a vector — model an embedder
+    // that has only reached half the batch (the q159 shape)
+    val batchVecs = vecs.filter(col("doc_id") % 8 === 3)
+    def serve(lane: Boolean) = Curation.serveBatch(spark, path,
+      batchDocs, batchVecs, "doc_id", "embedding", "lang", "source",
+      "text", thrNum, thrDen, cap, seed, lexicalLane = lane)
+    val on = serve(lane = true).collect()
+      .map(r => r.getLong(0) -> r.toString).toMap
+    val off = serve(lane = false).collect()
+      .map(r => r.getLong(0) -> r.toString).toMap
+    // the vectored lane's rows are byte-identical to the default path
+    val vectoredOn = on.filter(_._2.indexOf("null") < 0)
+    assert(vectoredOn == off,
+      "the lane changed the vectored lane's rows")
+    // the lexical rows are the hand-composed 3-stage chain: exact dedup
+    // incl. history hashes, minus covered ids, frozen-NB filter
+    val lexIds = on.keySet -- off.keySet
+    assert(lexIds.nonEmpty, "lane law vacuous: no vectorless survivors")
+    assert(on.filter(r => lexIds(r._1)).values
+        .forall(_.contains("null")),
+      "a lexical-lane row carries a non-null cluster")
+    val keepers = TextOps.exactDedup(batchDocs, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"))
+      .join(spark.read.parquet(s"$path/hashes").select("content_hash")
+          .join(batchDocs.select(col("doc_id"),
+            md5(TextOps.normalizeText(col("text"))).as("content_hash")),
+            Seq("content_hash"))
+          .select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(batchVecs.filter(col("embedding").isNotNull)
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+    val lexDocs = batchDocs.join(keepers, Seq("doc_id"))
+    val handIds = lexDocs
+      .join(TextOps.scoreNbBatch(spark, s"$path/nb", lexDocs,
+        "doc_id", "text"), Seq("doc_id"))
+      .filter(col("pred") === col("lang"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lexIds == handIds,
+      "lexical lane diverged from the hand-composed 3-stage chain")
+    // audit lockstep extends: lane-on 'survived' ≡ vectored survivors,
+    // 'vectorless_curated' ≡ the lexical survivors
+    val audit = Curation.auditBatch(spark, path, batchDocs, batchVecs,
+        "doc_id", "embedding", "lang", "text", thrNum, thrDen, cap,
+        seed, lexicalLane = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(audit.collect { case (id, "survived") => id }.toSet ==
+      off.keySet, "lane-on audit 'survived' diverged from vectored serve")
+    assert(audit.collect { case (id, "vectorless_curated") => id }.toSet
+      == lexIds, "'vectorless_curated' diverged from the lexical lane")
+    assert(!audit.values.exists(_ == "vectorless"),
+      "lane-on audit emitted the lane-off terminal verdict")
+  }
+
   test("serve is deterministic under repartitioning and annotates " +
        "every survivor with cluster, bpe_tokens and dsir_score") {
     val path = storePath

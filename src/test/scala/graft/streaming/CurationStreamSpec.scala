@@ -411,6 +411,68 @@ class CurationStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("drift-GATED swap against a LIVE maintain query: the tick " +
+       "publishes mid-stream, the next batch pins the new epoch, and " +
+       "redelivery honors its pin across the gate-driven swap") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-curgatelive").toString
+    val root = s"$dir/root"
+    def train(hd: DataFrame, hv: DataFrame, root: String, e: Long): Unit =
+      CurationEpochs.initEpoch(hd, hv, "doc_id", "embedding", "lang",
+        "text", k = 8, iters = 2, numMerges = 16, maxWords = 100000,
+        dsirTarget = col("source").isin("src0", "src1"),
+        dsirBuckets = 64, root = root, epoch = e, seed = seed)
+    train(docs.filter(col("doc_id") % 4 <= 1),
+      vecs.filter(col("doc_id") % 4 <= 1), root, 0L)
+    val rows = docs.join(vecs, Seq("doc_id"))
+      .select("doc_id", "source", "lang", "text", "embedding")
+      .as[CrawlDoc].collect()
+    val stream = MemoryStream[CrawlDoc]
+    val q = CurationEpochs.maintain(stream.toDF(), "doc_id", "embedding",
+      "lang", "source", "text", root, thrNum, thrDen, cap, seed,
+      checkpoint = s"$dir/ckpt")
+    stream.addData(rows.filter(_.doc_id % 8 == 2).toSeq)
+    q.processAllAvailable() // batch 1 → epoch 0
+    // the retrain decision + swap run through the GATE while the query
+    // is live — the q156 fixture (corpus grew to %4<=2), threshold 1bp
+    val (drift, published) = CurationEpochs.retrainIfDrifted(
+      docs.filter(col("doc_id") % 4 <= 2), vecs.filter(col("doc_id") % 4 <= 2),
+      "doc_id", "embedding", "lang", "text", k = 8, iters = 2,
+      numMerges = 16, maxWords = 100000,
+      dsirTarget = col("source").isin("src0", "src1"),
+      dsirBuckets = 64, root = root, newEpoch = 1L, thresholdBp = 1L,
+      gateSeq = 1L, seed = seed)
+    assert(published && drift >= 1L, s"gate fixture weak: ($drift, $published)")
+    stream.addData(rows.filter(_.doc_id % 8 == 3).toSeq)
+    q.processAllAvailable() // batch 2 → epoch 1, no restart
+    q.stop()
+    val epochOfB = CurationEpochs.readCurated(spark, root)
+      .select(col("b").cast("long"), col("epoch"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(epochOfB == Map(1L -> 0L, 2L -> 1L),
+      s"gate-driven swap not picked up at the batch boundary: $epochOfB")
+    // pinned redelivery across the swap: even with a NEWER epoch
+    // published meanwhile, batch 2 replays against its pinned epoch 1
+    val e1 = CurationEpochs.epochPath(root, 1L)
+    val want = curated(e1)
+    train(docs.filter(col("doc_id") % 4 <= 2),
+      vecs.filter(col("doc_id") % 4 <= 2), root, 2L)
+    assert(CurationEpochs.currentEpoch(spark, root) == 2L)
+    val marker = new org.apache.hadoop.fs.Path(s"$e1/_committed/2")
+    marker.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(marker, false) // simulate the crash window
+    val servedEpoch = CurationEpochs.applyBatchEpoch(
+      docs.filter(col("doc_id") % 8 === 3), vecs.filter(col("doc_id") % 8 === 3),
+      "doc_id", "embedding", "lang", "source", "text",
+      root, thrNum, thrDen, cap, seed, batchId = 2L)
+    assert(servedEpoch == 1L,
+      s"redelivery re-chose epoch $servedEpoch over its pin (1)")
+    assert(curated(e1) == want,
+      "pinned redelivery across the gate-driven swap changed the rows")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("redelivery: committed batch is a no-op; crash-window (artifacts " +
        "absorbed, marker missing) rewrites byte-equal — the batchCut fence") {
     val dir = java.nio.file.Files
