@@ -435,7 +435,17 @@ object Bench {
     // mid-run contention the run-level flag can't see
     val winSize = 10
     val interiorProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), qi) =>
+    // dev-only subset knob (comma-separated name prefixes, mirroring
+    // Verify's): the committed artifact contract is the FULL registry —
+    // the driver never sets this, and a subset run's totals/anchors are
+    // not cross-round comparable
+    val onlyPrefixes = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      onlyPrefixes.forall(_.exists(n.startsWith))
+    }
+    val firstPass = selected.zipWithIndex.map { case ((name, fn), qi) =>
       if (qi > 0 && qi % winSize == 0) interiorProbes += probeSample()
       val (t0s, err0) = measure(fn, reps)
       val times = scala.collection.mutable.ArrayBuffer(t0s: _*)
@@ -503,7 +513,12 @@ object Bench {
     // rounds even when the full pass degrades. Single rep by design:
     // the probe brackets are what make it trustworthy, not rep count.
     val anchorBudget = 20
+    // a SPARK_GRAFT_BENCH_ONLY subset run anchors only within the
+    // subset — anchors exist for cross-round comparability, which a
+    // subset run has forfeited anyway; paying 20 full anchors there
+    // would dwarf the subset itself
     val anchorNames: Seq[String] = SparkEntry.queries.keys.toSeq
+      .filter(n => onlyPrefixes.forall(_.exists(n.startsWith)))
       .flatMap(n => bandOf(n).map(b => (n, b)))
       .sortBy(-_._2).take(anchorBudget).map(_._1).sorted
     val anchorTimes = scala.collection.mutable.Map.empty[String, Double]
@@ -732,10 +747,13 @@ object Bench {
     // preserves it — and the prev-artifact parse above pairs it with a
     // map-less driver artifact by total (±0.1 s). Best-effort: the
     // sidecar must never fail the bench.
-    try Files.writeString(
-      Paths.get(outPath).toAbsolutePath.resolveSibling("BENCH_rNEXT_map.json"),
-      fileJson + "\n")
-    catch { case _: Throwable => () }
+    // ... except on a SPARK_GRAFT_BENCH_ONLY subset run: a partial map
+    // must never shadow the standing full-registry twin
+    if (onlyPrefixes.isEmpty)
+      try Files.writeString(
+        Paths.get(outPath).toAbsolutePath.resolveSibling("BENCH_rNEXT_map.json"),
+        fileJson + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
     // last line of output, after Spark's shutdown logging is done
     println(line)

@@ -1042,18 +1042,46 @@ object Stress {
         f"shuffleRead=${bytes / 1048576.0}%9.2f MiB  ($rows rows)")
       (secs, bytes, rows)
     }
+    // the audit shares hashFreshKeepers with serve (round-16: the r15
+    // verdict found auditBatch re-shuffling the full log on every
+    // audited batch) — meter it through the same harness so the shared
+    // access path is MEASURED shared, not just code-shared
+    def meteredAudit(name: String): (Double, Long, Long) = {
+      spark.sparkContext.addSparkListener(meter)
+      shuffled.set(0L)
+      val t0 = System.nanoTime()
+      val rows = Curation.auditBatch(spark, path, dProbe, eProbe,
+        "doc_id", "embedding", "lang", "text",
+        49L, 400L, 48L, "graft", batchCut = Some(1L),
+        bloomMinItems = 0L).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000)
+      spark.sparkContext.removeSparkListener(meter)
+      val bytes = shuffled.get()
+      println(f"[stress] curbloom audit/$name%-6s $secs%6.1f s  " +
+        f"shuffleRead=${bytes / 1048576.0}%9.2f MiB  ($rows rows)")
+      (secs, bytes, rows)
+    }
     meteredServe("warmup") // order-bias guard: first serve pays model
                            // reads + codegen for BOTH paths' shared tail
     val (_, bytesBloom, rowsBloom) = meteredServe("bloom")
+    val (_, aBytesBloom, aRowsBloom) = meteredAudit("bloom")
     org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(s"$path/hashbloom"))
     val (_, bytesPlain, rowsPlain) = meteredServe("plain")
+    val (_, aBytesPlain, aRowsPlain) = meteredAudit("plain")
     require(rowsBloom == rowsPlain,
       s"bloom path changed the serve: $rowsBloom vs $rowsPlain rows")
-    println(f"[stress] curbloom: shuffle-read drop " +
+    require(aRowsBloom == aRowsPlain,
+      s"bloom path changed the audit: $aRowsBloom vs $aRowsPlain rows")
+    println(f"[stress] curbloom: serve shuffle-read drop " +
       f"${bytesPlain / math.max(bytesBloom, 1L).toDouble}%.1fx " +
       f"(plain ${bytesPlain / 1048576.0}%.2f MiB -> bloom " +
       f"${bytesBloom / 1048576.0}%.2f MiB)")
+    println(f"[stress] curbloom: audit shuffle-read drop " +
+      f"${aBytesPlain / math.max(aBytesBloom, 1L).toDouble}%.1fx " +
+      f"(plain ${aBytesPlain / 1048576.0}%.2f MiB -> bloom " +
+      f"${aBytesBloom / 1048576.0}%.2f MiB)")
     }
     if (mode == "curcrash") {
     // Crash-kill storm for the REAL CurationStream.maintain query (r15
@@ -1168,6 +1196,207 @@ object Stress {
       "lang", "source", "text", store, 49L, 400L, 48L, "graft",
       checkpoint = ckpt)
     q.processAllAvailable()
+    q.stop()
+    }
+    if (mode == "gatecrash") {
+    // Drift→swap-under-load storm (r16, verdict #6): a scheduler tick
+    // invokes CurationEpochs.retrainIfDrifted WHILE the epoch-aware
+    // maintain query is mid-backlog, and the tick's JVM is halt(137)'d
+    // at BOTH gate crash windows (after the candidate build; after the
+    // decision row, before the pointer move) — killing the in-flight
+    // micro-batch with it. Recovery must converge: the next tick's
+    // reconcileGate completes the logged publish, redeliveries honor
+    // their epoch pins across the gate-driven swap, and the final
+    // store state equals an in-process control that replays the SAME
+    // pin assignment against independently-built epoch stores. The
+    // gate log must carry exactly the ticks that reached the append
+    // (the pre-log kill leaves no row; the post-log kill's row is the
+    // one reconcile completes).
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.{CurationEpochs, CurationStream}
+    val nb = math.max(6, factor / 4)
+    val mid = nb / 2 // segment A = batches 1..mid, B = mid+1..nb
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-stress-gatecrash-$factor"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (input, store, ctl, ckpt) =
+      (s"$root/input", s"$root/store", s"$root/control", s"$root/ckpt")
+    val nBase = 5000L
+    val d0 = Tables.documents(spark, "/root/testdata/sf0.1")
+    val e0 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val reps = spark.range(nb + 1).select(col("id").as("__rep"))
+    val bigD = d0.crossJoin(reps)
+      .select((col("doc_id") + col("__rep") * nBase).as("doc_id"),
+        col("source"), col("lang"),
+        concat(col("text"), lit(" copytag"), col("__rep")).as("text"))
+      .localCheckpoint(true)
+    val bigE = e0.crossJoin(reps)
+      .select((col("vec_id") + col("__rep") * nBase).as("doc_id"),
+        col("embedding"))
+      .localCheckpoint(true)
+    def dRep(r: Int) = bigD.filter(col("doc_id") >= r * nBase &&
+      col("doc_id") < (r + 1) * nBase)
+    def eRep(r: Int) = bigE.filter(col("doc_id") >= r * nBase &&
+      col("doc_id") < (r + 1) * nBase)
+    def writeSeg(rs: Range): Unit = rs.foreach { r =>
+      dRep(r).join(eRep(r), Seq("doc_id"))
+        .select("doc_id", "source", "lang", "text", "embedding")
+        .coalesce(1).write.mode("append").parquet(input)
+    }
+    // the retrain corpus is FIXED (history ∪ the first two crawl
+    // batches' docs — input slices, not store reads), so every tick
+    // sees the same signal regardless of stream progress
+    val corpusD = dRep(0).unionByName(dRep(1)).unionByName(dRep(2))
+      .localCheckpoint(true)
+    val corpusE = eRep(0).unionByName(eRep(1)).unionByName(eRep(2))
+      .localCheckpoint(true)
+    def initE0(r: String): Unit = CurationEpochs.initEpoch(
+      dRep(0), eRep(0), "doc_id", "embedding", "lang", "text",
+      k = 16, iters = 2, numMerges = 32, maxWords = 100000,
+      dsirTarget = col("source").isin("src0", "src1"),
+      dsirBuckets = 256, root = r, epoch = 0L, seed = "graft")
+    writeSeg(1 to mid)
+    initE0(store)
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
+      .asScala.toSeq
+    def runChild(gateSeq: Long, poison: Option[String]): Int = {
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        poison.toSeq.map(p => s"-D$p=$gateSeq") ++
+        Seq("-cp", System.getProperty("java.class.path"),
+          "graft.Stress", factor.toString, "gatecrash-child",
+          input, store, ckpt, gateSeq.toString)
+      val pb = new ProcessBuilder(cmd: _*).inheritIO()
+      pb.start().waitFor()
+    }
+    // tick 1 dies after the candidate build (no log row, no pointer
+    // move); tick 2 dies after its decision row lands (logged publish,
+    // pointer unmoved); tick 3 must reconcile-and-complete the swap
+    val rc1 = runChild(1L, Some("graft.epochs.crashAfterBuild"))
+    println(s"[stress] gatecrash: killed tick 1 after build (exit $rc1)")
+    require(rc1 == 137, s"poisoned child exited $rc1, expected halt 137")
+    val rc2 = runChild(2L, Some("graft.epochs.crashAfterGate"))
+    println(s"[stress] gatecrash: killed tick 2 after gate row (exit $rc2)")
+    require(rc2 == 137, s"poisoned child exited $rc2, expected halt 137")
+    require(CurationEpochs.publishedEpochs(spark, store) == Seq(0L),
+      "a killed tick moved the serving pointer")
+    val rc3 = runChild(3L, None)
+    require(rc3 == 0, s"clean child exited $rc3")
+    require(CurationEpochs.currentEpoch(spark, store) == 1L,
+      "tick 3 failed to reconcile the logged publish")
+    writeSeg(mid + 1 to nb)
+    val rc4 = runChild(0L, None) // drain segment B, no tick
+    require(rc4 == 0, s"drain child exited $rc4")
+    // gate log: exactly the ticks that reached the append — tick 2's
+    // completed publish and tick 3's post-swap no-op (candidate ≡ the
+    // epoch it just published, drift 0)
+    val gate = spark.read.parquet(s"$store/_gate")
+      .select("gate_seq", "drift_bp", "published", "serving_epoch")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    println(s"[stress] gatecrash: gate log = $gate")
+    require(gate.map(_._1) == Seq(2L, 3L),
+      s"gate log ticks: ${gate.map(_._1)} (want 2, 3)")
+    require(gate(0)._3 == 1L && gate(0)._4 == 1L && gate(0)._2 >= 1L,
+      s"tick 2 row $gate — want published=1, epoch 1, drift >= 1bp")
+    require(gate(1) == (3L, 0L, 0L, 1L),
+      s"tick 3 row ${gate(1)} — want (3, drift 0, no publish, serving 1)")
+    // pins: monotone across the swap, both epochs exercised
+    // skip Hadoop LocalFileSystem's hidden .<name>.crc shadows
+    val pins = new java.io.File(s"$store/_epoch_of").list().toSeq
+      .flatMap { n =>
+        val m = "^(\\d+)\\.(\\d+)$".r.findFirstMatchIn(n)
+        m.map(g => (g.group(1).toLong, g.group(2).toLong))
+      }
+      .sortBy(_._1)
+    println(s"[stress] gatecrash: pins = $pins")
+    require(pins.map(_._1) == (1L to nb).toSeq, s"missing pins: $pins")
+    require(pins == pins.sortBy(p => (p._1, p._2)) &&
+      pins.map(_._2).sliding(2).forall(s => s.head <= s.last),
+      s"pins not monotone across the swap: $pins")
+    require(pins.exists(_._2 == 0L) && pins.exists(_._2 == 1L),
+      s"storm vacuous — both epochs must serve batches: $pins")
+    // convergence: an in-process control replays the SAME pin
+    // assignment against independently-built epoch stores
+    initE0(ctl)
+    CurationStream.init(corpusD, corpusE, "doc_id", "embedding", "lang",
+      "text", k = 16, iters = 2, numMerges = 32, maxWords = 100000,
+      dsirTarget = col("source").isin("src0", "src1"),
+      dsirBuckets = 256, path = CurationEpochs.epochPath(ctl, 1L),
+      seed = "graft")
+    pins.foreach { case (b, e) =>
+      CurationStream.applyBatch(dRep(b.toInt), eRep(b.toInt), "doc_id",
+        "embedding", "lang", "source", "text",
+        CurationEpochs.epochPath(ctl, e), 49L, 400L, 48L, "graft", b)
+    }
+    def rowsOf(r: String, e: Long, sub: String, cols: Seq[String]): Set[String] = {
+      val p = s"${CurationEpochs.epochPath(r, e)}/$sub"
+      if (!new java.io.File(p).exists()) Set.empty
+      else spark.read.parquet(p).selectExpr(cols: _*)
+        .collect().map(_.toString).toSet
+    }
+    val diffs = (for {
+      e <- Seq(0L, 1L)
+      (sub, cols) <- Seq(
+        "curated" -> Seq("CAST(b AS LONG)", "doc_id", "source", "lang",
+          "cluster", "bpe_tokens", "dsir_score"),
+        "hashes" -> Seq("CAST(b AS LONG)", "content_hash"),
+        "sem/members" -> Seq("CAST(b AS LONG)", "id", "CAST(cluster AS INT)"))
+    } yield {
+      val (a, c) = (rowsOf(store, e, sub, cols), rowsOf(ctl, e, sub, cols))
+      val d = (a diff c).size + (c diff a).size
+      println(s"[stress] gatecrash: e=$e $sub rows stream=${a.size} " +
+        s"control=${c.size} diffed=$d")
+      d
+    }).sum
+    require(diffs == 0, s"gate-crashed store diverged: $diffs rows differ")
+    println(s"[stress] gatecrash: 2 kills (both gate windows, maintain " +
+      s"mid-backlog) / 2 recoveries / rows diffed = 0 over $nb batches, " +
+      s"swap completed by reconcile")
+    }
+    if (mode == "gatecrash-child") {
+    // child half of the gatecrash storm: the REAL epoch-aware maintain
+    // query over the file-source backlog, with a concurrent scheduler
+    // tick (retrainIfDrifted) fired from a second thread once two
+    // batches hold epoch pins — mid-backlog by construction. A poison
+    // sysprop halts the JVM at the tick's documented crash windows,
+    // taking the in-flight micro-batch down with it. gateSeq 0 = drain
+    // only, no tick.
+    import graft.streaming.CurationEpochs
+    val Seq(input, store, ckpt) = args.slice(2, 5).toSeq
+    val gateSeq = args.lift(5).map(_.toLong).getOrElse(0L)
+    val nBase = 5000L
+    val d0 = Tables.documents(spark, "/root/testdata/sf0.1")
+    val e0 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val reps3 = spark.range(3).select(col("id").as("__rep"))
+    val corpusD = d0.crossJoin(reps3)
+      .select((col("doc_id") + col("__rep") * nBase).as("doc_id"),
+        col("source"), col("lang"),
+        concat(col("text"), lit(" copytag"), col("__rep")).as("text"))
+    val corpusE = e0.crossJoin(reps3)
+      .select((col("vec_id") + col("__rep") * nBase).as("doc_id"),
+        col("embedding"))
+    val schema = spark.read.parquet(input).schema
+    val docsStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(input)
+    val q = CurationEpochs.maintain(docsStream, "doc_id", "embedding",
+      "lang", "source", "text", store, 49L, 400L, 48L, "graft",
+      checkpoint = ckpt)
+    val tick = new Thread(() => if (gateSeq > 0L) {
+      val pinDir = new java.io.File(s"$store/_epoch_of")
+      while (Option(pinDir.list()).map(_.length).getOrElse(0) < 2)
+        Thread.sleep(200)
+      CurationEpochs.retrainIfDrifted(corpusD, corpusE, "doc_id",
+        "embedding", "lang", "text", k = 16, iters = 2, numMerges = 32,
+        maxWords = 100000,
+        dsirTarget = col("source").isin("src0", "src1"),
+        dsirBuckets = 256, root = store, newEpoch = 1L,
+        thresholdBp = 1L, gateSeq = gateSeq, seed = "graft"): Unit
+    })
+    tick.setDaemon(false)
+    tick.start()
+    q.processAllAvailable()
+    tick.join()
     q.stop()
     }
     if (mode == "attr") {
