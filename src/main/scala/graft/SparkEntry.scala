@@ -2625,6 +2625,52 @@ object SparkEntry {
       .orderBy("b", "doc_id")
   }
 
+  /** Continuous curation with the LEXICAL LANE on (q149 × q159): the
+    * stream loop where each batch's vectorless keepers curate through
+    * the no-vector stages instead of being rejected — the real-crawl
+    * shape where the embedder lags the crawler. Both batches carry
+    * vectors for only half their docs (`doc_id % 8`); absorption
+    * composes naturally — a lexical survivor's HASH joins the log (so
+    * its later exact copy drops in batch 2: lane-crossing dedup the
+    * oracle replays through `sh` = ALL survivor hashes), while the
+    * member absorption's inner join contributes no member row for it.
+    * Bench honesty: init + batch 1 build once per JVM; batch 2 is
+    * served fresh (lane on, batchCut-fenced) every evaluation. */
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q160" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-curlex-$tag"
+    val d = Tables.documents(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    if (!new java.io.File(path).exists()) {
+      CurationStream.init(
+        d.filter(col("doc_id") % 4 <= 1), e.filter(col("doc_id") % 4 <= 1),
+        "doc_id", "embedding", "lang", "text",
+        k = KmeansK, iters = KmeansIters,
+        numMerges = BpeMerges, maxWords = BpeMaxWords,
+        dsirTarget = col("source").isin("src0", "src1"),
+        dsirBuckets = 256, path = path, seed = SampleSeed)
+      CurationStream.applyBatch(
+        d.filter(col("doc_id") % 4 === 2), e.filter(col("doc_id") % 8 === 2),
+        "doc_id", "embedding", "lang", "source", "text",
+        path, SemThrNum, SemThrDen, SemCap, SampleSeed, batchId = 1L,
+        lexicalLane = true)
+    }
+    val served2 = Curation.serveBatch(s, path,
+        d.filter(col("doc_id") % 4 === 3), e.filter(col("doc_id") % 8 === 3),
+        "doc_id", "embedding", "lang", "source", "text",
+        SemThrNum, SemThrDen, SemCap, SampleSeed, batchCut = Some(2L),
+        lexicalLane = true)
+      .withColumn("b", lit(2L))
+    s.read.parquet(s"$path/curated")
+      .select(col("b").cast("long").as("b"), col("doc_id"), col("source"),
+        col("lang"), col("cluster"), col("bpe_tokens"), col("dsir_score"))
+      .unionByName(served2.select(col("b"), col("doc_id"), col("source"),
+        col("lang"), col("cluster"), col("bpe_tokens"), col("dsir_score")))
+      .orderBy("b", "doc_id")
+  }
+
   /** Curation-store retention fold
     * ([[graft.streaming.CurationStream.foldStore]]): q149's loop with
     * the q140/q115 lifecycle move applied to the SERVE-PATH artifacts —
@@ -3319,6 +3365,7 @@ object SparkEntry {
     "q157_drift_signal" -> q157,
     "q158_epoch_fold" -> q158,
     "q159_lexical_lane" -> q159,
+    "q160_lexical_stream" -> q160,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -4726,6 +4773,46 @@ object SparkEntry {
       |ORDER BY 1""".stripMargin
   }
 
+  /** q160: the two-round stream chain with both lanes selected per
+    * round. The chain CTEs already model lane-on absorption exactly —
+    * `sh` (the hashes round r+1 serves against) is built from ALL of
+    * b4's survivors, lexical included, while `sba` (the members) comes
+    * from `ba`, vectored only — so the only lane-specific part is the
+    * tail, as in q159. Each round's vectors are restricted to
+    * `vec_id % 8 = <batch residue>`: half of every batch is vectorless
+    * at every SF. */
+  private def curationLexStreamOracleSql: String = {
+    val (body, prefixes) = curationChainBody(
+      histDocPred = "doc_id % 4 <= 1", histVecPred = "vec_id % 4 <= 1",
+      testPred = "doc_id % 4 >= 2",
+      batchPreds = Seq("doc_id % 4 = 2", "doc_id % 4 = 3"),
+      batchVecPreds = Seq("v.vec_id % 8 = 2", "v.vec_id % 8 = 3"))
+    val rounds = prefixes.zipWithIndex.map { case (p, i) =>
+      s"""SELECT ${i + 1}::BIGINT AS b, bb.doc_id, dd.source, dd.lang,
+         |       ${p}ba.cluster,
+         |       coalesce(ac.bpe_tokens, 0)::BIGINT AS bpe_tokens,
+         |       CAST(CAST(coalesce(ws.score, CAST(0 AS DECIMAL(28,6)))
+         |                 AS VARCHAR) AS DOUBLE) AS dsir_score
+         |FROM ${p}b4 bb
+         |JOIN documents dd ON dd.doc_id = bb.doc_id
+         |JOIN ${p}ba ON ${p}ba.vec_id = bb.doc_id
+         |LEFT JOIN acnt ac ON ac.doc_id = bb.doc_id
+         |LEFT JOIN wsc ws ON ws.doc_id = bb.doc_id
+         |UNION ALL
+         |SELECT ${i + 1}::BIGINT AS b, bb.doc_id, dd.source, dd.lang,
+         |       NULL::INTEGER AS cluster,
+         |       coalesce(ac.bpe_tokens, 0)::BIGINT AS bpe_tokens,
+         |       CAST(CAST(coalesce(ws.score, CAST(0 AS DECIMAL(28,6)))
+         |                 AS VARCHAR) AS DOUBLE) AS dsir_score
+         |FROM ${p}b4 bb
+         |JOIN documents dd ON dd.doc_id = bb.doc_id
+         |LEFT JOIN acnt ac ON ac.doc_id = bb.doc_id
+         |LEFT JOIN wsc ws ON ws.doc_id = bb.doc_id
+         |WHERE bb.doc_id NOT IN (SELECT vec_id FROM ${p}ba)""".stripMargin
+    }
+    body + rounds.mkString("\n", "\nUNION ALL\n", "\nORDER BY 1, 2")
+  }
+
   private def curationStreamOracleSql: String =
     curationChainOracleSql(
       histDocPred = "doc_id % 4 <= 1", histVecPred = "vec_id % 4 <= 1",
@@ -5931,6 +6018,10 @@ object SparkEntry {
     // the vectored lane, 3-stage lexical chain (null cluster) on the
     // vectorless one
     "q159_lexical_lane" -> curationLexicalOracleSql,
+    // q160: the two-round stream chain, both lanes per round — lane-on
+    // absorption (lexical survivors' hashes fence later exact copies)
+    // replayed end to end
+    "q160_lexical_stream" -> curationLexStreamOracleSql,
     // q157: the gate's signal path alone — the same two namespaced NB
     // chains as q156, reduced to the one decision row (exact-integer
     // agreement, floor-div basis points)

@@ -98,12 +98,23 @@ object CurationStream {
   /** Apply one micro-batch: skip if committed; else SERVE against the
     * pre-batch store (batchCut fence), write the curated rows, absorb
     * the survivors' routed vectors and hashes — all idempotent dynamic
-    * overwrites — then the marker. */
+    * overwrites — then the marker.
+    *
+    * `lexicalLane` is [[graft.operators.Curation.serveBatch]]'s opt-in
+    * passed through: vectorless keepers curate through the no-vector
+    * stages and land in `curated/` with `cluster = null`. Absorption
+    * composes unchanged — every survivor's hash joins the log (so a
+    * later exact copy of a LEXICAL survivor drops in any later batch),
+    * and the member absorption's inner join on `batchVecs` naturally
+    * contributes no member row for a vectorless survivor (nothing to
+    * route; later batches cannot near-dup against a vector that does
+    * not exist). */
   def applyBatch(batchDocs: DataFrame, batchVecs: DataFrame,
                  idCol: String, vecCol: String, labelCol: String,
                  srcCol: String, textCol: String,
                  path: String, thrNum: Long, thrDen: Long,
-                 clusterCap: Long, seed: String, batchId: Long): Unit = {
+                 clusterCap: Long, seed: String, batchId: Long,
+                 lexicalLane: Boolean = false): Unit = {
     val s = batchDocs.sparkSession
     require(batchId >= 1, s"batchId=$batchId collides with the b=0 seed")
     if (committed(s, path, batchId)) return
@@ -112,7 +123,8 @@ object CurationStream {
       // and a lazy plan would re-run the whole serve per write
       val served = Curation.serveBatch(s, path, batchDocs, batchVecs,
           idCol, vecCol, labelCol, srcCol, textCol,
-          thrNum, thrDen, clusterCap, seed, batchCut = Some(batchId))
+          thrNum, thrDen, clusterCap, seed, batchCut = Some(batchId),
+          lexicalLane = lexicalLane)
         .localCheckpoint(eager = true)
       served.withColumn("b", lit(batchId))
         .write.mode("overwrite")
@@ -229,7 +241,8 @@ object CurationStream {
                labelCol: String, srcCol: String, textCol: String,
                path: String, thrNum: Long, thrDen: Long,
                clusterCap: Long, seed: String, checkpoint: String,
-               batchIdOffset: Long = 1L): StreamingQuery =
+               batchIdOffset: Long = 1L,
+               lexicalLane: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -238,7 +251,8 @@ object CurationStream {
           b.select(col(idCol), col(srcCol), col(labelCol), col(textCol)),
           b.select(col(idCol), col(vecCol)),
           idCol, vecCol, labelCol, srcCol, textCol,
-          path, thrNum, thrDen, clusterCap, seed, batchId + batchIdOffset)
+          path, thrNum, thrDen, clusterCap, seed, batchId + batchIdOffset,
+          lexicalLane = lexicalLane)
       }
       .start()
 }

@@ -90,6 +90,81 @@ class CurationStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("lexical lane through the stream: real readStream lane-on ≡ the " +
+       "sequential lane-on loop, and a later exact copy of a LEXICAL " +
+       "survivor drops on the absorbed hash") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-curlexstream").toString
+    val (seqPath, strPath) = (s"$dir/seq", s"$dir/str")
+    initStore(seqPath); initStore(strPath)
+    // half of every batch is vectorless (vecs restricted to %8)
+    val b1d = docs.filter(col("doc_id") % 4 === 2)
+    val b1v = vecs.filter(col("doc_id") % 8 === 2)
+    // find a batch-1 LEXICAL survivor deterministically, then plant its
+    // exact text in batch 2 under a fresh id: the copy must drop on the
+    // hash its lane-crossing absorption left in the log
+    val probe = graft.operators.Curation.serveBatch(spark, seqPath, b1d, b1v,
+        "doc_id", "embedding", "lang", "source", "text",
+        thrNum, thrDen, cap, seed, batchCut = Some(1L), lexicalLane = true)
+      .filter(col("cluster").isNull).select("doc_id")
+      .orderBy("doc_id").limit(1)
+      .collect()
+    assert(probe.nonEmpty, "lane law vacuous: batch 1 has no lexical survivor")
+    val lexId = probe.head.getLong(0)
+    val copy = docs.filter(col("doc_id") === lexId)
+      .select(lit(40000001L).as("doc_id"), col("source"), col("lang"),
+        col("text"), col("n_chars"))
+    val b2d = docs.filter(col("doc_id") % 4 === 3).unionByName(copy)
+    val b2v = vecs.filter(col("doc_id") % 8 === 3)
+    def applyLane(path: String, d: org.apache.spark.sql.DataFrame,
+                  v: org.apache.spark.sql.DataFrame, b: Long): Unit =
+      CurationStream.applyBatch(d, v, "doc_id", "embedding", "lang",
+        "source", "text", path, thrNum, thrDen, cap, seed, batchId = b,
+        lexicalLane = true)
+    applyLane(seqPath, b1d, b1v, 1L); applyLane(seqPath, b2d, b2v, 2L)
+    def rowsOf(d: org.apache.spark.sql.DataFrame,
+               v: org.apache.spark.sql.DataFrame): Seq[CrawlDoc] = {
+      val vv = v.select(col("doc_id").as("__vid"), col("embedding"))
+      d.join(vv, col("doc_id") === col("__vid"), "left")
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          col("embedding"))
+        .as[CrawlDoc].collect().toSeq
+    }
+    val stream = MemoryStream[CrawlDoc]
+    val q = CurationStream.maintain(stream.toDF(), "doc_id", "embedding",
+      "lang", "source", "text", strPath, thrNum, thrDen, cap, seed,
+      checkpoint = s"$dir/ckpt", lexicalLane = true)
+    stream.addData(rowsOf(b1d, b1v)); q.processAllAvailable()
+    stream.addData(rowsOf(b2d, b2v)); q.processAllAvailable()
+    q.stop()
+    val want = curated(seqPath)
+    assert(want == curated(strPath),
+      "streamed lane-on curated rows diverge from the sequential loop")
+    assert(hashRows(strPath) == hashRows(seqPath))
+    assert(memberRows(strPath) == memberRows(seqPath))
+    // both lanes present in both batches, and nothing routes a
+    // vectorless doc (a lexical row's cluster is null — here encoded in
+    // the row string)
+    Seq(1L, 2L).foreach { b =>
+      assert(want.exists(r => r.startsWith(s"[$b,") && r.contains("null")),
+        s"batch $b has no lexical survivor")
+      assert(want.exists(r => r.startsWith(s"[$b,") && !r.contains("null")),
+        s"batch $b has no vectored survivor")
+    }
+    // lane-crossing dedup: the planted copy of batch 1's lexical
+    // survivor never survives batch 2
+    assert(!want.exists(_.contains("40000001")),
+      "an exact copy of a lexical survivor escaped the absorbed hash")
+    // and vectorless survivors left no member rows to near-dup against
+    val givenVecIds = b1v.unionByName(b2v)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(memberRows(seqPath).filter(_._1 > 0L).map(_._2)
+        .forall(givenVecIds),
+      "a vectorless survivor absorbed a member row")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("foldStore is invisible to later serves, idempotent, and fences " +
        "uncommitted batches and future fold points") {
     val dir = java.nio.file.Files
