@@ -148,12 +148,13 @@ object CurationEpochs {
                       idCol: String, vecCol: String, labelCol: String,
                       srcCol: String, textCol: String,
                       root: String, thrNum: Long, thrDen: Long,
-                      clusterCap: Long, seed: String, batchId: Long): Long = {
+                      clusterCap: Long, seed: String, batchId: Long,
+                      lexicalLane: Boolean = false): Long = {
     val s = batchDocs.sparkSession
     val e = pinEpoch(s, root, batchId)
     CurationStream.applyBatch(batchDocs, batchVecs, idCol, vecCol,
       labelCol, srcCol, textCol, epochPath(root, e), thrNum, thrDen,
-      clusterCap, seed, batchId)
+      clusterCap, seed, batchId, lexicalLane = lexicalLane)
     e
   }
 
@@ -165,7 +166,8 @@ object CurationEpochs {
                labelCol: String, srcCol: String, textCol: String,
                root: String, thrNum: Long, thrDen: Long,
                clusterCap: Long, seed: String, checkpoint: String,
-               batchIdOffset: Long = 1L): StreamingQuery =
+               batchIdOffset: Long = 1L,
+               lexicalLane: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -175,7 +177,7 @@ object CurationEpochs {
           b.select(col(idCol), col(vecCol)),
           idCol, vecCol, labelCol, srcCol, textCol,
           root, thrNum, thrDen, clusterCap, seed,
-          batchId + batchIdOffset): Unit
+          batchId + batchIdOffset, lexicalLane = lexicalLane): Unit
       }
       .start()
 

@@ -162,6 +162,22 @@ class CurationStreamSpec extends SparkSpec {
     assert(memberRows(seqPath).filter(_._1 > 0L).map(_._2)
         .forall(givenVecIds),
       "a vectorless survivor absorbed a member row")
+    // the epoch layer's pass-through serves the same lane: an epoch-0
+    // store trained on the same history, batch 1 applied through
+    // applyBatchEpoch(lexicalLane = true), matches the direct loop
+    val root = s"$dir/epochroot"
+    CurationEpochs.initEpoch(
+      docs.filter(col("doc_id") % 4 <= 1), vecs.filter(col("doc_id") % 4 <= 1),
+      "doc_id", "embedding", "lang", "text",
+      k = 8, iters = 2, numMerges = 16, maxWords = 100000,
+      dsirTarget = col("source").isin("src0", "src1"),
+      dsirBuckets = 64, root = root, epoch = 0L, seed = seed)
+    CurationEpochs.applyBatchEpoch(b1d, b1v, "doc_id", "embedding",
+      "lang", "source", "text", root, thrNum, thrDen, cap, seed,
+      batchId = 1L, lexicalLane = true)
+    assert(curated(CurationEpochs.epochPath(root, 0L)) ==
+      want.filter(_.startsWith("[1,")),
+      "epoch-layer lexicalLane pass-through diverged from the direct loop")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
