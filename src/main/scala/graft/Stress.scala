@@ -1354,6 +1354,109 @@ object Stress {
       s"mid-backlog) / 2 recoveries / rows diffed = 0 over $nb batches, " +
       s"swap completed by reconcile")
     }
+    if (mode == "epochfold") {
+    // Epoch-retention storm (r15 verdict #5 storm row): a retrain
+    // cadence leaves a CHAIN of superseded epochs — each a complete
+    // store — and readCurated unions live curated output across all of
+    // them. foldEpochs must (1) be READ-INVISIBLE at storm scale,
+    // (2) actually reclaim the disk and file count the chain leaks,
+    // (3) leave the serving cadence untouched. Five epochs, each
+    // retrained on the growing corpus and serving two 2,500-doc
+    // batches, then fold to keep=2.
+    import graft.streaming.{CurationEpochs, CurationStream}
+    val nEpochs = 5
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-stress-epochfold-$factor"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val nBase = 2500L
+    val d0 = Tables.documents(spark, "/root/testdata/sf0.1")
+      .filter(col("doc_id") < nBase)
+    val e0 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .filter(col("vec_id") < nBase)
+    val nSlices = 2 * nEpochs + 2 // reps 1..2E are batches, 2E+1 the post-fold serve
+    val reps = spark.range(nSlices).select(col("id").as("__rep"))
+    val bigD = d0.crossJoin(reps)
+      .select((col("doc_id") + col("__rep") * nBase).as("doc_id"),
+        col("source"), col("lang"),
+        concat(col("text"), lit(" copytag"), col("__rep")).as("text"))
+      .localCheckpoint(true)
+    val bigE = e0.crossJoin(reps)
+      .select((col("vec_id") + col("__rep") * nBase).as("doc_id"),
+        col("embedding"))
+      .localCheckpoint(true)
+    def dUpTo(r: Int) = bigD.filter(col("doc_id") < (r + 1) * nBase)
+    def eUpTo(r: Int) = bigE.filter(col("doc_id") < (r + 1) * nBase)
+    def dRep(r: Int) = bigD.filter(col("doc_id") >= r * nBase &&
+      col("doc_id") < (r + 1) * nBase)
+    def eRep(r: Int) = bigE.filter(col("doc_id") >= r * nBase &&
+      col("doc_id") < (r + 1) * nBase)
+    def trainEpoch(ep: Int, upToRep: Int): Unit = time(s"epoch $ep train " +
+        s"(${(upToRep + 1) * nBase} docs)") {
+      CurationEpochs.initEpoch(dUpTo(upToRep), eUpTo(upToRep),
+        "doc_id", "embedding", "lang", "text",
+        k = 16, iters = 2, numMerges = 32, maxWords = 100000,
+        dsirTarget = col("source").isin("src0", "src1"),
+        dsirBuckets = 256, root = root, epoch = ep.toLong, seed = "graft")
+      (upToRep + 1) * nBase
+    }
+    var b = 0L
+    trainEpoch(0, 0)
+    (0 until nEpochs).foreach { ep =>
+      (1 to 2).foreach { _ =>
+        b += 1
+        val r = b.toInt
+        CurationEpochs.applyBatchEpoch(dRep(r), eRep(r), "doc_id",
+          "embedding", "lang", "source", "text", root,
+          49L, 400L, 48L, "graft", batchId = b): Unit
+      }
+      if (ep < nEpochs - 1) trainEpoch(ep + 1, b.toInt)
+    }
+    def du(): (Long, Long) = {
+      var files = 0L; var bytes = 0L
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
+        else { files += 1; bytes += f.length() }
+      walk(new java.io.File(root)); (files, bytes)
+    }
+    def readAll(): Seq[String] = CurationEpochs.readCurated(spark, root)
+      .select(col("epoch"), col("b").cast("long"), col("doc_id"),
+        col("source"), col("lang"), col("cluster"), col("bpe_tokens"),
+        col("dsir_score"))
+      .collect().map(_.toString).sorted.toSeq
+    val (f0, by0) = du()
+    val t0 = System.nanoTime(); val before = readAll()
+    val rSecs0 = (System.nanoTime() - t0) / 1e9
+    println(f"[stress] epochfold: pre-fold  $f0%5d files " +
+      f"${by0 / 1048576.0}%8.1f MiB  readCurated ${before.size} rows " +
+      f"in $rSecs0%.1f s  published=${CurationEpochs.publishedEpochs(spark, root)}")
+    time("foldEpochs(keep=2)") {
+      CurationEpochs.foldEpochs(spark, root, keep = 2); 1L
+    }
+    val (f1, by1) = du()
+    val t1 = System.nanoTime(); val after = readAll()
+    val rSecs1 = (System.nanoTime() - t1) / 1e9
+    println(f"[stress] epochfold: post-fold $f1%5d files " +
+      f"${by1 / 1048576.0}%8.1f MiB  readCurated ${after.size} rows " +
+      f"in $rSecs1%.1f s  published=${CurationEpochs.publishedEpochs(spark, root)} " +
+      f"archived=${CurationEpochs.archivedEpochs(spark, root)}")
+    require(before == after,
+      s"fold changed readCurated: ${before.size} vs ${after.size} rows")
+    require(CurationEpochs.publishedEpochs(spark, root).size == 2,
+      "fold failed to retire the superseded epochs")
+    // idempotent at storm scale, and the serve cadence continues
+    CurationEpochs.foldEpochs(spark, root, keep = 2)
+    require(readAll() == after, "re-fold changed readCurated")
+    b += 1
+    CurationEpochs.applyBatchEpoch(dRep(b.toInt), eRep(b.toInt), "doc_id",
+      "embedding", "lang", "source", "text", root,
+      49L, 400L, 48L, "graft", batchId = b): Unit
+    require(readAll().size > after.size,
+      "post-fold serve produced nothing — cadence broken by the fold")
+    println(f"[stress] epochfold: fold invisible (0 rows diffed), " +
+      f"files ${f0}->${f1} (${f0.toDouble / f1}%.1fx), " +
+      f"bytes ${by0 / 1048576.0}%.1f->${by1 / 1048576.0}%.1f MiB " +
+      f"(${by0.toDouble / by1}%.1fx), read ${rSecs0}%.1f->${rSecs1}%.1f s, " +
+      f"serve cadence intact after the fold")
+    }
     if (mode == "gatecrash-child") {
     // child half of the gatecrash storm: the REAL epoch-aware maintain
     // query over the file-source backlog, with a concurrent scheduler
