@@ -2636,7 +2636,10 @@ object SparkEntry {
     * member absorption's inner join contributes no member row for it.
     * Bench honesty: init + batch 1 build once per JVM; batch 2 is
     * served fresh (lane on, batchCut-fenced) every evaluation. */
-  private def q160(s: SparkSession, dir: String): DataFrame = {
+  /** The q160/q161 shared lane-on stream store (built once per JVM:
+    * init on the %4 ≤ 1 history, batch 1 = the %4 = 2 quarter with
+    * vectors only for `doc_id % 8 = 2`, absorbed lane-on). */
+  private def q160Store(s: SparkSession, dir: String): String = {
     val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
       "q160" + dir + s.sparkContext.applicationId)) % 1000000).toString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-curlex-$tag"
@@ -2657,6 +2660,14 @@ object SparkEntry {
         path, SemThrNum, SemThrDen, SemCap, SampleSeed, batchId = 1L,
         lexicalLane = true)
     }
+    path
+  }
+
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val path = q160Store(s, dir)
+    val d = Tables.documents(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
     val served2 = Curation.serveBatch(s, path,
         d.filter(col("doc_id") % 4 === 3), e.filter(col("doc_id") % 8 === 3),
         "doc_id", "embedding", "lang", "source", "text",
@@ -2669,6 +2680,28 @@ object SparkEntry {
       .unionByName(served2.select(col("b"), col("doc_id"), col("source"),
         col("lang"), col("cluster"), col("bpe_tokens"), col("dsir_score")))
       .orderBy("b", "doc_id")
+  }
+
+  /** Per-doc audit in the STREAM setting (q155 × q160): batch 2 of the
+    * lane-on crawl loop audited against the ACCUMULATED store — history
+    * hashes now include batch 1's survivors from BOTH lanes, so
+    * `exact_dup_history` can name a batch-1 LEXICAL survivor as the
+    * reason (lane-crossing provenance nothing else certifies), and the
+    * vectorless arm resolves through the lane ('quality' /
+    * 'vectorless_curated'). Same frozen primitives, same batchCut
+    * fence, same access paths as the serve q160 measures. */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val path = q160Store(s, dir)
+    val d = Tables.documents(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    Curation.auditBatch(s, path,
+        d.filter(col("doc_id") % 4 === 3),
+        e.filter(col("doc_id") % 8 === 3),
+        "doc_id", "embedding", "lang", "text",
+        SemThrNum, SemThrDen, SemCap, SampleSeed,
+        batchCut = Some(2L), lexicalLane = true)
+      .orderBy("doc_id")
   }
 
   /** Curation-store retention fold
@@ -3366,6 +3399,7 @@ object SparkEntry {
     "q158_epoch_fold" -> q158,
     "q159_lexical_lane" -> q159,
     "q160_lexical_stream" -> q160,
+    "q161_stream_audit" -> q161,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -4696,17 +4730,19 @@ object SparkEntry {
     * order exactly; `bk1` = keeper of each hash group, `b1` = keepers
     * surviving the history hash set, `wdrop`/`xdrop` = within-batch /
     * history semantic drops, `pred` = the frozen-NB prediction). */
-  private def curationAuditOracleSql: String = {
-    val (body, _) = curationChainBody(
-      histDocPred = "doc_id % 4 != 3", histVecPred = "vec_id % 4 != 3",
-      testPred = "doc_id % 4 = 3", batchPreds = Seq("doc_id % 4 = 3"))
-    // the vectorless arm replays the LEXICAL LANE (q159): a vectorless
-    // keeper is judged by the frozen-NB filter instead of rejected
-    body + """
+  /** The lane-on audit tail over one round's stage CTEs (prefix `p`):
+    * every doc of `batchPred` labeled with its first-failing stage —
+    * the vectorless arm replays the LEXICAL LANE (q159): a vectorless
+    * keeper is judged by the frozen-NB filter instead of rejected.
+    * `evPred` restricts which embedding rows the audited batch actually
+    * carried (the entry's batchVecs filter). */
+  private def curationAuditTail(p: String, batchPred: String,
+                                evPred: String): String =
+    s"""
       |SELECT d.doc_id,
       |       CASE
       |         WHEN k.doc_id IS NULL THEN 'exact_dup_batch'
-      |         WHEN b1.doc_id IS NULL THEN 'exact_dup_history'
+      |         WHEN b1x.doc_id IS NULL THEN 'exact_dup_history'
       |         WHEN ev.vec_id IS NULL THEN
       |           CASE WHEN p.pred <> d.lang THEN 'quality'
       |                ELSE 'vectorless_curated' END
@@ -4716,15 +4752,36 @@ object SparkEntry {
       |         ELSE 'survived'
       |       END AS verdict
       |FROM documents d
-      |LEFT JOIN bk1 k ON k.doc_id = d.doc_id
-      |LEFT JOIN b1 ON b1.doc_id = d.doc_id
-      |LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) ev
+      |LEFT JOIN ${p}bk1 k ON k.doc_id = d.doc_id
+      |LEFT JOIN ${p}b1 b1x ON b1x.doc_id = d.doc_id
+      |LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings
+      |           WHERE $evPred) ev
       |  ON ev.vec_id = d.doc_id
-      |LEFT JOIN wdrop wd ON wd.doc_id = d.doc_id
-      |LEFT JOIN xdrop xd ON xd.doc_id = d.doc_id
+      |LEFT JOIN ${p}wdrop wd ON wd.doc_id = d.doc_id
+      |LEFT JOIN ${p}xdrop xd ON xd.doc_id = d.doc_id
       |LEFT JOIN pred p ON p.doc_id = d.doc_id
-      |WHERE d.doc_id % 4 = 3
+      |WHERE d.$batchPred
       |ORDER BY 1""".stripMargin
+
+  private def curationAuditOracleSql: String = {
+    val (body, _) = curationChainBody(
+      histDocPred = "doc_id % 4 != 3", histVecPred = "vec_id % 4 != 3",
+      testPred = "doc_id % 4 = 3", batchPreds = Seq("doc_id % 4 = 3"))
+    body + curationAuditTail("", "doc_id % 4 = 3", "TRUE")
+  }
+
+  /** q161: the audit tail over ROUND 2 of the lane-on stream chain —
+    * `r2b1` is keepers fresh against history ∪ batch-1 survivors of
+    * BOTH lanes (`sh` includes the lexical lane), so the replayed
+    * `exact_dup_history` covers lane-crossing dedup provenance. */
+  private def curationStreamAuditOracleSql: String = {
+    val (body, prefixes) = curationChainBody(
+      histDocPred = "doc_id % 4 <= 1", histVecPred = "vec_id % 4 <= 1",
+      testPred = "doc_id % 4 >= 2",
+      batchPreds = Seq("doc_id % 4 = 2", "doc_id % 4 = 3"),
+      batchVecPreds = Seq("v.vec_id % 8 = 2", "v.vec_id % 8 = 3"))
+    body + curationAuditTail(prefixes.last, "doc_id % 4 = 3",
+      "vec_id % 8 = 3")
   }
 
   private def curationServeOracleSql: String =
@@ -6022,6 +6079,9 @@ object SparkEntry {
     // absorption (lexical survivors' hashes fence later exact copies)
     // replayed end to end
     "q160_lexical_stream" -> curationLexStreamOracleSql,
+    // q161: audit tail over round 2 of the lane-on stream chain —
+    // exact_dup_history replays lane-crossing dedup provenance
+    "q161_stream_audit" -> curationStreamAuditOracleSql,
     // q157: the gate's signal path alone — the same two namespaced NB
     // chains as q156, reduced to the one decision row (exact-integer
     // agreement, floor-div basis points)
