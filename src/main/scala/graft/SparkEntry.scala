@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DimDate
-import graft.operators.{Blooms, Cdc, Clustering, Curation, Dedup, Events, ExactAgg, Graphs, Incremental, Joins, Layout, Linkage, Multimodal, Packing, Resample, Retrieval, Sampling, Shuffles, Similarity, Stats, TextOps, Transforms, Vocab}
+import graft.operators.{Blooms, Cdc, Clustering, Curation, Dedup, Events, ExactAgg, Graphs, Incremental, Joins, Layout, Linkage, Multimodal, Packing, Resample, Retrieval, Sampling, Shuffles, Similarity, SpanDedup, Stats, TextOps, Transforms, Vocab}
 import graft.sources.JsonFlatten
 import graft.streaming.{CurationEpochs, CurationStream, EventTimeStreams, SemStream}
 
@@ -2704,6 +2704,48 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Maximal duplicated-span report ([[SpanDedup.duplicatedSpans]]):
+    * stride-1 8-gram fingerprints + island merge find every cross-doc
+    * repeated run of ≥ 8 tokens at ARBITRARY offsets — the recall
+    * [[TextOps.removeDuplicatedBlocks]]'s block grid (q81) explicitly
+    * trades away (a passage straddling two block boundaries reports
+    * here as ONE exact-width span). sf0.01: 47 spans, 11–93 tokens,
+    * none block-aligned. */
+  private def q162(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.duplicatedSpans(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 8)
+      .orderBy("doc_id", "span_start")
+
+  /** Exact-substring span CUT ([[SpanDedup.cutDuplicatedSpans]]): the
+    * action to q162's report — every non-first occurrence of a
+    * duplicated 8-gram loses its covered tokens, docs rebuild from the
+    * survivors, pure-boilerplate docs vanish (q81's convention). The
+    * per-gram (doc, pos) rank makes the keeper deterministic at any
+    * offset, not just on q81's block grid. */
+  private def q163(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.cutDuplicatedSpans(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+
+  /** Interleaved multimodal packing ([[Packing.packInterleaved]]): the
+    * VLM-training layout — docs with media (doc_id % 4 = 0, the q59
+    * condition) lead with a 64-token image placeholder, text follows
+    * in 32-token chunks, and the item stream contiguous-fills
+    * 256-token bins per source shard with within-doc order preserved.
+    * `doc_straddles` marks the attention-mask boundary docs. Item
+    * construction and both windows are per-shard/per-doc — nothing
+    * global, the q45 scale rule. */
+  private def q164(s: SparkSession, dir: String): DataFrame =
+    Packing.packInterleaved(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text")),
+        "source", "doc_id", "text",
+        hasMedia = col("doc_id") % 4 === 0, imageTokens = 64L,
+        chunkTokens = 32, budgetTokens = 256L)
+      .orderBy("doc_id", "item_idx")
+
   /** Curation-store retention fold
     * ([[graft.streaming.CurationStream.foldStore]]): q149's loop with
     * the q140/q115 lifecycle move applied to the SERVE-PATH artifacts —
@@ -3400,6 +3442,9 @@ object SparkEntry {
     "q159_lexical_lane" -> q159,
     "q160_lexical_stream" -> q160,
     "q161_stream_audit" -> q161,
+    "q162_dup_spans" -> q162,
+    "q163_span_cut" -> q163,
+    "q164_interleaved_pack" -> q164,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -3521,6 +3566,19 @@ object SparkEntry {
   /** DuckDB 60-bit md5 hash — must mirror TextOps.hash60 exactly. */
   private def sqlHash60(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** Shared CTE chain for q162/q163: every token position's 8-gram
+    * hash (stride 1) + the cross-doc duplicated hash set — mirrors
+    * [[SpanDedup.gramStarts]]/[[SpanDedup.dupGrams]] exactly. */
+  private def spanGramCtes: String = {
+    val gh = sqlHash60("array_to_string(a[s : s + 7], ' ')")
+    s"""arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       |occ AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 7)) AS s
+       |        FROM arr WHERE len(a) >= 8),
+       |g AS (SELECT doc_id, s - 1 AS pos, $gh AS gh FROM occ),
+       |dup AS (SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM g)
+       |        GROUP BY gh HAVING count(*) >= 2)""".stripMargin
+  }
 
   /** Shared by q38 (plain as-of) and q40 (skew-guarded as-of): both are
     * defined to produce identical output, DuckDB's native ASOF JOIN is
@@ -6082,6 +6140,66 @@ object SparkEntry {
     // q161: audit tail over round 2 of the lane-on stream chain —
     // exact_dup_history replays lane-crossing dedup provenance
     "q161_stream_audit" -> curationStreamAuditOracleSql,
+    // q162/q163: stride-1 8-gram fingerprints, shared CTE chain; the
+    // oracle hashes with the same md5-60-bit kernel so even a
+    // collision would fuse gram families identically in both engines
+    "q162_dup_spans" ->
+      s"""WITH $spanGramCtes,
+         |fl AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+         |isl AS (SELECT doc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM fl),
+         |sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+         |       FROM isl GROUP BY doc_id, grp)
+         |SELECT sp.doc_id, span_start,
+         |       span_end - span_start + 1 AS span_tokens,
+         |       array_to_string(a[span_start + 1 : span_end + 1], ' ') AS span_text
+         |FROM sp JOIN arr USING (doc_id)
+         |ORDER BY 1, 2""".stripMargin,
+    "q163_span_cut" ->
+      s"""WITH $spanGramCtes,
+         |red AS (SELECT doc_id, pos FROM (
+         |          SELECT g.doc_id, g.pos,
+         |                 row_number() OVER (PARTITION BY gh ORDER BY g.doc_id, g.pos) AS rn
+         |          FROM g JOIN dup USING (gh)) WHERE rn > 1),
+         |isl AS (SELECT doc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM red),
+         |sp AS (SELECT doc_id, min(pos) AS s0, max(pos) + 7 AS e0
+         |       FROM isl GROUP BY doc_id, grp),
+         |cut AS (SELECT DISTINCT doc_id, unnest(generate_series(s0, e0)) AS pos FROM sp),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+         |        FROM documents),
+         |keep AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+         |         ANTI JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos)
+         |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |       count(*)::BIGINT AS n_kept
+         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q164: media item (cost 64) leads each %4=0 doc, 32-token text
+    // chunks follow; exclusive prefix sum per source shard → bin
+    "q164_interleaved_pack" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |media AS (SELECT source, doc_id, 0::BIGINT AS item_idx,
+        |                 'image' AS modality, 64::BIGINT AS cost_tokens
+        |          FROM documents WHERE doc_id % 4 = 0),
+        |c AS (SELECT source, doc_id, w,
+        |        unnest(generate_series(1, len(w), 32)) AS s FROM d),
+        |ti AS (SELECT source, doc_id, ((s - 1) // 32 + 1)::BIGINT AS item_idx,
+        |              'text' AS modality,
+        |              least(32, len(w) - s + 1)::BIGINT AS cost_tokens FROM c),
+        |items AS (SELECT * FROM media UNION ALL SELECT * FROM ti),
+        |p AS (SELECT *, coalesce(sum(cost_tokens) OVER (
+        |        PARTITION BY source ORDER BY doc_id, item_idx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |      FROM items),
+        |b AS (SELECT source, doc_id, item_idx, modality, cost_tokens,
+        |             (pre // 256)::BIGINT AS bin, (pre % 256)::BIGINT AS bin_offset
+        |      FROM p)
+        |SELECT source, doc_id, item_idx, modality, cost_tokens, bin, bin_offset,
+        |       min(bin) OVER (PARTITION BY doc_id)
+        |         <> max(bin) OVER (PARTITION BY doc_id) AS doc_straddles
+        |FROM b ORDER BY doc_id, item_idx""".stripMargin,
     // q157: the gate's signal path alone — the same two namespaced NB
     // chains as q156, reduced to the one decision row (exact-integer
     // agreement, floor-div basis points)

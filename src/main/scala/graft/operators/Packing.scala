@@ -33,15 +33,62 @@ object Packing {
       lit(d).cast("decimal(38,0)")).cast("long")
 
   def packSequences(docs: DataFrame, shardCol: String, idCol: String,
-                    tokensCol: String, budgetTokens: Long): DataFrame = {
+                    tokensCol: String, budgetTokens: Long): DataFrame =
+    packItems(docs, shardCol, Seq(idCol), tokensCol, budgetTokens)
+
+  /** [[packSequences]] generalized to a composite layout order —
+    * needed when the packable unit is finer than a document (chunks,
+    * media attachments) and the within-doc order must survive the
+    * fill. Same contiguous-fill rule, same one-window plan. */
+  def packItems(items: DataFrame, shardCol: String, orderCols: Seq[String],
+                tokensCol: String, budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    items
       .withColumn("__prefix",
         coalesce(sum(col(tokensCol)).over(w), lit(0L)))
       .withColumn("bin", floorDiv(col("__prefix"), budgetTokens))
       .withColumn("bin_offset", col("__prefix") - col("bin") * budgetTokens)
       .drop("__prefix")
+  }
+
+  /** Interleaved multimodal packing — the VLM-training layout: a
+    * document is a SEQUENCE of items (an image placeholder, then its
+    * text in context-window chunks), every item carries its token
+    * cost (text = its token count; an image = the model's fixed
+    * per-image patch budget), and the item stream packs into
+    * context-window bins with the doc's internal order preserved.
+    *
+    * Items: docs satisfying `hasMedia` contribute one 'image' item at
+    * item_idx 0 costing `imageTokens`; every doc contributes its
+    * [[TextOps.chunkDocuments]] chunks (overlap 0) as 'text' items at
+    * item_idx = chunk_idx + 1 costing the chunk's token count. The
+    * fill is [[packItems]] over (shard, doc, item) — one window per
+    * shard, never global. `doc_straddles` marks docs whose items
+    * landed in more than one bin (the downstream writer's
+    * attention-mask/resume boundary); it is a second window over the
+    * SAME partition-friendly key (doc), not a join.
+    */
+  def packInterleaved(docs: DataFrame, shardCol: String, idCol: String,
+                      textCol: String, hasMedia: Column, imageTokens: Long,
+                      chunkTokens: Int, budgetTokens: Long): DataFrame = {
+    require(imageTokens > 0, "imageTokens must be positive")
+    val media = docs.filter(hasMedia)
+      .select(col(shardCol), col(idCol), lit(0L).as("item_idx"),
+        lit("image").as("modality"), lit(imageTokens).as("cost_tokens"))
+    val text = TextOps.chunkDocuments(docs, idCol, textCol, chunkTokens,
+        overlap = 0, carry = Seq(shardCol))
+      .select(col(shardCol), col(idCol),
+        (col("chunk_idx") + 1).cast("long").as("item_idx"),
+        lit("text").as("modality"),
+        col("n_tokens").cast("long").as("cost_tokens"))
+    val packed = packItems(media.unionByName(text), shardCol,
+      Seq(idCol, "item_idx"), "cost_tokens", budgetTokens)
+    val perDoc = Window.partitionBy(col(idCol))
+    packed.withColumn("doc_straddles",
+      min(col("bin")).over(perDoc) =!= max(col("bin")).over(perDoc))
   }
 }

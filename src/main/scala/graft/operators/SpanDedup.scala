@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-substring span dedup: find and cut MAXIMAL duplicated token
+  * spans at arbitrary offsets — the stride-1 sibling of
+  * [[TextOps.removeDuplicatedBlocks]]'s block grid, which by
+  * construction misses a repeated passage that straddles two block
+  * boundaries (its own scaladoc names the trade). The suffix-array
+  * engines built for this (the "remove every repeated ≥50-token
+  * substring" pass pretraining pipelines run after doc-level dedup)
+  * don't distribute; the standard scalable approximation is sliding
+  * k-gram fingerprints + island merge, which recovers every repeat of
+  * length ≥ k at exact boundaries:
+  *
+  *   1. every token position emits the hash of the k-gram starting
+  *      there (row-local generate — codegen'd `sequence`/`slice`, no
+  *      shuffle);
+  *   2. a gram hash seen in ≥ `minDocs` distinct docs is "duplicated"
+  *      (distinct + count — ONE exchange on the fixed-width 60-bit
+  *      key, map-side combined; the raw gram text never shuffles);
+  *   3. a doc's flagged start positions merge into maximal runs
+  *      (islands: `pos − row_number` per doc — the per-doc window
+  *      partitions by id, never global);
+  *   4. a run [s, e] covers token span [s, e + k − 1]: every repeat of
+  *      length L ≥ k becomes exactly one span of exactly L tokens
+  *      (stride-1 grams overlap, so interior positions are consecutive
+  *      — no block-boundary recall loss).
+  *
+  * Shuffle volume is (60-bit hash, id, pos) per token position —
+  * fixed-width rows linear in corpus tokens, the same order
+  * [[TextOps.exactDedup]] moves; no O(n²) pair list, no index build.
+  * Hashing is the repo-wide md5-derived [[TextOps.hash60]], so the
+  * DuckDB oracle reproduces the grouping bit-for-bit (a 60-bit
+  * collision would fuse two gram families identically in both
+  * engines; at 100 TB verify the collision bucket exactly — it is
+  * collision-rate-sized).
+  *
+  * Reference scope note: the reference ETL (mabna_tables_update.py)
+  * has no text ops at all — this operator belongs to the
+  * training-data-pipeline surface the build brief adds on top.
+  */
+object SpanDedup {
+
+  /** (id, pos, __gh): the 60-bit hash of the k-gram starting at each
+    * 0-based token position. Docs shorter than k emit nothing (the
+    * `when` guard nulls the sequence and explode drops it). */
+  private def gramStarts(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame = {
+    val a = col("__a")
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__a"))
+      .select(col(idCol), a,
+        explode(when(size(a) >= k, sequence(lit(1), size(a) - k + 1)))
+          .as("__s"))
+      .select(col(idCol), (col("__s") - 1).cast("long").as("pos"),
+        TextOps.hash60(concat_ws(" ", slice(a, col("__s"), lit(k))))
+          .as("__gh"))
+  }
+
+  /** Gram hashes appearing in at least `minDocs` distinct documents.
+    * distinct-then-count instead of countDistinct: the distinct's
+    * partial aggregation collapses a doc's internal repeats map-side,
+    * so a boilerplate-heavy doc contributes one row per gram family to
+    * the exchange, and no expand/two-phase plan is needed. */
+  private def dupGrams(occ: DataFrame, idCol: String, minDocs: Int): DataFrame =
+    occ.select(col("__gh"), col(idCol)).distinct()
+      .groupBy(col("__gh")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__gh"))
+
+  /** Merge flagged start positions into maximal runs per doc and
+    * return one row per run: (id, span_start, span_end) in 0-based
+    * inclusive token coordinates, span_end = last start + k − 1. */
+  private def islands(flagged: DataFrame, idCol: String, k: Int): DataFrame = {
+    val grp = col("pos") -
+      row_number().over(Window.partitionBy(col(idCol)).orderBy(col("pos")))
+    flagged
+      .withColumn("__grp", grp)
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k - 1).as("span_end"))
+      .drop("__grp")
+  }
+
+  /** Report the maximal duplicated spans: one row per (doc, span) with
+    * the span's token coordinates and text. A doc-level exact dup
+    * reports one full-width span; a shared license paragraph reports
+    * one span per doc containing it, at whatever offset it sits. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, minDocs: Int = 2): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
+    val occ = gramStarts(docs, idCol, textCol, k)
+    val flagged = occ.join(dupGrams(occ, idCol, minDocs), Seq("__gh"),
+      "left_semi")
+    val spanLen = col("span_end") - col("span_start") + 1
+    islands(flagged, idCol, k)
+      .join(docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__a")),
+        Seq(idCol))
+      .select(col(idCol), col("span_start"),
+        spanLen.as("span_tokens"),
+        concat_ws(" ", slice(col("__a"),
+          (col("span_start") + 1).cast("int"),
+          spanLen.cast("int"))).as("span_text"))
+  }
+
+  /** Cut every NON-FIRST occurrence of duplicated content and rebuild
+    * the text — the action to [[duplicatedSpans]]' report. Occurrences
+    * of a duplicated gram rank by (id, pos); rank 1 is the keeper,
+    * every other occurrence marks its k covered positions for removal.
+    * Redundant starts merge into maximal runs BEFORE expanding to
+    * covered positions, so the expansion is O(span length), not
+    * O(span length × k). Docs whose every token was cut (pure
+    * duplicated boilerplate) vanish, [[TextOps
+    * .removeDuplicatedBlocks]]' convention.
+    *
+    * Cutting can butt two previously-distant tokens together and
+    * create a NEW duplicated gram, so the op is not idempotent in
+    * general — the standard exact-substring-dedup caveat; pipelines
+    * run it to a fixed point when that matters (one pass removes the
+    * planted mass; the spec pins the planted-copy law). */
+  def cutDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, minDocs: Int = 2): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
+    val occ = gramStarts(docs, idCol, textCol, k)
+    val redundant = occ
+      .join(dupGrams(occ, idCol, minDocs), Seq("__gh"), "left_semi")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__gh")).orderBy(col(idCol), col("pos"))))
+      .filter(col("__rn") > 1)
+      .select(col(idCol), col("pos"))
+    val cut = islands(redundant, idCol, k)
+      .select(col(idCol),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+      .distinct()
+    docs
+      .select(col(idCol),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__tok")))
+      .withColumn("pos", col("pos").cast("long"))
+      .join(cut, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("__tok")))),
+          s => s.getField("__tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+}

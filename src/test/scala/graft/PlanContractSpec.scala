@@ -908,4 +908,33 @@ class PlanContractSpec extends SparkSpec {
         s"cold salted join planned a product:\n$plan")
     }
   }
+
+  test("q162/q163 span dedup: equi-plans only, dup filter above a partial agg") {
+    Seq("q162_dup_spans", "q163_span_cut").foreach { q =>
+      val plan = physical(SparkEntry.queries(q)(spark, dir))
+      // candidate generation is equi-join + window — never a product,
+      // never a nested loop over gram rows
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q gram matching went non-equi:\n$plan")
+      // the distinct-then-count dup set aggregates partially map-side
+      // (two HashAggregate pairs: distinct + count), so a
+      // boilerplate-heavy doc ships one row per gram family
+      assert(plan.contains("HashAggregate"), s"$q lost the hash agg:\n$plan")
+      // every window partitions on a key (doc id or gram hash) — a
+      // global window would print an empty partition spec `, [], [`
+      // and collapse to one task at corpus scale
+      assert(!plan.contains(", [], ["),
+        s"$q planned a global window/sort:\n$plan")
+    }
+  }
+
+  test("q164 interleaved pack: per-shard windows, no join anywhere") {
+    val plan = physical(SparkEntry.queries("q164_interleaved_pack")(spark, dir))
+    // items come from a union of two row-local projections; the fill
+    // and the straddle flag are windows — the whole op is join-free
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"q164 planned a join:\n$plan")
+    assert(plan.contains("Union"), s"q164 lost the modality union:\n$plan")
+  }
 }

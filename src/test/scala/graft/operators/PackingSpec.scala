@@ -67,6 +67,53 @@ class PackingSpec extends SparkSpec {
     assert(a.values.min == 0L)
   }
 
+  test("packInterleaved: image leads its doc, chunks follow, fill is contiguous") {
+    def words(tag: String, n: Int) =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      // doc 0 has media (40 text tokens → 2 chunks of 32 + 8)
+      (0L, "s", words("a", 40)),
+      // doc 1 text-only (10 tokens → 1 chunk)
+      (1L, "s", words("b", 10)),
+      // doc 4 has media (5 tokens → 1 chunk)
+      (4L, "s", words("c", 5))
+    ).toDF("doc_id", "source", "text")
+    val out = Packing.packInterleaved(docs, "source", "doc_id", "text",
+        hasMedia = col("doc_id") % 4 === 0, imageTokens = 64L,
+        chunkTokens = 32, budgetTokens = 128L)
+      .orderBy("doc_id", "item_idx")
+      .select("doc_id", "item_idx", "modality", "cost_tokens", "bin",
+        "bin_offset", "doc_straddles")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    // layout: (doc, item) order with exclusive prefixes
+    // doc0: img 64 @0, chunk 32 @64, chunk 8 @96 → all bin 0
+    // doc1: chunk 10 @104 → bin 0
+    // doc4: img 64 @114 → bin 0 (straddles: next lands in bin 1)
+    //       chunk 5 @178 → bin 1
+    assert(out.toSeq == Seq(
+      (0L, 0L, "image", 64L, 0L, 0L, false),
+      (0L, 1L, "text", 32L, 0L, 64L, false),
+      (0L, 2L, "text", 8L, 0L, 96L, false),
+      (1L, 1L, "text", 10L, 0L, 104L, false),
+      (4L, 0L, "image", 64L, 0L, 114L, true),
+      (4L, 1L, "text", 5L, 1L, 50L, true)))
+  }
+
+  test("packItems composite order differs from id-only order when it must") {
+    val items = Seq(
+      ("s", 1L, 1L, 100L), ("s", 1L, 0L, 30L), ("s", 2L, 0L, 10L)
+    ).toDF("shard", "id", "idx", "toks")
+    val out = Packing.packItems(items, "shard", Seq("id", "idx"), "toks", 64L)
+      .select("id", "idx", "bin", "bin_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // order (1,0) 30 → (1,1) 100 → (2,0) 10: prefixes 0, 30, 130
+    assert(out((1L, 0L)) == (0L, 0L))
+    assert(out((1L, 1L)) == (0L, 30L))
+    assert(out((2L, 0L)) == (2L, 2L))
+  }
+
   test("contamination: planted copies score 1.0, clean docs score low") {
     val bench = Seq((1000L, "alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text")

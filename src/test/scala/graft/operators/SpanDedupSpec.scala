@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // distinct filler vocabularies per doc so nothing repeats by accident
+  private def filler(tag: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"$tag$i")
+  private val planted = (1 to 20).map(i => s"p$i") // the shared 20-token run
+
+  private def corpus = Seq(
+    // doc 1: planted run at offset 5
+    1L -> (filler("a", 5) ++ planted ++ filler("b", 7)).mkString(" "),
+    // doc 2: planted run at offset 0
+    2L -> (planted ++ filler("c", 9)).mkString(" "),
+    // doc 3: planted run at the very end
+    3L -> (filler("d", 11) ++ planted).mkString(" "),
+    // doc 4: no repeats at all
+    4L -> filler("e", 25).mkString(" "),
+    // docs 5/6: full-document exact duplicates
+    5L -> filler("f", 18).mkString(" "),
+    6L -> filler("f", 18).mkString(" "),
+    // doc 7: shorter than k — must emit no grams and survive untouched
+    7L -> filler("g", 4).mkString(" ")
+  ).toDF("doc_id", "text")
+
+  test("planted run reports as ONE maximal span of exactly its length") {
+    val spans = SpanDedup.duplicatedSpans(corpus, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = spans.groupBy(_._1)
+    // docs 1-3: exactly one span each, exactly the 20 planted tokens at
+    // the planted offset — maximality: the unique neighbours never
+    // extend the span by even one token
+    assert(byDoc(1L).toSeq == Seq((1L, 5L, 20L, planted.mkString(" "))))
+    assert(byDoc(2L).toSeq == Seq((2L, 0L, 20L, planted.mkString(" "))))
+    assert(byDoc(3L).toSeq == Seq((3L, 11L, 20L, planted.mkString(" "))))
+    // docs 5/6: the whole 18-token doc is the span
+    assert(byDoc(5L).toSeq == Seq((5L, 0L, 18L, filler("f", 18).mkString(" "))))
+    assert(byDoc(6L).toSeq == Seq((6L, 0L, 18L, filler("f", 18).mkString(" "))))
+    // docs 4 and 7: nothing
+    assert(!byDoc.contains(4L) && !byDoc.contains(7L))
+  }
+
+  test("cut keeps the first occurrence, removes the rest, drops pure dups") {
+    val out = SpanDedup.cutDuplicatedSpans(corpus, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1 (lowest id): keeps the planted run, byte-identical text
+    assert(out(1L) == ((filler("a", 5) ++ planted ++ filler("b", 7))
+      .mkString(" "), 32L))
+    // docs 2/3: the planted run is gone, their filler survives in order
+    assert(out(2L) == (filler("c", 9).mkString(" "), 9L))
+    assert(out(3L) == (filler("d", 11).mkString(" "), 11L))
+    // untouched docs are byte-identical
+    assert(out(4L) == (filler("e", 25).mkString(" "), 25L))
+    assert(out(7L) == (filler("g", 4).mkString(" "), 4L))
+    // doc 5 keeps the duplicated pair's only copy; doc 6 vanished
+    assert(out(5L) == (filler("f", 18).mkString(" "), 18L))
+    assert(!out.contains(6L))
+  }
+
+  test("recall law: a block-straddling repeat is invisible to the q81 grid") {
+    val run = (1 to 10).map(i => s"r$i") // 10-token repeat, k=8 finds it
+    val docs = Seq(
+      // straddles the 16-token block boundary (positions 12..21)
+      8L -> (filler("h", 12) ++ run ++ filler("i", 10)).mkString(" "),
+      9L -> (filler("j", 3) ++ run ++ filler("k", 19)).mkString(" ")
+    ).toDF("doc_id", "text")
+    val spans = SpanDedup.duplicatedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(spans == Set((8L, 12L, run.mkString(" ")),
+      (9L, 3L, run.mkString(" "))))
+    // the 16-token block grid sees no repeated block: every block mixes
+    // the run with doc-unique filler — both docs pass through unchanged
+    val blocks = TextOps.removeDuplicatedBlocks(docs, "doc_id", "text",
+        blockTokens = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(blocks(8L) == (filler("h", 12) ++ run ++ filler("i", 10)).mkString(" "))
+    assert(blocks(9L) == (filler("j", 3) ++ run ++ filler("k", 19)).mkString(" "))
+  }
+
+  test("every reported span text really occurs in >= 2 documents") {
+    val docs = corpus
+    val spans = SpanDedup.duplicatedSpans(docs, "doc_id", "text", k = 8)
+      .select("span_text").as[String].collect()
+    val texts = docs.select("text").as[String].collect()
+    spans.foreach { sp =>
+      assert(texts.count(_.contains(sp)) >= 2, s"span not cross-doc: $sp")
+    }
+  }
+
+  test("intra-doc repeats alone do not flag (cross-doc only, q54's lane)") {
+    val rep = (1 to 9).map(i => s"s$i")
+    val docs = Seq(
+      // the run repeats twice WITHIN one doc, nowhere else
+      10L -> (rep ++ filler("t", 5) ++ rep).mkString(" ")
+    ).toDF("doc_id", "text")
+    assert(SpanDedup.duplicatedSpans(docs, "doc_id", "text", k = 8).isEmpty)
+    val out = SpanDedup.cutDuplicatedSpans(docs, "doc_id", "text", k = 8)
+      .collect()
+    assert(out.length == 1 && out.head.getLong(2) == 23L)
+  }
+}
