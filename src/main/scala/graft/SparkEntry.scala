@@ -2746,6 +2746,29 @@ object SparkEntry {
         chunkTokens = 32, budgetTokens = 256L)
       .orderBy("doc_id", "item_idx")
 
+  /** Incremental span cut ([[SpanDedup.serveSpanCut]]): the batch
+    * (doc_id % 4 = 3) cut against the FROZEN gram store of the other
+    * three quarters — the 100 TB shape, where history's per-token gram
+    * log never re-shuffles (bloom misses skip the store entirely, hits
+    * verify through a hit-pruned exact semi-join). Store built once
+    * per JVM (q66/q83 convention — the first bench rep pays it).
+    * Oracle replays the exact serve derivation: history's distinct
+    * gram set ∪ the within-batch non-first rank, islands, cut,
+    * ordered rebuild. */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q165" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-gramstore-$tag"
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    if (!new java.io.File(path).exists()) {
+      SpanDedup.writeGramStore(s, d.filter(col("doc_id") % 4 =!= 3),
+        "doc_id", "text", k = 8, path)
+    }
+    SpanDedup.serveSpanCut(s, path, d.filter(col("doc_id") % 4 === 3),
+        "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+  }
+
   /** Curation-store retention fold
     * ([[graft.streaming.CurationStream.foldStore]]): q149's loop with
     * the q140/q115 lifecycle move applied to the SERVE-PATH artifacts —
@@ -3445,6 +3468,7 @@ object SparkEntry {
     "q162_dup_spans" -> q162,
     "q163_span_cut" -> q163,
     "q164_interleaved_pack" -> q164,
+    "q165_span_serve" -> q165,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -6176,6 +6200,46 @@ object SparkEntry {
          |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
          |       count(*)::BIGINT AS n_kept
          |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q165: the incremental serve derivation replayed — history's
+    // distinct gram set (any hit cuts: the curated copy always wins)
+    // ∪ the within-batch non-first rank, then q163's islands →
+    // positions → ordered rebuild over the batch alone
+    "q165_span_serve" -> {
+      val hgh = sqlHash60("array_to_string(ha[s : s + 7], ' ')")
+      val bgh = sqlHash60("array_to_string(ba[s : s + 7], ' ')")
+      s"""WITH harr AS (SELECT doc_id, string_split(text, ' ') AS ha
+         |              FROM documents WHERE doc_id % 4 <> 3),
+         |hocc AS (SELECT doc_id, ha, unnest(generate_series(1, len(ha) - 7)) AS s
+         |         FROM harr WHERE len(ha) >= 8),
+         |hg AS (SELECT DISTINCT $hgh AS gh FROM hocc),
+         |barr AS (SELECT doc_id, string_split(text, ' ') AS ba
+         |         FROM documents WHERE doc_id % 4 = 3),
+         |bocc AS (SELECT doc_id, ba, unnest(generate_series(1, len(ba) - 7)) AS s
+         |         FROM barr WHERE len(ba) >= 8),
+         |bg AS (SELECT doc_id, s - 1 AS pos, $bgh AS gh FROM bocc),
+         |inhist AS (SELECT bg.doc_id, bg.pos FROM bg JOIN hg USING (gh)),
+         |bdup AS (SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM bg)
+         |         GROUP BY gh HAVING count(*) >= 2),
+         |bred AS (SELECT doc_id, pos FROM (
+         |           SELECT bg.doc_id, bg.pos,
+         |                  row_number() OVER (PARTITION BY gh ORDER BY bg.doc_id, bg.pos) AS rn
+         |           FROM bg JOIN bdup USING (gh)) WHERE rn > 1),
+         |red AS (SELECT doc_id, pos FROM inhist UNION SELECT doc_id, pos FROM bred),
+         |isl AS (SELECT doc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM red),
+         |sp AS (SELECT doc_id, min(pos) AS s0, max(pos) + 7 AS e0
+         |       FROM isl GROUP BY doc_id, grp),
+         |cut AS (SELECT DISTINCT doc_id, unnest(generate_series(s0, e0)) AS pos FROM sp),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+         |        FROM documents WHERE doc_id % 4 = 3),
+         |keep AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+         |         ANTI JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos)
+         |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |       count(*)::BIGINT AS n_kept
+         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // q164: media item (cost 64) leads each %4=0 doc, 32-token text
     // chunks follow; exclusive prefix sum per source shard → bin
     "q164_interleaved_pack" ->

@@ -17,6 +17,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     // "all" (default = text+embed) | "text" | "embed" | "skew" | "pq" |
+    // "spans" |
     // "median" | "media" | "incr" | "purge" | "asof" | "graph" — a mode flag lets one family
     // re-run without repaying the others (the text sweep alone is
     // ~5 min at 40x)
@@ -1082,6 +1083,92 @@ object Stress {
       f"${aBytesPlain / math.max(aBytesBloom, 1L).toDouble}%.1fx " +
       f"(plain ${aBytesPlain / 1048576.0}%.2f MiB -> bloom " +
       f"${aBytesBloom / 1048576.0}%.2f MiB)")
+    }
+    if (mode == "spans") {
+    // Span-dedup storm: (a) the full-corpus report/cut at factor× — the
+    // gram exchange is the cost, it must scale with corpus tokens, not
+    // pairs; (b) the incremental serve against a gram store ~factor×
+    // the probe batch, bloom vs plain — the per-TOKEN store is ~150×
+    // denser than curbloom's per-doc hash log, so this is the regime
+    // where the prefilter pays or the op dies at 100 TB. Every 11th
+    // token is copy-tagged so copies share almost no grams and the
+    // store genuinely grows with factor (a shared-gram corpus would
+    // dedup the store back to 1×).
+    import graft.operators.SpanDedup
+    val nb = math.max(20, factor)
+    val d0 = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select("doc_id", "text")
+    val nBase = 5000L
+    def tagged(reps: org.apache.spark.sql.DataFrame) = d0.crossJoin(reps)
+      .select((col("doc_id") + col("__rep") * nBase).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          (t, i) => when(i % 11 === 0,
+            concat(lit("c"), col("__rep"), lit("x"), t)).otherwise(t)))
+          .as("text"))
+    val hist = tagged(spark.range(nb).select(col("id").as("__rep")))
+      .localCheckpoint(true)
+    println(s"[stress] spans: history ${hist.count()} docs (${nb}x sf0.1)")
+    time("duplicatedSpans(1x)") {
+      SpanDedup.duplicatedSpans(d0, "doc_id", "text", k = 8).count()
+    }
+    time(s"duplicatedSpans(${nb}x)") {
+      SpanDedup.duplicatedSpans(hist, "doc_id", "text", k = 8).count()
+    }
+    time(s"cutDuplicatedSpans(${nb}x)") {
+      SpanDedup.cutDuplicatedSpans(hist, "doc_id", "text", k = 8).count()
+    }
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-stress-spans-$nb"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    time(s"writeGramStore(${nb}x)") {
+      SpanDedup.writeGramStore(spark, hist, "doc_id", "text", k = 8, path)
+      spark.read.parquet(s"$path/grams").count()
+    }
+    val storeRows = spark.read.parquet(s"$path/grams").count()
+    // probe: 500 fresh docs (their own tag) + 20 verbatim copies of
+    // history docs that MUST cut to nothing through the store
+    val probe = tagged(spark.range(nb, nb + 1).select(col("id").as("__rep")))
+      .filter(col("doc_id") < nb * nBase + 500)
+      .unionByName(hist.filter(col("doc_id") < 20)
+        .select((col("doc_id") + (nb + 1) * nBase).as("doc_id"), col("text")))
+      .localCheckpoint(true)
+    println(s"[stress] spans: gram store $storeRows rows vs " +
+      s"${probe.count()}-doc probe")
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    val meter = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffled.addAndGet(t.taskMetrics.shuffleReadMetrics.totalBytesRead): Unit
+    }
+    def meteredServe(name: String): (Long, Set[(Long, Long)]) = {
+      spark.sparkContext.addSparkListener(meter)
+      shuffled.set(0L)
+      val t0 = System.nanoTime()
+      val out = SpanDedup.serveSpanCut(spark, path, probe,
+          "doc_id", "text", k = 8)
+        .select("doc_id", "n_kept").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000)
+      spark.sparkContext.removeSparkListener(meter)
+      println(f"[stress] spans serve/$name%-6s $secs%6.1f s  " +
+        f"shuffleRead=${shuffled.get() / 1048576.0}%9.2f MiB  (${out.size} rows)")
+      (shuffled.get(), out)
+    }
+    meteredServe("warmup")
+    val (bytesBloom, outBloom) = meteredServe("bloom")
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$path/grambloom"))
+    val (bytesPlain, outPlain) = meteredServe("plain")
+    require(outBloom == outPlain,
+      s"bloom path changed the serve: ${outBloom.size} vs ${outPlain.size}")
+    require(!outBloom.exists(_._1 >= (nb + 1) * nBase),
+      "a verbatim history copy survived the store cut")
+    println(f"[stress] spans: serve shuffle-read drop " +
+      f"${bytesPlain / math.max(bytesBloom, 1L).toDouble}%.1fx " +
+      f"(plain ${bytesPlain / 1048576.0}%.2f MiB -> bloom " +
+      f"${bytesBloom / 1048576.0}%.2f MiB) at ${storeRows / 75000}x " +
+      f"probe-gram history")
     }
     if (mode == "curcrash") {
     // Crash-kill storm for the REAL CurationStream.maintain query (r15

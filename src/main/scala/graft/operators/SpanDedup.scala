@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -138,6 +138,109 @@ object SpanDedup {
         explode(sequence(col("span_start"), col("span_end"))).as("pos"))
       .distinct()
     docs
+      .select(col(idCol),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__tok")))
+      .withColumn("pos", col("pos").cast("long"))
+      .join(cut, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("__tok")))),
+          s => s.getField("__tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
+  // ------------------------------------------------- incremental serve
+
+  /** Frozen gram store: the history corpus's DISTINCT k-gram hashes
+    * (`grams/`, hash-partitioned fixed-width longs) plus a bloom
+    * sketch over them (`grambloom/`, [[Blooms]] kernel — the
+    * [[Curation.writeHashBloom]] shape applied to the gram log, which
+    * is per-TOKEN-sized, ~150× a per-doc hash log, so the prefilter
+    * matters here even more). Build is one distinct + write; rebuild
+    * by overwrite. */
+  def writeGramStore(s: SparkSession, history: DataFrame, idCol: String,
+                     textCol: String, k: Int, path: String,
+                     parts: Int = 32): Unit = {
+    require(parts >= 1, s"parts=$parts must be >= 1")
+    val grams = gramStarts(history, idCol, textCol, k)
+      .select(col("__gh")).distinct()
+      .repartition(parts, col("__gh"))
+      .localCheckpoint(true)
+    grams.write.mode("overwrite").parquet(s"$path/grams")
+    val n = grams.count()
+    if (n > 0) {
+      Blooms.register(s)
+      grams
+        .agg(call_function("graft_bloom_agg", col("__gh"), lit(n)).as("bf"))
+        .withColumn("n_items", lit(n))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/grambloom")
+    }
+  }
+
+  /** The persisted gram bloom as an in-plan scalar — None when absent,
+    * unreadable, or too small to pay for itself (the [[Curation]]
+    * fallback discipline: the sketch is an access path, never a
+    * semantics). */
+  private def readGramBloom(s: SparkSession, path: String,
+                            bloomMinItems: Long): Option[Column] = {
+    val bp = new org.apache.hadoop.fs.Path(s"$path/grambloom")
+    if (!bp.getFileSystem(s.sessionState.newHadoopConf()).exists(bp)) None
+    else scala.util.Try {
+      val art = s.read.parquet(s"$path/grambloom")
+      val n = art.select(col("n_items")).head().getLong(0)
+      Blooms.register(s)
+      (art.select(col("bf")).scalar(), n)
+    }.toOption.collect {
+      case (bf, n) if n >= bloomMinItems => bf
+    }
+  }
+
+  /** Cut ONE new batch against the frozen gram store — the shape the
+    * 100 TB path runs: history never re-shuffles (only the batch's
+    * HITS reach an exact semi-join whose store side is pruned to
+    * hit-sized by an in-plan bloom of the hit hashes; bloom MISSES are
+    * definitively history-fresh by no-false-negatives). A batch start
+    * is redundant when its gram is IN HISTORY (the curated copy always
+    * wins) or when it is a non-first occurrence of a within-batch
+    * cross-doc duplicate; islands merge, positions cut, docs rebuild —
+    * [[cutDuplicatedSpans]]' machinery above the split.
+    *
+    * Law (SpanDedupSpec): when every history id precedes every batch
+    * id, this equals [[cutDuplicatedSpans]] over history ∪ batch
+    * restricted to batch docs — the incremental path and the
+    * full-corpus path agree doc-for-doc, which is also exactly how the
+    * driver oracle replays it. With the bloom deleted the result is
+    * identical (≡-plain law). */
+  def serveSpanCut(s: SparkSession, path: String, batch: DataFrame,
+                   idCol: String, textCol: String, k: Int,
+                   minDocs: Int = 2,
+                   bloomMinItems: Long = 4096L): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val store = s.read.parquet(s"$path/grams")
+    val occ = gramStarts(batch, idCol, textCol, k).localCheckpoint(true)
+    val inHist = readGramBloom(s, path, bloomMinItems).fold(
+      occ.join(store, Seq("__gh"), "left_semi")
+    ) { bf =>
+      val might = call_function("graft_might_contain", bf, col("__gh"))
+      occ.where(might)
+        .join(Blooms.bloomPrefilter(store, occ.where(might), "__gh", "__gh",
+          expectedItems = 1000000L), Seq("__gh"), "left_semi")
+    }
+    val batchRedundant = occ
+      .join(dupGrams(occ, idCol, minDocs), Seq("__gh"), "left_semi")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__gh")).orderBy(col(idCol), col("pos"))))
+      .filter(col("__rn") > 1)
+      .select(col(idCol), col("pos"))
+    val redundant = inHist.select(col(idCol), col("pos"))
+      .unionByName(batchRedundant).distinct()
+    val cut = islands(redundant, idCol, k)
+      .select(col(idCol),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+      .distinct()
+    batch
       .select(col(idCol),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__tok")))
       .withColumn("pos", col("pos").cast("long"))

@@ -91,6 +91,67 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  test("serve law: incremental cut == full-corpus cut restricted to the batch") {
+    // history ids all precede batch ids — the documented precondition
+    val history = Seq(
+      1L -> (filler("a", 5) ++ planted ++ filler("b", 7)).mkString(" "),
+      2L -> filler("f", 18).mkString(" ")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // exact copy of a history doc — must vanish
+      10L -> filler("f", 18).mkString(" "),
+      // carries the history-planted run — run cut, filler kept
+      11L -> (filler("x", 3) ++ planted ++ filler("y", 6)).mkString(" "),
+      // within-batch cross-doc pair, unseen by history: first kept
+      12L -> (filler("q", 2) ++ (1 to 9).map(i => s"w$i") ++ filler("r", 4)).mkString(" "),
+      13L -> ((1 to 9).map(i => s"w$i") ++ filler("z", 8)).mkString(" "),
+      // clean doc — byte-identical
+      14L -> filler("u", 20).mkString(" ")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("gramstore").toString + "/store"
+    SpanDedup.writeGramStore(spark, history, "doc_id", "text", k = 8, path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val served = rows(
+      SpanDedup.serveSpanCut(spark, path, batch, "doc_id", "text", k = 8))
+    val full = rows(
+      SpanDedup.cutDuplicatedSpans(history.unionByName(batch),
+          "doc_id", "text", k = 8)
+        .filter(col("doc_id") >= 10L))
+    assert(served == full, "incremental serve diverged from the full run")
+    // spot checks: exact-dup vanished, planted run cut, pair keeps first
+    val byId = served.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(!byId.contains(10L))
+    assert(byId(11L) == ((filler("x", 3) ++ filler("y", 6)).mkString(" "), 9L))
+    assert(byId(12L)._2 == 15L) // full doc kept: first batch occurrence
+    assert(byId(13L) == (filler("z", 8).mkString(" "), 8L))
+    assert(byId(14L) == (filler("u", 20).mkString(" "), 20L))
+    // bloom is an access path, not a semantics: delete it, same rows
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$path/grambloom"))
+    assert(rows(SpanDedup.serveSpanCut(spark, path, batch,
+      "doc_id", "text", k = 8)) == served)
+  }
+
+  test("serve with an empty-history store == the plain within-batch cut") {
+    val batch = Seq(
+      20L -> (filler("m", 3) ++ planted).mkString(" "),
+      21L -> (planted ++ filler("n", 5)).mkString(" "),
+      22L -> filler("o", 12).mkString(" ")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("gramstore-empty").toString + "/store"
+    SpanDedup.writeGramStore(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", k = 8, path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows(SpanDedup.serveSpanCut(spark, path, batch, "doc_id", "text",
+        k = 8)) ==
+      rows(SpanDedup.cutDuplicatedSpans(batch, "doc_id", "text", k = 8)))
+  }
+
   test("intra-doc repeats alone do not flag (cross-doc only, q54's lane)") {
     val rep = (1 to 9).map(i => s"s$i")
     val docs = Seq(
