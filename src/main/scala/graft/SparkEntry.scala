@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.DimDate
 import graft.operators.{Blooms, Cdc, Clustering, Curation, Dedup, Events, ExactAgg, Graphs, Incremental, Joins, Layout, Linkage, Multimodal, Packing, Resample, Retrieval, Sampling, Shuffles, Similarity, SpanDedup, Stats, TextOps, Transforms, Vocab}
 import graft.sources.JsonFlatten
-import graft.streaming.{CurationEpochs, CurationStream, EventTimeStreams, SemStream}
+import graft.streaming.{CurationEpochs, CurationStream, EventTimeStreams, SemStream, SpanStream}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2769,6 +2769,46 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Continuous span dedup over a stream
+    * ([[graft.streaming.SpanStream]]): two crawl batches served and
+    * ABSORBED in sequence — round 1 (doc_id % 4 = 2) cuts against
+    * history (% 4 ≤ 1), its CLEAN output's grams (the corpus as
+    * stored, seams included) join the store under b=1, round 2
+    * (% 8 = 3) cuts against history ∪ round 1. Store built once per
+    * JVM; the oracle replays both rounds end to end including the
+    * clean-text gram absorption. The streamed-≡-direct-loop law is
+    * pinned in SpanStreamSpec over a real MemoryStream maintain.
+    *
+    * Bench honesty (the q149/q150 discipline): round 2 is served
+    * FRESH per evaluation against the accumulated store, batchCut-
+    * fenced — so the measured body is the real per-batch serve loop,
+    * not a read-back of the build's output. Determinism makes the
+    * fresh serve byte-equal to the absorbed `clean/b=2`. */
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q166" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-spanstream-$tag"
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    if (!new java.io.File(path).exists()) {
+      SpanStream.init(d.filter(col("doc_id") % 4 <= 1),
+        "doc_id", "text", k = 8, path)
+      SpanStream.applyBatch(d.filter(col("doc_id") % 4 === 2),
+        "doc_id", "text", k = 8, path, batchId = 1L)
+      SpanStream.applyBatch(d.filter(col("doc_id") % 8 === 3),
+        "doc_id", "text", k = 8, path, batchId = 2L)
+    }
+    val r1 = s.read.parquet(s"$path/clean")
+      .filter(col("b").cast("long") === 1L)
+      .select(lit(1L).as("b"), col("doc_id"), col("clean_text"),
+        col("n_kept"))
+    val r2 = SpanDedup.serveSpanCut(s, path,
+        d.filter(col("doc_id") % 8 === 3),
+        "doc_id", "text", k = 8, batchCut = Some(2L))
+      .select(lit(2L).as("b"), col("doc_id"), col("clean_text"),
+        col("n_kept"))
+    r1.unionByName(r2).orderBy("doc_id")
+  }
+
   /** Curation-store retention fold
     * ([[graft.streaming.CurationStream.foldStore]]): q149's loop with
     * the q140/q115 lifecycle move applied to the SERVE-PATH artifacts —
@@ -3469,6 +3509,7 @@ object SparkEntry {
     "q163_span_cut" -> q163,
     "q164_interleaved_pack" -> q164,
     "q165_span_serve" -> q165,
+    "q166_span_stream" -> q166,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -3590,6 +3631,54 @@ object SparkEntry {
   /** DuckDB 60-bit md5 hash — must mirror TextOps.hash60 exactly. */
   private def sqlHash60(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** Distinct 8-gram hash set of a (doc_id, text) source — CTEs
+    * `<p>arr/<p>occ/<p>gs`; mirrors [[SpanDedup.gramStarts]]'
+    * generate + [[TextOps.hash60]]. */
+  private def spanGramSet(p: String, src: String,
+                          textExpr: String = "text"): String = {
+    val gh = sqlHash60("array_to_string(a[s : s + 7], ' ')")
+    s"""${p}arr AS (SELECT doc_id, string_split($textExpr, ' ') AS a FROM $src),
+       |${p}occ AS (SELECT a, unnest(generate_series(1, len(a) - 7)) AS s
+       |        FROM ${p}arr WHERE len(a) >= 8),
+       |${p}gs AS (SELECT DISTINCT $gh AS gh FROM ${p}occ)""".stripMargin
+  }
+
+  /** One [[SpanDedup.serveSpanCut]] round as CTEs (`<p>out` is the
+    * result): batch grams vs the `histG` gram-set CTE (any hit cuts)
+    * ∪ the within-batch non-first rank, islands → positions → ordered
+    * rebuild — the exact serve derivation, replayed per round. */
+  private def spanServeRound(p: String, batSrc: String,
+                             histG: String): String = {
+    val gh = sqlHash60("array_to_string(a[s : s + 7], ' ')")
+    s"""${p}arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM $batSrc),
+       |${p}occ AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 7)) AS s
+       |        FROM ${p}arr WHERE len(a) >= 8),
+       |${p}g AS (SELECT doc_id, s - 1 AS pos, $gh AS gh FROM ${p}occ),
+       |${p}inh AS (SELECT g.doc_id, g.pos FROM ${p}g g JOIN $histG USING (gh)),
+       |${p}dup AS (SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM ${p}g)
+       |        GROUP BY gh HAVING count(*) >= 2),
+       |${p}red0 AS (SELECT doc_id, pos FROM (
+       |          SELECT g.doc_id, g.pos,
+       |                 row_number() OVER (PARTITION BY gh ORDER BY g.doc_id, g.pos) AS rn
+       |          FROM ${p}g g JOIN ${p}dup USING (gh)) WHERE rn > 1),
+       |${p}red AS (SELECT doc_id, pos FROM ${p}inh
+       |        UNION SELECT doc_id, pos FROM ${p}red0),
+       |${p}isl AS (SELECT doc_id, pos,
+       |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |        FROM ${p}red),
+       |${p}sp AS (SELECT doc_id, min(pos) AS s0, max(pos) + 7 AS e0
+       |       FROM ${p}isl GROUP BY doc_id, grp),
+       |${p}cut AS (SELECT DISTINCT doc_id, unnest(generate_series(s0, e0)) AS pos
+       |        FROM ${p}sp),
+       |${p}tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+       |        FROM $batSrc),
+       |${p}keep AS (SELECT t.doc_id, t.pos, t.tok FROM ${p}tok t
+       |         ANTI JOIN ${p}cut c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+       |${p}out AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+       |        count(*)::BIGINT AS n_kept FROM ${p}keep GROUP BY doc_id)""".stripMargin
+  }
 
   /** Shared CTE chain for q162/q163: every token position's 8-gram
     * hash (stride 1) + the cross-doc duplicated hash set — mirrors
@@ -6204,42 +6293,29 @@ object SparkEntry {
     // distinct gram set (any hit cuts: the curated copy always wins)
     // ∪ the within-batch non-first rank, then q163's islands →
     // positions → ordered rebuild over the batch alone
-    "q165_span_serve" -> {
-      val hgh = sqlHash60("array_to_string(ha[s : s + 7], ' ')")
-      val bgh = sqlHash60("array_to_string(ba[s : s + 7], ' ')")
-      s"""WITH harr AS (SELECT doc_id, string_split(text, ' ') AS ha
-         |              FROM documents WHERE doc_id % 4 <> 3),
-         |hocc AS (SELECT doc_id, ha, unnest(generate_series(1, len(ha) - 7)) AS s
-         |         FROM harr WHERE len(ha) >= 8),
-         |hg AS (SELECT DISTINCT $hgh AS gh FROM hocc),
-         |barr AS (SELECT doc_id, string_split(text, ' ') AS ba
-         |         FROM documents WHERE doc_id % 4 = 3),
-         |bocc AS (SELECT doc_id, ba, unnest(generate_series(1, len(ba) - 7)) AS s
-         |         FROM barr WHERE len(ba) >= 8),
-         |bg AS (SELECT doc_id, s - 1 AS pos, $bgh AS gh FROM bocc),
-         |inhist AS (SELECT bg.doc_id, bg.pos FROM bg JOIN hg USING (gh)),
-         |bdup AS (SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM bg)
-         |         GROUP BY gh HAVING count(*) >= 2),
-         |bred AS (SELECT doc_id, pos FROM (
-         |           SELECT bg.doc_id, bg.pos,
-         |                  row_number() OVER (PARTITION BY gh ORDER BY bg.doc_id, bg.pos) AS rn
-         |           FROM bg JOIN bdup USING (gh)) WHERE rn > 1),
-         |red AS (SELECT doc_id, pos FROM inhist UNION SELECT doc_id, pos FROM bred),
-         |isl AS (SELECT doc_id, pos,
-         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |        FROM red),
-         |sp AS (SELECT doc_id, min(pos) AS s0, max(pos) + 7 AS e0
-         |       FROM isl GROUP BY doc_id, grp),
-         |cut AS (SELECT DISTINCT doc_id, unnest(generate_series(s0, e0)) AS pos FROM sp),
-         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-         |               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
-         |        FROM documents WHERE doc_id % 4 = 3),
-         |keep AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
-         |         ANTI JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos)
-         |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
-         |       count(*)::BIGINT AS n_kept
-         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "q165_span_serve" ->
+      s"""WITH hsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3),
+         |bsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3),
+         |${spanGramSet("h", "hsrc")},
+         |${spanServeRound("b", "bsrc", "hgs")}
+         |SELECT doc_id, clean_text, n_kept FROM bout
+         |ORDER BY doc_id""".stripMargin,
+    // q166: the two-round SpanStream chain — round 1 vs history, round
+    // 2 vs history ∪ the grams of round 1's CLEAN output (the corpus
+    // as stored, seams included) — absorption replayed end to end
+    "q166_span_stream" ->
+      s"""WITH hsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <= 1),
+         |b1src AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 2),
+         |b2src AS (SELECT doc_id, text FROM documents WHERE doc_id % 8 = 3),
+         |${spanGramSet("h", "hsrc")},
+         |${spanServeRound("r1", "b1src", "hgs")},
+         |${spanGramSet("c1", "r1out", "clean_text")},
+         |h2g AS (SELECT gh FROM hgs UNION SELECT gh FROM c1gs),
+         |${spanServeRound("r2", "b2src", "h2g")}
+         |SELECT 1::BIGINT AS b, doc_id, clean_text, n_kept FROM r1out
+         |UNION ALL
+         |SELECT 2::BIGINT AS b, doc_id, clean_text, n_kept FROM r2out
+         |ORDER BY doc_id""".stripMargin,
     // q164: media item (cost 64) leads each %4=0 doc, 32-token text
     // chunks follow; exclusive prefix sum per source shard → bin
     "q164_interleaved_pack" ->

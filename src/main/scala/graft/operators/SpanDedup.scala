@@ -153,47 +153,82 @@ object SpanDedup {
   // ------------------------------------------------- incremental serve
 
   /** Frozen gram store: the history corpus's DISTINCT k-gram hashes
-    * (`grams/`, hash-partitioned fixed-width longs) plus a bloom
-    * sketch over them (`grambloom/`, [[Blooms]] kernel — the
-    * [[Curation.writeHashBloom]] shape applied to the gram log, which
-    * is per-TOKEN-sized, ~150× a per-doc hash log, so the prefilter
-    * matters here even more). Build is one distinct + write; rebuild
-    * by overwrite. */
+    * (`grams/b=0`, hash-partitioned fixed-width longs — the stream
+    * layout from day one, so [[graft.streaming.SpanStream]] can absorb
+    * later batches under their own `b`) plus a bloom sketch over them
+    * (`grambloom/`, [[Blooms]] kernel — the [[Curation.writeHashBloom]]
+    * shape applied to the gram log, which is per-TOKEN-sized, ~150× a
+    * per-doc hash log, so the prefilter matters here even more). */
   def writeGramStore(s: SparkSession, history: DataFrame, idCol: String,
                      textCol: String, k: Int, path: String,
                      parts: Int = 32): Unit = {
     require(parts >= 1, s"parts=$parts must be >= 1")
-    val grams = gramStarts(history, idCol, textCol, k)
+    gramStarts(history, idCol, textCol, k)
       .select(col("__gh")).distinct()
       .repartition(parts, col("__gh"))
-      .localCheckpoint(true)
-    grams.write.mode("overwrite").parquet(s"$path/grams")
-    val n = grams.count()
+      .withColumn("b", lit(0L))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$path/grams")
+    writeGramBloom(s, path, coveredUpTo = 0L)
+  }
+
+  /** Absorb one batch's distinct gram hashes under `b = batchId` —
+    * an idempotent dynamic partition overwrite, the
+    * [[graft.streaming.CurationStream]] absorption discipline. The
+    * bloom's coverage does NOT move: absorbed batches sit above
+    * `covered_up_to` and serve through the residual plain semi-join
+    * until [[writeGramBloom]] re-sweeps. */
+  def appendGrams(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int, path: String, batchId: Long): Unit = {
+    require(batchId >= 1, s"batchId=$batchId collides with the b=0 seed")
+    gramStarts(docs, idCol, textCol, k)
+      .select(col("__gh")).distinct()
+      .withColumn("b", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("b").parquet(s"$path/grams")
+  }
+
+  /** (Re)build the bloom over batches `b <= coveredUpTo` — one
+    * aggregate over the slice, one atomic artifact overwrite. */
+  def writeGramBloom(s: SparkSession, path: String,
+                     coveredUpTo: Long): Unit = {
+    // an empty store has no readable schema (zero partitions) and
+    // needs no sketch
+    val slice = scala.util.Try {
+      val df = s.read.parquet(s"$path/grams")
+      df.schema
+      df
+    }.toOption match {
+      case Some(df) => df.filter(col("b").cast("long") <= coveredUpTo)
+      case None => return
+    }
+    val n = slice.count()
     if (n > 0) {
       Blooms.register(s)
-      grams
+      slice
         .agg(call_function("graft_bloom_agg", col("__gh"), lit(n)).as("bf"))
+        .withColumn("covered_up_to", lit(coveredUpTo))
         .withColumn("n_items", lit(n))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$path/grambloom")
     }
   }
 
-  /** The persisted gram bloom as an in-plan scalar — None when absent,
-    * unreadable, or too small to pay for itself (the [[Curation]]
-    * fallback discipline: the sketch is an access path, never a
-    * semantics). */
+  /** The persisted gram bloom as an in-plan scalar + its coverage
+    * bound — None when absent, unreadable, or too small to pay for
+    * itself (the [[Curation]] fallback discipline: the sketch is an
+    * access path, never a semantics). */
   private def readGramBloom(s: SparkSession, path: String,
-                            bloomMinItems: Long): Option[Column] = {
+                            bloomMinItems: Long): Option[(Column, Long)] = {
     val bp = new org.apache.hadoop.fs.Path(s"$path/grambloom")
     if (!bp.getFileSystem(s.sessionState.newHadoopConf()).exists(bp)) None
     else scala.util.Try {
       val art = s.read.parquet(s"$path/grambloom")
-      val n = art.select(col("n_items")).head().getLong(0)
+      val meta = art.select(col("covered_up_to"), col("n_items")).head()
       Blooms.register(s)
-      (art.select(col("bf")).scalar(), n)
+      (art.select(col("bf")).scalar(), meta.getLong(0), meta.getLong(1))
     }.toOption.collect {
-      case (bf, n) if n >= bloomMinItems => bf
+      case (bf, covered, n) if n >= bloomMinItems => (bf, covered)
     }
   }
 
@@ -212,21 +247,44 @@ object SpanDedup {
     * restricted to batch docs — the incremental path and the
     * full-corpus path agree doc-for-doc, which is also exactly how the
     * driver oracle replays it. With the bloom deleted the result is
-    * identical (≡-plain law). */
+    * identical (≡-plain law).
+    *
+    * `batchCut`: for stream-maintained stores
+    * ([[graft.streaming.SpanStream]]) probe only grams absorbed under
+    * `b < batchCut` — the redelivery fence: a crashed attempt may have
+    * absorbed its own clean output's grams before the commit marker,
+    * and an unfenced re-serve would cut the whole batch against
+    * itself. Grams above the bloom's `covered_up_to` (absorbed after
+    * the last sweep) probe through a residual absorption-sized plain
+    * semi-join, the [[Curation]] residual discipline. */
   def serveSpanCut(s: SparkSession, path: String, batch: DataFrame,
                    idCol: String, textCol: String, k: Int,
-                   minDocs: Int = 2,
+                   minDocs: Int = 2, batchCut: Option[Long] = None,
                    bloomMinItems: Long = 4096L): DataFrame = {
     require(k > 0, s"k=$k must be positive")
-    val store = s.read.parquet(s"$path/grams")
+    // an empty seed (no history) writes a zero-partition store that
+    // parquet cannot infer a schema from — semantically an empty gram
+    // set, served as such
+    val store0 = scala.util.Try {
+      val df = s.read.parquet(s"$path/grams")
+      df.schema // force analysis — inference failure must land in the Try
+      df
+    }.getOrElse(s.range(0).select(col("id").as("__gh"), lit(0L).as("b")))
+    val store = batchCut.fold(store0)(c =>
+      store0.filter(col("b").cast("long") < c))
     val occ = gramStarts(batch, idCol, textCol, k).localCheckpoint(true)
     val inHist = readGramBloom(s, path, bloomMinItems).fold(
-      occ.join(store, Seq("__gh"), "left_semi")
-    ) { bf =>
+      occ.join(store.select("__gh"), Seq("__gh"), "left_semi")
+    ) { case (bf, covered) =>
+      val coveredSlice = store.filter(col("b").cast("long") <= covered)
+      val recentSlice = store.filter(col("b").cast("long") > covered)
       val might = call_function("graft_might_contain", bf, col("__gh"))
       occ.where(might)
-        .join(Blooms.bloomPrefilter(store, occ.where(might), "__gh", "__gh",
+        .join(Blooms.bloomPrefilter(coveredSlice.select("__gh"),
+            occ.where(might), "__gh", "__gh",
           expectedItems = 1000000L), Seq("__gh"), "left_semi")
+        .unionByName(
+          occ.join(recentSlice.select("__gh"), Seq("__gh"), "left_semi"))
     }
     val batchRedundant = occ
       .join(dupGrams(occ, idCol, minDocs), Seq("__gh"), "left_semi")
