@@ -2809,6 +2809,41 @@ object SparkEntry {
     r1.unionByName(r2).orderBy("doc_id")
   }
 
+  /** Gram-store retention fold ([[graft.streaming.SpanStream
+    * .foldGrams]]): q166's loop continued one batch and folded
+    * mid-history — after batches 1 (% 4 = 2) and 2 (% 8 = 3) the gram
+    * chain compacts to one b=2 snapshot (relabel-union deduped on the
+    * hash, bloom re-swept to the fold point), then batch 3 (% 8 = 7)
+    * serves against the FOLDED store. The oracle is the 3-round chain
+    * with NO idea a fold happened: folding is read-invisible to a
+    * later batch's fenced serve — certified through the driver gate,
+    * the q150 discipline on the gram log. Batch 3 serves fresh per
+    * evaluation (bench honesty). */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q167" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-spanfold-$tag"
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    if (!new java.io.File(path).exists()) {
+      SpanStream.init(d.filter(col("doc_id") % 4 <= 1),
+        "doc_id", "text", k = 8, path)
+      SpanStream.applyBatch(d.filter(col("doc_id") % 4 === 2),
+        "doc_id", "text", k = 8, path, batchId = 1L)
+      SpanStream.applyBatch(d.filter(col("doc_id") % 8 === 3),
+        "doc_id", "text", k = 8, path, batchId = 2L)
+      SpanStream.foldGrams(s, path, upTo = 2L)
+    }
+    val prior = s.read.parquet(s"$path/clean")
+      .select(col("b").cast("long").as("b"), col("doc_id"),
+        col("clean_text"), col("n_kept"))
+    val r3 = SpanDedup.serveSpanCut(s, path,
+        d.filter(col("doc_id") % 8 === 7),
+        "doc_id", "text", k = 8, batchCut = Some(3L))
+      .select(lit(3L).as("b"), col("doc_id"), col("clean_text"),
+        col("n_kept"))
+    prior.unionByName(r3).orderBy("doc_id")
+  }
+
   /** Curation-store retention fold
     * ([[graft.streaming.CurationStream.foldStore]]): q149's loop with
     * the q140/q115 lifecycle move applied to the SERVE-PATH artifacts —
@@ -3510,6 +3545,7 @@ object SparkEntry {
     "q164_interleaved_pack" -> q164,
     "q165_span_serve" -> q165,
     "q166_span_stream" -> q166,
+    "q167_span_fold" -> q167,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -6315,6 +6351,28 @@ object SparkEntry {
          |SELECT 1::BIGINT AS b, doc_id, clean_text, n_kept FROM r1out
          |UNION ALL
          |SELECT 2::BIGINT AS b, doc_id, clean_text, n_kept FROM r2out
+         |ORDER BY doc_id""".stripMargin,
+    // q167: the same chain + a third round — the oracle has NO idea
+    // the gram store folded between batches 2 and 3 (read-invisibility
+    // through the driver gate, the q150 discipline on the gram log)
+    "q167_span_fold" ->
+      s"""WITH hsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <= 1),
+         |b1src AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 2),
+         |b2src AS (SELECT doc_id, text FROM documents WHERE doc_id % 8 = 3),
+         |b3src AS (SELECT doc_id, text FROM documents WHERE doc_id % 8 = 7),
+         |${spanGramSet("h", "hsrc")},
+         |${spanServeRound("r1", "b1src", "hgs")},
+         |${spanGramSet("c1", "r1out", "clean_text")},
+         |h2g AS (SELECT gh FROM hgs UNION SELECT gh FROM c1gs),
+         |${spanServeRound("r2", "b2src", "h2g")},
+         |${spanGramSet("c2", "r2out", "clean_text")},
+         |h3g AS (SELECT gh FROM h2g UNION SELECT gh FROM c2gs),
+         |${spanServeRound("r3", "b3src", "h3g")}
+         |SELECT 1::BIGINT AS b, doc_id, clean_text, n_kept FROM r1out
+         |UNION ALL
+         |SELECT 2::BIGINT AS b, doc_id, clean_text, n_kept FROM r2out
+         |UNION ALL
+         |SELECT 3::BIGINT AS b, doc_id, clean_text, n_kept FROM r3out
          |ORDER BY doc_id""".stripMargin,
     // q164: media item (cost 64) leads each %4=0 doc, 32-token text
     // chunks follow; exclusive prefix sum per source shard → bin

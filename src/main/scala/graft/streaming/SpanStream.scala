@@ -60,6 +60,70 @@ object SpanStream {
     markCommitted(s, path, batchId)
   }
 
+  /** Retention fold for the gram store — [[CurationStream.foldStore]]'s
+    * move on the one artifact the serve path reads: every `grams`
+    * batch `b ≤ upTo` merges into one snapshot labeled `b = upTo`,
+    * later batches untouched. A pure relabel-union deduped on `__gh`,
+    * so a crash between overwrite and stale-dir delete re-runs to the
+    * clean fold bit-for-bit; the bloom re-sweeps to the fold point
+    * last (a crash before that leaves the previous, still-correct
+    * sketch — its covered slice is exactly the fold's content).
+    * Read-invisibility: [[SpanDedup.serveSpanCut]] with
+    * `batchCut = c > upTo` sees the identical gram set either way.
+    *
+    * Fold-safety fence (the foldStore discipline verbatim): every
+    * batch with rows at or below the fold point must carry its commit
+    * marker, and the fold point must not sit above the last committed
+    * batch — folding a crashed batch's partial absorption would strand
+    * grams under b=upTo that its redelivery then re-absorbs under
+    * b=k, breaking the fence for batch k+1. */
+  def foldGrams(s: SparkSession, path: String, upTo: Long): Unit = {
+    val hconf = s.sessionState.newHadoopConf()
+    def batches: Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/grams")
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("b="))
+        .map(_.getPath.getName.stripPrefix("b=").toLong)
+    }
+    val uncommitted = batches.filter(_ <= upTo)
+      .filterNot(CurationStream.committed(s, path, _)).sorted
+    require(uncommitted.isEmpty,
+      s"foldGrams(upTo=$upTo): batch(es) ${uncommitted.mkString(", ")} " +
+        s"have grams under $path but no commit marker — a producer " +
+        "crashed mid-batch; let redelivery complete them before folding")
+    val committedMax: Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/_committed")
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) -1L
+      else fs.listStatus(p).toSeq
+        .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+        .foldLeft(-1L)(math.max)
+    }
+    require(upTo <= committedMax,
+      s"foldGrams(upTo=$upTo): fold point is above the last committed " +
+        s"batch ($committedMax)")
+    if (batches.count(_ <= upTo) > 1) {
+      val merged = s.read.parquet(s"$path/grams")
+        .filter(col("b").cast("long") <= upTo).drop("b")
+        .dropDuplicates("__gh") // exact: crash-rerun sees grams twice
+        .withColumn("b", lit(upTo))
+        .repartition(col("__gh"))
+        .localCheckpoint() // materialize BEFORE touching source dirs
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("b").parquet(s"$path/grams")
+      val p = new org.apache.hadoop.fs.Path(s"$path/grams")
+      val fs = p.getFileSystem(hconf)
+      fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("b="))
+        .filter(_.getPath.getName.stripPrefix("b=").toLong < upTo)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    SpanDedup.writeGramBloom(s, path, coveredUpTo = upTo)
+  }
+
   /** The real streaming loop: one [[applyBatch]] per micro-batch. */
   def maintain(docs: DataFrame, idCol: String, textCol: String,
                k: Int, path: String, checkpoint: String,

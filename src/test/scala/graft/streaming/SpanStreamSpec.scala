@@ -87,6 +87,40 @@ class SpanStreamSpec extends SparkSpec {
       "round-2 copy of the absorbed passage must lose exactly the passage")
   }
 
+  test("fold invisibility: a later fenced serve is identical across the fold") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-spanfoldlaw").toString + "/store"
+    val hist = docs.filter(col("doc_id") % 4 <= 1)
+    SpanStream.init(hist, "doc_id", "text", 8, dir)
+    SpanStream.applyBatch(docs.filter(col("doc_id") % 4 === 2),
+      "doc_id", "text", 8, dir, 1L)
+    SpanStream.applyBatch(docs.filter(col("doc_id") % 8 === 3),
+      "doc_id", "text", 8, dir, 2L)
+    val b3 = docs.filter(col("doc_id") % 8 === 7)
+    def serve3 = SpanDedup.serveSpanCut(spark, dir, b3,
+        "doc_id", "text", 8, batchCut = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = serve3
+    SpanStream.foldGrams(spark, dir, upTo = 2L)
+    // chain compacted to one b=2 partition; bloom swept to 2
+    val bs = new java.io.File(s"$dir/grams").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b="))
+      .map(_.getName).toSet
+    assert(bs == Set("b=2"), s"fold left partitions: $bs")
+    assert(spark.read.parquet(s"$dir/grambloom")
+      .select("covered_up_to").head().getLong(0) == 2L)
+    assert(serve3 == before, "fold changed a fenced serve")
+    // idempotence: a re-run (crash between overwrite and delete
+    // re-reads rows twice; dropDuplicates makes it exact) is a no-op
+    SpanStream.foldGrams(spark, dir, upTo = 2L)
+    assert(serve3 == before)
+    // fence refusal: folding past the last committed batch must throw
+    val ex = intercept[IllegalArgumentException] {
+      SpanStream.foldGrams(spark, dir, upTo = 9L)
+    }
+    assert(ex.getMessage.contains("above the last committed"))
+  }
+
   test("redelivery fence: partial absorption re-applies byte-identically") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-spanredeliver").toString + "/store"
