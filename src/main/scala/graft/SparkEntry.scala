@@ -2844,6 +2844,28 @@ object SparkEntry {
     prior.unionByName(r3).orderBy("doc_id")
   }
 
+  /** Hard-negative mining ([[Retrieval.hardNegatives]]): q12's exact
+    * retrieval arm labeled by a same-source weak positive (the
+    * in-fixture stand-in for "clicked/linked" relevance labels) — a
+    * retrieved neighbor from the QUERY DOC'S OWN source is a positive,
+    * everything else it retrieved is a contrastive negative, densely
+    * re-ranked to the 5 hardest per query. The DPR/ANCE training-pair
+    * prep over the engine's own certified arm. */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val topk = Similarity.bruteForceTopK(e,
+      e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 10)
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val positives = topk.select(col("query_id"), col("neighbor_id"))
+      .join(src.select(col("doc_id").as("query_id"),
+        col("source").as("__qs")), Seq("query_id"))
+      .join(src.select(col("doc_id").as("neighbor_id"),
+        col("source").as("__ns")), Seq("neighbor_id"))
+      .filter(col("__qs") === col("__ns"))
+    Retrieval.hardNegatives(topk, positives, nNeg = 5)
+      .orderBy("query_id", "neg_rank")
+  }
+
   /** Curation-store retention fold
     * ([[graft.streaming.CurationStream.foldStore]]): q149's loop with
     * the q140/q115 lifecycle move applied to the SERVE-PATH artifacts —
@@ -3546,6 +3568,7 @@ object SparkEntry {
     "q165_span_serve" -> q165,
     "q166_span_stream" -> q166,
     "q167_span_fold" -> q167,
+    "q168_hard_negatives" -> q168,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -6374,6 +6397,34 @@ object SparkEntry {
          |UNION ALL
          |SELECT 3::BIGINT AS b, doc_id, clean_text, n_kept FROM r3out
          |ORDER BY doc_id""".stripMargin,
+    // q168: q12's exact-retrieval CTEs + the same-source weak positive
+    // label; non-positive retrieved candidates re-rank densely to the
+    // 5 hardest negatives per query
+    "q168_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |        round(list_dot_product(q.v, e.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6)
+        |          AS cosine
+        |      FROM q, e WHERE e.vec_id != q.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM s),
+        |topk AS (SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 10),
+        |src AS (SELECT doc_id, source FROM documents),
+        |neg AS (SELECT t.query_id, t.rank, t.neighbor_id, t.cosine
+        |        FROM topk t
+        |        JOIN src qs ON qs.doc_id = t.query_id
+        |        JOIN src ns ON ns.doc_id = t.neighbor_id
+        |        WHERE qs.source <> ns.source)
+        |SELECT query_id, neighbor_id, cosine, neg_rank FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY rank)::BIGINT AS neg_rank
+        |  FROM neg)
+        |WHERE neg_rank <= 5
+        |ORDER BY query_id, neg_rank""".stripMargin,
     // q164: media item (cost 64) leads each %4=0 doc, 32-token text
     // chunks follow; exclusive prefix sum per source shard → bin
     "q164_interleaved_pack" ->

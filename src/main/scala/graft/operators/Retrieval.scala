@@ -134,4 +134,25 @@ object Retrieval {
           (col("__nq") * lit(idcgPerQuery)).cast("double"), 6).as("ndcg"))
       .orderBy(col("method"))
   }
+
+  /** Hard-negative mining — the embedding-model training prep (the
+    * DPR/ANCE recipe): for each query, the top-retrieved candidates
+    * that are NOT labeled positives become the contrastive negatives,
+    * densely re-ranked so every query ships exactly its `nNeg` hardest.
+    * `retrieved` is any arm's top-k contract `(query_id, rank,
+    * neighbor_id, …)`; `positives` is the label relation `(query_id,
+    * neighbor_id)`. The anti-join is retrieved-sized (|queries|·k),
+    * the re-rank window per query — mining adds NO data-sized work on
+    * top of the retrieval arm, which carries the scale discipline. */
+  def hardNegatives(retrieved: DataFrame, positives: DataFrame,
+                    nNeg: Int): DataFrame = {
+    require(nNeg > 0, s"nNeg=$nNeg must be positive")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    retrieved
+      .join(positives.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= nNeg)
+      .drop("rank")
+  }
 }

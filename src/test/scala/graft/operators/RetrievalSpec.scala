@@ -159,4 +159,27 @@ class RetrievalSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(r.passed, r.status.toString)
   }
+
+  test("hardNegatives: positives drop, negatives re-rank densely, cap holds") {
+    import spark.implicits._
+    val retrieved = Seq(
+      // q1: ranks 1-5, positives at 1 and 3
+      (1L, 1L, 101L), (1L, 2L, 102L), (1L, 3L, 103L), (1L, 4L, 104L),
+      (1L, 5L, 105L),
+      // q2: all positives — no negatives at all
+      (2L, 1L, 201L), (2L, 2L, 202L),
+      // q3: no positives — negatives are the list itself, capped
+      (3L, 1L, 301L), (3L, 2L, 302L), (3L, 3L, 303L), (3L, 4L, 304L)
+    ).toDF("query_id", "rank", "neighbor_id")
+    val positives = Seq((1L, 101L), (1L, 103L), (2L, 201L), (2L, 202L),
+      (9L, 999L)) // a label for an unretrieved query must change nothing
+      .toDF("query_id", "neighbor_id")
+    val got = Retrieval.hardNegatives(retrieved, positives, nNeg = 3)
+      .select("query_id", "neg_rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 1L, 102L), (1L, 2L, 104L), (1L, 3L, 105L), // dense past the gaps
+      (3L, 1L, 301L), (3L, 2L, 302L), (3L, 3L, 303L)  // capped at 3
+    ))
+  }
 }
