@@ -2866,6 +2866,32 @@ object SparkEntry {
       .orderBy("query_id", "neg_rank")
   }
 
+  /** Margin-calibration audit of the quality classifier
+    * ([[TextOps.nbScoreMargin]]): the held-out quarter scored by the
+    * q122 split's NB model, confidence proxied by the EXACT top-2
+    * log-score margin (a softmax posterior is cross-engine float
+    * soup; the DECIMAL difference is bit-exact), binned at 0.25
+    * log-units in scaled-integer arithmetic, per-bin empirical
+    * accuracy — the reliability table that says whether "margin ≥ X"
+    * is a trustworthy auto-accept gate for the curation pipeline. */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val (classes, model) = TextOps.nbModelTables(
+      d.filter(col("doc_id") % 4 =!= 3), "lang", "text")
+    TextOps.nbScoreMargin(classes, model, d.filter(col("doc_id") % 4 === 3),
+        "doc_id", "text")
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .select(
+        expr("CAST(margin * 1000000 AS BIGINT) div 250000").as("bin"),
+        when(col("pred") === col("lang"), lit(1L)).otherwise(lit(0L))
+          .as("__ok"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ok")).as("n_correct"),
+        round(sum(col("__ok")).cast("double") / count(lit(1)), 6)
+          .as("accuracy"))
+      .orderBy("bin")
+  }
+
   /** Curation-store retention fold
     * ([[graft.streaming.CurationStream.foldStore]]): q149's loop with
     * the q140/q115 lifecycle move applied to the SERVE-PATH artifacts —
@@ -3569,6 +3595,7 @@ object SparkEntry {
     "q166_span_stream" -> q166,
     "q167_span_fold" -> q167,
     "q168_hard_negatives" -> q168,
+    "q169_nb_calibration" -> q169,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -6425,6 +6452,25 @@ object SparkEntry {
         |  FROM neg)
         |WHERE neg_rank <= 5
         |ORDER BY query_id, neg_rank""".stripMargin,
+    // q169: the q122-split NB chain's per-class scores reduced to the
+    // top-2 margin, binned in scaled integers; per-bin accuracy
+    "q169_nb_calibration" ->
+      (nbPredCtes + s""",
+        |m2 AS (SELECT doc_id,
+        |         max(CASE WHEN rn = 1 THEN lab END) AS pred,
+        |         max(CASE WHEN rn = 1 THEN score END) AS s1,
+        |         max(CASE WHEN rn = 2 THEN score END) AS s2
+        |       FROM (SELECT doc_id, lab, score,
+        |               row_number() OVER (PARTITION BY doc_id
+        |                 ORDER BY score DESC, lab ASC) AS rn
+        |             FROM scored) WHERE rn <= 2 GROUP BY doc_id),
+        |lbl AS (SELECT m2.doc_id, pred,
+        |          ((s1 - s2) * 1000000)::BIGINT // 250000 AS bin,
+        |          CASE WHEN pred = te.lang THEN 1 ELSE 0 END AS ok
+        |        FROM m2 JOIN te USING (doc_id))
+        |SELECT bin, count(*)::BIGINT AS n_docs, sum(ok)::BIGINT AS n_correct,
+        |       round(sum(ok) * 1.0 / count(*), 6) AS accuracy
+        |FROM lbl GROUP BY bin ORDER BY bin""".stripMargin),
     // q164: media item (cost 64) leads each %4=0 doc, 32-token text
     // chunks follow; exclusive prefix sum per source shard → bin
     "q164_interleaved_pack" ->

@@ -1705,9 +1705,24 @@ object TextOps {
     * a parquet read-back — the caller's choice is unobservable). */
   def nbScoreWith(classes: DataFrame, model: DataFrame, test: DataFrame,
                   idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
+      .orderBy(col("__score").desc, col("__lab").asc)
+    nbPerDocScores(classes, model, test, idCol, textCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("__lab").as("pred"),
+        col("__score").cast("double").as("score"))
+  }
+
+  /** Every (doc, class) log-likelihood — the shared body of
+    * [[nbScoreWith]] and [[nbScoreMargin]]: one token explode, one
+    * broadcast model join, one (doc, class) aggregate. */
+  private def nbPerDocScores(classes: DataFrame, model: DataFrame,
+                             test: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
     val toks = test.select(col(idCol).as("__id"),
       explode(filter(tokens(col(textCol)), w => length(w) > 0)).as("__tok"))
-    val perDoc = toks
+    toks
       .crossJoin(broadcast(classes.select(col("__lab"), col("__floor"))))
       .join(model, Seq("__lab", "__tok"), "left")
       .select(col("__id"), col("__lab"),
@@ -1717,12 +1732,28 @@ object TextOps {
       .join(broadcast(classes.select("__lab", "__prior")), "__lab")
       .withColumn("__score",
         (col("__s") + col("__prior")).cast("decimal(28,6)"))
+  }
+
+  /** [[nbScoreWith]] + the top-2 MARGIN — the exact-integer confidence
+    * proxy a calibration audit bins on (a softmax posterior would be
+    * cross-engine float soup; the DECIMAL(28,6) score difference is
+    * bit-exact in both engines). `margin` is NULL for a
+    * single-class model. */
+  def nbScoreMargin(classes: DataFrame, model: DataFrame, test: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
       .orderBy(col("__score").desc, col("__lab").asc)
-    perDoc.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("__id").as(idCol), col("__lab").as("pred"),
-        col("__score").cast("double").as("score"))
+    nbPerDocScores(classes, model, test, idCol, textCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy(col("__id"))
+      .agg(
+        max(when(col("__rn") === 1, col("__lab"))).as("pred"),
+        max(when(col("__rn") === 1, col("__score"))).as("__s1"),
+        max(when(col("__rn") === 2, col("__score"))).as("__s2"))
+      .select(col("__id").as(idCol), col("pred"),
+        col("__s1").cast("double").as("score"),
+        (col("__s1") - col("__s2")).cast("decimal(28,6)").as("margin"))
   }
 
   /** Freeze the NB model: train once, write the two tables as parquet.

@@ -795,6 +795,37 @@ class TextOpsSpec extends SparkSpec {
       s"score ${got(12L)._2} != hand-computed $want")
   }
 
+  test("nbScoreMargin: pred/score agree with nbScoreWith; margin is the " +
+       "exact top-2 difference; single-class margin is NULL") {
+    val train = Seq(
+      (1L, "sport", "goal match team goal"),
+      (2L, "sport", "team match win"),
+      (3L, "money", "bank loan rate"),
+      (4L, "money", "rate bank bank profit")
+    ).toDF("doc_id", "label", "text")
+    val test = Seq((10L, "goal team match"), (11L, "bank rate loan"),
+      (12L, "goal")).toDF("doc_id", "text")
+    val (classes, model) = TextOps.nbModelTables(train, "label", "text")
+    val plain = TextOps.nbScoreWith(classes, model, test, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val marg = TextOps.nbScoreMargin(classes, model, test, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getDecimal(3))).toMap
+    plain.foreach { case (id, (pred, score)) =>
+      assert(marg(id)._1 == pred && marg(id)._2 == score,
+        s"margin scorer disagreed with nbScoreWith on $id")
+    }
+    // every margin is strictly positive here (no exact class ties) and
+    // equals best − runner-up, already certified by the pred agreement
+    assert(marg.values.forall(_._3.signum > 0))
+    // one class only → no runner-up → margin NULL
+    val one = TextOps.nbModelTables(train.filter(col("label") === "sport"),
+      "label", "text")
+    val m1 = TextOps.nbScoreMargin(one._1, one._2, test, "doc_id", "text")
+      .collect()
+    assert(m1.forall(r => r.isNullAt(3)))
+  }
+
   test("nbTrainPredict: unseen tokens score the per-class smoothing " +
        "floor; all-unseen doc decided by floor+prior, ties to smaller label") {
     // classes with identical shapes: same token count, same vocab size
