@@ -2892,6 +2892,18 @@ object SparkEntry {
       .orderBy("bin")
   }
 
+  /** Content-defined chunking ([[TextOps.chunkContentDefined]]):
+    * token p ends a chunk when the 4-gram ending at p hashes ≡ 0
+    * mod 16 — cut points are local content, so an edit moves only
+    * nearby boundaries and chunk-level dedup survives crawl-snapshot
+    * drift (the FastCDC property; stability law in TextOpsSpec).
+    * Expected chunk ≈ 16 tokens vs q55's fixed 32-token grid. */
+  private def q170(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkContentDefined(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 4, modulus = 16)
+      .orderBy("doc_id", "chunk_idx")
+
   /** Curation-store retention fold
     * ([[graft.streaming.CurationStream.foldStore]]): q149's loop with
     * the q140/q115 lifecycle move applied to the SERVE-PATH artifacts —
@@ -3596,6 +3608,7 @@ object SparkEntry {
     "q167_span_fold" -> q167,
     "q168_hard_negatives" -> q168,
     "q169_nb_calibration" -> q169,
+    "q170_cdc_chunks" -> q170,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -6471,6 +6484,25 @@ object SparkEntry {
         |SELECT bin, count(*)::BIGINT AS n_docs, sum(ok)::BIGINT AS n_correct,
         |       round(sum(ok) * 1.0 / count(*), 6) AS accuracy
         |FROM lbl GROUP BY bin ORDER BY bin""".stripMargin),
+    // q170: boundary = 4-gram ending at the token ≡ 0 mod 16; chunk
+    // index = exclusive running boundary count; ordered rebuild
+    "q170_cdc_chunks" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |t AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM d),
+         |f AS (SELECT doc_id, i - 1 AS p, w[i] AS tok,
+         |        CASE WHEN i >= 4 AND
+         |          ${sqlHash60("array_to_string(w[i - 3 : i], ' ')")} % 16 = 0
+         |          THEN 1 ELSE 0 END AS bnd
+         |      FROM t),
+         |c AS (SELECT doc_id, p, tok,
+         |        coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY p
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+         |      FROM f)
+         |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+         |       string_agg(tok, ' ' ORDER BY p) AS chunk_text,
+         |       count(*)::BIGINT AS n_tokens
+         |FROM c GROUP BY doc_id, chunk_idx
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     // q164: media item (cost 64) leads each %4=0 doc, 32-token text
     // chunks follow; exclusive prefix sum per source shard → bin
     "q164_interleaved_pack" ->

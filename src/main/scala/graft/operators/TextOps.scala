@@ -1006,6 +1006,44 @@ object TextOps {
           .as("n_tokens")): _*)
   }
 
+  /** Content-defined chunking — the rsync/FastCDC boundary rule at
+    * token granularity: token p ends a chunk when the k-gram ENDING at
+    * p hashes to 0 mod `modulus` ([[hash60]], the repo kernel), so cut
+    * points depend only on a k-token local window and an edit
+    * anywhere in a document moves only the boundaries near it — every
+    * chunk past the first post-edit boundary re-emerges byte-identical
+    * (law in TextOpsSpec). That stability is the point: fixed-stride
+    * grids ([[chunkDocuments]]) re-cut the WHOLE doc after one
+    * insertion, so chunk-level dedup/caching across crawl snapshots
+    * only works on content-defined cuts. Expected chunk length ≈
+    * `modulus` tokens; the tail past the last boundary is the final
+    * chunk. Row-local generate + one per-doc window + the rebuild
+    * aggregate — no joins, nothing global. */
+  def chunkContentDefined(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, modulus: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    require(modulus > 1, s"modulus=$modulus must be > 1")
+    val arr = col("__w")
+    val p = col("pos")
+    val boundary = when(p >= k - 1,
+      (hash60(concat_ws(" ", slice(arr, p - (k - 2), lit(k)))) % modulus === 0)
+        .cast("int")).otherwise(0)
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol), arr, posexplode(arr).as(Seq("pos", "__tok")))
+      .withColumn("__bnd", boundary)
+      .withColumn("chunk_idx", coalesce(
+        sum(col("__bnd")).over(Window.partitionBy(col(idCol))
+          .orderBy(p).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0)).cast("long"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(p, col("__tok")))),
+          s => s.getField("__tok"))).as("chunk_text"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** BM25 top-k retrieval: score every document against every query by
     * Okapi BM25 over whitespace terms and keep the k best per query —
     * the lexical-retrieval pass training pipelines run for eval-set

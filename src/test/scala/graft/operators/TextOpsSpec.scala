@@ -795,6 +795,40 @@ class TextOpsSpec extends SparkSpec {
       s"score ${got(12L)._2} != hand-computed $want")
   }
 
+  test("chunkContentDefined: boundary stability — a prefix edit leaves " +
+       "every chunk past the first re-aligned boundary byte-identical") {
+    // deterministic body long enough to carry several boundaries
+    val body = (1 to 400).map(i => s"w${i % 97}x$i").mkString(" ")
+    val docs = Seq(1L -> body).toDF("doc_id", "text")
+    val edited = Seq(1L -> ("inserted tokens at the front " + body))
+      .toDF("doc_id", "text")
+    def chunks(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      TextOps.chunkContentDefined(df, "doc_id", "text", k = 4, modulus = 16)
+        .orderBy("chunk_idx").select("chunk_text")
+        .collect().map(_.getString(0)).toSeq
+    val (a, b) = (chunks(docs), chunks(edited))
+    assert(a.size > 5, s"fixture too short to carry boundaries: ${a.size}")
+    // the FastCDC property: boundaries are local content, so the two
+    // chunk streams share their entire tail — everything after the
+    // first boundary past the edit re-emerges byte-identical
+    val shared = a.toSet.intersect(b.toSet)
+    assert(shared.size >= a.size - 2,
+      s"only ${shared.size}/${a.size} chunks survived a prefix edit")
+    // and the reassembly law: chunks concatenate back to the doc
+    assert(a.mkString(" ") == body)
+    // a fixed-stride grid loses EVERY chunk under the same edit (the
+    // contrast that motivates content-defined cuts)
+    def gridChunks(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      TextOps.chunkDocuments(df, "doc_id", "text", 16, 0)
+        .orderBy("chunk_idx").select("chunk_text")
+        .collect().map(_.getString(0)).toSeq
+    val gridShared = gridChunks(docs).toSet
+      .intersect(gridChunks(edited).toSet)
+    assert(gridShared.size <= 1,
+      s"grid unexpectedly stable (${gridShared.size} shared) — " +
+        "contrast law vacuous")
+  }
+
   test("nbScoreMargin: pred/score agree with nbScoreWith; margin is the " +
        "exact top-2 difference; single-class margin is NULL") {
     val train = Seq(
