@@ -2904,6 +2904,44 @@ object SparkEntry {
         "doc_id", "text", k = 4, modulus = 16)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Vocabulary growth curve (Heaps' law audit) over BIGRAMS — the
+    * unit BPE merges (q116) operate on, and the one that still grows
+    * at this fixture's scale (the 31-word unigram vocab saturates in
+    * decile 0): the corpus in doc_id-order deciles; per decile the
+    * bigram occurrences, the bigrams seen for the FIRST time, and the
+    * cumulative vocabulary — the table a tokenizer/merge budget is
+    * planned against: a curve still steep at decile 9 means the vocab
+    * is undersized for the corpus. One generate → distinct (map-side
+    * combined) → min-decile per bigram → a ≤10-row window; nothing
+    * data-sized crosses the final aggregate. */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val bound = d.agg((max(col("doc_id")) + 1).as("__n"))
+    val a = col("__a")
+    val toks = d.crossJoin(broadcast(bound))
+      .select(expr("doc_id * 10 div __n").as("decile"),
+        TextOps.tokens(col("text")).as("__a"))
+      .select(col("decile"), a,
+        explode(when(size(a) >= 2, sequence(lit(1), size(a) - 1)))
+          .as("__s"))
+      .select(col("decile"),
+        concat_ws(" ", slice(a, col("__s"), lit(2))).as("tok"))
+    val occ = toks.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val firsts = toks.distinct()
+      .groupBy(col("tok")).agg(min(col("decile")).as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_new_tokens"))
+    occ.join(firsts, Seq("decile"), "left")
+      .select(col("decile"), col("n_occurrences"),
+        coalesce(col("n_new_tokens"), lit(0L)).as("n_new_tokens"))
+      .withColumn("cumulative_vocab",
+        sum(col("n_new_tokens")).over(org.apache.spark.sql.expressions
+          .Window.orderBy(col("decile"))
+          .rowsBetween(org.apache.spark.sql.expressions
+            .Window.unboundedPreceding, 0)))
+      .orderBy("decile")
+  }
+
   /** Curation-store retention fold
     * ([[graft.streaming.CurationStream.foldStore]]): q149's loop with
     * the q140/q115 lifecycle move applied to the SERVE-PATH artifacts —
@@ -3609,6 +3647,7 @@ object SparkEntry {
     "q168_hard_negatives" -> q168,
     "q169_nb_calibration" -> q169,
     "q170_cdc_chunks" -> q170,
+    "q171_vocab_growth" -> q171,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -6503,6 +6542,28 @@ object SparkEntry {
          |       count(*)::BIGINT AS n_tokens
          |FROM c GROUP BY doc_id, chunk_idx
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q171: doc_id-order deciles; per decile BIGRAM occurrences,
+    // first-seen bigrams, and the running vocabulary
+    "q171_vocab_growth" ->
+      """WITH n AS (SELECT max(doc_id) + 1 AS mx FROM documents),
+        |a AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id * 10 // mx AS decile,
+        |             array_to_string(w[s : s + 1], ' ') AS tok
+        |      FROM a, n, (SELECT unnest(generate_series(1, len(w) - 1)) AS s)
+        |      WHERE len(w) >= 2),
+        |occ AS (SELECT decile, count(*)::BIGINT AS n_occurrences
+        |        FROM t GROUP BY decile),
+        |fs AS (SELECT decile, count(*)::BIGINT AS n_new_tokens FROM (
+        |         SELECT tok, min(decile) AS decile FROM (
+        |           SELECT DISTINCT decile, tok FROM t) GROUP BY tok)
+        |       GROUP BY decile)
+        |SELECT occ.decile, n_occurrences,
+        |       coalesce(n_new_tokens, 0)::BIGINT AS n_new_tokens,
+        |       (sum(coalesce(n_new_tokens, 0)) OVER (ORDER BY occ.decile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |         AS cumulative_vocab
+        |FROM occ LEFT JOIN fs USING (decile)
+        |ORDER BY decile""".stripMargin,
     // q164: media item (cost 64) leads each %4=0 doc, 32-token text
     // chunks follow; exclusive prefix sum per source shard → bin
     "q164_interleaved_pack" ->

@@ -1170,6 +1170,95 @@ object Stress {
       f"${bytesBloom / 1048576.0}%.2f MiB) at ${storeRows / 75000}x " +
       f"probe-gram history")
     }
+    if (mode == "spancrash") {
+    // Crash-kill storm for the REAL SpanStream.maintain query — the
+    // curcrash harness applied to continuous span dedup: child JVMs
+    // running the actual foreachBatch query are halt(137)'d at both
+    // crash windows (after the clean write; after gram absorption,
+    // both before the marker), restarted from the checkpoint, and the
+    // final store must equal the sequential no-crash control row for
+    // row. Batches share most grams with the b=0 seed (the copytag
+    // perturbation appends one token), so nearly every batch doc cuts
+    // hard against history — maximal absorption pressure on the
+    // redelivery fence.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.SpanStream
+    val nb = math.max(6, factor / 4)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-stress-spancrash-$factor"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (input, store, ctl, ckpt) =
+      (s"$root/input", s"$root/store", s"$root/control", s"$root/ckpt")
+    val nBase = 5000L
+    val d0 = Tables.documents(spark, "/root/testdata/sf0.1")
+    val reps = spark.range(nb + 1).select(col("id").as("__rep"))
+    val bigD = d0.crossJoin(reps)
+      .select((col("doc_id") + col("__rep") * nBase).as("doc_id"),
+        concat(col("text"), lit(" copytag"), col("__rep")).as("text"))
+      .localCheckpoint(true)
+    def dRep(r: Int) = bigD.filter(col("doc_id") >= r * nBase &&
+      col("doc_id") < (r + 1) * nBase)
+    (1 to nb).foreach { r =>
+      dRep(r).coalesce(1).write.mode("append").parquet(input)
+    }
+    SpanStream.init(dRep(0), "doc_id", "text", 8, ctl)
+    (1 to nb).foreach { b =>
+      SpanStream.applyBatch(dRep(b), "doc_id", "text", 8, ctl, b.toLong)
+    }
+    SpanStream.init(dRep(0), "doc_id", "text", 8, store)
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
+      .asScala.toSeq
+    def runChild(poison: Option[(String, Long)]): Int = {
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        poison.toSeq.map { case (p, b) => s"-D$p=$b" } ++
+        Seq("-cp", System.getProperty("java.class.path"),
+          "graft.Stress", factor.toString, "spancrash-child",
+          input, store, ckpt)
+      val pb = new ProcessBuilder(cmd: _*).inheritIO()
+      pb.start().waitFor()
+    }
+    val kills = Seq(
+      ("graft.spans.crashAfterClean", 2L),
+      ("graft.spans.crashAfterAbsorb", (nb / 2).toLong),
+      ("graft.spans.crashAfterAbsorb", (nb - 1).toLong))
+    kills.foreach { case (p, b) =>
+      val rc = runChild(Some(p -> b))
+      println(s"[stress] spancrash: killed child at $p=$b (exit $rc)")
+      require(rc == 137, s"poisoned child exited $rc, expected halt 137")
+    }
+    val rcFinal = runChild(None)
+    require(rcFinal == 0, s"clean child exited $rcFinal")
+    def rowsOf(p: String, sub: String, cols: Seq[String]): Set[String] =
+      spark.read.parquet(s"$p/$sub")
+        .selectExpr(cols: _*).collect().map(_.toString).toSet
+    val diffs = Seq(
+      "clean" -> Seq("CAST(b AS LONG)", "doc_id", "clean_text", "n_kept"),
+      "grams" -> Seq("CAST(b AS LONG)", "__gh"))
+      .map { case (sub, cols) =>
+        val (a, c) = (rowsOf(store, sub, cols), rowsOf(ctl, sub, cols))
+        val d = (a diff c).size + (c diff a).size
+        println(s"[stress] spancrash: $sub rows stream=${a.size} " +
+          s"control=${c.size} diffed=$d")
+        d
+      }.sum
+    require(diffs == 0, s"crash-recovered store diverged: $diffs rows differ")
+    println(s"[stress] spancrash: ${kills.size} kills / ${kills.size} " +
+      s"recoveries / rows diffed = 0 over $nb batches")
+    }
+    if (mode == "spancrash-child") {
+    // child half: the REAL SpanStream.maintain over the file backlog
+    // until drained (or until the poison sysprop halts mid-batch)
+    import graft.streaming.SpanStream
+    val Seq(input, store, ckpt) = args.slice(2, 5).toSeq
+    val schema = spark.read.parquet(input).schema
+    val docsStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(input)
+    val q = SpanStream.maintain(docsStream, "doc_id", "text", 8,
+      store, checkpoint = ckpt)
+    q.processAllAvailable()
+    q.stop()
+    }
     if (mode == "curcrash") {
     // Crash-kill storm for the REAL CurationStream.maintain query (r15
     // verdict #7): the redelivery laws are spec-pinned at spec scale by

@@ -39,6 +39,17 @@ object SpanStream {
     fs.create(p, true).close()
   }
 
+  /** Crash injection for the spancrash storm (Stress mode
+    * "spancrash"): `-Dgraft.spans.crashAfterClean=<b>` halts the JVM
+    * right after batch b's clean write,
+    * `-Dgraft.spans.crashAfterAbsorb=<b>` after its gram absorption —
+    * both BEFORE the commit marker, the two worst-ordered crash
+    * windows redelivery must survive. `halt` so no shutdown hook can
+    * tidy the simulated kill; one sys.props read per batch. */
+  private def crashPoint(prop: String, batchId: Long): Unit =
+    if (sys.props.get(prop).exists(_.toLong == batchId))
+      Runtime.getRuntime.halt(137)
+
   /** Serve + absorb one micro-batch; skip if committed (redelivery). */
   def applyBatch(batchDocs: DataFrame, idCol: String, textCol: String,
                  k: Int, path: String, batchId: Long): Unit = {
@@ -53,10 +64,12 @@ object SpanStream {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("b").parquet(s"$path/clean")
+      crashPoint("graft.spans.crashAfterClean", batchId)
       SpanDedup.appendGrams(
         cleaned.select(col(idCol), col("clean_text").as(textCol)),
         idCol, textCol, k, path, batchId)
     }
+    crashPoint("graft.spans.crashAfterAbsorb", batchId)
     markCommitted(s, path, batchId)
   }
 
