@@ -93,7 +93,9 @@ object SpanDedup {
                       k: Int, minDocs: Int = 2): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
-    val occ = gramStarts(docs, idCol, textCol, k)
+    // the gram generate feeds two consumers (dup set + flag join) —
+    // materialize once, the q139 hub discipline
+    val occ = gramStarts(docs, idCol, textCol, k).localCheckpoint(true)
     val flagged = occ.join(dupGrams(occ, idCol, minDocs), Seq("__gh"),
       "left_semi")
     val spanLen = col("span_end") - col("span_start") + 1
@@ -126,7 +128,8 @@ object SpanDedup {
                          k: Int, minDocs: Int = 2): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
-    val occ = gramStarts(docs, idCol, textCol, k)
+    // two consumers of the generate (dup set + rank join) — hub
+    val occ = gramStarts(docs, idCol, textCol, k).localCheckpoint(true)
     val redundant = occ
       .join(dupGrams(occ, idCol, minDocs), Seq("__gh"), "left_semi")
       .withColumn("__rn", row_number().over(
