@@ -2904,6 +2904,37 @@ object SparkEntry {
         "doc_id", "text", k = 4, modulus = 16)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Cross-snapshot chunk reuse ([[TextOps.chunkContentDefined]] run
+    * on two crawl snapshots): snapshot B re-crawls A with one doc in
+    * five prefix-edited; per doc, how many of B's chunks already
+    * existed in A's chunking of the SAME doc (exact multiset
+    * intersection on chunk text — duplicate chunk texts inside a doc
+    * count with multiplicity). This is WHY chunking is
+    * content-defined: edited docs still reuse all but the
+    * boundary-local chunks, so chunk-level storage/dedup/embedding
+    * caches survive the re-crawl; a fixed grid would re-pay every
+    * chunk of every edited doc (q170's spec pins that contrast). */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val edited = d.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("recrawl banner tokens "), col("text")))
+        .otherwise(col("text")).as("text"))
+    def counts(df: DataFrame) =
+      TextOps.chunkContentDefined(df, "doc_id", "text", k = 4, modulus = 16)
+        .groupBy(col("doc_id"), col("chunk_text"))
+        .agg(count(lit(1)).as("__n"))
+    val a = counts(d).withColumnRenamed("__n", "__na")
+    counts(edited).withColumnRenamed("__n", "__nb")
+      .join(a, Seq("doc_id", "chunk_text"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__nb")).as("n_chunks"),
+        sum(least(col("__nb"), coalesce(col("__na"), lit(0L))))
+          .as("n_reused"))
+      .withColumn("edited", col("doc_id") % 5 === 0)
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary growth curve (Heaps' law audit) over BIGRAMS — the
     * unit BPE merges (q116) operate on, and the one that still grows
     * at this fixture's scale (the 31-word unigram vocab saturates in
@@ -3648,6 +3679,7 @@ object SparkEntry {
     "q169_nb_calibration" -> q169,
     "q170_cdc_chunks" -> q170,
     "q171_vocab_growth" -> q171,
+    "q172_cdc_reuse" -> q172,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -3816,6 +3848,27 @@ object SparkEntry {
        |         ANTI JOIN ${p}cut c ON t.doc_id = c.doc_id AND t.pos = c.pos),
        |${p}out AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
        |        count(*)::BIGINT AS n_kept FROM ${p}keep GROUP BY doc_id)""".stripMargin
+  }
+
+  /** CDC chunk-count CTEs for one snapshot — `<p>cnt` is
+    * (doc_id, chunk_text, n); mirrors [[TextOps.chunkContentDefined]]
+    * (k=4, modulus=16, the q170 parameters). */
+  private def cdcChunkCnt(p: String, src: String): String = {
+    val gh = sqlHash60("array_to_string(w[i - 3 : i], ' ')")
+    s"""${p}d AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+       |${p}t AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+       |        FROM ${p}d),
+       |${p}f AS (SELECT doc_id, i - 1 AS p, w[i] AS tok,
+       |        CASE WHEN i >= 4 AND $gh % 16 = 0 THEN 1 ELSE 0 END AS bnd
+       |      FROM ${p}t),
+       |${p}c AS (SELECT doc_id, p, tok,
+       |        coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY p
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+       |      FROM ${p}f),
+       |${p}ch AS (SELECT doc_id, ci, string_agg(tok, ' ' ORDER BY p) AS chunk_text
+       |        FROM ${p}c GROUP BY doc_id, ci),
+       |${p}cnt AS (SELECT doc_id, chunk_text, count(*) AS n
+       |        FROM ${p}ch GROUP BY 1, 2)""".stripMargin
   }
 
   /** Shared CTE chain for q162/q163: every token position's 8-gram
@@ -6542,6 +6595,24 @@ object SparkEntry {
          |       count(*)::BIGINT AS n_tokens
          |FROM c GROUP BY doc_id, chunk_idx
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q172: CDC-chunk both snapshots, per-doc multiset intersection
+    // of chunk texts (duplicates count with multiplicity)
+    "q172_cdc_reuse" ->
+      s"""WITH asrc AS (SELECT doc_id, text FROM documents),
+         |bsrc AS (SELECT doc_id,
+         |           CASE WHEN doc_id % 5 = 0
+         |             THEN 'recrawl banner tokens ' || text ELSE text END AS text
+         |         FROM documents),
+         |${cdcChunkCnt("x", "asrc")},
+         |${cdcChunkCnt("y", "bsrc")}
+         |SELECT y.doc_id,
+         |       sum(y.n)::BIGINT AS n_chunks,
+         |       sum(least(y.n, coalesce(x.n, 0)))::BIGINT AS n_reused,
+         |       (y.doc_id % 5 = 0) AS edited
+         |FROM ycnt y LEFT JOIN xcnt x
+         |  ON x.doc_id = y.doc_id AND x.chunk_text = y.chunk_text
+         |GROUP BY y.doc_id
+         |ORDER BY y.doc_id""".stripMargin,
     // q171: doc_id-order deciles; per decile BIGRAM occurrences,
     // first-seen bigrams, and the running vocabulary
     "q171_vocab_growth" ->
