@@ -2904,6 +2904,31 @@ object SparkEntry {
         "doc_id", "text", k = 4, modulus = 16)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Span-level contamination report ([[SpanDedup.benchmarkSpans]]):
+    * the eval set is the doc_id % 50 = 0 slice; every other doc
+    * reports the maximal runs it shares verbatim with it — WHERE the
+    * leak sits, not just q44's how-much. The fixture's planted
+    * repeats make real multi-span hits. */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    SpanDedup.benchmarkSpans(d.filter(col("doc_id") % 50 =!= 0),
+        "doc_id", "text",
+        d.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 8)
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Surgical decontamination ([[SpanDedup.cutBenchmarkSpans]]): cut
+    * exactly q173's spans out of the corpus — the per-passage
+    * alternative to dropping whole documents (q124/q128 drop; this
+    * keeps the doc minus the leak). Docs reduced to nothing vanish. */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    SpanDedup.cutBenchmarkSpans(d.filter(col("doc_id") % 50 =!= 0),
+        "doc_id", "text",
+        d.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+  }
+
   /** Cross-snapshot chunk reuse ([[TextOps.chunkContentDefined]] run
     * on two crawl snapshots): snapshot B re-crawls A with one doc in
     * five prefix-edited; per doc, how many of B's chunks already
@@ -3680,6 +3705,8 @@ object SparkEntry {
     "q170_cdc_chunks" -> q170,
     "q171_vocab_growth" -> q171,
     "q172_cdc_reuse" -> q172,
+    "q173_contamination_spans" -> q173,
+    "q174_decontam_cut" -> q174,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -6595,6 +6622,54 @@ object SparkEntry {
          |       count(*)::BIGINT AS n_tokens
          |FROM c GROUP BY doc_id, chunk_idx
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q173/q174: corpus grams vs the eval slice's gram set; islands →
+    // spans (report) or positions → anti-join → rebuild (cut)
+    "q173_contamination_spans" -> {
+      val gh = sqlHash60("array_to_string(a[s : s + 7], ' ')")
+      s"""WITH csrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+         |bmsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+         |${spanGramSet("bm", "bmsrc")},
+         |carr AS (SELECT doc_id, string_split(text, ' ') AS a FROM csrc),
+         |cocc AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 7)) AS s
+         |        FROM carr WHERE len(a) >= 8),
+         |cg AS (SELECT doc_id, s - 1 AS pos, $gh AS gh FROM cocc),
+         |fl AS (SELECT cg.doc_id, cg.pos FROM cg JOIN bmgs USING (gh)),
+         |isl AS (SELECT doc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM fl),
+         |sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+         |       FROM isl GROUP BY doc_id, grp)
+         |SELECT sp.doc_id, span_start,
+         |       span_end - span_start + 1 AS span_tokens,
+         |       array_to_string(a[span_start + 1 : span_end + 1], ' ') AS span_text
+         |FROM sp JOIN carr USING (doc_id)
+         |ORDER BY 1, 2""".stripMargin
+    },
+    "q174_decontam_cut" -> {
+      val gh = sqlHash60("array_to_string(a[s : s + 7], ' ')")
+      s"""WITH csrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+         |bmsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+         |${spanGramSet("bm", "bmsrc")},
+         |carr AS (SELECT doc_id, string_split(text, ' ') AS a FROM csrc),
+         |cocc AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 7)) AS s
+         |        FROM carr WHERE len(a) >= 8),
+         |cg AS (SELECT doc_id, s - 1 AS pos, $gh AS gh FROM cocc),
+         |fl AS (SELECT cg.doc_id, cg.pos FROM cg JOIN bmgs USING (gh)),
+         |isl AS (SELECT doc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM fl),
+         |sp AS (SELECT doc_id, min(pos) AS s0, max(pos) + 7 AS e0
+         |       FROM isl GROUP BY doc_id, grp),
+         |cut AS (SELECT DISTINCT doc_id, unnest(generate_series(s0, e0)) AS pos FROM sp),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+         |        FROM csrc),
+         |keep AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+         |         ANTI JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos)
+         |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |       count(*)::BIGINT AS n_kept
+         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // q172: CDC-chunk both snapshots, per-doc multiset intersection
     // of chunk texts (duplicates count with multiplicity)
     "q172_cdc_reuse" ->

@@ -153,6 +153,64 @@ object SpanDedup {
         count(lit(1)).as("n_kept"))
   }
 
+  /** Span-level contamination report: the maximal runs of each doc
+    * that verbatim-overlap a BENCHMARK set (k-gram granularity) — the
+    * quote-the-evidence upgrade over a scalar overlap score
+    * ([[TextOps.contamination]], q44): decontamination wants to know
+    * WHERE the eval set leaked, not just how much. Same machinery as
+    * [[duplicatedSpans]] with the dup set replaced by the benchmark's
+    * gram set; the benchmark side reduces to distinct fixed-width
+    * hashes before the one equi-join. */
+  def benchmarkSpans(docs: DataFrame, idCol: String, textCol: String,
+                     bench: DataFrame, benchIdCol: String,
+                     benchTextCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val occ = gramStarts(docs, idCol, textCol, k).localCheckpoint(true)
+    val bg = gramStarts(bench, benchIdCol, benchTextCol, k)
+      .select(col("__gh")).distinct()
+    val flagged = occ.join(bg, Seq("__gh"), "left_semi")
+    val spanLen = col("span_end") - col("span_start") + 1
+    islands(flagged, idCol, k)
+      .join(docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__a")),
+        Seq(idCol))
+      .select(col(idCol), col("span_start"),
+        spanLen.as("span_tokens"),
+        concat_ws(" ", slice(col("__a"),
+          (col("span_start") + 1).cast("int"),
+          spanLen.cast("int"))).as("span_text"))
+  }
+
+  /** Surgical decontamination: CUT every benchmark-overlapping span
+    * (every occurrence — contamination has no "first keeper") and
+    * rebuild the text; docs reduced to nothing vanish. The doc-level
+    * alternative drops the whole document for one leaked paragraph —
+    * at pretraining scale that overcuts by orders of magnitude. */
+  def cutBenchmarkSpans(docs: DataFrame, idCol: String, textCol: String,
+                        bench: DataFrame, benchIdCol: String,
+                        benchTextCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val occ = gramStarts(docs, idCol, textCol, k).localCheckpoint(true)
+    val bg = gramStarts(bench, benchIdCol, benchTextCol, k)
+      .select(col("__gh")).distinct()
+    val flagged = occ.join(bg, Seq("__gh"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val cut = islands(flagged, idCol, k)
+      .select(col(idCol),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+      .distinct()
+    docs
+      .select(col(idCol),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__tok")))
+      .withColumn("pos", col("pos").cast("long"))
+      .join(cut, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("__tok")))),
+          s => s.getField("__tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
   // ------------------------------------------------- incremental serve
 
   /** Frozen gram store: the history corpus's DISTINCT k-gram hashes

@@ -152,6 +152,33 @@ class SpanDedupSpec extends SparkSpec {
       rows(SpanDedup.cutDuplicatedSpans(batch, "doc_id", "text", k = 8)))
   }
 
+  test("benchmark spans: planted eval passage reported and cut surgically") {
+    val leak = (1 to 12).map(i => s"e$i")
+    val bench = Seq(100L -> (filler("bm", 6) ++ leak).mkString(" "))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // leak mid-doc
+      1L -> (filler("a", 4) ++ leak ++ filler("b", 6)).mkString(" "),
+      // clean doc
+      2L -> filler("c", 15).mkString(" "),
+      // doc that IS the benchmark text — vanishes entirely on cut
+      3L -> (filler("bm", 6) ++ leak).mkString(" ")
+    ).toDF("doc_id", "text")
+    val spans = SpanDedup.benchmarkSpans(docs, "doc_id", "text",
+        bench, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(spans == Set((1L, 4L, leak.mkString(" ")),
+      (3L, 0L, (filler("bm", 6) ++ leak).mkString(" "))))
+    val cut = SpanDedup.cutBenchmarkSpans(docs, "doc_id", "text",
+        bench, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // lockstep: exactly the reported spans are gone (spans are maximal
+    // runs, hence disjoint, so kept = total − Σ span_tokens)
+    assert(cut(1L) == ((filler("a", 4) ++ filler("b", 6)).mkString(" "), 10L))
+    assert(cut(2L) == (filler("c", 15).mkString(" "), 15L))
+    assert(!cut.contains(3L), "a pure benchmark copy must vanish")
+  }
+
   test("intra-doc repeats alone do not flag (cross-doc only, q54's lane)") {
     val rep = (1 to 9).map(i => s"s$i")
     val docs = Seq(
