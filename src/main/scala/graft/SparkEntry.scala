@@ -2904,6 +2904,52 @@ object SparkEntry {
         "doc_id", "text", k = 4, modulus = 16)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Hard-negative REFRESH across an index update (the ANCE training
+    * loop's data half): round 1 mines negatives against the IVF index
+    * over the old corpus; the new crawl batch (vec_id % 10 = 0)
+    * appends to the frozen-centroid index (q83's discipline — no
+    * retrain, no rewrite); round 2 re-mines against the updated index
+    * and the freshly-indexed docs start appearing as negatives. Both
+    * index states persist once per JVM (two frozen stores — a rep
+    * never mutates), every rep probes both. Oracle = q83's
+    * assign-all-at-once replay per state + the q168 label filter. */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q175" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-anceref-$tag"
+    val e = Tables.embeddings(s, dir)
+    val old = e.filter(col("vec_id") % 10 =!= 0)
+    val fresh = e.filter(col("vec_id") % 10 === 0)
+    if (!new java.io.File(path).exists()) {
+      Similarity.writeIvfIndex(
+        Similarity.buildIvfIndex(old, "vec_id", "embedding",
+          nCentroids = 16, iters = 0), s"$path/r1")
+      Similarity.writeIvfIndex(
+        Similarity.buildIvfIndex(old, "vec_id", "embedding",
+          nCentroids = 16, iters = 0), s"$path/r2")
+      Similarity.appendToIvfIndex(s, s"$path/r2", fresh,
+        "vec_id", "embedding")
+    }
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    def mine(sub: String, round: Long) = {
+      val topk = Similarity.probeIvfIndex(
+        Similarity.readIvfIndex(s, s"$path/$sub"), queries,
+        "vec_id", "embedding", k = 10, nProbe = 4)
+      val positives = topk.select(col("query_id"), col("neighbor_id"))
+        .join(src.select(col("doc_id").as("query_id"),
+          col("source").as("__qs")), Seq("query_id"))
+        .join(src.select(col("doc_id").as("neighbor_id"),
+          col("source").as("__ns")), Seq("neighbor_id"))
+        .filter(col("__qs") === col("__ns"))
+      Retrieval.hardNegatives(topk, positives, nNeg = 5)
+        .select(lit(round).as("round"), col("query_id"), col("neg_rank"),
+          col("neighbor_id"), col("cosine"))
+    }
+    mine("r1", 1L).unionByName(mine("r2", 2L))
+      .orderBy("round", "query_id", "neg_rank")
+  }
+
   /** Span-level contamination report ([[SpanDedup.benchmarkSpans]]):
     * the eval set is the doc_id % 50 = 0 slice; every other doc
     * reports the maximal runs it shares verbatim with it — WHERE the
@@ -3707,6 +3753,7 @@ object SparkEntry {
     "q172_cdc_reuse" -> q172,
     "q173_contamination_spans" -> q173,
     "q174_decontam_cut" -> q174,
+    "q175_negative_refresh" -> q175,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -6622,6 +6669,55 @@ object SparkEntry {
          |       count(*)::BIGINT AS n_tokens
          |FROM c GROUP BY doc_id, chunk_idx
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q175: q83's frozen-centroid assign-all replay per index state
+    // (idx1 = old corpus, idx2 = old + appended), q168's label filter
+    // and dense re-rank per round
+    "q175_negative_refresh" -> {
+      def round(n: Int, idx: String): String =
+        s"""cand$n AS (SELECT pr.query_id, $idx.neighbor_id
+           |         FROM pr JOIN $idx ON pr.centroid_id = $idx.centroid_id
+           |         WHERE pr.rn <= 4 AND $idx.neighbor_id != pr.query_id),
+           |s$n AS (SELECT cand$n.query_id, cand$n.neighbor_id,
+           |         ${sqlCosine("eq.v", "ec.v")} AS cosine
+           |      FROM cand$n JOIN e eq ON eq.vec_id = cand$n.query_id
+           |                  JOIN e ec ON ec.vec_id = cand$n.neighbor_id),
+           |t$n AS (SELECT query_id, neighbor_id, cosine, rank FROM (
+           |        SELECT query_id, neighbor_id, cosine,
+           |          row_number() OVER (PARTITION BY query_id
+           |            ORDER BY cosine DESC, neighbor_id) AS rank FROM s$n)
+           |      WHERE rank <= 10),
+           |n$n AS (SELECT t.query_id, t.neighbor_id, t.cosine, t.rank
+           |      FROM t$n t JOIN src qs ON qs.doc_id = t.query_id
+           |                 JOIN src ns ON ns.doc_id = t.neighbor_id
+           |      WHERE qs.source <> ns.source),
+           |d$n AS (SELECT query_id, neighbor_id, cosine,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY rank)::BIGINT AS neg_rank FROM n$n)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+         |         WHERE vec_id % 10 != 0 ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT e.vec_id, cent.centroid_id,
+         |          row_number() OVER (PARTITION BY e.vec_id
+         |            ORDER BY ${sqlCosine("e.v", "cent.cvec")} DESC, cent.centroid_id) AS rn
+         |        FROM e, cent),
+         |idx1 AS (SELECT vec_id AS neighbor_id, centroid_id FROM asg
+         |         WHERE rn = 1 AND vec_id % 10 != 0),
+         |idx2 AS (SELECT vec_id AS neighbor_id, centroid_id FROM asg WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id % 50 = 0),
+         |pr AS (SELECT q.query_id, cent.centroid_id,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY ${sqlCosine("q.v", "cent.cvec")} DESC, cent.centroid_id) AS rn
+         |       FROM q, cent),
+         |src AS (SELECT doc_id, source FROM documents),
+         |${round(1, "idx1")},
+         |${round(2, "idx2")}
+         |SELECT 1::BIGINT AS round, query_id, neg_rank, neighbor_id, cosine
+         |FROM d1 WHERE neg_rank <= 5
+         |UNION ALL
+         |SELECT 2::BIGINT AS round, query_id, neg_rank, neighbor_id, cosine
+         |FROM d2 WHERE neg_rank <= 5
+         |ORDER BY round, query_id, neg_rank""".stripMargin
+    },
     // q173/q174: corpus grams vs the eval slice's gram set; islands →
     // spans (report) or positions → anti-join → rebuild (cut)
     "q173_contamination_spans" -> {
