@@ -2904,6 +2904,34 @@ object SparkEntry {
         "doc_id", "text", k = 4, modulus = 16)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Shard manifest over the interleaved packing (q164): one row per
+    * (source shard, bin) with item/doc counts, the token fill, the
+    * image share, and an order-independent modular content checksum
+    * (Σ hash60(modality:doc:item) mod 1e9 — exact in both engines,
+    * no overflow at any bin size) — the receipt a training job uses
+    * to verify the shards it read are the shards the pipeline wrote.
+    * Pure aggregate above q164's join-free plan. */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val packed = Packing.packInterleaved(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text")),
+      "source", "doc_id", "text",
+      hasMedia = col("doc_id") % 4 === 0, imageTokens = 64L,
+      chunkTokens = 32, budgetTokens = 256L)
+    val itemKey = concat_ws(":", col("modality"),
+      col("doc_id").cast("string"), col("item_idx").cast("string"))
+    packed
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("cost_tokens")).as("fill_tokens"),
+        sum(when(col("modality") === "image", 1L).otherwise(0L))
+          .as("n_images"),
+        (sum(TextOps.hash60(itemKey) % 1000000000L) % 1000000000L)
+          .as("checksum"))
+      .orderBy("source", "bin")
+  }
+
   /** Hard-negative REFRESH across an index update (the ANCE training
     * loop's data half): round 1 mines negatives against the IVF index
     * over the old corpus; the new crawl batch (vec_id % 10 = 0)
@@ -3754,6 +3782,7 @@ object SparkEntry {
     "q173_contamination_spans" -> q173,
     "q174_decontam_cut" -> q174,
     "q175_negative_refresh" -> q175,
+    "q176_pack_manifest" -> q176,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -6669,6 +6698,35 @@ object SparkEntry {
          |       count(*)::BIGINT AS n_tokens
          |FROM c GROUP BY doc_id, chunk_idx
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q176: q164's item/fill lattice + per-(shard, bin) counts and the
+    // order-independent modular checksum
+    "q176_pack_manifest" -> {
+      val ck = sqlHash60("modality || ':' || doc_id::VARCHAR || ':' || item_idx::VARCHAR")
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         |media AS (SELECT source, doc_id, 0::BIGINT AS item_idx,
+         |                 'image' AS modality, 64::BIGINT AS cost_tokens
+         |          FROM documents WHERE doc_id % 4 = 0),
+         |c AS (SELECT source, doc_id, w,
+         |        unnest(generate_series(1, len(w), 32)) AS s FROM d),
+         |ti AS (SELECT source, doc_id, ((s - 1) // 32 + 1)::BIGINT AS item_idx,
+         |              'text' AS modality,
+         |              least(32, len(w) - s + 1)::BIGINT AS cost_tokens FROM c),
+         |items AS (SELECT * FROM media UNION ALL SELECT * FROM ti),
+         |p AS (SELECT *, coalesce(sum(cost_tokens) OVER (
+         |        PARTITION BY source ORDER BY doc_id, item_idx
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |      FROM items),
+         |b AS (SELECT source, doc_id, item_idx, modality, cost_tokens,
+         |             (pre // 256)::BIGINT AS bin FROM p)
+         |SELECT source, bin, count(*)::BIGINT AS n_items,
+         |       count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |       sum(cost_tokens)::BIGINT AS fill_tokens,
+         |       sum(CASE WHEN modality = 'image' THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_images,
+         |       (sum($ck % 1000000000) % 1000000000)::BIGINT AS checksum
+         |FROM b GROUP BY source, bin
+         |ORDER BY source, bin""".stripMargin
+    },
     // q175: q83's frozen-centroid assign-all replay per index state
     // (idx1 = old corpus, idx2 = old + appended), q168's label filter
     // and dense re-rank per round
