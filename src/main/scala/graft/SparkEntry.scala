@@ -2904,6 +2904,30 @@ object SparkEntry {
         "doc_id", "text", k = 4, modulus = 16)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Store-backed decontamination ([[SpanDedup.cutSpansAgainstStore]]):
+    * eval sets ARRIVE — the first (doc_id % 50 = 0) seeds the
+    * benchmark gram store, a second (doc_id % 50 = 25) absorbs under
+    * b=1 — and the corpus decontaminates against the accumulated
+    * union through the same bloom split the span serve uses (misses
+    * definitively clean). The incremental sibling of q174's one-shot
+    * cut; ≡-direct and ≡-plain laws in SpanDedupSpec. */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q177" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-benchstore-$tag"
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    if (!new java.io.File(path).exists()) {
+      SpanDedup.writeGramStore(s, d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", k = 8, path)
+      SpanDedup.appendGrams(d.filter(col("doc_id") % 50 === 25),
+        "doc_id", "text", k = 8, path, batchId = 1L)
+    }
+    SpanDedup.cutSpansAgainstStore(s, path,
+        d.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 50 =!= 25),
+        "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+  }
+
   /** Shard manifest over the interleaved packing (q164): one row per
     * (source shard, bin) with item/doc counts, the token fill, the
     * image share, and an order-independent modular content checksum
@@ -3783,6 +3807,7 @@ object SparkEntry {
     "q174_decontam_cut" -> q174,
     "q175_negative_refresh" -> q175,
     "q176_pack_manifest" -> q176,
+    "q177_decontam_store" -> q177,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -6698,6 +6723,35 @@ object SparkEntry {
          |       count(*)::BIGINT AS n_tokens
          |FROM c GROUP BY doc_id, chunk_idx
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q177: benchmark gram set = union of BOTH arrived eval slices;
+    // then q174's flag → islands → positions → rebuild over the rest
+    "q177_decontam_store" -> {
+      val gh = sqlHash60("array_to_string(a[s : s + 7], ' ')")
+      s"""WITH csrc AS (SELECT doc_id, text FROM documents
+         |              WHERE doc_id % 50 <> 0 AND doc_id % 50 <> 25),
+         |bmsrc AS (SELECT doc_id, text FROM documents
+         |          WHERE doc_id % 50 = 0 OR doc_id % 50 = 25),
+         |${spanGramSet("bm", "bmsrc")},
+         |carr AS (SELECT doc_id, string_split(text, ' ') AS a FROM csrc),
+         |cocc AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 7)) AS s
+         |        FROM carr WHERE len(a) >= 8),
+         |cg AS (SELECT doc_id, s - 1 AS pos, $gh AS gh FROM cocc),
+         |fl AS (SELECT cg.doc_id, cg.pos FROM cg JOIN bmgs USING (gh)),
+         |isl AS (SELECT doc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM fl),
+         |sp AS (SELECT doc_id, min(pos) AS s0, max(pos) + 7 AS e0
+         |       FROM isl GROUP BY doc_id, grp),
+         |cut AS (SELECT DISTINCT doc_id, unnest(generate_series(s0, e0)) AS pos FROM sp),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+         |        FROM csrc),
+         |keep AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+         |         ANTI JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos)
+         |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |       count(*)::BIGINT AS n_kept
+         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // q176: q164's item/fill lattice + per-(shard, bin) counts and the
     // order-independent modular checksum
     "q176_pack_manifest" -> {

@@ -168,7 +168,9 @@ object SpanDedup {
     val occ = gramStarts(docs, idCol, textCol, k).localCheckpoint(true)
     val bg = gramStarts(bench, benchIdCol, benchTextCol, k)
       .select(col("__gh")).distinct()
-    val flagged = occ.join(bg, Seq("__gh"), "left_semi")
+    // the benchmark side is eval-set-sized — pin the broadcast so the
+    // corpus-sized occ never shuffles for the flag join
+    val flagged = occ.join(broadcast(bg), Seq("__gh"), "left_semi")
     val spanLen = col("span_end") - col("span_start") + 1
     islands(flagged, idCol, k)
       .join(docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__a")),
@@ -192,13 +194,62 @@ object SpanDedup {
     val occ = gramStarts(docs, idCol, textCol, k).localCheckpoint(true)
     val bg = gramStarts(bench, benchIdCol, benchTextCol, k)
       .select(col("__gh")).distinct()
-    val flagged = occ.join(bg, Seq("__gh"), "left_semi")
+    val flagged = occ.join(broadcast(bg), Seq("__gh"), "left_semi")
       .select(col(idCol), col("pos"))
     val cut = islands(flagged, idCol, k)
       .select(col(idCol),
         explode(sequence(col("span_start"), col("span_end"))).as("pos"))
       .distinct()
     docs
+      .select(col(idCol),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__tok")))
+      .withColumn("pos", col("pos").cast("long"))
+      .join(cut, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("__tok")))),
+          s => s.getField("__tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
+  /** [[cutBenchmarkSpans]] against a PERSISTED benchmark gram store
+    * ([[writeGramStore]]/[[appendGrams]] over the eval sets as they
+    * arrive — new benchmarks absorb under their own `b` and every
+    * later batch decontaminates against the union): the store-backed
+    * decontam serve, sharing [[serveSpanCut]]'s bloom split — misses
+    * are definitively clean, hits verify exactly. Law (SpanDedupSpec):
+    * ≡ [[cutBenchmarkSpans]] against the store's source docs, with or
+    * without the sketch. */
+  def cutSpansAgainstStore(s: SparkSession, path: String, batch: DataFrame,
+                           idCol: String, textCol: String, k: Int,
+                           bloomMinItems: Long = 4096L): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val store = scala.util.Try {
+      val df = s.read.parquet(s"$path/grams")
+      df.schema
+      df
+    }.getOrElse(s.range(0).select(col("id").as("__gh"), lit(0L).as("b")))
+    val occ = gramStarts(batch, idCol, textCol, k).localCheckpoint(true)
+    val flagged = readGramBloom(s, path, bloomMinItems).fold(
+      occ.join(store.select("__gh"), Seq("__gh"), "left_semi")
+    ) { case (bf, covered) =>
+      val coveredSlice = store.filter(col("b").cast("long") <= covered)
+      val recentSlice = store.filter(col("b").cast("long") > covered)
+      val might = call_function("graft_might_contain", bf, col("__gh"))
+      occ.where(might)
+        .join(Blooms.bloomPrefilter(coveredSlice.select("__gh"),
+            occ.where(might), "__gh", "__gh",
+          expectedItems = 1000000L), Seq("__gh"), "left_semi")
+        .unionByName(
+          occ.join(recentSlice.select("__gh"), Seq("__gh"), "left_semi"))
+    }
+    val cut = islands(flagged.select(col(idCol), col("pos")).distinct(),
+        idCol, k)
+      .select(col(idCol),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+      .distinct()
+    batch
       .select(col(idCol),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__tok")))
       .withColumn("pos", col("pos").cast("long"))

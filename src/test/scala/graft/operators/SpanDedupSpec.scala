@@ -179,6 +179,38 @@ class SpanDedupSpec extends SparkSpec {
     assert(!cut.contains(3L), "a pure benchmark copy must vanish")
   }
 
+  test("store-backed decontam == direct benchmark cut, with or without bloom") {
+    val leak = (1 to 12).map(i => s"e$i")
+    val bench1 = Seq(100L -> (filler("bm", 6) ++ leak).mkString(" "))
+      .toDF("doc_id", "text")
+    val bench2 = Seq(101L -> (1 to 10).map(i => s"n$i").mkString(" "))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      1L -> (filler("a", 4) ++ leak ++ filler("b", 6)).mkString(" "),
+      2L -> ((1 to 10).map(i => s"n$i") ++ filler("c", 5)).mkString(" "),
+      3L -> filler("d", 15).mkString(" ")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("benchstore").toString + "/store"
+    SpanDedup.writeGramStore(spark, bench1, "doc_id", "text", k = 8, path)
+    SpanDedup.appendGrams(bench2, "doc_id", "text", k = 8, path, 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val stored = rows(SpanDedup.cutSpansAgainstStore(spark, path, docs,
+      "doc_id", "text", k = 8))
+    val direct = rows(SpanDedup.cutBenchmarkSpans(docs, "doc_id", "text",
+      bench1.unionByName(bench2), "doc_id", "text", k = 8))
+    assert(stored == direct, "store-backed decontam diverged from direct")
+    // both eval sets bite: doc 1 loses the leak, doc 2 the n-run
+    val byId = stored.map(t => t._1 -> t._3).toMap
+    assert(byId == Map(1L -> 10L, 2L -> 5L, 3L -> 15L))
+    // the sketch is an access path, not a semantics
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$path/grambloom"))
+    assert(rows(SpanDedup.cutSpansAgainstStore(spark, path, docs,
+      "doc_id", "text", k = 8)) == direct)
+  }
+
   test("intra-doc repeats alone do not flag (cross-doc only, q54's lane)") {
     val rep = (1 to 9).map(i => s"s$i")
     val docs = Seq(
