@@ -2904,6 +2904,20 @@ object SparkEntry {
         "doc_id", "text", k = 4, modulus = 16)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Windowed PCM energy / VAD gate ([[Multimodal.pcmWindowEnergy]]):
+    * every doc's payload rides the REAL wrap→RIFF-parse→plane chain
+    * (q152's oracled identity) and the plane scores 16-sample windows
+    * by exact integer energy Σ (sample − 128)²; `active` gates at
+    * 40 000 — the silence-trim decision audio pipelines make before
+    * transcription. Oracle replays from the text's UTF-8 bytes, which
+    * the roundtrip law makes the plane's exact content. */
+  private def q178(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pcmWindowEnergy(
+        Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text",
+          "audio"),
+        sampleRate = 16000, windowSamples = 16, activeThreshold = 40000L)
+      .orderBy("media_id", "window_idx")
+
   /** Store-backed decontamination ([[SpanDedup.cutSpansAgainstStore]]):
     * eval sets ARRIVE — the first (doc_id % 50 = 0) seeds the
     * benchmark gram store, a second (doc_id % 50 = 25) absorbs under
@@ -3808,6 +3822,7 @@ object SparkEntry {
     "q175_negative_refresh" -> q175,
     "q176_pack_manifest" -> q176,
     "q177_decontam_store" -> q177,
+    "q178_audio_energy" -> q178,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -6723,6 +6738,20 @@ object SparkEntry {
          |       count(*)::BIGINT AS n_tokens
          |FROM c GROUP BY doc_id, chunk_idx
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q178: the plane ≡ the text's UTF-8 bytes (q152's roundtrip law);
+    // per-byte unsigned-PCM energy in exact integers, 16-sample windows
+    "q178_audio_energy" ->
+      """WITH t AS (SELECT doc_id AS media_id, text FROM documents),
+        |b AS (SELECT media_id, i,
+        |        unicode(substr(text, i, 1))::BIGINT AS v
+        |      FROM t, (SELECT unnest(generate_series(1, length(text))) AS i)),
+        |w AS (SELECT media_id, ((i - 1) // 16)::BIGINT AS window_idx,
+        |        (v - 128) * (v - 128) AS e2 FROM b)
+        |SELECT media_id, window_idx, count(*)::BIGINT AS n_samples,
+        |       sum(e2)::BIGINT AS energy,
+        |       sum(e2) >= 40000 AS active
+        |FROM w GROUP BY media_id, window_idx
+        |ORDER BY media_id, window_idx""".stripMargin,
     // q177: benchmark gram set = union of BOTH arrived eval slices;
     // then q174's flag → islands → positions → rebuild over the rest
     "q177_decontam_store" -> {

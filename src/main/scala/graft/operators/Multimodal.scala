@@ -200,4 +200,40 @@ object Multimodal {
         col("__d.n_bytes").as("file_bytes"),
         md5(col("__p")).as("plane_hash"))
   }
+
+  /** VAD-style windowed signal energy over the REAL decode path: each
+    * payload wraps as 8-bit PCM WAV, parses back through the strict
+    * RIFF walk, and the extracted channel plane splits into
+    * `windowSamples`-sample windows scored by Σ (sample − 128)² —
+    * exact unsigned-PCM energy in integers, the feature
+    * silence-trim/VAD gates cut on. `active` marks windows at or
+    * above `activeThreshold`. Per-byte access is codegen'd
+    * `substring`/`hex`/`conv` over the binary plane (no UDF); rows
+    * are one per sample pre-aggregate, linear in audio bytes, and the
+    * window aggregate is map-side combinable on (id, window). The
+    * wrap→parse→plane identity this rides on is the q152-oracled
+    * roundtrip law. */
+  def pcmWindowEnergy(media: DataFrame, sampleRate: Int,
+                      windowSamples: Int,
+                      activeThreshold: Long): DataFrame = {
+    require(windowSamples > 0, "windowSamples must be positive")
+    graft.functions.MediaFunctions.register(media.sparkSession)
+    val wav = graft.functions.MediaFunctions.wavWrap(col("media"), sampleRate)
+    val sample =
+      conv(hex(substring(col("__p"), col("__i"), lit(1))), 16, 10)
+        .cast("long")
+    media
+      .select(col("media_id"),
+        graft.functions.MediaFunctions.mediaPlane(wav, 0).as("__p"))
+      .select(col("media_id"), col("__p"),
+        explode(sequence(lit(1), octet_length(col("__p")))).as("__i"))
+      .select(col("media_id"),
+        expr(s"CAST((__i - 1) div $windowSamples AS BIGINT)")
+          .as("window_idx"),
+        ((sample - 128) * (sample - 128)).as("__e2"))
+      .groupBy(col("media_id"), col("window_idx"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("__e2")).as("energy"))
+      .withColumn("active", col("energy") >= activeThreshold)
+  }
 }
