@@ -2904,6 +2904,19 @@ object SparkEntry {
         "doc_id", "text", k = 4, modulus = 16)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Guarded span cut ([[SpanDedup.cutDuplicatedSpans]] with
+    * `minSpanTokens = 24`): the production exact-substring default —
+    * only repeats of 24+ tokens cut (q163 cuts everything ≥ 8), so
+    * short recurring phrases survive while licenses/boilerplate go.
+    * The guard filters maximal ISLANDS post-merge, never their short
+    * sub-repeats. sf0.01: 487 docs / 25,945 tokens survive vs q163's
+    * 486 / 25,911. */
+  private def q179(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.cutDuplicatedSpans(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 8, minSpanTokens = 24)
+      .orderBy("doc_id")
+
   /** Windowed PCM energy / VAD gate ([[Multimodal.pcmWindowEnergy]]):
     * every doc's payload rides the REAL wrap→RIFF-parse→plane chain
     * (q152's oracled identity) and the plane scores 16-sample windows
@@ -3823,6 +3836,7 @@ object SparkEntry {
     "q176_pack_manifest" -> q176,
     "q177_decontam_store" -> q177,
     "q178_audio_energy" -> q178,
+    "q179_span_cut_guarded" -> q179,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -6738,6 +6752,29 @@ object SparkEntry {
          |       count(*)::BIGINT AS n_tokens
          |FROM c GROUP BY doc_id, chunk_idx
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q179: q163's chain with the island filter — only spans of 24+
+    // tokens expand to cut positions
+    "q179_span_cut_guarded" ->
+      s"""WITH $spanGramCtes,
+         |red AS (SELECT doc_id, pos FROM (
+         |          SELECT g.doc_id, g.pos,
+         |                 row_number() OVER (PARTITION BY gh ORDER BY g.doc_id, g.pos) AS rn
+         |          FROM g JOIN dup USING (gh)) WHERE rn > 1),
+         |isl AS (SELECT doc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM red),
+         |sp AS (SELECT doc_id, min(pos) AS s0, max(pos) + 7 AS e0
+         |       FROM isl GROUP BY doc_id, grp
+         |       HAVING max(pos) + 7 - min(pos) + 1 >= 24),
+         |cut AS (SELECT DISTINCT doc_id, unnest(generate_series(s0, e0)) AS pos FROM sp),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+         |        FROM documents),
+         |keep AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+         |         ANTI JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos)
+         |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |       count(*)::BIGINT AS n_kept
+         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q178: the plane ≡ the text's UTF-8 bytes (q152's roundtrip law);
     // per-byte unsigned-PCM energy in exact integers, 16-sample windows
     "q178_audio_energy" ->

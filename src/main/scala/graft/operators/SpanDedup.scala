@@ -124,8 +124,16 @@ object SpanDedup {
     * general — the standard exact-substring-dedup caveat; pipelines
     * run it to a fixed point when that matters (one pass removes the
     * planted mass; the spec pins the planted-copy law). */
+  /** `minSpanTokens`: cut only maximal runs at least this long — the
+    * production exact-substring default (the canonical pass removes
+    * repeats ≥ 50 tokens; an unguarded cut chops every common short
+    * phrase that happens to clear k). 0 disables the guard (q163's
+    * behavior, the default). The guard filters ISLANDS, after the
+    * merge — a long repeat is never mistaken for its short
+    * sub-repeats. */
   def cutDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int, minDocs: Int = 2): DataFrame = {
+                         k: Int, minDocs: Int = 2,
+                         minSpanTokens: Int = 0): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
     // two consumers of the generate (dup set + rank join) — hub
@@ -137,6 +145,7 @@ object SpanDedup {
       .filter(col("__rn") > 1)
       .select(col(idCol), col("pos"))
     val cut = islands(redundant, idCol, k)
+      .filter(col("span_end") - col("span_start") + 1 >= minSpanTokens)
       .select(col(idCol),
         explode(sequence(col("span_start"), col("span_end"))).as("pos"))
       .distinct()

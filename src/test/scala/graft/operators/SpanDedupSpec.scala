@@ -179,6 +179,27 @@ class SpanDedupSpec extends SparkSpec {
     assert(!cut.contains(3L), "a pure benchmark copy must vanish")
   }
 
+  test("minSpanTokens guard: short repeats survive, long ones still cut, " +
+       "and the guard filters merged islands, not sub-repeats") {
+    val long = (1 to 30).map(i => s"L$i") // 30-token repeat
+    val short = (1 to 10).map(i => s"S$i") // 10-token repeat
+    val docs = Seq(
+      1L -> (long ++ filler("a", 3) ++ short).mkString(" "),
+      2L -> (short ++ filler("b", 4) ++ long).mkString(" ")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.cutDuplicatedSpans(docs, "doc_id", "text", k = 8,
+        minSpanTokens = 24)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1 ranks first everywhere: byte-identical
+    assert(out(1L) == ((long ++ filler("a", 3) ++ short).mkString(" "), 43L))
+    // doc 2: the 30-token repeat is cut (>= 24), the 10-token one kept
+    assert(out(2L) == ((short ++ filler("b", 4)).mkString(" "), 14L))
+    // guard off reproduces the unguarded cut (both repeats go)
+    val plain = SpanDedup.cutDuplicatedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(plain(2L) == 4L)
+  }
+
   test("store-backed decontam == direct benchmark cut, with or without bloom") {
     val leak = (1 to 12).map(i => s"e$i")
     val bench1 = Seq(100L -> (filler("bm", 6) ++ leak).mkString(" "))
