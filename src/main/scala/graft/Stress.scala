@@ -1155,13 +1155,35 @@ object Stress {
         f"shuffleRead=${shuffled.get() / 1048576.0}%9.2f MiB  (${out.size} rows)")
       (shuffled.get(), out)
     }
+    // the decontam serve shares the split (cutSpansAgainstStore) —
+    // meter it through the same harness so the shared access path is
+    // MEASURED shared, the curbloom-audit discipline
+    def meteredDecontam(name: String): (Long, Set[(Long, Long)]) = {
+      spark.sparkContext.addSparkListener(meter)
+      shuffled.set(0L)
+      val t0 = System.nanoTime()
+      val out = SpanDedup.cutSpansAgainstStore(spark, path, probe,
+          "doc_id", "text", k = 8)
+        .select("doc_id", "n_kept").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000)
+      spark.sparkContext.removeSparkListener(meter)
+      println(f"[stress] spans decon/$name%-6s $secs%6.1f s  " +
+        f"shuffleRead=${shuffled.get() / 1048576.0}%9.2f MiB  (${out.size} rows)")
+      (shuffled.get(), out)
+    }
     meteredServe("warmup")
     val (bytesBloom, outBloom) = meteredServe("bloom")
+    val (dBytesBloom, dOutBloom) = meteredDecontam("bloom")
     org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(s"$path/grambloom"))
     val (bytesPlain, outPlain) = meteredServe("plain")
+    val (dBytesPlain, dOutPlain) = meteredDecontam("plain")
     require(outBloom == outPlain,
       s"bloom path changed the serve: ${outBloom.size} vs ${outPlain.size}")
+    require(dOutBloom == dOutPlain,
+      s"bloom path changed the decontam: ${dOutBloom.size} vs ${dOutPlain.size}")
     require(!outBloom.exists(_._1 >= (nb + 1) * nBase),
       "a verbatim history copy survived the store cut")
     println(f"[stress] spans: serve shuffle-read drop " +
@@ -1169,6 +1191,10 @@ object Stress {
       f"(plain ${bytesPlain / 1048576.0}%.2f MiB -> bloom " +
       f"${bytesBloom / 1048576.0}%.2f MiB) at ${storeRows / 75000}x " +
       f"probe-gram history")
+    println(f"[stress] spans: decontam shuffle-read drop " +
+      f"${dBytesPlain / math.max(dBytesBloom, 1L).toDouble}%.1fx " +
+      f"(plain ${dBytesPlain / 1048576.0}%.2f MiB -> bloom " +
+      f"${dBytesBloom / 1048576.0}%.2f MiB)")
     }
     if (mode == "spancrash") {
     // Crash-kill storm for the REAL SpanStream.maintain query — the
