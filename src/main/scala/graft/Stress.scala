@@ -1117,6 +1117,14 @@ object Stress {
     time(s"cutDuplicatedSpans(${nb}x)") {
       SpanDedup.cutDuplicatedSpans(hist, "doc_id", "text", k = 8).count()
     }
+    // CDC chunking rides the same generate+window shape (join-free):
+    // the 20× row certifies linear wall against the 1× baseline
+    time("chunkContentDefined(1x)") {
+      TextOps.chunkContentDefined(d0, "doc_id", "text", 4, 16).count()
+    }
+    time(s"chunkContentDefined(${nb}x)") {
+      TextOps.chunkContentDefined(hist, "doc_id", "text", 4, 16).count()
+    }
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-stress-spans-$nb"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     time(s"writeGramStore(${nb}x)") {
