@@ -929,6 +929,19 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("q173 contamination flag joins broadcast the eval-set gram side") {
+    val plan = physical(
+      SparkEntry.queries("q173_contamination_spans")(spark, dir))
+    // the benchmark gram set is eval-set-sized and pinned broadcast —
+    // the corpus-sized gram stream must never sort-merge for the flag
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"),
+      s"q173 lost the broadcast semi flag join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q173 planned a product:\n$plan")
+  }
+
   test("q164 interleaved pack: per-shard windows, no join anywhere") {
     val plan = physical(SparkEntry.queries("q164_interleaved_pack")(spark, dir))
     // items come from a union of two row-local projections; the fill
