@@ -2904,6 +2904,34 @@ object SparkEntry {
         "doc_id", "text", k = 4, modulus = 16)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Per-source span-duplication rate: q162's maximal-span report
+    * rolled up to the corpus-health view — per source, the docs
+    * carrying at least one cross-doc span, the duplicated token mass,
+    * and its share of the source's total tokens in exact basis points
+    * (spans are disjoint maximal runs, so the mass is a plain sum) —
+    * the "which domain ships the boilerplate" dashboard row that
+    * decides where [[SpanDedup.cutDuplicatedSpans]] runs first. */
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val spans = SpanDedup.duplicatedSpans(
+        d.select(col("doc_id"), col("text")), "doc_id", "text", k = 8)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_tokens")).as("__dup"), count(lit(1)).as("__ns"))
+    d.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("__nt"))
+      .join(spans, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__ns").isNotNull, 1L).otherwise(0L))
+          .as("n_docs_with_spans"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(coalesce(col("__dup"), lit(0L))).as("dup_tokens"),
+        expr("CAST(sum(coalesce(__dup, 0)) * 10000 div sum(__nt) AS BIGINT)")
+          .as("dup_bp"))
+      .orderBy("source")
+  }
+
   /** Guarded span cut ([[SpanDedup.cutDuplicatedSpans]] with
     * `minSpanTokens = 24`): the production exact-substring default —
     * only repeats of 24+ tokens cut (q163 cuts everything ≥ 8), so
@@ -3837,6 +3865,7 @@ object SparkEntry {
     "q177_decontam_store" -> q177,
     "q178_audio_energy" -> q178,
     "q179_span_cut_guarded" -> q179,
+    "q180_span_dup_rate" -> q180,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -6752,6 +6781,30 @@ object SparkEntry {
          |       count(*)::BIGINT AS n_tokens
          |FROM c GROUP BY doc_id, chunk_idx
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q180: the q162 span chain rolled up per source — duplicated
+    // token mass and its basis-point share in exact integers
+    "q180_span_dup_rate" ->
+      s"""WITH $spanGramCtes,
+         |fl AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+         |isl AS (SELECT doc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM fl),
+         |sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+         |       FROM isl GROUP BY doc_id, grp),
+         |perdoc AS (SELECT doc_id,
+         |             sum(span_end - span_start + 1) AS dup, count(*) AS ns
+         |           FROM sp GROUP BY doc_id),
+         |base AS (SELECT d.doc_id, d.source,
+         |           len(string_split(d.text, ' '))::BIGINT AS nt,
+         |           p.dup, p.ns
+         |         FROM documents d LEFT JOIN perdoc p USING (doc_id))
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |       sum(CASE WHEN ns IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_docs_with_spans,
+         |       sum(nt)::BIGINT AS n_tokens,
+         |       sum(coalesce(dup, 0))::BIGINT AS dup_tokens,
+         |       (sum(coalesce(dup, 0)) * 10000 // sum(nt))::BIGINT AS dup_bp
+         |FROM base GROUP BY source ORDER BY source""".stripMargin,
     // q179: q163's chain with the island filter — only spans of 24+
     // tokens expand to cut positions
     "q179_span_cut_guarded" ->
