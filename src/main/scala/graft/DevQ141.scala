@@ -3,10 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only adjudication probe for q141's rep bimodality (r15 verdict
-  * #3): same backlog, same query, 6 reps against a disk-backed temp
-  * checkpoint vs a tmpfs one — if the spread collapses on tmpfs, the
-  * slow mode is state-store/checkpoint fsync, not join work. */
+/** Dev-only adjudication probe for q141's rep distribution (r15
+  * verdict #3 / r16 verdict #3): per-rep wall times on the engine's
+  * current streaming path (RocksDB state store + scratch-backed
+  * explicit checkpoints — the round-17 root fix for the /tmp-fsync
+  * bimodality this probe originally bisected; the disk-vs-tmpfs
+  * contrast that established it is in git history). First rep pays the
+  * one-per-JVM backlog build; the steady-state reps are the band. */
 object DevQ141 {
   def main(args: Array[String]): Unit = {
     val spark = Engine.withGraftConfs(SparkSession.builder()
@@ -25,28 +28,20 @@ object DevQ141 {
         .write.mode("overwrite").parquet(backlog)
     }
     var n = 0L
-    def rep(tag: String): Double = {
+    def rep(): Double = {
       n += 1
       val t0 = System.nanoTime()
       val out = streaming.EventTimeStreams.runAttributionBacklog(spark,
         backlog, "event_time", horizon = "4 hours",
         lateness = "600 days", filesPerBatch = 8,
-        queryName = s"devq141_${tag}_$n")
+        queryName = s"devq141_$n")
       out.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    rep("warm")
-    Seq("disk" -> System.getProperty("java.io.tmpdir"),
-        "shm" -> "/dev/shm/dev-q141-ckpt").foreach { case (tag, loc) =>
-      new java.io.File(loc).mkdirs()
-      spark.conf.set("spark.sql.streaming.checkpointLocation", "")
-      if (tag == "shm")
-        spark.conf.set("spark.sql.streaming.checkpointLocation", loc)
-      else spark.conf.unset("spark.sql.streaming.checkpointLocation")
-      val ts = (1 to 6).map(_ => rep(tag))
-      println(f"[devq141] $tag reps=${ts.map(t => f"$t%.2f").mkString(",")} " +
-        f"median=${ts.sorted.apply(3)}%.2f spread=${ts.max - ts.min}%.2f")
-    }
+    val ts = (1 to 8).map(_ => rep())
+    println(f"[devq141] reps=${ts.map(t => f"$t%.2f").mkString(",")} " +
+      f"steady-median=${ts.drop(1).sorted.apply(3)}%.2f " +
+      f"steady-spread=${ts.drop(1).max - ts.drop(1).min}%.2f")
     spark.stop()
   }
 }

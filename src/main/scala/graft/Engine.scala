@@ -34,6 +34,27 @@ object Engine {
     }
   }
 
+  /** Streaming-checkpoint root for local-mode harness queries: prefer
+    * the RAM-backed fast scratch (same heuristic and escape hatch as
+    * `spark.local.dir` above — the q141 bisection traced a 2× bimodal
+    * slow mode to HDFS-state/commit-log fsyncs against the
+    * writeback-throttled /tmp disk; a real cluster deployment passes a
+    * durable checkpoint URI explicitly and never hits this). */
+  def streamCheckpointDir(name: String): String = {
+    val base = fastScratch.getOrElse(System.getProperty("java.io.tmpdir"))
+    val dir = new java.io.File(s"$base/graft-ckpt/$name")
+    // fresh-checkpoint contract: callers pass a per-run name; a stale
+    // dir from a crashed earlier session must not silently RESUME the
+    // query (a resumed AvailableNow run would re-emit nothing)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+    dir.getAbsolutePath
+  }
+
   /** Configs every graft session needs, applied to a builder.
     *
     *  - `nanosAsLong`: the driver's `events.parquet` carries
@@ -57,6 +78,21 @@ object Engine {
     // dynamic partition overwrite: incremental dedup rewrites ONLY the
     // partitions a batch touches (TableStore.incrementalUpsertPartitioned)
     .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // Streaming state in RocksDB, not the default HDFSBackedStateStore:
+    // the HDFS-backed provider fsyncs its per-batch delta files through
+    // the checkpoint filesystem, which on a writeback-throttled local
+    // disk made every stateful-stream query bimodal (q141 bisection:
+    // ~5.5 s fast mode vs 10-12 s when /tmp fsync stalled — NOTES r15).
+    // RocksDB keeps working state in a native local store and, with
+    // changelog checkpointing, ships only the per-batch changelog to
+    // the checkpoint location — also the right posture at cluster
+    // scale, where huge state (span gram logs, dedup signatures) must
+    // not live on the JVM heap.
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    .config(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
     // catalog tables (bucketing metadata) land in tmp, never the repo
     .config("spark.sql.warehouse.dir",
       s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")

@@ -2932,6 +2932,34 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Perceptual image hashes ([[Multimodal.perceptualHash]]): every
+    * payload rides the REAL wrap→DIB-parse→plane chain (q153's oracled
+    * roundtrip) into the exact-integer aHash/dHash kernel — 64-bit
+    * gradient and mean fingerprints, the re-encode-robust media
+    * near-dup signal byte-feature ANN (q88/q129) cannot see. No float
+    * resize anywhere, so the oracle replays every bit from the text's
+    * UTF-8 bytes + the wrap's zero tail. */
+  private def q181(s: SparkSession, dir: String): DataFrame =
+    Multimodal.perceptualHash(
+        Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text",
+          "image"),
+        width = 64)
+      .orderBy("media_id")
+
+  /** Media near-dup pairs ([[Multimodal.phashNearDups]]): dHash
+    * Hamming ≤ 3 via the simhash pigeonhole (4 exact 16-bit chunks —
+    * any pair within distance shares one, so candidates are an
+    * equi-join, never n²). The oracle brute-forces all pairs, which
+    * only the fixture can afford — the banded plan IS the scale path,
+    * and the law they agree is the query. sf0.001: 22 pairs (11 exact
+    * dups at distance 0 + near-encodes up to 3). */
+  private def q182(s: SparkSession, dir: String): DataFrame =
+    Multimodal.phashNearDups(
+        Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text",
+          "image"),
+        width = 64, maxDist = 3)
+      .orderBy("id_a", "id_b")
+
   /** Guarded span cut ([[SpanDedup.cutDuplicatedSpans]] with
     * `minSpanTokens = 24`): the production exact-substring default —
     * only repeats of 24+ tokens cut (q163 cuts everything ≥ 8), so
@@ -3866,6 +3894,8 @@ object SparkEntry {
     "q178_audio_energy" -> q178,
     "q179_span_cut_guarded" -> q179,
     "q180_span_dup_rate" -> q180,
+    "q181_media_phash" -> q181,
+    "q182_phash_neardups" -> q182,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -3998,6 +4028,45 @@ object SparkEntry {
        |${p}occ AS (SELECT a, unnest(generate_series(1, len(a) - 7)) AS s
        |        FROM ${p}arr WHERE len(a) >= 8),
        |${p}gs AS (SELECT DISTINCT $gh AS gh FROM ${p}occ)""".stripMargin
+  }
+
+  /** Perceptual-hash CTEs (`ph` = media_id, h, dhash, ahash) —
+    * mirrors [[graft.functions.MediaCodec.pHash]] over the
+    * wrap-width-64 plane, which by the q153 roundtrip law is the
+    * text's UTF-8 bytes zero-padded to h·64 (h = ceil(n/64)); bit 63
+    * sums as Long.MIN_VALUE so the signed BIGINT matches the engine's
+    * two's-complement long bit-for-bit. */
+  private val phashCtes: String = {
+    // byte value at 0-based plane index `i`: the UTF-8 byte when i < n,
+    // the wrap's zero tail otherwise
+    def byteAt(i: String): String =
+      s"(CASE WHEN $i < n THEN ('0x' || substr(hx, 2*($i) + 1, 2))::BIGINT ELSE 0 END)"
+    val d1 = byteAt("((r*h)//8)*64 + ((c*64)//9)")
+    val d2 = byteAt("((r*h)//8)*64 + (((c+1)*64)//9)")
+    val av = byteAt("((r*h)//8)*64 + ((c*64)//8)")
+    s"""pt AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS n FROM documents
+       |       WHERE octet_length(encode(text)) >= 1),
+       |pg AS (SELECT media_id, hx, n, (n + 63) // 64 AS h FROM pt),
+       |prc AS (SELECT r, c FROM (SELECT unnest(generate_series(0,7)) AS r),
+       |                         (SELECT unnest(generate_series(0,7)) AS c)),
+       |pdb AS (SELECT media_id, r*8 + c AS bit,
+       |          CASE WHEN $d1 > $d2 THEN 1 ELSE 0 END AS b
+       |        FROM pg, prc),
+       |pdh AS (SELECT media_id,
+       |          sum(CASE WHEN b = 0 THEN 0
+       |                   WHEN bit = 63 THEN -9223372036854775808
+       |                   ELSE 1::BIGINT << bit END)::BIGINT AS dhash
+       |        FROM pdb GROUP BY media_id),
+       |pas AS (SELECT media_id, r*8 + c AS bit, $av AS v FROM pg, prc),
+       |pam AS (SELECT media_id, sum(v) // 64 AS mean FROM pas GROUP BY media_id),
+       |pah AS (SELECT a.media_id,
+       |          sum(CASE WHEN v <= mean THEN 0
+       |                   WHEN bit = 63 THEN -9223372036854775808
+       |                   ELSE 1::BIGINT << bit END)::BIGINT AS ahash
+       |        FROM pas a JOIN pam USING (media_id) GROUP BY a.media_id),
+       |ph AS (SELECT pg.media_id, pg.h, pdh.dhash, pah.ahash
+       |       FROM pg JOIN pdh USING (media_id) JOIN pah USING (media_id))""".stripMargin
   }
 
   /** One [[SpanDedup.serveSpanCut]] round as CTEs (`<p>out` is the
@@ -6805,6 +6874,22 @@ object SparkEntry {
          |       sum(coalesce(dup, 0))::BIGINT AS dup_tokens,
          |       (sum(coalesce(dup, 0)) * 10000 // sum(nt))::BIGINT AS dup_bp
          |FROM base GROUP BY source ORDER BY source""".stripMargin,
+    // q181: exact-integer aHash/dHash replay from the UTF-8 bytes +
+    // zero tail (the q153 wrap law); h = ceil(n/64) is the decode height
+    "q181_media_phash" ->
+      s"""WITH $phashCtes
+         |SELECT media_id, 64::BIGINT AS width, h::BIGINT AS height,
+         |       dhash, ahash
+         |FROM ph ORDER BY media_id""".stripMargin,
+    // q182: the oracle brute-forces ALL pairs (fixture-sized); the
+    // engine's banded pigeonhole must agree exactly — that is the law
+    "q182_phash_neardups" ->
+      s"""WITH $phashCtes
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |       bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+         |FROM ph a JOIN ph b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     // q179: q163's chain with the island filter — only spans of 24+
     // tokens expand to cut positions
     "q179_span_cut_guarded" ->
@@ -6829,12 +6914,16 @@ object SparkEntry {
          |       count(*)::BIGINT AS n_kept
          |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q178: the plane ≡ the text's UTF-8 bytes (q152's roundtrip law);
-    // per-byte unsigned-PCM energy in exact integers, 16-sample windows
+    // per-byte unsigned-PCM energy in exact integers, 16-sample
+    // windows. The oracle is BYTE-indexed like the engine — encode()
+    // to the UTF-8 blob, hex-extract each byte — so the law holds for
+    // non-ASCII docs too, not just because the fixture is ASCII.
     "q178_audio_energy" ->
-      """WITH t AS (SELECT doc_id AS media_id, text FROM documents),
+      """WITH t AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |             octet_length(encode(text)) AS nb FROM documents),
         |b AS (SELECT media_id, i,
-        |        unicode(substr(text, i, 1))::BIGINT AS v
-        |      FROM t, (SELECT unnest(generate_series(1, length(text))) AS i)),
+        |        ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT AS v
+        |      FROM t, (SELECT unnest(generate_series(1, nb)) AS i)),
         |w AS (SELECT media_id, ((i - 1) // 16)::BIGINT AS window_idx,
         |        (v - 128) * (v - 128) AS e2 FROM b)
         |SELECT media_id, window_idx, count(*)::BIGINT AS n_samples,

@@ -83,4 +83,65 @@ object DimDate {
           .divide(7).cast("int") + 1).cast("int"))
       .drop("d")
   }
+
+  // Farsi vocabulary exactly as the artifact spells it (sheet DATES,
+  // distinct values extracted from the xlsx's sharedStrings — note the
+  // SPACE in "سه شنبه"/"پنج شنبه", not ZWNJ)
+  private val jMonthFa = Seq("فروردین", "اردیبهشت", "خرداد", "تیر",
+    "مرداد", "شهریور", "مهر", "آبان", "آذر", "دی", "بهمن", "اسفند")
+  private val jSeasonFa = Seq("بهار", "تابستان", "پاییز", "زمستان")
+  private val jWeekdayFa = Seq("شنبه", "یکشنبه", "دوشنبه", "سه شنبه",
+    "چهارشنبه", "پنج شنبه", "جمعه")
+
+  private def lookup(idx: org.apache.spark.sql.Column,
+                     names: Seq[String]): org.apache.spark.sql.Column =
+    names.zipWithIndex.foldLeft(lit("")) { case (acc, (n, i)) =>
+      when(idx === (i + 1), lit(n)).otherwise(acc)
+    }
+
+  /** [[generate]] reshaped to the reference's Power BI artifact
+    * (full-dimdate-pb.xlsx, sheet DATES, columns A–R): the exact 18
+    * headers in order — `Miladi` appears twice, as in the sheet — with
+    * the artifact's English/Farsi display strings. The xlsx stores
+    * Miladi as an Excel date serial; the CSV export uses ISO dates,
+    * the lossless text form of the same value. */
+  def biFrame(spark: SparkSession, start: String, end: String): DataFrame =
+    // sort BEFORE the rename: the output has two `Miladi` columns, so a
+    // later orderBy("Miladi") would be ambiguous; projection + coalesce
+    // preserve the range-partitioned order into the single file
+    generate(spark, start, end).orderBy("miladi").select(
+        col("miladi"),
+        col("jalali"),
+        format_string("%d/%d/%d",
+          col("jyear"), col("jmonth"), col("jday")),
+        col("miladi"),
+        col("jyear").cast("string"),
+        col("mmonth"),
+        col("jmonth"),
+        col("mmonth_name"),
+        lookup(col("jmonth"), jMonthFa),
+        when(col("mnime") === 1, "First Half of Year")
+          .otherwise("Second Half of Year"),
+        when(col("jnime") === 1, "نیمه اول سال").otherwise("نیمه دوم سال"),
+        col("jquarter"),
+        lookup(col("jquarter"), jSeasonFa),
+        col("mquarter"),
+        lookup(col("jweek_day"), jWeekdayFa),
+        col("mweek_day"),
+        col("mweek_num"),
+        col("jweek_num"))
+      .toDF("Miladi", "Jalali_1", "Jalali_2", "Miladi", "jyear",
+        "mmonthN", "jmonthN", "mmonthT", "jmonthT", "mnime", "jnime",
+        "JquarterN", "JQuarterT", "MquarterN", "JWeekDay", "MWeekDay",
+        "MWeekNum", "JWeekNum")
+
+  /** Write the BI dim-date as ONE UTF-8 CSV with the artifact's header
+    * row — the importable replacement for full-dimdate-pb.xlsx (Power
+    * BI reads CSV natively). coalesce(1): a 40k-row dimension is one
+    * file by design; the generation itself is distributed. */
+  def exportBiCsv(spark: SparkSession, start: String, end: String,
+                  outPath: String): Unit =
+    biFrame(spark, start, end)
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(outPath)
 }

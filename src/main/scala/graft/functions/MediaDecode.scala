@@ -274,6 +274,66 @@ object MediaCodec {
     out
   }
 
+  val pHashType: StructType = StructType(Seq(
+    StructField("dhash", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = false)))
+
+  /** Integer perceptual hashes over one channel plane (the classic
+    * aHash/dHash pair, computed exactly — no float resize, so the
+    * DuckDB oracle reproduces every bit):
+    *
+    *  - **dHash** (gradient): sample a `width`-preserving 8-row grid;
+    *    in each row take the 9 column samples `c·width/9` (integer
+    *    division) and set bit `r·8+c` iff sample c > sample c+1 —
+    *    horizontal gradient signs, robust to brightness shifts.
+    *  - **aHash** (average): the 8×8 grid samples at `c·width/8`; bit
+    *    is set iff the sample exceeds the floor-mean of all 64.
+    *
+    * Nearest-neighbor sampling (top-left pixel of each cell) instead
+    * of box-filter averaging keeps the whole computation in exact
+    * integers; for near-dup detection the gradient STRUCTURE is what
+    * matters, and re-encoded copies of the same plane sample
+    * identically. Null unless the plane length divides evenly by a
+    * positive width (the [[plane]] contract guarantees it for decoded
+    * media). */
+  def pHash(plane: Array[Byte], width: Int): InternalRow = {
+    if (width <= 0 || plane.length == 0 || plane.length % width != 0)
+      return null
+    val h = plane.length / width
+    @inline def v(r: Int, c: Int): Int = plane(r * width + c) & 0xff
+    var dhash = 0L
+    var r = 0
+    while (r < 8) {
+      val sr = r * h / 8
+      var c = 0
+      while (c < 8) {
+        if (v(sr, c * width / 9) > v(sr, (c + 1) * width / 9))
+          dhash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    val s = new Array[Int](64)
+    var sum = 0L
+    r = 0
+    while (r < 8) {
+      val sr = r * h / 8
+      var c = 0
+      while (c < 8) {
+        val x = v(sr, c * width / 8)
+        s(r * 8 + c) = x
+        sum += x
+        c += 1
+      }
+      r += 1
+    }
+    val mean = sum / 64
+    var ahash = 0L
+    var i = 0
+    while (i < 64) { if (s(i) > mean) ahash |= 1L << i; i += 1 }
+    new GenericInternalRow(Array[Any](dhash, ahash))
+  }
+
   val frameStatsType: ArrayType = ArrayType(StructType(Seq(
     StructField("frame_bytes", IntegerType, nullable = false),
     StructField("frame_hash", StringType, nullable = false))),
@@ -402,6 +462,28 @@ case class MediaFrameStatsExpr(child: Expression, blockSize: Int, stride: Int)
     copy(child = c)
 }
 
+/** Codegen'd perceptual hash: `(plane binary, width int) →
+  * struct<dhash bigint, ahash bigint>` ([[MediaCodec.pHash]]); null on
+  * a null/ill-shaped plane, so an undecodable payload drops at the
+  * caller's filter. One binary fetch per row — the 144 grid samples
+  * read the materialized array, never re-fetch the UnsafeRow binary. */
+case class MediaPHashExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = MediaCodec.pHashType
+  override def nullable: Boolean = true
+  override def prettyName: String = "media_phash"
+  override def nullSafeEval(plane: Any, width: Any): Any =
+    MediaCodec.pHash(plane.asInstanceOf[Array[Byte]],
+      width.asInstanceOf[Number].intValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, w) => s"""
+       |InternalRow ph = graft.functions.MediaCodec.pHash($p, (int) $w);
+       |if (ph == null) { ${ev.isNull} = true; } else { ${ev.value} = ph; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 object MediaFunctions {
   private def intArg(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -420,6 +502,8 @@ object MediaFunctions {
       es => WavWrapExpr(es(0), intArg(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("media_bmp_wrap",
       es => BmpWrapExpr(es(0), intArg(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("media_phash",
+      es => MediaPHashExpr(es(0), es(1)), "scala_udf")
   }
 
   def decodeMedia(media: Column): Column = call_function("media_decode", media)
@@ -440,4 +524,7 @@ object MediaFunctions {
   def bmpWrap(media: Column, width: Int): Column =
     call_function("media_bmp_wrap", media,
       org.apache.spark.sql.functions.lit(width))
+
+  def pHash(plane: Column, width: Column): Column =
+    call_function("media_phash", plane, width)
 }

@@ -201,6 +201,70 @@ object Multimodal {
         md5(col("__p")).as("plane_hash"))
   }
 
+  /** Perceptual hashes over the REAL image decode path: each payload
+    * wraps as an 8-bpp grayscale BMP of `width`, parses back through
+    * the strict DIB walk, and plane 0 feeds the exact-integer
+    * aHash/dHash kernel ([[graft.functions.MediaCodec.pHash]]) — the
+    * near-dup fingerprint byte-feature ANN (q88/q129) cannot provide:
+    * a re-encoded copy of the same image keeps its gradient structure
+    * (dhash) while every byte-level feature changes. One codegen'd
+    * pass per row, no shuffle; (media_id, width, height, dhash, ahash).
+    * Width/height come from the real decode, the q153 roundtrip law. */
+  def perceptualHash(media: DataFrame, width: Int): DataFrame = {
+    graft.functions.MediaFunctions.register(media.sparkSession)
+    val bmp = graft.functions.MediaFunctions.bmpWrap(col("media"), width)
+    media
+      .filter(octet_length(col("media")) >= 1) // BMP wrap needs ≥1 row
+      .select(col("media_id"),
+        graft.functions.MediaFunctions.decodeMedia(bmp).as("__d"),
+        graft.functions.MediaFunctions.mediaPlane(bmp, 0).as("__p"))
+      .select(col("media_id"),
+        col("__d.width").cast("long").as("width"),
+        col("__d.height").cast("long").as("height"),
+        graft.functions.MediaFunctions.pHash(col("__p"), col("__d.width"))
+          .as("__ph"))
+      .where(col("__ph").isNotNull)
+      .select(col("media_id"), col("width"), col("height"),
+        col("__ph.dhash").as("dhash"), col("__ph.ahash").as("ahash"))
+  }
+
+  /** Media near-dup pairs by dHash Hamming distance ≤ `maxDist` — the
+    * [[TextOps.simhashPairs]] pigeonhole on the 64-bit perceptual
+    * fingerprint: split into (maxDist+1) chunks; any pair within
+    * distance shares at least one exact chunk, so candidates come from
+    * an equi-join on (chunk_idx, chunk_value), never an all-pairs
+    * product — at crawl scale the candidate count stays collision-
+    * bounded while a brute-force scan of n² image pairs is unrunnable.
+    * Arithmetic-vs-logical shift is immaterial: the chunk mask keeps
+    * only the shifted-in-range bits, identically here and in DuckDB. */
+  def phashNearDups(media: DataFrame, width: Int, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist=$maxDist out of range")
+    val ph = perceptualHash(media, width).select(col("media_id"), col("dhash"))
+    val nChunks = maxDist + 1
+    val cw = 64 / nChunks
+    val chunks = (0 until nChunks).map { c =>
+      val bits = if (c == nChunks - 1) 64 - c * cw else cw
+      val mask = if (bits == 64) -1L else (1L << bits) - 1
+      struct(lit(c).as("chunk"),
+        shiftright(col("dhash"), c * cw).bitwiseAND(lit(mask))
+          .as("chunk_val"))
+    }
+    val keyed = ph.select(col("media_id"), col("dhash"),
+        explode(array(chunks: _*)).as("ck"))
+      .select(col("media_id"), col("dhash"),
+        col("ck.chunk").as("chunk"), col("ck.chunk_val").as("chunk_val"))
+    val l = keyed.select(col("media_id").as("id_a"), col("dhash").as("h_a"),
+      col("chunk"), col("chunk_val"))
+    val r = keyed.select(col("media_id").as("id_b"), col("dhash").as("h_b"),
+      col("chunk"), col("chunk_val"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** VAD-style windowed signal energy over the REAL decode path: each
     * payload wraps as 8-bit PCM WAV, parses back through the strict
     * RIFF walk, and the extracted channel plane splits into
@@ -226,7 +290,11 @@ object Multimodal {
       .select(col("media_id"),
         graft.functions.MediaFunctions.mediaPlane(wav, 0).as("__p"))
       .select(col("media_id"), col("__p"),
-        explode(sequence(lit(1), octet_length(col("__p")))).as("__i"))
+        // Guard like gramStarts/shingles: sequence(1, 0) counts DOWN
+        // to [1, 0] on an empty payload, which would emit two phantom
+        // samples the oracle's generate_series(1, 0) (empty) never has.
+        explode(when(octet_length(col("__p")) >= 1,
+          sequence(lit(1), octet_length(col("__p"))))).as("__i"))
       .select(col("media_id"),
         expr(s"CAST((__i - 1) div $windowSamples AS BIGINT)")
           .as("window_idx"),

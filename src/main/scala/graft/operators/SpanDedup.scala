@@ -85,6 +85,70 @@ object SpanDedup {
       .drop("__grp")
   }
 
+  /** Flagged start positions → the DISTINCT covered token positions to
+    * remove: islands-merge first (so expansion is O(span length), not
+    * O(span length × k)), optionally drop runs shorter than
+    * `minSpanTokens`, then expand each run to its covered positions.
+    * Shared by every cut/serve path so they cannot drift. */
+  private def cutPositions(flagged: DataFrame, idCol: String, k: Int,
+                           minSpanTokens: Int = 0): DataFrame =
+    islands(flagged, idCol, k)
+      .filter(col("span_end") - col("span_start") + 1 >= minSpanTokens)
+      .select(col(idCol),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+      .distinct()
+
+  /** Anti-join the docs' token positions against `cut` and rebuild the
+    * surviving text in order — the one rebuild every cut/serve path
+    * ends with: (id, clean_text, n_kept); fully-cut docs vanish. */
+  private def rebuildClean(docs: DataFrame, idCol: String, textCol: String,
+                           cut: DataFrame): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__tok")))
+      .withColumn("pos", col("pos").cast("long"))
+      .join(cut, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("__tok")))),
+          s => s.getField("__tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+
+  /** The persisted gram store, read tolerantly: an empty seed writes a
+    * zero-partition store parquet cannot infer a schema from —
+    * semantically an empty gram set, served as such. */
+  private def readStore(s: SparkSession, path: String): DataFrame =
+    scala.util.Try {
+      val df = s.read.parquet(s"$path/grams")
+      df.schema // force analysis — inference failure must land in the Try
+      df
+    }.getOrElse(s.range(0).select(col("id").as("__gh"), lit(0L).as("b")))
+
+  /** The store probe both serve paths share: occurrences whose gram is
+    * in the store. With a usable bloom, split the access path — bloom
+    * MISSES are definitively store-fresh (no false negatives), HITS
+    * verify against the covered slice through a hit-sized prefilter,
+    * and grams absorbed above `covered_up_to` (since the last sweep)
+    * probe through a residual absorption-sized plain semi-join. Without
+    * one, a plain semi-join — the sketch is an access path, never a
+    * semantics. */
+  private def storeHits(s: SparkSession, path: String, occ: DataFrame,
+                        store: DataFrame, bloomMinItems: Long): DataFrame =
+    readGramBloom(s, path, bloomMinItems).fold(
+      occ.join(store.select("__gh"), Seq("__gh"), "left_semi")
+    ) { case (bf, covered) =>
+      val coveredSlice = store.filter(col("b").cast("long") <= covered)
+      val recentSlice = store.filter(col("b").cast("long") > covered)
+      val might = call_function("graft_might_contain", bf, col("__gh"))
+      occ.where(might)
+        .join(Blooms.bloomPrefilter(coveredSlice.select("__gh"),
+            occ.where(might), "__gh", "__gh",
+          expectedItems = 1000000L), Seq("__gh"), "left_semi")
+        .unionByName(
+          occ.join(recentSlice.select("__gh"), Seq("__gh"), "left_semi"))
+    }
+
   /** Report the maximal duplicated spans: one row per (doc, span) with
     * the span's token coordinates and text. A doc-level exact dup
     * reports one full-width span; a shared license paragraph reports
@@ -144,22 +208,8 @@ object SpanDedup {
         Window.partitionBy(col("__gh")).orderBy(col(idCol), col("pos"))))
       .filter(col("__rn") > 1)
       .select(col(idCol), col("pos"))
-    val cut = islands(redundant, idCol, k)
-      .filter(col("span_end") - col("span_start") + 1 >= minSpanTokens)
-      .select(col(idCol),
-        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
-      .distinct()
-    docs
-      .select(col(idCol),
-        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__tok")))
-      .withColumn("pos", col("pos").cast("long"))
-      .join(cut, Seq(idCol, "pos"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("__tok")))),
-          s => s.getField("__tok"))).as("clean_text"),
-        count(lit(1)).as("n_kept"))
+    rebuildClean(docs, idCol, textCol,
+      cutPositions(redundant, idCol, k, minSpanTokens))
   }
 
   /** Span-level contamination report: the maximal runs of each doc
@@ -205,21 +255,7 @@ object SpanDedup {
       .select(col("__gh")).distinct()
     val flagged = occ.join(broadcast(bg), Seq("__gh"), "left_semi")
       .select(col(idCol), col("pos"))
-    val cut = islands(flagged, idCol, k)
-      .select(col(idCol),
-        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
-      .distinct()
-    docs
-      .select(col(idCol),
-        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__tok")))
-      .withColumn("pos", col("pos").cast("long"))
-      .join(cut, Seq(idCol, "pos"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("__tok")))),
-          s => s.getField("__tok"))).as("clean_text"),
-        count(lit(1)).as("n_kept"))
+    rebuildClean(docs, idCol, textCol, cutPositions(flagged, idCol, k))
   }
 
   /** [[cutBenchmarkSpans]] against a PERSISTED benchmark gram store
@@ -234,41 +270,11 @@ object SpanDedup {
                            idCol: String, textCol: String, k: Int,
                            bloomMinItems: Long = 4096L): DataFrame = {
     require(k > 0, s"k=$k must be positive")
-    val store = scala.util.Try {
-      val df = s.read.parquet(s"$path/grams")
-      df.schema
-      df
-    }.getOrElse(s.range(0).select(col("id").as("__gh"), lit(0L).as("b")))
+    val store = readStore(s, path)
     val occ = gramStarts(batch, idCol, textCol, k).localCheckpoint(true)
-    val flagged = readGramBloom(s, path, bloomMinItems).fold(
-      occ.join(store.select("__gh"), Seq("__gh"), "left_semi")
-    ) { case (bf, covered) =>
-      val coveredSlice = store.filter(col("b").cast("long") <= covered)
-      val recentSlice = store.filter(col("b").cast("long") > covered)
-      val might = call_function("graft_might_contain", bf, col("__gh"))
-      occ.where(might)
-        .join(Blooms.bloomPrefilter(coveredSlice.select("__gh"),
-            occ.where(might), "__gh", "__gh",
-          expectedItems = 1000000L), Seq("__gh"), "left_semi")
-        .unionByName(
-          occ.join(recentSlice.select("__gh"), Seq("__gh"), "left_semi"))
-    }
-    val cut = islands(flagged.select(col(idCol), col("pos")).distinct(),
-        idCol, k)
-      .select(col(idCol),
-        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
-      .distinct()
-    batch
-      .select(col(idCol),
-        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__tok")))
-      .withColumn("pos", col("pos").cast("long"))
-      .join(cut, Seq(idCol, "pos"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("__tok")))),
-          s => s.getField("__tok"))).as("clean_text"),
-        count(lit(1)).as("n_kept"))
+    val flagged = storeHits(s, path, occ, store, bloomMinItems)
+      .select(col(idCol), col("pos")).distinct()
+    rebuildClean(batch, idCol, textCol, cutPositions(flagged, idCol, k))
   }
 
   // ------------------------------------------------- incremental serve
@@ -383,30 +389,11 @@ object SpanDedup {
                    minDocs: Int = 2, batchCut: Option[Long] = None,
                    bloomMinItems: Long = 4096L): DataFrame = {
     require(k > 0, s"k=$k must be positive")
-    // an empty seed (no history) writes a zero-partition store that
-    // parquet cannot infer a schema from — semantically an empty gram
-    // set, served as such
-    val store0 = scala.util.Try {
-      val df = s.read.parquet(s"$path/grams")
-      df.schema // force analysis — inference failure must land in the Try
-      df
-    }.getOrElse(s.range(0).select(col("id").as("__gh"), lit(0L).as("b")))
+    val store0 = readStore(s, path)
     val store = batchCut.fold(store0)(c =>
       store0.filter(col("b").cast("long") < c))
     val occ = gramStarts(batch, idCol, textCol, k).localCheckpoint(true)
-    val inHist = readGramBloom(s, path, bloomMinItems).fold(
-      occ.join(store.select("__gh"), Seq("__gh"), "left_semi")
-    ) { case (bf, covered) =>
-      val coveredSlice = store.filter(col("b").cast("long") <= covered)
-      val recentSlice = store.filter(col("b").cast("long") > covered)
-      val might = call_function("graft_might_contain", bf, col("__gh"))
-      occ.where(might)
-        .join(Blooms.bloomPrefilter(coveredSlice.select("__gh"),
-            occ.where(might), "__gh", "__gh",
-          expectedItems = 1000000L), Seq("__gh"), "left_semi")
-        .unionByName(
-          occ.join(recentSlice.select("__gh"), Seq("__gh"), "left_semi"))
-    }
+    val inHist = storeHits(s, path, occ, store, bloomMinItems)
     val batchRedundant = occ
       .join(dupGrams(occ, idCol, minDocs), Seq("__gh"), "left_semi")
       .withColumn("__rn", row_number().over(
@@ -415,20 +402,6 @@ object SpanDedup {
       .select(col(idCol), col("pos"))
     val redundant = inHist.select(col(idCol), col("pos"))
       .unionByName(batchRedundant).distinct()
-    val cut = islands(redundant, idCol, k)
-      .select(col(idCol),
-        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
-      .distinct()
-    batch
-      .select(col(idCol),
-        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__tok")))
-      .withColumn("pos", col("pos").cast("long"))
-      .join(cut, Seq(idCol, "pos"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("__tok")))),
-          s => s.getField("__tok"))).as("clean_text"),
-        count(lit(1)).as("n_kept"))
+    rebuildClean(batch, idCol, textCol, cutPositions(redundant, idCol, k))
   }
 }

@@ -81,6 +81,11 @@ object EventTimeStreams {
     val q = tumblingCounts(src, tsCol, lateness, windowLen)
       .writeStream.outputMode("complete")
       .format("memory").queryName(queryName)
+      // explicit scratch checkpoint (callers pass a fresh queryName per
+      // run): the default temp dir lives on /tmp, whose fsync stalls
+      // made every stateful backlog replay bimodal (q141 bisection)
+      .option("checkpointLocation",
+        graft.Engine.streamCheckpointDir(queryName))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -189,6 +194,9 @@ object EventTimeStreams {
         tsCol, horizon, lateness)
       .writeStream.outputMode("append")
       .format("memory").queryName(queryName)
+      // see runTumblingBacklog: scratch checkpoint, fresh per queryName
+      .option("checkpointLocation",
+        graft.Engine.streamCheckpointDir(queryName))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

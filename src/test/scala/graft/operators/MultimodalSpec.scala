@@ -61,6 +61,53 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(empty, 100, 1).count() == 0)
   }
 
+  test("pcmWindowEnergy: exact integer energy, and empty payloads emit no rows") {
+    // "hello world" = 11 bytes → windows of 4 samples: 4, 4, 3
+    val withEmpty = Multimodal.asMediaTable(
+      Seq((1L, "hello world"), (9L, "")).toDF("id", "payload"),
+      "id", "payload", "audio")
+    val out = Multimodal.pcmWindowEnergy(withEmpty, sampleRate = 8000,
+      windowSamples = 4, activeThreshold = 1L)
+      .orderBy("media_id", "window_idx").collect()
+    // empty payload: sequence(1, 0) would count DOWN and emit two
+    // phantom samples without the guard — must emit nothing instead
+    assert(out.forall(_.getAs[Long]("media_id") == 1L))
+    assert(out.map(_.getAs[Long]("n_samples")).toSeq == Seq(4L, 4L, 3L))
+    val bytes = "hello world".getBytes("UTF-8").map(b => (b & 0xff).toLong)
+    val expected = bytes.grouped(4)
+      .map(w => w.map(v => (v - 128) * (v - 128)).sum).toSeq
+    assert(out.map(_.getAs[Long]("energy")).toSeq == expected)
+  }
+
+  test("perceptualHash: exact dups collide, banded pairs ≡ brute force") {
+    // 40 docs: 4 exact-dup pairs (identical payload → identical plane →
+    // hamming 0) among distinct fillers
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 32L).map(i =>
+      (i, Seq.fill(60)(rnd.nextInt(1000).toString).mkString(" "))) ++
+      (0 until 4).map(i => (100L + i, ("dup payload " * 20) + i)) ++
+      (0 until 4).map(i => (200L + i, ("dup payload " * 20) + i))
+    val media = Multimodal.asMediaTable(docs.toDF("id", "payload"),
+      "id", "payload", "image")
+    val ph = Multimodal.perceptualHash(media, width = 64)
+    assert(ph.count() == 40)
+    val hashes = ph.collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("dhash")).toMap
+    (0 until 4).foreach(i => assert(hashes(100L + i) == hashes(200L + i)))
+    // law: the pigeonhole-banded pairs equal the brute-force scan
+    val maxDist = 3
+    val banded = Multimodal.phashNearDups(media, 64, maxDist).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming"))).toSet
+    val brute = (for {
+      (a, ha) <- hashes.toSeq; (b, hb) <- hashes.toSeq
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= maxDist
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb).toLong)).toSet
+    assert(banded == brute)
+    assert((0 until 4).forall(i =>
+      banded.contains((100L + i, 200L + i, 0L))))
+  }
+
   test("byteFeatures md5 matches the payload hash") {
     val r = Multimodal.byteFeatures(media).filter(col("media_id") === 1).first()
     val expected = java.security.MessageDigest.getInstance("MD5")
