@@ -2960,6 +2960,57 @@ object SparkEntry {
         width = 64, maxDist = 3)
       .orderBy("id_a", "id_b")
 
+  /** The composed production pipeline, end to end in ONE query: the
+    * curation serve (q147's frozen-store chain — exact dedup incl.
+    * history, frozen-centroid semdedup, frozen-NB quality) feeds
+    * span-level benchmark decontamination (q174's surgical cut against
+    * the eval set's grams), and the surviving CLEAN text packs into
+    * interleaved multimodal context-window bins whose shard manifest
+    * (q176's receipt: counts, fill, image share, modular checksum) is
+    * the output — the artifact a training job actually consumes. Every
+    * stage is the already-oracled operator; the composition law is
+    * that the full chain replays end to end (the oracle re-derives
+    * serve → cut → pack → manifest from the raw tables). Stage order
+    * matters and is the production order: decontaminate AFTER dedup
+    * (fewer docs to scan) and BEFORE packing (bins must never contain
+    * leaked eval text — a post-pack cut would leave holes in the
+    * fill). Store shared with q147/q155 (frozen-artifact discipline);
+    * the serve re-runs per rep — bench honesty, the cost IS the
+    * measurement. */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val path = q147Store(s, dir)
+    val d = Tables.documents(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val served = Curation.serveBatch(s, path,
+      d.filter(col("doc_id") % 4 === 3), e.filter(col("doc_id") % 4 === 3),
+      "doc_id", "embedding", "lang", "source", "text",
+      SemThrNum, SemThrDen, SemCap, SampleSeed)
+    val survivors = d.select(col("doc_id"), col("text"))
+      .join(served.select("doc_id"), Seq("doc_id"), "left_semi")
+    val clean = SpanDedup.cutBenchmarkSpans(survivors, "doc_id", "text",
+      d.filter(col("doc_id") % 50 === 0).select(col("doc_id"), col("text")),
+      "doc_id", "text", k = 8)
+    val packed = Packing.packInterleaved(
+      clean.join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("clean_text")),
+      "source", "doc_id", "clean_text",
+      hasMedia = col("doc_id") % 8 === 3, imageTokens = 64L,
+      chunkTokens = 32, budgetTokens = 256L)
+    val itemKey = concat_ws(":", col("modality"),
+      col("doc_id").cast("string"), col("item_idx").cast("string"))
+    packed
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("cost_tokens")).as("fill_tokens"),
+        sum(when(col("modality") === "image", 1L).otherwise(0L))
+          .as("n_images"),
+        (sum(TextOps.hash60(itemKey) % 1000000000L) % 1000000000L)
+          .as("checksum"))
+      .orderBy("source", "bin")
+  }
+
   /** Guarded span cut ([[SpanDedup.cutDuplicatedSpans]] with
     * `minSpanTokens = 24`): the production exact-substring default —
     * only repeats of 24+ tokens cut (q163 cuts everything ≥ 8), so
@@ -3896,6 +3947,7 @@ object SparkEntry {
     "q180_span_dup_rate" -> q180,
     "q181_media_phash" -> q181,
     "q182_phash_neardups" -> q182,
+    "q183_pipeline_manifest" -> q183,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -5401,6 +5453,67 @@ object SparkEntry {
       "vec_id % 8 = 3")
   }
 
+  /** q183: the q147 chain's CTEs (serve survivors = b4 ⋈ ba), the q174
+    * span-cut machinery over exactly those docs, the q164 pack lattice
+    * over the CLEAN text, and the q176 manifest aggregate — one
+    * derivation from the raw tables for the whole production chain. */
+  private def pipelineManifestOracleSql: String = {
+    val (body, _) = curationChainBody(
+      histDocPred = "doc_id % 4 != 3", histVecPred = "vec_id % 4 != 3",
+      testPred = "doc_id % 4 = 3", batchPreds = Seq("doc_id % 4 = 3"))
+    val gh = sqlHash60("array_to_string(a[s : s + 7], ' ')")
+    val ck = sqlHash60(
+      "modality || ':' || doc_id::VARCHAR || ':' || item_idx::VARCHAR")
+    body + s""",
+      |zsrv AS (SELECT bb.doc_id FROM b4 bb JOIN ba ON ba.vec_id = bb.doc_id),
+      |zbm AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      |${spanGramSet("zb", "zbm")},
+      |zcsrc AS (SELECT d.doc_id, d.text FROM documents d JOIN zsrv USING (doc_id)),
+      |zarr AS (SELECT doc_id, string_split(text, ' ') AS a FROM zcsrc),
+      |zocc AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 7)) AS s
+      |        FROM zarr WHERE len(a) >= 8),
+      |zg AS (SELECT doc_id, s - 1 AS pos, $gh AS gh FROM zocc),
+      |zfl AS (SELECT zg.doc_id, zg.pos FROM zg JOIN zbgs USING (gh)),
+      |zisl AS (SELECT doc_id, pos,
+      |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |        FROM zfl),
+      |zsp AS (SELECT doc_id, min(pos) AS s0, max(pos) + 7 AS e0
+      |       FROM zisl GROUP BY doc_id, grp),
+      |zcut AS (SELECT DISTINCT doc_id, unnest(generate_series(s0, e0)) AS pos FROM zsp),
+      |ztok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      |        FROM zcsrc),
+      |zkeep AS (SELECT t.doc_id, t.pos, t.tok FROM ztok t
+      |         ANTI JOIN zcut c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+      |zcl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      |       FROM zkeep GROUP BY doc_id),
+      |zpd AS (SELECT c.doc_id, d.source, string_split(c.clean_text, ' ') AS w
+      |       FROM zcl c JOIN documents d USING (doc_id)),
+      |zmedia AS (SELECT source, doc_id, 0::BIGINT AS item_idx,
+      |                 'image' AS modality, 64::BIGINT AS cost_tokens
+      |          FROM zpd WHERE doc_id % 8 = 3),
+      |zc AS (SELECT source, doc_id, w,
+      |        unnest(generate_series(1, len(w), 32)) AS s FROM zpd),
+      |zti AS (SELECT source, doc_id, ((s - 1) // 32 + 1)::BIGINT AS item_idx,
+      |              'text' AS modality,
+      |              least(32, len(w) - s + 1)::BIGINT AS cost_tokens FROM zc),
+      |zitems AS (SELECT * FROM zmedia UNION ALL SELECT * FROM zti),
+      |zp AS (SELECT *, coalesce(sum(cost_tokens) OVER (
+      |        PARTITION BY source ORDER BY doc_id, item_idx
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      |      FROM zitems),
+      |zbb AS (SELECT source, doc_id, item_idx, modality, cost_tokens,
+      |             (pre // 256)::BIGINT AS bin FROM zp)
+      |SELECT source, bin, count(*)::BIGINT AS n_items,
+      |       count(DISTINCT doc_id)::BIGINT AS n_docs,
+      |       sum(cost_tokens)::BIGINT AS fill_tokens,
+      |       sum(CASE WHEN modality = 'image' THEN 1 ELSE 0 END)::BIGINT
+      |         AS n_images,
+      |       (sum($ck % 1000000000) % 1000000000)::BIGINT AS checksum
+      |FROM zbb GROUP BY source, bin
+      |ORDER BY source, bin""".stripMargin
+  }
+
   private def curationServeOracleSql: String =
     curationChainOracleSql(
       histDocPred = "doc_id % 4 != 3", histVecPred = "vec_id % 4 != 3",
@@ -6881,6 +6994,8 @@ object SparkEntry {
          |SELECT media_id, 64::BIGINT AS width, h::BIGINT AS height,
          |       dhash, ahash
          |FROM ph ORDER BY media_id""".stripMargin,
+    // q183: serve → span cut → pack → manifest, one oracle derivation
+    "q183_pipeline_manifest" -> pipelineManifestOracleSql,
     // q182: the oracle brute-forces ALL pairs (fixture-sized); the
     // engine's banded pigeonhole must agree exactly — that is the law
     "q182_phash_neardups" ->

@@ -950,4 +950,27 @@ class PlanContractSpec extends SparkSpec {
       s"q164 planned a join:\n$plan")
     assert(plan.contains("Union"), s"q164 lost the modality union:\n$plan")
   }
+
+  test("q182 phash near-dups: equi-join candidates, never a product") {
+    val plan = physical(SparkEntry.queries("q182_phash_neardups")(spark, dir))
+    // the pigeonhole bands make candidate generation an equi-join on
+    // (chunk, chunk_val); a cartesian/all-pairs scan here is exactly
+    // what the banding exists to avoid at crawl scale
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q182 planned a product:\n$plan")
+  }
+
+  test("q183 composed pipeline: benchmark flag join broadcast, no product") {
+    val plan = physical(
+      SparkEntry.queries("q183_pipeline_manifest")(spark, dir))
+    // the span-decontam stage inside the composed chain keeps q173's
+    // shape: the eval-set gram side broadcasts into a semi join — the
+    // survivor-corpus gram stream must never sort-merge for the flag
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"q183 lost the broadcast semi flag join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q183 planned a product:\n$plan")
+  }
 }
