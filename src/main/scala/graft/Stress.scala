@@ -703,6 +703,50 @@ object Stress {
     }
     }
 
+    if (mode == "lpaskew") {
+    // celebrity-graph LPA storm (r16 verdict #5): the trade graph with
+    // ~a third of all edges REROUTED into 3 celebrity nodes — the
+    // crawl-scale shape (every page links the hub) where the per-dst
+    // label count and argmax hot-spot. Measures plain vs audit-gated
+    // salted on the same edges and requires identical labels (the
+    // GraphsSpec ≡ law, demonstrated at storm size).
+    val go = Tables.orders(spark, "/root/testdata/sf0.1")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val gl = Tables.lineitem(spark, "/root/testdata/sf0.1")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val shift = 10000000L
+    val gfwd = gl.join(go, gl("l_orderkey") === go("o_orderkey"))
+      .crossJoin(spark.range(factor).select(col("id").as("copy")))
+      .select((col("o_custkey") * 2 + col("copy") * shift).as("src"),
+        (col("l_suppkey") * 2 + 1 + col("copy") * shift).as("dst"))
+    val skewed = gfwd
+      .union(gfwd.select(col("dst").as("src"), col("src").as("dst")))
+      .select(col("src"),
+        when(pmod(col("dst"), lit(97L)) < 30, pmod(col("dst"), lit(3L)))
+          .otherwise(col("dst")).as("dst"))
+      .localCheckpoint(true)
+    val nEdges = skewed.count()
+    val hotShare = skewed.filter(col("dst") < 3).count() * 100 / nEdges
+    println(s"[stress] celebrity graph: $nEdges directed edges " +
+      s"(${factor}x sf0.1), $hotShare% into 3 celebrity dsts")
+    var plainLabels: Set[(Long, Long)] = null
+    time("LPA plain iters=3") {
+      plainLabels = Graphs.labelPropagation(skewed, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      plainLabels.size.toLong
+    }
+    var saltedLabels: Set[(Long, Long)] = null
+    time("LPA skew-aware iters=3") {
+      saltedLabels = Graphs.labelPropagationSkewAware(skewed, iters = 3,
+          salts = 16, thresholdPpm = 10000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      saltedLabels.size.toLong
+    }
+    require(saltedLabels == plainLabels,
+      s"salted LPA diverged: ${saltedLabels.size} vs ${plainLabels.size}")
+    println(s"[stress] lpaskew: salted == plain on ${plainLabels.size} labels")
+    }
+
     if (mode == "bpe") {
     // production-merge-count storm: the q116 oracle runs 32 merges; a
     // real tokenizer runs 32k over a ~100k-word dictionary. The

@@ -173,4 +173,87 @@ object Graphs {
       labels.localCheckpoint(eager = true)
     } finally { ed.unpersist(blocking = false); nodes.unpersist(blocking = false) }
   }
+
+  /** [[labelPropagation]] with the count/argmax aggregates
+    * skew-hardened for celebrity nodes — the audit→action discipline of
+    * [[Shuffles.saltedJoinBySkew]] (q148) applied to an AGGREGATE: at
+    * crawl scale a node with 10⁸ in-edges makes `groupBy(dst, label)`
+    * useless map-side in iteration 0 (labels start unique, so nothing
+    * combines) and funnels its whole in-neighborhood's distinct labels
+    * into the one `dst` argmax reducer.
+    *
+    * The audit runs ONCE (in-degree is iteration-invariant): dst keys
+    * holding ≥ `thresholdPpm` of the edge rows ([[Shuffles
+    * .hotKeysByShare]] — bounded by construction, always broadcasts).
+    * Per iteration, ONLY those keys take the salted path: the label
+    * count splits per (dst, label, hash(src) % salts) then sums — an
+    * exact integer refold — and the argmax splits per
+    * (dst, hash(label) % salts) partial-min then final min — min of a
+    * struct is associative, so min-of-mins ≡ the global min. Cold keys
+    * aggregate plain under salt 0. Law (GraphsSpec): ≡
+    * [[labelPropagation]] for ANY threshold/salts — correctness never
+    * depends on the audit, only the skew protection does.
+    *
+    * Measured honesty (lpaskew storm, 24M edges / 30% into 3 celebrity
+    * dsts): the PLAIN form wins there (56 vs 76 s) — count and min
+    * partials combine map-side and the composite (dst, label) key
+    * hash-spreads a celebrity's rows, so Spark's two-phase aggregation
+    * already absorbs this skew class. This variant is insurance for
+    * the regime that measurement can't reach in-memory: per-task
+    * partial-agg hash maps spilling to sort-fallback on a node whose
+    * in-neighborhood exceeds executor memory. Default to
+    * [[labelPropagation]]; reach for this when the skew audit (q145)
+    * shows single keys holding whole-executor shares. */
+  def labelPropagationSkewAware(edges: DataFrame, iters: Int,
+                                salts: Int = 8,
+                                thresholdPpm: Long = 10000L): DataFrame = {
+    require(iters >= 0, s"iters=$iters must be non-negative")
+    require(salts > 0, s"salts=$salts must be positive")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist()
+    nodes.count()
+    val ed = e.repartition(col("src")).persist()
+    ed.count()
+    // one audit for the whole run: key-list-sized, broadcast into every
+    // iteration (the q148 reuse discipline — hotKeysByShare is split
+    // out exactly so a loop pays the fact scan once)
+    val hot = Shuffles.hotKeysByShare(ed, "dst", thresholdPpm)
+      .select(col("dst"), lit(true).as("__hot"))
+      .localCheckpoint(eager = true)
+    try {
+      var labels = nodes.select(col("node"), col("node").as("label"))
+      for (_ <- 0 until iters) {
+        val contrib = ed
+          .join(labels.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src")
+          .join(broadcast(hot), Seq("dst"), "left")
+          .withColumn("__s1", when(col("__hot"),
+            pmod(xxhash64(col("src")), lit(salts.toLong)).cast("int"))
+            .otherwise(lit(0)))
+        val cnt = contrib
+          .groupBy(col("dst"), col("label"), col("__s1"))
+          .agg(count(lit(1)).as("__pc"))
+          .groupBy(col("dst"), col("label"))
+          .agg(sum(col("__pc")).as("__c"))
+        val top = cnt
+          .join(broadcast(hot), Seq("dst"), "left")
+          .withColumn("__s2", when(col("__hot"),
+            pmod(xxhash64(col("label")), lit(salts.toLong)).cast("int"))
+            .otherwise(lit(0)))
+          .groupBy(col("dst"), col("__s2"))
+          .agg(min(struct((-col("__c")).as("nc"), col("label").as("l")))
+            .as("__pm"))
+          .groupBy(col("dst").as("node"))
+          .agg(min(col("__pm")).as("__m"))
+          .select(col("node"), col("__m.l").as("__new"))
+        labels = labels.join(top, Seq("node"), "left")
+          .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
+      }
+      labels.localCheckpoint(eager = true)
+    } finally { ed.unpersist(blocking = false); nodes.unpersist(blocking = false) }
+  }
 }

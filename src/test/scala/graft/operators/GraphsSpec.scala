@@ -131,4 +131,26 @@ class GraphsSpec extends SparkSpec {
     assert(labels(edges, 0) == (1L to 20L).map(i => i -> i).toMap)
     assert(labels(edges, 3) == labels(edges, 3))
   }
+
+  test("skew-aware LPA ≡ plain for any threshold/salt on a celebrity graph") {
+    // node 1 is the celebrity: every node votes into it; plus a chain
+    // and a second community so labels actually move and tie-break
+    val rnd = new scala.util.Random(11)
+    val celeb = (2L to 60L).map(i => (i, 1L))
+    val chain = (2L to 59L).map(i => (i, i + 1))
+    val back = (1L to 30L).map(i => (1L, i * 2))
+    val noise = Seq.fill(80)((rnd.nextInt(58) + 2).toLong ->
+      (rnd.nextInt(58) + 2).toLong).filter(p => p._1 != p._2)
+    val edges = (celeb ++ chain ++ back ++ noise).toDF("src", "dst")
+    val plain = Graphs.labelPropagation(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // threshold 1 ppm: EVERY dst is hot (fully salted); 1e6: none is
+    // (plain path through the gated plan); 10000: only the celebrity
+    for ((ppm, salts) <- Seq((1L, 4), (10000L, 8), (1000000L, 3))) {
+      val salted = Graphs.labelPropagationSkewAware(edges, 3,
+          salts = salts, thresholdPpm = ppm)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(salted == plain, s"diverged at ppm=$ppm salts=$salts")
+    }
+  }
 }
