@@ -240,19 +240,7 @@ object Multimodal {
   def phashNearDups(media: DataFrame, width: Int, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, s"maxDist=$maxDist out of range")
     val ph = perceptualHash(media, width).select(col("media_id"), col("dhash"))
-    val nChunks = maxDist + 1
-    val cw = 64 / nChunks
-    val chunks = (0 until nChunks).map { c =>
-      val bits = if (c == nChunks - 1) 64 - c * cw else cw
-      val mask = if (bits == 64) -1L else (1L << bits) - 1
-      struct(lit(c).as("chunk"),
-        shiftright(col("dhash"), c * cw).bitwiseAND(lit(mask))
-          .as("chunk_val"))
-    }
-    val keyed = ph.select(col("media_id"), col("dhash"),
-        explode(array(chunks: _*)).as("ck"))
-      .select(col("media_id"), col("dhash"),
-        col("ck.chunk").as("chunk"), col("ck.chunk_val").as("chunk_val"))
+    val keyed = bandKeys(ph, "dhash", maxDist)
     val l = keyed.select(col("media_id").as("id_a"), col("dhash").as("h_a"),
       col("chunk"), col("chunk_val"))
     val r = keyed.select(col("media_id").as("id_b"), col("dhash").as("h_b"),
@@ -263,6 +251,107 @@ object Multimodal {
       .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** The pigeonhole band keys of a 64-bit hash column: (maxDist+1)
+    * chunks — any pair within Hamming distance shares one exact chunk.
+    * Shared by [[phashNearDups]] and the store serve so the two
+    * candidate generators can never disagree. */
+  private def bandKeys(df: DataFrame, hashCol: String,
+                       maxDist: Int): DataFrame = {
+    val nChunks = maxDist + 1
+    val cw = 64 / nChunks
+    val chunks = (0 until nChunks).map { c =>
+      val bits = if (c == nChunks - 1) 64 - c * cw else cw
+      val mask = if (bits == 64) -1L else (1L << bits) - 1
+      struct(lit(c).as("chunk"),
+        shiftright(col(hashCol), c * cw).bitwiseAND(lit(mask))
+          .as("chunk_val"))
+    }
+    df.select(col("media_id"), col(hashCol),
+        explode(array(chunks: _*)).as("ck"))
+      .select(col("media_id"), col(hashCol),
+        col("ck.chunk").as("chunk"), col("ck.chunk_val").as("chunk_val"))
+  }
+
+  /** Persist the corpus's perceptual-hash index: (media_id, dhash),
+    * hash-partitioned — fixed-width longs, two per image, the whole
+    * store is ~16 bytes/image however large the media bytes are. The
+    * media binaries are read ONCE here and never travel again (the
+    * q88 store discipline applied to the perceptual lens). */
+  def writePhashStore(media: DataFrame, width: Int, path: String,
+                      parts: Int = 16): Unit = {
+    require(parts >= 1, s"parts=$parts must be >= 1")
+    perceptualHash(media, width)
+      .select(col("media_id"), col("dhash"))
+      .repartition(parts, col("dhash"))
+      .write.mode("overwrite").parquet(s"$path/phash")
+  }
+
+  /** Serve ONE new media batch against the frozen phash store — the
+    * incremental media-dedup shape (q165's serve for images): the
+    * batch's band keys equi-join the store's (computed on read — the
+    * store is hash-sized, the expansion is 4 fixed-width rows per
+    * image, never the media bytes), candidates verify by exact
+    * bit_count, and each batch image reports `dup_of` = the smallest
+    * matching id with HISTORY WINNING over within-batch matches of any
+    * id (the curated copy is already stored — the [[graft.operators
+    * .Curation]] keeper convention), within-batch min-id otherwise;
+    * `is_fresh` when no match. Law-by-oracle: a brute-force all-pairs
+    * replay must agree exactly — the banding is an access path, never
+    * a semantics. */
+  def servePhashDedup(s: org.apache.spark.sql.SparkSession, path: String,
+                      batch: DataFrame, width: Int,
+                      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist=$maxDist out of range")
+    val store = s.read.parquet(s"$path/phash")
+    val bh = perceptualHash(batch, width)
+      .select(col("media_id"), col("dhash"))
+      .localCheckpoint(eager = true) // feeds bands twice + the output join
+    val bb = bandKeys(bh, "dhash", maxDist)
+    val hist = bandKeys(store, "dhash", maxDist)
+      .select(col("chunk"), col("chunk_val"),
+        col("media_id").as("__hid"), col("dhash").as("__hh"))
+    val histDup = bb.join(hist, Seq("chunk", "chunk_val"))
+      .select(col("media_id"), col("__hid"), col("dhash"), col("__hh"))
+      .distinct()
+      .filter(expr(s"bit_count(dhash ^ __hh) <= $maxDist"))
+      .groupBy(col("media_id"))
+      .agg(min(col("__hid")).as("__hdup"))
+    val peer = bb.select(col("chunk"), col("chunk_val"),
+      col("media_id").as("__pid"), col("dhash").as("__ph"))
+    val batchDup = bb.join(peer, Seq("chunk", "chunk_val"))
+      .filter(col("__pid") < col("media_id"))
+      .select(col("media_id"), col("__pid"), col("dhash"), col("__ph"))
+      .distinct()
+      .filter(expr(s"bit_count(dhash ^ __ph) <= $maxDist"))
+      .groupBy(col("media_id"))
+      .agg(min(col("__pid")).as("__bdup"))
+    bh.select(col("media_id"))
+      .join(histDup, Seq("media_id"), "left")
+      .join(batchDup, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("__hdup"), col("__bdup")).as("dup_of"),
+        (col("__hdup").isNull && col("__bdup").isNull).as("is_fresh"))
+  }
+
+  /** Media near-dup KEEPER table — q31's "keep one per near-dup
+    * cluster" action applied to the re-encode-robust perceptual lens:
+    * [[phashNearDups]] pairs → [[TextOps.connectedComponents]] (min-
+    * label, the certified kernel) → every DECODABLE media row labeled
+    * with its cluster (smallest reachable id) and whether it is the
+    * keeper; singletons keep themselves. The dedup decision a crawl
+    * pipeline actually executes on images — byte-identical dups AND
+    * re-encodes collapse to one survivor. */
+  def phashDedupClusters(media: DataFrame, width: Int,
+                         maxDist: Int): DataFrame = {
+    val pairs = phashNearDups(media, width, maxDist)
+    val cc = TextOps.connectedComponents(pairs)
+    val ids = perceptualHash(media, width).select(col("media_id"))
+    ids.join(cc, ids("media_id") === cc("id"), "left")
+      .select(ids("media_id"),
+        coalesce(cc("label"), ids("media_id")).as("cluster_id"))
+      .withColumn("is_keeper", col("media_id") === col("cluster_id"))
   }
 
   /** VAD-style windowed signal energy over the REAL decode path: each

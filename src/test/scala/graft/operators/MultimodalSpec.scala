@@ -108,6 +108,27 @@ class MultimodalSpec extends SparkSpec {
       banded.contains((100L + i, 200L + i, 0L))))
   }
 
+  test("servePhashDedup: history wins, within-batch min-id, fresh is fresh") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-phashstore").toString
+    def mt(rows: Seq[(Long, String)]) = Multimodal.asMediaTable(
+      rows.toDF("id", "payload"), "id", "payload", "image")
+    val shared = "the very same payload " * 10
+    val hist = mt(Seq(5L -> shared, 6L -> ("history only " * 12)))
+    Multimodal.writePhashStore(hist, width = 64, dir)
+    // batch: 10 matches history 5 AND batch 11; 11 matches 10; 12 fresh
+    val batch = mt(Seq(10L -> shared, 11L -> shared,
+      12L -> ("completely different and fresh " * 9)))
+    val out = Multimodal.servePhashDedup(spark, dir, batch,
+        width = 64, maxDist = 3)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("is_fresh"))).toMap
+    assert(out(10L) == (Some(5L), false)) // history 5 beats batch peer 11
+    assert(out(11L) == (Some(5L), false)) // history wins over batch 10
+    assert(out(12L) == (None, true))
+  }
+
   test("byteFeatures md5 matches the payload hash") {
     val r = Multimodal.byteFeatures(media).filter(col("media_id") === 1).first()
     val expected = java.security.MessageDigest.getInstance("MD5")
