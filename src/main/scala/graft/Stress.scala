@@ -644,6 +644,35 @@ object Stress {
             .groupBy("media_id").agg(count(lit(1))).count()
         }
     }
+    // perceptual-hash family at factor× (round 17): full-corpus banded
+    // near-dup pairs, the keeper clustering, and the store serve — the
+    // copies are EXACT payload dups (phash 0), so pair volume grows
+    // with factor and the CC has real components to close
+    import graft.operators.Multimodal
+    val mbig = Multimodal.asMediaTable(big, "doc_id", "text", "image")
+      .localCheckpoint(true)
+    time(s"perceptualHash(${factor}x)") {
+      Multimodal.perceptualHash(mbig, width = 64).count()
+    }
+    time(s"phashNearDups(${factor}x)") {
+      Multimodal.phashNearDups(mbig, width = 64, maxDist = 3).count()
+    }
+    time(s"phashDedupClusters(${factor}x)") {
+      Multimodal.phashDedupClusters(mbig, width = 64, maxDist = 3).count()
+    }
+    val ppath = s"${System.getProperty("java.io.tmpdir")}/graft-stress-phash-$factor"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ppath))
+    time(s"writePhashStore(${factor}x)") {
+      Multimodal.writePhashStore(mbig, width = 64, ppath)
+      spark.read.parquet(s"$ppath/phash").count()
+    }
+    val pbatch = Multimodal.asMediaTable(
+      base.limit(500).select((col("doc_id") + 100000000L).as("doc_id"),
+        col("text")), "doc_id", "text", "image").localCheckpoint(true)
+    time(s"servePhashDedup(500 vs ${factor}x store)") {
+      Multimodal.servePhashDedup(spark, ppath, pbatch,
+        width = 64, maxDist = 3).filter(col("is_fresh") === false).count()
+    }
     }
 
     if (mode == "graph") {

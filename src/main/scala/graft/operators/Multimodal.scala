@@ -239,7 +239,11 @@ object Multimodal {
     * only the shifted-in-range bits, identically here and in DuckDB. */
   def phashNearDups(media: DataFrame, width: Int, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, s"maxDist=$maxDist out of range")
+    // hub: the self-join below consumes the banded hashes twice — cut
+    // once (the q139 discipline) or the wrap→decode→phash kernel runs
+    // per consumer, 2× the media decode at crawl scale
     val ph = perceptualHash(media, width).select(col("media_id"), col("dhash"))
+      .localCheckpoint(eager = true)
     val keyed = bandKeys(ph, "dhash", maxDist)
     val l = keyed.select(col("media_id").as("id_a"), col("dhash").as("h_a"),
       col("chunk"), col("chunk_val"))
