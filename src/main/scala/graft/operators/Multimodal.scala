@@ -316,7 +316,11 @@ object Multimodal {
     val hist = bandKeys(store, "dhash", maxDist)
       .select(col("chunk"), col("chunk_val"),
         col("media_id").as("__hid"), col("dhash").as("__hh"))
-    val histDup = bb.join(hist, Seq("chunk", "chunk_val"))
+    // pin the BATCH side broadcast: the store's band expansion is
+    // corpus-sized and must stream past the probe (local-mode AQE
+    // happily broadcasts the tiny test store — at 100 TB that plan
+    // inverts into a per-serve store shuffle, the q173 lesson)
+    val histDup = broadcast(bb).join(hist, Seq("chunk", "chunk_val"))
       .select(col("media_id"), col("__hid"), col("dhash"), col("__hh"))
       .distinct()
       .filter(expr(s"bit_count(dhash ^ __hh) <= $maxDist"))

@@ -961,6 +961,19 @@ class PlanContractSpec extends SparkSpec {
       s"q182 planned a product:\n$plan")
   }
 
+  test("q185 store serve: the BATCH side broadcasts into the store probe") {
+    val plan = physical(
+      SparkEntry.queries("q185_phash_store_serve")(spark, dir))
+    // the store's band expansion is corpus-sized and must STREAM past
+    // the broadcast probe; local AQE would happily invert this on the
+    // tiny test store, so the build side is pinned in the operator
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("BuildLeft"),
+      s"q185 lost the batch-side broadcast build:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q185 planned a product:\n$plan")
+  }
+
   test("q183 composed pipeline: benchmark flag join broadcast, no product") {
     val plan = physical(
       SparkEntry.queries("q183_pipeline_manifest")(spark, dir))

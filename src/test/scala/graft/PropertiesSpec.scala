@@ -37,6 +37,28 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("pigeonhole banding: any pair within Hamming d shares a chunk (property)") {
+    // the guarantee phashNearDups/servePhashDedup's candidate equi-join
+    // rests on: 64 bits split into (d+1) chunks (last takes the
+    // remainder) — flipping ≤ d bits cannot touch every chunk
+    val hash = Gen.choose(Long.MinValue, Long.MaxValue)
+    val d = Gen.choose(0, 7)
+    val flips = Gen.listOf(Gen.choose(0, 63))
+    def chunks(h: Long, dd: Int): Seq[(Int, Long)] = {
+      val n = dd + 1; val cw = 64 / n
+      (0 until n).map { c =>
+        val bits = if (c == n - 1) 64 - c * cw else cw
+        val mask = if (bits == 64) -1L else (1L << bits) - 1
+        c -> ((h >> (c * cw)) & mask)
+      }
+    }
+    check(Prop.forAll(hash, d, flips) { (h, dd, fl) =>
+      val b = fl.take(dd).distinct.foldLeft(h)((acc, i) => acc ^ (1L << i))
+      java.lang.Long.bitCount(h ^ b) > dd ||
+        chunks(h, dd).intersect(chunks(b, dd)).nonEmpty
+    })
+  }
+
   test("native hash60 ≡ md5-hex-parse definition (property)") {
     check(Prop.forAll(Gen.alphaNumStr) { s =>
       val bytes = s.getBytes("UTF-8")
