@@ -3050,6 +3050,49 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** Continuous media dedup — the phash store MAINTAINED across crawl
+    * batches (q166's absorption chain for images): batch 1 serves
+    * against history (fenced, `b < 1`) and its FRESH keepers' hashes
+    * absorb under `b = 1` ([[Multimodal.appendPhash]], idempotent
+    * dynamic overwrite); batch 2 then serves against history ∪ batch-1
+    * keepers — a batch-2 re-encode of a batch-1 image is caught by the
+    * absorbed index, which the oracle replays round by round. Store
+    * build + round 1 persist once per JVM; round 2 serves FRESH per
+    * rep behind the `b < 2` fence (the q149 bench-honesty discipline). */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q186" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-phashstream-$tag"
+    val d = Tables.documents(s, dir)
+    def mt(df: DataFrame) =
+      Multimodal.asMediaTable(df, "doc_id", "text", "image")
+    if (!new java.io.File(path).exists()) {
+      Multimodal.writePhashStore(mt(d.filter(col("doc_id") % 4 <= 1)),
+        width = 64, path)
+      val b1 = mt(d.filter(col("doc_id") % 4 === 2))
+      val served1 = Multimodal.servePhashDedup(s, path, b1,
+        width = 64, maxDist = 3, batchCut = Some(1L))
+        .localCheckpoint(eager = true) // feeds the persist AND the absorb
+      served1.withColumn("b", lit(1L))
+        .write.mode("overwrite").partitionBy("b").parquet(s"$path/served")
+      Multimodal.appendPhash(
+        Multimodal.perceptualHash(b1, width = 64)
+          .join(served1.filter(col("is_fresh")).select("media_id"),
+            Seq("media_id"), "left_semi"),
+        path, batchId = 1L)
+    }
+    val served2 = Multimodal.servePhashDedup(s, path,
+        mt(d.filter(col("doc_id") % 8 === 3)),
+        width = 64, maxDist = 3, batchCut = Some(2L))
+      .withColumn("b", lit(2L))
+    s.read.parquet(s"$path/served")
+      .select(col("b").cast("long").as("b"), col("media_id"),
+        col("dup_of"), col("is_fresh"))
+      .unionByName(served2.select(col("b"), col("media_id"),
+        col("dup_of"), col("is_fresh")))
+      .orderBy("b", "media_id")
+  }
+
   /** Guarded span cut ([[SpanDedup.cutDuplicatedSpans]] with
     * `minSpanTokens = 24`): the production exact-substring default —
     * only repeats of 24+ tokens cut (q163 cuts everything ≥ 8), so
@@ -3989,6 +4032,7 @@ object SparkEntry {
     "q183_pipeline_manifest" -> q183,
     "q184_phash_dedup" -> q184,
     "q185_phash_store_serve" -> q185,
+    "q186_phash_stream" -> q186,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -7043,6 +7087,40 @@ object SparkEntry {
          |FROM ph ORDER BY media_id""".stripMargin,
     // q183: serve → span cut → pack → manifest, one oracle derivation
     "q183_pipeline_manifest" -> pipelineManifestOracleSql,
+    // q186: round 1 vs history, round 2 vs history ∪ round 1's FRESH
+    // keepers (the absorption, replayed) — both rounds brute-forced
+    "q186_phash_stream" ->
+      s"""WITH ${phashCtesFor("h_", "doc_id % 4 <= 1")},
+         |${phashCtesFor("c_", "doc_id % 4 = 2")},
+         |${phashCtesFor("d_", "doc_id % 8 = 3")},
+         |r1h AS (SELECT b.media_id, min(h.media_id) AS hd FROM c_h b
+         |        JOIN h_h h ON bit_count(xor(b.dhash, h.dhash)) <= 3
+         |        GROUP BY 1),
+         |r1b AS (SELECT b.media_id, min(a.media_id) AS bd FROM c_h b
+         |        JOIN c_h a ON a.media_id < b.media_id
+         |          AND bit_count(xor(a.dhash, b.dhash)) <= 3 GROUP BY 1),
+         |r1 AS (SELECT p.media_id, coalesce(r1h.hd, r1b.bd) AS dup_of,
+         |              (r1h.hd IS NULL AND r1b.bd IS NULL) AS is_fresh
+         |       FROM c_h p LEFT JOIN r1h USING (media_id)
+         |                  LEFT JOIN r1b USING (media_id)),
+         |h2 AS (SELECT media_id, dhash FROM h_h
+         |       UNION ALL
+         |       SELECT c.media_id, c.dhash FROM c_h c
+         |       JOIN r1 USING (media_id) WHERE r1.is_fresh),
+         |r2h AS (SELECT b.media_id, min(h.media_id) AS hd FROM d_h b
+         |        JOIN h2 h ON bit_count(xor(b.dhash, h.dhash)) <= 3
+         |        GROUP BY 1),
+         |r2b AS (SELECT b.media_id, min(a.media_id) AS bd FROM d_h b
+         |        JOIN d_h a ON a.media_id < b.media_id
+         |          AND bit_count(xor(a.dhash, b.dhash)) <= 3 GROUP BY 1),
+         |r2 AS (SELECT p.media_id, coalesce(r2h.hd, r2b.bd) AS dup_of,
+         |              (r2h.hd IS NULL AND r2b.bd IS NULL) AS is_fresh
+         |       FROM d_h p LEFT JOIN r2h USING (media_id)
+         |                  LEFT JOIN r2b USING (media_id))
+         |SELECT 1::BIGINT AS b, media_id, dup_of, is_fresh FROM r1
+         |UNION ALL
+         |SELECT 2::BIGINT AS b, media_id, dup_of, is_fresh FROM r2
+         |ORDER BY b, media_id""".stripMargin,
     // q185: history and batch hash sets from the one phash definition;
     // both match sets brute-forced — banding is pure access path
     "q185_phash_store_serve" ->

@@ -289,7 +289,28 @@ object Multimodal {
     perceptualHash(media, width)
       .select(col("media_id"), col("dhash"))
       .repartition(parts, col("dhash"))
-      .write.mode("overwrite").parquet(s"$path/phash")
+      .withColumn("b", lit(0L))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$path/phash")
+  }
+
+  /** Absorb one batch's hash rows under `b = batchId` — an idempotent
+    * dynamic partition overwrite, the [[SpanDedup.appendGrams]]
+    * absorption discipline applied to the media index. Callers absorb
+    * the batch's FRESH (keeper) hashes: a dropped near-dup's hash is
+    * within `maxDist` of its keeper's, and Hamming distance is not
+    * transitive, so keeper-only absorption can in principle miss a
+    * later re-encode that drifted ≤ d from the DROPPED copy but > d
+    * from the keeper — the standard index-the-survivor trade every
+    * dedup store makes (the span store has the same property at gram
+    * granularity); absorb the full batch instead when that recall
+    * matters more than store size. */
+  def appendPhash(hashes: DataFrame, path: String, batchId: Long): Unit = {
+    require(batchId >= 1, s"batchId=$batchId collides with the b=0 seed")
+    hashes.select(col("media_id"), col("dhash"))
+      .withColumn("b", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("b").parquet(s"$path/phash")
   }
 
   /** Serve ONE new media batch against the frozen phash store — the
@@ -304,11 +325,19 @@ object Multimodal {
     * `is_fresh` when no match. Law-by-oracle: a brute-force all-pairs
     * replay must agree exactly — the banding is an access path, never
     * a semantics. */
+  /** `batchCut`: for stream-maintained stores whose partitions carry
+    * `b = batchId` ([[appendPhash]]), serve only against `b < cut` —
+    * the redelivery fence ([[SpanDedup.serveSpanCut]]'s contract): a
+    * crashed attempt may have absorbed its own fresh hashes before the
+    * commit marker, and an unfenced re-serve would dedup the batch
+    * against itself. */
   def servePhashDedup(s: org.apache.spark.sql.SparkSession, path: String,
                       batch: DataFrame, width: Int,
-                      maxDist: Int): DataFrame = {
+                      maxDist: Int, batchCut: Option[Long] = None): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, s"maxDist=$maxDist out of range")
-    val store = s.read.parquet(s"$path/phash")
+    val store0 = s.read.parquet(s"$path/phash")
+    val store = batchCut.fold(store0)(c =>
+      store0.filter(col("b").cast("long") < c))
     val bh = perceptualHash(batch, width)
       .select(col("media_id"), col("dhash"))
       .localCheckpoint(eager = true) // feeds bands twice + the output join

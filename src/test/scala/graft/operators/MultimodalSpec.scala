@@ -129,6 +129,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out(12L) == (None, true))
   }
 
+  test("appendPhash absorption: batch-2 copies of batch-1 keepers are caught; " +
+      "the batchCut fence hides a batch's own absorbed hashes") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-phashstream").toString
+    def mt(rows: Seq[(Long, String)]) = Multimodal.asMediaTable(
+      rows.toDF("id", "payload"), "id", "payload", "image")
+    Multimodal.writePhashStore(mt(Seq(1L -> ("history doc " * 15))),
+      width = 64, dir)
+    val novel = "a brand new crawl image " * 10
+    val b1 = mt(Seq(10L -> novel))
+    val s1 = Multimodal.servePhashDedup(spark, dir, b1, 64, 3,
+      batchCut = Some(1L))
+    assert(s1.filter(col("is_fresh")).count() == 1)
+    Multimodal.appendPhash(
+      Multimodal.perceptualHash(b1, 64).select(col("media_id"), col("dhash")),
+      dir, batchId = 1L)
+    // the fence: re-serving batch 1 under b < 1 (redelivery) must NOT
+    // see its own absorbed hash — byte-identical fresh verdict
+    val s1again = Multimodal.servePhashDedup(spark, dir, b1, 64, 3,
+      batchCut = Some(1L))
+    assert(s1again.filter(col("is_fresh")).count() == 1)
+    // unfenced poison control: without the cut the batch dedups
+    // against itself — the fence is load-bearing
+    assert(Multimodal.servePhashDedup(spark, dir, b1, 64, 3)
+      .filter(col("is_fresh")).count() == 0)
+    // absorption bites: a batch-2 copy of the batch-1 keeper is a dup
+    // OF THE BATCH-1 ID under the b < 2 fence
+    val s2 = Multimodal.servePhashDedup(spark, dir,
+        mt(Seq(20L -> novel)), 64, 3, batchCut = Some(2L))
+      .collect()
+    assert(s2.length == 1 && s2.head.getAs[Long]("dup_of") == 10L &&
+      !s2.head.getAs[Boolean]("is_fresh"))
+  }
+
   test("byteFeatures md5 matches the payload hash") {
     val r = Multimodal.byteFeatures(media).filter(col("media_id") === 1).first()
     val expected = java.security.MessageDigest.getInstance("MD5")
