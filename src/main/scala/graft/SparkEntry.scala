@@ -3093,6 +3093,41 @@ object SparkEntry {
       .orderBy("b", "media_id")
   }
 
+  /** q186's chain + a THIRD round with a retention fold between —
+    * [[graft.streaming.PhashStream.foldPhash]] compacts batches
+    * b ≤ 2 into one snapshot between rounds 2 and 3, and the oracle
+    * has NO idea (read-invisibility through the `b < 3` fence — the
+    * q167/q150 discipline on the media index). Store chain built once
+    * per JVM; round 3 serves fresh per rep. */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.PhashStream
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q187" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-phfold-$tag"
+    val d = Tables.documents(s, dir)
+    def mt(df: DataFrame) =
+      Multimodal.asMediaTable(df, "doc_id", "text", "image")
+    if (!new java.io.File(path).exists()) {
+      PhashStream.init(mt(d.filter(col("doc_id") % 4 <= 1)),
+        width = 64, path)
+      PhashStream.applyBatch(mt(d.filter(col("doc_id") % 4 === 2)),
+        width = 64, maxDist = 3, path, batchId = 1L)
+      PhashStream.applyBatch(mt(d.filter(col("doc_id") % 8 === 3)),
+        width = 64, maxDist = 3, path, batchId = 2L)
+      PhashStream.foldPhash(s, path, upTo = 2L)
+    }
+    val served3 = Multimodal.servePhashDedup(s, path,
+        mt(d.filter(col("doc_id") % 8 === 7)),
+        width = 64, maxDist = 3, batchCut = Some(3L))
+      .withColumn("b", lit(3L))
+    s.read.parquet(s"$path/served")
+      .select(col("b").cast("long").as("b"), col("media_id"),
+        col("dup_of"), col("is_fresh"))
+      .unionByName(served3.select(col("b"), col("media_id"),
+        col("dup_of"), col("is_fresh")))
+      .orderBy("b", "media_id")
+  }
+
   /** Guarded span cut ([[SpanDedup.cutDuplicatedSpans]] with
     * `minSpanTokens = 24`): the production exact-substring default —
     * only repeats of 24+ tokens cut (q163 cuts everything ≥ 8), so
@@ -4033,6 +4068,7 @@ object SparkEntry {
     "q184_phash_dedup" -> q184,
     "q185_phash_store_serve" -> q185,
     "q186_phash_stream" -> q186,
+    "q187_phash_fold" -> q187,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -7087,6 +7123,58 @@ object SparkEntry {
          |FROM ph ORDER BY media_id""".stripMargin,
     // q183: serve → span cut → pack → manifest, one oracle derivation
     "q183_pipeline_manifest" -> pipelineManifestOracleSql,
+    // q187: q186's rounds + a third — the oracle replays the
+    // accumulated keeper sets and is BLIND to the fold between rounds
+    // 2 and 3 (read-invisibility through the b < 3 fence)
+    "q187_phash_fold" ->
+      s"""WITH ${phashCtesFor("h_", "doc_id % 4 <= 1")},
+         |${phashCtesFor("c_", "doc_id % 4 = 2")},
+         |${phashCtesFor("d_", "doc_id % 8 = 3")},
+         |${phashCtesFor("e_", "doc_id % 8 = 7")},
+         |r1h AS (SELECT b.media_id, min(h.media_id) AS hd FROM c_h b
+         |        JOIN h_h h ON bit_count(xor(b.dhash, h.dhash)) <= 3
+         |        GROUP BY 1),
+         |r1b AS (SELECT b.media_id, min(a.media_id) AS bd FROM c_h b
+         |        JOIN c_h a ON a.media_id < b.media_id
+         |          AND bit_count(xor(a.dhash, b.dhash)) <= 3 GROUP BY 1),
+         |r1 AS (SELECT p.media_id, coalesce(r1h.hd, r1b.bd) AS dup_of,
+         |              (r1h.hd IS NULL AND r1b.bd IS NULL) AS is_fresh
+         |       FROM c_h p LEFT JOIN r1h USING (media_id)
+         |                  LEFT JOIN r1b USING (media_id)),
+         |h2 AS (SELECT media_id, dhash FROM h_h
+         |       UNION ALL
+         |       SELECT c.media_id, c.dhash FROM c_h c
+         |       JOIN r1 USING (media_id) WHERE r1.is_fresh),
+         |r2h AS (SELECT b.media_id, min(h.media_id) AS hd FROM d_h b
+         |        JOIN h2 h ON bit_count(xor(b.dhash, h.dhash)) <= 3
+         |        GROUP BY 1),
+         |r2b AS (SELECT b.media_id, min(a.media_id) AS bd FROM d_h b
+         |        JOIN d_h a ON a.media_id < b.media_id
+         |          AND bit_count(xor(a.dhash, b.dhash)) <= 3 GROUP BY 1),
+         |r2 AS (SELECT p.media_id, coalesce(r2h.hd, r2b.bd) AS dup_of,
+         |              (r2h.hd IS NULL AND r2b.bd IS NULL) AS is_fresh
+         |       FROM d_h p LEFT JOIN r2h USING (media_id)
+         |                  LEFT JOIN r2b USING (media_id)),
+         |h3 AS (SELECT media_id, dhash FROM h2
+         |       UNION ALL
+         |       SELECT c.media_id, c.dhash FROM d_h c
+         |       JOIN r2 USING (media_id) WHERE r2.is_fresh),
+         |r3h AS (SELECT b.media_id, min(h.media_id) AS hd FROM e_h b
+         |        JOIN h3 h ON bit_count(xor(b.dhash, h.dhash)) <= 3
+         |        GROUP BY 1),
+         |r3b AS (SELECT b.media_id, min(a.media_id) AS bd FROM e_h b
+         |        JOIN e_h a ON a.media_id < b.media_id
+         |          AND bit_count(xor(a.dhash, b.dhash)) <= 3 GROUP BY 1),
+         |r3 AS (SELECT p.media_id, coalesce(r3h.hd, r3b.bd) AS dup_of,
+         |              (r3h.hd IS NULL AND r3b.bd IS NULL) AS is_fresh
+         |       FROM e_h p LEFT JOIN r3h USING (media_id)
+         |                  LEFT JOIN r3b USING (media_id))
+         |SELECT 1::BIGINT AS b, media_id, dup_of, is_fresh FROM r1
+         |UNION ALL
+         |SELECT 2::BIGINT AS b, media_id, dup_of, is_fresh FROM r2
+         |UNION ALL
+         |SELECT 3::BIGINT AS b, media_id, dup_of, is_fresh FROM r3
+         |ORDER BY b, media_id""".stripMargin,
     // q186: round 1 vs history, round 2 vs history ∪ round 1's FRESH
     // keepers (the absorption, replayed) — both rounds brute-forced
     "q186_phash_stream" ->
