@@ -1366,6 +1366,93 @@ object Stress {
     q.processAllAvailable()
     q.stop()
     }
+    if (mode == "phashcrash") {
+    // Crash-kill storm for the REAL PhashStream.maintain query — the
+    // spancrash harness on the media index: child JVMs are halt(137)'d
+    // after the verdict write and after hash absorption (both before
+    // the marker), restarted from the checkpoint, and the final store
+    // must equal the sequential no-crash control row for row. Each
+    // rep's payloads are one-token perturbations of the base corpus
+    // (near-identical planes), so most batch images dedup against
+    // history/absorbed keepers — maximal pressure on the fence.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.PhashStream
+    val nb = math.max(6, factor / 4)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-stress-phashcrash-$factor"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (input, store, ctl, ckpt) =
+      (s"$root/input", s"$root/store", s"$root/control", s"$root/ckpt")
+    val nBase = 5000L
+    val d0 = Tables.documents(spark, "/root/testdata/sf0.1")
+    val reps = spark.range(nb + 1).select(col("id").as("__rep"))
+    val bigD = d0.crossJoin(reps)
+      .select((col("doc_id") + col("__rep") * nBase).as("doc_id"),
+        concat(col("text"), lit(" copytag"), col("__rep")).as("text"))
+      .localCheckpoint(true)
+    def dRep(r: Int) = bigD.filter(col("doc_id") >= r * nBase &&
+      col("doc_id") < (r + 1) * nBase)
+    def mRep(r: Int) = graft.operators.Multimodal.asMediaTable(
+      dRep(r), "doc_id", "text", "image")
+    (1 to nb).foreach { r =>
+      dRep(r).coalesce(1).write.mode("append").parquet(input)
+    }
+    PhashStream.init(mRep(0), 64, ctl)
+    (1 to nb).foreach { b =>
+      PhashStream.applyBatch(mRep(b), 64, 3, ctl, b.toLong)
+    }
+    PhashStream.init(mRep(0), 64, store)
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
+      .asScala.toSeq
+    def runChild(poison: Option[(String, Long)]): Int = {
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        poison.toSeq.map { case (p, b) => s"-D$p=$b" } ++
+        Seq("-cp", System.getProperty("java.class.path"),
+          "graft.Stress", factor.toString, "phashcrash-child",
+          input, store, ckpt)
+      val pb = new ProcessBuilder(cmd: _*).inheritIO()
+      pb.start().waitFor()
+    }
+    val kills = Seq(
+      ("graft.phash.crashAfterServe", 2L),
+      ("graft.phash.crashAfterAbsorb", (nb / 2).toLong),
+      ("graft.phash.crashAfterAbsorb", (nb - 1).toLong))
+    kills.foreach { case (p, b) =>
+      val rc = runChild(Some(p -> b))
+      println(s"[stress] phashcrash: killed child at $p=$b (exit $rc)")
+      require(rc == 137, s"poisoned child exited $rc, expected halt 137")
+    }
+    val rcFinal = runChild(None)
+    require(rcFinal == 0, s"clean child exited $rcFinal")
+    def rowsOf(p: String, sub: String, cols: Seq[String]): Set[String] =
+      spark.read.parquet(s"$p/$sub")
+        .selectExpr(cols: _*).collect().map(_.toString).toSet
+    val diffs = Seq(
+      "served" -> Seq("CAST(b AS LONG)", "media_id", "dup_of", "is_fresh"),
+      "phash" -> Seq("CAST(b AS LONG)", "media_id", "dhash"))
+      .map { case (sub, cols) =>
+        val (a, c) = (rowsOf(store, sub, cols), rowsOf(ctl, sub, cols))
+        val d = (a diff c).size + (c diff a).size
+        println(s"[stress] phashcrash: $sub rows stream=${a.size} " +
+          s"control=${c.size} diffed=$d")
+        d
+      }.sum
+    require(diffs == 0, s"crash-recovered store diverged: $diffs rows differ")
+    println(s"[stress] phashcrash: ${kills.size} kills / ${kills.size} " +
+      s"recoveries / rows diffed = 0 over $nb batches")
+    }
+    if (mode == "phashcrash-child") {
+    import graft.streaming.PhashStream
+    val Seq(input, store, ckpt) = args.slice(2, 5).toSeq
+    val schema = spark.read.parquet(input).schema
+    val rowsStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(input)
+    val q = PhashStream.maintain(rowsStream, "doc_id", "text", "image",
+      64, 3, store, checkpoint = ckpt)
+    q.processAllAvailable()
+    q.stop()
+    }
     if (mode == "curcrash") {
     // Crash-kill storm for the REAL CurationStream.maintain query (r15
     // verdict #7): the redelivery laws are spec-pinned at spec scale by
