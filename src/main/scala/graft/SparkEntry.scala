@@ -3128,6 +3128,31 @@ object SparkEntry {
       .orderBy("b", "media_id")
   }
 
+  /** Media contamination report ([[Multimodal.phashLeaks]]) — q173's
+    * story for images: the eval set's perceptual hashes persist as the
+    * benchmark index (doc_id % 50 = 0 plays the image benchmark) and
+    * every TRAINING image within Hamming ≤ 3 of any eval image is
+    * flagged with its CLOSEST eval match and the count of distinct
+    * eval images it leaks — a re-encoded benchmark image is exactly
+    * what byte-level checks miss and this catches. Within-batch
+    * matches deliberately not consulted (contamination is
+    * batch-vs-benchmark only). */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q188" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-phbench-$tag"
+    val d = Tables.documents(s, dir)
+    def mt(df: DataFrame) =
+      Multimodal.asMediaTable(df, "doc_id", "text", "image")
+    if (!new java.io.File(path).exists()) {
+      Multimodal.writePhashStore(mt(d.filter(col("doc_id") % 50 === 0)),
+        width = 64, path)
+    }
+    Multimodal.phashLeaks(s, path,
+        mt(d.filter(col("doc_id") % 50 =!= 0)), width = 64, maxDist = 3)
+      .orderBy("media_id")
+  }
+
   /** Guarded span cut ([[SpanDedup.cutDuplicatedSpans]] with
     * `minSpanTokens = 24`): the production exact-substring default —
     * only repeats of 24+ tokens cut (q163 cuts everything ≥ 8), so
@@ -4069,6 +4094,7 @@ object SparkEntry {
     "q185_phash_store_serve" -> q185,
     "q186_phash_stream" -> q186,
     "q187_phash_fold" -> q187,
+    "q188_media_decontam" -> q188,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -7123,6 +7149,20 @@ object SparkEntry {
          |FROM ph ORDER BY media_id""".stripMargin,
     // q183: serve → span cut → pack → manifest, one oracle derivation
     "q183_pipeline_manifest" -> pipelineManifestOracleSql,
+    // q188: eval hash set vs training hash set, brute-forced; closest
+    // match = min (hamming, eval_id), the engine's min-struct tiebreak
+    "q188_media_decontam" ->
+      s"""WITH ${phashCtesFor("h_", "doc_id % 50 = 0")},
+         |${phashCtesFor("c_", "doc_id % 50 <> 0")},
+         |m AS (SELECT b.media_id, h.media_id AS eid,
+         |        bit_count(xor(b.dhash, h.dhash))::BIGINT AS hd
+         |      FROM c_h b JOIN h_h h
+         |        ON bit_count(xor(b.dhash, h.dhash)) <= 3)
+         |SELECT media_id,
+         |       min(hd * 10000000000 + eid) % 10000000000 AS eval_id,
+         |       min(hd * 10000000000 + eid) // 10000000000 AS hamming,
+         |       count(DISTINCT eid)::BIGINT AS n_eval_matches
+         |FROM m GROUP BY media_id ORDER BY media_id""".stripMargin,
     // q187: q186's rounds + a third — the oracle replays the
     // accumulated keeper sets and is BLIND to the fold between rounds
     // 2 and 3 (read-invisibility through the b < 3 fence)

@@ -372,6 +372,37 @@ object Multimodal {
         (col("__hdup").isNull && col("__bdup").isNull).as("is_fresh"))
   }
 
+  /** Media contamination report against a persisted benchmark index —
+    * q173's story for images: every batch image within `maxDist` of
+    * ANY stored (eval) hash is flagged with its CLOSEST eval match
+    * (min Hamming, ties to the smaller eval id — deterministic) and
+    * the count of distinct eval images it leaks. Within-batch matches
+    * are deliberately NOT consulted: contamination is a property of
+    * the batch-vs-benchmark relation only. Same banded access path as
+    * [[servePhashDedup]] (batch side broadcast, store streams). */
+  def phashLeaks(s: org.apache.spark.sql.SparkSession, path: String,
+                 batch: DataFrame, width: Int, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist=$maxDist out of range")
+    val store = s.read.parquet(s"$path/phash")
+    val bh = perceptualHash(batch, width)
+      .select(col("media_id"), col("dhash"))
+      .localCheckpoint(eager = true)
+    val bb = bandKeys(bh, "dhash", maxDist)
+    val hist = bandKeys(store, "dhash", maxDist)
+      .select(col("chunk"), col("chunk_val"),
+        col("media_id").as("__eid"), col("dhash").as("__eh"))
+    broadcast(bb).join(hist, Seq("chunk", "chunk_val"))
+      .select(col("media_id"), col("__eid"), col("dhash"), col("__eh"))
+      .distinct()
+      .withColumn("__hd", expr("CAST(bit_count(dhash ^ __eh) AS BIGINT)"))
+      .filter(col("__hd") <= maxDist)
+      .groupBy(col("media_id"))
+      .agg(min(struct(col("__hd").as("h"), col("__eid").as("e"))).as("__m"),
+        countDistinct(col("__eid")).as("n_eval_matches"))
+      .select(col("media_id"), col("__m.e").as("eval_id"),
+        col("__m.h").as("hamming"), col("n_eval_matches"))
+  }
+
   /** Media near-dup KEEPER table — q31's "keep one per near-dup
     * cluster" action applied to the re-encode-robust perceptual lens:
     * [[phashNearDups]] pairs → [[TextOps.connectedComponents]] (min-
