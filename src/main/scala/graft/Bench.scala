@@ -190,6 +190,25 @@ object Bench {
       prevRound.exists(p => p > 0.0 && med > 1.5 * p) ||
       histBand.exists(b => b > 0.0 && med > 2.0 * b))
 
+  /** Window-corrected median (round-18, from the round-17 adjudication:
+    * two consecutive rounds were graded on a host-drift explanation
+    * because raw medians from hot-but-not-void windows entered the
+    * record as engine numbers). The model: contention multiplies wall
+    * time by the same factor it multiplies the canned probe, so a
+    * median measured in a window whose better bracket read `min(lo,hi)`
+    * against the run's demonstrated-clean probe `floor` deflates by
+    * that ratio. Conservative on both ends — the better bracket (never
+    * the spikier one) sets the ratio, and the ratio never drops below
+    * 1 (a cold probe must not inflate a clean measurement). The 20
+    * anchor re-measurements validate the model per run: the published
+    * `norm_calib.ratio_vs_anchor` is the median of normalized-main-pass
+    * over clean-anchor across anchored queries — ~1.0 means the
+    * correction is trustworthy this run. Pure for BenchWindowSpec. */
+  private[graft] def normalizedMedian(med: Double, lo: Double, hi: Double,
+                                      floor: Double): Double =
+    if (floor <= 0.0) med
+    else med / math.max(1.0, math.min(lo, hi) / floor)
+
   /** The map-recovery sidecars an artifact with no per-query map may be
     * paired with, in trust order: its committed `BENCH_r{N}_map.json`
     * twin (the round-13/15 manual-recovery convention), then the
@@ -411,6 +430,20 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // Serve-family rep policy (round-18, from the round-17 adjudication:
+    // 11 serve/stream queries are 31% of board wall and swing ±20-40%
+    // between probe-CLEAN windows, so every round's adjudication budget
+    // went to re-litigating their medians). Each of these re-serves a
+    // real fenced batch per rep by design — the honest measurement is
+    // expensive AND oscillates with host I/O pressure the probes only
+    // partially see — so their medians get 5 reps minimum: median-of-5
+    // cuts the published swing roughly in half at ~+60 s of driver
+    // wall, and the window normalization below corrects the rest.
+    val serveFamily = Set("q139", "q141", "q147", "q149", "q150", "q154",
+      "q155", "q158", "q159", "q160", "q161")
+    def perQueryReps(name: String): Int =
+      if (serveFamily.contains(name.takeWhile(_ != '_'))) math.max(reps, 5)
+      else reps
     val extraReps = 2  // noise-guard budget per query
     def spreadOf(ts: Seq[Double]) = if (ts.isEmpty) 0.0 else ts.max - ts.min
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -447,7 +480,7 @@ object Bench {
     }
     val firstPass = selected.zipWithIndex.map { case ((name, fn), qi) =>
       if (qi > 0 && qi % winSize == 0) interiorProbes += probeSample()
-      val (t0s, err0) = measure(fn, reps)
+      val (t0s, err0) = measure(fn, perQueryReps(name))
       val times = scala.collection.mutable.ArrayBuffer(t0s: _*)
       var err = err0
       // noise guard: spread > median on a non-trivial query means at
@@ -522,8 +555,10 @@ object Bench {
       .flatMap(n => bandOf(n).map(b => (n, b)))
       .sortBy(-_._2).take(anchorBudget).map(_._1).sorted
     val anchorTimes = scala.collection.mutable.Map.empty[String, Double]
+    // the run's demonstrated-clean probe — anchor-bracket reference AND
+    // the denominator floor for window normalization below
+    val probeFloor = anchorFloor(probes, prevProbe)
     locally {
-      val probeFloor = anchorFloor(probes, prevProbe)
       val floorOpt = Some(probeFloor).filter(_ > 0.0)
       // per-query brackets (round 14, from the round-13 adjudication):
       // brackets previously wrapped groups of 5, so one hot query
@@ -571,14 +606,21 @@ object Bench {
     var rescueBackoffBudgetMs = 60000L
     val rescuedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     val cleanPublished = scala.collection.mutable.Set.empty[String]
+    // the probe brackets of each query's PUBLISHED measurement (the
+    // first-pass window for non-rescued queries, the winning candidate's
+    // own brackets for rescued ones) — the window-normalization input
+    val bracketOf = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    def firstPassBrackets(qi: Int): (Double, Double) = {
+      val w = qi / winSize
+      (probes(math.min(w, probes.size - 1)),
+        probes(math.min(w + 1, probes.size - 1)))
+    }
     val results = firstPass.zipWithIndex.map {
       case ((name, med, spr, None, _, n), qi) if rescueSet.contains(name) =>
-        val w = qi / winSize
-        val fLo = probes(math.min(w, probes.size - 1))
-        val fHi = probes(math.min(w + 1, probes.size - 1))
-        // candidate = (median, spread, clean, fromRescue)
+        val (fLo, fHi) = firstPassBrackets(qi)
+        // candidate = (median, spread, clean, fromRescue, loProbe, hiProbe)
         val cands = scala.collection.mutable.ArrayBuffer(
-          (med, spr, cleanWindow(fLo, fHi, prevProbe), false))
+          (med, spr, cleanWindow(fLo, fHi, prevProbe), false, fLo, fHi))
         var repsSpent = n
         var attempt = 0
         var done = false
@@ -591,14 +633,14 @@ object Bench {
           // the previous attempt's closing probe doubles as this
           // attempt's opening bracket (they are the same moment)
           val lo = lastHi.getOrElse(probeSample())
-          val (ts, e2) = measure(SparkEntry.queries(name), reps)
+          val (ts, e2) = measure(SparkEntry.queries(name), perQueryReps(name))
           val hi = probeSample()
           lastHi = Some(hi)
           if (e2.nonEmpty || ts.isEmpty) done = true
           else {
             repsSpent += ts.size
             val clean = cleanWindow(lo, hi, prevProbe)
-            cands += ((median(ts), spreadOf(ts), clean, true))
+            cands += ((median(ts), spreadOf(ts), clean, true, lo, hi))
             if (clean) done = true
           }
           attempt += 1
@@ -608,9 +650,12 @@ object Bench {
         val best = pool.minBy(_._1)
         if (cleanCands.nonEmpty) cleanPublished += name
         if (best._4) rescuedNames += name
+        bracketOf(name) = (best._5, best._6)
         (name, best._1, best._2, None,
           best._1 > 0.2 && best._2 > best._1, repsSpent)
-      case (r, _) => r
+      case ((name, med, spr, err, noisy, n), qi) =>
+        bracketOf(name) = firstPassBrackets(qi)
+        (name, med, spr, err, noisy, n)
     }
     val suspectNames = suspectsOf(results)
     // a window-suspect query whose published number now comes from a
@@ -630,6 +675,25 @@ object Bench {
         s""""probe_windows":${probes.map(fmt(_, dp)).mkString("[", ",", "]")}},""" +
         s""""environment_suspect":$envSuspect"""
     val cleanPairs = results.collect { case (k, v, _, None, _, _) => (k, v) }
+    // Window-normalized board (round-18): every published median
+    // deflated by its own measurement window's probe ratio
+    // ([[normalizedMedian]]) — `queries_norm`/`norm_total` are the
+    // drift-corrected engine-cost claims a reader diffs across rounds
+    // when the raw column moved with the host. `norm_calib` validates
+    // the correction against the 20 clean-bracket anchors: the median
+    // of normalized-median over clean-anchor across anchored queries
+    // (~1.0 → the probe-linear model held this run; >>1 → the window
+    // ratios under-corrected and raw anchors remain the better claim).
+    val normPairs = cleanPairs.map { case (k, v) =>
+      val (lo, hi) = bracketOf.getOrElse(k, (probeFloor, probeFloor))
+      (k, normalizedMedian(v, lo, hi, probeFloor))
+    }
+    val normTotal = normPairs.map(_._2).sum
+    val normByName = normPairs.toMap
+    val anchorRatios = anchorTimes.toSeq.flatMap { case (k, a) =>
+      normByName.get(k).filter(_ => a > 0.0).map(_ / a) }
+    val normCalibRatio =
+      if (anchorRatios.isEmpty) None else Some(median(anchorRatios))
     val partialPairs = results.collect { case (k, v, _, Some(_), _, n) if n > 0 => (k, v) }
     val qPairs = (cleanPairs ++ partialPairs).sortBy(_._1)
     val total = cleanPairs.map(_._2).sum
@@ -671,6 +735,8 @@ object Bench {
         s""""window_suspect":${jarrShort(windowSuspectFinal)},""" +
         s""""anchor_total":${fmt(anchorTimes.values.sum, dp)},""" +
         s""""anchor_n":${anchorTimes.size},"anchor_of":${anchorNames.size},""" +
+        s""""norm_total":${fmt(normTotal, dp)},""" +
+        s""""norm_ratio_anchor":${normCalibRatio.map(fmt(_, 3)).getOrElse("null")},""" +
         calibJson(if (compact) 2 else 3)
     }
     def stdoutLine(dp: Int, compact: Boolean): String = {
@@ -705,6 +771,8 @@ object Bench {
         s""""window_suspect":${ultraArr(windowSuspectFinal)},""" +
         s""""anchor_total":${fmt(anchorTimes.values.sum, dp)},"anchor_n":${anchorTimes.size},""" +
         s""""anchor_of":${anchorNames.size},""" +
+        s""""norm_total":${fmt(normTotal, dp)},""" +
+        s""""norm_ratio_anchor":${normCalibRatio.map(fmt(_, 2)).getOrElse("null")},""" +
         s""""calibration":{"probe_median":${fmt(probeBest, dp)},""" +
         s""""probe_prior":${prevProbe.map(fmt(_, dp)).getOrElse("null")}},""" +
         s""""environment_suspect":$envSuspect,""" +
@@ -736,8 +804,11 @@ object Bench {
     val anchorsJson = anchorTimes.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + fmt(v, 4) }
       .mkString("{", ",", "}")
+    val qsNorm = normPairs.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + fmt(v, 4) }
+      .mkString("{", ",", "}")
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"spread":$spreads,"errors":$errs,"rep_counts":$repCounts,"n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)},"suspect":${jarr(suspectNames)},"rescued":${jarr(rescuedNames.toSeq)},"window_suspect":${jarr(windowSuspectFinal)},"anchor_total":${fmt(anchorTimes.values.sum, 4)},"anchor_n":${anchorTimes.size},"anchor_of":${anchorNames.size},"anchors":$anchorsJson,${calibJson(4)},"sf":${jstr(sfDirOrig)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"queries_norm":$qsNorm,"norm_total":${fmt(normTotal, 4)},"norm_ratio_anchor":${normCalibRatio.map(fmt(_, 4)).getOrElse("null")},"spread":$spreads,"errors":$errs,"rep_counts":$repCounts,"n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)},"suspect":${jarr(suspectNames)},"rescued":${jarr(rescuedNames.toSeq)},"window_suspect":${jarr(windowSuspectFinal)},"anchor_total":${fmt(anchorTimes.values.sum, 4)},"anchor_n":${anchorTimes.size},"anchor_of":${anchorNames.size},"anchors":$anchorsJson,${calibJson(4)},"sf":${jstr(sfDirOrig)}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(outPath), fileJson + "\n")
     // the UNCONDITIONAL map sidecar (round-16, r15 verdict #1): the

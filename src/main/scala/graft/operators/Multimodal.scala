@@ -237,45 +237,33 @@ object Multimodal {
     * bounded while a brute-force scan of n² image pairs is unrunnable.
     * Arithmetic-vs-logical shift is immaterial: the chunk mask keeps
     * only the shifted-in-range bits, identically here and in DuckDB. */
-  def phashNearDups(media: DataFrame, width: Int, maxDist: Int): DataFrame = {
-    require(maxDist >= 0 && maxDist < 64, s"maxDist=$maxDist out of range")
-    // hub: the self-join below consumes the banded hashes twice — cut
-    // once (the q139 discipline) or the wrap→decode→phash kernel runs
-    // per consumer, 2× the media decode at crawl scale
-    val ph = perceptualHash(media, width).select(col("media_id"), col("dhash"))
-      .localCheckpoint(eager = true)
-    val keyed = bandKeys(ph, "dhash", maxDist)
-    val l = keyed.select(col("media_id").as("id_a"), col("dhash").as("h_a"),
-      col("chunk"), col("chunk_val"))
-    val r = keyed.select(col("media_id").as("id_b"), col("dhash").as("h_b"),
-      col("chunk"), col("chunk_val"))
-    l.join(r, Seq("chunk", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "h_a", "h_b").distinct()
-      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
-      .filter(col("hamming") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-  }
+  def phashNearDups(media: DataFrame, width: Int, maxDist: Int): DataFrame =
+    phashNearDupsFromHashes(
+      phashHashHub(media, width), maxDist)
 
-  /** The pigeonhole band keys of a 64-bit hash column: (maxDist+1)
-    * chunks — any pair within Hamming distance shares one exact chunk.
-    * Shared by [[phashNearDups]] and the store serve so the two
-    * candidate generators can never disagree. */
-  private def bandKeys(df: DataFrame, hashCol: String,
-                       maxDist: Int): DataFrame = {
-    val nChunks = maxDist + 1
-    val cw = 64 / nChunks
-    val chunks = (0 until nChunks).map { c =>
-      val bits = if (c == nChunks - 1) 64 - c * cw else cw
-      val mask = if (bits == 64) -1L else (1L << bits) - 1
-      struct(lit(c).as("chunk"),
-        shiftright(col(hashCol), c * cw).bitwiseAND(lit(mask))
-          .as("chunk_val"))
-    }
-    df.select(col("media_id"), col(hashCol),
-        explode(array(chunks: _*)).as("ck"))
-      .select(col("media_id"), col(hashCol),
-        col("ck.chunk").as("chunk"), col("ck.chunk_val").as("chunk_val"))
+  /** The materialized (media_id, dhash) hub every phash consumer
+    * derives from — ONE wrap→decode→pHash pass over the media bytes
+    * (the q139 hub discipline: the kernel is the expensive part and
+    * the collapse machinery reads the hashes three times). */
+  private[graft] def phashHashHub(media: DataFrame, width: Int): DataFrame =
+    perceptualHash(media, width).select(col("media_id"), col("dhash"))
+      .localCheckpoint(eager = true)
+
+  /** [[phashNearDups]] from an already-materialized hash hub —
+    * [[phashDedupClusters]] shares the hub so the media bytes decode
+    * once per call, not once per consumer (round-17 advice).
+    * Identical-hash collapse (round-18, from the round-17 hot-bucket
+    * finding): a crawl's mega-cluster of dhash-identical images (blank
+    * thumbnails, placeholder GIFs) put m rows in one band bucket and
+    * the join emitted O(m²·chunks) pre-distinct rows; banding now runs
+    * over DISTINCT hash values and members expand after, exactly
+    * output-sized ([[graft.operators.Hamming.collapsedPairs]]).
+    * HammingCollapseSpec pins ≡ brute-force; the q182 oracle replays
+    * the brute force in DuckDB. */
+  private[graft] def phashNearDupsFromHashes(hashes: DataFrame,
+                                             maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist=$maxDist out of range")
+    Hamming.collapsedPairs(hashes, "media_id", "dhash", 64, maxDist)
   }
 
   /** Persist the corpus's perceptual-hash index: (media_id, dhash),
@@ -340,36 +328,55 @@ object Multimodal {
       store0.filter(col("b").cast("long") < c))
     val bh = perceptualHash(batch, width)
       .select(col("media_id"), col("dhash"))
-      .localCheckpoint(eager = true) // feeds bands twice + the output join
-    val bb = bandKeys(bh, "dhash", maxDist)
-    val hist = bandKeys(store, "dhash", maxDist)
+      .localCheckpoint(eager = true) // feeds the group cut + output join
+    // Identical-hash collapse on BOTH sides (round-18, from the
+    // round-17 hot-bucket finding): a duplicate-heavy batch or store —
+    // the blank-thumbnail regime — put m identical hashes in one band
+    // bucket and the probe join emitted O(m²·chunks) rows. Group
+    // granularity is the exact sufficient statistic here: a group's
+    // members all match a hash or none do, so min-matching-id
+    // aggregates inherit through group mins ([[Hamming.hashGroups]]),
+    // and per-member results join back at the end. The serve-vs-brute
+    // law is unchanged (the q185 oracle replays all-pairs in DuckDB).
+    val bg = Hamming.hashGroups(bh, "media_id", "dhash")
+      .localCheckpoint(eager = true) // banded twice + the member join
+    val bb = Hamming.groupBandKeys(bg.select(col("dhash")), "dhash",
+      64, maxDist)
+    val hg = Hamming.hashGroups(store, "media_id", "dhash")
+    val hist = Hamming.groupBandKeys(hg, "dhash", 64, maxDist)
       .select(col("chunk"), col("chunk_val"),
-        col("media_id").as("__hid"), col("dhash").as("__hh"))
+        col("dhash").as("__hh"), col("__gmin").as("__hmin"))
     // pin the BATCH side broadcast: the store's band expansion is
     // corpus-sized and must stream past the probe (local-mode AQE
     // happily broadcasts the tiny test store — at 100 TB that plan
     // inverts into a per-serve store shuffle, the q173 lesson)
     val histDup = broadcast(bb).join(hist, Seq("chunk", "chunk_val"))
-      .select(col("media_id"), col("__hid"), col("dhash"), col("__hh"))
-      .distinct()
+      .select(col("dhash"), col("__hh"), col("__hmin")).distinct()
       .filter(expr(s"bit_count(dhash ^ __hh) <= $maxDist"))
-      .groupBy(col("media_id"))
-      .agg(min(col("__hid")).as("__hdup"))
-    val peer = bb.select(col("chunk"), col("chunk_val"),
-      col("media_id").as("__pid"), col("dhash").as("__ph"))
+      .groupBy(col("dhash"))
+      .agg(min(col("__hmin")).as("__hdup"))
+    // within-batch: min over the group mins of every batch group within
+    // maxDist (INCLUDING the group itself at distance 0). For member x
+    // the original per-id min over peers {p < x} is then: __m1 when
+    // __m1 < x, else nothing — because __m1 is the global min of x's
+    // matching groups, and any smaller matching peer would have dragged
+    // its own group min (and so __m1) below it.
+    val peer = Hamming.groupBandKeys(bg, "dhash", 64, maxDist)
+      .select(col("chunk"), col("chunk_val"),
+        col("dhash").as("__ph"), col("__gmin").as("__pmin"))
     val batchDup = bb.join(peer, Seq("chunk", "chunk_val"))
-      .filter(col("__pid") < col("media_id"))
-      .select(col("media_id"), col("__pid"), col("dhash"), col("__ph"))
-      .distinct()
+      .select(col("dhash"), col("__ph"), col("__pmin")).distinct()
       .filter(expr(s"bit_count(dhash ^ __ph) <= $maxDist"))
-      .groupBy(col("media_id"))
-      .agg(min(col("__pid")).as("__bdup"))
-    bh.select(col("media_id"))
-      .join(histDup, Seq("media_id"), "left")
-      .join(batchDup, Seq("media_id"), "left")
+      .groupBy(col("dhash"))
+      .agg(min(col("__pmin")).as("__m1"))
+    bh
+      .join(histDup, Seq("dhash"), "left")
+      .join(batchDup, Seq("dhash"), "left")
       .select(col("media_id"),
-        coalesce(col("__hdup"), col("__bdup")).as("dup_of"),
-        (col("__hdup").isNull && col("__bdup").isNull).as("is_fresh"))
+        coalesce(col("__hdup"),
+          when(col("__m1") < col("media_id"), col("__m1"))).as("dup_of"))
+      .select(col("media_id"), col("dup_of"),
+        col("dup_of").isNull.as("is_fresh"))
   }
 
   /** Media contamination report against a persisted benchmark index —
@@ -387,18 +394,30 @@ object Multimodal {
     val bh = perceptualHash(batch, width)
       .select(col("media_id"), col("dhash"))
       .localCheckpoint(eager = true)
-    val bb = bandKeys(bh, "dhash", maxDist)
-    val hist = bandKeys(store, "dhash", maxDist)
-      .select(col("chunk"), col("chunk_val"),
-        col("media_id").as("__eid"), col("dhash").as("__eh"))
-    broadcast(bb).join(hist, Seq("chunk", "chunk_val"))
-      .select(col("media_id"), col("__eid"), col("dhash"), col("__eh"))
+    // Identical-hash collapse on both sides (round-18, the hot-bucket
+    // fix): the eval index collapses to (hash, min eval id, distinct
+    // eval ids) — a group's members all leak to a batch hash or none
+    // do, so the closest-match struct inherits the group min (members
+    // share the group's distance) and the distinct-match count SUMS
+    // because hash groups partition the eval ids. Batch images join
+    // back per hash at the end. The q188 oracle replays all-pairs.
+    val bb = Hamming.groupBandKeys(
+      bh.select(col("dhash")).distinct(), "dhash", 64, maxDist)
+    val hg = store.groupBy(col("dhash"))
+      .agg(min(col("media_id")).as("__emin"),
+        countDistinct(col("media_id")).as("__ne"))
+    val hist = Hamming.groupBandKeys(hg, "dhash", 64, maxDist)
+      .select(col("chunk"), col("chunk_val"), col("dhash").as("__eh"),
+        col("__emin"), col("__ne"))
+    val grpMatch = broadcast(bb).join(hist, Seq("chunk", "chunk_val"))
+      .select(col("dhash"), col("__eh"), col("__emin"), col("__ne"))
       .distinct()
       .withColumn("__hd", expr("CAST(bit_count(dhash ^ __eh) AS BIGINT)"))
       .filter(col("__hd") <= maxDist)
-      .groupBy(col("media_id"))
-      .agg(min(struct(col("__hd").as("h"), col("__eid").as("e"))).as("__m"),
-        countDistinct(col("__eid")).as("n_eval_matches"))
+      .groupBy(col("dhash"))
+      .agg(min(struct(col("__hd").as("h"), col("__emin").as("e"))).as("__m"),
+        sum(col("__ne")).as("n_eval_matches"))
+    bh.join(grpMatch, Seq("dhash"))
       .select(col("media_id"), col("__m.e").as("eval_id"),
         col("__m.h").as("hamming"), col("n_eval_matches"))
   }
@@ -413,9 +432,21 @@ object Multimodal {
     * re-encodes collapse to one survivor. */
   def phashDedupClusters(media: DataFrame, width: Int,
                          maxDist: Int): DataFrame = {
-    val pairs = phashNearDups(media, width, maxDist)
-    val cc = TextOps.connectedComponents(pairs)
-    val ids = perceptualHash(media, width).select(col("media_id"))
+    // ONE decode pass (round-17 advice): the checkpointed hash hub
+    // feeds both the edge engine and the id universe — previously the
+    // wrap→decode→pHash kernel ran twice per call.
+    val ph = phashHashHub(media, width)
+    // CC consumes a CONNECTIVITY-equivalent sparse edge set (star
+    // within identical-hash groups + one edge per near-dup pair of
+    // distinct hashes) instead of the all-pairs expansion: identical
+    // components, identical min labels, but linear edges on a
+    // duplicate-heavy corpus where all-pairs is quadratic in cluster
+    // size (HammingCollapseSpec pins sparse-CC ≡ all-pairs-CC; the
+    // q184 oracle replays the recursive-CTE reachability on the full
+    // brute-force pair set).
+    val edges = Hamming.sparseEdges(ph, "media_id", "dhash", 64, maxDist)
+    val cc = TextOps.connectedComponents(edges)
+    val ids = ph.select(col("media_id"))
     ids.join(cc, ids("media_id") === cc("id"), "left")
       .select(ids("media_id"),
         coalesce(cc("label"), ids("media_id")).as("cluster_id"))

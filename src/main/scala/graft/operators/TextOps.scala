@@ -282,18 +282,52 @@ object TextOps {
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         k: Int = 64, bands: Int = 16): DataFrame = {
+    // Identical-signature collapse (round-18, from the round-17
+    // hot-bucket finding): byte-identical docs share the whole
+    // k-slot signature, hence EVERY band key — the uncollapsed band
+    // self-join put the entire duplicate cluster in one bucket per
+    // band and shuffled O(m²·bands) rows into the distinct. Banding
+    // now runs over one REPRESENTATIVE per distinct signature (min
+    // id), and representative-level candidates expand to members
+    // after: identical signatures give identical band keys, so
+    // (a, b) share a band iff their representatives do — the expanded
+    // candidate set EQUALS the uncollapsed one exactly, and the exact-
+    // Jaccard verification downstream is unchanged. (Identical
+    // signature does NOT mean identical text — minhash collisions
+    // exist — which is why within-group pairs still verify instead of
+    // short-circuiting to jaccard 1.) MinhashCollapseSpec pins the
+    // candidate-set law; the q11 oracle replays brute-force Jaccard.
     val sig = minhashSignatures(Engine.fanOutIfNarrow(docs, col(idCol)),
       idCol, textCol, n, k)
-    val bandsDf = lshBands(sig, idCol, k, bands)
-    val l = bandsDf.select(col(idCol).as("id_a"), col("band"), col("band_key"))
-    val r = bandsDf.select(col(idCol).as("id_b"), col("band"), col("band_key"))
-    // the banding self-join feeds two consumers below (candidate-id
-    // derivation and the verify pair join) — materialize it once;
-    // candidate pairs are tiny by construction
-    val cand = l.join(r, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-      .localCheckpoint(true)
+      .withColumn("__sigk", struct((0 until k).map(i => col(s"mh$i")): _*))
+      .localCheckpoint(eager = true) // group cut + rep slice + member map
+    val groups = sig.groupBy(col("__sigk")).agg(min(col(idCol)).as("__rep"))
+      .localCheckpoint(eager = true) // rep semi-join + member map
+    // NOT broadcast: distinct signatures ≈ distinct docs on a clean
+    // corpus, so the rep set is corpus-sized — a plain semi-join
+    // shuffles on the id like any other corpus join
+    val repRows = sig.join(
+      groups.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+    val bandsDf = lshBands(repRows, idCol, k, bands)
+    val l = bandsDf.select(col(idCol).as("__ra"), col("band"), col("band_key"))
+    val r = bandsDf.select(col(idCol).as("__rb"), col("band"), col("band_key"))
+    val repCand = l.join(r, Seq("band", "band_key"))
+      .filter(col("__ra") < col("__rb"))
+      .select("__ra", "__rb").distinct()
+    val members = sig.join(groups, Seq("__sigk"))
+      .select(col(idCol), col("__rep"))
+    val ma = members.select(col(idCol).as("__ida"), col("__rep").as("__ra"))
+    val mb = members.select(col(idCol).as("__idb"), col("__rep").as("__rb"))
+    val cross = repCand.join(ma, Seq("__ra")).join(mb, Seq("__rb"))
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"))
+    val within = ma
+      .join(mb, col("__ra") === col("__rb") && col("__ida") < col("__idb"))
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
+    // candidate pairs are tiny by construction and feed two consumers
+    // in the verifier (candidate-id derivation + the pair join) —
+    // materialize once
+    val cand = cross.unionByName(within).localCheckpoint(true)
 
     verifyCandidatesExact(cand, docs, idCol, textCol, n, threshold)
   }
@@ -603,29 +637,20 @@ object TextOps {
     * corpus size (uniform-collision floor n²·(maxDist+1)/2^width). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
+    // hub: the collapsed pair engine consumes the fingerprints three
+    // times (distinct-hash banding + the two member expansions) — cut
+    // the one-pass-per-doc sketch once rather than re-scanning text
     val sh = simhash(Engine.fanOutIfNarrow(docs, col(idCol)), idCol, textCol)
-    val nChunks = maxDist + 1
-    val width = SimhashBits / nChunks
-    val chunks = (0 until nChunks).map { c =>
-      val v = shiftright(col("simhash"), c * width)
-        .bitwiseAND(lit((1L << (if (c == nChunks - 1) SimhashBits - c * width else width)) - 1))
-      struct(lit(c).as("chunk"), v.as("chunk_val"))
-    }
-    val keyed = sh.select(col(idCol), col("simhash"),
-      explode(array(chunks: _*)).as("ck"))
-      .select(col(idCol), col("simhash"),
-        col("ck.chunk").as("chunk"), col("ck.chunk_val").as("chunk_val"))
-    val l = keyed.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
-      col("chunk"), col("chunk_val"))
-    val r = keyed.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
-      col("chunk"), col("chunk_val"))
-    l.join(r, Seq("chunk", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-      .withColumn("hamming",
-        expr("bit_count(sh_a ^ sh_b)").cast("long"))
-      .filter(col("hamming") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .localCheckpoint(eager = true)
+    // identical-fingerprint collapse (round-18, from the round-17
+    // hot-bucket finding): byte-identical docs — the most common
+    // near-dup input — all share one fingerprint, and the uncollapsed
+    // chunk self-join put the whole cluster in one bucket and emitted
+    // O(m²·chunks) pre-distinct rows. Banding now runs over DISTINCT
+    // fingerprints; members expand after (exactly output-sized).
+    // HammingCollapseSpec pins ≡ brute-force; the q14 oracle replays
+    // the brute force in DuckDB.
+    Hamming.collapsedPairs(sh, idCol, "simhash", SimhashBits, maxDist)
   }
 
   // ------------------------------------------------------------ text stats

@@ -171,4 +171,36 @@ class BenchWindowSpec extends AnyFunSuite {
       "an artifact with no total cannot vouch for any sidecar")
     assert(!Bench.sidecarTotalsAgree(Some(179.88), None))
   }
+
+  // ---- window normalization (round 18: two consecutive rounds were ----
+  // ---- adjudicated on host-drift; the published board now carries a ----
+  // ---- probe-ratio-corrected twin of every median) ----
+
+  test("normalizedMedian: a clean window (brackets at floor) is identity") {
+    assert(Bench.normalizedMedian(5.0, 0.10, 0.10, 0.10) == 5.0)
+  }
+
+  test("normalizedMedian: a 3x-hot window deflates by the better bracket") {
+    // lo=0.30 hi=0.45 against floor 0.10 → ratio min(3.0, 4.5) = 3.0
+    assert(math.abs(Bench.normalizedMedian(9.0, 0.30, 0.45, 0.10) - 3.0) < 1e-12)
+  }
+
+  test("normalizedMedian: the ratio never drops below 1 — a probe sample " +
+       "colder than the floor must not inflate a clean measurement") {
+    assert(Bench.normalizedMedian(5.0, 0.05, 0.08, 0.10) == 5.0)
+  }
+
+  test("normalizedMedian: a non-positive floor disables the correction " +
+       "(first round: no prior, no clean probe on record)") {
+    assert(Bench.normalizedMedian(7.0, 0.90, 0.90, 0.0) == 7.0)
+    assert(Bench.normalizedMedian(7.0, 0.90, 0.90, -1.0) == 7.0)
+  }
+
+  test("normalizedMedian is monotone in the measurement and bounded by it") {
+    for (m <- Seq(0.1, 1.0, 10.0); lo <- Seq(0.1, 0.2, 0.5)) {
+      val n = Bench.normalizedMedian(m, lo, lo, 0.1)
+      assert(n <= m + 1e-12, "normalization only ever deflates")
+      assert(n > 0.0)
+    }
+  }
 }
