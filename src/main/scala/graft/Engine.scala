@@ -42,16 +42,33 @@ object Engine {
     * durable checkpoint URI explicitly and never hits this). */
   def streamCheckpointDir(name: String): String = {
     val base = fastScratch.getOrElse(System.getProperty("java.io.tmpdir"))
-    val dir = new java.io.File(s"$base/graft-ckpt/$name")
-    // fresh-checkpoint contract: callers pass a per-run name; a stale
-    // dir from a crashed earlier session must not silently RESUME the
-    // query (a resumed AvailableNow run would re-emit nothing)
-    if (dir.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(dir)
+    // namespace by JVM pid (round-17 advice): the recursive delete below
+    // is keyed by queryName only, so two concurrent sessions picking the
+    // same name (two bench runs both using devq141_1) would delete each
+    // other's LIVE streaming checkpoints mid-query. The pid is free
+    // before any SparkSession exists (unlike applicationId) and scopes
+    // the fresh-checkpoint contract to this process's own runs.
+    val pid = ProcessHandle.current().pid()
+    // reap dead processes' namespaces so the (RAM-backed) scratch never
+    // accumulates across a session of many short-lived JVMs — a dir is
+    // only swept when its pid provably no longer runs
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
     }
+    Option(new java.io.File(s"$base/graft-ckpt").listFiles())
+      .foreach(_.foreach { d =>
+        val digits = d.getName.drop(1)
+        if (d.getName.startsWith("p") && digits.nonEmpty &&
+            digits.forall(_.isDigit) && digits.toLong != pid &&
+            ProcessHandle.of(digits.toLong).isEmpty)
+          rmTree(d)
+      })
+    val dir = new java.io.File(s"$base/graft-ckpt/p$pid/$name")
+    // fresh-checkpoint contract: callers pass a per-run name; a stale
+    // dir from a crashed earlier RUN of this pid must not silently
+    // RESUME the query (a resumed AvailableNow run would re-emit
+    // nothing)
+    if (dir.exists()) rmTree(dir)
     dir.getAbsolutePath
   }
 

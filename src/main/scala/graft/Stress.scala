@@ -14,6 +14,23 @@ import graft.operators.{Graphs, TextOps}
   * quadratic-per-group load (C(20,2)·5k ≈ 950k true pairs at 20×).
   * Evidence for docs/SCALE.md, not part of the driver contract. */
 object Stress {
+  /** Pin the file-source delivery ORDER of sequentially appended batch
+    * files (round-17 advice): the crash-storm harnesses replay batches
+    * with `maxFilesPerTrigger=1`, and the parquet file source orders by
+    * modification time — an mtime TIE between two appends can reorder
+    * batches relative to the sequential control, changing `dup_of`
+    * attributions and failing the rows-diff check spuriously. After
+    * each append, every not-yet-stamped data file gets an explicit
+    * mtime a full minute after the previous batch's — ordering is then
+    * deterministic whatever the filesystem's timestamp granularity. */
+  private def stampBatchFiles(dir: String, rep: Int,
+                              seen: scala.collection.mutable.Set[String]): Unit =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .filter(f => seen.add(f.getName))
+      .foreach(f => f.setLastModified(1700000000000L + rep * 60000L))
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     // "all" (default = text+embed) | "text" | "embed" | "skew" | "pq" |
@@ -1305,8 +1322,10 @@ object Stress {
       .localCheckpoint(true)
     def dRep(r: Int) = bigD.filter(col("doc_id") >= r * nBase &&
       col("doc_id") < (r + 1) * nBase)
+    val stamped = scala.collection.mutable.Set.empty[String]
     (1 to nb).foreach { r =>
       dRep(r).coalesce(1).write.mode("append").parquet(input)
+      stampBatchFiles(input, r, stamped)
     }
     SpanStream.init(dRep(0), "doc_id", "text", 8, ctl)
     (1 to nb).foreach { b =>
@@ -1394,8 +1413,10 @@ object Stress {
       col("doc_id") < (r + 1) * nBase)
     def mRep(r: Int) = graft.operators.Multimodal.asMediaTable(
       dRep(r), "doc_id", "text", "image")
+    val stamped = scala.collection.mutable.Set.empty[String]
     (1 to nb).foreach { r =>
       dRep(r).coalesce(1).write.mode("append").parquet(input)
+      stampBatchFiles(input, r, stamped)
     }
     PhashStream.init(mRep(0), 64, ctl)
     (1 to nb).foreach { b =>
@@ -1491,10 +1512,12 @@ object Stress {
       col("doc_id") < (r + 1) * nBase)
     // one parquet file per batch, written sequentially (ascending
     // mtimes ⇒ the file source delivers them in order, one per trigger)
+    val stamped = scala.collection.mutable.Set.empty[String]
     (1 to nb).foreach { r =>
       dRep(r).join(eRep(r), Seq("doc_id"))
         .select("doc_id", "source", "lang", "text", "embedding")
         .coalesce(1).write.mode("append").parquet(input)
+      stampBatchFiles(input, r, stamped)
     }
     // no-crash control: the sequential serve+absorb loop
     def initStore(p: String): Unit =
@@ -1608,10 +1631,12 @@ object Stress {
       col("doc_id") < (r + 1) * nBase)
     def eRep(r: Int) = bigE.filter(col("doc_id") >= r * nBase &&
       col("doc_id") < (r + 1) * nBase)
+    val stamped = scala.collection.mutable.Set.empty[String]
     def writeSeg(rs: Range): Unit = rs.foreach { r =>
       dRep(r).join(eRep(r), Seq("doc_id"))
         .select("doc_id", "source", "lang", "text", "embedding")
         .coalesce(1).write.mode("append").parquet(input)
+      stampBatchFiles(input, r, stamped)
     }
     // the retrain corpus is FIXED (history ∪ the first two crawl
     // batches' docs — input slices, not store reads), so every tick

@@ -120,12 +120,17 @@ case class HyperplaneBucketsExpr(child: Expression, nPlanes: Int, nTables: Int)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    nullSafeCodeGen(ctx, ev, c => s"""
-       |long[] buckets = graft.functions.ArrayMath.hyperplaneBuckets(
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName: a duplicate bare local from two sibling calls in one
+      // codegen scope fails compilation → interpreted fallback
+      val b = ctx.freshName("hpb")
+      s"""
+       |long[] $b = graft.functions.ArrayMath.hyperplaneBuckets(
        |  $c, $nPlanes, $nTables, $isFloat);
-       |if (buckets == null) { ${ev.isNull} = true; }
-       |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets); }
-     """.stripMargin)
+       |if ($b == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($b); }
+     """.stripMargin
+    })
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -163,11 +168,16 @@ case class Int8QuantizeExpr(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    nullSafeCodeGen(ctx, ev, c => s"""
-       |double[] q = graft.functions.ArrayMath.int8Quantize($c, $isFloat);
-       |if (q == null) { ${ev.isNull} = true; }
-       |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(q); }
-     """.stripMargin)
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName: see hyperplaneBuckets — duplicate bare locals break
+      // sibling calls in one codegen scope
+      val q = ctx.freshName("i8q")
+      s"""
+       |double[] $q = graft.functions.ArrayMath.int8Quantize($c, $isFloat);
+       |if ($q == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($q); }
+     """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

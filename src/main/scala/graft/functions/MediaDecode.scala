@@ -406,10 +406,16 @@ case class MediaPlaneExpr(child: Expression, plane: Int)
   override def nullSafeEval(input: Any): Any =
     MediaCodec.plane(input.asInstanceOf[Array[Byte]], plane)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-       |byte[] p = graft.functions.MediaCodec.plane($c, $plane);
-       |if (p == null) { ${ev.isNull} = true; } else { ${ev.value} = p; }
-     """.stripMargin)
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName: two media_plane calls in one codegen scope with
+      // non-nullable children would both declare the local and fail
+      // compilation → silent interpreted fallback (round-17 advice)
+      val p = ctx.freshName("pl")
+      s"""
+       |byte[] $p = graft.functions.MediaCodec.plane($c, $plane);
+       |if ($p == null) { ${ev.isNull} = true; } else { ${ev.value} = $p; }
+     """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -476,10 +482,17 @@ case class MediaPHashExpr(left: Expression, right: Expression)
     MediaCodec.pHash(plane.asInstanceOf[Array[Byte]],
       width.asInstanceOf[Number].intValue())
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (p, w) => s"""
-       |InternalRow ph = graft.functions.MediaCodec.pHash($p, (int) $w);
-       |if (ph == null) { ${ev.isNull} = true; } else { ${ev.value} = ph; }
-     """.stripMargin)
+    nullSafeCodeGen(ctx, ev, (p, w) => {
+      // freshName: two media_phash calls in one codegen scope with
+      // non-nullable children would otherwise both declare `ph` and
+      // the duplicate local fails compilation → silent interpreted
+      // fallback (round-17 advice; MediaPlaneExpr had the same bug)
+      val ph = ctx.freshName("ph")
+      s"""
+       |InternalRow $ph = graft.functions.MediaCodec.pHash($p, (int) $w);
+       |if ($ph == null) { ${ev.isNull} = true; } else { ${ev.value} = $ph; }
+     """.stripMargin
+    })
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }

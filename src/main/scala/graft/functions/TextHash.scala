@@ -304,11 +304,16 @@ case class MinHashSigExpr(child: Expression, n: Int, k: Int,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val asRef = ctx.addReferenceObj("mhAs", coeffs.map(_._1).toArray, "long[]")
     val bsRef = ctx.addReferenceObj("mhBs", coeffs.map(_._2).toArray, "long[]")
-    nullSafeCodeGen(ctx, ev, c => s"""
-       |long[] sig = graft.functions.TextHash.minhashSig($c, $n, $k, $asRef, $bsRef);
-       |if (sig == null) { ${ev.isNull} = true; }
-       |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(sig); }
-     """.stripMargin)
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName: a duplicate bare local from two sibling calls in one
+      // codegen scope fails compilation → interpreted fallback
+      val sig = ctx.freshName("mhsig")
+      s"""
+       |long[] $sig = graft.functions.TextHash.minhashSig($c, $n, $k, $asRef, $bsRef);
+       |if ($sig == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig); }
+     """.stripMargin
+    })
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
