@@ -692,6 +692,88 @@ object Stress {
     }
     }
 
+    if (mode == "phashskew") {
+    // Duplicate-heavy perceptual-hash storm (round 18, from the
+    // round-17 hot-bucket finding): 40% of the corpus collapses onto 8
+    // identical payloads — the blank-thumbnail/placeholder-GIF regime
+    // that is the single most common media-dedup input and the one the
+    // uncollapsed banded join melted on (one bucket per mega-cluster,
+    // O(m²·chunks) pre-distinct rows). Measures the collapsed decision
+    // path (clusters, store serve) at the storm factor, the all-pairs
+    // contract where its own output is feasible, and the PRE-COLLAPSE
+    // join shape as the measured "before" control.
+    import graft.operators.{Hamming, Multimodal}
+    val nClusters = 8
+    val sk = big.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) < 4,
+          concat(lit("blank thumbnail placeholder payload "),
+            pmod(col("doc_id"), lit(nClusters)).cast("string")))
+          .otherwise(col("text")).as("text"))
+    val msk = Multimodal.asMediaTable(sk, "doc_id", "text", "image")
+      .localCheckpoint(true)
+    val nImg = msk.count()
+    println(s"[stress] phashskew corpus: $nImg images, 40% in " +
+      s"$nClusters identical clusters (~${nImg * 2 / 5 / nClusters}/cluster)")
+    time(s"phashskew perceptualHash(${factor}x)") {
+      Multimodal.perceptualHash(msk, width = 64).count()
+    }
+    time(s"phashskew dedupClusters(${factor}x)") {
+      Multimodal.phashDedupClusters(msk, width = 64, maxDist = 3).count()
+    }
+    val ppath =
+      s"${System.getProperty("java.io.tmpdir")}/graft-stress-phashskew-$factor"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ppath))
+    time(s"phashskew writeStore(${factor}x)") {
+      Multimodal.writePhashStore(msk, width = 64, ppath)
+      spark.read.parquet(s"$ppath/phash").count()
+    }
+    // skewed batch: 4000 images, 40% landing in the SAME clusters the
+    // store holds in bulk — the serve-side mega-bucket pressure
+    val bsk = Multimodal.asMediaTable(
+      sk.limit(4000).select((col("doc_id") + 900000000L).as("doc_id"),
+        col("text")), "doc_id", "text", "image").localCheckpoint(true)
+    time(s"phashskew serve(4k vs ${factor}x store)") {
+      Multimodal.servePhashDedup(spark, ppath, bsk,
+        width = 64, maxDist = 3).filter(col("is_fresh") === false).count()
+    }
+    // the all-pairs CONTRACT output is C(m,2)-quadratic on this input
+    // by definition (each mega-cluster emits all its internal pairs) —
+    // feasible at small factors, and the cost there is output-sized
+    if (factor <= 10)
+      time(s"phashskew nearDups all-pairs(${factor}x)") {
+        Multimodal.phashNearDups(msk, width = 64, maxDist = 3).count()
+      }
+    else
+      println(s"[stress] phashskew: SKIPPED all-pairs at ${factor}x — " +
+        "the contract's own output is quadratic in cluster size on " +
+        "40%-identical input (~1e9+ rows); the decision path above " +
+        "(clusters/serve) is the scale surface")
+    // "BEFORE" control: the pre-collapse banded self-join over ALL
+    // rows (the round-17 shape), kept here as the storm's measured
+    // baseline — every member of a mega-cluster lands in the same
+    // (chunk, chunk_val) bucket and the join emits O(m²·chunks) rows
+    // into the distinct
+    if (factor <= 10)
+      time(s"phashskew UNCOLLAPSED control(${factor}x)") {
+        val ph = Multimodal.perceptualHash(msk, width = 64)
+          .select(col("media_id"), col("dhash")).localCheckpoint(true)
+        val keyed = Hamming.groupBandKeys(ph, "dhash", 64, 3)
+        val l = keyed.select(col("media_id").as("id_a"),
+          col("dhash").as("h_a"), col("chunk"), col("chunk_val"))
+        val r = keyed.select(col("media_id").as("id_b"),
+          col("dhash").as("h_b"), col("chunk"), col("chunk_val"))
+        l.join(r, Seq("chunk", "chunk_val"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b", "h_a", "h_b").distinct()
+          .filter(expr("bit_count(h_a ^ h_b)") <= 3)
+          .count()
+      }
+    else
+      println(s"[stress] phashskew: SKIPPED uncollapsed control at " +
+        s"${factor}x — its pre-distinct join output alone is " +
+        "O(m² · 4 chunks) per mega-cluster (~1e10 rows here)")
+    }
+
     if (mode == "graph") {
     // iterative-operator storm: k-means and the graph family are the
     // only operators whose WORK is a fixed number of full passes, so

@@ -291,7 +291,9 @@ object Multimodal {
     * from the keeper — the standard index-the-survivor trade every
     * dedup store makes (the span store has the same property at gram
     * granularity); absorb the full batch instead when that recall
-    * matters more than store size. */
+    * matters more than store size —
+    * [[graft.streaming.PhashStream.applyBatch]]'s `absorbFull` option
+    * (round 18), whose drift-chain law PhashStreamSpec plants. */
   def appendPhash(hashes: DataFrame, path: String, batchId: Long): Unit = {
     require(batchId >= 1, s"batchId=$batchId collides with the b=0 seed")
     hashes.select(col("media_id"), col("dhash"))

@@ -44,9 +44,23 @@ object PhashStream {
     if (sys.props.get(prop).exists(_.toLong == batchId))
       Runtime.getRuntime.halt(137)
 
-  /** Serve + absorb one micro-batch of media; skip if committed. */
+  /** Serve + absorb one micro-batch of media; skip if committed.
+    *
+    * `absorbFull` selects WHAT absorbs (round-18, from the round-17
+    * recall note at [[Multimodal.appendPhash]]): the default keeper-
+    * only mode indexes each batch's FRESH survivors — the store stays
+    * one 16-byte row per *surviving* image, but Hamming distance is
+    * not transitive, so a later re-encode that drifted ≤ maxDist from
+    * a DROPPED copy while landing > maxDist from its keeper is missed.
+    * `absorbFull = true` absorbs every decodable batch hash (keepers
+    * AND dropped dups): the drift chain is then caught at the cost of
+    * one store row per *arriving* image — on a crawl with duplicate
+    * fraction f, a 1/(1−f)× larger index (the verdict table is
+    * unaffected either way). PhashStreamSpec plants the chain and pins
+    * the containment law: keeper-mode matches ⊆ full-mode matches. */
   def applyBatch(batchMedia: DataFrame, width: Int, maxDist: Int,
-                 path: String, batchId: Long): Unit = {
+                 path: String, batchId: Long,
+                 absorbFull: Boolean = false): Unit = {
     val s = batchMedia.sparkSession
     require(batchId >= 1, s"batchId=$batchId collides with the b=0 seed")
     if (CurationStream.committed(s, path, batchId)) return
@@ -59,8 +73,10 @@ object PhashStream {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("b").parquet(s"$path/served")
       crashPoint("graft.phash.crashAfterServe", batchId)
+      val batchHashes = Multimodal.perceptualHash(batchMedia, width)
       Multimodal.appendPhash(
-        Multimodal.perceptualHash(batchMedia, width)
+        if (absorbFull) batchHashes
+        else batchHashes
           .join(served.filter(col("is_fresh")).select("media_id"),
             Seq("media_id"), "left_semi"),
         path, batchId)
@@ -127,14 +143,16 @@ object PhashStream {
   def maintain(rows: DataFrame, idCol: String, payloadCol: String,
                format: String, width: Int, maxDist: Int,
                path: String, checkpoint: String,
-               batchIdOffset: Long = 1L): StreamingQuery =
+               batchIdOffset: Long = 1L,
+               absorbFull: Boolean = false): StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         applyBatch(
           Multimodal.asMediaTable(batch.toDF().localCheckpoint(true),
             idCol, payloadCol, format),
-          width, maxDist, path, batchId + batchIdOffset)
+          width, maxDist, path, batchId + batchIdOffset,
+          absorbFull = absorbFull)
       }
       .start()
 }

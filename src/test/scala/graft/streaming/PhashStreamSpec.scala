@@ -90,6 +90,75 @@ class PhashStreamSpec extends SparkSpec {
     assert(servedRows(dir).contains((2L, 20L, Some(10L), false)))
   }
 
+  test("absorbFull catches the drift chain keeper-only absorption misses; " +
+       "keeper-mode matches ⊆ full-mode matches") {
+    // Deterministic drift chain (searched once over single-char
+    // mutations of the base payload; the decode is deterministic so
+    // the distances are pinned forever): with B the base text, A the
+    // char-21 mutation and C the char-56 mutation,
+    //   d(A,B) = 2 ≤ 3,  d(B,C) = 2 ≤ 3,  d(A,C) = 4 > 3.
+    val baseChars = ("drift chain search corpus entry " * 8).toCharArray
+    def mut(p: Int): String = {
+      val v = baseChars.clone(); v(p) = '#'; new String(v)
+    }
+    val (aTxt, bTxt, cTxt) = (mut(21), new String(baseChars), mut(56))
+    // pin the planted distances so a future codec change can't make
+    // this test silently vacuous
+    val hs = Multimodal.perceptualHash(
+        mt(Seq((1L, aTxt), (2L, bTxt), (3L, cTxt)).toDF("doc_id", "text")), 64)
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("dhash"))
+      .toMap
+    def d(x: Long, y: Long) = java.lang.Long.bitCount(hs(x) ^ hs(y))
+    assert(d(1, 2) <= 3 && d(2, 3) <= 3 && d(1, 3) > 3,
+      s"drift-chain fixture broke: d(A,B)=${d(1, 2)} d(B,C)=${d(2, 3)} " +
+        s"d(A,C)=${d(1, 3)}")
+    def runChain(absorbFull: Boolean): Set[(Long, Long, Option[Long], Boolean)] = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-phdrift").toString + "/store"
+      PhashStream.init(mt(Seq((100L, aTxt)).toDF("doc_id", "text")), 64, dir)
+      PhashStream.applyBatch(mt(Seq((200L, bTxt)).toDF("doc_id", "text")),
+        64, 3, dir, 1L, absorbFull = absorbFull)
+      PhashStream.applyBatch(mt(Seq((300L, cTxt)).toDF("doc_id", "text")),
+        64, 3, dir, 2L, absorbFull = absorbFull)
+      servedRows(dir)
+    }
+    val keeper = runChain(absorbFull = false)
+    val full = runChain(absorbFull = true)
+    // both modes: B dups to history A
+    assert(keeper.contains((1L, 200L, Some(100L), false)))
+    assert(full.contains((1L, 200L, Some(100L), false)))
+    // keeper mode: B was dropped so never absorbed — C is a RECALL MISS
+    assert(keeper.contains((2L, 300L, None, true)))
+    // full mode: B's hash absorbed despite being a dup — C caught
+    assert(full.contains((2L, 300L, Some(200L), false)))
+    // containment law: every keeper-mode match is a full-mode match
+    val keeperMatches = keeper.collect { case (b, id, Some(_), _) => (b, id) }
+    val fullMatches = full.collect { case (b, id, Some(_), _) => (b, id) }
+    assert(keeperMatches.subsetOf(fullMatches))
+  }
+
+  test("containment law on a real corpus slice: keeper-mode matches ⊆ " +
+       "full-mode matches batch for batch") {
+    def runSeq(absorbFull: Boolean): Set[(Long, Long, Option[Long], Boolean)] = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-phcontain").toString + "/store"
+      PhashStream.init(mt(docs.filter(col("doc_id") % 4 === 0)), 64, dir)
+      (1L to 3L).foreach { b =>
+        PhashStream.applyBatch(mt(docs.filter(col("doc_id") % 4 === b)),
+          64, 3, dir, b, absorbFull = absorbFull)
+      }
+      servedRows(dir)
+    }
+    val keeper = runSeq(absorbFull = false)
+    val full = runSeq(absorbFull = true)
+    val km = keeper.collect { case (b, id, Some(_), _) => (b, id) }
+    val fm = full.collect { case (b, id, Some(_), _) => (b, id) }
+    assert(km.subsetOf(fm))
+    // and the verdict UNIVERSE is identical — absorbFull changes what
+    // the store remembers, never which images get served
+    assert(keeper.map(t => (t._1, t._2)) == full.map(t => (t._1, t._2)))
+  }
+
   test("fold invisibility: a later fenced serve is identical across the fold") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-phfold").toString + "/store"
