@@ -3153,6 +3153,66 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** Duplicate-heavy media near-dup clusters — the round-18 hot-bucket
+    * collapse oracled end-to-end on the blank-thumbnail regime: 10% of
+    * the corpus collapses onto 8 identical planted payloads (the
+    * mega-cluster input the uncollapsed banded join melted on — 762 s
+    * vs 10 s at the 10× storm, docs/SCALE.md), the rest keep their
+    * real text. Clusters come from the SPARSE edge set
+    * ([[graft.operators.Hamming.sparseEdges]]: star within
+    * identical-hash groups + rep-level near-dup edges — linear where
+    * all-pairs is quadratic); the oracle re-derives the skewed corpus
+    * in SQL and replays brute-force pairs + recursive reachability,
+    * so collapse ≡ brute force is certified WITH the skew present,
+    * not just on q184's distinct-ish corpus. */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10)) === 7,
+        concat(lit("blank thumbnail "),
+          expr("repeat(concat('variant', CAST(doc_id % 8 AS STRING), ' '), 12)")))
+        .otherwise(col("text")).as("text"))
+    Multimodal.phashDedupClusters(
+        Multimodal.asMediaTable(d, "doc_id", "text", "image"),
+        width = 64, maxDist = 3)
+      .orderBy("media_id")
+  }
+
+  /** q186's maintained-store chain in FULL-ABSORPTION mode
+    * ([[graft.streaming.PhashStream.applyBatch]] `absorbFull`, round
+    * 18): batch 1 serves fenced and absorbs EVERY decodable hash —
+    * keepers AND dropped dups — so batch 2 also catches re-encodes
+    * that drifted within range of a batch-1 DUPLICATE (the
+    * non-transitivity recall gap keeper-only absorption documents at
+    * [[Multimodal.appendPhash]]). The oracle is exactly one CTE away
+    * from q186's: round 2's history = history ∪ ALL of batch 1, no
+    * fresh filter. Store built once per JVM; round 2 serves fresh per
+    * rep behind the `b < 2` fence. */
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.PhashStream
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q190" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-phfull-$tag"
+    val d = Tables.documents(s, dir)
+    def mt(df: DataFrame) =
+      Multimodal.asMediaTable(df, "doc_id", "text", "image")
+    if (!new java.io.File(path).exists()) {
+      PhashStream.init(mt(d.filter(col("doc_id") % 4 <= 1)),
+        width = 64, path)
+      PhashStream.applyBatch(mt(d.filter(col("doc_id") % 4 === 2)),
+        width = 64, maxDist = 3, path, batchId = 1L, absorbFull = true)
+    }
+    val served2 = Multimodal.servePhashDedup(s, path,
+        mt(d.filter(col("doc_id") % 8 === 3)),
+        width = 64, maxDist = 3, batchCut = Some(2L))
+      .withColumn("b", lit(2L))
+    s.read.parquet(s"$path/served")
+      .select(col("b").cast("long").as("b"), col("media_id"),
+        col("dup_of"), col("is_fresh"))
+      .unionByName(served2.select(col("b"), col("media_id"),
+        col("dup_of"), col("is_fresh")))
+      .orderBy("b", "media_id")
+  }
+
   /** Guarded span cut ([[SpanDedup.cutDuplicatedSpans]] with
     * `minSpanTokens = 24`): the production exact-substring default —
     * only repeats of 24+ tokens cut (q163 cuts everything ≥ 8), so
@@ -4095,6 +4155,8 @@ object SparkEntry {
     "q186_phash_stream" -> q186,
     "q187_phash_fold" -> q187,
     "q188_media_decontam" -> q188,
+    "q189_phash_skew_dedup" -> q189,
+    "q190_phash_full_absorb" -> q190,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -4239,7 +4301,8 @@ object SparkEntry {
     * (`<p>h` is the result: media_id, h, dhash, ahash) and `pred`
     * slices the documents table — the store/serve oracles derive a
     * history and a batch hash set from the one definition. */
-  private def phashCtesFor(p: String, pred: String): String = {
+  private def phashCtesFor(p: String, pred: String,
+                           from: String = "documents"): String = {
     // byte value at 0-based plane index `i`: the UTF-8 byte when i < n,
     // the wrap's zero tail otherwise
     def byteAt(i: String): String =
@@ -4248,7 +4311,7 @@ object SparkEntry {
     val d2 = byteAt("((r*h)//8)*64 + (((c+1)*64)//9)")
     val av = byteAt("((r*h)//8)*64 + ((c*64)//8)")
     s"""${p}t AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-       |         octet_length(encode(text)) AS n FROM documents
+       |         octet_length(encode(text)) AS n FROM $from
        |       WHERE octet_length(encode(text)) >= 1 AND ($pred)),
        |${p}g AS (SELECT media_id, hx, n, (n + 63) // 64 AS h FROM ${p}t),
        |${p}rc AS (SELECT r, c FROM (SELECT unnest(generate_series(0,7)) AS r),
@@ -7282,6 +7345,67 @@ object SparkEntry {
          |       p.media_id = coalesce(zcc.label, p.media_id) AS is_keeper
          |FROM ph p LEFT JOIN zcc ON p.media_id = zcc.id
          |ORDER BY media_id""".stripMargin,
+    // q189: the skewed corpus re-derived in SQL (10% of docs collapse
+    // onto 8 planted payloads), then q184's brute-force pairs +
+    // recursive reachability — the round-18 collapse certified WITH
+    // mega-clusters present
+    "q189_phash_skew_dedup" ->
+      s"""WITH RECURSIVE sdocs AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 = 7
+         |              THEN 'blank thumbnail ' ||
+         |                   repeat('variant' || CAST(doc_id % 8 AS VARCHAR) || ' ', 12)
+         |              ELSE text END AS text
+         |  FROM documents),
+         |${phashCtesFor("s9", "TRUE", from = "sdocs")},
+         |zpr AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+         |        FROM s9h a JOIN s9h b ON a.media_id < b.media_id
+         |        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+         |ze AS (SELECT id_a AS s, id_b AS d2 FROM zpr
+         |       UNION ALL SELECT id_b, id_a FROM zpr),
+         |zreach(id, label) AS (
+         |  SELECT DISTINCT s, s FROM ze
+         |  UNION
+         |  SELECT ze.s, r.label FROM ze JOIN zreach r ON ze.d2 = r.id),
+         |zcc AS (SELECT id, min(label) AS label FROM zreach GROUP BY id)
+         |SELECT p.media_id,
+         |       coalesce(zcc.label, p.media_id) AS cluster_id,
+         |       p.media_id = coalesce(zcc.label, p.media_id) AS is_keeper
+         |FROM s9h p LEFT JOIN zcc ON p.media_id = zcc.id
+         |ORDER BY media_id""".stripMargin,
+    // q190: q186's replay with FULL absorption — round 2's history is
+    // history ∪ ALL of batch 1 (no fresh filter), nothing else differs
+    "q190_phash_full_absorb" ->
+      s"""WITH ${phashCtesFor("h_", "doc_id % 4 <= 1")},
+         |${phashCtesFor("c_", "doc_id % 4 = 2")},
+         |${phashCtesFor("d_", "doc_id % 8 = 3")},
+         |r1h AS (SELECT b.media_id, min(h.media_id) AS hd FROM c_h b
+         |        JOIN h_h h ON bit_count(xor(b.dhash, h.dhash)) <= 3
+         |        GROUP BY 1),
+         |r1b AS (SELECT b.media_id, min(a.media_id) AS bd FROM c_h b
+         |        JOIN c_h a ON a.media_id < b.media_id
+         |          AND bit_count(xor(a.dhash, b.dhash)) <= 3 GROUP BY 1),
+         |r1 AS (SELECT p.media_id, coalesce(r1h.hd, r1b.bd) AS dup_of,
+         |              (r1h.hd IS NULL AND r1b.bd IS NULL) AS is_fresh
+         |       FROM c_h p LEFT JOIN r1h USING (media_id)
+         |                  LEFT JOIN r1b USING (media_id)),
+         |h2 AS (SELECT media_id, dhash FROM h_h
+         |       UNION ALL
+         |       SELECT media_id, dhash FROM c_h),
+         |r2h AS (SELECT b.media_id, min(h.media_id) AS hd FROM d_h b
+         |        JOIN h2 h ON bit_count(xor(b.dhash, h.dhash)) <= 3
+         |        GROUP BY 1),
+         |r2b AS (SELECT b.media_id, min(a.media_id) AS bd FROM d_h b
+         |        JOIN d_h a ON a.media_id < b.media_id
+         |          AND bit_count(xor(a.dhash, b.dhash)) <= 3 GROUP BY 1),
+         |r2 AS (SELECT p.media_id, coalesce(r2h.hd, r2b.bd) AS dup_of,
+         |              (r2h.hd IS NULL AND r2b.bd IS NULL) AS is_fresh
+         |       FROM d_h p LEFT JOIN r2h USING (media_id)
+         |                  LEFT JOIN r2b USING (media_id))
+         |SELECT 1::BIGINT AS b, media_id, dup_of, is_fresh FROM r1
+         |UNION ALL
+         |SELECT 2::BIGINT AS b, media_id, dup_of, is_fresh FROM r2
+         |ORDER BY b, media_id""".stripMargin,
     // q182: the oracle brute-forces ALL pairs (fixture-sized); the
     // engine's banded pigeonhole must agree exactly — that is the law
     "q182_phash_neardups" ->
