@@ -297,25 +297,29 @@ object TextOps {
     // exist — which is why within-group pairs still verify instead of
     // short-circuiting to jaccard 1.) MinhashCollapseSpec pins the
     // candidate-set law; the q11 oracle replays brute-force Jaccard.
-    val sig = minhashSignatures(Engine.fanOutIfNarrow(docs, col(idCol)),
-      idCol, textCol, n, k)
+    // ONE bookkeeping shuffle (round-18 refinement: the first cut of
+    // this collapse ran a groupBy + a rep semi-join + a struct-keyed
+    // member join — three shuffles of the 64-slot signatures — and
+    // q31/q137 paid ~30% for it on a duplicate-free corpus): the
+    // window min over the signature partition yields every member's
+    // representative in a single pass, the rep rows are the filter
+    // `id = rep` (keeping their signature columns for banding), and
+    // the member map is a slim (id, rep) projection of the same frame.
+    val sigWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__sigk"))
+    val withRep = minhashSignatures(Engine.fanOutIfNarrow(docs, col(idCol)),
+        idCol, textCol, n, k)
       .withColumn("__sigk", struct((0 until k).map(i => col(s"mh$i")): _*))
-      .localCheckpoint(eager = true) // group cut + rep slice + member map
-    val groups = sig.groupBy(col("__sigk")).agg(min(col(idCol)).as("__rep"))
-      .localCheckpoint(eager = true) // rep semi-join + member map
-    // NOT broadcast: distinct signatures ≈ distinct docs on a clean
-    // corpus, so the rep set is corpus-sized — a plain semi-join
-    // shuffles on the id like any other corpus join
-    val repRows = sig.join(
-      groups.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+      .withColumn("__rep", min(col(idCol)).over(sigWin))
+      .localCheckpoint(eager = true) // rep slice + member expansions
+    val repRows = withRep.filter(col(idCol) === col("__rep"))
     val bandsDf = lshBands(repRows, idCol, k, bands)
     val l = bandsDf.select(col(idCol).as("__ra"), col("band"), col("band_key"))
     val r = bandsDf.select(col(idCol).as("__rb"), col("band"), col("band_key"))
     val repCand = l.join(r, Seq("band", "band_key"))
       .filter(col("__ra") < col("__rb"))
       .select("__ra", "__rb").distinct()
-    val members = sig.join(groups, Seq("__sigk"))
-      .select(col(idCol), col("__rep"))
+    val members = withRep.select(col(idCol), col("__rep"))
     val ma = members.select(col(idCol).as("__ida"), col("__rep").as("__ra"))
     val mb = members.select(col(idCol).as("__idb"), col("__rep").as("__rb"))
     val cross = repCand.join(ma, Seq("__ra")).join(mb, Seq("__rb"))
