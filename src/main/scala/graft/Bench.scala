@@ -209,6 +209,27 @@ object Bench {
     if (floor <= 0.0) med
     else med / math.max(1.0, math.min(lo, hi) / floor)
 
+  /** Band epochs (round-18, verdict task 7): a query whose BODY changed
+    * semantics keeps matching its pre-change history in the historical-
+    * clean-band fold, and the stale band then flags every honest
+    * measurement forever — q149/q150/q154 measured a ~0.2 s store
+    * READ-BACK through r14 and a real 5-7 s fenced serve from r15 on
+    * (the BENCH_HISTORY band-break note), so the >2×-band suspect rule
+    * fired on them in every round since. A key listed here contributes
+    * to its band only from rounds >= its epoch. */
+  private[graft] val bandEpochs: Map[String, Int] =
+    Map("q149" -> 15, "q150" -> 15, "q154" -> 15)
+
+  /** Whether round `round`'s measurement of `key` may contribute to the
+    * historical clean band (key may be a full name, short id, or the
+    * ultra level's bare numeral). Pure for BenchWindowSpec. */
+  private[graft] def bandEpochAllows(key: String, round: Int): Boolean = {
+    val short0 = key.takeWhile(_ != '_')
+    val short = if (short0.nonEmpty && short0.forall(_.isDigit)) "q" + short0
+                else short0
+    bandEpochs.get(short).forall(_ <= round)
+  }
+
   /** The map-recovery sidecars an artifact with no per-query map may be
     * paired with, in trust order: its committed `BENCH_r{N}_map.json`
     * twin (the round-13/15 manual-recovery convention), then the
@@ -347,17 +368,17 @@ object Bench {
           } catch { case _: Throwable => None }
         }.nextOption().getOrElse(payload)
       }
-      val allRounds: Seq[java.nio.file.Path] = {
+      val allRounds: Seq[(Int, java.nio.file.Path)] = {
         val rx = raw"BENCH_r0*(\d+)\.json".r
         val s = Files.list(Paths.get("."))
         try s.iterator().asScala.flatMap(p => p.getFileName.toString match {
             case rx(n) => Some((n.toInt, p))
             case _     => None
-          }).toSeq.sortBy(-_._1).map(_._2)
+          }).toSeq.sortBy(-_._1)
         finally s.close()
       }
       val prev = sys.env.get("SPARK_GRAFT_BENCH_PREV").map(Paths.get(_))
-        .orElse(allRounds.headOption)
+        .orElse(allRounds.headOption.map(_._2))
       val (pm, pp) = prev.map { p =>
         val payload = payloadOf(p)
         (queriesOf(payload), numOf(payload \ "calibration" \ "probe_median"))
@@ -366,12 +387,15 @@ object Bench {
       // committed round (a hot round only raises its own numbers, so
       // min-over-rounds is the cleanest measurement on record). Files
       // that fail to parse contribute nothing — the band is advisory.
-      val band = allRounds.foldLeft(Map.empty[String, Double]) { (acc, p) =>
-        val qs = try queriesOf(payloadOf(p)) catch { case _: Throwable => Map.empty[String, Double] }
-        qs.foldLeft(acc) { case (a, (k, v)) =>
-          if (v <= 0.0) a
-          else a.updatedWith(k)(old => Some(old.fold(v)(math.min(_, v))))
-        }
+      val band = allRounds.foldLeft(Map.empty[String, Double]) {
+        case (acc, (rn, p)) =>
+          val qs = try queriesOf(payloadOf(p)) catch { case _: Throwable => Map.empty[String, Double] }
+          qs.foldLeft(acc) { case (a, (k, v)) =>
+            // band-epoch gate: a round predating the key's semantic
+            // band break contributes nothing ([[bandEpochs]])
+            if (v <= 0.0 || !bandEpochAllows(k, rn)) a
+            else a.updatedWith(k)(old => Some(old.fold(v)(math.min(_, v))))
+          }
       }
       // seed band (round-13, from the round-12 adjudication): committed
       // per-query driver maps end at r09 — contended rounds since then

@@ -203,4 +203,20 @@ class BenchWindowSpec extends AnyFunSuite {
       assert(n > 0.0)
     }
   }
+
+  // ---- band epochs (round 18: q149/q150/q154's pre-r15 read-back ----
+  // ---- bands flagged every honest serve measurement forever) ----
+
+  test("bandEpochAllows gates pre-break rounds for broken keys only, " +
+       "under every historical key form") {
+    for (k <- Seq("q149_curation_stream", "q149", "149")) {
+      assert(!Bench.bandEpochAllows(k, 14), s"$k r14 must be excluded")
+      assert(Bench.bandEpochAllows(k, 15), s"$k r15 must contribute")
+      assert(Bench.bandEpochAllows(k, 17))
+    }
+    // un-broken keys contribute from any round
+    for (k <- Seq("q01_stg_trades", "q01", "1", "q148_whatever")) {
+      assert(Bench.bandEpochAllows(k, 2), s"$k r2 must contribute")
+    }
+  }
 }
