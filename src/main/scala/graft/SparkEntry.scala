@@ -167,6 +167,16 @@ object SparkEntry {
         maxDist = 3)
       .orderBy("id_a", "id_b")
 
+  /** SimHash near-dup KEEPER table ([[TextOps.simhashDedupClusters]]):
+    * q14's pair graph closed into the dedup decision by min-label CC
+    * over the round-18 sparse collapse edges — the fingerprint-lens
+    * complement of q31's shingle-Jaccard clusters. Oracle: brute-force
+    * simhash pairs + the q31/q184 recursive-CTE reachability. */
+  private def q191(s: SparkSession, dir: String): DataFrame =
+    TextOps.simhashDedupClusters(Tables.documents(s, dir), "doc_id", "text",
+        maxDist = 3)
+      .orderBy("doc_id")
+
   /** Language-ID heuristic (marker-token argmax). */
   private def q15(s: SparkSession, dir: String): DataFrame =
     TextOps.languageId(Tables.documents(s, dir), "doc_id", "text")
@@ -4157,6 +4167,7 @@ object SparkEntry {
     "q188_media_decontam" -> q188,
     "q189_phash_skew_dedup" -> q189,
     "q190_phash_full_absorb" -> q190,
+    "q191_simhash_clusters" -> q191,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -8458,6 +8469,26 @@ object SparkEntry {
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // q191: brute-force simhash pairs + the q31/q184 recursive-CTE
+    // reachability — the sparse-edge cluster path certified on the
+    // 60-bit text fingerprint family
+    "q191_simhash_clusters" ->
+      s"""WITH RECURSIVE $simhashCte,
+         |zpr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |ze AS (SELECT id_a AS s, id_b AS d2 FROM zpr
+         |       UNION ALL SELECT id_b, id_a FROM zpr),
+         |zreach(id, label) AS (
+         |  SELECT DISTINCT s, s FROM ze
+         |  UNION
+         |  SELECT ze.s, r.label FROM ze JOIN zreach r ON ze.d2 = r.id),
+         |zcc AS (SELECT id, min(label) AS label FROM zreach GROUP BY id)
+         |SELECT f.doc_id,
+         |       coalesce(zcc.label, f.doc_id) AS cluster_id,
+         |       f.doc_id = coalesce(zcc.label, f.doc_id) AS is_keeper
+         |FROM fp f LEFT JOIN zcc ON f.doc_id = zcc.id
+         |ORDER BY doc_id""".stripMargin,
     "q15_langid" -> langidOracle,
     "q16_quality" ->
       """WITH f AS (

@@ -657,6 +657,31 @@ object TextOps {
     Hamming.collapsedPairs(sh, idCol, "simhash", SimhashBits, maxDist)
   }
 
+  /** Text near-dup KEEPER table on the SimHash lens — the q31 dedup
+    * DECISION for the fingerprint family: [[simhashPairs]]' ≤ maxDist
+    * pair graph closed by min-label [[connectedComponents]], every doc
+    * labeled (cluster = smallest reachable id, keeper = itself;
+    * singletons keep themselves). Complements the shingle-Jaccard
+    * clusters (q31): SimHash survives small in-place edits that shift
+    * every 3-gram window, at 60 bits per doc instead of a shingle set.
+    * CC consumes the CONNECTIVITY-equivalent sparse edge set
+    * ([[Hamming.sparseEdges]]: star within identical-fingerprint
+    * groups + one edge per near-dup pair of distinct fingerprints) —
+    * linear in corpus on duplicate-heavy crawls where the all-pairs
+    * graph is quadratic in cluster size. */
+  def simhashDedupClusters(docs: DataFrame, idCol: String, textCol: String,
+                           maxDist: Int = 3): DataFrame = {
+    val sh = simhash(Engine.fanOutIfNarrow(docs, col(idCol)), idCol, textCol)
+      .localCheckpoint(eager = true) // edge engine + the id universe
+    val edges = Hamming.sparseEdges(sh, idCol, "simhash", SimhashBits, maxDist)
+    val cc = connectedComponents(edges)
+    val ids = sh.select(col(idCol))
+    ids.join(cc, ids(idCol) === cc("id"), "left")
+      .select(ids(idCol),
+        coalesce(cc("label"), ids(idCol)).as("cluster_id"))
+      .withColumn("is_keeper", col(idCol) === col("cluster_id"))
+  }
+
   // ------------------------------------------------------------ text stats
 
   /** Marker-token vocabularies for the n-gram/stopword language-ID

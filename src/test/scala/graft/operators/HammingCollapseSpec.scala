@@ -127,6 +127,36 @@ class HammingCollapseSpec extends SparkSpec {
     assert((0 until 5).forall(i => got(200L + i) == got(200L)))
   }
 
+  test("simhashDedupClusters on a duplicate-heavy corpus ≡ clusters from " +
+       "brute-force fingerprint pairs") {
+    val rnd = new scala.util.Random(23)
+    val docs = (0L until 25L).map(i =>
+      (i, Seq.fill(40)(rnd.nextInt(800).toString).mkString(" "))) ++
+      (0 until 7).map(i => (100L + i, "boilerplate footer text " * 9)) ++
+      (0 until 6).map(i => (200L + i, "syndicated wire copy " * 10))
+    val df = docs.toDF("doc_id", "text")
+    val fps = TextOps.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val ids = fps.keys.toSeq.sorted
+    val adj = ids.map(a => a -> ids.filter(b => b != a &&
+      java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 3)).toMap
+    def reachMin(start: Long): Long = {
+      val seen = scala.collection.mutable.Set(start)
+      val stack = scala.collection.mutable.Stack(start)
+      while (stack.nonEmpty) adj(stack.pop()).foreach(n =>
+        if (seen.add(n)) stack.push(n))
+      seen.min
+    }
+    val expected = ids.map(i => i -> reachMin(i)).toMap
+    val got = TextOps.simhashDedupClusters(df, "doc_id", "text", 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cluster_id")).toMap
+    assert(got == expected)
+    // the planted mega-groups each collapse onto their min id
+    assert((0 until 7).forall(i => got(100L + i) == got(100L)))
+    assert((0 until 6).forall(i => got(200L + i) == got(200L)))
+  }
+
   test("servePhashDedup on duplicate-heavy store AND batch ≡ brute-force " +
        "replay (history wins, within-batch min-id, fresh is fresh)") {
     val dir = java.nio.file.Files
