@@ -209,6 +209,47 @@ object Bench {
     if (floor <= 0.0) med
     else med / math.max(1.0, math.min(lo, hi) / floor)
 
+  /** Whether the window-normalization model VALIDATED this run
+    * (round-19, from the round-18 verdict + advice: normalizedMedian is
+    * a one-sided correction — the ratio clamps at 1, so the board can
+    * only ever deflate — and r18's driver artifact emitted norm_total
+    * 204.4 s with norm_ratio_anchor 0.835, i.e. the probe-linear model
+    * over-deflated anchored queries ~16% below their own clean-anchor
+    * evidence, a bench-record bias risk on a uniformly slow host). The
+    * anchors are the model's per-run validation: when the median of
+    * normalized-median-over-clean-anchor falls outside [0.9, 1.1] the
+    * model failed this run and `norm_total` is SUPPRESSED (null, with
+    * `norm_suppressed` carrying the reason) — raw medians plus the raw
+    * anchors remain the only engine-cost claims. `norm_ratio_anchor`
+    * itself always publishes: it is the evidence either way. No-anchor
+    * runs (subsets) suppress too — an unvalidatable model must not
+    * publish corrected totals. Pure for BenchWindowSpec. */
+  private[graft] def normCalibrationValid(ratio: Option[Double]): Boolean =
+    ratio.exists(r => r >= 0.9 && r <= 1.1)
+
+  /** Spread as seen by the NOISE TRIGGERS (extra-rep purchase, the
+    * `noisy` flag, rescue enrolment) — round-19, from the round-18
+    * verdict's rescue-gap task: ~40 queries build a session-keyed
+    * store/index on their FIRST rep by design (the q66 class the bench
+    * protocol documents), so rep 1 is deterministically the max and its
+    * build cost alone trips the spread>median trigger every run,
+    * burning extra reps and rescue passes on measurements whose medians
+    * were already clean — 22 of r18's rescues were this shape. When a
+    * query has ≥3 reps and rep 1 is the strict unique maximum (the
+    * build-rep signature; contention is equally likely on any rep, so a
+    * genuinely hot window that touches ≥2 reps still trips), the
+    * triggers see the spread over reps 2..n. The PUBLISHED per-query
+    * spread in the file artifact stays the full min→max — this narrows
+    * what the bench reacts to, never what it reports. Pure for
+    * BenchWindowSpec. */
+  private[graft] def triggerSpread(times: Seq[Double]): Double = {
+    if (times.isEmpty) return 0.0
+    def spread(ts: Seq[Double]) = ts.max - ts.min
+    if (times.size >= 3 && times.tail.forall(_ < times.head))
+      spread(times.tail)
+    else spread(times)
+  }
+
   /** Band epochs (round-18, verdict task 7): a query whose BODY changed
     * semantics keeps matching its pre-change history in the historical-
     * clean-band fold, and the stale band then flags every honest
@@ -217,8 +258,41 @@ object Bench {
     * (the BENCH_HISTORY band-break note), so the >2×-band suspect rule
     * fired on them in every round since. A key listed here contributes
     * to its band only from rounds >= its epoch. */
-  private[graft] val bandEpochs: Map[String, Int] =
+  private[graft] val defaultBandEpochs: Map[String, Int] =
     Map("q149" -> 15, "q150" -> 15, "q154" -> 15)
+
+  /** Parse the committed `BENCH_EPOCHS.json` band-break registry
+    * (round-19 advice fix: the epochs were a source constant, which
+    * excised exactly the history that was flagging q149/q150/q154 with
+    * nothing but a BENCH_HISTORY prose note to audit against — now the
+    * exclusions live in a data artifact next to the artifacts they
+    * edit, and a future band break is a JSON edit, not a code edit).
+    * Shape: {"note": "...", "epochs": {"q149": 15, ...}}. Pure for
+    * BenchWindowSpec. */
+  private[graft] def parseEpochs(text: String): Map[String, Int] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    (JsonMethods.parse(text) \ "epochs") match {
+      case JObject(fs) => fs.collect {
+        case (k, JInt(n))     => k -> n.toInt
+        case (k, JDouble(n))  => k -> n.toInt
+        case (k, JLong(n))    => k -> n.toInt
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Band epochs: committed `BENCH_EPOCHS.json` when present and
+    * parseable, else the in-code default (kept so the pure spec and a
+    * bare checkout behave identically). See [[parseEpochs]]. */
+  private[graft] lazy val bandEpochs: Map[String, Int] = {
+    val p = Paths.get("BENCH_EPOCHS.json")
+    if (!Files.exists(p)) defaultBandEpochs
+    else try {
+      val m = parseEpochs(Files.readString(p))
+      if (m.nonEmpty) m else defaultBandEpochs
+    } catch { case _: Throwable => defaultBandEpochs }
+  }
 
   /** Whether round `round`'s measurement of `key` may contribute to the
     * historical clean band (key may be a full name, short id, or the
@@ -509,11 +583,14 @@ object Bench {
       var err = err0
       // noise guard: spread > median on a non-trivial query means at
       // least one rep was polluted by transient contention — buy extra
-      // reps so the median can recover before we publish it
+      // reps so the median can recover before we publish it. The
+      // trigger sees [[triggerSpread]] (rep 1 excluded when it is the
+      // unique max — the build-once-store signature); the published
+      // spread below stays the honest full min→max.
       var extra = 0
       while (err.isEmpty && extra < extraReps &&
              median(times.toSeq) > 0.2 &&
-             spreadOf(times.toSeq) > median(times.toSeq)) {
+             triggerSpread(times.toSeq) > median(times.toSeq)) {
         val (t1, e1) = measure(fn, 1)
         times ++= t1
         err = e1
@@ -521,7 +598,7 @@ object Bench {
       }
       val med = median(times.toSeq)
       val spread = spreadOf(times.toSeq)
-      val noisy = err.isEmpty && med > 0.2 && spread > med
+      val noisy = err.isEmpty && med > 0.2 && triggerSpread(times.toSeq) > med
       (name, med, spread, err, noisy, times.size)
     }
     // Locale.ROOT: under a comma-decimal JVM locale the default-locale
@@ -643,6 +720,9 @@ object Bench {
       case ((name, med, spr, None, _, n), qi) if rescueSet.contains(name) =>
         val (fLo, fHi) = firstPassBrackets(qi)
         // candidate = (median, spread, clean, fromRescue, loProbe, hiProbe)
+        // (spread here feeds the published artifact AND the residual
+        // noisy flag — rescue reps never include a store build, the
+        // first pass already paid it, so no rep-1 exclusion applies)
         val cands = scala.collection.mutable.ArrayBuffer(
           (med, spr, cleanWindow(fLo, fHi, prevProbe), false, fLo, fHi))
         var repsSpent = n
@@ -718,6 +798,21 @@ object Bench {
       normByName.get(k).filter(_ => a > 0.0).map(_ / a) }
     val normCalibRatio =
       if (anchorRatios.isEmpty) None else Some(median(anchorRatios))
+    // norm gating (round-19): the corrected total publishes only when
+    // the anchors validated the probe-linear model this run
+    // ([[normCalibrationValid]]) — otherwise norm_total is null and
+    // norm_suppressed carries the reason, so a failed calibration can
+    // never be read as engine cost. norm_ratio_anchor always publishes.
+    val normValid = normCalibrationValid(normCalibRatio)
+    val normSuppressedReason: Option[String] =
+      if (normValid) None
+      else Some(normCalibRatio match {
+        case Some(r) => f"anchor_ratio_$r%.3f_outside_[0.9,1.1]"
+        case None    => "no_clean_anchors"
+      })
+    def normTotalJson(dp: Int): String =
+      (if (normValid) s""""norm_total":${fmt(normTotal, dp)},"""
+       else s""""norm_total":null,"norm_suppressed":${jstr(normSuppressedReason.get)},""")
     val partialPairs = results.collect { case (k, v, _, Some(_), _, n) if n > 0 => (k, v) }
     val qPairs = (cleanPairs ++ partialPairs).sortBy(_._1)
     val total = cleanPairs.map(_._2).sum
@@ -759,7 +854,7 @@ object Bench {
         s""""window_suspect":${jarrShort(windowSuspectFinal)},""" +
         s""""anchor_total":${fmt(anchorTimes.values.sum, dp)},""" +
         s""""anchor_n":${anchorTimes.size},"anchor_of":${anchorNames.size},""" +
-        s""""norm_total":${fmt(normTotal, dp)},""" +
+        normTotalJson(dp) +
         s""""norm_ratio_anchor":${normCalibRatio.map(fmt(_, 3)).getOrElse("null")},""" +
         calibJson(if (compact) 2 else 3)
     }
@@ -795,7 +890,7 @@ object Bench {
         s""""window_suspect":${ultraArr(windowSuspectFinal)},""" +
         s""""anchor_total":${fmt(anchorTimes.values.sum, dp)},"anchor_n":${anchorTimes.size},""" +
         s""""anchor_of":${anchorNames.size},""" +
-        s""""norm_total":${fmt(normTotal, dp)},""" +
+        normTotalJson(dp) +
         s""""norm_ratio_anchor":${normCalibRatio.map(fmt(_, 2)).getOrElse("null")},""" +
         s""""calibration":{"probe_median":${fmt(probeBest, dp)},""" +
         s""""probe_prior":${prevProbe.map(fmt(_, dp)).getOrElse("null")}},""" +
@@ -832,7 +927,7 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + fmt(v, 4) }
       .mkString("{", ",", "}")
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"queries_norm":$qsNorm,"norm_total":${fmt(normTotal, 4)},"norm_ratio_anchor":${normCalibRatio.map(fmt(_, 4)).getOrElse("null")},"spread":$spreads,"errors":$errs,"rep_counts":$repCounts,"n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)},"suspect":${jarr(suspectNames)},"rescued":${jarr(rescuedNames.toSeq)},"window_suspect":${jarr(windowSuspectFinal)},"anchor_total":${fmt(anchorTimes.values.sum, 4)},"anchor_n":${anchorTimes.size},"anchor_of":${anchorNames.size},"anchors":$anchorsJson,${calibJson(4)},"sf":${jstr(sfDirOrig)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"queries_norm":$qsNorm,${normTotalJson(4)}"norm_ratio_anchor":${normCalibRatio.map(fmt(_, 4)).getOrElse("null")},"spread":$spreads,"errors":$errs,"rep_counts":$repCounts,"n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)},"suspect":${jarr(suspectNames)},"rescued":${jarr(rescuedNames.toSeq)},"window_suspect":${jarr(windowSuspectFinal)},"anchor_total":${fmt(anchorTimes.values.sum, 4)},"anchor_n":${anchorTimes.size},"anchor_of":${anchorNames.size},"anchors":$anchorsJson,${calibJson(4)},"sf":${jstr(sfDirOrig)}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(outPath), fileJson + "\n")
     // the UNCONDITIONAL map sidecar (round-16, r15 verdict #1): the

@@ -34,6 +34,25 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q02_prd_trades_star")(spark, "/root/testdata/sf0.001")
 
+  /** Crash-safe once-per-JVM store build (round-19 advice, generalized
+    * from the q190 finding): guarding a MULTI-STEP build on bare path
+    * existence means a rep after a mid-build failure (step 1 created
+    * the dir, step 2 died) silently serves a half-built store — wrong
+    * results, no error. The `_DONE` marker is written only after the
+    * whole build block returns; a marker-less dir is torn down and
+    * rebuilt. Underscore-prefixed files are invisible to the parquet
+    * readers, so the marker never pollutes a store scan. */
+  private def builtOnce(path: String)(build: => Unit): Unit = {
+    val marker = new java.io.File(path, "_DONE")
+    if (marker.exists()) return
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    if (new java.io.File(path).exists()) rm(new java.io.File(path))
+    build
+    marker.createNewFile()
+  }
+
   // ---------------------------------------------------------------- parity
 
   /** §3.3 staging-trades pipeline: P1 project → F1 dropna → X1 compact
@@ -981,7 +1000,7 @@ object SparkEntry {
     val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
       dir + s.sparkContext.applicationId)) % 1000000).toString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-layout-events-$tag"
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), tsUs.as("ts_us"), col("user_id"),
           col("event_type"), col("value"))
@@ -1035,7 +1054,7 @@ object SparkEntry {
     val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
       dir + s.sparkContext.applicationId)) % 1000000).toString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-layout-zorder-$tag"
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       Layout.writeZOrderedAuto(ev, path, Seq("user_id", "value"), numFiles = 32)
@@ -1122,14 +1141,15 @@ object SparkEntry {
     val tmp = System.getProperty("java.io.tmpdir")
     val small = s"$tmp/graft-compact-small-$tag"
     val compacted = s"$tmp/graft-compact-out-$tag"
-    if (!new java.io.File(small).exists()) {
+    builtOnce(small) {
       Tables.events(s, dir)
         .select(col("event_id"), col("event_type"), col("value"))
         .repartition(64) // simulate 64 micro-batch appends
         .write.mode("overwrite").parquet(small)
     }
-    if (!new java.io.File(compacted).exists())
+    builtOnce(compacted) {
       Layout.compact(s, small, compacted, targetBytes = 1L << 20)
+    }
     s.read.parquet(compacted)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -1213,7 +1233,7 @@ object SparkEntry {
     val parts = 16 // fixed row budget per partition; grows with corpus
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val isNew = col("doc_id") % 8 === 0
-    if (!new java.io.File(storePath).exists()) {
+    builtOnce(storePath) {
       TextOps.writeSignatureStorePartitioned(
         TextOps.signatureStore(docs.filter(!isNew), "doc_id", "text"),
         storePath, parts)                               // history ingest
@@ -1387,7 +1407,7 @@ object SparkEntry {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-$tag"
     val e = Tables.embeddings(s, dir)
     val isNew = col("vec_id") % 10 === 0
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       Similarity.writeIvfIndex(
         Similarity.buildIvfIndex(e.filter(!isNew), "vec_id", "embedding",
           nCentroids = 16, iters = 0), path)
@@ -1439,8 +1459,9 @@ object SparkEntry {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-postidx-$tag"
     val parts = 16
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    if (!new java.io.File(path).exists())
+    builtOnce(path) {
       TextOps.writePostingIndex(docs, "doc_id", "text", path, parts)
+    }
     val queries = docs.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)).as("qtext"))
@@ -1466,7 +1487,7 @@ object SparkEntry {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-postidx-incr-$tag"
     val parts = 16
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       TextOps.writePostingIndex(docs.filter(col("doc_id") % 4 =!= 0),
         "doc_id", "text", path, parts)
       TextOps.appendToPostingIndex(docs.filter(col("doc_id") % 4 === 0),
@@ -1496,7 +1517,7 @@ object SparkEntry {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-postidx-compact-$tag"
     val parts = 16
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       TextOps.writePostingIndex(docs.filter(col("doc_id") % 4 === 1),
         "doc_id", "text", path, parts)
       Seq(2L, 3L, 0L).foreach(m =>
@@ -1529,7 +1550,7 @@ object SparkEntry {
     val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
       "q88" + dir + s.sparkContext.applicationId)) % 1000000).toString
     val store = s"${System.getProperty("java.io.tmpdir")}/graft-mediaemb-$tag"
-    if (!new java.io.File(store).exists()) {
+    builtOnce(store) {
       val media = s.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet").load(dir)
         .select(
@@ -1564,7 +1585,7 @@ object SparkEntry {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-postidx-purge-$tag"
     val parts = 16
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       TextOps.writePostingIndex(docs.filter(col("doc_id") % 4 =!= 0),
         "doc_id", "text", path, parts)
       TextOps.appendToPostingIndex(docs.filter(col("doc_id") % 4 === 0),
@@ -1652,7 +1673,7 @@ object SparkEntry {
     val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
       "q93" + dir + s.sparkContext.applicationId)) % 1000000).toString
     val backlog = s"${System.getProperty("java.io.tmpdir")}/graft-stream-backlog-$tag"
-    if (!new java.io.File(backlog).exists()) {
+    builtOnce(backlog) {
       Tables.events(s, dir)
         .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
         .select("event_time", "event_type", "value")
@@ -1689,7 +1710,7 @@ object SparkEntry {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-postidx-asof-$tag"
     val parts = 16
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       (0L to 2L).foreach(m =>
         TextOps.writePostingIndexVersioned(docs.filter(col("doc_id") % 3 === m),
           "doc_id", "text", path, parts, batch = m))
@@ -1725,7 +1746,7 @@ object SparkEntry {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-postidx-fold-$tag"
     val parts = 16
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       (0L to 3L).foreach(m =>
         TextOps.writePostingIndexVersioned(docs.filter(col("doc_id") % 4 === m),
           "doc_id", "text", path, parts, batch = m))
@@ -2300,7 +2321,7 @@ object SparkEntry {
       "q127" + dir + s.sparkContext.applicationId)) % 1000000).toString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-semstore-$tag"
     val e = Tables.embeddings(s, dir)
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       Similarity.writeSemStore(e.filter(col("vec_id") % 4 <= 1),
         "vec_id", "embedding", k = KmeansK, iters = KmeansIters, path)
       Similarity.appendToSemStore(s, path,
@@ -2326,7 +2347,7 @@ object SparkEntry {
       "q140" + dir + s.sparkContext.applicationId)) % 1000000).toString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-semfold-$tag"
     val e = Tables.embeddings(s, dir)
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       SemStream.init(e.filter(col("vec_id") % 4 <= 1),
         "vec_id", "embedding", k = KmeansK, iters = KmeansIters, path)
       SemStream.applyBatch(e.filter(col("vec_id") % 4 === 2),
@@ -2355,7 +2376,7 @@ object SparkEntry {
     val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
       "q141" + dir + s.sparkContext.applicationId)) % 1000000).toString
     val backlog = s"${System.getProperty("java.io.tmpdir")}/graft-attr-backlog-$tag"
-    if (!new java.io.File(backlog).exists()) {
+    builtOnce(backlog) {
       Tables.events(s, dir)
         .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
         .select("event_id", "event_time", "user_id", "event_type", "value")
@@ -2424,7 +2445,7 @@ object SparkEntry {
       "q144" + dir + s.sparkContext.applicationId)) % 1000000).toString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-dsirstore-$tag"
     val d = Tables.documents(s, dir)
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       Sampling.writeDsirWeights(
         d.filter(pmod(col("doc_id"), lit(4)) <= 2), "doc_id", "text",
         targetPred = col("source").isin("src0", "src1"),
@@ -2454,7 +2475,7 @@ object SparkEntry {
       "q146" + dir + s.sparkContext.applicationId)) % 1000000).toString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-nbstore-$tag"
     val d = Tables.documents(s, dir)
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       TextOps.writeNbModel(d.filter(col("doc_id") % 4 =!= 3),
         "lang", "text", path)
     }
@@ -2485,7 +2506,7 @@ object SparkEntry {
     val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
       "q147" + dir + s.sparkContext.applicationId)) % 1000000).toString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-curstore-$tag"
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       val d = Tables.documents(s, dir)
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id").as("doc_id"), col("embedding"))
@@ -2603,7 +2624,7 @@ object SparkEntry {
     val d = Tables.documents(s, dir)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id").as("doc_id"), col("embedding"))
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       CurationStream.init(
         d.filter(col("doc_id") % 4 <= 1), e.filter(col("doc_id") % 4 <= 1),
         "doc_id", "embedding", "lang", "text",
@@ -2656,7 +2677,7 @@ object SparkEntry {
     val d = Tables.documents(s, dir)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id").as("doc_id"), col("embedding"))
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       CurationStream.init(
         d.filter(col("doc_id") % 4 <= 1), e.filter(col("doc_id") % 4 <= 1),
         "doc_id", "embedding", "lang", "text",
@@ -2770,7 +2791,7 @@ object SparkEntry {
       "q165" + dir + s.sparkContext.applicationId)) % 1000000).toString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-gramstore-$tag"
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       SpanDedup.writeGramStore(s, d.filter(col("doc_id") % 4 =!= 3),
         "doc_id", "text", k = 8, path)
     }
@@ -2799,7 +2820,7 @@ object SparkEntry {
       "q166" + dir + s.sparkContext.applicationId)) % 1000000).toString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-spanstream-$tag"
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       SpanStream.init(d.filter(col("doc_id") % 4 <= 1),
         "doc_id", "text", k = 8, path)
       SpanStream.applyBatch(d.filter(col("doc_id") % 4 === 2),
@@ -2834,7 +2855,7 @@ object SparkEntry {
       "q167" + dir + s.sparkContext.applicationId)) % 1000000).toString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-spanfold-$tag"
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       SpanStream.init(d.filter(col("doc_id") % 4 <= 1),
         "doc_id", "text", k = 8, path)
       SpanStream.applyBatch(d.filter(col("doc_id") % 4 === 2),
@@ -3051,7 +3072,7 @@ object SparkEntry {
     val d = Tables.documents(s, dir)
     def mt(df: DataFrame) =
       Multimodal.asMediaTable(df, "doc_id", "text", "image")
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       Multimodal.writePhashStore(mt(d.filter(col("doc_id") % 4 =!= 3)),
         width = 64, path)
     }
@@ -3076,7 +3097,7 @@ object SparkEntry {
     val d = Tables.documents(s, dir)
     def mt(df: DataFrame) =
       Multimodal.asMediaTable(df, "doc_id", "text", "image")
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       Multimodal.writePhashStore(mt(d.filter(col("doc_id") % 4 <= 1)),
         width = 64, path)
       val b1 = mt(d.filter(col("doc_id") % 4 === 2))
@@ -3117,7 +3138,7 @@ object SparkEntry {
     val d = Tables.documents(s, dir)
     def mt(df: DataFrame) =
       Multimodal.asMediaTable(df, "doc_id", "text", "image")
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       PhashStream.init(mt(d.filter(col("doc_id") % 4 <= 1)),
         width = 64, path)
       PhashStream.applyBatch(mt(d.filter(col("doc_id") % 4 === 2)),
@@ -3154,7 +3175,7 @@ object SparkEntry {
     val d = Tables.documents(s, dir)
     def mt(df: DataFrame) =
       Multimodal.asMediaTable(df, "doc_id", "text", "image")
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       Multimodal.writePhashStore(mt(d.filter(col("doc_id") % 50 === 0)),
         width = 64, path)
     }
@@ -3205,7 +3226,7 @@ object SparkEntry {
     val d = Tables.documents(s, dir)
     def mt(df: DataFrame) =
       Multimodal.asMediaTable(df, "doc_id", "text", "image")
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       PhashStream.init(mt(d.filter(col("doc_id") % 4 <= 1)),
         width = 64, path)
       PhashStream.applyBatch(mt(d.filter(col("doc_id") % 4 === 2)),
@@ -3262,7 +3283,7 @@ object SparkEntry {
       "q177" + dir + s.sparkContext.applicationId)) % 1000000).toString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-benchstore-$tag"
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       SpanDedup.writeGramStore(s, d.filter(col("doc_id") % 50 === 0),
         "doc_id", "text", k = 8, path)
       SpanDedup.appendGrams(d.filter(col("doc_id") % 50 === 25),
@@ -3318,7 +3339,7 @@ object SparkEntry {
     val e = Tables.embeddings(s, dir)
     val old = e.filter(col("vec_id") % 10 =!= 0)
     val fresh = e.filter(col("vec_id") % 10 === 0)
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       Similarity.writeIvfIndex(
         Similarity.buildIvfIndex(old, "vec_id", "embedding",
           nCentroids = 16, iters = 0), s"$path/r1")
@@ -3463,7 +3484,7 @@ object SparkEntry {
       .select(col("vec_id").as("doc_id"), col("embedding"))
     def slice(df: DataFrame, m: Int, r: Int) =
       df.filter(col("doc_id") % m === r)
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       CurationStream.init(
         d.filter(col("doc_id") % 4 <= 1), e.filter(col("doc_id") % 4 <= 1),
         "doc_id", "embedding", "lang", "text",
@@ -3551,7 +3572,7 @@ object SparkEntry {
     val d = Tables.documents(s, dir)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id").as("doc_id"), col("embedding"))
-    if (!new java.io.File(root).exists()) {
+    builtOnce(root) {
       CurationEpochs.initEpoch(
         d.filter(col("doc_id") % 4 <= 1), e.filter(col("doc_id") % 4 <= 1),
         "doc_id", "embedding", "lang", "text",
@@ -3623,7 +3644,7 @@ object SparkEntry {
         numMerges = BpeMerges, maxWords = BpeMaxWords,
         dsirTarget = col("source").isin("src0", "src1"),
         dsirBuckets = 256, root = root, epoch = epoch, seed = SampleSeed)
-    if (!new java.io.File(root).exists()) {
+    builtOnce(root) {
       epochOn(col("doc_id") % 4 <= 1, col("doc_id") % 4 <= 1, 0L)
       CurationEpochs.applyBatchEpoch(
         d.filter(col("doc_id") % 4 === 2), e.filter(col("doc_id") % 4 === 2),
@@ -3676,7 +3697,7 @@ object SparkEntry {
     val d = Tables.documents(s, dir)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id").as("doc_id"), col("embedding"))
-    if (!new java.io.File(root).exists()) {
+    builtOnce(root) {
       CurationEpochs.initEpoch(
         d.filter(col("doc_id") % 4 <= 1), e.filter(col("doc_id") % 4 <= 1),
         "doc_id", "embedding", "lang", "text",
@@ -3845,7 +3866,7 @@ object SparkEntry {
       "q132" + dir + s.sparkContext.applicationId)) % 1000000).toString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-pqidx-$tag"
     val e = Tables.embeddings(s, dir)
-    if (!new java.io.File(path).exists()) {
+    builtOnce(path) {
       Similarity.buildPqIndex(e.filter(col("vec_id") % 4 <= 1),
         "vec_id", "embedding", dim = 64, m = PqM,
         codebookK = PqCodebookK, iters = PqIters, path)

@@ -29,7 +29,14 @@ object Stress {
       .filter(f => f.isFile && !f.getName.startsWith("_") &&
         !f.getName.startsWith("."))
       .filter(f => seen.add(f.getName))
-      .foreach(f => f.setLastModified(1700000000000L + rep * 60000L))
+      .foreach { f =>
+        // a silently-failed stamp falls back to natural mtimes and
+        // reintroduces the nondeterministic tie this exists to kill —
+        // fail the storm loudly instead (round-19 advice)
+        require(f.setLastModified(1700000000000L + rep * 60000L),
+          s"setLastModified failed on ${f.getAbsolutePath} — " +
+            "batch ordering would be nondeterministic")
+      }
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)

@@ -219,4 +219,58 @@ class BenchWindowSpec extends AnyFunSuite {
       assert(Bench.bandEpochAllows(k, 2), s"$k r2 must contribute")
     }
   }
+
+  test("band epochs load from the committed BENCH_EPOCHS.json and agree " +
+       "with the in-code default (round 19: the exclusion is a data " +
+       "artifact, auditable next to the history it edits)") {
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("BENCH_EPOCHS.json"))
+    val parsed = Bench.parseEpochs(text)
+    assert(parsed == Bench.defaultBandEpochs,
+      "committed epochs file and code default diverged — update both " +
+        "together (the default exists only for bare checkouts)")
+    assert(Bench.bandEpochs == parsed)
+    // malformed / markerless text degrades to empty, never throws
+    assert(Bench.parseEpochs("{}").isEmpty)
+    assert(Bench.parseEpochs("""{"epochs":{}}""").isEmpty)
+  }
+
+  // ---- norm gating (round 19: r18's driver artifact published ----
+  // ---- norm_total 204 s against anchor evidence of ~0.835 ratio) ----
+
+  test("normCalibrationValid accepts only anchor-validated runs") {
+    assert(Bench.normCalibrationValid(Some(1.0)))
+    assert(Bench.normCalibrationValid(Some(0.9)))
+    assert(Bench.normCalibrationValid(Some(1.1)))
+    assert(!Bench.normCalibrationValid(Some(0.835)), "the r18 shape")
+    assert(!Bench.normCalibrationValid(Some(1.2)),
+      "over-inflation is as invalid as over-deflation")
+    assert(!Bench.normCalibrationValid(None),
+      "an unvalidatable model (no clean anchors) must not publish")
+  }
+
+  // ---- trigger spread (round 19: ~40 build-once queries trip the ----
+  // ---- spread>median trigger on their deterministic build rep) ----
+
+  test("triggerSpread drops rep 1 only when it is the strict unique max " +
+       "of >= 3 reps (the build-rep signature)") {
+    // q66 shape: build rep dominates, rest tight — trigger sees the rest
+    assert(Bench.triggerSpread(Seq(3.0, 0.4, 0.5)) == 0.5 - 0.4)
+    // contention on a later rep still trips at full spread
+    assert(Bench.triggerSpread(Seq(0.4, 3.0, 0.5)) == 3.0 - 0.4)
+    // two hot reps (real window): rep 1 not the UNIQUE max — full spread
+    assert(Bench.triggerSpread(Seq(3.0, 3.0, 0.4)) == 3.0 - 0.4)
+    // fewer than 3 reps: no exclusion (nothing to corroborate the rest)
+    assert(Bench.triggerSpread(Seq(3.0, 0.4)) == 3.0 - 0.4)
+    assert(Bench.triggerSpread(Seq(1.0)) == 0.0)
+    assert(Bench.triggerSpread(Nil) == 0.0)
+  }
+
+  test("triggerSpread never exceeds the published full spread") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val ts = Seq.fill(2 + rnd.nextInt(5))(0.1 + rnd.nextDouble() * 5)
+      assert(Bench.triggerSpread(ts) <= ts.max - ts.min + 1e-12)
+    }
+  }
 }
