@@ -196,6 +196,95 @@ object SparkEntry {
         maxDist = 3)
       .orderBy("doc_id")
 
+  /** Incremental near-dup TEXT dedup against a frozen SimHash store
+    * ([[TextOps.serveSimhashDedup]] — q185's story on the text lens,
+    * ONE shared serve core with the media path:
+    * [[graft.operators.Hamming.serveDedupCore]]): history's
+    * fingerprints persist once (~16 bytes/doc however long the texts),
+    * the batch sketches, band-probes the store, and each doc reports
+    * dup_of = min matching store id (history wins over within-batch)
+    * or is_fresh. Law-by-oracle: brute-force all-pairs replay. */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q192" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-simstore-$tag"
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    builtOnce(path) {
+      TextOps.writeSimhashStore(d.filter(col("doc_id") % 4 =!= 3),
+        "doc_id", "text", path)
+    }
+    TextOps.serveSimhashDedup(s, path, d.filter(col("doc_id") % 4 === 3),
+        "doc_id", "text", maxDist = 3)
+      .orderBy("doc_id")
+  }
+
+  /** Continuous text dedup — the SimHash store MAINTAINED across crawl
+    * batches ([[graft.streaming.SimhashStream]], q186's absorption
+    * chain on the text lens): batch 1 serves against history (fenced,
+    * `b < 1`) and its FRESH keepers' fingerprints absorb under
+    * `b = 1`; batch 2 then serves against history ∪ batch-1 keepers —
+    * a batch-2 light rewrite of a batch-1 page is caught by the
+    * absorbed index, which the oracle replays round by round. Store
+    * build + round 1 persist once per JVM; round 2 serves FRESH per
+    * rep behind the `b < 2` fence (the q149 bench-honesty
+    * discipline). */
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.SimhashStream
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q193" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-simstream-$tag"
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    builtOnce(path) {
+      SimhashStream.init(d.filter(col("doc_id") % 4 <= 1),
+        "doc_id", "text", path)
+      SimhashStream.applyBatch(d.filter(col("doc_id") % 4 === 2),
+        "doc_id", "text", maxDist = 3, path, batchId = 1L)
+    }
+    val served2 = TextOps.serveSimhashDedup(s, path,
+        d.filter(col("doc_id") % 8 === 3),
+        "doc_id", "text", maxDist = 3, batchCut = Some(2L))
+      .withColumn("b", lit(2L))
+    s.read.parquet(s"$path/served")
+      .select(col("b").cast("long").as("b"), col("doc_id"),
+        col("dup_of"), col("is_fresh"))
+      .unionByName(served2.select(col("b"), col("doc_id"),
+        col("dup_of"), col("is_fresh")))
+      .orderBy("b", "doc_id")
+  }
+
+  /** q193's chain + a THIRD round with a retention fold between —
+    * [[graft.streaming.SimhashStream.foldSimhash]] compacts batches
+    * b ≤ 2 into one snapshot between rounds 2 and 3, and the oracle
+    * has NO idea (read-invisibility through the `b < 3` fence — the
+    * q187/q167/q150 discipline on the text fingerprint index). Store
+    * chain built once per JVM; round 3 serves fresh per rep. */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.SimhashStream
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q194" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-simfold-$tag"
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    builtOnce(path) {
+      SimhashStream.init(d.filter(col("doc_id") % 4 <= 1),
+        "doc_id", "text", path)
+      SimhashStream.applyBatch(d.filter(col("doc_id") % 4 === 2),
+        "doc_id", "text", maxDist = 3, path, batchId = 1L)
+      SimhashStream.applyBatch(d.filter(col("doc_id") % 8 === 3),
+        "doc_id", "text", maxDist = 3, path, batchId = 2L)
+      SimhashStream.foldSimhash(s, path, "doc_id", upTo = 2L)
+    }
+    val served3 = TextOps.serveSimhashDedup(s, path,
+        d.filter(col("doc_id") % 8 === 7),
+        "doc_id", "text", maxDist = 3, batchCut = Some(3L))
+      .withColumn("b", lit(3L))
+    s.read.parquet(s"$path/served")
+      .select(col("b").cast("long").as("b"), col("doc_id"),
+        col("dup_of"), col("is_fresh"))
+      .unionByName(served3.select(col("b"), col("doc_id"),
+        col("dup_of"), col("is_fresh")))
+      .orderBy("b", "doc_id")
+  }
+
   /** Language-ID heuristic (marker-token argmax). */
   private def q15(s: SparkSession, dir: String): DataFrame =
     TextOps.languageId(Tables.documents(s, dir), "doc_id", "text")
@@ -4189,6 +4278,9 @@ object SparkEntry {
     "q189_phash_skew_dedup" -> q189,
     "q190_phash_full_absorb" -> q190,
     "q191_simhash_clusters" -> q191,
+    "q192_simhash_store_serve" -> q192,
+    "q193_simhash_stream" -> q193,
+    "q194_simhash_fold" -> q194,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -8510,6 +8602,111 @@ object SparkEntry {
          |       f.doc_id = coalesce(zcc.label, f.doc_id) AS is_keeper
          |FROM fp f LEFT JOIN zcc ON f.doc_id = zcc.id
          |ORDER BY doc_id""".stripMargin,
+    // q192: history and batch fingerprint sets from the one simhash
+    // definition; both match sets brute-forced — banding is pure
+    // access path (the q185 oracle shape on the text lens)
+    "q192_simhash_store_serve" ->
+      s"""WITH $simhashCte,
+         |hh AS (SELECT * FROM fp WHERE doc_id % 4 != 3),
+         |bb AS (SELECT * FROM fp WHERE doc_id % 4 = 3),
+         |hm AS (SELECT b.doc_id, min(h.doc_id) AS hd
+         |       FROM bb b JOIN hh h
+         |         ON bit_count(xor(b.simhash, h.simhash)) <= 3 GROUP BY 1),
+         |bm AS (SELECT b.doc_id, min(a.doc_id) AS bd
+         |       FROM bb b JOIN bb a ON a.doc_id < b.doc_id
+         |         AND bit_count(xor(a.simhash, b.simhash)) <= 3 GROUP BY 1)
+         |SELECT p.doc_id, coalesce(hm.hd, bm.bd) AS dup_of,
+         |       (hm.hd IS NULL AND bm.bd IS NULL) AS is_fresh
+         |FROM bb p LEFT JOIN hm USING (doc_id) LEFT JOIN bm USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // q193: the q186 two-round replay on the text lens — round 2's
+    // history = history ∪ round 1's FRESH keepers, all brute-forced
+    "q193_simhash_stream" ->
+      s"""WITH $simhashCte,
+         |hh AS (SELECT * FROM fp WHERE doc_id % 4 <= 1),
+         |cc AS (SELECT * FROM fp WHERE doc_id % 4 = 2),
+         |dd AS (SELECT * FROM fp WHERE doc_id % 8 = 3),
+         |r1h AS (SELECT b.doc_id, min(h.doc_id) AS hd FROM cc b
+         |        JOIN hh h ON bit_count(xor(b.simhash, h.simhash)) <= 3
+         |        GROUP BY 1),
+         |r1b AS (SELECT b.doc_id, min(a.doc_id) AS bd FROM cc b
+         |        JOIN cc a ON a.doc_id < b.doc_id
+         |          AND bit_count(xor(a.simhash, b.simhash)) <= 3 GROUP BY 1),
+         |r1 AS (SELECT p.doc_id, coalesce(r1h.hd, r1b.bd) AS dup_of,
+         |              (r1h.hd IS NULL AND r1b.bd IS NULL) AS is_fresh
+         |       FROM cc p LEFT JOIN r1h USING (doc_id)
+         |                 LEFT JOIN r1b USING (doc_id)),
+         |h2 AS (SELECT doc_id, simhash FROM hh
+         |       UNION ALL
+         |       SELECT c.doc_id, c.simhash FROM cc c
+         |       JOIN r1 USING (doc_id) WHERE r1.is_fresh),
+         |r2h AS (SELECT b.doc_id, min(h.doc_id) AS hd FROM dd b
+         |        JOIN h2 h ON bit_count(xor(b.simhash, h.simhash)) <= 3
+         |        GROUP BY 1),
+         |r2b AS (SELECT b.doc_id, min(a.doc_id) AS bd FROM dd b
+         |        JOIN dd a ON a.doc_id < b.doc_id
+         |          AND bit_count(xor(a.simhash, b.simhash)) <= 3 GROUP BY 1),
+         |r2 AS (SELECT p.doc_id, coalesce(r2h.hd, r2b.bd) AS dup_of,
+         |              (r2h.hd IS NULL AND r2b.bd IS NULL) AS is_fresh
+         |       FROM dd p LEFT JOIN r2h USING (doc_id)
+         |                 LEFT JOIN r2b USING (doc_id))
+         |SELECT 1::BIGINT AS b, doc_id, dup_of, is_fresh FROM r1
+         |UNION ALL
+         |SELECT 2::BIGINT AS b, doc_id, dup_of, is_fresh FROM r2
+         |ORDER BY b, doc_id""".stripMargin,
+    // q194: three rounds, keeper absorption compounding — and the
+    // oracle is BLIND to the fold between rounds 2 and 3 (the q187
+    // read-invisibility law on the text index)
+    "q194_simhash_fold" ->
+      s"""WITH $simhashCte,
+         |hh AS (SELECT * FROM fp WHERE doc_id % 4 <= 1),
+         |cc AS (SELECT * FROM fp WHERE doc_id % 4 = 2),
+         |dd AS (SELECT * FROM fp WHERE doc_id % 8 = 3),
+         |ee AS (SELECT * FROM fp WHERE doc_id % 8 = 7),
+         |r1h AS (SELECT b.doc_id, min(h.doc_id) AS hd FROM cc b
+         |        JOIN hh h ON bit_count(xor(b.simhash, h.simhash)) <= 3
+         |        GROUP BY 1),
+         |r1b AS (SELECT b.doc_id, min(a.doc_id) AS bd FROM cc b
+         |        JOIN cc a ON a.doc_id < b.doc_id
+         |          AND bit_count(xor(a.simhash, b.simhash)) <= 3 GROUP BY 1),
+         |r1 AS (SELECT p.doc_id, coalesce(r1h.hd, r1b.bd) AS dup_of,
+         |              (r1h.hd IS NULL AND r1b.bd IS NULL) AS is_fresh
+         |       FROM cc p LEFT JOIN r1h USING (doc_id)
+         |                 LEFT JOIN r1b USING (doc_id)),
+         |h2 AS (SELECT doc_id, simhash FROM hh
+         |       UNION ALL
+         |       SELECT c.doc_id, c.simhash FROM cc c
+         |       JOIN r1 USING (doc_id) WHERE r1.is_fresh),
+         |r2h AS (SELECT b.doc_id, min(h.doc_id) AS hd FROM dd b
+         |        JOIN h2 h ON bit_count(xor(b.simhash, h.simhash)) <= 3
+         |        GROUP BY 1),
+         |r2b AS (SELECT b.doc_id, min(a.doc_id) AS bd FROM dd b
+         |        JOIN dd a ON a.doc_id < b.doc_id
+         |          AND bit_count(xor(a.simhash, b.simhash)) <= 3 GROUP BY 1),
+         |r2 AS (SELECT p.doc_id, coalesce(r2h.hd, r2b.bd) AS dup_of,
+         |              (r2h.hd IS NULL AND r2b.bd IS NULL) AS is_fresh
+         |       FROM dd p LEFT JOIN r2h USING (doc_id)
+         |                 LEFT JOIN r2b USING (doc_id)),
+         |h3 AS (SELECT doc_id, simhash FROM h2
+         |       UNION ALL
+         |       SELECT d.doc_id, d.simhash FROM dd d
+         |       JOIN r2 USING (doc_id) WHERE r2.is_fresh),
+         |r3h AS (SELECT b.doc_id, min(h.doc_id) AS hd FROM ee b
+         |        JOIN h3 h ON bit_count(xor(b.simhash, h.simhash)) <= 3
+         |        GROUP BY 1),
+         |r3b AS (SELECT b.doc_id, min(a.doc_id) AS bd FROM ee b
+         |        JOIN ee a ON a.doc_id < b.doc_id
+         |          AND bit_count(xor(a.simhash, b.simhash)) <= 3 GROUP BY 1),
+         |r3 AS (SELECT p.doc_id, coalesce(r3h.hd, r3b.bd) AS dup_of,
+         |              (r3h.hd IS NULL AND r3b.bd IS NULL) AS is_fresh
+         |       FROM ee p LEFT JOIN r3h USING (doc_id)
+         |                 LEFT JOIN r3b USING (doc_id))
+         |SELECT 1::BIGINT AS b, doc_id, dup_of, is_fresh FROM r1
+         |UNION ALL
+         |SELECT 2::BIGINT AS b, doc_id, dup_of, is_fresh FROM r2
+         |UNION ALL
+         |SELECT 3::BIGINT AS b, doc_id, dup_of, is_fresh FROM r3
+         |ORDER BY b, doc_id""".stripMargin,
     "q15_langid" -> langidOracle,
     "q16_quality" ->
       """WITH f AS (

@@ -781,6 +781,70 @@ object Stress {
         "O(m² · 4 chunks) per mega-cluster (~1e10 rows here)")
     }
 
+    if (mode == "simhashskew") {
+    // Text-lens twin of phashskew (round 19, verdict task 4): 40% of
+    // the corpus carries one of 8 boilerplate texts — the template-
+    // chrome/empty-page regime of web crawls, where SimHash signatures
+    // collapse onto a handful of identical 32-bit values and the
+    // pre-collapse banded self-join melts exactly like the media path
+    // did. Measures the collapsed decision path (q191's clusters) at
+    // the storm factor, the all-pairs contract where its own output is
+    // feasible, and the PRE-COLLAPSE join shape as the "before" control
+    // — so the text-side sparse-CC claim has the same measured row the
+    // media side got in round 18.
+    import graft.operators.{Hamming, TextOps}
+    val nClusters = 8
+    val sk = big.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) < 4,
+          concat(lit("all rights reserved cookie banner template chrome "),
+            pmod(col("doc_id"), lit(nClusters)).cast("string")))
+          .otherwise(col("text")).as("text"))
+      .localCheckpoint(true)
+    val nDoc = sk.count()
+    println(s"[stress] simhashskew corpus: $nDoc docs, 40% on " +
+      s"$nClusters boilerplate texts (~${nDoc * 2 / 5 / nClusters}/cluster)")
+    time(s"simhashskew simhash(${factor}x)") {
+      TextOps.simhash(sk, "doc_id", "text").count()
+    }
+    time(s"simhashskew dedupClusters(${factor}x)") {
+      TextOps.simhashDedupClusters(sk, "doc_id", "text", maxDist = 3).count()
+    }
+    // the all-pairs CONTRACT output is C(m,2)-quadratic on this input
+    // by definition — feasible at small factors, output-sized there
+    if (factor <= 10)
+      time(s"simhashskew pairs all-pairs(${factor}x)") {
+        TextOps.simhashPairs(sk, "doc_id", "text", maxDist = 3).count()
+      }
+    else
+      println(s"[stress] simhashskew: SKIPPED all-pairs at ${factor}x — " +
+        "the contract's own output is quadratic in cluster size on " +
+        "40%-identical input; the cluster decision path above is the " +
+        "scale surface")
+    // "BEFORE" control: the round-17 shape — banded self-join over ALL
+    // rows, every mega-cluster member in the same (chunk, chunk_val)
+    // bucket, O(m²·chunks) pre-distinct rows
+    if (factor <= 10)
+      time(s"simhashskew UNCOLLAPSED control(${factor}x)") {
+        val sh = TextOps.simhash(sk, "doc_id", "text")
+          .select(col("doc_id"), col("simhash")).localCheckpoint(true)
+        val keyed = Hamming.groupBandKeys(sh, "simhash",
+          TextOps.SimhashBits, 3)
+        val l = keyed.select(col("doc_id").as("id_a"),
+          col("simhash").as("h_a"), col("chunk"), col("chunk_val"))
+        val r = keyed.select(col("doc_id").as("id_b"),
+          col("simhash").as("h_b"), col("chunk"), col("chunk_val"))
+        l.join(r, Seq("chunk", "chunk_val"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b", "h_a", "h_b").distinct()
+          .filter(expr("bit_count(h_a ^ h_b)") <= 3)
+          .count()
+      }
+    else
+      println(s"[stress] simhashskew: SKIPPED uncollapsed control at " +
+        s"${factor}x — its pre-distinct join output alone is " +
+        "O(m² · 4 chunks) per mega-cluster")
+    }
+
     if (mode == "graph") {
     // iterative-operator storm: k-means and the graph family are the
     // only operators whose WORK is a fixed number of full passes, so
@@ -1560,6 +1624,94 @@ object Stress {
       .option("maxFilesPerTrigger", "1").parquet(input)
     val q = PhashStream.maintain(rowsStream, "doc_id", "text", "image",
       64, 3, store, checkpoint = ckpt)
+    q.processAllAvailable()
+    q.stop()
+    }
+    if (mode == "simhashcrash") {
+    // Crash-kill storm for the REAL SimhashStream.maintain query — the
+    // phashcrash harness on the text fingerprint index: child JVMs are
+    // halt(137)'d after the verdict write and after fingerprint
+    // absorption (both before the marker), restarted from the
+    // checkpoint, and the final store must equal the sequential
+    // no-crash control row for row. Each rep's payloads are one-token
+    // perturbations of the base corpus (near-identical fingerprints),
+    // so most batch docs dedup against history/absorbed keepers —
+    // maximal pressure on the fence.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.SimhashStream
+    val nb = math.max(6, factor / 4)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-stress-simhashcrash-$factor"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (input, store, ctl, ckpt) =
+      (s"$root/input", s"$root/store", s"$root/control", s"$root/ckpt")
+    val nBase = 5000L
+    val d0 = Tables.documents(spark, "/root/testdata/sf0.1")
+    val reps = spark.range(nb + 1).select(col("id").as("__rep"))
+    val bigD = d0.crossJoin(reps)
+      .select((col("doc_id") + col("__rep") * nBase).as("doc_id"),
+        concat(col("text"), lit(" copytag"), col("__rep")).as("text"))
+      .localCheckpoint(true)
+    def dRep(r: Int) = bigD.filter(col("doc_id") >= r * nBase &&
+      col("doc_id") < (r + 1) * nBase)
+    val stamped = scala.collection.mutable.Set.empty[String]
+    (1 to nb).foreach { r =>
+      dRep(r).coalesce(1).write.mode("append").parquet(input)
+      stampBatchFiles(input, r, stamped)
+    }
+    SimhashStream.init(dRep(0), "doc_id", "text", ctl)
+    (1 to nb).foreach { b =>
+      SimhashStream.applyBatch(dRep(b), "doc_id", "text", 3, ctl, b.toLong)
+    }
+    SimhashStream.init(dRep(0), "doc_id", "text", store)
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
+      .asScala.toSeq
+    def runChild(poison: Option[(String, Long)]): Int = {
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        poison.toSeq.map { case (p, b) => s"-D$p=$b" } ++
+        Seq("-cp", System.getProperty("java.class.path"),
+          "graft.Stress", factor.toString, "simhashcrash-child",
+          input, store, ckpt)
+      val pb = new ProcessBuilder(cmd: _*).inheritIO()
+      pb.start().waitFor()
+    }
+    val kills = Seq(
+      ("graft.simhash.crashAfterServe", 2L),
+      ("graft.simhash.crashAfterAbsorb", (nb / 2).toLong),
+      ("graft.simhash.crashAfterAbsorb", (nb - 1).toLong))
+    kills.foreach { case (p, b) =>
+      val rc = runChild(Some(p -> b))
+      println(s"[stress] simhashcrash: killed child at $p=$b (exit $rc)")
+      require(rc == 137, s"poisoned child exited $rc, expected halt 137")
+    }
+    val rcFinal = runChild(None)
+    require(rcFinal == 0, s"clean child exited $rcFinal")
+    def rowsOf(p: String, sub: String, cols: Seq[String]): Set[String] =
+      spark.read.parquet(s"$p/$sub")
+        .selectExpr(cols: _*).collect().map(_.toString).toSet
+    val diffs = Seq(
+      "served" -> Seq("CAST(b AS LONG)", "doc_id", "dup_of", "is_fresh"),
+      "simhash" -> Seq("CAST(b AS LONG)", "doc_id", "simhash"))
+      .map { case (sub, cols) =>
+        val (a, c) = (rowsOf(store, sub, cols), rowsOf(ctl, sub, cols))
+        val d = (a diff c).size + (c diff a).size
+        println(s"[stress] simhashcrash: $sub rows stream=${a.size} " +
+          s"control=${c.size} diffed=$d")
+        d
+      }.sum
+    require(diffs == 0, s"crash-recovered store diverged: $diffs rows differ")
+    println(s"[stress] simhashcrash: ${kills.size} kills / ${kills.size} " +
+      s"recoveries / rows diffed = 0 over $nb batches")
+    }
+    if (mode == "simhashcrash-child") {
+    import graft.streaming.SimhashStream
+    val Seq(input, store, ckpt) = args.slice(2, 5).toSeq
+    val schema = spark.read.parquet(input).schema
+    val rowsStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(input)
+    val q = SimhashStream.maintain(rowsStream, "doc_id", "text",
+      3, store, checkpoint = ckpt)
     q.processAllAvailable()
     q.stop()
     }

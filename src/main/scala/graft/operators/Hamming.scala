@@ -146,6 +146,72 @@ object Hamming {
       .agg(min(col(idCol)).as("__gmin"),
         count(lit(1)).as("__gn"))
 
+  /** One incremental-dedup serve of a hashed batch against a frozen
+    * hash store — the lens-agnostic core of
+    * [[graft.operators.Multimodal.servePhashDedup]] (extracted round
+    * 19 so the SimHash text store shares one implementation instead of
+    * duplicating 60 lines of subtle probe logic; the phash oracles
+    * q185-q190 certify the extraction unchanged).
+    *
+    * Semantics: each batch row reports `dup_of` = the smallest
+    * matching store id with HISTORY WINNING over within-batch matches
+    * of any id (the curated copy is already stored — the Curation
+    * keeper convention), within-batch min-id otherwise; `is_fresh`
+    * when no match at all. Both sides ride the identical-hash collapse
+    * ([[hashGroups]]): a group's members all match a hash or none do,
+    * so min-matching-id inherits through group mins, and per-member
+    * results join back at the end — a duplicate-heavy batch or store
+    * (the blank-thumbnail / boilerplate-text regime) costs the same
+    * join as a distinct one.
+    *
+    * The BATCH side broadcasts, pinned: the store's band expansion is
+    * corpus-sized and must stream past the probe (local-mode AQE
+    * happily broadcasts the tiny test store — at 100 TB that plan
+    * inverts into a per-serve store shuffle, the q173 lesson).
+    *
+    * `store` is (idCol, hashCol [, extras]) already redelivery-fenced
+    * by the caller; `bh` is (idCol, hashCol) with unique ids, ideally
+    * localCheckpointed (it feeds the group cut AND the output join). */
+  private[graft] def serveDedupCore(store: DataFrame, bh: DataFrame,
+                                    idCol: String, hashCol: String,
+                                    bits: Int, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < bits, s"maxDist=$maxDist out of range")
+    val bg = hashGroups(bh, idCol, hashCol)
+      .localCheckpoint(eager = true) // banded twice + the member join
+    val bb = groupBandKeys(bg.select(col(hashCol)), hashCol, bits, maxDist)
+    val hg = hashGroups(store, idCol, hashCol)
+    val hist = groupBandKeys(hg, hashCol, bits, maxDist)
+      .select(col("chunk"), col("chunk_val"),
+        col(hashCol).as("__hh"), col("__gmin").as("__hmin"))
+    val histDup = broadcast(bb).join(hist, Seq("chunk", "chunk_val"))
+      .select(col(hashCol), col("__hh"), col("__hmin")).distinct()
+      .filter(expr(s"bit_count($hashCol ^ __hh) <= $maxDist"))
+      .groupBy(col(hashCol))
+      .agg(min(col("__hmin")).as("__hdup"))
+    // within-batch: min over the group mins of every batch group within
+    // maxDist (INCLUDING the group itself at distance 0). For member x
+    // the original per-id min over peers {p < x} is then: __m1 when
+    // __m1 < x, else nothing — because __m1 is the global min of x's
+    // matching groups, and any smaller matching peer would have dragged
+    // its own group min (and so __m1) below it.
+    val peer = groupBandKeys(bg, hashCol, bits, maxDist)
+      .select(col("chunk"), col("chunk_val"),
+        col(hashCol).as("__ph"), col("__gmin").as("__pmin"))
+    val batchDup = bb.join(peer, Seq("chunk", "chunk_val"))
+      .select(col(hashCol), col("__ph"), col("__pmin")).distinct()
+      .filter(expr(s"bit_count($hashCol ^ __ph) <= $maxDist"))
+      .groupBy(col(hashCol))
+      .agg(min(col("__pmin")).as("__m1"))
+    bh
+      .join(histDup, Seq(hashCol), "left")
+      .join(batchDup, Seq(hashCol), "left")
+      .select(col(idCol),
+        coalesce(col("__hdup"),
+          when(col("__m1") < col(idCol), col("__m1"))).as("dup_of"))
+      .select(col(idCol), col("dup_of"),
+        col("dup_of").isNull.as("is_fresh"))
+  }
+
   /** Band keys over a group-collapsed frame, carrying the group
     * columns through the chunk explode (the store-probe access path:
     * the probe side equi-joins these on (chunk, chunk_val)). */

@@ -331,54 +331,12 @@ object Multimodal {
     val bh = perceptualHash(batch, width)
       .select(col("media_id"), col("dhash"))
       .localCheckpoint(eager = true) // feeds the group cut + output join
-    // Identical-hash collapse on BOTH sides (round-18, from the
-    // round-17 hot-bucket finding): a duplicate-heavy batch or store —
-    // the blank-thumbnail regime — put m identical hashes in one band
-    // bucket and the probe join emitted O(m²·chunks) rows. Group
-    // granularity is the exact sufficient statistic here: a group's
-    // members all match a hash or none do, so min-matching-id
-    // aggregates inherit through group mins ([[Hamming.hashGroups]]),
-    // and per-member results join back at the end. The serve-vs-brute
-    // law is unchanged (the q185 oracle replays all-pairs in DuckDB).
-    val bg = Hamming.hashGroups(bh, "media_id", "dhash")
-      .localCheckpoint(eager = true) // banded twice + the member join
-    val bb = Hamming.groupBandKeys(bg.select(col("dhash")), "dhash",
-      64, maxDist)
-    val hg = Hamming.hashGroups(store, "media_id", "dhash")
-    val hist = Hamming.groupBandKeys(hg, "dhash", 64, maxDist)
-      .select(col("chunk"), col("chunk_val"),
-        col("dhash").as("__hh"), col("__gmin").as("__hmin"))
-    // pin the BATCH side broadcast: the store's band expansion is
-    // corpus-sized and must stream past the probe (local-mode AQE
-    // happily broadcasts the tiny test store — at 100 TB that plan
-    // inverts into a per-serve store shuffle, the q173 lesson)
-    val histDup = broadcast(bb).join(hist, Seq("chunk", "chunk_val"))
-      .select(col("dhash"), col("__hh"), col("__hmin")).distinct()
-      .filter(expr(s"bit_count(dhash ^ __hh) <= $maxDist"))
-      .groupBy(col("dhash"))
-      .agg(min(col("__hmin")).as("__hdup"))
-    // within-batch: min over the group mins of every batch group within
-    // maxDist (INCLUDING the group itself at distance 0). For member x
-    // the original per-id min over peers {p < x} is then: __m1 when
-    // __m1 < x, else nothing — because __m1 is the global min of x's
-    // matching groups, and any smaller matching peer would have dragged
-    // its own group min (and so __m1) below it.
-    val peer = Hamming.groupBandKeys(bg, "dhash", 64, maxDist)
-      .select(col("chunk"), col("chunk_val"),
-        col("dhash").as("__ph"), col("__gmin").as("__pmin"))
-    val batchDup = bb.join(peer, Seq("chunk", "chunk_val"))
-      .select(col("dhash"), col("__ph"), col("__pmin")).distinct()
-      .filter(expr(s"bit_count(dhash ^ __ph) <= $maxDist"))
-      .groupBy(col("dhash"))
-      .agg(min(col("__pmin")).as("__m1"))
-    bh
-      .join(histDup, Seq("dhash"), "left")
-      .join(batchDup, Seq("dhash"), "left")
-      .select(col("media_id"),
-        coalesce(col("__hdup"),
-          when(col("__m1") < col("media_id"), col("__m1"))).as("dup_of"))
-      .select(col("media_id"), col("dup_of"),
-        col("dup_of").isNull.as("is_fresh"))
+    // Serve core extracted to [[Hamming.serveDedupCore]] (round 19):
+    // identical-hash collapse on both sides, batch-side broadcast
+    // pinned, history-wins dup_of — shared with the SimHash text store
+    // ([[TextOps.serveSimhashDedup]]). The serve-vs-brute law is
+    // unchanged (the q185 oracle replays all-pairs in DuckDB).
+    Hamming.serveDedupCore(store, bh, "media_id", "dhash", 64, maxDist)
   }
 
   /** Media contamination report against a persisted benchmark index —

@@ -682,6 +682,62 @@ object TextOps {
       .withColumn("is_keeper", col(idCol) === col("cluster_id"))
   }
 
+  // ------------------------------------------- incremental simhash store
+
+  /** Persist the corpus's SimHash fingerprint index: (idCol, simhash),
+    * hash-partitioned under `b = 0` — two fixed-width longs per doc,
+    * the whole store is ~16 bytes/document however long the texts are.
+    * The texts are sketched ONCE here and never travel again — the
+    * [[graft.operators.Multimodal.writePhashStore]] discipline applied
+    * to the text fingerprint lens (crawl-scale incremental text dedup:
+    * the index a new batch serves against). */
+  def writeSimhashStore(docs: DataFrame, idCol: String, textCol: String,
+                        path: String, parts: Int = 16): Unit = {
+    require(parts >= 1, s"parts=$parts must be >= 1")
+    simhash(docs, idCol, textCol)
+      .repartition(parts, col("simhash"))
+      .withColumn("b", lit(0L))
+      .write.mode("overwrite").partitionBy("b").parquet(s"$path/simhash")
+  }
+
+  /** Absorb one batch's fingerprint rows under `b = batchId` — an
+    * idempotent dynamic partition overwrite ([[graft.operators
+    * .Multimodal.appendPhash]]'s absorption discipline on the text
+    * lens). Callers absorb the batch's FRESH (keeper) fingerprints by
+    * default; Hamming distance is not transitive, so keeper-only
+    * absorption trades a possible later-drift recall miss for one
+    * store row per survivor — absorb the full batch when that recall
+    * matters more ([[graft.streaming.SimhashStream.applyBatch]]'s
+    * `absorbFull`). */
+  def appendSimhash(hashes: DataFrame, idCol: String, path: String,
+                    batchId: Long): Unit = {
+    require(batchId >= 1, s"batchId=$batchId collides with the b=0 seed")
+    hashes.select(col(idCol), col("simhash"))
+      .withColumn("b", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("b").parquet(s"$path/simhash")
+  }
+
+  /** Serve ONE new document batch against the frozen simhash store —
+    * incremental near-dup text dedup ([[graft.operators.Multimodal
+    * .servePhashDedup]]'s contract on the text lens, one shared core:
+    * [[Hamming.serveDedupCore]]). Each batch doc reports `dup_of` =
+    * smallest matching store id, history winning over within-batch
+    * matches; `is_fresh` when no match within `maxDist`. `batchCut`
+    * is the stream redelivery fence: serve only against `b < cut`. */
+  def serveSimhashDedup(s: org.apache.spark.sql.SparkSession, path: String,
+                        batch: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 3,
+                        batchCut: Option[Long] = None): DataFrame = {
+    val store0 = s.read.parquet(s"$path/simhash")
+    val store = batchCut.fold(store0)(c =>
+      store0.filter(col("b").cast("long") < c))
+    val bh = simhash(batch, idCol, textCol)
+      .localCheckpoint(eager = true) // feeds the group cut + output join
+    Hamming.serveDedupCore(store, bh, idCol, "simhash", SimhashBits, maxDist)
+  }
+
   // ------------------------------------------------------------ text stats
 
   /** Marker-token vocabularies for the n-gram/stopword language-ID
