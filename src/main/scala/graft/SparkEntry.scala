@@ -285,6 +285,49 @@ object SparkEntry {
       .orderBy("b", "doc_id")
   }
 
+  /** NEAR-DUP text decontamination ([[TextOps.simhashLeaks]]) — q188's
+    * story on the text lens, completing the decontamination matrix:
+    * the eval set's SimHash fingerprints persist as the benchmark
+    * index (doc_id % 50 = 0 plays the benchmark) and every training
+    * doc within Hamming ≤ 3 is flagged with its CLOSEST eval match and
+    * the count of distinct eval docs it leaks — a paraphrase-lite
+    * rewording that defeats gram-level span checks while flipping few
+    * fingerprint bits is exactly what this catches. Within-batch
+    * matches deliberately not consulted. */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q195" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-simbench-$tag"
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    builtOnce(path) {
+      TextOps.writeSimhashStore(d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", path)
+    }
+    TextOps.simhashLeaks(s, path, d.filter(col("doc_id") % 50 =!= 0),
+        "doc_id", "text", maxDist = 3)
+      .orderBy("doc_id")
+  }
+
+  /** Duplicate-heavy text near-dup clusters — q189's story on the
+    * SimHash lens, oracled end-to-end WITH mega-clusters planted: 10%
+    * of the corpus collapses onto 8 boilerplate texts (the template-
+    * chrome/empty-page regime where the uncollapsed banded join melts
+    * — 26× at the 10× simhashskew storm, docs/SCALE.md), the rest
+    * keep their real text. Clusters ride [[graft.operators.Hamming
+    * .sparseEdges]] (star within identical-fingerprint groups +
+    * rep-level near-dup edges — linear where all-pairs is quadratic);
+    * the oracle re-derives the skewed corpus in SQL, brute-forces the
+    * pair graph and closes it with the recursive-CTE reachability. */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10)) === 7,
+        concat(lit("template chrome "),
+          expr("repeat(concat('banner', CAST(doc_id % 8 AS STRING), ' '), 12)")))
+        .otherwise(col("text")).as("text"))
+    TextOps.simhashDedupClusters(d, "doc_id", "text", maxDist = 3)
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic (marker-token argmax). */
   private def q15(s: SparkSession, dir: String): DataFrame =
     TextOps.languageId(Tables.documents(s, dir), "doc_id", "text")
@@ -4281,6 +4324,8 @@ object SparkEntry {
     "q192_simhash_store_serve" -> q192,
     "q193_simhash_stream" -> q193,
     "q194_simhash_fold" -> q194,
+    "q195_simhash_decontam" -> q195,
+    "q196_simhash_skew_clusters" -> q196,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -4575,19 +4620,24 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash per-doc CTE (mirrors TextOps.simhash bit for bit). */
-  private val simhashCte: String = {
+  /** SimHash fingerprint CTE chain ending in `fp(doc_id, simhash)` —
+    * parametrized on the source relation (round 19: q196 needs the
+    * sketch over a DERIVED skewed corpus, not the raw table). */
+  private def simhashCteFor(from: String): String = {
     val sums = (0 until TextOps.SimhashBits)
       .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(",\n         ")
     val bits = (0 until TextOps.SimhashBits)
       .map(j => s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)")
       .mkString(" | ")
-    s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $from),
        |h AS (SELECT doc_id, ${sqlHash60("tok")} AS h FROM t),
        |s AS (SELECT doc_id,
        |         $sums
        |      FROM h GROUP BY doc_id),
        |fp AS (SELECT doc_id, ($bits)::BIGINT AS simhash FROM s)""".stripMargin
   }
+
+  private val simhashCte: String = simhashCteFor("documents")
 
   /** Language-ID oracle (mirrors TextOps.languageId + LangMarkers). */
   private val langidOracle: String = {
@@ -8707,6 +8757,49 @@ object SparkEntry {
          |UNION ALL
          |SELECT 3::BIGINT AS b, doc_id, dup_of, is_fresh FROM r3
          |ORDER BY b, doc_id""".stripMargin,
+    // q195: eval and training fingerprint sets from the one simhash
+    // definition, all-pairs brute-forced; the min-struct tiebreak
+    // rides the q188 scaled-integer decomposition
+    "q195_simhash_decontam" ->
+      s"""WITH $simhashCte,
+         |hh AS (SELECT * FROM fp WHERE doc_id % 50 = 0),
+         |cc AS (SELECT * FROM fp WHERE doc_id % 50 <> 0),
+         |m AS (SELECT b.doc_id, h.doc_id AS eid,
+         |        bit_count(xor(b.simhash, h.simhash))::BIGINT AS hd
+         |      FROM cc b JOIN hh h
+         |        ON bit_count(xor(b.simhash, h.simhash)) <= 3)
+         |SELECT doc_id,
+         |       min(hd * 10000000000 + eid) % 10000000000 AS eval_id,
+         |       min(hd * 10000000000 + eid) // 10000000000 AS hamming,
+         |       count(DISTINCT eid)::BIGINT AS n_eval_matches
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q196: the skewed corpus re-derived in SQL, then q191's
+    // brute-force pairs + recursive-CTE reachability over it — the
+    // sparse-edge cluster path certified with mega-clusters present
+    "q196_simhash_skew_clusters" ->
+      s"""WITH RECURSIVE sdocs AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 = 7
+         |              THEN 'template chrome ' ||
+         |                   repeat('banner' || CAST(doc_id % 8 AS VARCHAR) || ' ', 12)
+         |              ELSE text END AS text
+         |  FROM documents),
+         |${simhashCteFor("sdocs")},
+         |zpr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |ze AS (SELECT id_a AS s, id_b AS d2 FROM zpr
+         |       UNION ALL SELECT id_b, id_a FROM zpr),
+         |zreach(id, label) AS (
+         |  SELECT DISTINCT s, s FROM ze
+         |  UNION
+         |  SELECT ze.s, r.label FROM ze JOIN zreach r ON ze.d2 = r.id),
+         |zcc AS (SELECT id, min(label) AS label FROM zreach GROUP BY id)
+         |SELECT f.doc_id,
+         |       coalesce(zcc.label, f.doc_id) AS cluster_id,
+         |       f.doc_id = coalesce(zcc.label, f.doc_id) AS is_keeper
+         |FROM fp f LEFT JOIN zcc ON f.doc_id = zcc.id
+         |ORDER BY doc_id""".stripMargin,
     "q15_langid" -> langidOracle,
     "q16_quality" ->
       """WITH f AS (

@@ -212,6 +212,49 @@ object Hamming {
         col("dup_of").isNull.as("is_fresh"))
   }
 
+  /** Contamination report of a hashed batch against a persisted
+    * benchmark (eval) hash store — the lens-agnostic core of
+    * [[graft.operators.Multimodal.phashLeaks]] (extracted round 19,
+    * shared with the SimHash text lens: [[graft.operators.TextOps
+    * .simhashLeaks]]). Every batch row within `maxDist` of ANY stored
+    * hash is flagged with its CLOSEST eval match — min (hamming,
+    * eval id), deterministic — and the count of distinct eval ids it
+    * leaks. Within-batch matches deliberately not consulted:
+    * contamination is a property of the batch-vs-benchmark relation
+    * only. Identical-hash collapse on both sides: the eval index
+    * collapses to (hash, min eval id, distinct eval ids) — a group's
+    * members all leak to a batch hash or none do, so the closest-match
+    * struct inherits the group min (members share the group's
+    * distance) and the distinct-match count SUMS because hash groups
+    * partition the eval ids. Batch side broadcasts, pinned; the store
+    * streams. Output: (idCol, eval_id, hamming, n_eval_matches), one
+    * row per leaking batch id. */
+  private[graft] def leaksCore(store: DataFrame, bh: DataFrame,
+                               idCol: String, hashCol: String,
+                               bits: Int, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < bits, s"maxDist=$maxDist out of range")
+    val bb = groupBandKeys(
+      bh.select(col(hashCol)).distinct(), hashCol, bits, maxDist)
+    val hg = store.groupBy(col(hashCol))
+      .agg(min(col(idCol)).as("__emin"),
+        countDistinct(col(idCol)).as("__ne"))
+    val hist = groupBandKeys(hg, hashCol, bits, maxDist)
+      .select(col("chunk"), col("chunk_val"), col(hashCol).as("__eh"),
+        col("__emin"), col("__ne"))
+    val grpMatch = broadcast(bb).join(hist, Seq("chunk", "chunk_val"))
+      .select(col(hashCol), col("__eh"), col("__emin"), col("__ne"))
+      .distinct()
+      .withColumn("__hd",
+        expr(s"CAST(bit_count($hashCol ^ __eh) AS BIGINT)"))
+      .filter(col("__hd") <= maxDist)
+      .groupBy(col(hashCol))
+      .agg(min(struct(col("__hd").as("h"), col("__emin").as("e"))).as("__m"),
+        sum(col("__ne")).as("n_eval_matches"))
+    bh.join(grpMatch, Seq(hashCol))
+      .select(col(idCol), col("__m.e").as("eval_id"),
+        col("__m.h").as("hamming"), col("n_eval_matches"))
+  }
+
   /** Band keys over a group-collapsed frame, carrying the group
     * columns through the chunk explode (the store-probe access path:
     * the probe side equi-joins these on (chunk, chunk_val)). */

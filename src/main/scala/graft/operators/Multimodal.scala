@@ -354,32 +354,12 @@ object Multimodal {
     val bh = perceptualHash(batch, width)
       .select(col("media_id"), col("dhash"))
       .localCheckpoint(eager = true)
-    // Identical-hash collapse on both sides (round-18, the hot-bucket
-    // fix): the eval index collapses to (hash, min eval id, distinct
-    // eval ids) — a group's members all leak to a batch hash or none
-    // do, so the closest-match struct inherits the group min (members
-    // share the group's distance) and the distinct-match count SUMS
-    // because hash groups partition the eval ids. Batch images join
-    // back per hash at the end. The q188 oracle replays all-pairs.
-    val bb = Hamming.groupBandKeys(
-      bh.select(col("dhash")).distinct(), "dhash", 64, maxDist)
-    val hg = store.groupBy(col("dhash"))
-      .agg(min(col("media_id")).as("__emin"),
-        countDistinct(col("media_id")).as("__ne"))
-    val hist = Hamming.groupBandKeys(hg, "dhash", 64, maxDist)
-      .select(col("chunk"), col("chunk_val"), col("dhash").as("__eh"),
-        col("__emin"), col("__ne"))
-    val grpMatch = broadcast(bb).join(hist, Seq("chunk", "chunk_val"))
-      .select(col("dhash"), col("__eh"), col("__emin"), col("__ne"))
-      .distinct()
-      .withColumn("__hd", expr("CAST(bit_count(dhash ^ __eh) AS BIGINT)"))
-      .filter(col("__hd") <= maxDist)
-      .groupBy(col("dhash"))
-      .agg(min(struct(col("__hd").as("h"), col("__emin").as("e"))).as("__m"),
-        sum(col("__ne")).as("n_eval_matches"))
-    bh.join(grpMatch, Seq("dhash"))
-      .select(col("media_id"), col("__m.e").as("eval_id"),
-        col("__m.h").as("hamming"), col("n_eval_matches"))
+    // Leak core extracted to [[Hamming.leaksCore]] (round 19):
+    // identical-hash collapse on both sides, batch-side broadcast
+    // pinned, closest-match struct through group mins — shared with
+    // the SimHash text lens ([[TextOps.simhashLeaks]]). The q188
+    // oracle replays all-pairs.
+    Hamming.leaksCore(store, bh, "media_id", "dhash", 64, maxDist)
   }
 
   /** Media near-dup KEEPER table — q31's "keep one per near-dup

@@ -738,6 +738,27 @@ object TextOps {
     Hamming.serveDedupCore(store, bh, idCol, "simhash", SimhashBits, maxDist)
   }
 
+  /** NEAR-DUP text decontamination against a persisted benchmark
+    * fingerprint store — q173's story on the SimHash lens, completing
+    * the decontamination matrix (exact whole-doc q44, span q173-q177,
+    * semantic q124, media q188, and now lightly-EDITED benchmark text:
+    * a paraphrase-lite rewording that shifts every 13-gram window past
+    * the span cut but flips ≤ maxDist fingerprint bits is exactly what
+    * gram- and byte-level checks miss). Every batch doc within
+    * `maxDist` of ANY stored eval fingerprint reports its CLOSEST eval
+    * match (min (hamming, eval id), deterministic) and the count of
+    * distinct eval docs it leaks; within-batch matches deliberately
+    * not consulted. One shared core with the media path:
+    * [[Hamming.leaksCore]]. */
+  def simhashLeaks(s: org.apache.spark.sql.SparkSession, path: String,
+                   batch: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val store = s.read.parquet(s"$path/simhash")
+    val bh = simhash(batch, idCol, textCol)
+      .localCheckpoint(eager = true) // feeds the band cut + output join
+    Hamming.leaksCore(store, bh, idCol, "simhash", SimhashBits, maxDist)
+  }
+
   // ------------------------------------------------------------ text stats
 
   /** Marker-token vocabularies for the n-gram/stopword language-ID

@@ -974,6 +974,30 @@ class PlanContractSpec extends SparkSpec {
       s"q185 planned a product:\n$plan")
   }
 
+  test("q192 simhash store serve: the BATCH side broadcasts into the " +
+       "store probe (shared core keeps the q185 contract)") {
+    val plan = physical(
+      SparkEntry.queries("q192_simhash_store_serve")(spark, dir))
+    // Hamming.serveDedupCore pins broadcast(batch bands) for BOTH
+    // lenses — the text store's band expansion is corpus-sized and
+    // must stream past the probe exactly like the media store's
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("BuildLeft"),
+      s"q192 lost the batch-side broadcast build:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q192 planned a product:\n$plan")
+  }
+
+  test("q195 simhash decontam: eval probe broadcast, no product") {
+    val plan = physical(
+      SparkEntry.queries("q195_simhash_decontam")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q195 lost the broadcast probe join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q195 planned a product:\n$plan")
+  }
+
   test("q183 composed pipeline: benchmark flag join broadcast, no product") {
     val plan = physical(
       SparkEntry.queries("q183_pipeline_manifest")(spark, dir))

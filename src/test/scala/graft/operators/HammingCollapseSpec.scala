@@ -202,6 +202,49 @@ class HammingCollapseSpec extends SparkSpec {
     assert(got(30L).isEmpty)
   }
 
+  test("serveSimhashDedup on duplicate-heavy store AND batch ≡ " +
+       "brute-force replay (the shared core on the text lens)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-simhash-collapse").toString
+    val shared = "the very same boilerplate page text " * 8
+    val other = "another duplicated template chrome " * 9
+    val histRows = (0 until 6).map(i => (50L + i) -> shared) ++
+      (0 until 3).map(i => (70L + i) -> other) ++
+      Seq(90L -> ("history unique document one " * 7),
+        91L -> ("completely different unique history page " * 6))
+    TextOps.writeSimhashStore(histRows.toDF("id", "text"), "id", "text", dir)
+    val novel = "novel batch duplicate cluster wording " * 8
+    val batchRows = (0 until 5).map(i => (10L + i) -> shared) ++
+      (0 until 4).map(i => (20L + i) -> novel) ++
+      Seq(30L -> ("fresh and alone entirely new phrasing " * 7))
+    val batch = batchRows.toDF("id", "text")
+    val maxDist = 3
+    def fps(rows: Seq[(Long, String)]): Map[Long, Long] =
+      TextOps.simhash(rows.toDF("id", "text"), "id", "text").collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    val (hHash, bHash) = (fps(histRows), fps(batchRows))
+    val expected = bHash.map { case (x, hx) =>
+      val histMin = hHash.collect { case (h, hh)
+        if java.lang.Long.bitCount(hx ^ hh) <= maxDist => h }
+        .minOption
+      val peerMin = bHash.collect { case (p, hp)
+        if p < x && java.lang.Long.bitCount(hx ^ hp) <= maxDist => p }
+        .minOption
+      x -> histMin.orElse(peerMin)
+    }
+    val got = TextOps.serveSimhashDedup(spark, dir, batch, "id", "text",
+        maxDist)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got == expected)
+    // planted structure: every shared copy dups to the store's min id
+    // 50; the novel cluster dups within-batch to 20; 30 is fresh
+    (0 until 5).foreach(i => assert(got(10L + i).contains(50L)))
+    assert(got(20L).isEmpty)
+    (1 until 4).foreach(i => assert(got(20L + i).contains(20L)))
+    assert(got(30L).isEmpty)
+  }
+
   test("phashLeaks on a duplicate-heavy eval index ≡ brute-force " +
        "(closest eval min-id, distinct-match counts SUM across groups)") {
     val dir = java.nio.file.Files
