@@ -328,6 +328,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Corpus-wide boilerplate segment removal ([[TextOps
+    * .dropHotSegments]]): consecutive 10-token segments whose exact
+    * text occurs in ≥ 3 distinct documents are chrome (the
+    * CCNet/RefinedWeb line-frequency trick on this corpus's token
+    * streams); survivors rebuild in order. Frequency-threshold
+    * semantics — keeps a two-doc repeat, kills only corpus-wide
+    * boilerplate — where span dedup (q163) cuts any pairwise repeat.
+    * One map-combinable aggregation + one co-partitioned join back,
+    * no pairwise candidates, no broadcast assumption. */
+  private def q197(s: SparkSession, dir: String): DataFrame =
+    TextOps.dropHotSegments(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", segLen = 10, minDf = 3)
+      .orderBy("doc_id")
+
   /** Language-ID heuristic (marker-token argmax). */
   private def q15(s: SparkSession, dir: String): DataFrame =
     TextOps.languageId(Tables.documents(s, dir), "doc_id", "text")
@@ -4326,6 +4341,7 @@ object SparkEntry {
     "q194_simhash_fold" -> q194,
     "q195_simhash_decontam" -> q195,
     "q196_simhash_skew_clusters" -> q196,
+    "q197_boilerplate_segments" -> q197,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -8800,6 +8816,26 @@ object SparkEntry {
          |       f.doc_id = coalesce(zcc.label, f.doc_id) AS is_keeper
          |FROM fp f LEFT JOIN zcc ON f.doc_id = zcc.id
          |ORDER BY doc_id""".stripMargin,
+    // q197: segment lattice re-derived with correlated generate_series,
+    // df over exact segment text, ordered string_agg rebuild
+    // (string_agg skips the CASE's NULLs; coalesce for all-hot docs)
+    "q197_boilerplate_segments" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ix AS (SELECT doc_id, toks,
+        |         unnest(generate_series(0, (len(toks)-1) // 10)) AS i
+        |       FROM t),
+        |seg AS (SELECT doc_id, i,
+        |          array_to_string(list_slice(toks, i*10+1, i*10+10), ' ') AS s
+        |        FROM ix),
+        |hot AS (SELECT s FROM seg GROUP BY s
+        |        HAVING count(DISTINCT doc_id) >= 3),
+        |k AS (SELECT doc_id, i, s,
+        |        s IN (SELECT s FROM hot) AS is_hot FROM seg)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT is_hot THEN s END, ' ' ORDER BY i), '') AS clean_text,
+        |  count(*) FILTER (NOT is_hot)::BIGINT AS n_kept_segments,
+        |  count(*) FILTER (is_hot)::BIGINT AS n_dropped_segments
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q15_langid" -> langidOracle,
     "q16_quality" ->
       """WITH f AS (

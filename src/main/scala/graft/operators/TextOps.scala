@@ -759,6 +759,52 @@ object TextOps {
     Hamming.leaksCore(store, bh, idCol, "simhash", SimhashBits, maxDist)
   }
 
+  /** High-document-frequency segment removal — the CCNet/RefinedWeb
+    * boilerplate trick re-expressed for this corpus's token streams:
+    * each doc splits into consecutive non-overlapping `segLen`-token
+    * segments, any segment whose EXACT text occurs in ≥ `minDf`
+    * distinct documents is boilerplate (nav chrome, license blocks,
+    * cookie banners — content that repeats across a crawl without
+    * being a pairwise near-dup of anything), and surviving segments
+    * rebuild the doc in order. Frequency-THRESHOLD semantics, distinct
+    * from span dedup (q162-q167 cut any ≥k-token repeat pairwise):
+    * this keeps a two-doc repeat and kills only corpus-wide chrome.
+    *
+    * Scale shape: ONE aggregation keyed on the segment text (map-side
+    * combinable count-distinct via the (seg, doc) pre-distinct) + one
+    * equi-join back on the same key — Catalyst co-partitions the two
+    * shuffles, no pairwise candidate join anywhere, no broadcast
+    * assumption (a 100 TB crawl's boilerplate set need not fit in one
+    * executor). Output: (idCol, clean_text, n_kept_segments,
+    * n_dropped_segments), empty docs rebuild to the empty string. */
+  def dropHotSegments(docs: DataFrame, idCol: String, textCol: String,
+                      segLen: Int = 10, minDf: Int = 3): DataFrame = {
+    require(segLen >= 1, s"segLen=$segLen must be >= 1")
+    require(minDf >= 2, s"minDf=$minDf must be >= 2")
+    val segs = docs
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, CAST((size(__toks)-1) DIV $segLen AS INT)),
+           |          i -> array_join(slice(__toks, i*$segLen+1, $segLen), ' '))"""
+          .stripMargin)).as(Seq("__i", "__seg")))
+      .localCheckpoint(eager = true) // hub: feeds the df agg AND the join
+    val hot = segs.groupBy(col("__seg"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__seg"), lit(1).as("__hot"))
+    segs.join(hot, Seq("__seg"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(when(col("__hot").isNull,
+          struct(col("__i").as("i"), col("__seg").as("s"))))).as("__kept"),
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L))
+          .as("n_dropped_segments"))
+      .select(col(idCol),
+        array_join(expr("transform(__kept, x -> x.s)"), " ").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept_segments"),
+        col("n_dropped_segments"))
+  }
+
   // ------------------------------------------------------------ text stats
 
   /** Marker-token vocabularies for the n-gram/stopword language-ID

@@ -917,4 +917,43 @@ class TextOpsSpec extends SparkSpec {
     assert(got == want, "stored-model serving diverged from in-query NB")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("dropHotSegments: planted boilerplate dies at its df threshold, " +
+       "survivors rebuild in order, two-doc repeats survive") {
+    import spark.implicits._
+    val chrome = (1 to 10).map(i => s"chrome$i").mkString(" ") // one segment
+    val pair = (1 to 10).map(i => s"pairseg$i").mkString(" ")
+    def uniq(d: Int, s: Int) =
+      (1 to 10).map(i => s"u${d}s${s}w$i").mkString(" ")
+    // docs 1-3 share the chrome segment (df=3 → dies at minDf=3);
+    // docs 4-5 share `pair` (df=2 → survives); every doc has unique
+    // segments around the planted one so ordering is observable
+    val docs = Seq(
+      1L -> s"${uniq(1, 0)} $chrome ${uniq(1, 2)}",
+      2L -> s"$chrome ${uniq(2, 1)}",
+      3L -> s"${uniq(3, 0)} $chrome",
+      4L -> s"${uniq(4, 0)} $pair",
+      5L -> s"$pair ${uniq(5, 1)}").toDF("doc_id", "text")
+    val got = TextOps.dropHotSegments(docs, "doc_id", "text",
+        segLen = 10, minDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((s"${uniq(1, 0)} ${uniq(1, 2)}", 2L, 1L)),
+      "chrome not cut or order lost")
+    assert(got(2L) == ((uniq(2, 1), 1L, 1L)))
+    assert(got(3L) == ((uniq(3, 0), 1L, 1L)))
+    // df=2 repeats are NOT boilerplate at minDf=3
+    assert(got(4L) == ((s"${uniq(4, 0)} $pair", 2L, 0L)))
+    assert(got(5L) == ((s"$pair ${uniq(5, 1)}", 2L, 0L)))
+    // at minDf=2 the pair segment dies too — threshold is live
+    val strict = TextOps.dropHotSegments(docs, "doc_id", "text",
+        segLen = 10, minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(strict(4L) == 1L && strict(5L) == 1L)
+    // identity on a boilerplate-free corpus: rebuild is exact
+    val free = Seq(10L -> uniq(9, 9)).toDF("doc_id", "text")
+    val id = TextOps.dropHotSegments(free, "doc_id", "text", 10, 3)
+      .collect().head
+    assert(id.getString(1) == uniq(9, 9) && id.getLong(3) == 0L)
+  }
 }
