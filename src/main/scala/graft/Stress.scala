@@ -809,6 +809,23 @@ object Stress {
     time(s"simhashskew dedupClusters(${factor}x)") {
       TextOps.simhashDedupClusters(sk, "doc_id", "text", maxDist = 3).count()
     }
+    val spath =
+      s"${System.getProperty("java.io.tmpdir")}/graft-stress-simhashskew-$factor"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(spath))
+    time(s"simhashskew writeStore(${factor}x)") {
+      TextOps.writeSimhashStore(sk, "doc_id", "text", spath)
+      spark.read.parquet(s"$spath/simhash").count()
+    }
+    // skewed batch: 4000 docs, 40% landing in the SAME boilerplate
+    // clusters the store holds in bulk — serve-side mega-bucket
+    // pressure (the media storm's probe, text lens)
+    val bsk = sk.limit(4000)
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      .localCheckpoint(true)
+    time(s"simhashskew serve(4k vs ${factor}x store)") {
+      TextOps.serveSimhashDedup(spark, spath, bsk, "doc_id", "text",
+        maxDist = 3).filter(col("is_fresh") === false).count()
+    }
     // the all-pairs CONTRACT output is C(m,2)-quadratic on this input
     // by definition — feasible at small factors, output-sized there
     if (factor <= 10)
