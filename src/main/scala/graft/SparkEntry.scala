@@ -343,6 +343,60 @@ object SparkEntry {
         "doc_id", "text", segLen = 10, minDf = 3)
       .orderBy("doc_id")
 
+  /** Quality-aware keeper selection — the dedup decision a production
+    * pipeline ACTUALLY wants: within each near-dup cluster (q191's
+    * simhash sparse-CC components) keep the HIGHEST-QUALITY member
+    * (q16's composite score; ties to the smallest doc id,
+    * deterministic), not the arbitrary min-id copy. The argmax rides
+    * the scaled-integer min-struct idiom — quality is a dyadic
+    * rational in quarters, so (4 − 4·score)·10¹⁰ + doc_id is exact in
+    * both engines and one `min` per cluster picks the keeper. One
+    * extra map-combinable aggregate over the cluster table; no new
+    * shuffle shape beyond q191's. */
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val cl = TextOps.simhashDedupClusters(d, "doc_id", "text", maxDist = 3)
+      .select(col("doc_id"), col("cluster_id"))
+    val q = TextOps.qualityScore(d, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    val keyed = cl.join(q, Seq("doc_id"))
+      .withColumn("__k",
+        (lit(4.0) - col("quality_score") * 4).cast("long") *
+          lit(10000000000L) + col("doc_id"))
+    val keepers = keyed.groupBy(col("cluster_id"))
+      .agg((min(col("__k")) % 10000000000L).as("keeper_id"))
+    keyed.join(keepers, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Store-backed incremental boilerplate removal ([[TextOps
+    * .writeSegmentDf]] / [[TextOps.serveSegmentCut]]): q197's
+    * frequency decision made incremental — history's per-segment
+    * distinct-doc counts persist under b=0, batch 1's counts absorb
+    * under b=1 (counts SUM across batches, so a segment seen once in
+    * history and once in batch 1 crosses minDf=2 only through the
+    * accumulation), and batch 2 serves fresh per rep against the
+    * summed store behind the `b < 2` fence. History-only semantics:
+    * the store is the boilerplate authority, within-batch frequency
+    * not consulted. */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q199" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-segdf-$tag"
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    builtOnce(path) {
+      TextOps.writeSegmentDf(d.filter(col("doc_id") % 4 <= 1),
+        "doc_id", "text", segLen = 10, path, batchId = 0L)
+      TextOps.writeSegmentDf(d.filter(col("doc_id") % 4 === 2),
+        "doc_id", "text", segLen = 10, path, batchId = 1L)
+    }
+    TextOps.serveSegmentCut(s, path, d.filter(col("doc_id") % 8 === 3),
+        "doc_id", "text", segLen = 10, minDf = 2, batchCut = Some(2L))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic (marker-token argmax). */
   private def q15(s: SparkSession, dir: String): DataFrame =
     TextOps.languageId(Tables.documents(s, dir), "doc_id", "text")
@@ -4342,6 +4396,8 @@ object SparkEntry {
     "q195_simhash_decontam" -> q195,
     "q196_simhash_skew_clusters" -> q196,
     "q197_boilerplate_segments" -> q197,
+    "q198_quality_keeper" -> q198,
+    "q199_segment_df_store" -> q199,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -8831,6 +8887,62 @@ object SparkEntry {
         |        HAVING count(DISTINCT doc_id) >= 3),
         |k AS (SELECT doc_id, i, s,
         |        s IN (SELECT s FROM hot) AS is_hot FROM seg)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT is_hot THEN s END, ' ' ORDER BY i), '') AS clean_text,
+        |  count(*) FILTER (NOT is_hot)::BIGINT AS n_kept_segments,
+        |  count(*) FILTER (is_hot)::BIGINT AS n_dropped_segments
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q198: q191's reachability clusters + q16's quarter-score as an
+    // exact integer + the scaled-integer argmax (highest quality wins,
+    // ties to the smallest id)
+    "q198_quality_keeper" ->
+      (s"""WITH RECURSIVE $simhashCte,
+         |zpr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |ze AS (SELECT id_a AS s2, id_b AS d2 FROM zpr
+         |       UNION ALL SELECT id_b, id_a FROM zpr),
+         |zreach(id, label) AS (
+         |  SELECT DISTINCT s2, s2 FROM ze
+         |  UNION
+         |  SELECT ze.s2, r.label FROM ze JOIN zreach r ON ze.d2 = r.id),
+         |zcc AS (SELECT id, min(label) AS label FROM zreach GROUP BY id),
+         |cl AS (SELECT f.doc_id,
+         |         coalesce(zcc.label, f.doc_id) AS cluster_id
+         |       FROM fp f LEFT JOIN zcc ON f.doc_id = zcc.id),
+         |""".stripMargin +
+        """qf AS (SELECT doc_id,
+         |         (CASE WHEN len(string_split(text, ' ')) >= 10 THEN 1 ELSE 0 END)
+         |       + (CASE WHEN round(length(text) * 1.0 / len(string_split(text, ' ')), 6) BETWEEN 3 AND 12 THEN 1 ELSE 0 END)
+         |       + (CASE WHEN round(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0 / length(text), 6) < 0.2 THEN 1 ELSE 0 END)
+         |       + (CASE WHEN round(len(list_filter(string_split(lower(text), ' '),
+         |                 t -> list_contains(['the','a','of','and','to','in','is','that'], t)))
+         |               * 1.0 / len(string_split(text, ' ')), 6) >= 0.05 THEN 1 ELSE 0 END)
+         |         AS q4 FROM documents),
+         |ky AS (SELECT cl.doc_id, cl.cluster_id,
+         |         (4 - qf.q4)::BIGINT * 10000000000 + cl.doc_id AS k
+         |       FROM cl JOIN qf USING (doc_id)),
+         |kp AS (SELECT cluster_id, min(k) % 10000000000 AS keeper_id
+         |       FROM ky GROUP BY cluster_id)
+         |SELECT ky.doc_id, ky.cluster_id, kp.keeper_id,
+         |       ky.doc_id = kp.keeper_id AS is_kept
+         |FROM ky JOIN kp USING (cluster_id) ORDER BY doc_id""".stripMargin),
+    // q199: the accumulated df is replayed over history ∪ batch 1
+    // (doc_id % 4 <= 2), batch 2 (doc_id % 8 = 3) is cut against it —
+    // within-batch frequency deliberately not consulted
+    "q199_segment_df_store" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ix AS (SELECT doc_id, toks,
+        |         unnest(generate_series(0, (len(toks)-1) // 10)) AS i
+        |       FROM t),
+        |seg AS (SELECT doc_id, i,
+        |          array_to_string(list_slice(toks, i*10+1, i*10+10), ' ') AS s
+        |        FROM ix),
+        |hot AS (SELECT s FROM seg WHERE doc_id % 4 <= 2
+        |        GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        |k AS (SELECT doc_id, i, s,
+        |        s IN (SELECT s FROM hot) AS is_hot FROM seg
+        |      WHERE doc_id % 8 = 3)
         |SELECT doc_id,
         |  coalesce(string_agg(CASE WHEN NOT is_hot THEN s END, ' ' ORDER BY i), '') AS clean_text,
         |  count(*) FILTER (NOT is_hot)::BIGINT AS n_kept_segments,

@@ -781,18 +781,75 @@ object TextOps {
                       segLen: Int = 10, minDf: Int = 3): DataFrame = {
     require(segLen >= 1, s"segLen=$segLen must be >= 1")
     require(minDf >= 2, s"minDf=$minDf must be >= 2")
-    val segs = docs
-      .select(col(idCol), split(col(textCol), " ").as("__toks"))
-      .select(col(idCol), posexplode(expr(
-        s"""transform(sequence(0, CAST((size(__toks)-1) DIV $segLen AS INT)),
-           |          i -> array_join(slice(__toks, i*$segLen+1, $segLen), ' '))"""
-          .stripMargin)).as(Seq("__i", "__seg")))
+    val segs = segmentsOf(docs, idCol, textCol, segLen)
       .localCheckpoint(eager = true) // hub: feeds the df agg AND the join
     val hot = segs.groupBy(col("__seg"))
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDf)
       .select(col("__seg"), lit(1).as("__hot"))
     segs.join(hot, Seq("__seg"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(when(col("__hot").isNull,
+          struct(col("__i").as("i"), col("__seg").as("s"))))).as("__kept"),
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L))
+          .as("n_dropped_segments"))
+      .select(col(idCol),
+        array_join(expr("transform(__kept, x -> x.s)"), " ").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept_segments"),
+        col("n_dropped_segments"))
+  }
+
+  /** Segment document-frequency store — [[dropHotSegments]]' boilerplate
+    * decision made INCREMENTAL across crawl batches: each slice's
+    * per-segment distinct-doc counts persist under `b = batchId`
+    * (idempotent dynamic overwrite — a redelivered batch recomputes
+    * the same deterministic partials), and the accumulated df is the
+    * SUM across absorbed batches — counts merge, unlike the set-union
+    * stores, so the store stays one (segment, count) row per batch per
+    * distinct segment and never rescans history text. */
+  def writeSegmentDf(docs: DataFrame, idCol: String, textCol: String,
+                     segLen: Int, path: String, batchId: Long = 0L): Unit = {
+    val df = segmentsOf(docs, idCol, textCol, segLen)
+      .select(col("__seg"), col(idCol)).distinct()
+      .groupBy(col("__seg")).agg(count(lit(1)).as("df"))
+      .withColumn("b", lit(batchId))
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("b").parquet(s"$path/segdf")
+  }
+
+  /** The (idCol, __i, __seg) segment lattice shared by
+    * [[dropHotSegments]] and the df store. */
+  private def segmentsOf(docs: DataFrame, idCol: String, textCol: String,
+                         segLen: Int): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, CAST((size(__toks)-1) DIV $segLen AS INT)),
+           |          i -> array_join(slice(__toks, i*$segLen+1, $segLen), ' '))"""
+          .stripMargin)).as(Seq("__i", "__seg")))
+
+  /** Serve one batch against the ACCUMULATED segment-df store: a batch
+    * segment is boilerplate when the summed history df (batches
+    * `b < batchCut` — the redelivery fence) reaches `minDf`; survivors
+    * rebuild in order. History-only semantics (within-batch frequency
+    * deliberately not consulted — the store is the boilerplate
+    * authority, the q188 batch-vs-store convention): a serve is
+    * reproducible whatever the batch's own composition. Same output
+    * shape as [[dropHotSegments]]. */
+  def serveSegmentCut(s: org.apache.spark.sql.SparkSession, path: String,
+                      batch: DataFrame, idCol: String, textCol: String,
+                      segLen: Int, minDf: Int,
+                      batchCut: Option[Long] = None): DataFrame = {
+    val store0 = s.read.parquet(s"$path/segdf")
+    val store = batchCut.fold(store0)(c =>
+      store0.filter(col("b").cast("long") < c))
+    val hot = store.groupBy(col("__seg"))
+      .agg(sum(col("df")).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__seg"), lit(1).as("__hot"))
+    segmentsOf(batch, idCol, textCol, segLen)
+      .join(hot, Seq("__seg"), "left")
       .groupBy(col(idCol))
       .agg(
         sort_array(collect_list(when(col("__hot").isNull,

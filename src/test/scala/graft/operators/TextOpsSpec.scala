@@ -956,4 +956,38 @@ class TextOpsSpec extends SparkSpec {
       .collect().head
     assert(id.getString(1) == uniq(9, 9) && id.getLong(3) == 0L)
   }
+
+  test("segment-df store: counts ACCUMULATE across batches (a segment " +
+       "crosses minDf only through the sum), fence hides later batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-segdf-spec").toString + "/store"
+    val chrome = (1 to 10).map(i => s"chrome$i").mkString(" ")
+    def uniq(d: Int) = (1 to 10).map(i => s"u${d}w$i").mkString(" ")
+    // history: chrome appears in ONE doc (df=1 — below minDf=2);
+    // batch 1: chrome in one more doc (accumulated df=2 — at threshold)
+    TextOps.writeSegmentDf(
+      Seq(1L -> s"$chrome ${uniq(1)}", 2L -> uniq(2)).toDF("doc_id", "text"),
+      "doc_id", "text", segLen = 10, dir, batchId = 0L)
+    TextOps.writeSegmentDf(
+      Seq(3L -> s"${uniq(3)} $chrome").toDF("doc_id", "text"),
+      "doc_id", "text", segLen = 10, dir, batchId = 1L)
+    val probe = Seq(9L -> s"$chrome ${uniq(9)}").toDF("doc_id", "text")
+    // cut at b<1: only history counted — chrome df=1 survives
+    val r1 = TextOps.serveSegmentCut(spark, dir, probe, "doc_id", "text",
+        10, minDf = 2, batchCut = Some(1L)).collect().head
+    assert(r1.getString(1) == s"$chrome ${uniq(9)}" && r1.getLong(3) == 0L,
+      "fence leaked batch-1 counts")
+    // cut at b<2: history + batch 1 sum to df=2 — chrome dies
+    val r2 = TextOps.serveSegmentCut(spark, dir, probe, "doc_id", "text",
+        10, minDf = 2, batchCut = Some(2L)).collect().head
+    assert(r2.getString(1) == uniq(9) && r2.getLong(3) == 1L,
+      "accumulated df did not cross the threshold")
+    // no-fence serve sees everything, identically to b<2 here
+    val r3 = TextOps.serveSegmentCut(spark, dir, probe, "doc_id", "text",
+        10, minDf = 2).collect().head
+    assert(r3.getString(1) == r2.getString(1))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
 }
