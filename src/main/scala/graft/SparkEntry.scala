@@ -397,6 +397,72 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Continuous boilerplate curation — the segment-df store MAINTAINED
+    * across crawl batches ([[graft.streaming.SegDfStream]]): batch 1
+    * is cut against history's counts (fenced, `src < 1`) and its own
+    * per-segment dfs absorb under b=1; batch 2 is then cut against the
+    * SUMMED history ∪ batch-1 counts — chrome that only becomes
+    * corpus-wide once batch 1 lands starts dying at batch 2, which the
+    * oracle replays round by round. Store build + round 1 persist once
+    * per JVM; round 2 serves fresh per rep behind the fence. */
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.SegDfStream
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q200" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-segdfstream-$tag"
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    builtOnce(path) {
+      SegDfStream.init(d.filter(col("doc_id") % 4 <= 1),
+        "doc_id", "text", segLen = 10, path)
+      SegDfStream.applyBatch(d.filter(col("doc_id") % 4 === 2),
+        "doc_id", "text", segLen = 10, minDf = 2, path, batchId = 1L)
+    }
+    val served2 = TextOps.serveSegmentCut(s, path,
+        d.filter(col("doc_id") % 8 === 3),
+        "doc_id", "text", segLen = 10, minDf = 2, batchCut = Some(2L))
+      .withColumn("b", lit(2L))
+    s.read.parquet(s"$path/served")
+      .select(col("b").cast("long").as("b"), col("doc_id"),
+        col("clean_text"), col("n_kept_segments"), col("n_dropped_segments"))
+      .unionByName(served2.select(col("b"), col("doc_id"),
+        col("clean_text"), col("n_kept_segments"), col("n_dropped_segments")))
+      .orderBy("b", "doc_id")
+  }
+
+  /** q200's chain + a THIRD round with the count-store retention fold
+    * between ([[graft.streaming.SegDfStream.foldSegDf]]): partitions
+    * b ≤ 2 compact to one snapshot — (segment, src, df) granularity
+    * preserved, so the fold is pure partition compaction and every
+    * read's (segment, src) dedup + sum sees identical counts. The
+    * oracle has NO idea a fold happened. Round 3 serves fresh per
+    * rep. */
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.SegDfStream
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q201" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-segdffold-$tag"
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    builtOnce(path) {
+      SegDfStream.init(d.filter(col("doc_id") % 4 <= 1),
+        "doc_id", "text", segLen = 10, path)
+      SegDfStream.applyBatch(d.filter(col("doc_id") % 4 === 2),
+        "doc_id", "text", segLen = 10, minDf = 2, path, batchId = 1L)
+      SegDfStream.applyBatch(d.filter(col("doc_id") % 8 === 3),
+        "doc_id", "text", segLen = 10, minDf = 2, path, batchId = 2L)
+      SegDfStream.foldSegDf(s, path, upTo = 2L)
+    }
+    val served3 = TextOps.serveSegmentCut(s, path,
+        d.filter(col("doc_id") % 8 === 7),
+        "doc_id", "text", segLen = 10, minDf = 2, batchCut = Some(3L))
+      .withColumn("b", lit(3L))
+    s.read.parquet(s"$path/served")
+      .select(col("b").cast("long").as("b"), col("doc_id"),
+        col("clean_text"), col("n_kept_segments"), col("n_dropped_segments"))
+      .unionByName(served3.select(col("b"), col("doc_id"),
+        col("clean_text"), col("n_kept_segments"), col("n_dropped_segments")))
+      .orderBy("b", "doc_id")
+  }
+
   /** Language-ID heuristic (marker-token argmax). */
   private def q15(s: SparkSession, dir: String): DataFrame =
     TextOps.languageId(Tables.documents(s, dir), "doc_id", "text")
@@ -4398,6 +4464,8 @@ object SparkEntry {
     "q197_boilerplate_segments" -> q197,
     "q198_quality_keeper" -> q198,
     "q199_segment_df_store" -> q199,
+    "q200_segdf_stream" -> q200,
+    "q201_segdf_fold" -> q201,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -4710,6 +4778,35 @@ object SparkEntry {
   }
 
   private val simhashCte: String = simhashCteFor("documents")
+
+  /** The 10-token segment lattice CTE chain ending in
+    * `seg(doc_id, i, s)` — shared by the q197/q199-q201 boilerplate
+    * oracles. */
+  private val segLatticeCte: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |ix AS (SELECT doc_id, toks,
+      |         unnest(generate_series(0, (len(toks)-1) // 10)) AS i
+      |       FROM t),
+      |seg AS (SELECT doc_id, i,
+      |          array_to_string(list_slice(toks, i*10+1, i*10+10), ' ') AS s
+      |        FROM ix)""".stripMargin
+
+  /** One segment-df serve round as CTEs (`<p>out` is the result):
+    * summed df over the history predicate at minDf=2, the batch
+    * predicate's docs cut against it, ordered rebuild — the exact
+    * [[graft.operators.TextOps.serveSegmentCut]] derivation, replayed
+    * per round for the q200/q201 stream oracles. */
+  private def segCutRound(p: String, histPred: String,
+                          batchPred: String): String =
+    s"""${p}hot AS (SELECT s FROM seg WHERE $histPred
+       |        GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+       |${p}k AS (SELECT doc_id, i, s, s IN (SELECT s FROM ${p}hot) AS is_hot
+       |       FROM seg WHERE $batchPred),
+       |${p}out AS (SELECT doc_id,
+       |    coalesce(string_agg(CASE WHEN NOT is_hot THEN s END, ' ' ORDER BY i), '') AS clean_text,
+       |    count(*) FILTER (NOT is_hot)::BIGINT AS n_kept_segments,
+       |    count(*) FILTER (is_hot)::BIGINT AS n_dropped_segments
+       |  FROM ${p}k GROUP BY doc_id)""".stripMargin
 
   /** Language-ID oracle (mirrors TextOps.languageId + LangMarkers). */
   private val langidOracle: String = {
@@ -8948,6 +9045,31 @@ object SparkEntry {
         |  count(*) FILTER (NOT is_hot)::BIGINT AS n_kept_segments,
         |  count(*) FILTER (is_hot)::BIGINT AS n_dropped_segments
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q200: two fenced rounds replayed — round 2's history df is the
+    // SUM over history ∪ batch 1, which is where the accumulation bites
+    "q200_segdf_stream" ->
+      s"""WITH $segLatticeCte,
+         |${segCutRound("r1", "doc_id % 4 <= 1", "doc_id % 4 = 2")},
+         |${segCutRound("r2", "doc_id % 4 <= 2", "doc_id % 8 = 3")}
+         |SELECT 1::BIGINT AS b, * FROM r1out
+         |UNION ALL
+         |SELECT 2::BIGINT AS b, * FROM r2out
+         |ORDER BY b, doc_id""".stripMargin,
+    // q201: three rounds; the oracle is BLIND to the fold between
+    // rounds 2 and 3 (partition compaction preserves (segment, src,
+    // df) granularity, so every read's dedup + sum is unchanged)
+    "q201_segdf_fold" ->
+      s"""WITH $segLatticeCte,
+         |${segCutRound("r1", "doc_id % 4 <= 1", "doc_id % 4 = 2")},
+         |${segCutRound("r2", "doc_id % 4 <= 2", "doc_id % 8 = 3")},
+         |${segCutRound("r3", "doc_id % 4 <= 2 OR doc_id % 8 = 3",
+        "doc_id % 8 = 7")}
+         |SELECT 1::BIGINT AS b, * FROM r1out
+         |UNION ALL
+         |SELECT 2::BIGINT AS b, * FROM r2out
+         |UNION ALL
+         |SELECT 3::BIGINT AS b, * FROM r3out
+         |ORDER BY b, doc_id""".stripMargin,
     "q15_langid" -> langidOracle,
     "q16_quality" ->
       """WITH f AS (

@@ -1732,6 +1732,97 @@ object Stress {
     q.processAllAvailable()
     q.stop()
     }
+    if (mode == "segdfcrash") {
+    // Crash-kill storm for the REAL SegDfStream.maintain query — the
+    // kill harness on the COUNT store (the one store whose naive
+    // crash-rerun would DOUBLE-COUNT rather than just duplicate): child
+    // JVMs are halt(137)'d after the verdict write and after count
+    // absorption (both before the marker), restarted from the
+    // checkpoint, and the final store must equal the sequential
+    // no-crash control row for row — counts included, which is what
+    // certifies the (segment, src) dedup discipline under redelivery.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.SegDfStream
+    val nb = math.max(6, factor / 4)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-stress-segdfcrash-$factor"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (input, store, ctl, ckpt) =
+      (s"$root/input", s"$root/store", s"$root/control", s"$root/ckpt")
+    val nBase = 5000L
+    val d0 = Tables.documents(spark, "/root/testdata/sf0.1")
+    val reps = spark.range(nb + 1).select(col("id").as("__rep"))
+    // NO copytag perturbation on the text: identical segment payloads
+    // across reps mean every batch re-raises the same segment dfs —
+    // maximal pressure on the count accumulation + redelivery fence
+    val bigD = d0.crossJoin(reps)
+      .select((col("doc_id") + col("__rep") * nBase).as("doc_id"),
+        col("text"))
+      .localCheckpoint(true)
+    def dRep(r: Int) = bigD.filter(col("doc_id") >= r * nBase &&
+      col("doc_id") < (r + 1) * nBase)
+    val stamped = scala.collection.mutable.Set.empty[String]
+    (1 to nb).foreach { r =>
+      dRep(r).coalesce(1).write.mode("append").parquet(input)
+      stampBatchFiles(input, r, stamped)
+    }
+    SegDfStream.init(dRep(0), "doc_id", "text", 10, ctl)
+    (1 to nb).foreach { b =>
+      SegDfStream.applyBatch(dRep(b), "doc_id", "text", 10, 2, ctl, b.toLong)
+    }
+    SegDfStream.init(dRep(0), "doc_id", "text", 10, store)
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments
+      .asScala.toSeq
+    def runChild(poison: Option[(String, Long)]): Int = {
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        poison.toSeq.map { case (p, b) => s"-D$p=$b" } ++
+        Seq("-cp", System.getProperty("java.class.path"),
+          "graft.Stress", factor.toString, "segdfcrash-child",
+          input, store, ckpt)
+      val pb = new ProcessBuilder(cmd: _*).inheritIO()
+      pb.start().waitFor()
+    }
+    val kills = Seq(
+      ("graft.segdf.crashAfterServe", 2L),
+      ("graft.segdf.crashAfterAbsorb", (nb / 2).toLong),
+      ("graft.segdf.crashAfterAbsorb", (nb - 1).toLong))
+    kills.foreach { case (p, b) =>
+      val rc = runChild(Some(p -> b))
+      println(s"[stress] segdfcrash: killed child at $p=$b (exit $rc)")
+      require(rc == 137, s"poisoned child exited $rc, expected halt 137")
+    }
+    val rcFinal = runChild(None)
+    require(rcFinal == 0, s"clean child exited $rcFinal")
+    def rowsOf(p: String, sub: String, cols: Seq[String]): Set[String] =
+      spark.read.parquet(s"$p/$sub")
+        .selectExpr(cols: _*).collect().map(_.toString).toSet
+    val diffs = Seq(
+      "served" -> Seq("CAST(b AS LONG)", "doc_id", "clean_text",
+        "n_kept_segments", "n_dropped_segments"),
+      "segdf" -> Seq("__seg", "df", "CAST(src AS LONG)"))
+      .map { case (sub, cols) =>
+        val (a, c) = (rowsOf(store, sub, cols), rowsOf(ctl, sub, cols))
+        val d = (a diff c).size + (c diff a).size
+        println(s"[stress] segdfcrash: $sub rows stream=${a.size} " +
+          s"control=${c.size} diffed=$d")
+        d
+      }.sum
+    require(diffs == 0, s"crash-recovered store diverged: $diffs rows differ")
+    println(s"[stress] segdfcrash: ${kills.size} kills / ${kills.size} " +
+      s"recoveries / rows diffed = 0 over $nb batches")
+    }
+    if (mode == "segdfcrash-child") {
+    import graft.streaming.SegDfStream
+    val Seq(input, store, ckpt) = args.slice(2, 5).toSeq
+    val schema = spark.read.parquet(input).schema
+    val rowsStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(input)
+    val q = SegDfStream.maintain(rowsStream, "doc_id", "text",
+      10, 2, store, checkpoint = ckpt)
+    q.processAllAvailable()
+    q.stop()
+    }
     if (mode == "curcrash") {
     // Crash-kill storm for the REAL CurationStream.maintain query (r15
     // verdict #7): the redelivery laws are spec-pinned at spec scale by

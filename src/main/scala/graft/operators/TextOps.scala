@@ -810,9 +810,16 @@ object TextOps {
     * distinct segment and never rescans history text. */
   def writeSegmentDf(docs: DataFrame, idCol: String, textCol: String,
                      segLen: Int, path: String, batchId: Long = 0L): Unit = {
+    // `src` (the originating batch, as DATA not partition) is the
+    // crash-safety key the COUNT store needs and the set-union stores
+    // don't: every read dedups (segment, src) before summing, so a
+    // row seen twice — a folded snapshot coexisting with its source
+    // partitions after a mid-fold crash, or a redelivered overwrite —
+    // can never double-count ([[graft.streaming.SegDfStream.foldSegDf]]).
     val df = segmentsOf(docs, idCol, textCol, segLen)
       .select(col("__seg"), col(idCol)).distinct()
       .groupBy(col("__seg")).agg(count(lit(1)).as("df"))
+      .withColumn("src", lit(batchId))
       .withColumn("b", lit(batchId))
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -842,9 +849,15 @@ object TextOps {
                       segLen: Int, minDf: Int,
                       batchCut: Option[Long] = None): DataFrame = {
     val store0 = s.read.parquet(s"$path/segdf")
+    // the fence keys on `src` (the data column), not the partition
+    // label: a fold relabels partitions to b=upTo but preserves every
+    // row's origin, so a post-fold fenced serve still sees exactly the
+    // batches it is allowed to
     val store = batchCut.fold(store0)(c =>
-      store0.filter(col("b").cast("long") < c))
-    val hot = store.groupBy(col("__seg"))
+      store0.filter(col("src").cast("long") < c))
+    val hot = store
+      .dropDuplicates("__seg", "src") // crash-safety: never double-count
+      .groupBy(col("__seg"))
       .agg(sum(col("df")).as("__df"))
       .filter(col("__df") >= minDf)
       .select(col("__seg"), lit(1).as("__hot"))
