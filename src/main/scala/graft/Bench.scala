@@ -269,29 +269,33 @@ object Bench {
     * edit, and a future band break is a JSON edit, not a code edit).
     * Shape: {"note": "...", "epochs": {"q149": 15, ...}}. Pure for
     * BenchWindowSpec. */
-  private[graft] def parseEpochs(text: String): Map[String, Int] = {
+  private[graft] def parseEpochs(text: String): Option[Map[String, Int]] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
+    // None when the `epochs` key is absent (malformed registry →
+    // caller falls back); Some(map) when present — INCLUDING an empty
+    // map, so a maintainer can CLEAR every exclusion through the data
+    // artifact (round-19 review: an empty-object fallback to the code
+    // default would make exclusions un-removable by JSON edit)
     (JsonMethods.parse(text) \ "epochs") match {
-      case JObject(fs) => fs.collect {
+      case JObject(fs) => Some(fs.collect {
         case (k, JInt(n))     => k -> n.toInt
         case (k, JDouble(n))  => k -> n.toInt
         case (k, JLong(n))    => k -> n.toInt
-      }.toMap
-      case _ => Map.empty
+      }.toMap)
+      case _ => None
     }
   }
 
-  /** Band epochs: committed `BENCH_EPOCHS.json` when present and
-    * parseable, else the in-code default (kept so the pure spec and a
-    * bare checkout behave identically). See [[parseEpochs]]. */
+  /** Band epochs: committed `BENCH_EPOCHS.json` when present with an
+    * `epochs` key (an EMPTY one counts — it means "no exclusions"),
+    * else the in-code default (kept so the pure spec and a bare
+    * checkout behave identically). See [[parseEpochs]]. */
   private[graft] lazy val bandEpochs: Map[String, Int] = {
     val p = Paths.get("BENCH_EPOCHS.json")
     if (!Files.exists(p)) defaultBandEpochs
-    else try {
-      val m = parseEpochs(Files.readString(p))
-      if (m.nonEmpty) m else defaultBandEpochs
-    } catch { case _: Throwable => defaultBandEpochs }
+    else try parseEpochs(Files.readString(p)).getOrElse(defaultBandEpochs)
+    catch { case _: Throwable => defaultBandEpochs }
   }
 
   /** Whether round `round`'s measurement of `key` may contribute to the
@@ -717,14 +721,19 @@ object Bench {
         probes(math.min(w + 1, probes.size - 1)))
     }
     val results = firstPass.zipWithIndex.map {
-      case ((name, med, spr, None, _, n), qi) if rescueSet.contains(name) =>
+      case ((name, med, spr, None, fpNoisy, n), qi) if rescueSet.contains(name) =>
         val (fLo, fHi) = firstPassBrackets(qi)
-        // candidate = (median, spread, clean, fromRescue, loProbe, hiProbe)
-        // (spread here feeds the published artifact AND the residual
-        // noisy flag — rescue reps never include a store build, the
-        // first pass already paid it, so no rep-1 exclusion applies)
+        // candidate = (median, spread, clean, fromRescue, loProbe,
+        // hiProbe, noisy). The noisy flag is per-candidate: the
+        // first-pass candidate carries its triggerSpread-based verdict
+        // (its reps may include the deterministic store-build rep 1,
+        // which must not flag — the round-19 false-positive class); a
+        // RESCUE candidate's reps never include a build (the first
+        // pass already paid it), so its flag is the plain
+        // spread>median test.
         val cands = scala.collection.mutable.ArrayBuffer(
-          (med, spr, cleanWindow(fLo, fHi, prevProbe), false, fLo, fHi))
+          (med, spr, cleanWindow(fLo, fHi, prevProbe), false, fLo, fHi,
+            fpNoisy))
         var repsSpent = n
         var attempt = 0
         var done = false
@@ -744,7 +753,9 @@ object Bench {
           else {
             repsSpent += ts.size
             val clean = cleanWindow(lo, hi, prevProbe)
-            cands += ((median(ts), spreadOf(ts), clean, true, lo, hi))
+            val m = median(ts)
+            cands += ((m, spreadOf(ts), clean, true, lo, hi,
+              m > 0.2 && spreadOf(ts) > m))
             if (clean) done = true
           }
           attempt += 1
@@ -755,8 +766,7 @@ object Bench {
         if (cleanCands.nonEmpty) cleanPublished += name
         if (best._4) rescuedNames += name
         bracketOf(name) = (best._5, best._6)
-        (name, best._1, best._2, None,
-          best._1 > 0.2 && best._2 > best._1, repsSpent)
+        (name, best._1, best._2, None, best._7, repsSpent)
       case ((name, med, spr, err, noisy, n), qi) =>
         bracketOf(name) = firstPassBrackets(qi)
         (name, med, spr, err, noisy, n)
@@ -923,9 +933,15 @@ object Bench {
     val anchorsJson = anchorTimes.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + fmt(v, 4) }
       .mkString("{", ",", "}")
-    val qsNorm = normPairs.sortBy(_._1)
-      .map { case (k, v) => jstr(k) + ":" + fmt(v, 4) }
-      .mkString("{", ",", "}")
+    // queries_norm suppresses WITH norm_total (round-19 review): a
+    // reader summing the per-query normalized medians of a failed
+    // calibration would reconstruct exactly the deflated total the
+    // gate refuses to publish
+    val qsNorm =
+      if (!normValid) "{}"
+      else normPairs.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + fmt(v, 4) }
+        .mkString("{", ",", "}")
     val fileJson =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"queries_norm":$qsNorm,${normTotalJson(4)}"norm_ratio_anchor":${normCalibRatio.map(fmt(_, 4)).getOrElse("null")},"spread":$spreads,"errors":$errs,"rep_counts":$repCounts,"n_failed":$nFailed,"noisy":${jarr(noisyNames)},"partial":${jarr(partialNames)},"suspect":${jarr(suspectNames)},"rescued":${jarr(rescuedNames.toSeq)},"window_suspect":${jarr(windowSuspectFinal)},"anchor_total":${fmt(anchorTimes.values.sum, 4)},"anchor_n":${anchorTimes.size},"anchor_of":${anchorNames.size},"anchors":$anchorsJson,${calibJson(4)},"sf":${jstr(sfDirOrig)}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")

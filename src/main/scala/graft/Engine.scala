@@ -58,23 +58,25 @@ object Engine {
     Option(new java.io.File(s"$base/graft-ckpt").listFiles())
       .foreach(_.foreach { d =>
         val digits = d.getName.drop(1)
-        // toLongOption (round-19 advice): a p-prefixed all-digit name
-        // longer than Long range would throw out of the unguarded parse
-        // and fail EVERY streaming query; unparseable names are skipped
-        val pidOf: Option[Long] =
-          if (d.getName.startsWith("p") && digits.nonEmpty &&
-              digits.forall(_.isDigit)) digits.toLongOption
-          else None
-        pidOf match {
-          case Some(p) =>
+        val pidShaped = d.getName.startsWith("p") && digits.nonEmpty &&
+          digits.forall(_.isDigit)
+        if (pidShaped) {
+          // toLongOption (round-19 advice): a p-prefixed all-digit
+          // name longer than Long range would throw out of the
+          // unguarded parse and fail EVERY streaming query. Such a
+          // name is pid-SHAPED but unparseable — skip it entirely
+          // (review fix: it must not fall through to the legacy sweep,
+          // which would delete a dir we could not attribute)
+          digits.toLongOption.foreach { p =>
             if (p != pid && ProcessHandle.of(p).isEmpty) rmTree(d)
-          case None =>
-            // legacy pre-namespacing dir (graft-ckpt/<queryName> from
-            // before the p<pid> scheme) — can only belong to the old
-            // single-namespace contract, never to a live pid namespace,
-            // so it is always safe to sweep (round-19 advice: these
-            // accumulated forever on the RAM-backed scratch)
-            rmTree(d)
+          }
+        } else {
+          // legacy pre-namespacing dir (graft-ckpt/<queryName> from
+          // before the p<pid> scheme) — can only belong to the old
+          // single-namespace contract, never to a live pid namespace,
+          // so it is safe to sweep (round-19 advice: these accumulated
+          // forever on the RAM-backed scratch)
+          rmTree(d)
         }
       })
     val dir = new java.io.File(s"$base/graft-ckpt/p$pid/$name")

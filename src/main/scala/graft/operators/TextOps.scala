@@ -787,8 +787,17 @@ object TextOps {
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDf)
       .select(col("__seg"), lit(1).as("__hot"))
-    segs.join(hot, Seq("__seg"), "left")
-      .groupBy(col(idCol))
+    rebuildKeptSegments(segs.join(hot, Seq("__seg"), "left"), idCol)
+  }
+
+  /** Ordered doc rebuild from a hot-marked segment lattice — the one
+    * aggregation [[dropHotSegments]] and [[serveSegmentCut]] share, so
+    * the corpus-wide and store-backed surfaces can never diverge on
+    * the rebuild contract (empty docs → empty string, counts as
+    * longs). `marked` is (idCol, __i, __seg, __hot-nullable). */
+  private def rebuildKeptSegments(marked: DataFrame,
+                                  idCol: String): DataFrame =
+    marked.groupBy(col(idCol))
       .agg(
         sort_array(collect_list(when(col("__hot").isNull,
           struct(col("__i").as("i"), col("__seg").as("s"))))).as("__kept"),
@@ -798,7 +807,6 @@ object TextOps {
         array_join(expr("transform(__kept, x -> x.s)"), " ").as("clean_text"),
         size(col("__kept")).cast("long").as("n_kept_segments"),
         col("n_dropped_segments"))
-  }
 
   /** Segment document-frequency store — [[dropHotSegments]]' boilerplate
     * decision made INCREMENTAL across crawl batches: each slice's
@@ -861,18 +869,9 @@ object TextOps {
       .agg(sum(col("df")).as("__df"))
       .filter(col("__df") >= minDf)
       .select(col("__seg"), lit(1).as("__hot"))
-    segmentsOf(batch, idCol, textCol, segLen)
-      .join(hot, Seq("__seg"), "left")
-      .groupBy(col(idCol))
-      .agg(
-        sort_array(collect_list(when(col("__hot").isNull,
-          struct(col("__i").as("i"), col("__seg").as("s"))))).as("__kept"),
-        sum(when(col("__hot").isNotNull, 1L).otherwise(0L))
-          .as("n_dropped_segments"))
-      .select(col(idCol),
-        array_join(expr("transform(__kept, x -> x.s)"), " ").as("clean_text"),
-        size(col("__kept")).cast("long").as("n_kept_segments"),
-        col("n_dropped_segments"))
+    rebuildKeptSegments(
+      segmentsOf(batch, idCol, textCol, segLen)
+        .join(hot, Seq("__seg"), "left"), idCol)
   }
 
   // ------------------------------------------------------------ text stats

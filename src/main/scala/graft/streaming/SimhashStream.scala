@@ -22,9 +22,11 @@ import graft.operators.TextOps
   */
 object SimhashStream {
 
-  /** Seed the store: history's fingerprints under b=0. */
+  /** Seed the store: history's fingerprints under b=0. (No distance
+    * parameter on purpose — the store is raw fingerprints; maxDist is
+    * a SERVE-time choice, review fix round 19.) */
   def init(histDocs: DataFrame, idCol: String, textCol: String,
-           path: String, maxDist: Int = 3): Unit = {
+           path: String): Unit = {
     val s = histDocs.sparkSession
     TextOps.writeSimhashStore(histDocs, idCol, textCol, path)
     markCommitted(s, path, 0L)

@@ -226,13 +226,15 @@ class BenchWindowSpec extends AnyFunSuite {
     val text = java.nio.file.Files.readString(
       java.nio.file.Paths.get("BENCH_EPOCHS.json"))
     val parsed = Bench.parseEpochs(text)
-    assert(parsed == Bench.defaultBandEpochs,
+    assert(parsed.contains(Bench.defaultBandEpochs),
       "committed epochs file and code default diverged — update both " +
         "together (the default exists only for bare checkouts)")
-    assert(Bench.bandEpochs == parsed)
-    // malformed / markerless text degrades to empty, never throws
+    assert(parsed.contains(Bench.bandEpochs))
+    // a MISSING epochs key is malformed → None (caller falls back);
+    // an empty epochs OBJECT is a deliberate "no exclusions" → Some
+    // (review fix: exclusions must be clearable via the data artifact)
     assert(Bench.parseEpochs("{}").isEmpty)
-    assert(Bench.parseEpochs("""{"epochs":{}}""").isEmpty)
+    assert(Bench.parseEpochs("""{"epochs":{}}""").contains(Map.empty))
   }
 
   // ---- norm gating (round 19: r18's driver artifact published ----
