@@ -308,6 +308,34 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Store-backed INCREMENTAL near-dup decontamination — q177's
+    * arriving-eval-sets story on the SimHash lens: the first benchmark
+    * seeds the fingerprint store (b=0), a later one absorbs under its
+    * own b=1 ([[TextOps.appendSimhash]], idempotent dynamic
+    * overwrite), and every training doc is checked against the
+    * ACCUMULATED union — both eval sets must bite. Completes the
+    * decontam matrix's incremental column for the near-dup-text lens
+    * (gram store q177 / semantic epochs q156-q158 already have
+    * theirs). */
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val tag = (math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      "q202" + dir + s.sparkContext.applicationId)) % 1000000).toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-simbench2-$tag"
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    builtOnce(path) {
+      TextOps.writeSimhashStore(d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", path)
+      TextOps.appendSimhash(
+        TextOps.simhash(d.filter(col("doc_id") % 50 === 7),
+          "doc_id", "text"),
+        "doc_id", path, batchId = 1L)
+    }
+    TextOps.simhashLeaks(s, path,
+        d.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 50 =!= 7),
+        "doc_id", "text", maxDist = 3)
+      .orderBy("doc_id")
+  }
+
   /** Duplicate-heavy text near-dup clusters — q189's story on the
     * SimHash lens, oracled end-to-end WITH mega-clusters planted: 10%
     * of the corpus collapses onto 8 boilerplate texts (the template-
@@ -4466,6 +4494,7 @@ object SparkEntry {
     "q199_segment_df_store" -> q199,
     "q200_segdf_stream" -> q200,
     "q201_segdf_fold" -> q201,
+    "q202_simhash_decontam_incr" -> q202,
     "q136_soft_dedup" -> q136,
     "q137_soft_mix" -> q137,
     "q111_hopping_windows" -> q111,
@@ -8933,6 +8962,21 @@ object SparkEntry {
       s"""WITH $simhashCte,
          |hh AS (SELECT * FROM fp WHERE doc_id % 50 = 0),
          |cc AS (SELECT * FROM fp WHERE doc_id % 50 <> 0),
+         |m AS (SELECT b.doc_id, h.doc_id AS eid,
+         |        bit_count(xor(b.simhash, h.simhash))::BIGINT AS hd
+         |      FROM cc b JOIN hh h
+         |        ON bit_count(xor(b.simhash, h.simhash)) <= 3)
+         |SELECT doc_id,
+         |       min(hd * 10000000000 + eid) % 10000000000 AS eval_id,
+         |       min(hd * 10000000000 + eid) // 10000000000 AS hamming,
+         |       count(DISTINCT eid)::BIGINT AS n_eval_matches
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q202: the accumulated eval UNION (both arrived sets) is the
+    // benchmark; training = everything else; the q195/q188 min-struct
+    "q202_simhash_decontam_incr" ->
+      s"""WITH $simhashCte,
+         |hh AS (SELECT * FROM fp WHERE doc_id % 50 = 0 OR doc_id % 50 = 7),
+         |cc AS (SELECT * FROM fp WHERE doc_id % 50 <> 0 AND doc_id % 50 <> 7),
          |m AS (SELECT b.doc_id, h.doc_id AS eid,
          |        bit_count(xor(b.simhash, h.simhash))::BIGINT AS hd
          |      FROM cc b JOIN hh h
