@@ -13,18 +13,38 @@ object DevJobs {
     val q = args(0)
     val reps = if (args.length > 1) args(1).toInt else 2
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
-    val spark = Engine.withGraftConfs(SparkSession.builder()
+    // diagnostic conf overrides: SPARK_GRAFT_DEV_CONFS="k=v;k=v" — for
+    // A/B-ing a conf's local overhead (e.g. AQE on/off) before deciding
+    // whether a scale-honest fix exists. Dev only; the bench never sets it.
+    val extra = sys.env.getOrElse("SPARK_GRAFT_DEV_CONFS", "")
+      .split(";").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val b0 = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")
+    val spark = Engine.withGraftConfs(
+      extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) })
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val starts = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
+      private val execDesc =
+        scala.collection.concurrent.TrieMap.empty[String, String]
+      override def onOtherEvent(
+          ev: org.apache.spark.scheduler.SparkListenerEvent): Unit = ev match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execDesc(s.executionId.toString) = s.description.takeWhile(_ != '\n')
+        case _ => ()
+      }
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        val site = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        val p = Option(e.properties)
+        def prop(k: String) = p.flatMap(x => Option(x.getProperty(k)))
+        val site = prop("spark.sql.execution.id").flatMap(execDesc.get)
+          .orElse(prop("callSite.short"))
+          .getOrElse("?")
         starts(e.jobId) = (e.time, site)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =

@@ -785,8 +785,14 @@ object SparkEntry {
       .localCheckpoint(eager = true) // one model, five consumers
     val (assign, cents) = Clustering.kmeansQuantized(e1, "vec_id",
       "embedding", KmeansK, KmeansIters, keepVec = true)
+    // overflow-fence dimension from the trained centroids (driver-side
+    // already): every vector here — corpus and bench — comes from the
+    // one embeddings table the model was trained on, so the pair
+    // fences need no one-row peek jobs over the composed plans
+    val semDim = cents.headOption.map(_._2.length)
     val sdrop = Similarity
-      .semPairsWithin(assign, SemThrNum, SemThrDen, SemCap, SampleSeed)
+      .semPairsWithin(assign, SemThrNum, SemThrDen, SemCap, SampleSeed,
+        knownDim = semDim)
       .select(col("drop_id").as("doc_id")).distinct()
     val d2 = d1.join(sdrop, Seq("doc_id"), "left_anti")
     val members = assign.join(d2.select(col("doc_id").as("id")), Seq("id"))
@@ -794,7 +800,7 @@ object SparkEntry {
       e.filter(col("vec_id") % 10 === 7), "vec_id", "embedding", cents)
     val contaminated = Similarity
       .semPairsAcross(members, bench, SemThrNum, SemThrDen, SemCap,
-        SampleSeed)
+        SampleSeed, knownDim = semDim)
       .select(col("store_id").as("doc_id")).distinct()
     val docs3 = d.join(d2.join(contaminated, Seq("doc_id"), "left_anti"),
         Seq("doc_id"))

@@ -142,6 +142,16 @@ object Curation {
     }
   }
 
+  /** The batch's vector dimension, peeked ONCE per serve/audit on the
+    * raw vec scan (one metadata-scale take) — the knownDim both pair
+    * fences consume. None on an all-null/empty batch: the fences then
+    * fall back to their own peek, which over an empty pair input is a
+    * no-op check, exactly the pre-round-19 behavior. */
+  private def batchDim(batchVecs: DataFrame, vecCol: String): Option[Int] =
+    batchVecs.filter(col(vecCol).isNotNull)
+      .select(col(vecCol)).limit(1).collect()
+      .headOption.filter(!_.isNullAt(0)).map(_.getSeq[Any](0).size)
+
   /** Stage 1's history check, SHARED by [[serveBatch]] and
     * [[auditBatch]] (round-15 verdict: the audit must never re-shuffle
     * the log the serve path no longer touches): the within-batch
@@ -235,6 +245,14 @@ object Curation {
     // semi join rejects vectorless KEEPERS right after stage 1
     val coveredIds = batchVecs.filter(col(vecCol).isNotNull)
       .select(col(idCol))
+    // one cheap peek of the batch's vector dimension on the RAW vec
+    // scan — it feeds the overflow fences of both pair stages below
+    // (knownDim), replacing two executeTake cascades over composed
+    // serve-chain plans (measured: 15 jobs / 1.3 s of an 8.4 s serve)
+    // with a single take against the scan. Same dimension the fences
+    // peeked before: quantization preserves length, and the pair
+    // stages only ever see (a subset of) these vectors.
+    val fenceDim = batchDim(batchVecs, vecCol)
     // 1. exact: within-batch keepers, minus history content. The hash
     // log is the one corpus-sized serve-side artifact; at 100 TB a
     // plain anti-join shuffles it against every batch. The persisted
@@ -284,7 +302,8 @@ object Curation {
         idCol, vecCol, cents)
       .localCheckpoint(eager = true)
     val wdrop = Similarity
-      .semPairsWithin(assign, thrNum, thrDen, clusterCap, seed)
+      .semPairsWithin(assign, thrNum, thrDen, clusterCap, seed,
+        knownDim = fenceDim)
       .select(col("drop_id").as(idCol)).distinct()
     val b2 = b1.join(wdrop, Seq(idCol), "left_anti")
     // 3. history semantic dedup: near-dup of any stored member drops
@@ -292,7 +311,7 @@ object Curation {
         batchVecs.join(b2.select(col(idCol).as("__k")),
           col(idCol) === col("__k")).drop("__k"),
         idCol, vecCol, thrNum, thrDen, clusterCap, seed,
-        batchCut = batchCut)
+        batchCut = batchCut, knownDim = fenceDim)
       .select(col("batch_id").as(idCol)).distinct()
     val b3docs = batchDocs.join(b2.join(pdrop, Seq(idCol), "left_anti"),
         Seq(idCol))
@@ -402,6 +421,8 @@ object Curation {
       .localCheckpoint(eager = true)
     val coveredIds = batchVecs.filter(col(vecCol).isNotNull)
       .select(col(idCol))
+    // same single-peek fence dimension as serveBatch (see batchDim)
+    val fenceDim = batchDim(batchVecs, vecCol)
     val b1 = hashOk.join(coveredIds, Seq(idCol), "left_semi")
     val assign = Clustering.assignToCentroidsKeepVec(
         batchVecs.join(b1.select(col(idCol).as("__k")),
@@ -409,14 +430,15 @@ object Curation {
         idCol, vecCol, Similarity.readSemCents(s, s"$path/sem"))
       .localCheckpoint(eager = true)
     val wdrop = Similarity
-      .semPairsWithin(assign, thrNum, thrDen, clusterCap, seed)
+      .semPairsWithin(assign, thrNum, thrDen, clusterCap, seed,
+        knownDim = fenceDim)
       .select(col("drop_id").as(idCol)).distinct()
     val b2 = b1.join(wdrop, Seq(idCol), "left_anti")
     val pdrop = Similarity.probeSemStore(s, s"$path/sem",
         batchVecs.join(b2.select(col(idCol).as("__k")),
           col(idCol) === col("__k")).drop("__k"),
         idCol, vecCol, thrNum, thrDen, clusterCap, seed,
-        batchCut = batchCut)
+        batchCut = batchCut, knownDim = fenceDim)
       .select(col("batch_id").as(idCol)).distinct()
     val b3docs = batchDocs
       .join(b2.join(pdrop, Seq(idCol), "left_anti"), Seq(idCol))

@@ -63,29 +63,37 @@ object Graphs {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .persist()
-    val nn = nodes.count() // also materializes the node cache
-    require(nn > 0, "empty graph")
+    // pay the edge layout FIRST and derive everything node-sized from
+    // the cache: (src, dst) partitioned on src, reused by every
+    // iteration. The rank join is hinted shuffle-hash with the
+    // node-sized side as the build: sort-merge would re-sort the big
+    // immutable edge partitions every iteration (measured on the 10×
+    // storm, 12M edges: the whole 3-pass run drops 68 s → 34 s with
+    // the lean cache + hash joins + node-sized send table). Ordering
+    // matters (round-19, guide §1.2/§2.4): the earlier setup built
+    // nodes, deg and ed each directly over `e`, so the upstream
+    // edge-derivation plan (join + union + distinct on composed
+    // callers) ran THREE times before the first iteration — measured
+    // 4.7 s of q98's 10.7 s wall. Caching ed once and folding the
+    // node set + out-degree into ONE aggregate over it removes two
+    // full upstream passes and a node-sized join.
+    val ed = e.repartition(col("src")).persist()
+    ed.count()
     // out-degrees live in a separate node-sized table: attaching them
     // to every edge row would make the per-iteration join carry the
     // degree 12M times instead of computing each node's send value
-    // ONCE on N rows and only then replicating it along edges
-    val deg = nodes
-      .join(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg")),
-        Seq("node"), "left")
-      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+    // ONCE on N rows and only then replicating it along edges. One
+    // aggregate over the cached edges yields the node UNIVERSE and the
+    // out-degree together: outdeg = count of src rows (edges are
+    // distinct), a dst-only node sums its zero src markers to 0 —
+    // exactly the old left-join-with-coalesce semantics.
+    val deg = ed.select(col("src").as("node"), lit(1L).as("__c"))
+      .union(ed.select(col("dst").as("node"), lit(0L).as("__c")))
+      .groupBy(col("node")).agg(sum(col("__c")).as("outdeg"))
       .persist()
-    deg.count()
-    // pay the edge layout once: (src, dst) partitioned on src, reused
-    // by every iteration. The rank join is hinted shuffle-hash with
-    // the node-sized side as the build: sort-merge would re-sort the
-    // big immutable edge partitions every iteration (measured on the
-    // 10× storm, 12M edges: the whole 3-pass run drops 68 s → 34 s
-    // with the lean cache + hash joins + node-sized send table).
-    val ed = e.repartition(col("src")).persist()
-    ed.count()
+    val nn = deg.count() // also materializes the degree cache
+    require(nn > 0, "empty graph")
+    val nodes = deg.select(col("node"))
     try {
       val base = (RankScale * (dampDen - dampNum)) / (dampDen * nn)
       var ranks = nodes.select(col("node"), lit(RankScale / nn).as("r"))
@@ -124,7 +132,6 @@ object Graphs {
     } finally {
       ed.unpersist(blocking = false)
       deg.unpersist(blocking = false)
-      nodes.unpersist(blocking = false)
     }
   }
 
@@ -147,12 +154,15 @@ object Graphs {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .persist()
-    nodes.count()
+    // cache the edge layout FIRST; the node universe derives from the
+    // cache instead of re-running the caller's edge plan a second time
+    // (the pageRankFixed round-19 setup-ordering fix)
     val ed = e.repartition(col("src")).persist()
     ed.count()
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct()
+      .persist()
+    nodes.count()
     try {
       var labels = nodes.select(col("node"), col("node").as("label"))
       for (_ <- 0 until iters) {
@@ -212,12 +222,14 @@ object Graphs {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .persist()
-    nodes.count()
+    // same setup ordering as labelPropagation: edge cache first, node
+    // universe from the cache
     val ed = e.repartition(col("src")).persist()
     ed.count()
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct()
+      .persist()
+    nodes.count()
     // one audit for the whole run: key-list-sized, broadcast into every
     // iteration (the q148 reuse discipline — hotKeysByShare is split
     // out exactly so a loop pays the fact scan once)

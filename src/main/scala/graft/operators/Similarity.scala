@@ -808,21 +808,38 @@ object Similarity {
     * empty input trivially fits). The safe envelope in practice:
     * dim ≤ 1000 with thrDen ≤ 3·10⁴, or any (dim, thr) with
     * (dim·127²)²·max(thrNum, thrDen) ≤ 2^63−1. */
+  /** `knownDim` (round-19 optimization): the serve path already holds
+    * the store's centroid table driver-side, and every vector that can
+    * REACH a pair decision there has the centroid dimension (a
+    * mismatched batch vector dots to NULL against every centroid /
+    * member — [[graft.functions.ArrayMath]]'s contract — and the
+    * `__dot > 0` pair filter drops it, so it cannot overflow). Passing
+    * the known dimension keeps the fence's loud-failure contract while
+    * skipping the one-row peek, which on a composed serve plan was a
+    * real executeTake job cascade per call (measured: 15 jobs / 1.3 s
+    * of an 8.4 s serve — guide §5, the driver should do almost no data
+    * work). */
   private[operators] def requirePairDecisionFits(
-      vecs: DataFrame, vecCol: String, thrNum: Long, thrDen: Long): Unit = {
-    val first = vecs.select(col(vecCol)).limit(1).collect()
-    if (first.nonEmpty && !first(0).isNullAt(0)) {
-      val dim = first(0).getSeq[Any](0).size
-      val m = BigInt(dim) * BigInt(127L * 127L)
-      val worst = m * m * BigInt(math.max(thrNum, thrDen))
-      require(worst <= BigInt(Long.MaxValue),
-        s"integer pair decision would overflow Long: dim=$dim with " +
-          s"threshold rational $thrNum/$thrDen gives a worst operand " +
-          s"(dim·127²)²·max(thrNum,thrDen) = $worst > 2^63−1, and Spark's " +
-          s"non-ANSI Long math wraps silently — reduce the rational's " +
-          s"denominator (the same threshold at lower precision) or the " +
-          s"dimension")
-    }
+      vecs: DataFrame, vecCol: String, thrNum: Long, thrDen: Long,
+      knownDim: Option[Int] = None): Unit = knownDim match {
+    case Some(d) => requireDimFits(d, thrNum, thrDen)
+    case None =>
+      val first = vecs.select(col(vecCol)).limit(1).collect()
+      if (first.nonEmpty && !first(0).isNullAt(0))
+        requireDimFits(first(0).getSeq[Any](0).size, thrNum, thrDen)
+  }
+
+  private[operators] def requireDimFits(dim: Int, thrNum: Long,
+                                        thrDen: Long): Unit = {
+    val m = BigInt(dim) * BigInt(127L * 127L)
+    val worst = m * m * BigInt(math.max(thrNum, thrDen))
+    require(worst <= BigInt(Long.MaxValue),
+      s"integer pair decision would overflow Long: dim=$dim with " +
+        s"threshold rational $thrNum/$thrDen gives a worst operand " +
+        s"(dim·127²)²·max(thrNum,thrDen) = $worst > 2^63−1, and Spark's " +
+        s"non-ANSI Long math wraps silently — reduce the rational's " +
+        s"denominator (the same threshold at lower precision) or the " +
+        s"dimension")
   }
 
   def semDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
@@ -848,14 +865,16 @@ object Similarity {
     * model and serves several stages (the q139 closed loop) doesn't
     * re-cluster per stage. */
   def semPairsWithin(av: DataFrame, thrNum: Long, thrDen: Long,
-                     clusterCap: Long, seed: String = "graft"): DataFrame = {
+                     clusterCap: Long, seed: String = "graft",
+                     knownDim: Option[Int] = None): DataFrame = {
     require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen,
       s"threshold² = $thrNum/$thrDen must be a rational in [0, 1]")
     require(clusterCap > 1, s"clusterCap=$clusterCap: need at least a pair")
     // direct callers (q139-style compositions) bypass semDedupPairs'
     // raw-vector fence — re-check on the quantized column, same bound
-    // (the fence only reads the array's length, so qv works)
-    requirePairDecisionFits(av, "qv", thrNum, thrDen)
+    // (the fence only reads the array's length, so qv works); callers
+    // that hold the model driver-side pass knownDim and skip the peek
+    requirePairDecisionFits(av, "qv", thrNum, thrDen, knownDim)
     val capped = Sampling.stratumCap(av, "cluster", "id", clusterCap, seed = seed)
       .withColumn("__n2", ArrayMath.dotProduct(col("qv"), col("qv")).cast("long"))
     val a = capped.select(col("cluster"), col("id").as("id_a"),
@@ -884,13 +903,16 @@ object Similarity {
     * Output: (cluster, store_id, batch_id, cosine). */
   def semPairsAcross(members: DataFrame, probes: DataFrame,
                      thrNum: Long, thrDen: Long, clusterCap: Long,
-                     seed: String = "graft"): DataFrame = {
+                     seed: String = "graft",
+                     knownDim: Option[Int] = None): DataFrame = {
     require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen,
       s"threshold² = $thrNum/$thrDen must be a rational in [0, 1]")
     // both sides' norms bound the decision independently — fence each
-    // on its own quantized dim (direct callers bypass the raw fence)
-    requirePairDecisionFits(members, "qv", thrNum, thrDen)
-    requirePairDecisionFits(probes, "qv", thrNum, thrDen)
+    // on its own quantized dim (direct callers bypass the raw fence);
+    // a knownDim covers both sides: the routed assignment shape means
+    // both were quantized against the same centroid table
+    requirePairDecisionFits(members, "qv", thrNum, thrDen, knownDim)
+    requirePairDecisionFits(probes, "qv", thrNum, thrDen, knownDim)
     def capSide(av: DataFrame) = Sampling.stratumCap(
         av, "cluster", "id", clusterCap, seed = seed)
       .withColumn("__n2",
@@ -1045,10 +1067,11 @@ object Similarity {
                     batch: DataFrame, idCol: String, vecCol: String,
                     thrNum: Long, thrDen: Long, clusterCap: Long,
                     seed: String = "graft",
-                    batchCut: Option[Long] = None): DataFrame = {
+                    batchCut: Option[Long] = None,
+                    knownDim: Option[Int] = None): DataFrame = {
     require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen,
       s"threshold² = $thrNum/$thrDen must be a rational in [0, 1]")
-    requirePairDecisionFits(batch, vecCol, thrNum, thrDen)
+    requirePairDecisionFits(batch, vecCol, thrNum, thrDen, knownDim)
     val cents = readSemCents(s, path)
     val raw = s.read.parquet(s"$path/members")
     // partition columns read back as Integer — cast, don't assume Long
