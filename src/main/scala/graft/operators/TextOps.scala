@@ -1962,13 +1962,26 @@ object TextOps {
       explode(filter(tokens(col(textCol)), w => length(w) > 0)).as("__tok"))
     // ONE pass over the exploded tokens: per-label totals and the
     // vocabulary size both derive from the (label, token) counts, so
-    // the explode — the data-sized intermediate — is never re-scanned
+    // the explode — the data-sized intermediate — is never re-scanned.
+    // The count table is CUT here (round-19): it has three consumers
+    // (ct, vocab, model) and each DataFrame reference re-embeds the
+    // whole explode+aggregate subtree — static exchange reuse does not
+    // merge them (q151's 304-node plan re-ran the corpus tokenize per
+    // copy). cwt is the model artifact itself — (label, token) rows,
+    // the thing writeNbModel persists — so materializing it once is
+    // the same state class, never data-sized growth.
     val cwt = tt.groupBy("__lab", "__tok").agg(count(lit(1)).as("__cwt"))
+      .localCheckpoint(eager = true)
     val ct = cwt.groupBy("__lab").agg(sum("__cwt").as("__ct"))
     val vocab = cwt.agg(countDistinct(col("__tok")).as("__v"))
     val nlab = train.groupBy(col(labelCol).as("__lab"))
       .agg(count(lit(1)).as("__nl"))
     val ntr = train.agg(count(lit(1)).as("__n"))
+    // classes is NOT cut: its consumers re-run only K-row aggregates
+    // over the cut cwt plus two train COUNT scans, which the runtime
+    // absorbs as parallel stages — a measured A/B showed the extra
+    // blocking action costs more than those scans save (q151: 3.5 s
+    // with cwt-only vs 4.7 s with both cut)
     val classes = ct.crossJoin(broadcast(vocab))
       .join(nlab, "__lab").crossJoin(broadcast(ntr))
       .select(col("__lab"), col("__ct"), col("__v"),
