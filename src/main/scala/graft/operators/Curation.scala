@@ -306,11 +306,16 @@ object Curation {
         knownDim = fenceDim)
       .select(col("drop_id").as(idCol)).distinct()
     val b2 = b1.join(wdrop, Seq(idCol), "left_anti")
-    // 3. history semantic dedup: near-dup of any stored member drops
-    val pdrop = Similarity.probeSemStore(s, s"$path/sem",
-        batchVecs.join(b2.select(col(idCol).as("__k")),
-          col(idCol) === col("__k")).drop("__k"),
-        idCol, vecCol, thrNum, thrDen, clusterCap, seed,
+    // 3. history semantic dedup: near-dup of any stored member drops.
+    // The probe reuses the ALREADY-ROUTED assignment restricted to b2
+    // (routing is per-row pure: route(vecs ⋈ b2) ≡ route(vecs ⋈ b1) ⋈
+    // b2 — law in SimilaritySpec), instead of re-quantizing and
+    // re-routing the batch inside the probe (round-19: one kernel pass
+    // and one batch join per serve removed).
+    val pdrop = Similarity.probeSemStoreRouted(s, s"$path/sem",
+        assign.join(b2.select(col(idCol).as("__k")),
+          col("id") === col("__k")).drop("__k"),
+        thrNum, thrDen, clusterCap, seed,
         batchCut = batchCut, knownDim = fenceDim)
       .select(col("batch_id").as(idCol)).distinct()
     val b3docs = batchDocs.join(b2.join(pdrop, Seq(idCol), "left_anti"),
@@ -434,10 +439,11 @@ object Curation {
         knownDim = fenceDim)
       .select(col("drop_id").as(idCol)).distinct()
     val b2 = b1.join(wdrop, Seq(idCol), "left_anti")
-    val pdrop = Similarity.probeSemStore(s, s"$path/sem",
-        batchVecs.join(b2.select(col(idCol).as("__k")),
-          col(idCol) === col("__k")).drop("__k"),
-        idCol, vecCol, thrNum, thrDen, clusterCap, seed,
+    // routed-probe reuse, as in serveBatch (lockstep access paths)
+    val pdrop = Similarity.probeSemStoreRouted(s, s"$path/sem",
+        assign.join(b2.select(col(idCol).as("__k")),
+          col("id") === col("__k")).drop("__k"),
+        thrNum, thrDen, clusterCap, seed,
         batchCut = batchCut, knownDim = fenceDim)
       .select(col("batch_id").as(idCol)).distinct()
     val b3docs = batchDocs

@@ -1080,14 +1080,49 @@ object Similarity {
     val members = fenced
       .select(col("id"), col("cluster").cast("int").as("cluster"),
         col("dist"), col("qv"))
+    probePairsAgainst(members,
+      Clustering.assignToCentroidsKeepVec(batch, idCol, vecCol, cents),
+      thrNum, thrDen, clusterCap, seed)
+  }
+
+  /** [[probeSemStore]] for a batch that is ALREADY routed against the
+    * store's centroids (the assignToCentroidsKeepVec shape: id,
+    * cluster, dist, qv) — the serve path holds exactly that table for
+    * its within-batch stage, and routing is per-row pure, so probing
+    * the restricted assignment ≡ re-routing the restricted raw batch
+    * (law in SimilaritySpec). Skips one quantize+route kernel pass and
+    * one batch-vector join per serve. */
+  def probeSemStoreRouted(s: org.apache.spark.sql.SparkSession, path: String,
+                          routedBatch: DataFrame,
+                          thrNum: Long, thrDen: Long, clusterCap: Long,
+                          seed: String = "graft",
+                          batchCut: Option[Long] = None,
+                          knownDim: Option[Int] = None): DataFrame = {
+    require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen,
+      s"threshold² = $thrNum/$thrDen must be a rational in [0, 1]")
+    requirePairDecisionFits(routedBatch, "qv", thrNum, thrDen, knownDim)
+    val raw = s.read.parquet(s"$path/members")
+    val fenced = batchCut.fold(raw)(c =>
+      raw.filter(col("b").cast("long") < lit(c)))
+    val members = fenced
+      .select(col("id"), col("cluster").cast("int").as("cluster"),
+        col("dist"), col("qv"))
+    probePairsAgainst(members, routedBatch, thrNum, thrDen, clusterCap, seed)
+  }
+
+  /** Shared pair tail of [[probeSemStore]]/[[probeSemStoreRouted]]:
+    * cap both routed sides per cluster, decide every within-cluster
+    * (store × batch) pair with the integer threshold. */
+  private def probePairsAgainst(members: DataFrame, routedBatch: DataFrame,
+                                thrNum: Long, thrDen: Long, clusterCap: Long,
+                                seed: String): DataFrame = {
     def capSide(av: DataFrame) = Sampling.stratumCap(
         av, "cluster", "id", clusterCap, seed = seed)
       .withColumn("__n2",
         ArrayMath.dotProduct(col("qv"), col("qv")).cast("long"))
     val a = capSide(members).select(col("cluster"),
       col("id").as("store_id"), col("qv").as("__qa"), col("__n2").as("__na"))
-    val b = capSide(Clustering.assignToCentroidsKeepVec(batch, idCol,
-        vecCol, cents))
+    val b = capSide(routedBatch)
       .select(col("cluster"), col("id").as("batch_id"),
         col("qv").as("__qb"), col("__n2").as("__nb"))
     val dot = ArrayMath.dotProduct(col("__qa"), col("__qb")).cast("long")

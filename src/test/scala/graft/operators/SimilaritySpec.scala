@@ -427,6 +427,16 @@ class SimilaritySpec extends SparkSpec {
         "vec_id", "embedding", 49L, 400L, clusterCap = 16L)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaStore.nonEmpty, "probe law vacuous: no pairs at the fixture")
+    // routed-probe law (round-19): probing an already-routed batch
+    // (the serve path's reuse of its own assignment) ≡ the raw probe —
+    // routing is per-row pure, so pre-routing commutes with the probe
+    val viaRouted = Similarity.probeSemStoreRouted(spark, path,
+        Clustering.assignToCentroidsKeepVec(probeBatch, "vec_id",
+          "embedding", cents),
+        49L, 400L, clusterCap = 16L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaRouted == viaStore,
+      "probeSemStoreRouted(route(batch)) != probeSemStore(batch)")
     // purge B: store must equal build(A) exactly (uncapped members)
     Similarity.purgeFromSemStore(spark, path, b, "vec_id", "embedding")
     assert(memberRows() == routedRows(a),
