@@ -305,7 +305,13 @@ object Curation {
       .semPairsWithin(assign, thrNum, thrDen, clusterCap, seed,
         knownDim = fenceDim)
       .select(col("drop_id").as(idCol)).distinct()
-    val b2 = b1.join(wdrop, Seq(idCol), "left_anti")
+    // b2 derives from the CUT assignment, not from b1: assign's id set
+    // IS b1 (every b1 id is covered, so its vector quantizes non-null
+    // and survives routing), and reading it from the checkpoint spares
+    // a second run of the stage-1 anti-join subtree — b1's only
+    // remaining consumer is the routing input above (round-19).
+    val b2 = assign.select(col("id").as(idCol))
+      .join(wdrop, Seq(idCol), "left_anti")
     // 3. history semantic dedup: near-dup of any stored member drops.
     // The probe reuses the ALREADY-ROUTED assignment restricted to b2
     // (routing is per-row pure: route(vecs ⋈ b2) ≡ route(vecs ⋈ b1) ⋈
@@ -438,7 +444,9 @@ object Curation {
       .semPairsWithin(assign, thrNum, thrDen, clusterCap, seed,
         knownDim = fenceDim)
       .select(col("drop_id").as(idCol)).distinct()
-    val b2 = b1.join(wdrop, Seq(idCol), "left_anti")
+    // b2 from the cut assignment (assign ids ≡ b1), as in serveBatch
+    val b2 = assign.select(col("id").as(idCol))
+      .join(wdrop, Seq(idCol), "left_anti")
     // routed-probe reuse, as in serveBatch (lockstep access paths)
     val pdrop = Similarity.probeSemStoreRouted(s, s"$path/sem",
         assign.join(b2.select(col(idCol).as("__k")),
